@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): run the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with a cheap count-style action (the driver's
+correctness gate covers values; this measures execution time end-to-end
+including scan, shuffle, and any Python stages).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from emr_with_custom_metrics_spark import registry  # noqa: E402
+from emr_with_custom_metrics_spark.session import get_spark  # noqa: E402
+
+# Headline set: scan-agg, multi-join, window, asof, streaming-batch,
+# text/dedup/similarity — one per operator family, heaviest variant.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "agg_stats",
+    "window_rank_battery",
+    "topk_per_group",
+    "asof_purchase_last_click",
+    "metrics_tumbling_avg",
+    "session_windows",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "similarity_topk_exact",
+    "similarity_ivf_topk",
+    "text_word_freq_topk",
+    "multimodal_decode_meta",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = registry.all_specs()
+
+    # Warm the JVM + parquet footers once so per-query times measure the
+    # query, not session startup.
+    specs["a1_group_count"].fn(spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = specs[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

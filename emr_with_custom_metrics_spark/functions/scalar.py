@@ -1,0 +1,213 @@
+"""Scalar function surface: string / date / math / JSON.
+
+The reference performs these in bash: jq dotted-path JSON projection (op M2,
+reference scripts/custom-metrics.sh:10-11), bc fixed-point arithmetic (op M3,
+custom-metrics.sh:12), and grep/split string extraction (op M4,
+custom-metrics.sh:8). Here they are JVM-side Catalyst expressions inside
+whole-stage codegen — no Python in the row path (SURVEY.md §2A.1 scalar row).
+
+Parity notes vs the DuckDB oracle are inline (regex dialect, weekday
+numbering, bc's TRUNCATING scale=2 semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emr_with_custom_metrics_spark.catalog import load_table
+from emr_with_custom_metrics_spark.registry import register
+
+
+@register(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_mktsegment) AS seg_upper,
+           LOWER(c_name) AS name_lower,
+           SUBSTRING(c_name, 1, 8) AS name_prefix,
+           CAST(LENGTH(c_name) AS INTEGER) AS name_len,
+           CONCAT(c_mktsegment, ':', c_name) AS seg_name,
+           REPLACE(c_name, 'Customer#', '') AS name_digits,
+           CAST(REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS BIGINT) AS key_from_name,
+           LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded
+    FROM customer WHERE c_custkey <= 300
+    """,
+    doc="String battery: case, substring, length, concat, replace, regex "
+    "extract (op M4 in-engine), padding.",
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 300)
+    return c.select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.lower("c_name").alias("name_lower"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws(":", "c_mktsegment", "c_name").alias("seg_name"),
+        F.regexp_replace("c_name", "Customer#", "").alias("name_digits"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).cast("bigint").alias("key_from_name"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+    )
+
+
+@register(
+    "scalar_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
+           CAST(MONTH(o_orderdate) AS INTEGER) AS order_month,
+           CAST(DAY(o_orderdate) AS INTEGER) AS order_day,
+           CAST(ISODOW(o_orderdate) - 1 AS INTEGER) AS order_weekday,
+           DATE_TRUNC('month', o_orderdate) AS order_month_start,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER)
+             AS days_since_epoch_start,
+           CAST(STRFTIME(o_orderdate, '%Y-%m') AS VARCHAR) AS order_ym
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+    doc="Date battery: parts, weekday (Monday=0 on both engines), trunc, "
+    "date arithmetic, formatting. Session tz pinned to UTC by the registry.",
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        # Spark weekday(): Monday=0 … Sunday=6; DuckDB isodow: Monday=1 → -1.
+        F.weekday("o_orderdate").alias("order_weekday"),
+        F.date_trunc("month", "o_orderdate").alias("order_month_start"),
+        F.to_date("o_orderdate").alias("order_date"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_ym"),
+    )
+
+
+@register(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 1) AS price_r1,
+           ABS(l_discount - 0.05) AS disc_dev,
+           CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+           ROUND(SQRT(l_extendedprice), 4) AS price_sqrt,
+           ROUND(POW(1 + l_tax, 2), 6) AS tax_sq,
+           ROUND(LN(l_extendedprice + 1), 6) AS price_ln,
+           ROUND(LOG10(l_extendedprice + 1), 6) AS price_log10,
+           CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+           CAST(l_linenumber % 3 AS INTEGER) AS line_mod3
+    FROM lineitem WHERE l_orderkey <= 1500
+    """,
+    doc="Math battery: rounding, abs, ceil/floor, sqrt/pow/ln/log10, sign, mod.",
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 1500)
+    price = F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(price, 1).alias("price_r1"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.round(F.sqrt(price), 4).alias("price_sqrt"),
+        F.round(F.pow(1 + F.col("l_tax"), 2), 6).alias("tax_sq"),
+        F.round(F.log(price + 1), 6).alias("price_ln"),
+        F.round(F.log10(price + 1), 6).alias("price_log10"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        (F.col("l_linenumber") % 3).alias("line_mod3"),
+    )
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           CAST(REGEXP_EXTRACT(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k_via_regex
+    FROM events WHERE event_id < 3000
+    """,
+    doc="Dotted-path JSON projection (op M2 in-engine: jq '.clusterMetrics.x' "
+    "→ get_json_object) plus the regex fallback the reference used for "
+    "jobFlowId (op M4).",
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 3000)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+        F.regexp_extract("props", '"k": ([0-9]+)', 1).cast("bigint").alias("k_via_regex"),
+    )
+
+
+@register(
+    "json_from_json_struct",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed
+    FROM events WHERE event_id < 3000
+    """,
+    doc="Schema-full JSON parse: from_json into a StructType then dotted "
+    "field access (vs the oracle's stringly extraction).",
+)
+def json_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 3000)
+    parsed = ev.withColumn("p", F.from_json("props", "k BIGINT"))
+    return parsed.select("event_id", "event_type", F.col("p.k").alias("k_typed"))
+
+
+@register(
+    "m3_derived_metric",
+    oracle="""
+    SELECT event_id,
+           FLOOR(value * 100.0 / NULLIF(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) * 100)
+             / 100 AS pct_metric
+    FROM events
+    WHERE event_id < 5000
+      AND CAST(json_extract_string(props, '$.k') AS BIGINT) > 0
+    """,
+    doc="Op M3 in-engine: the reference's `bc scale=2; a*100/t` — note bc "
+    "TRUNCATES at 2 decimals, so parity uses floor(x*100)/100, not round.",
+)
+def m3_derived_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 5000)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    pct = F.col("value") * 100.0 / k
+    return (
+        ev.where(k > 0)
+        .select(
+            "event_id",
+            (F.floor(pct * 100) / 100).alias("pct_metric"),
+        )
+    )
+
+
+@register(
+    "conditional_case",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 150000 THEN 'jumbo'
+                WHEN o_totalprice >= 50000 THEN 'large'
+                WHEN o_totalprice >= 10000 THEN 'medium'
+                ELSE 'small' END AS size_band,
+           CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_final
+    FROM orders WHERE o_orderkey <= 3000
+    """,
+    doc="CASE WHEN ladders (when/otherwise) — constant-folded, codegen'd.",
+)
+def conditional_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 3000)
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 150000, "jumbo")
+        .when(F.col("o_totalprice") >= 50000, "large")
+        .when(F.col("o_totalprice") >= 10000, "medium")
+        .otherwise("small")
+        .alias("size_band"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("is_final"),
+    )

@@ -1,0 +1,336 @@
+"""Deduplication for training corpora ([EXT], SURVEY.md §2B).
+
+Five dedup families, each chosen for its 100 TB shape:
+
+* exact            — hash-aggregate on content; one shuffle on a 16-byte key.
+* bag (normalized) — same, keyed on the order-insensitive bag-of-words hash.
+* MinHash + LSH    — explode tokens → k minhashes per doc (one aggregate) →
+                     band → self-join on (band, band_hash) → exact-Jaccard
+                     verify on the candidates only. Pair count is driven by
+                     collision rate, never |docs|² — the scale path.
+* SimHash          — bit-vote fingerprint; near-dup = small Hamming distance;
+                     banded join over bit-slices for candidate generation.
+* n-gram Jaccard   — exact set similarity via the inverted-index join
+                     (explode token → join on token → count intersections),
+                     the classic way to compute pairwise Jaccard WITHOUT a
+                     cross join.
+* embedding cosine — exact threshold pairs (small-N baseline, oracled) and
+                     the LSH-bucketed variant in llm/similarity.
+
+MinHash banding math at scale: k=64 hashes, b=16 bands × r=4 rows → pair-
+collision probability 1-(1-J⁴)¹⁶ ≈ 0.9998 at J=0.8, ≈0.07 at J=0.3 — high
+recall at the 0.8 verify threshold with a sharp low-similarity cutoff, so
+candidate volume stays near-linear in corpus size. Candidates are
+re-verified with EXACT Jaccard, so precision is 1.0 and the only
+approximation is the small recall gap (asserted ≥0.99 in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emr_with_custom_metrics_spark.catalog import load_table
+from emr_with_custom_metrics_spark.llm.text import tokens
+from emr_with_custom_metrics_spark.registry import register
+
+NUM_MINHASHES = 64
+NUM_BANDS = 16  # rows per band r = 64/16 = 4
+JACCARD_THRESHOLD = 0.8
+SIMHASH_BITS = 32
+HAMMING_THRESHOLD = 3
+
+
+def _token_sets(documents: DataFrame) -> DataFrame:
+    return documents.select(
+        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id, md5(text) AS content_md5 FROM (
+      SELECT doc_id, text,
+             ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents) WHERE rn = 1
+    """,
+    doc="Exact dedup keeping the lowest doc_id per identical content. "
+    "Keyed on md5 so the shuffle carries 16-byte keys, not documents.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("content_md5")
+    )
+    return (
+        d.groupBy("content_md5")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "content_md5")
+    )
+
+
+@register(
+    "dedup_bag_normalized",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(array_to_string(
+             list_sort(list_distinct(string_split(text, ' '))), ' '))) AS BIGINT)
+             AS n_bag_unique
+    FROM documents
+    """,
+    doc="Order-insensitive dedup cardinality: distinct bag-of-words "
+    "fingerprints vs raw docs (catches shuffled-token duplicates).",
+)
+def dedup_bag_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bag = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.col("text"))))))
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct(bag).alias("n_bag_unique"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact pairwise Jaccard via inverted-index join (no cross join)
+# ---------------------------------------------------------------------------
+_JACCARD_PAIRS_ORACLE = """
+    WITH docs AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             ROUND(LEN(list_intersect(a.toks, b.toks))::DOUBLE
+                   / LEN(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+      FROM docs a JOIN docs b ON a.doc_id < b.doc_id)
+    SELECT a_id, b_id, jaccard FROM pairs WHERE jaccard >= {thr}
+"""
+
+
+def jaccard_pairs(documents: DataFrame, threshold: float) -> DataFrame:
+    """All pairs with token-set Jaccard ≥ threshold, via the inverted-index
+    join: |A∩B| from a self-join on exploded tokens, |A∪B| = |A|+|B|−|A∩B|.
+
+    The shuffle key is the token, so common tokens dominate cost — at 100 TB
+    you'd drop the top-frequency tokens (stop-token pruning) or switch to the
+    MinHash path below; the join itself never materializes non-overlapping
+    pairs, unlike a cross join.
+    """
+    t = documents.select("doc_id", F.explode("toks").alias("token"))
+    sizes = documents.select("doc_id", F.size("toks").alias("sz"))
+    inter = (
+        t.alias("a")
+        .join(t.alias("b"), (F.col("a.token") == F.col("b.token")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "a_sz"), "a_id")
+        .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "b_sz"), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("a_sz") + F.col("b_sz") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_JACCARD_PAIRS_ORACLE.format(thr=0.6),
+    doc="Exact Jaccard-similar pairs (≥0.6) by inverted-index join — "
+    "no cross join; cost ∝ token co-occurrence, not |docs|².",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _token_sets(load_table(spark, sf_dir, "documents"))
+    return jaccard_pairs(docs, 0.6)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+def minhash_signatures(token_sets: DataFrame, k: int = NUM_MINHASHES) -> DataFrame:
+    """k minhashes per doc in ONE pass: explode tokens, k seeded xxhash64
+    values per token, min-aggregate. Shuffle carries (doc, k×8 bytes)."""
+    t = token_sets.select("doc_id", F.explode("toks").alias("token"))
+    mins = [F.min(F.xxhash64(F.lit(i), F.col("token"))).alias(f"mh_{i}") for i in range(k)]
+    return t.groupBy("doc_id").agg(*mins)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = NUM_BANDS, k: int = NUM_MINHASHES) -> DataFrame:
+    """Band the signature; docs sharing any (band_id, band_hash) are
+    candidates. Equi-join on the band key — broadcastable/AQE-skew-safe."""
+    r = k // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.xxhash64(*[F.col(f"mh_{b * r + j}") for j in range(r)]).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("band")).select(
+        "doc_id", "band.band_id", "band.band_hash"
+    )
+    return (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
+        .distinct()
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    # Rows-only by design: LSH candidate generation is probabilistic (recall
+    # ≈0.9998 at J=0.8 with 16×4 banding, not 1.0), so an exact-pairs oracle
+    # would flag the ~0.1% recall gap as a correctness failure. The exact
+    # ground truth is dedup_ngram_jaccard (oracled); tests/test_llm_quality
+    # asserts precision == 1.0 and recall ≥ 0.99 against it.
+    oracle=None,
+    doc="MinHash(64) + LSH(16×4) near-dup pairs, exact-Jaccard verified at "
+    "≥0.8 — approximate candidate generation, exact verification.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _token_sets(load_table(spark, sf_dir, "documents"))
+    sigs = minhash_signatures(docs)
+    cands = lsh_candidate_pairs(sigs)
+    # Exact-Jaccard verification on candidates only.
+    sized = docs.select("doc_id", "toks", F.size("toks").alias("sz"))
+    a = sized.select(
+        F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"), F.col("sz").alias("a_sz")
+    )
+    b = sized.select(
+        F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks"), F.col("sz").alias("b_sz")
+    )
+    inter = F.size(F.array_intersect("a_toks", "b_toks"))
+    return (
+        cands.join(a, "a_id")
+        .join(b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                inter.cast("double") / (F.col("a_sz") + F.col("b_sz") - inter), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash(token_sets: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Bit-vote SimHash: token hash bits vote ±1 per position; the sign of
+    each position's tally is the fingerprint bit. One explode (tokens ×
+    bits) + one aggregate; fingerprint is a single BIGINT."""
+    t = token_sets.select("doc_id", F.explode("toks").alias("token")).withColumn(
+        "h", F.xxhash64("token")
+    )
+    votes = t.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("pos"), "h"
+    ).select(
+        "doc_id",
+        "pos",
+        # shiftright's PySpark wrapper wants a literal shift; use the SQL
+        # expression form to shift by the pos column.
+        (F.expr("shiftright(h, CAST(pos AS INT))").bitwiseAND(F.lit(1)) * 2 - 1).alias("vote"),
+    )
+    bit_tallies = votes.groupBy("doc_id", "pos").agg(F.sum("vote").alias("tally"))
+    return bit_tallies.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("tally") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos AS INT))")
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("simhash")
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # fingerprint depends on xxhash64 — not reproducible in SQL
+    doc="SimHash near-dup pairs within Hamming distance ≤3, candidates via "
+    "8-bit band join on the fingerprint (4 slices of the 32-bit hash).",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _token_sets(load_table(spark, sf_dir, "documents"))
+    fps = simhash(docs)
+    slices = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("slice_id"),
+                        F.shiftright("simhash", s * 8).bitwiseAND(F.lit(255)).alias("slice_val"),
+                    )
+                    for s in range(4)
+                ]
+            )
+        ).alias("sl"),
+    ).select("doc_id", "simhash", "sl.slice_id", "sl.slice_val")
+    pairs = (
+        slices.alias("x")
+        .join(
+            slices.alias("y"),
+            (F.col("x.slice_id") == F.col("y.slice_id"))
+            & (F.col("x.slice_val") == F.col("y.slice_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("a_id"),
+            F.col("y.doc_id").alias("b_id"),
+            F.col("x.simhash").alias("a_hash"),
+            F.col("y.simhash").alias("b_hash"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("a_hash").bitwiseXOR(F.col("b_hash")))
+    return pairs.select("a_id", "b_id", hamming.cast("int").alias("hamming")).where(
+        F.col("hamming") <= HAMMING_THRESHOLD
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup (exact baseline; LSH variant in llm/similarity)
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    SELECT a_id, b_id, cos_sim FROM pairs WHERE cos_sim >= 0.4
+    """,
+    doc="Embedding near-duplicate pairs (cosine ≥0.4), exact all-pairs "
+    "baseline — the small-N ground truth for the LSH variant.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emr_with_custom_metrics_spark.functions.vector import cosine
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_v"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_v"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(cosine(F.col("a_v"), F.col("b_v")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.4)
+    )

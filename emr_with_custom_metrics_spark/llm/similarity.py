@@ -1,0 +1,197 @@
+"""Similarity search over embedding columns ([EXT], SURVEY.md §2B).
+
+Three tiers, by scale:
+
+* brute-force top-k  — broadcast the query vector, one codegen'd cosine per
+                       row, TakeOrdered k. Exact; linear scan; the baseline
+                       and the correctness oracle for everything else.
+* IVF top-k          — coarse quantization: assign vectors to the nearest of
+                       C centroids (here: per-`label` centroids — the table's
+                       natural clusters), probe only the nearest cell(s).
+                       Scan cost drops to |cell| ≈ N/C. Deterministic, so
+                       fully SQL-oracle-able.
+* LSH near-dup join  — random-hyperplane signatures; same-bucket candidates
+                       then exact re-rank. Approximate → rows-only check.
+
+All distance math is higher-order-function arithmetic from
+``functions.vector`` — JVM-side, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emr_with_custom_metrics_spark.catalog import load_table
+from emr_with_custom_metrics_spark.functions.vector import cosine, dot, norm
+from emr_with_custom_metrics_spark.registry import register
+
+QUERY_VEC_ID = 0
+TOP_K = 10
+LSH_PLANES = 16
+
+
+@register(
+    "similarity_topk_exact",
+    oracle=f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cos_sim
+      FROM embeddings e, q WHERE e.vec_id <> {QUERY_VEC_ID})
+    SELECT vec_id, label, cos_sim FROM scored
+    ORDER BY cos_sim DESC, vec_id LIMIT {TOP_K}
+    """,
+    doc="Exact cosine top-k vs a fixed query vector: broadcast query → "
+    "codegen cosine → TakeOrderedAndProject (per-partition heaps, no sort).",
+)
+def similarity_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qv"))
+    return (
+        e.where(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label mean vector via posexplode → grouped avg → re-assemble.
+
+    The posexplode shape (N×dim rows, grouped on (label, pos)) is the
+    scalable way to average vectors — no collect_list of whole arrays."""
+    comp = embeddings.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
+    )
+    avg_comp = comp.groupBy("label", "pos").agg(F.avg("val").alias("avg_val"))
+    return (
+        avg_comp.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "avg_val"))).alias("pairs"))
+        .select("label", F.transform("pairs", lambda p: p["avg_val"]).alias("centroid"))
+    )
+
+
+@register(
+    "similarity_ivf_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    cent_comp AS (
+      SELECT label, i, AVG(embedding[i]::DOUBLE) AS c
+      FROM embeddings, RANGE(1, 65) t(i) GROUP BY label, i),
+    cent AS (
+      SELECT label, LIST(c ORDER BY i) AS centroid FROM cent_comp GROUP BY label),
+    best AS (
+      SELECT cent.label FROM cent, q
+      ORDER BY list_cosine_similarity(cent.centroid, q.qv) DESC, cent.label LIMIT 1),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cos_sim
+      FROM embeddings e, q, best
+      WHERE e.label = best.label AND e.vec_id <> {QUERY_VEC_ID})
+    SELECT vec_id, label, cos_sim FROM scored
+    ORDER BY cos_sim DESC, vec_id LIMIT {TOP_K}
+    """,
+    doc="IVF-style ANN: probe only the cell whose centroid is nearest the "
+    "query (cells = label clusters). Deterministic coarse quantization → "
+    "exact SQL oracle; scan cost N/C instead of N.",
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qv"))
+    cents = label_centroids(e)
+    best = (
+        cents.crossJoin(F.broadcast(q))
+        .select("label", cosine(F.col("centroid"), F.col("qv")).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("label"))
+        .limit(1)
+        .select("label")
+    )
+    return (
+        e.join(F.broadcast(best), "label")
+        .where(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def hyperplane_signatures(embeddings: DataFrame, n_planes: int = LSH_PLANES, dim: int = 64) -> DataFrame:
+    """Random-hyperplane LSH: sign pattern of <v, h_i> for n deterministic
+    pseudo-random unit-ish hyperplanes (seeded, reproducible run-to-run)."""
+    import math
+    import random
+
+    rng = random.Random(42)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+    sig = None
+    for i, plane in enumerate(planes):
+        pl = F.array(*[F.lit(x) for x in plane])
+        bit = (dot(F.col("embedding"), pl) > 0).cast("bigint")
+        contrib = bit * F.lit(2**i).cast("bigint")
+        sig = contrib if sig is None else sig + contrib
+    return embeddings.withColumn("bucket", sig)
+
+
+@register(
+    "similarity_ann_lsh",
+    oracle=None,  # bucketing is approximate → rows-only check
+    doc="Random-hyperplane LSH near-neighbor join: same-bucket candidates "
+    "(16 planes → 64k buckets) exact-cosine re-ranked at ≥0.3. Candidate "
+    "count ∝ bucket occupancy — the 100 TB pair-generation path.",
+)
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sigs = hyperplane_signatures(e)
+    a = sigs.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_v"), F.col("bucket")
+    )
+    b = sigs.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_v"), F.col("bucket")
+    )
+    return (
+        a.join(b, ["bucket"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id", "b_id", F.round(cosine(F.col("a_v"), F.col("b_v")), 6).alias("cos_sim")
+        )
+        .where(F.col("cos_sim") >= 0.3)
+    )
+
+
+@register(
+    "similarity_pairwise_dot",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+      SELECT a.label AS label,
+             ROUND(list_dot_product(a.v, b.v), 6) AS dp
+      FROM e a JOIN e b ON a.vec_id < b.vec_id AND a.label = b.label)
+    SELECT label, COUNT(*) AS n_pairs, ROUND(AVG(dp), 6) AS avg_dot
+    FROM pairs GROUP BY label
+    """,
+    doc="Within-label pairwise dot-product stats — blocked self-join on the "
+    "cluster key (the join never leaves the cell).",
+)
+def similarity_pairwise_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select("label", F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_v"))
+    b = e.select(
+        F.col("label").alias("b_label"), F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_v")
+    )
+    return (
+        a.join(b, (F.col("label") == F.col("b_label")) & (F.col("a_id") < F.col("b_id")))
+        .select("label", F.round(dot(F.col("a_v"), F.col("b_v")), 6).alias("dp"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n_pairs"), F.round(F.avg("dp"), 6).alias("avg_dot"))
+    )

@@ -1,0 +1,235 @@
+"""Text analysis for training-data pipelines ([EXT], SURVEY.md §2B).
+
+Language-ID, quality scoring, token counting, and fingerprinting over the
+``documents`` table — all pure Catalyst expressions (split/explode/regexp/
+md5/higher-order functions), zero Python in the row path, so every operator
+is a narrow scan + at most one shuffle and scales linearly to 100 TB of
+text.
+
+Tokenization contract shared with every oracle: whitespace split on a
+single space (the corpus is single-space separated); BPE-ish counting uses
+the dialect-neutral regex ``[A-Za-z0-9]+|[^A-Za-z0-9\\s]`` (identical
+semantics in Java regex and DuckDB's RE2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emr_with_custom_metrics_spark.catalog import load_table
+from emr_with_custom_metrics_spark.registry import register
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+# Tiny deterministic marker lexicons for heuristic language ID. The corpus
+# is synthetic; the heuristic's value is the *pattern* (scorable n-gram
+# language ID as a single declarative expression), not linguistic accuracy.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "das"),
+    "fr": ("le", "et", "la"),
+    "es": ("el", "y", "de"),
+    "zh": ("de", "le", "shi"),
+}
+
+TOKENIZE_REGEX = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+
+
+def tokens(col: Column) -> Column:
+    return F.split(col, " ")
+
+
+def _stop_count(tok: Column) -> Column:
+    return F.size(F.filter(tok, lambda t: t.isin(*STOPWORDS)))
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(LEN(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(LEN(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_unique,
+           ROUND(LEN(list_distinct(string_split(text, ' ')))::DOUBLE
+                 / LEN(string_split(text, ' ')), 4) AS ttr,
+           ROUND(LENGTH(text)::DOUBLE / LEN(string_split(text, ' ')), 4) AS avg_tok_span,
+           n_chars
+    FROM documents
+    """,
+    doc="Per-document token statistics: counts, unique counts, type-token "
+    "ratio, average token span.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    n_tok = F.size(tok)
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tokens"),
+        F.size(F.array_distinct(tok)).alias("n_unique"),
+        F.round(F.size(F.array_distinct(tok)).cast("double") / n_tok, 4).alias("ttr"),
+        F.round(F.length("text").cast("double") / n_tok, 4).alias("avg_tok_span"),
+        "n_chars",
+    )
+
+
+@register(
+    "text_word_freq_topk",
+    oracle="""
+    SELECT token, COUNT(*) AS freq FROM (
+      SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token ORDER BY freq DESC, token LIMIT 20
+    """,
+    doc="Corpus word frequency top-k: explode → count → TakeOrdered. The "
+    "explode happens map-side; the shuffle carries (token, partial_count).",
+)
+def text_word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+@register(
+    "text_lang_source_stats",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 4) AS avg_chars,
+           CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM documents GROUP BY lang, source
+    """,
+    doc="Corpus composition: docs / chars / tokens per (lang, source).",
+)
+def text_lang_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.sum(F.size(tokens(F.col("text")))).cast("bigint").alias("total_tokens"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS toks,
+             LEN(string_split(text, ' ')) AS n_tok,
+             n_chars
+      FROM documents)
+    SELECT doc_id,
+           CAST(n_tok AS INTEGER) AS n_tokens,
+           ROUND(LEN(list_filter(toks, x -> list_contains(
+             ['the','a','of','and','to','in','is','it'], x)))::DOUBLE / n_tok, 4)
+             AS stopword_ratio,
+           ROUND(n_chars::DOUBLE / n_tok, 4) AS mean_word_span,
+           CAST(CASE WHEN n_tok BETWEEN 20 AND 1000 THEN 1 ELSE 0 END AS INTEGER)
+             AS length_ok
+    FROM t
+    """,
+    doc="Quality heuristics: stopword ratio, mean word span, length gate — "
+    "the standard pre-training corpus filters, as one projection.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    n_tok = F.size(tok)
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(_stop_count(tok).cast("double") / n_tok, 4).alias("stopword_ratio"),
+        F.round(F.col("n_chars").cast("double") / n_tok, 4).alias("mean_word_span"),
+        F.when(n_tok.between(20, 1000), 1).otherwise(0).alias("length_ok"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+    WITH scores AS (
+      SELECT doc_id, lang AS labeled_lang, string_split(text, ' ') AS toks
+      FROM documents),
+    s2 AS (
+      SELECT doc_id, labeled_lang,
+             LEN(list_filter(toks, x -> list_contains(['the','and','of'], x))) AS s_en,
+             LEN(list_filter(toks, x -> list_contains(['der','und','das'], x))) AS s_de,
+             LEN(list_filter(toks, x -> list_contains(['le','et','la'], x))) AS s_fr,
+             LEN(list_filter(toks, x -> list_contains(['el','y','de'], x))) AS s_es,
+             LEN(list_filter(toks, x -> list_contains(['de','le','shi'], x))) AS s_zh
+      FROM scores)
+    SELECT doc_id, labeled_lang,
+           CASE GREATEST(s_en, s_de, s_fr, s_es, s_zh)
+                WHEN s_en THEN 'en' WHEN s_de THEN 'de' WHEN s_fr THEN 'fr'
+                WHEN s_es THEN 'es' ELSE 'zh' END AS predicted_lang
+    FROM s2
+    """,
+    doc="Heuristic marker-lexicon language ID with deterministic "
+    "first-match tie-break (en > de > fr > es > zh).",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    def marker_count(markers: tuple[str, ...]) -> Column:
+        # closure via argument — a lambda default would be introspected as a
+        # second lambda variable by PySpark's HOF machinery
+        return F.size(F.filter(tok, lambda t: t.isin(*markers)))
+
+    scores = {lang: marker_count(markers) for lang, markers in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    pred = F.when(scores["en"] == best, "en")
+    for lang in ("de", "fr", "es"):
+        pred = pred.when(scores[lang] == best, lang)
+    pred = pred.otherwise("zh")
+    return d.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), pred.alias("predicted_lang")
+    )
+
+
+@register(
+    "text_token_count_bpe",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+    FROM documents
+    """,
+    doc="Token counting two ways: whitespace and a BPE-ish word/punct regex.",
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(TOKENIZE_REGEX)).cast("bigint").alias("n_bpe_tokens"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_ws_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS content_md5,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+             AS bag_md5,
+           SUBSTRING(md5(text), 1, 16) AS fp64_hex
+    FROM documents
+    """,
+    doc="Document fingerprints: exact content hash + order-insensitive "
+    "bag-of-words hash (the exact-dedup keys in llm/dedup).",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bag = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.col("text")))))
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        F.md5(bag).alias("bag_md5"),
+        F.substring(F.md5("text"), 1, 16).alias("fp64_hex"),
+    )

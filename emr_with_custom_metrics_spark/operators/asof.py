@@ -1,0 +1,100 @@
+"""As-of (point-in-time) join — an operator Spark lacks natively.
+
+Implemented as the scalable union + last-non-null window pattern
+(SURVEY.md §2A.1 joins row: "as-of join via union+window"):
+
+1. tag both sides, union them (zero shuffle — concatenation),
+2. single hash-partition shuffle on the key + per-partition sort by
+   (ts, side) — exactly one exchange for the whole operator,
+3. ``last(col, ignorenulls=True)`` over an unbounded-preceding frame
+   carries the most recent right-side row forward onto each left row.
+
+This beats the naive inequality-join formulation (key-equi join + ts filter
++ row_number), whose per-key fan-out is O(|L_k|·|R_k|); the union pattern is
+O((|L_k|+|R_k|) log(...)) per key and never materializes pairs — the shape
+that survives 100 TB. DuckDB's native ASOF JOIN is the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from emr_with_custom_metrics_spark.catalog import load_table
+from emr_with_custom_metrics_spark.registry import register
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_value_cols: list[str],
+) -> DataFrame:
+    """Generic as-of join: for each left row, attach the right row with the
+    greatest ``ts`` ≤ the left row's ``ts`` within the same ``key``.
+
+    Left columns pass through; right value columns arrive nullable (no
+    earlier right row → NULL), matching ASOF LEFT JOIN semantics.
+    """
+    lcols = [c for c in left.columns if c not in (key, ts)]
+    l_tagged = left.select(
+        F.col(key),
+        F.col(ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_value_cols],
+    )
+    r_tagged = right.select(
+        F.col(key),
+        F.col(ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c) for c in right_value_cols],
+    )
+    # Right rows sort before left rows at equal ts (_side 0 < 1) → ties are
+    # inclusive (ts_left >= ts_right), matching DuckDB ASOF semantics.
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [
+        F.last(c, ignorenulls=True).over(w).alias(c) for c in right_value_cols
+    ]
+    return (
+        l_tagged.unionByName(r_tagged)
+        .select(F.col(key), F.col("_ts"), F.col("_side"), *[F.col(c) for c in lcols], *carried)
+        .where(F.col("_side") == 1)
+        .select(F.col(key), F.col("_ts").alias(ts), *[F.col(c) for c in lcols], *right_value_cols)
+    )
+
+
+@register(
+    "asof_purchase_last_click",
+    oracle="""
+    SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+           c.event_id AS click_id, c.value AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="For every purchase, the user's most recent prior (or simultaneous) "
+    "click — the canonical point-in-time enrichment.",
+)
+def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts", F.col("value").alias("click_value")
+    )
+    joined = asof_join(purchases, clicks, key="user_id", ts="ts", right_value_cols=["click_id", "click_value"])
+    return joined.select(
+        "user_id",
+        "purchase_id",
+        F.col("ts").alias("purchase_ts"),
+        "click_id",
+        "click_value",
+    )

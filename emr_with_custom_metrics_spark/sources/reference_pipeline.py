@@ -1,0 +1,163 @@
+"""The reference's entire batch ETL surface, as engine operators.
+
+Reference job (scripts/spark_converter.py:25-31): read headered TSV from S3
+all-string (S1) → groupBy(category).count() (A1) → show() (X1) →
+repartition(10) (P1) → overwrite parquet (S2). ~31 LoC; reproduced here as a
+parameterized library pipeline plus fixes the reference missed:
+
+* the input was scanned TWICE (no cache between show() and write —
+  SURVEY.md §4.1); we cache between actions,
+* ``repartition(10)`` forces a round-robin shuffle just to control file
+  count; at 100 TB the right lever is AQE coalescing +
+  ``spark.sql.files.maxRecordsPerFile`` (SURVEY.md §4.2) — both supported.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emr_with_custom_metrics_spark.catalog import load_table
+from emr_with_custom_metrics_spark.registry import register
+
+
+def read_tsv(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """S1: headered TSV scan. With no schema, parity with the reference —
+    every column StringType (reference spark_converter.py:25 passes neither
+    inferSchema nor schema)."""
+    reader = spark.read.option("sep", "\t").option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def category_counts(df: DataFrame, group_col: str) -> DataFrame:
+    """A1: the reference's one query — count rows per category."""
+    return df.groupBy(group_col).agg(F.count("*").alias("cnt"))
+
+
+def convert(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    group_col: str = "product_category",
+    num_output_files: int = 10,
+    use_aqe_file_sizing: bool = False,
+) -> DataFrame:
+    """The full S1→A1→X1→P1→S2 pipeline (reference spark_converter.py:25-31).
+
+    Returns the grouped counts (X1's show() became a returned DataFrame).
+    Unlike the reference we cache the scan: it feeds two actions.
+    """
+    df = read_tsv(spark, input_path).cache()
+    counts = category_counts(df, group_col)
+    if use_aqe_file_sizing:
+        # Scale path: let AQE size the shuffle, bound file size at the sink.
+        df.write.mode("overwrite").option("maxRecordsPerFile", 5_000_000).parquet(output_path)
+    else:
+        # Parity path: fixed fan-out like the reference's repartition(10).
+        df.repartition(num_output_files).write.mode("overwrite").parquet(output_path)
+    df.unpersist()
+    return counts
+
+
+@register(
+    "formats_csv_roundtrip",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="CSV round-trip: write orders as headered TSV, read back with an "
+    "explicit schema, aggregate — exercises S1 semantics on engine-written "
+    "data (values survive the text format).",
+)
+def formats_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    path = f"{tmp}/orders_tsv"
+    o.write.mode("overwrite").option("sep", "\t").option("header", "true").csv(path)
+    back = (
+        spark.read.option("sep", "\t")
+        .option("header", "true")
+        .schema("o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE")
+        .csv(path)
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("sum_price")
+    )
+
+
+@register(
+    "formats_json_roundtrip",
+    oracle="""
+    SELECT event_type, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
+    FROM events WHERE event_id < 2000 GROUP BY event_type
+    """,
+    doc="JSON lines round-trip: write → read with schema → aggregate.",
+)
+def formats_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 2000).select(
+        "event_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="json_roundtrip_")
+    path = f"{tmp}/events_json"
+    ev.write.mode("overwrite").json(path)
+    back = spark.read.schema("event_id BIGINT, event_type STRING, value DOUBLE").json(path)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+
+
+@register(
+    "formats_orc_roundtrip",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS cnt, ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem WHERE l_orderkey < 500 GROUP BY l_returnflag
+    """,
+    doc="ORC round-trip (column-pruned, pushdown-capable alternate format).",
+)
+def formats_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 500).select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    tmp = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    path = f"{tmp}/lineitem_orc"
+    li.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("cnt"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+@register(
+    "parquet_partitioned_write",
+    oracle="""
+    SELECT o_orderpriority, CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
+           COUNT(*) AS cnt
+    FROM orders GROUP BY 1, 2
+    """,
+    doc="Partitioned parquet layout (partitionBy year): the write shape that "
+    "enables static + dynamic partition pruning at 100 TB. Reads back only "
+    "via the partition column to prove pruning-compatible layout.",
+)
+def parquet_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    tmp = tempfile.mkdtemp(prefix="pq_part_")
+    path = f"{tmp}/orders_by_year"
+    o.write.mode("overwrite").partitionBy("order_year").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderpriority", F.col("order_year").cast("int").alias("order_year")).agg(
+        F.count("*").alias("cnt")
+    )

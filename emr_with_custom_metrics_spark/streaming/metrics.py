@@ -1,0 +1,234 @@
+"""The reference's metrics dataflow + autoscaling rules, in-engine.
+
+Reference semantics being re-expressed (SURVEY.md §3 EP2/EP3):
+* op M3 — derived gauge metric every 30 s (custom-metrics.sh:12-14),
+* op R1 — 300 s tumbling AVERAGE window (instance-group-config.json:44-48),
+* ops R2/R3 — threshold predicates ``avg <= 25`` (scale-out) and
+  ``avg > 75`` (scale-in) (instance-group-config.json:47-49, :76-78),
+* op R4 — dimension-keyed filtering (instance-group-config.json:38-43),
+* op R5 — 300 s cooldown suppression of repeated actions
+  (instance-group-config.json:31-33),
+* op M6 — fixed 30 s trigger (setup-custom-metrics.sh:24; we use a single
+  correct trigger, not the reference's `.sh.sh` 60 s-effective typo,
+  SURVEY.md §4.4).
+
+Everything here is expressed over the ``events`` table in BATCH mode (so the
+DuckDB oracle can check it row-for-row) and wired to Structured Streaming in
+``streaming/pipeline.py`` — identical logical plans, per Spark's
+batch/streaming unification.
+
+Window-bucket outputs are emitted as epoch-second BIGINTs
+(``unix_timestamp(window.start)``), sidestepping timestamp-precision and
+timezone hashing hazards between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emr_with_custom_metrics_spark.catalog import load_table
+from emr_with_custom_metrics_spark.registry import register
+
+SCALE_OUT_THRESHOLD = 25.0  # avg <= 25 → scale out (+5) — instance-group-config.json:49
+SCALE_IN_THRESHOLD = 75.0  # avg > 75 → scale in (−2) — instance-group-config.json:78
+WINDOW_SECONDS = 300  # Period=300, Statistic=AVERAGE — instance-group-config.json:47-48
+COOLDOWN_SECONDS = 300  # CoolDown=300 — instance-group-config.json:33
+
+
+def tumbling_avg(events: DataFrame, window_dur: str = "5 minutes") -> DataFrame:
+    """R1: event-time tumbling average per event_type (the 'dimension')."""
+    return (
+        events.groupBy(F.window("ts", window_dur).alias("w"), "event_type")
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"), F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp("w.start").alias("bucket_start"),
+            "event_type",
+            "avg_value",
+            "n_events",
+        )
+    )
+
+
+@register(
+    "metrics_tumbling_avg",
+    oracle="""
+    SELECT CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_start,
+           event_type,
+           ROUND(AVG(value), 4) AS avg_value,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+    doc="R1: 300 s tumbling AVERAGE of the metric, keyed by event_type.",
+)
+def metrics_tumbling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_avg(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "metrics_sliding_avg",
+    oracle="""
+    SELECT u.bucket_start, b.event_type,
+           ROUND(AVG(b.value), 4) AS avg_value, COUNT(*) AS n_events
+    FROM (SELECT CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT) AS b0,
+                 event_type, value FROM events) b,
+         UNNEST([b.b0, b.b0 - 300]) AS u(bucket_start)
+    GROUP BY 1, 2
+    """,
+    doc="Sliding window (10 min length / 5 min slide): each event lands in "
+    "two overlapping windows.",
+)
+def metrics_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"), F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp("w.start").alias("bucket_start"),
+            "event_type",
+            "avg_value",
+            "n_events",
+        )
+    )
+
+
+def alarm_windows(events: DataFrame) -> DataFrame:
+    """Metric stream for the control loop: 300 s windowed average over ALL
+    events (single logical gauge, like YARNCoreAvailablePercentage)."""
+    return (
+        events.groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"), F.count("*").alias("n_events"))
+        .select(F.unix_timestamp("w.start").alias("bucket_start"), "avg_value", "n_events")
+    )
+
+
+_ALARM_ORACLE_BASE = """
+    WITH metric AS (
+      SELECT CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_start,
+             ROUND(AVG(value), 4) AS avg_value, COUNT(*) AS n_events
+      FROM events GROUP BY 1)
+"""
+
+
+@register(
+    "alarm_scale_out",
+    oracle=_ALARM_ORACLE_BASE
+    + """
+    SELECT bucket_start, avg_value, 5 AS scaling_adjustment
+    FROM metric WHERE avg_value <= 25.0
+    """,
+    doc="R2: scale-out alarm — 300 s avg <= 25 ⇒ +5 nodes.",
+)
+def alarm_scale_out(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = alarm_windows(load_table(spark, sf_dir, "events"))
+    return m.where(F.col("avg_value") <= SCALE_OUT_THRESHOLD).select(
+        "bucket_start", "avg_value", F.lit(5).alias("scaling_adjustment")
+    )
+
+
+@register(
+    "alarm_scale_in",
+    oracle=_ALARM_ORACLE_BASE
+    + """
+    SELECT bucket_start, avg_value, -2 AS scaling_adjustment
+    FROM metric WHERE avg_value > 75.0
+    """,
+    doc="R3: scale-in alarm — 300 s avg > 75 ⇒ −2 nodes.",
+)
+def alarm_scale_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = alarm_windows(load_table(spark, sf_dir, "events"))
+    return m.where(F.col("avg_value") > SCALE_IN_THRESHOLD).select(
+        "bucket_start", "avg_value", F.lit(-2).alias("scaling_adjustment")
+    )
+
+
+@register(
+    "alarm_dimension_filter",
+    oracle="""
+    SELECT CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_start,
+           user_id, ROUND(AVG(value), 4) AS avg_value
+    FROM events WHERE event_type = 'error'
+    GROUP BY 1, 2
+    """,
+    doc="R4: dimension-keyed alarm scope (JobFlowId=… becomes a keyed filter "
+    "before windowing — pushed to the scan).",
+)
+def alarm_dimension_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "error")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(F.unix_timestamp("w.start").alias("bucket_start"), "user_id", "avg_value")
+    )
+
+
+@register(
+    "session_windows",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+      FROM events),
+    tagged AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered)
+    SELECT user_id,
+           CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start,
+           COUNT(*) AS n_events
+    FROM tagged GROUP BY user_id, session_id
+    """,
+    doc="Session windows (30 min gap) per user — Spark session_window vs the "
+    "oracle's gaps-and-islands formulation.",
+)
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "cooldown_suppression",
+    oracle=None,  # inherently sequential state → rows-only check (driver contract)
+    doc="R5: cooldown — after an alarm fires, suppress further fires for "
+    "300 s. Sequential per rule-key state, implemented with applyInPandas "
+    "(keys scale out; the per-key scan is a linear pass).",
+)
+def cooldown_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    m = alarm_windows(load_table(spark, sf_dir, "events"))
+    alarms = (
+        m.where(F.col("avg_value") <= SCALE_OUT_THRESHOLD)
+        .select(F.lit("scale-out").alias("rule"), "bucket_start", "avg_value")
+        .unionByName(
+            m.where(F.col("avg_value") > SCALE_IN_THRESHOLD).select(
+                F.lit("scale-in").alias("rule"), "bucket_start", "avg_value"
+            )
+        )
+    )
+
+    def suppress(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket_start")
+        fired, last_fire = [], None
+        for t in pdf["bucket_start"]:
+            # fire only if strictly past the cooldown horizon of the last fire
+            if last_fire is None or t >= last_fire + COOLDOWN_SECONDS + 1:
+                fired.append(True)
+                last_fire = t
+            else:
+                fired.append(False)
+        return pdf[pd.Series(fired, index=pdf.index)]
+
+    return alarms.groupBy("rule").applyInPandas(
+        suppress, schema="rule string, bucket_start bigint, avg_value double"
+    )
