@@ -42,8 +42,10 @@ def read_schema_columns(df: DataFrame) -> set[str]:
 
 def count_exchanges(df: DataFrame) -> int:
     """Shuffle count in the initial physical plan (AQE may remove some at
-    runtime; this is the upper bound the logical shape commits to)."""
-    return formatted_plan(df).count("Exchange")
+    runtime; this is the upper bound the logical shape commits to). Counts
+    numbered plan NODES — the formatted output also repeats each node in a
+    detail section, which must not double-count."""
+    return len(set(re.findall(r"\((\d+)\) Exchange", formatted_plan(df))))
 
 
 def has_broadcast_join(df: DataFrame) -> bool:

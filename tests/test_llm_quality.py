@@ -1,0 +1,83 @@
+"""Quality gates for the approximate (rows-only) LLM operators: the driver
+only checks these ran; these tests hold them to the exact ground truth."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from emr_with_custom_metrics_spark import registry
+from emr_with_custom_metrics_spark.catalog import load_table
+from emr_with_custom_metrics_spark.llm import dedup
+from tests.conftest import SF_DIR
+
+SPECS = registry.all_specs()
+
+
+def _pairs(df, cols=("a_id", "b_id")):
+    return {(r[cols[0]], r[cols[1]]) for r in df.select(*cols).collect()}
+
+
+def test_minhash_lsh_precision_and_recall(spark):
+    exact = _pairs(
+        dedup.jaccard_pairs(
+            dedup._token_sets(load_table(spark, SF_DIR, "documents")), dedup.JACCARD_THRESHOLD
+        )
+    )
+    approx = _pairs(SPECS["dedup_minhash_lsh"].fn(spark, SF_DIR))
+    assert approx <= exact, f"false positives: {list(approx - exact)[:5]}"
+    recall = len(approx) / len(exact)
+    assert recall >= 0.99, f"recall {recall:.4f} ({len(approx)}/{len(exact)})"
+
+
+def test_simhash_finds_identical_bag_pairs(spark):
+    """Token-set-identical docs (the planted dups) must collide at Hamming 0."""
+    docs = dedup._token_sets(load_table(spark, SF_DIR, "documents"))
+    identical = _pairs(dedup.jaccard_pairs(docs, 1.0))
+    sim = SPECS["dedup_simhash"].fn(spark, SF_DIR)
+    zero = _pairs(sim.where(F.col("hamming") == 0))
+    missing = identical - zero
+    assert not missing, f"identical-bag pairs missing from simhash: {list(missing)[:5]}"
+
+
+def test_ann_lsh_candidates_subset_of_exact(spark):
+    """LSH near-neighbor output must be a subset of the exact cosine pairs
+    at the same threshold, and must find the strongest pair."""
+    e = load_table(spark, SF_DIR, "embeddings")
+    from emr_with_custom_metrics_spark.functions.vector import cosine
+
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_v"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_v"))
+    exact_df = (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", cosine(F.col("a_v"), F.col("b_v")).alias("c"))
+        .where(F.col("c") >= 0.3)
+    )
+    exact = _pairs(exact_df)
+    approx = _pairs(SPECS["similarity_ann_lsh"].fn(spark, SF_DIR))
+    assert approx <= exact
+    top = exact_df.orderBy(F.col("c").desc()).first()
+    assert (top["a_id"], top["b_id"]) in approx, "strongest pair missed by LSH"
+
+
+def test_ivf_topk_close_to_exact(spark):
+    """IVF probes exactly one cell: every hit must carry the probed label,
+    scores must agree with brute force, and within that cell the result must
+    BE the exact top-k (the only approximation is the cell restriction —
+    note: `label` is a synthetic cluster id, not a geometric partition, so
+    top-k overlap with global brute force is not a meaningful bound here)."""
+    exact = SPECS["similarity_topk_exact"].fn(spark, SF_DIR).collect()
+    ivf = SPECS["similarity_ivf_topk"].fn(spark, SF_DIR).collect()
+    assert len(ivf) == 10
+    labels = {r["label"] for r in ivf}
+    assert len(labels) == 1, "IVF must search a single cell"
+    ivf_by_id = {r["vec_id"]: r["cos_sim"] for r in ivf}
+    exact_scores = {r["vec_id"]: r["cos_sim"] for r in exact}
+    for vid, score in ivf_by_id.items():
+        if vid in exact_scores:
+            assert abs(score - exact_scores[vid]) < 1e-9
+    # within the probed cell, IVF == exact: check against the cell's own
+    # brute-force ranking
+    probed = labels.pop()
+    cell_exact = [r for r in exact if r["label"] == probed]
+    for r in cell_exact:  # exact top-k members of this cell must all appear
+        assert r["vec_id"] in ivf_by_id

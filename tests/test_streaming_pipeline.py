@@ -1,0 +1,80 @@
+"""Structured Streaming control loop: file-source micro-batches over the
+events table through window→threshold→cooldown, checked against the batch
+formulation (Spark's batch/stream unification makes them comparable)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from emr_with_custom_metrics_spark.catalog import load_table
+from emr_with_custom_metrics_spark.streaming import metrics as bm
+from emr_with_custom_metrics_spark.streaming.pipeline import (
+    CooldownSink,
+    start_metrics_pipeline,
+)
+from tests.conftest import SF_SMOKE_DIR
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark):
+    """Split sf0.001 events into 4 files so the file source produces
+    multiple micro-batches (maxFilesPerTrigger=1)."""
+    out = tempfile.mkdtemp(prefix="events_stream_")
+    load_table(spark, SF_SMOKE_DIR, "events").repartition(4).write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_stream_matches_batch_alarms(spark, events_stream_dir):
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    sink = CooldownSink()
+    query, sink = start_metrics_pipeline(
+        spark,
+        events_stream_dir,
+        ckpt,
+        sink=sink,
+        trigger={"availableNow": True},
+    )
+    query.awaitTermination(120)
+
+    # Batch ground truth over the SAME files (watermark in availableNow mode
+    # finalizes all windows, so totals must line up exactly).
+    ev = spark.read.parquet(events_stream_dir)
+    m = bm.alarm_windows(ev)
+    batch_alarms = (
+        m.where(
+            (F.col("avg_value") <= bm.SCALE_OUT_THRESHOLD)
+            | (F.col("avg_value") > bm.SCALE_IN_THRESHOLD)
+        )
+        .count()
+    )
+    # Streaming saw every alarm bucket; cooldown only suppresses repeats.
+    total_seen = len(sink.actions)
+    assert 0 < total_seen <= batch_alarms
+    # Cooldown invariant: consecutive fires of the same rule ≥ 300 s apart.
+    by_rule: dict[str, list[int]] = {}
+    for rule, bucket, _ in sink.actions:
+        by_rule.setdefault(rule, []).append(bucket)
+    for rule, buckets in by_rule.items():
+        for a, b in zip(buckets, buckets[1:]):
+            assert b - a > bm.COOLDOWN_SECONDS, f"{rule}: fired {a} then {b}"
+
+
+def test_stream_is_incremental(spark, events_stream_dir):
+    """The file source must deliver multiple micro-batches — i.e. the
+    pipeline is actually incremental, not a disguised batch job."""
+    ckpt = tempfile.mkdtemp(prefix="ckpt2_")
+    batches: list[int] = []
+
+    class CountingSink(CooldownSink):
+        def __call__(self, batch_df, batch_id):
+            batches.append(batch_id)
+            super().__call__(batch_df, batch_id)
+
+    query, _ = start_metrics_pipeline(
+        spark, events_stream_dir, ckpt, sink=CountingSink(), trigger={"availableNow": True}
+    )
+    query.awaitTermination(120)
+    assert len(batches) >= 2
