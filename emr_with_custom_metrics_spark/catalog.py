@@ -51,6 +51,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_fanned(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load + round-robin repartition to cluster parallelism.
+
+    For operators whose per-row work dwarfs the scan (shingling, vector
+    math, Arrow/pandas decode), a single parquet row-group would otherwise
+    pin the whole stage on one core locally. At 100 TB the input arrives in
+    thousands of splits and this repartition degenerates to a cheap
+    rebalance, so the query shape is scale-correct either way.
+    """
+    return load_table(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
     """Register temp views so ``spark.sql`` queries see the same catalog the
     DuckDB oracle does (driver pre-registers identical view names)."""

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from emr_with_custom_metrics_spark.catalog import load_table
+from emr_with_custom_metrics_spark.catalog import load_fanned, load_table
 from emr_with_custom_metrics_spark.registry import register
 
 
@@ -56,7 +56,7 @@ def add(a: Column, b: Column) -> Column:
     doc="Per-vector L2 norm / component stats via higher-order functions.",
 )
 def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_fanned(spark, sf_dir, "embeddings")
     emb = F.col("embedding")
     return e.select(
         "vec_id",
@@ -83,7 +83,7 @@ def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouped avg — the building block of the IVF index in llm/similarity.",
 )
 def vector_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_fanned(spark, sf_dir, "embeddings")
     emb = F.col("embedding").cast("array<double>")
     return e.groupBy("label").agg(
         F.count("*").alias("n"),

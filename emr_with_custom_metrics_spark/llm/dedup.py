@@ -17,12 +17,22 @@ Five dedup families, each chosen for its 100 TB shape:
 * embedding cosine — exact threshold pairs (small-N baseline, oracled) and
                      the LSH-bucketed variant in llm/similarity.
 
-MinHash banding math at scale: k=64 hashes, b=16 bands × r=4 rows → pair-
-collision probability 1-(1-J⁴)¹⁶ ≈ 0.9998 at J=0.8, ≈0.07 at J=0.3 — high
-recall at the 0.8 verify threshold with a sharp low-similarity cutoff, so
-candidate volume stays near-linear in corpus size. Candidates are
-re-verified with EXACT Jaccard, so precision is 1.0 and the only
-approximation is the small recall gap (asserted ≥0.99 in tests).
+Similarity domains are deliberately split by output shape:
+
+* ORDER-INSENSITIVE duplicates (same bag of words) are detected by the
+  LINEAR bag-fingerprint ops. On a small-vocabulary corpus, unigram-set
+  similarity is a near-clique (~24% of ALL pairs ≥0.8 here) — any
+  pair-emitting algorithm over it has inherently quadratic OUTPUT, so the
+  engine never offers it as a pair query.
+* SEQUENCE near-duplicates use 3-gram shingles, whose |vocab|³ space makes
+  pair output sparse and the inverted-index/LSH joins selective.
+
+MinHash banding math at scale: k=64 hashes, b=32 bands × r=2 rows → pair-
+collision probability 1-(1-J²)³² ≈ 0.9999 at J=0.5, with disjoint shingle
+sets (the overwhelming majority of pairs) colliding only by 64-bit hash
+accident. Candidates are re-verified with EXACT Jaccard, so precision is
+1.0 and the only approximation is the tiny recall gap (asserted ≥0.99 in
+tests against the exact inverted-index query).
 """
 
 from __future__ import annotations
@@ -31,12 +41,12 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from emr_with_custom_metrics_spark.catalog import load_table
-from emr_with_custom_metrics_spark.llm.text import tokens
+from emr_with_custom_metrics_spark.llm.text import shingles, tokens
 from emr_with_custom_metrics_spark.registry import register
 
 NUM_MINHASHES = 64
-NUM_BANDS = 16  # rows per band r = 64/16 = 4
-JACCARD_THRESHOLD = 0.8
+NUM_BANDS = 32  # rows per band r = 64/32 = 2 → recall 1-(1-J²)³² ≈ 0.9999 at J=0.5
+JACCARD_THRESHOLD = 0.5
 SIMHASH_BITS = 32
 HAMMING_THRESHOLD = 3
 
@@ -44,6 +54,18 @@ HAMMING_THRESHOLD = 3
 def _token_sets(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks")
+    )
+
+
+def _shingle_sets(documents: DataFrame) -> DataFrame:
+    """Distinct 3-gram shingles per doc, fanned out across the cluster.
+
+    The fan-out repartition matters in two ways: locally, a single parquet
+    row-group otherwise pins the whole explode on one core; at 100 TB it is
+    a no-op shape-wise (inputs already arrive in thousands of splits)."""
+    n = documents.sparkSession.sparkContext.defaultParallelism
+    return documents.repartition(n).select(
+        "doc_id", shingles(F.col("text")).alias("toks")
     )
 
 
@@ -96,13 +118,19 @@ def dedup_bag_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Exact pairwise Jaccard via inverted-index join (no cross join)
 # ---------------------------------------------------------------------------
-_JACCARD_PAIRS_ORACLE = """
-    WITH docs AS (
-      SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+_SHINGLE_JACCARD_PAIRS_ORACLE = """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE LEN(string_split(text, ' ')) >= 3),
+    docs AS (
+      SELECT doc_id,
+             list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                            for i in range(1, LEN(toks) - 1)]) AS sh
+      FROM w),
     pairs AS (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-             ROUND(LEN(list_intersect(a.toks, b.toks))::DOUBLE
-                   / LEN(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+             ROUND(LEN(list_intersect(a.sh, b.sh))::DOUBLE
+                   / LEN(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
       FROM docs a JOIN docs b ON a.doc_id < b.doc_id)
     SELECT a_id, b_id, jaccard FROM pairs WHERE jaccard >= {thr}
 """
@@ -143,13 +171,17 @@ def jaccard_pairs(documents: DataFrame, threshold: float) -> DataFrame:
 
 @register(
     "dedup_ngram_jaccard",
-    oracle=_JACCARD_PAIRS_ORACLE.format(thr=0.6),
-    doc="Exact Jaccard-similar pairs (≥0.6) by inverted-index join — "
-    "no cross join; cost ∝ token co-occurrence, not |docs|².",
+    oracle=_SHINGLE_JACCARD_PAIRS_ORACLE.format(thr=0.5),
+    doc="Exact 3-gram-shingle Jaccard pairs (≥0.5) by inverted-index join — "
+    "no cross join; cost ∝ shingle co-occurrence, which is tiny because the "
+    "shingle space is |vocab|³. (Unigram-token similarity is deliberately "
+    "NOT used for pair generation: on a small-vocab corpus it is a near-"
+    "clique — quadratic output; order-insensitive duplicates are handled "
+    "linearly by dedup_bag_normalized/dedup_exact instead.)",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _token_sets(load_table(spark, sf_dir, "documents"))
-    return jaccard_pairs(docs, 0.6)
+    docs = _shingle_sets(load_table(spark, sf_dir, "documents"))
+    return jaccard_pairs(docs, 0.5)
 
 
 # ---------------------------------------------------------------------------
@@ -193,16 +225,16 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = NUM_BANDS, k: int = NUM_MI
 @register(
     "dedup_minhash_lsh",
     # Rows-only by design: LSH candidate generation is probabilistic (recall
-    # ≈0.9998 at J=0.8 with 16×4 banding, not 1.0), so an exact-pairs oracle
-    # would flag the ~0.1% recall gap as a correctness failure. The exact
-    # ground truth is dedup_ngram_jaccard (oracled); tests/test_llm_quality
-    # asserts precision == 1.0 and recall ≥ 0.99 against it.
+    # ≈0.9999 at J=0.5 with 32×2 banding, not exactly 1.0), so an exact-
+    # pairs oracle would flag any recall gap as a correctness failure. The
+    # exact ground truth is dedup_ngram_jaccard (oracled); tests/
+    # test_llm_quality asserts precision == 1.0 and recall ≥ 0.99 against it.
     oracle=None,
-    doc="MinHash(64) + LSH(16×4) near-dup pairs, exact-Jaccard verified at "
-    "≥0.8 — approximate candidate generation, exact verification.",
+    doc="MinHash(64) + LSH(32×2) over 3-gram shingles, exact-Jaccard "
+    "verified at ≥0.5 — approximate candidate generation, exact verification.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _token_sets(load_table(spark, sf_dir, "documents"))
+    docs = _shingle_sets(load_table(spark, sf_dir, "documents"))
     sigs = minhash_signatures(docs)
     cands = lsh_candidate_pairs(sigs)
     # Exact-Jaccard verification on candidates only.
@@ -232,29 +264,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash
 # ---------------------------------------------------------------------------
 def simhash(token_sets: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
-    """Bit-vote SimHash: token hash bits vote ±1 per position; the sign of
-    each position's tally is the fingerprint bit. One explode (tokens ×
-    bits) + one aggregate; fingerprint is a single BIGINT."""
-    t = token_sets.select("doc_id", F.explode("toks").alias("token")).withColumn(
-        "h", F.xxhash64("token")
+    """Bit-vote SimHash: each token's hash votes ±1 per bit position; the
+    sign of each tally is the fingerprint bit.
+
+    One explode to (doc, token) then ONE aggregate with `bits` sum columns —
+    NOT a further explode to (doc, token, bit), which would multiply the
+    shuffle by `bits`. Partial aggregation reduces map-side to one row of
+    32 longs per doc per partition; the fingerprint folds to a single BIGINT."""
+    t = token_sets.select("doc_id", F.explode("toks").alias("token")).select(
+        "doc_id", F.xxhash64("token").alias("h")
     )
-    votes = t.select(
-        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("pos"), "h"
-    ).select(
-        "doc_id",
-        "pos",
-        # shiftright's PySpark wrapper wants a literal shift; use the SQL
-        # expression form to shift by the pos column.
-        (F.expr("shiftright(h, CAST(pos AS INT))").bitwiseAND(F.lit(1)) * 2 - 1).alias("vote"),
+    tallies = t.groupBy("doc_id").agg(
+        *[
+            F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"t_{i}")
+            for i in range(bits)
+        ]
     )
-    bit_tallies = votes.groupBy("doc_id", "pos").agg(F.sum("vote").alias("tally"))
-    return bit_tallies.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("tally") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos AS INT))")
-            ).otherwise(F.lit(0).cast("bigint"))
-        ).alias("simhash")
-    )
+    fingerprint = None
+    for i in range(bits):
+        bit = F.when(F.col(f"t_{i}") > 0, F.lit(1 << i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        fingerprint = bit if fingerprint is None else fingerprint + bit
+    return tallies.select("doc_id", fingerprint.alias("simhash"))
 
 
 @register(
@@ -264,7 +296,8 @@ def simhash(token_sets: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     "8-bit band join on the fingerprint (4 slices of the 32-bit hash).",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _token_sets(load_table(spark, sf_dir, "documents"))
+    d = load_table(spark, sf_dir, "documents")
+    docs = _token_sets(d.repartition(d.sparkSession.sparkContext.defaultParallelism))
     fps = simhash(docs)
     slices = fps.select(
         "doc_id",

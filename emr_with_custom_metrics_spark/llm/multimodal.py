@@ -18,7 +18,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from emr_with_custom_metrics_spark.catalog import load_table
+from emr_with_custom_metrics_spark.catalog import load_fanned, load_table
 from emr_with_custom_metrics_spark.registry import register
 
 DECODED_SCHEMA = "doc_id bigint, n_bytes bigint, width int, height int, n_frames int"
@@ -73,7 +73,7 @@ def with_payload(documents: DataFrame) -> DataFrame:
     "metadata. Decoder is a deterministic stub; the Arrow plumbing is real.",
 )
 def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = with_payload(load_table(spark, sf_dir, "documents"))
+    d = with_payload(load_fanned(spark, sf_dir, "documents"))
     return d.mapInPandas(decode_batch, schema=DECODED_SCHEMA)
 
 
@@ -91,7 +91,7 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "datasets, all JVM-side.",
 )
 def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_fanned(spark, sf_dir, "documents")
     blob_len = F.length(F.encode("text", "UTF-8"))
     return d.groupBy("source").agg(
         F.count("*").alias("n_blobs"),
@@ -113,7 +113,7 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffle).",
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    d = load_fanned(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
     n = F.length(F.encode("text", "UTF-8")).cast("bigint")
     return d.select(
         "doc_id",

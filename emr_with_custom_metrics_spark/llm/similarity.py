@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from emr_with_custom_metrics_spark.catalog import load_table
+from emr_with_custom_metrics_spark.catalog import load_fanned, load_table
 from emr_with_custom_metrics_spark.functions.vector import cosine, dot, norm
 from emr_with_custom_metrics_spark.registry import register
 
@@ -51,7 +51,7 @@ LSH_PLANES_PER_TABLE = 4
     "codegen cosine → TakeOrderedAndProject (per-partition heaps, no sort).",
 )
 def similarity_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_fanned(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qv"))
     return (
         e.where(F.col("vec_id") != QUERY_VEC_ID)
@@ -107,7 +107,7 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
     "exact SQL oracle; scan cost N/C instead of N.",
 )
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_fanned(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qv"))
     cents = label_centroids(e)
     best = (
@@ -166,7 +166,7 @@ def hyperplane_signatures(
     "occupancy per table — the 100 TB pair-generation path.",
 )
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = load_fanned(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     sigs = hyperplane_signatures(e)
     a = sigs.select(
         F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_v"), "table_id", "bucket"
@@ -201,7 +201,7 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cluster key (the join never leaves the cell).",
 )
 def similarity_pairwise_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_fanned(spark, sf_dir, "embeddings")
     a = e.select("label", F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_v"))
     b = e.select(
         F.col("label").alias("b_label"), F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_v")

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from emr_with_custom_metrics_spark.catalog import load_table
+from emr_with_custom_metrics_spark.catalog import load_fanned, load_table
 from emr_with_custom_metrics_spark.registry import register
 
 STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "in", "is", "it")
@@ -40,6 +40,23 @@ def tokens(col: Column) -> Column:
     return F.split(col, " ")
 
 
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined), empty for short docs.
+    Shingle space is |vocab|^n, so shingle sets are highly selective — the
+    right similarity domain for SEQUENCE near-duplicates (word-order-
+    insensitive duplicates are the bag fingerprint's job instead)."""
+    w = tokens(col)
+    # slice+array_join stays in-bounds under ANSI mode (element_at would
+    # throw on short docs); the greatest() clamp keeps start ≥ 1.
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(w, (i + 1).cast("int"), n), " "),
+    )
+    return F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def _stop_count(tok: Column) -> Column:
     return F.size(F.filter(tok, lambda t: t.isin(*STOPWORDS)))
 
@@ -60,7 +77,7 @@ def _stop_count(tok: Column) -> Column:
     "ratio, average token span.",
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_fanned(spark, sf_dir, "documents")
     tok = tokens(F.col("text"))
     n_tok = F.size(tok)
     return d.select(
@@ -85,7 +102,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "explode happens map-side; the shuffle carries (token, partial_count).",
 )
 def text_word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_fanned(spark, sf_dir, "documents")
     return (
         d.select(F.explode(tokens(F.col("text"))).alias("token"))
         .groupBy("token")
@@ -137,7 +154,7 @@ def text_lang_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the standard pre-training corpus filters, as one projection.",
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_fanned(spark, sf_dir, "documents")
     tok = tokens(F.col("text"))
     n_tok = F.size(tok)
     return d.select(
@@ -173,7 +190,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "first-match tie-break (en > de > fr > es > zh).",
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_fanned(spark, sf_dir, "documents")
     tok = tokens(F.col("text"))
     def marker_count(markers: tuple[str, ...]) -> Column:
         # closure via argument — a lambda default would be introspected as a
@@ -203,7 +220,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Token counting two ways: whitespace and a BPE-ish word/punct regex.",
 )
 def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_fanned(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.regexp_count("text", F.lit(TOKENIZE_REGEX)).cast("bigint").alias("n_bpe_tokens"),
@@ -225,7 +242,7 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bag-of-words hash (the exact-dedup keys in llm/dedup).",
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_fanned(spark, sf_dir, "documents")
     bag = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.col("text")))))
     return d.select(
         "doc_id",

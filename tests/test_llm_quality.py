@@ -20,7 +20,8 @@ def _pairs(df, cols=("a_id", "b_id")):
 def test_minhash_lsh_precision_and_recall(spark):
     exact = _pairs(
         dedup.jaccard_pairs(
-            dedup._token_sets(load_table(spark, SF_DIR, "documents")), dedup.JACCARD_THRESHOLD
+            dedup._shingle_sets(load_table(spark, SF_DIR, "documents")),
+            dedup.JACCARD_THRESHOLD,
         )
     )
     approx = _pairs(SPECS["dedup_minhash_lsh"].fn(spark, SF_DIR))
