@@ -1,0 +1,182 @@
+"""Collection (array/map) functions + second string/date batteries.
+
+Array and map columns are first-class in the engine (SURVEY.md §1.4 [EXT]:
+vectors, dimension maps); these queries exercise the full built-in surface
+the way the reference's bash pipeline never could (ops M2-M4 analogues and
+beyond). Outputs are scalarized (joined strings, sizes, booleans) so the
+cross-engine value hash never depends on array formatting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emr_with_custom_metrics_spark.catalog import load_fanned, load_table
+from emr_with_custom_metrics_spark.registry import register
+
+
+@register(
+    "array_funcs",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(LEN(toks) AS INTEGER) AS n,
+           list_contains(toks, 'spark') AS has_spark,
+           array_to_string(list_sort(list_distinct(toks[1:5])), ',') AS first5_sorted,
+           toks[1] AS first_tok,
+           toks[-1] AS last_tok,
+           array_to_string(list_reverse(toks[1:3]), ',') AS first3_rev
+    FROM t WHERE doc_id < 100
+    """,
+    doc="Array battery: size, contains, slice, sort, distinct, reverse, "
+    "first/last element — scalarized outputs for engine-neutral hashing.",
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.array_join(F.array_sort(F.array_distinct(F.slice(toks, 1, 5))), ",").alias(
+            "first5_sorted"
+        ),
+        toks.getItem(0).alias("first_tok"),
+        F.element_at(toks, -1).alias("last_tok"),
+        F.array_join(F.reverse(F.slice(toks, 1, 3)), ",").alias("first3_rev"),
+    )
+
+
+@register(
+    "map_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           array_to_string(json_keys(props), ',') AS key_list,
+           CAST(LEN(json_keys(props)) AS INTEGER) AS n_keys
+    FROM events WHERE event_id < 2000
+    """,
+    doc="Map battery: from_json to MapType, element access, map_keys, size "
+    "(the reference's dimensions-map concept, SURVEY.md §1.4).",
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_val"),
+        F.array_join(F.map_keys(m), ",").alias("key_list"),
+        F.size(m).alias("n_keys"),
+    )
+
+
+@register(
+    "posexplode_tokens",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+               WHERE doc_id < 20)
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS token
+    FROM t, RANGE(1, 100000) r(i) WHERE i <= LEN(toks)
+    """,
+    doc="posexplode (UDTF analogue): token stream with positions.",
+)
+def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    return d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))
+
+
+@register(
+    "scalar_string_funcs2",
+    oracle="""
+    SELECT p_partkey,
+           TRIM(CONCAT('  ', p_name, '  ')) AS trimmed,
+           split_part(p_name, ' ', 1) AS first_word,
+           split_part(p_name, ' ', -1) AS last_word,
+           CAST(strpos(p_name, 'e') AS INTEGER) AS first_e,
+           REPEAT(p_brand, 2) AS brand_twice,
+           REVERSE(p_type) AS type_rev,
+           LEFT(p_name, 4) AS name_left4,
+           RIGHT(p_name, 3) AS name_right3,
+           starts_with(p_type, 'ECO') AS is_eco,
+           ends_with(p_name, 'bolt') AS is_bolt,
+           printf('%05d|%s', p_size, p_brand) AS formatted
+    FROM part WHERE p_partkey <= 500
+    """,
+    doc="String battery 2: trim, split_part (± index), strpos, repeat, "
+    "reverse, left/right, starts/ends_with, printf-style formatting.",
+)
+def scalar_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") <= 500)
+    return p.select(
+        "p_partkey",
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(-1)).alias("last_word"),
+        F.instr("p_name", "e").alias("first_e"),
+        F.repeat("p_brand", 2).alias("brand_twice"),
+        F.reverse("p_type").alias("type_rev"),
+        F.substring("p_name", 1, 4).alias("name_left4"),
+        F.substring(F.col("p_name"), -3, 3).alias("name_right3"),
+        F.startswith(F.col("p_type"), F.lit("ECO")).alias("is_eco"),
+        F.endswith(F.col("p_name"), F.lit("bolt")).alias("is_bolt"),
+        F.format_string("%05d|%s", "p_size", "p_brand").alias("formatted"),
+    )
+
+
+@register(
+    "scalar_date_funcs2",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) + 30 AS plus30,
+           CAST(o_orderdate AS DATE) - 7 AS minus7,
+           CAST(QUARTER(o_orderdate) AS INTEGER) AS q,
+           CAST(WEEKOFYEAR(o_orderdate) AS INTEGER) AS iso_week,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
+           GREATEST(CAST(o_orderdate AS DATE), DATE '1998-01-01') AS clamped
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+    doc="Date battery 2: date ± days, quarter, ISO week, last_day, "
+    "add_months, greatest-clamp.",
+)
+def scalar_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 1000)
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_add(d, 30).alias("plus30"),
+        F.date_sub(d, 7).alias("minus7"),
+        F.quarter("o_orderdate").alias("q"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.last_day(d).alias("month_end"),
+        F.add_months(d, 2).alias("plus2m"),
+        F.greatest(d, F.lit("1998-01-01").cast("date")).alias("clamped"),
+    )
+
+
+@register(
+    "null_handling_funcs",
+    oracle="""
+    SELECT event_id,
+           NULLIF(event_type, 'error') AS maybe_type,
+           (NULLIF(event_type, 'error') IS NOT DISTINCT FROM 'click') AS null_safe_is_click,
+           COALESCE(NULLIF(event_type, 'error'), 'recovered') AS coalesced,
+           (NULLIF(event_type, 'error') IS NULL) AS was_error,
+           IFNULL(NULLIF(event_type, 'error'), '-') AS ifnulled
+    FROM events WHERE event_id < 1000
+    """,
+    doc="Null-handling battery: nullif / null-safe equality (<=>) / "
+    "coalesce / ifnull — the semantics CloudWatch hid from the reference.",
+)
+def null_handling_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 1000)
+    maybe = F.nullif(F.col("event_type"), F.lit("error"))
+    return ev.select(
+        "event_id",
+        maybe.alias("maybe_type"),
+        maybe.eqNullSafe(F.lit("click")).alias("null_safe_is_click"),
+        F.coalesce(maybe, F.lit("recovered")).alias("coalesced"),
+        maybe.isNull().alias("was_error"),
+        F.ifnull(maybe, F.lit("-")).alias("ifnulled"),
+    )

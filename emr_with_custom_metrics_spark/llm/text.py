@@ -229,6 +229,66 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_tfidf_top_term",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS cnt FROM tok GROUP BY doc_id, token),
+    doclen AS (
+      SELECT doc_id, SUM(cnt) AS n_tok FROM tf GROUP BY doc_id),
+    df AS (
+      SELECT token, COUNT(*) AS n_docs_with FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS total_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             ROUND((tf.cnt::DOUBLE / doclen.n_tok)
+                   * LN(n.total_docs::DOUBLE / df.n_docs_with), 6) AS tfidf
+      FROM tf JOIN doclen USING (doc_id) JOIN df USING (token) CROSS JOIN n)
+    SELECT doc_id, token, tfidf FROM (
+      SELECT doc_id, token, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, token) AS rn
+      FROM scored) WHERE rn = 1
+    """,
+    doc="TF-IDF: term frequency × inverse document frequency, top-scoring "
+    "term per document. Three hash aggregates + two key joins (the DF side "
+    "is a tiny vocabulary table → broadcast at any corpus size).",
+)
+def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_fanned(spark, sf_dir, "documents")
+    total_docs = d.count()  # one cheap metadata-ish count; a literal beats a cross join
+    tf = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    doclen = tf.groupBy("doc_id").agg(F.sum("cnt").alias("n_tok"))
+    df = tf.groupBy("token").agg(F.count("*").alias("n_docs_with"))
+    scored = (
+        tf.join(doclen, "doc_id")
+        .join(F.broadcast(df), "token")
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                (F.col("cnt").cast("double") / F.col("n_tok"))
+                * F.log(F.lit(float(total_docs)) / F.col("n_docs_with")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.select("doc_id", "token", "tfidf", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
     "text_fingerprint",
     oracle="""
     SELECT doc_id,

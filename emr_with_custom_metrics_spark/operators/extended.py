@@ -1,0 +1,305 @@
+"""Extended relational surface: SQL entry point, subqueries, grouping sets,
+pivot, statistics, bucketing, keyed dedup.
+
+The reference exposes no SQL string entry point (DataFrame API only,
+reference scripts/spark_converter.py:25-31; SURVEY.md §2A.1 "SQL string
+entry point") — with Spark it is free via temp views, and several of these
+queries deliberately run through ``spark.sql`` to exercise the parser/
+analyzer path end-to-end, including subquery decorrelation (Catalyst
+built-in, SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emr_with_custom_metrics_spark.catalog import load_table, register_views
+from emr_with_custom_metrics_spark.registry import register
+
+
+def _sql(spark: SparkSession, sf_dir: str, query: str, tables: tuple[str, ...]) -> DataFrame:
+    register_views(spark, sf_dir, tables)
+    return spark.sql(query)
+
+
+@register(
+    "sql_q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape through the SQL STRING entry point (spark.sql over "
+    "temp views): selective scan, no shuffle beyond the final 1-row agg.",
+)
+def sql_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+        """,
+        ("lineitem",),
+    )
+
+
+@register(
+    "sql_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    doc="Explicit GROUPING SETS (beyond rollup/cube) via the SQL surface.",
+)
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """,
+        ("lineitem",),
+    )
+
+
+@register(
+    "sql_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 3 * (SELECT AVG(o_totalprice) FROM orders)
+    """,
+    doc="Uncorrelated scalar subquery (planned as a broadcast single-row "
+    "subquery result, not a per-row re-execution).",
+)
+def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 3 * (SELECT AVG(o_totalprice) FROM orders)
+        """,
+        ("orders",),
+    )
+
+
+@register(
+    "sql_in_subquery",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE c_nationkey IN (
+      SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+    """,
+    doc="IN-subquery → decorrelated to a left-semi join by Catalyst.",
+)
+def sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_nationkey IN (
+          SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+        """,
+        ("customer", "nation"),
+    )
+
+
+@register(
+    "sql_correlated_exists",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier s
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49)
+    """,
+    doc="Correlated EXISTS — subquery decorrelation into a semi join.",
+)
+def sql_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT s_suppkey, s_name FROM supplier s
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49)
+        """,
+        ("supplier", "lineitem"),
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS st_f,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS st_o,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS st_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Pivot (long→wide) with a FIXED value list — the scale-safe form; "
+    "value-discovering pivot needs an extra pass and unbounded width.",
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))  # count(*) star-expansion is rejected inside pivot
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).cast("bigint").alias("st_f"),
+        F.coalesce(F.col("O"), F.lit(0)).cast("bigint").alias("st_o"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("bigint").alias("st_p"),
+    )
+
+
+@register(
+    "agg_corr_covar",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           ROUND(VAR_SAMP(l_quantity), 6) AS qty_var
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Bivariate statistics: Pearson correlation, sample covariance/variance.",
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
+        F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+    )
+
+
+@register(
+    "histogram_value_buckets",
+    oracle="""
+    SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           ROUND(MIN(value), 2) AS lo, ROUND(MAX(value), 2) AS hi
+    FROM events GROUP BY 1
+    """,
+    doc="Fixed-width histogram via floor-bucketing (one shuffle of "
+    "(bucket, partials) — the scalable histogram).",
+)
+def histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.floor(F.col("value") / 25.0).cast("bigint").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+    )
+
+
+@register(
+    "window_rank_fractions",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           NTH_VALUE(c_name, 2) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_richest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+    doc="percent_rank / cume_dist / nth_value window battery.",
+)
+def window_rank_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    w2 = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("c_name", 2).over(w2).alias("second_richest"),
+    )
+
+
+@register(
+    "dedup_keep_first_by_key",
+    oracle="""
+    SELECT lang, source, doc_id, n_chars FROM (
+      SELECT lang, source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+      FROM documents) WHERE rn = 1
+    """,
+    doc="Keyed keep-first dedup via deterministic window (dropDuplicates "
+    "picks an ARBITRARY row — never acceptable in a reproducible pipeline).",
+)
+def dedup_keep_first_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    return (
+        d.select("lang", "source", "doc_id", "n_chars", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "stream_dedup_within_window",
+    oracle="""
+    SELECT user_id, bucket_start, event_id FROM (
+      SELECT user_id,
+             CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_start,
+             event_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT)
+               ORDER BY event_id) AS rn
+      FROM events) WHERE rn = 1
+    """,
+    doc="Batch analog of dropDuplicatesWithinWatermark: first event per "
+    "(user, 300 s window) — streaming dedup state bounded by the watermark.",
+)
+def stream_dedup_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    bucketed = ev.select(
+        "user_id",
+        F.unix_timestamp(F.window("ts", "5 minutes").getField("start")).alias("bucket_start"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id", "bucket_start").orderBy("event_id")
+    return (
+        bucketed.select("*", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -89,11 +89,13 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     import emr_with_custom_metrics_spark.operators.relational  # noqa: F401
+    import emr_with_custom_metrics_spark.operators.extended  # noqa: F401
     import emr_with_custom_metrics_spark.operators.joins  # noqa: F401
     import emr_with_custom_metrics_spark.operators.windows  # noqa: F401
     import emr_with_custom_metrics_spark.operators.setops  # noqa: F401
     import emr_with_custom_metrics_spark.operators.asof  # noqa: F401
     import emr_with_custom_metrics_spark.functions.scalar  # noqa: F401
+    import emr_with_custom_metrics_spark.functions.collections  # noqa: F401
     import emr_with_custom_metrics_spark.functions.vector  # noqa: F401
     import emr_with_custom_metrics_spark.sources.reference_pipeline  # noqa: F401
     import emr_with_custom_metrics_spark.streaming.metrics  # noqa: F401
