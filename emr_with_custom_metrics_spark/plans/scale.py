@@ -1,0 +1,75 @@
+"""Scale-hardening utilities (SURVEY.md §7 M4): bucketing, salting,
+range-partitioned writes.
+
+These are the knobs a 100 TB deployment turns when the default planner
+shapes aren't enough: co-locating repeated join keys via bucketed layout
+(shuffle paid once at write time, never again), breaking skewed keys with
+salt (when AQE's skew splitting can't help, e.g. skewed BUILD side of a
+broadcast-ineligible join), and range-partitioned sorted writes for
+clustered scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame, table_name: str, bucket_cols: list[str], num_buckets: int = 16
+) -> None:
+    """Persist as a bucketed, per-bucket-sorted parquet table. Joins and
+    aggregations on ``bucket_cols`` between tables bucketed the same way
+    run WITHOUT a shuffle (plan shows no Exchange)."""
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .saveAsTable(table_name)
+    )
+
+
+def salt_column(salt: int, *seed_cols: str | Column) -> Column:
+    """Deterministic salt in [0, salt): hash of the row's own columns —
+    reproducible across runs, unlike rand()."""
+    return F.pmod(F.xxhash64(*seed_cols), F.lit(salt)).cast("int")
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+    skewed_seed_cols: list[str] | None = None,
+) -> DataFrame:
+    """Skew-safe equi-join: the skewed side gets a deterministic salt from
+    its own non-key columns; the other side replicates each row to all
+    ``salt`` partitions. The hot key's rows spread over ``salt`` tasks
+    instead of one straggler.
+
+    Prefer AQE's skew-join splitting when it applies (sort-merge joins);
+    this helper covers the cases it doesn't — e.g. HAVING to shuffle-hash,
+    or pre-aggregating a skewed key.
+    """
+    seed = skewed_seed_cols or [c for c in skewed.columns if c != key]
+    left = skewed.withColumn("_salt", salt_column(salt, *seed))
+    # generators can't nest inside other expressions — explode bare
+    right = other.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    out = left.join(right, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
+def write_range_partitioned(
+    df: DataFrame, path: str, range_cols: list[str], num_partitions: int
+) -> None:
+    """Range-repartition + in-partition sort before writing: produces
+    value-clustered parquet files so range predicates prune whole files via
+    min/max statistics — the sorted-layout complement to partitionBy."""
+    (
+        df.repartitionByRange(num_partitions, *[F.col(c) for c in range_cols])
+        .sortWithinPartitions(*range_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -1,0 +1,86 @@
+"""Arbitrary stateful streaming via applyInPandasWithState.
+
+The reference's only state is the CloudWatch-held alarm cooldown (op R5,
+SURVEY.md §2A "R5"); everything else stateful was out of reach of its
+cron+bash design. Here the engine exposes Spark's checkpointed state store
+through ``applyInPandasWithState`` (Spark ≥3.4) — per-key state that
+survives across micro-batches and restarts, partitioned by key across the
+cluster (each executor holds only its keys' state: the 100 TB shape).
+
+Two canonical operators:
+* running per-key counters/sums (monitoring aggregates without windows),
+* cooldown suppression keyed by rule — the distributed version of the
+  driver-side dict in streaming/pipeline.CooldownSink.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+RUNNING_OUTPUT_SCHEMA = "event_type string, n_events bigint, sum_value double"
+RUNNING_STATE_SCHEMA = "n bigint, s double"
+
+
+def running_totals_by_type(events: DataFrame) -> DataFrame:
+    """Cumulative (count, sum) per event_type, emitted once per micro-batch.
+    State is two scalars per key — constant memory regardless of stream
+    length."""
+    import pandas as pd
+
+    def update(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_OUTPUT_SCHEMA,
+        stateStructType=RUNNING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+COOLDOWN_OUTPUT_SCHEMA = "rule string, bucket_start bigint, avg_value double"
+COOLDOWN_STATE_SCHEMA = "last_fire bigint"
+
+
+def cooldown_fires(alarms: DataFrame, cooldown_seconds: int = 300) -> DataFrame:
+    """R5 as distributed state: per rule, emit an alarm bucket only if it is
+    beyond the cooldown horizon of the previously fired bucket. The state is
+    one BIGINT per rule key, held in the checkpointed state store."""
+    import pandas as pd
+
+    def update(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        (last,) = state.get if state.exists else (-(10**18),)
+        fired_rows = []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        for _, row in batch.sort_values("bucket_start").iterrows():
+            t = int(row["bucket_start"])
+            if t > last + cooldown_seconds:
+                last = t
+                fired_rows.append(row)
+        state.update((last,))
+        if fired_rows:
+            out = pd.DataFrame(fired_rows)
+            yield out[["rule", "bucket_start", "avg_value"]]
+
+    return alarms.groupBy("rule").applyInPandasWithState(
+        update,
+        outputStructType=COOLDOWN_OUTPUT_SCHEMA,
+        stateStructType=COOLDOWN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

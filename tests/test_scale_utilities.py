@@ -1,0 +1,162 @@
+"""Scale-hardening behaviors observed at the plan/runtime level: bucketed
+joins shuffle-free, salted joins result-identical, range writes clustered,
+metrics source/sink parity, stateful streaming correctness."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from emr_with_custom_metrics_spark.catalog import load_table
+from emr_with_custom_metrics_spark.plans.inspect import count_exchanges, formatted_plan
+from emr_with_custom_metrics_spark.plans.scale import (
+    salted_join,
+    write_bucketed,
+    write_range_partitioned,
+)
+from tests.conftest import SF_DIR
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    orders = load_table(spark, SF_DIR, "orders")
+    customer = load_table(spark, SF_DIR, "customer")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        write_bucketed(orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+                       "orders_b", ["o_custkey"], 8)
+        write_bucketed(customer.select("c_custkey", "c_mktsegment"),
+                       "customer_b", ["c_custkey"], 8)
+        joined = spark.table("orders_b").join(
+            spark.table("customer_b"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        assert count_exchanges(joined) == 0, formatted_plan(joined)[:1500]
+        # and it still computes the right thing
+        plain = orders.join(customer, orders.o_custkey == customer.c_custkey).count()
+        assert joined.count() == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_salted_join_matches_plain_join(spark):
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderpriority")
+    plain = li.join(o, li.l_orderkey == o.o_orderkey).count()
+    salted = salted_join(
+        li.withColumnRenamed("l_orderkey", "k"),
+        o.withColumnRenamed("o_orderkey", "k"),
+        key="k",
+        salt=8,
+    )
+    assert salted.count() == plain
+    # salt spreads rows: every salt value in [0,8) is used somewhere
+    li_s = li.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64("l_quantity"), F.lit(8)).cast("int"),
+    )
+    assert li_s.select("_salt").distinct().count() == 8
+
+
+def test_range_partitioned_write_clusters_values(spark):
+    out = tempfile.mkdtemp(prefix="range_write_") + "/orders_range"
+    o = load_table(spark, SF_DIR, "orders")
+    write_range_partitioned(o, out, ["o_orderdate"], 8)
+    back = spark.read.parquet(out)
+    assert back.count() == o.count()
+    # per-file min/max must be near-disjoint: check no file spans everything
+    import pyarrow.parquet as pq
+    import glob
+
+    spans = []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        col_idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "o_orderdate"
+        )
+        mins = [md.row_group(g).column(col_idx).statistics.min for g in range(md.num_row_groups)]
+        maxs = [md.row_group(g).column(col_idx).statistics.max for g in range(md.num_row_groups)]
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    overlaps = sum(1 for a, b in zip(spans, spans[1:]) if a[1] > b[0])
+    assert overlaps == 0, spans
+
+
+def test_metrics_source_parity_with_reference_semantics(spark):
+    """M1/M2/M3: the jq+bc pipeline re-expressed — including bc's scale=2
+    truncation (13*100/16 = 81.25 exactly; 5*100/3 = 166.666→166.66)."""
+    from emr_with_custom_metrics_spark.sources.metrics_source import (
+        parse_cluster_metrics,
+        payloads_to_df,
+        sample_payload,
+        to_metric_points,
+    )
+
+    raw = payloads_to_df(
+        spark,
+        [
+            ("2024-01-01 00:00:00", sample_payload(13, 16)),
+            ("2024-01-01 00:00:30", sample_payload(5, 3)),
+        ],
+    )
+    rows = {r["poll_ts"].isoformat(): r for r in parse_cluster_metrics(raw).collect()}
+    assert rows["2024-01-01T00:00:00"]["core_available_pct"] == 81.25
+    assert rows["2024-01-01T00:00:30"]["core_available_pct"] == 166.66  # truncated, not 166.67
+    pts = to_metric_points(
+        parse_cluster_metrics(raw), "YARNCoreAvailablePercentage", "Percent",
+        {"JobFlowId": "j-TEST"},
+    ).collect()
+    assert pts[0]["metric_name"] == "YARNCoreAvailablePercentage"
+    assert pts[0]["dimensions"]["JobFlowId"] == "j-TEST"
+    assert pts[0]["unit"] == "Percent"
+
+
+def test_stateful_running_totals_stream(spark):
+    """applyInPandasWithState: cumulative per-key totals across micro-batches
+    converge to the batch ground truth."""
+    import tempfile as tf
+
+    from emr_with_custom_metrics_spark.streaming.pipeline import EVENTS_SCHEMA
+    from emr_with_custom_metrics_spark.streaming.stateful import running_totals_by_type
+    from tests.conftest import SF_SMOKE_DIR
+
+    src = tf.mkdtemp(prefix="events_state_")
+    load_table(spark, SF_SMOKE_DIR, "events").repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = running_totals_by_type(stream)
+    ckpt = tf.mkdtemp(prefix="ckpt_state_")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_totals")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = {
+        r["event_type"]: (r["n_events"], r["sum_value"])
+        for r in spark.sql(
+            """SELECT event_type, n_events, sum_value FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                              ORDER BY n_events DESC) rn
+                 FROM running_totals) WHERE rn = 1"""
+        ).collect()
+    }
+    truth = {
+        r["event_type"]: (r["n"], r["s"])
+        for r in spark.read.parquet(src)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(final) == set(truth)
+    for k, (n, s) in truth.items():
+        assert final[k][0] == n
+        assert abs(final[k][1] - s) < 1e-6
