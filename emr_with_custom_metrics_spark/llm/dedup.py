@@ -145,11 +145,20 @@ def jaccard_pairs(documents: DataFrame, threshold: float) -> DataFrame:
     MinHash path below; the join itself never materializes non-overlapping
     pairs, unlike a cross join.
     """
-    t = documents.select("doc_id", F.explode("toks").alias("token"))
+    t = documents.select("doc_id", F.size("toks").alias("sz"), F.explode("toks").alias("token"))
     sizes = documents.select("doc_id", F.size("toks").alias("sz"))
+    # Size-ratio prune at probe time: J ≥ t forces |A|,|B| within a factor
+    # 1/t of each other — pairs outside the band never reach the aggregate.
+    ratio = F.lit(1.0 / threshold)
     inter = (
         t.alias("a")
-        .join(t.alias("b"), (F.col("a.token") == F.col("b.token")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .join(
+            t.alias("b"),
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.sz") <= ratio * F.col("b.sz"))
+            & (F.col("b.sz") <= ratio * F.col("a.sz")),
+        )
         .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .agg(F.count("*").alias("n_inter"))
     )

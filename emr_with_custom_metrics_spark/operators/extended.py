@@ -251,6 +251,60 @@ def window_rank_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_battery2",
+    oracle="""
+    SELECT user_id,
+           arg_max(event_type, event_id) AS latest_type_by_id,
+           arg_min(event_type, event_id) AS first_type_by_id,
+           CAST(count_if(value > 100) AS BIGINT) AS n_big,
+           bool_and(value >= 0) AS all_nonneg,
+           bool_or(event_type = 'error') AS any_error,
+           ROUND(SUM(DISTINCT value), 2) AS sum_distinct_value
+    FROM events WHERE user_id <= 25 GROUP BY user_id
+    """,
+    doc="Aggregate battery 2: min_by/max_by (argmin/argmax on a unique "
+    "ordering key — deterministic), count_if, bool_and/bool_or, "
+    "SUM(DISTINCT).",
+)
+def agg_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") <= 25)
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", "event_id").alias("latest_type_by_id"),
+        F.min_by("event_type", "event_id").alias("first_type_by_id"),
+        F.count_if(F.col("value") > 100).alias("n_big"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.bool_or(F.col("event_type") == "error").alias("any_error"),
+        F.round(F.sum_distinct(F.col("value")), 2).alias("sum_distinct_value"),
+    )
+
+
+@register(
+    "agg_collect_ordered",
+    oracle="""
+    SELECT user_id,
+           string_agg(event_type, ',' ORDER BY event_id) AS type_sequence,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events WHERE user_id <= 10 GROUP BY user_id
+    """,
+    doc="Deterministic collect: collect_list carries no order guarantee, so "
+    "the engine collects (sort_key, value) structs, array_sorts, then "
+    "projects — the reproducible ordered-sequence aggregation.",
+)
+def agg_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") <= 10)
+    return ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ",",
+        ).alias("type_sequence"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
     "dedup_keep_first_by_key",
     oracle="""
     SELECT lang, source, doc_id, n_chars FROM (

@@ -226,6 +226,43 @@ def join_cross_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_interval_time",
+    oracle="""
+    SELECT p.user_id, p.event_id AS purchase_id, COUNT(c.event_id) AS n_recent_clicks
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 2 HOUR AND c.ts < p.ts
+    GROUP BY p.user_id, p.event_id
+    """,
+    doc="Time-interval join: clicks in the 2 h before each purchase, per "
+    "user. The equi component (user_id) bounds fan-out; the range predicate "
+    "evaluates inside the join. At extreme per-key volume the next step is "
+    "bucketing both sides by time and joining on (key, bucket±1).",
+)
+def join_interval_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    return (
+        p.join(
+            c,
+            (p.user_id == c.c_user)
+            & (c.c_ts >= p.p_ts - F.expr("INTERVAL 2 HOURS"))
+            & (c.c_ts < p.p_ts),
+            "left",
+        )
+        .groupBy("user_id", "purchase_id")
+        .agg(F.count("click_id").alias("n_recent_clicks"))
+    )
+
+
+@register(
     "join_theta_range",
     oracle="""
     SELECT s.s_nationkey AS nationkey, COUNT(*) AS n_pairs
