@@ -77,6 +77,50 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(decode_batch, schema=DECODED_SCHEMA)
 
 
+FEATURE_DIM = 16
+FEATURE_SCHEMA = "doc_id bigint, feature array<float>, feat_norm double"
+
+
+def fake_feature_extract(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """STUB feature extractor (a real deployment plugs a vision/audio model
+    here). Deterministic: byte-sum folded per position — stable across runs
+    and machines, so downstream similarity plumbing is testable."""
+    if not payload:
+        raise NotImplementedError("real feature extraction requires a model runtime")
+    acc = [0] * dim
+    for i, b in enumerate(payload):
+        acc[i % dim] = (acc[i % dim] + b) % 997
+    return [v / 997.0 for v in acc]
+
+
+def feature_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    import math
+
+    import pandas as pd
+
+    for pdf in batches:
+        feats = pdf["payload"].map(fake_feature_extract)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "feature": feats,
+                "feat_norm": feats.map(lambda v: math.sqrt(sum(x * x for x in v))),
+            }
+        )
+
+
+@register(
+    "multimodal_feature_extract",
+    oracle=None,  # byte-level fold; not worth re-expressing in SQL → rows-only
+    doc="Binary → embedding feature extraction via mapInPandas: the Arrow "
+    "round-trip that matters for multimodal pipelines — array<float> OUTPUT "
+    "from a pandas stage, feeding the similarity operators downstream.",
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_payload(load_fanned(spark, sf_dir, "documents"))
+    return d.mapInPandas(feature_batch, schema=FEATURE_SCHEMA)
+
+
 @register(
     "multimodal_binary_stats",
     oracle="""

@@ -71,6 +71,34 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "setop_union_missing_columns",
+    oracle="""
+    SELECT nationkey, acctbal, side, COUNT(*) AS n FROM (
+      SELECT c_nationkey AS nationkey, c_acctbal AS acctbal, 'cust' AS side FROM customer
+      UNION ALL
+      SELECT s_nationkey AS nationkey, NULL AS acctbal, 'supp' AS side FROM supplier
+    ) GROUP BY nationkey, acctbal, side
+    """,
+    doc="unionByName(allowMissingColumns=True): schema-evolving append — "
+    "absent columns null-padded by NAME, never by position.",
+)
+def setop_union_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("cust").alias("side"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supp").alias("side")
+    )
+    return (
+        c.unionByName(s, allowMissingColumns=True)
+        .groupBy("nationkey", "acctbal", "side")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
     "setop_union_distinct",
     oracle="""
     SELECT c_nationkey AS nationkey FROM customer

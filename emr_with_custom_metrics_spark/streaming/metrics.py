@@ -197,6 +197,67 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "timeseries_gapfill_ffill",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS b,
+             ROUND(AVG(value), 4) AS avg_value
+      FROM events GROUP BY 1, 2),
+    bounds AS (SELECT event_type, MIN(b) AS lo, MAX(b) AS hi FROM hourly GROUP BY 1),
+    grid AS (
+      SELECT event_type, UNNEST(generate_series(lo, hi, 3600)) AS bucket_start
+      FROM bounds)
+    SELECT g.event_type, g.bucket_start,
+           ROUND(LAST_VALUE(h.avg_value IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.bucket_start
+             ROWS UNBOUNDED PRECEDING), 4) AS avg_filled,
+           (h.avg_value IS NULL) AS was_gap
+    FROM grid g LEFT JOIN hourly h
+      ON g.event_type = h.event_type AND g.bucket_start = h.b
+    """,
+    doc="Time-series gap-fill + forward-fill: dense hourly grid per key "
+    "(sequence+explode), left join actual averages, carry last observation "
+    "forward via last(ignorenulls). The grid explode is map-side; one "
+    "shuffle for the join, one for the ffill window.",
+)
+def timeseries_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(
+            F.unix_timestamp("w.start").alias("b"), "event_type", "avg_value"
+        )
+    )
+    bounds = hourly.groupBy("event_type").agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.lit(3600).cast("bigint"))).alias("bucket_start"),
+    )
+    # rename the probe side: grid and hourly share lineage (both derive from
+    # `ev`), so qualified access alone is ambiguous to the analyzer
+    h = hourly.withColumnRenamed("event_type", "h_type")
+    joined = grid.join(
+        h,
+        (F.col("event_type") == F.col("h_type")) & (F.col("bucket_start") == F.col("b")),
+        "left",
+    ).select("event_type", "bucket_start", "avg_value")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "bucket_start",
+        F.round(F.last("avg_value", ignorenulls=True).over(w), 4).alias("avg_filled"),
+        F.col("avg_value").isNull().alias("was_gap"),
+    )
+
+
+@register(
     "cooldown_suppression",
     oracle=None,  # inherently sequential state → rows-only check (driver contract)
     doc="R5: cooldown — after an alarm fires, suppress further fires for "
