@@ -28,17 +28,23 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "sql_q6_forecast_revenue",
     "agg_stats",
     "window_rank_battery",
     "topk_per_group",
     "asof_purchase_last_click",
+    "join_interval_time",
     "metrics_tumbling_avg",
     "session_windows",
+    "timeseries_gapfill_ffill",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_simhash",
     "similarity_topk_exact",
     "similarity_ivf_topk",
+    "similarity_ann_lsh",
     "text_word_freq_topk",
+    "text_tfidf_top_term",
     "multimodal_decode_meta",
 ]
 

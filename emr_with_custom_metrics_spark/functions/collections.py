@@ -156,6 +156,80 @@ def scalar_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hof_battery",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                      LENGTH(text) AS n FROM documents WHERE doc_id < 100)
+    SELECT doc_id,
+           LEN(list_filter(toks, x -> LENGTH(x) > 4)) = LEN(toks) AS all_long,
+           LEN(list_filter(toks, x -> x = 'the')) > 0 AS has_the,
+           CAST(list_aggregate(list_transform(toks, x -> LENGTH(x)), 'sum') AS BIGINT)
+             AS total_chars,
+           CAST(LEN(list_filter(toks, x -> LENGTH(x) >= 5)) AS INTEGER) AS n_long,
+           array_to_string(list_transform(toks[1:3], x -> UPPER(x)), '-') AS first3_upper
+    FROM t
+    """,
+    doc="Higher-order function battery: forall / exists / aggregate(sum) / "
+    "filter+size / transform — all codegen'd JVM lambdas, zero Python.",
+)
+def hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.forall(toks, lambda x: F.length(x) > 4).alias("all_long"),
+        F.exists(toks, lambda x: x == "the").alias("has_the"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("total_chars"),
+        F.size(F.filter(toks, lambda x: F.length(x) >= 5)).alias("n_long"),
+        F.array_join(
+            F.transform(F.slice(toks, 1, 3), lambda x: F.upper(x)), "-"
+        ).alias("first3_upper"),
+    )
+
+
+@register(
+    "json_battery2",
+    oracle="""
+    SELECT event_id,
+           json_valid(props) AS is_valid,
+           CAST(props::JSON->>'k' AS BIGINT) AS arrow_k,
+           json_extract_string('{"a": {"b": 7}}', '$.a.b')::BIGINT AS nested_b,
+           COALESCE(json_extract_string(props, '$.missing'), 'absent') AS missing_field
+    FROM events WHERE event_id < 1500
+    """,
+    doc="JSON battery 2: validity probe, nested dotted-path extraction, "
+    "missing-path null semantics — the jq surface (op M2) fully in-engine.",
+)
+def json_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 1500)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$").isNotNull().alias("is_valid"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("arrow_k"),
+        F.get_json_object(F.lit('{"a": {"b": 7}}'), "$.a.b").cast("bigint").alias("nested_b"),
+        F.coalesce(F.get_json_object("props", "$.missing"), F.lit("absent")).alias(
+            "missing_field"
+        ),
+    )
+
+
+@register(
+    "sample_deterministic",
+    oracle=None,  # seeded Bernoulli sample is partitioning-dependent → rows-only
+    doc="Seeded Bernoulli sampling (TABLESAMPLE): deterministic for a fixed "
+    "seed + input layout; the constant-fraction way to build dev corpora "
+    "from 100 TB without a shuffle.",
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+
+
+@register(
     "null_handling_funcs",
     oracle="""
     SELECT event_id,

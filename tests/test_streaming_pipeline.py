@@ -62,6 +62,69 @@ def test_stream_matches_batch_alarms(spark, events_stream_dir):
             assert b - a > bm.COOLDOWN_SECONDS, f"{rule}: fired {a} then {b}"
 
 
+def test_watermark_drops_late_rows(spark):
+    """Event-time correctness: with a 10 min watermark, a row arriving far
+    behind the advanced watermark must be excluded from finalized windows
+    (append mode only emits windows the watermark has closed)."""
+    import time
+
+    src = tempfile.mkdtemp(prefix="late_events_")
+    ckpt = tempfile.mkdtemp(prefix="late_ckpt_")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    def write_batch(rows, name):
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    from datetime import datetime
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(minutes):
+        return t0.replace(hour=minutes // 60, minute=minutes % 60)
+
+    # batch 1: on-time rows advancing the watermark to 100min - 10min
+    write_batch(
+        [(i, at(m), 1, "click", 10.0, "{}") for i, m in enumerate([1, 2, 50, 100])],
+        "b1",
+    )
+    from emr_with_custom_metrics_spark.streaming.pipeline import EVENTS_SCHEMA
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    from pyspark.sql import functions as SF
+
+    windowed = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(SF.window("ts", "5 minutes").alias("w"))
+        .agg(SF.count("*").alias("n"))
+        .select(SF.unix_timestamp("w.start").alias("b"), "n")
+    )
+    q = (
+        windowed.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_test")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        time.sleep(8)  # let batch 1 process, watermark → 90min
+        # batch 2: a LATE row at minute 1 (89min behind watermark) + an
+        # on-time row that closes more windows
+        write_batch([(100, at(1), 2, "click", 10.0, "{}"), (101, at(120), 1, "click", 10.0, "{}")], "b2")
+        time.sleep(10)
+    finally:
+        q.stop()
+    out = {r["b"]: r["n"] for r in spark.sql("SELECT * FROM late_test").collect()}
+    first_bucket = int(t0.timestamp()) + 0
+    # the minute-1/2 window finalized with its ON-TIME count (2); the late
+    # arrival at minute 1 must NOT have reopened it
+    assert out.get(first_bucket) == 2, out
+
+
 def test_stream_is_incremental(spark, events_stream_dir):
     """The file source must deliver multiple micro-batches — i.e. the
     pipeline is actually incremental, not a disguised batch job."""
