@@ -40,15 +40,15 @@ def decode_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
     import pandas as pd
 
     for pdf in batches:
-        sizes = pdf["payload"].map(len)
-        decoded = pdf["payload"].map(fake_decode_image)
+        decoded = pdf["payload"].map(fake_decode_image)  # single decode pass
+        w, h, fr = zip(*decoded) if len(decoded) else ((), (), ())
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "n_bytes": sizes.astype("int64"),
-                "width": decoded.map(lambda t: t[0]).astype("int32"),
-                "height": decoded.map(lambda t: t[1]).astype("int32"),
-                "n_frames": decoded.map(lambda t: t[2]).astype("int32"),
+                "n_bytes": pdf["payload"].map(len).astype("int64"),
+                "width": pd.Series(w, index=pdf.index, dtype="int32"),
+                "height": pd.Series(h, index=pdf.index, dtype="int32"),
+                "n_frames": pd.Series(fr, index=pdf.index, dtype="int32"),
             }
         )
 
