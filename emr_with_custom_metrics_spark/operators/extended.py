@@ -11,6 +11,8 @@ built-in, SURVEY.md §4.3).
 
 from __future__ import annotations
 
+import pandas as pd  # module-scope: pandas_udf type hints resolve via module globals
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -248,6 +250,92 @@ def window_rank_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.nth_value("c_name", 2).over(w2).alias("second_richest"),
     )
+
+
+@register(
+    "having_filter",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS spend
+    FROM orders GROUP BY o_custkey
+    HAVING COUNT(*) >= 15 AND SUM(o_totalprice) > 100000
+    """,
+    doc="HAVING: post-aggregation predicate (filter above the aggregate, "
+    "below everything else — Catalyst folds it into the agg stage).",
+)
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+            F.sum("o_totalprice").alias("_raw_spend"),
+        )
+        .where((F.col("n_orders") >= 15) & (F.col("_raw_spend") > 100000))
+        .drop("_raw_spend")
+    )
+
+
+@register(
+    "limit_offset_page",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 40
+    """,
+    doc="Pagination: ORDER BY + LIMIT/OFFSET (deterministic via tiebreak). "
+    "Offset is driver-side after TakeOrdered(offset+limit) — fine for page "
+    "depth, not for deep scans (use keyset pagination there).",
+)
+def limit_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .offset(40)
+        .limit(20)
+    )
+
+
+@register(
+    "pandas_grouped_agg_weighted_avg",
+    oracle="""
+    SELECT event_type,
+           ROUND(SUM(value * user_id) / SUM(user_id), 6) AS weighted_avg_value
+    FROM events WHERE user_id > 0 GROUP BY event_type
+    """,
+    doc="Grouped-aggregate pandas UDF (Arrow series → scalar): the escape "
+    "hatch for aggregations Catalyst can't express. This one IS SQL-"
+    "expressible on purpose, so the oracle can check the UDF plumbing.",
+)
+def pandas_grouped_agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def weighted_avg(v: pd.Series, w: pd.Series) -> float:
+        # Series → scalar signature marks this as a GROUPED_AGG pandas UDF
+        return float((v * w).sum() / w.sum())
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") > 0)
+    return ev.groupBy("event_type").agg(
+        F.round(weighted_avg("value", "user_id"), 6).alias("weighted_avg_value")
+    )
+
+
+@register(
+    "python_udf_scalar",
+    oracle="""
+    SELECT c_custkey, REVERSE(CAST(c_custkey AS VARCHAR)) AS key_reversed
+    FROM customer WHERE c_custkey <= 200
+    """,
+    doc="Row-at-a-time Python UDF — registered ONLY as the documented "
+    "slow-path demo (10-100× slower than builtins; see SURVEY.md §2A.1 "
+    "UDF row). Every production operator in this engine uses builtins or "
+    "Arrow-batched pandas.",
+)
+def python_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev = F.udf(lambda k: str(k)[::-1], "string")
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 200)
+    return c.select("c_custkey", rev("c_custkey").alias("key_reversed"))
 
 
 @register(

@@ -71,6 +71,32 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "setop_intersect_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    doc="INTERSECT ALL (bag semantics): min(multiplicity) per value.",
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cust_nations(spark, sf_dir).intersectAll(_supp_nations(spark, sf_dir))
+
+
+@register(
+    "setop_except_all",
+    oracle="""
+    SELECT s_nationkey AS nationkey FROM supplier
+    EXCEPT ALL
+    SELECT c_nationkey AS nationkey FROM customer
+    """,
+    doc="EXCEPT ALL (bag semantics): multiplicity subtraction.",
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _supp_nations(spark, sf_dir).exceptAll(_cust_nations(spark, sf_dir))
+
+
+@register(
     "setop_union_missing_columns",
     oracle="""
     SELECT nationkey, acctbal, side, COUNT(*) AS n FROM (
