@@ -137,6 +137,40 @@ def formats_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def should_run_on_master(instance_info: dict) -> bool:
+    """Op M7: the reference's master-only guard (grep isMaster
+    /mnt/var/lib/info/instance.json, reference scripts/
+    setup-custom-metrics.sh:4-12) — driver-side orchestration, expressed as
+    a pure predicate over the parsed instance document."""
+    return bool(instance_info.get("isMaster", False))
+
+
+@register(
+    "formats_text_roundtrip",
+    oracle="""
+    SELECT COUNT(*) AS n_lines,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+           CAST(MIN(LENGTH(text)) AS BIGINT) AS min_len
+    FROM documents WHERE doc_id < 200
+    """,
+    doc="Text-format round-trip: one line per row out, one row per line "
+    "back — the rawest source/sink pair (log-file ingestion shape).",
+)
+def formats_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    tmp = tempfile.mkdtemp(prefix="text_roundtrip_")
+    path = f"{tmp}/docs_text"
+    d.select(F.col("text").alias("value")).write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    return back.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("value")).cast("bigint").alias("total_chars"),
+        F.min(F.length("value")).cast("bigint").alias("min_len"),
+    )
+
+
 @register(
     "parquet_partitioned_write",
     oracle="""

@@ -64,6 +64,16 @@ def test_group_counts_match_python_truth(spark, reviews_tsv_dir):
     assert got == expect
 
 
+def test_master_only_guard():
+    from emr_with_custom_metrics_spark.sources.reference_pipeline import (
+        should_run_on_master,
+    )
+
+    assert should_run_on_master({"isMaster": True})
+    assert not should_run_on_master({"isMaster": False})
+    assert not should_run_on_master({})  # absent key → not the master
+
+
 def test_convert_writes_ten_parquet_files(spark, reviews_tsv_dir):
     out = tempfile.mkdtemp(prefix="reviews_out_") + "/parquet"
     counts = convert(spark, reviews_tsv_dir, out, "product_category", num_output_files=10)
