@@ -197,10 +197,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 def minhash_signatures(token_sets: DataFrame, k: int = NUM_MINHASHES) -> DataFrame:
-    """k minhashes per doc in ONE pass: explode tokens, k seeded xxhash64
-    values per token, min-aggregate. Shuffle carries (doc, k×8 bytes)."""
-    t = token_sets.select("doc_id", F.explode("toks").alias("token"))
-    mins = [F.min(F.xxhash64(F.lit(i), F.col("token"))).alias(f"mh_{i}") for i in range(k)]
+    """k minhashes per doc in ONE pass: explode tokens, hash each token
+    string ONCE (xxhash64), then derive the k family members by re-hashing
+    the resulting 8-byte long with k seeds — k× cheaper than k string
+    hashes, same independence for minhash purposes. Min-aggregates combine
+    map-side; the shuffle carries (doc, k×8 bytes)."""
+    t = token_sets.select("doc_id", F.explode("toks").alias("token")).select(
+        "doc_id", F.xxhash64("token").alias("h")
+    )
+    mins = [F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh_{i}") for i in range(k)]
     return t.groupBy("doc_id").agg(*mins)
 
 
