@@ -275,6 +275,99 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dedup clustering: connected components over near-dup edges
+# ---------------------------------------------------------------------------
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Min-label propagation until fixpoint: each node's label becomes the
+    smallest node id in its component — the canonical 'cluster
+    representative' for a dedup keep-list.
+
+    Iterative DataFrame loop; each round is one join + one aggregate, and
+    ``localCheckpoint`` truncates the lineage so the plan doesn't grow with
+    iterations (THE classic failure mode of iterative Spark). Rounds needed
+    = graph diameter; near-dup graphs are unions of small cliques, so 2-3
+    rounds in practice, with a convergence check to stop early.
+
+    nodes: one column ``node``;  edges: columns ``a_id``, ``b_id``.
+    """
+    sym = (
+        edges.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionByName(edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    labels = nodes.select("node", F.col("node").alias("comp"))
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym.src == labels.node)
+            .select(F.col("dst").alias("node"), "comp")
+        )
+        new_labels = (
+            labels.unionByName(neigh).groupBy("node").agg(F.min("comp").alias("comp"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@register(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE
+    w AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE LEN(string_split(text, ' ')) >= 3),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                            for i in range(1, LEN(toks) - 1)]) AS s
+      FROM w),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE LEN(list_intersect(a.s, b.s))::DOUBLE
+            / LEN(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+    edges AS (
+      SELECT a_id AS s, b_id AS t FROM pairs
+      UNION SELECT b_id, a_id FROM pairs),
+    reach(node, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.t, r.comp FROM reach r JOIN edges e ON e.s = r.node
+      WHERE r.comp < e.t)
+    SELECT node AS doc_id, CAST(MIN(comp) AS BIGINT) AS cluster_rep,
+           (MIN(comp) <> node) AS is_duplicate
+    FROM reach GROUP BY node
+    """,
+    doc="Dedup CLUSTERING: connected components over shingle-Jaccard ≥0.5 "
+    "edges via iterative min-label propagation (lineage-checkpointed) — "
+    "emits the per-document cluster representative, i.e. the keep-list, "
+    "with LINEAR output size (the scalable dedup deliverable; pair lists "
+    "are diagnostics).",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    docs = _shingle_sets(d)
+    edges = jaccard_pairs(docs, 0.5).select("a_id", "b_id")
+    nodes = d.select(F.col("doc_id").alias("node"))
+    labels = connected_components(nodes, edges)
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("cluster_rep"),
+        (F.col("comp") != F.col("node")).alias("is_duplicate"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 def simhash(token_sets: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
