@@ -218,6 +218,19 @@ def json_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_stratified",
+    oracle=None,  # seeded per-stratum Bernoulli → rows-only
+    doc="Stratified sampling (sampleBy): per-class fractions with a fixed "
+    "seed — how a balanced dev corpus is cut from skewed 100 TB class "
+    "distributions without a shuffle.",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.2, "de": 0.5, "fr": 0.8, "es": 0.5, "zh": 1.0}
+    return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
+
+
+@register(
     "sample_deterministic",
     oracle=None,  # seeded Bernoulli sample is partitioning-dependent → rows-only
     doc="Seeded Bernoulli sampling (TABLESAMPLE): deterministic for a fixed "
