@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from emr_with_custom_metrics_spark.catalog import load_fanned, load_table
+from emr_with_custom_metrics_spark.catalog import load_fanned
 from emr_with_custom_metrics_spark.registry import register
 
 

@@ -18,7 +18,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from emr_with_custom_metrics_spark.catalog import load_fanned, load_table
+from emr_with_custom_metrics_spark.catalog import load_fanned
 from emr_with_custom_metrics_spark.registry import register
 
 DECODED_SCHEMA = "doc_id bigint, n_bytes bigint, width int, height int, n_frames int"
