@@ -1,0 +1,102 @@
+"""Differential fuzzing: random predicate/aggregate expressions evaluated by
+BOTH engines over the same parquet — catches semantic drift the hand-written
+queries never exercise (operator precedence, null handling, string collation,
+numeric comparison edges)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests.conftest import SF_DIR
+
+NUM_COLS = ["o_orderkey", "o_custkey", "o_totalprice"]
+STR_COLS = ["o_orderstatus", "o_orderpriority"]
+STR_VALS = ["F", "O", "P", "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW", ""]
+NUM_OPS = ["<", "<=", ">", ">=", "=", "<>"]
+
+
+@st.composite
+def predicates(draw) -> str:
+    """A random SQL predicate valid in both Spark SQL and DuckDB."""
+
+    def atom():
+        if draw(st.booleans()):
+            col = draw(st.sampled_from(NUM_COLS))
+            op = draw(st.sampled_from(NUM_OPS))
+            val = draw(
+                st.one_of(
+                    st.integers(min_value=-10, max_value=200_000),
+                    st.floats(
+                        min_value=-1e5, max_value=3e5, allow_nan=False, allow_infinity=False
+                    ).map(lambda x: round(x, 2)),
+                )
+            )
+            return f"({col} {op} {val})"
+        col = draw(st.sampled_from(STR_COLS))
+        if draw(st.booleans()):
+            op = draw(st.sampled_from(["=", "<>", "<", ">"]))
+            return f"({col} {op} '{draw(st.sampled_from(STR_VALS))}')"
+        vals = draw(st.lists(st.sampled_from(STR_VALS), min_size=1, max_size=3))
+        quoted = ", ".join(f"'{v}'" for v in vals)
+        return f"({col} IN ({quoted}))"
+
+    expr = atom()
+    for _ in range(draw(st.integers(min_value=0, max_value=3))):
+        conj = draw(st.sampled_from(["AND", "OR"]))
+        rhs = atom()
+        if draw(st.booleans()):
+            rhs = f"(NOT {rhs})"
+        expr = f"({expr} {conj} {rhs})"
+    return expr
+
+
+@pytest.fixture(scope="module")
+def orders_view(spark):
+    from emr_with_custom_metrics_spark.catalog import register_views
+
+    register_views(spark, SF_DIR, ("orders",))
+    return spark
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pred=predicates())
+def test_random_predicate_counts_match(orders_view, duck, pred):
+    spark_n = orders_view.sql(f"SELECT COUNT(*) AS n FROM orders WHERE {pred}").collect()[0]["n"]
+    duck_n = duck.sql(f"SELECT COUNT(*) AS n FROM orders WHERE {pred}").df()["n"][0]
+    assert spark_n == duck_n, pred
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pred=predicates(),
+    group=st.sampled_from(STR_COLS),
+    agg_col=st.sampled_from(["o_totalprice", "o_orderkey"]),
+)
+def test_random_grouped_aggregates_match(orders_view, duck, pred, group, agg_col):
+    q = (
+        f"SELECT {group} AS g, COUNT(*) AS n, "
+        f"ROUND(SUM({agg_col}), 2) AS s, "
+        f"ROUND(MIN({agg_col}), 2) AS lo, ROUND(MAX({agg_col}), 2) AS hi "
+        f"FROM orders WHERE {pred} GROUP BY {group}"
+    )
+    sp = {r["g"]: (r["n"], r["s"], r["lo"], r["hi"]) for r in orders_view.sql(q).collect()}
+    dk = {
+        row.g: (row.n, row.s, row.lo, row.hi)
+        for row in duck.sql(q).df().itertuples()
+    }
+    assert set(sp) == set(dk), q
+    for g, (n, s, lo, hi) in sp.items():
+        dn, ds, dlo, dhi = dk[g]
+        assert n == dn, (q, g)
+        for a, b in ((s, ds), (lo, dlo), (hi, dhi)):
+            assert (a is None and b is None) or abs(a - b) < 1e-6, (q, g, a, b)
