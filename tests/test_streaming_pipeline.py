@@ -62,6 +62,87 @@ def test_stream_matches_batch_alarms(spark, events_stream_dir):
             assert b - a > bm.COOLDOWN_SECONDS, f"{rule}: fired {a} then {b}"
 
 
+@pytest.fixture(scope="module")
+def ordered_events_dir(spark):
+    """Events split into 4 files by TIME QUARTILE, written in order — the
+    shape a real stream arrives in. (Random splits would make every later
+    batch almost entirely late wrt the watermark: correct-but-empty.)"""
+    import os
+    import shutil
+
+    out = tempfile.mkdtemp(prefix="events_ordered_")
+    ev = load_table(spark, SF_SMOKE_DIR, "events")
+    qs = ev.approxQuantile("event_id", [0.25, 0.5, 0.75], 0.0)
+    bounds = [float("-inf"), *qs, float("inf")]
+    ev = ev.orderBy("ts").cache()
+    rows = ev.count()
+    per = rows // 4 + 1
+    from pyspark.sql import Window
+    from pyspark.sql import functions as SF
+
+    w = Window.orderBy("ts")
+    sliced = ev.withColumn("_slice", ((SF.row_number().over(w) - 1) / per).cast("int"))
+    for i in range(4):
+        tmp = tempfile.mkdtemp(prefix=f"slice{i}_")
+        sliced.where(SF.col("_slice") == i).drop("_slice").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.startswith("part-") and f.endswith(".parquet"))
+        shutil.move(os.path.join(tmp, part), os.path.join(out, f"{i:03d}.parquet"))
+    ev.unpersist()
+    return out
+
+
+def test_streaming_session_windows_match_batch(spark, ordered_events_dir):
+    """Session windows through Structured Streaming (watermark + availableNow)
+    produce exactly the batch session_window result — Spark's batch/stream
+    unification, observed rather than assumed."""
+    from pyspark.sql import functions as SF
+
+    from emr_with_custom_metrics_spark.streaming.pipeline import EVENTS_SCHEMA
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA).option("maxFilesPerTrigger", 1).parquet(ordered_events_dir)
+    )
+    sessioned = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(SF.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(SF.count("*").alias("n_events"))
+        .select(
+            "user_id", SF.unix_timestamp("w.start").alias("session_start"), "n_events"
+        )
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_sess_")
+    q = (
+        sessioned.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_sessions")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM stream_sessions").collect()
+    }
+    batch = (
+        spark.read.parquet(ordered_events_dir)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.unix_timestamp("w.start").alias("session_start"), "n_events")
+        .collect()
+    )
+    expected = {(r["user_id"], r["session_start"]): r["n_events"] for r in batch}
+    # availableNow finalizes every window except those still inside the final
+    # watermark horizon; with a 30-day spread and 1 h watermark the tail is
+    # at most the last session per user
+    missing = {k: v for k, v in expected.items() if k not in got}
+    assert len(missing) <= len({u for u, _ in expected}), missing
+    for k, v in got.items():
+        assert expected.get(k) == v, (k, v, expected.get(k))
+
+
 def test_watermark_drops_late_rows(spark):
     """Event-time correctness: with a 10 min watermark, a row arriving far
     behind the advanced watermark must be excluded from finalized windows
