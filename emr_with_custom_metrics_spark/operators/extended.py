@@ -393,6 +393,86 @@ def agg_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_range_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+             RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS events_last_24h,
+           ROUND(SUM(value) OVER (
+             PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+             RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW), 2)
+             AS value_last_24h
+    FROM events WHERE user_id <= 15
+    """,
+    doc="Value-RANGE window frame (not row-count): per-user sliding 24 h "
+    "totals keyed on event-time seconds — the rate-limiting / rolling-"
+    "exposure primitive.",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") <= 15)
+    epoch = F.unix_timestamp("ts")
+    w = Window.partitionBy("user_id").orderBy(epoch.alias("ep")).rangeBetween(-86400, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("events_last_24h"),
+        F.round(F.sum("value").over(w), 2).alias("value_last_24h"),
+    )
+
+
+@register(
+    "rollup_grouping_id",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="GROUPING() markers on rollup: distinguishes a NULL data value from "
+    "a rolled-up aggregation level — required for correct subtotal reports.",
+)
+def rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count("*").alias("n"),
+    ).select("l_returnflag", "l_linestatus", "g_flag", "g_status", "n")
+
+
+@register(
+    "safe_casting",
+    oracle="""
+    SELECT c_custkey,
+           TRY_CAST(c_name AS BIGINT) AS name_as_int,
+           TRY_CAST(REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS BIGINT) AS digits_as_int,
+           ROUND(c_acctbal / NULLIF(c_nationkey, 0), 6) AS bal_per_nation,
+           TRY_CAST('not a date' AS DATE) AS bad_date
+    FROM customer WHERE c_custkey <= 300
+    """,
+    doc="ANSI-safe conversions: try_cast returns NULL instead of failing "
+    "(the 100 TB reality: some rows are always malformed), try_divide "
+    "nulls division-by-zero.",
+)
+def safe_casting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 300)
+    return c.select(
+        "c_custkey",
+        F.col("c_name").try_cast("bigint").alias("name_as_int"),  # Column method, not F.*
+        F.regexp_extract("c_name", "([0-9]+)", 1).try_cast("bigint").alias("digits_as_int"),
+        F.round(F.try_divide("c_acctbal", F.nullif(F.col("c_nationkey"), F.lit(0))), 6).alias(
+            "bal_per_nation"
+        ),
+        F.lit("not a date").try_cast("date").alias("bad_date"),
+    )
+
+
+@register(
     "dedup_keep_first_by_key",
     oracle="""
     SELECT lang, source, doc_id, n_chars FROM (
