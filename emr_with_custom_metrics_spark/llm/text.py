@@ -229,6 +229,63 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g')) AS norm_text,
+           md5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' ', 'g'),
+                                   ' +', ' ', 'g'))) AS norm_md5
+    FROM documents WHERE doc_id < 200
+    """,
+    doc="Canonical text normalization: lowercase → strip non-alnum → "
+    "collapse whitespace → trim; the pre-dedup cleanup pass, emitted with "
+    "its hash (what exact-dedup would actually key on in production).",
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fanned(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return d.select("doc_id", norm.alias("norm_text"), F.md5(norm).alias("norm_md5"))
+
+
+@register(
+    "text_logfreq_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents),
+    freq AS (
+      SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+    total AS (SELECT SUM(c) AS t FROM freq),
+    scored AS (
+      SELECT tok.doc_id, LN(freq.c::DOUBLE / total.t) AS logp
+      FROM tok JOIN freq USING (token) CROSS JOIN total)
+    SELECT doc_id, ROUND(AVG(logp), 6) AS avg_log_freq,
+           COUNT(*) AS n_tokens
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Unigram-LM quality proxy: mean log corpus-frequency per document "
+    "(low = rare-word-heavy/noisy, high = common-word prose). Vocabulary "
+    "table broadcast; two aggregates + one key join — linear at 100 TB.",
+)
+def text_logfreq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fanned(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    freq = tok.groupBy("token").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("t")).collect()[0]["t"]
+    scored = tok.join(F.broadcast(freq), "token").select(
+        "doc_id", F.log(F.col("c").cast("double") / F.lit(float(total))).alias("logp")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.avg("logp"), 6).alias("avg_log_freq"),
+        F.count("*").alias("n_tokens"),
+    )
+
+
+@register(
     "text_tfidf_top_term",
     oracle="""
     WITH tok AS (

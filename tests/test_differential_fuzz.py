@@ -72,6 +72,83 @@ def test_random_predicate_counts_match(orders_view, duck, pred):
     assert spark_n == duck_n, pred
 
 
+@st.composite
+def scalar_exprs(draw) -> str:
+    """A random scalar expression over customer columns, valid and
+    semantics-identical in Spark SQL and DuckDB."""
+    kind = draw(st.sampled_from(["string", "math", "date"]))
+    if kind == "string":
+        base = draw(st.sampled_from(["c_name", "c_mktsegment"]))
+        expr = base
+        for _ in range(draw(st.integers(min_value=1, max_value=3))):
+            op = draw(st.sampled_from(["upper", "lower", "reverse", "trim", "substr", "concat"]))
+            if op == "substr":
+                start = draw(st.integers(min_value=1, max_value=8))
+                ln = draw(st.integers(min_value=1, max_value=10))
+                expr = f"SUBSTRING({expr}, {start}, {ln})"
+            elif op == "concat":
+                expr = f"CONCAT({expr}, '#', {base})"
+            else:
+                expr = f"{op.upper()}({expr})"
+        return expr
+    if kind == "math":
+        base = draw(st.sampled_from(["c_acctbal", "c_custkey", "c_nationkey"]))
+        expr = base
+        for _ in range(draw(st.integers(min_value=1, max_value=3))):
+            op = draw(st.sampled_from(["abs", "round2", "plus", "times", "floorv", "ceilv"]))
+            if op == "round2":
+                expr = f"ROUND({expr}, 2)"
+            elif op == "plus":
+                expr = f"({expr} + {draw(st.integers(min_value=-100, max_value=100))})"
+            elif op == "times":
+                expr = f"({expr} * {draw(st.integers(min_value=-5, max_value=5))})"
+            elif op == "floorv":
+                expr = f"FLOOR({expr})"
+            elif op == "ceilv":
+                expr = f"CEIL({expr})"
+            else:
+                expr = f"ABS({expr})"
+        # integer results can overflow differently; clamp into double space
+        return f"CAST({expr} AS DOUBLE)"
+    # date: orders not in this view — derive dates from keys deterministically
+    n = draw(st.integers(min_value=0, max_value=20000))
+    part = draw(st.sampled_from(["YEAR", "MONTH", "DAY"]))
+    return f"CAST({part}(DATE '1995-01-01' + INTERVAL {n} DAY) AS INTEGER)"
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(expr=scalar_exprs())
+def test_random_scalar_expressions_match(orders_view, duck, expr):
+    q = f"SELECT c_custkey AS k, {expr} AS e FROM customer WHERE c_custkey <= 50"
+    import math
+
+    duck.execute(
+        "CREATE OR REPLACE VIEW customer AS "
+        "SELECT * FROM read_parquet('/root/testdata/sf0.01/customer.parquet')"
+    )
+    orders_view.sql(
+        "SELECT 1"
+    )  # session alive
+    from emr_with_custom_metrics_spark.catalog import register_views
+
+    register_views(orders_view, SF_DIR, ("customer",))
+    sp = {r["k"]: r["e"] for r in orders_view.sql(q).collect()}
+    dk = {row.k: row.e for row in duck.sql(q).df().itertuples()}
+    assert set(sp) == set(dk)
+    for k, v in sp.items():
+        w = dk[k]
+        if isinstance(v, float) or isinstance(w, float):
+            assert (v is None and w is None) or math.isclose(v, w, rel_tol=1e-9, abs_tol=1e-9), (
+                q, k, v, w,
+            )
+        else:
+            assert v == w, (q, k, v, w)
+
+
 @settings(
     max_examples=30,
     deadline=None,
