@@ -196,6 +196,93 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIN_CAPACITY = 0  # instance-group-config.json:21-24
+MAX_CAPACITY = 20
+INITIAL_CAPACITY = 2  # the reference cluster's 2 core/task baseline (README.md:150-153)
+
+
+@register(
+    "autoscale_timeline",
+    oracle="""
+    WITH RECURSIVE
+    metric AS (
+      SELECT CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_start,
+             ROUND(AVG(value), 4) AS avg_value
+      FROM events GROUP BY 1),
+    alarms AS (
+      SELECT bucket_start, 'scale-out' AS rule, 5 AS adj FROM metric WHERE avg_value <= 25.0
+      UNION ALL
+      SELECT bucket_start, 'scale-in', -2 FROM metric WHERE avg_value > 75.0),
+    ordered AS (
+      SELECT bucket_start, rule, adj,
+             ROW_NUMBER() OVER (ORDER BY bucket_start, rule) AS i
+      FROM alarms),
+    sim(i, size, last_out, last_in, fired, bucket_start, rule, adj) AS (
+      SELECT 0, 2, CAST(-1000000000 AS BIGINT), CAST(-1000000000 AS BIGINT),
+             FALSE, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER)
+      UNION ALL
+      SELECT o.i,
+             CASE WHEN (CASE WHEN o.rule = 'scale-out'
+                             THEN o.bucket_start > s.last_out + 300
+                             ELSE o.bucket_start > s.last_in + 300 END)
+                  THEN LEAST(20, GREATEST(0, s.size + o.adj)) ELSE s.size END,
+             CASE WHEN o.rule = 'scale-out'
+                       AND o.bucket_start > s.last_out + 300
+                  THEN o.bucket_start ELSE s.last_out END,
+             CASE WHEN o.rule = 'scale-in'
+                       AND o.bucket_start > s.last_in + 300
+                  THEN o.bucket_start ELSE s.last_in END,
+             (CASE WHEN o.rule = 'scale-out'
+                   THEN o.bucket_start > s.last_out + 300
+                   ELSE o.bucket_start > s.last_in + 300 END),
+             o.bucket_start, o.rule, o.adj
+      FROM sim s JOIN ordered o ON o.i = s.i + 1)
+    SELECT bucket_start, rule,
+           CAST(adj AS INTEGER) AS adjustment,
+           CAST(size AS INTEGER) AS new_size
+    FROM sim WHERE fired
+    """,
+    doc="EP3 end-to-end IN-ENGINE: 300 s windowed metric → threshold alarms "
+    "(R2/R3) → per-rule 300 s cooldown (R5) → ScalingAdjustment applied to "
+    "a Min 0 / Max 20 capacity state starting at 2 (instance-group-config "
+    "parity) — the whole CloudWatch+EMR control loop as one deterministic "
+    "query. Sequential per-cluster fold via applyInPandas (clusters are the "
+    "parallel dimension in production); oracled by a recursive CTE.",
+)
+def autoscale_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    m = alarm_windows(load_table(spark, sf_dir, "events"))
+    alarms = (
+        m.where(F.col("avg_value") <= SCALE_OUT_THRESHOLD)
+        .select("bucket_start", F.lit("scale-out").alias("rule"), F.lit(5).alias("adj"))
+        .unionByName(
+            m.where(F.col("avg_value") > SCALE_IN_THRESHOLD).select(
+                "bucket_start", F.lit("scale-in").alias("rule"), F.lit(-2).alias("adj")
+            )
+        )
+        .withColumn("cluster_id", F.lit("j-ENGINE"))
+    )
+
+    def simulate(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["bucket_start", "rule"])
+        size = INITIAL_CAPACITY
+        last = {"scale-out": -(10**9), "scale-in": -(10**9)}
+        out = []
+        for _, r in pdf.iterrows():
+            t = int(r["bucket_start"])
+            if t > last[r["rule"]] + COOLDOWN_SECONDS:
+                last[r["rule"]] = t
+                size = min(MAX_CAPACITY, max(MIN_CAPACITY, size + int(r["adj"])))
+                out.append((t, r["rule"], int(r["adj"]), size))
+        return pd.DataFrame(out, columns=["bucket_start", "rule", "adjustment", "new_size"])
+
+    return alarms.groupBy("cluster_id").applyInPandas(
+        simulate,
+        schema="bucket_start bigint, rule string, adjustment int, new_size int",
+    )
+
+
 @register(
     "timeseries_gapfill_ffill",
     oracle="""
