@@ -53,4 +53,10 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def codegen_stage_count(df: DataFrame) -> int:
-    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", formatted_plan(df))))
+    """Distinct whole-stage-codegen stages. Uses 'simple' explain mode —
+    the formatted mode carries no codegen markers; simple mode stars each
+    codegen'd operator as `*(stageId)`."""
+    simple = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    return len(set(re.findall(r"\*\((\d+)\)", simple)))
