@@ -52,11 +52,15 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in formatted_plan(df) or "BroadcastNestedLoopJoin" in formatted_plan(df)
 
 
-def codegen_stage_count(df: DataFrame) -> int:
-    """Distinct whole-stage-codegen stages. Uses 'simple' explain mode —
-    the formatted mode carries no codegen markers; simple mode stars each
-    codegen'd operator as `*(stageId)`."""
-    simple = df._jdf.queryExecution().explainString(
-        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
-    )
-    return len(set(re.findall(r"\*\((\d+)\)", simple)))
+def codegen_stage_count(df: DataFrame, execute: bool = False) -> int:
+    """Distinct whole-stage-codegen stages. Under AQE the codegen wrapping
+    only exists in the FINAL adaptive plan, so pass ``execute=True`` (runs
+    the query once) to observe it; without execution this returns 0 for
+    adaptive plans — a property of AQE, not of the query."""
+    if execute:
+        # collect() drives THIS DataFrame's QueryExecution to its final
+        # adaptive plan (count()/write() would spawn a different QE)
+        df.collect()
+    s = df._jdf.queryExecution().executedPlan().toString()
+    # final adaptive plans star codegen'd operators as `*(stageId)`
+    return len(set(re.findall(r"\*\((\d+)\)", s)))
