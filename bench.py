@@ -62,10 +62,15 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        df = specs[name].fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        # best-of-2: the second run amortizes JIT/py-worker warmup noise so
+        # the recorded figure reflects the query, not the JVM's mood
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = specs[name].fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     print(

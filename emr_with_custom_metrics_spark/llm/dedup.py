@@ -274,6 +274,47 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_dedup(
+    corpus_sigs: DataFrame, new_docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Production dedup flow: screen an INCOMING batch against an existing
+    corpus without touching corpus text — only its (persisted) minhash
+    signatures. New docs whose LSH bands collide with any corpus signature
+    band are flagged as candidate duplicates (exact verification would then
+    fetch just those corpus docs).
+
+    corpus_sigs: output of ``minhash_signatures`` (doc_id + mh_0..mh_k-1).
+    new_docs:    (doc_id, toks) shingle sets of the incoming batch.
+    Returns (new_doc_id, corpus_doc_id) candidate pairs.
+
+    Scale shape: the corpus side is touched only through its banded
+    signature index (k×8 bytes/doc); the join key is (band_id, band_hash);
+    incoming-batch size, not corpus size, drives the work.
+    """
+    new_sigs = minhash_signatures(new_docs)
+
+    def banded(sigs: DataFrame) -> DataFrame:
+        r = NUM_MINHASHES // NUM_BANDS
+        band_cols = [
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(*[F.col(f"mh_{b * r + j}") for j in range(r)]).alias("band_hash"),
+            )
+            for b in range(NUM_BANDS)
+        ]
+        return sigs.select(
+            "doc_id", F.explode(F.array(*band_cols)).alias("band")
+        ).select("doc_id", "band.band_id", "band.band_hash")
+
+    nb = banded(new_sigs).withColumnRenamed("doc_id", "new_doc_id")
+    cb = banded(corpus_sigs).withColumnRenamed("doc_id", "corpus_doc_id")
+    return (
+        nb.join(cb, ["band_id", "band_hash"])
+        .select("new_doc_id", "corpus_doc_id")
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup clustering: connected components over near-dup edges
 # ---------------------------------------------------------------------------

@@ -61,6 +61,24 @@ def salted_join(
     return out.drop("_salt")
 
 
+def upsert_parquet(
+    spark, path: str, updates: "DataFrame", key: str
+) -> None:
+    """MERGE-by-rewrite for plain parquet: existing rows whose key appears
+    in ``updates`` are replaced; new keys append. (Format-level engines —
+    Delta/Iceberg — do this transactionally; on bare parquet the rewrite is
+    the portable fallback. Read fully materializes before the overwrite so
+    the source is never read-while-truncated.)"""
+    from pyspark.sql import functions as SF
+
+    current = spark.read.parquet(path)
+    keep = current.join(updates.select(key).distinct(), key, "left_anti")
+    merged = keep.unionByName(updates).persist()
+    merged.count()  # materialize BEFORE overwriting the input path
+    merged.write.mode("overwrite").parquet(path)
+    merged.unpersist()
+
+
 def write_range_partitioned(
     df: DataFrame, path: str, range_cols: list[str], num_partitions: int
 ) -> None:

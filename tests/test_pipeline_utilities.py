@@ -1,0 +1,68 @@
+"""Production-flow utilities: parquet upsert and incremental corpus dedup."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from emr_with_custom_metrics_spark.catalog import load_table
+from emr_with_custom_metrics_spark.llm import dedup
+from emr_with_custom_metrics_spark.plans.scale import upsert_parquet
+from tests.conftest import SF_DIR
+
+
+def test_upsert_parquet_replaces_and_appends(spark):
+    path = tempfile.mkdtemp(prefix="upsert_") + "/t"
+    spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], "id BIGINT, name STRING, v DOUBLE"
+    ).write.parquet(path)
+    updates = spark.createDataFrame(
+        [(2, "B2", 20.0), (9, "new", 9.0)], "id BIGINT, name STRING, v DOUBLE"
+    )
+    upsert_parquet(spark, path, updates, key="id")
+    rows = {r["id"]: (r["name"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert rows == {1: ("a", 1.0), 2: ("B2", 20.0), 3: ("c", 3.0), 9: ("new", 9.0)}
+
+
+def test_upsert_is_idempotent(spark):
+    path = tempfile.mkdtemp(prefix="upsert2_") + "/t"
+    spark.range(10).select(F.col("id"), F.lit("x").alias("name")).write.parquet(path)
+    updates = spark.createDataFrame([(5, "y")], "id BIGINT, name STRING")
+    upsert_parquet(spark, path, updates, key="id")
+    upsert_parquet(spark, path, updates, key="id")  # second run changes nothing
+    out = spark.read.parquet(path)
+    assert out.count() == 10
+    assert out.where(F.col("name") == "y").collect()[0]["id"] == 5
+
+
+def test_incremental_dedup_flags_known_documents(spark):
+    """Docs already in the corpus (planted: the batch IS a corpus sample)
+    must collide with their own corpus signatures; novel synthetic docs
+    must not collide with anything."""
+    docs = dedup._shingle_sets(load_table(spark, SF_DIR, "documents"))
+    corpus = docs.where(F.col("doc_id") < 400)
+    corpus_sigs = dedup.minhash_signatures(corpus)
+
+    # incoming batch: 20 docs copied from the corpus + 3 genuinely novel ones
+    resent = docs.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "toks"
+    )
+    novel = spark.createDataFrame(
+        [
+            (200001, [f"zzq{i}a zzq{i}b zzq{i}c" for i in range(40)]),
+            (200002, [f"qqz{i}x qqz{i}y qqz{i}z" for i in range(40)]),
+            (200003, [f"xxv{i}m xxv{i}n xxv{i}o" for i in range(40)]),
+        ],
+        "doc_id BIGINT, toks ARRAY<STRING>",
+    )
+    batch = resent.unionByName(novel)
+    cands = dedup.incremental_dedup(corpus_sigs, batch)
+    hits = {r["new_doc_id"] for r in cands.collect()}
+    # every re-sent doc collides with its original (identical signature)
+    missing = {100000 + i for i in range(20)} - hits
+    assert not missing, missing
+    pairs = {(r["new_doc_id"], r["corpus_doc_id"]) for r in cands.collect()}
+    for i in range(20):
+        assert (100000 + i, i) in pairs, f"resent doc {i} missed its original"
+    assert not hits & {200001, 200002, 200003}, "novel docs falsely flagged"
