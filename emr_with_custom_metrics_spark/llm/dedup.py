@@ -315,6 +315,20 @@ def incremental_dedup(
     )
 
 
+@register(
+    "dedup_incremental_batch",
+    oracle=None,  # LSH candidate generation → rows-only; exactness covered by tests
+    doc="Incremental dedup: screen an incoming batch (doc_id ≥ 400) against "
+    "the existing corpus (doc_id < 400) using only the corpus's persisted "
+    "minhash signatures — work scales with the batch, not the corpus.",
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _shingle_sets(load_table(spark, sf_dir, "documents"))
+    corpus_sigs = minhash_signatures(docs.where(F.col("doc_id") < 400))
+    batch = docs.where(F.col("doc_id") >= 400)
+    return incremental_dedup(corpus_sigs, batch)
+
+
 # ---------------------------------------------------------------------------
 # Dedup clustering: connected components over near-dup edges
 # ---------------------------------------------------------------------------
