@@ -150,6 +150,28 @@ def test_random_scalar_expressions_match(orders_view, duck, expr):
 
 
 @settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    part=st.sampled_from(STR_COLS),
+    fn=st.sampled_from(["ROW_NUMBER()", "RANK()", "DENSE_RANK()", "NTILE(3)"]),
+    direction=st.sampled_from(["ASC", "DESC"]),
+    pred=predicates(),
+)
+def test_random_window_functions_match(orders_view, duck, part, fn, direction, pred):
+    q = (
+        f"SELECT o_orderkey AS k, CAST({fn} OVER ("
+        f"PARTITION BY {part} ORDER BY o_totalprice {direction}, o_orderkey) AS BIGINT) AS r "
+        f"FROM orders WHERE {pred}"
+    )
+    sp = {r["k"]: r["r"] for r in orders_view.sql(q).collect()}
+    dk = {row.k: row.r for row in duck.sql(q).df().itertuples()}
+    assert sp == dk, q
+
+
+@settings(
     max_examples=30,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
