@@ -218,6 +218,41 @@ def json_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "json_to_json",
+    oracle="""
+    SELECT event_id,
+           to_json(struct_pack(event_id := event_id, event_type := event_type,
+                               user_id := user_id))::VARCHAR AS as_json
+    FROM events WHERE event_id < 1000
+    """,
+    doc="Struct → JSON serialization (to_json): byte-identical compact "
+    "formatting across engines for integer/string fields.",
+)
+def json_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 1000)
+    return ev.select(
+        "event_id",
+        F.to_json(F.struct("event_id", "event_type", "user_id")).alias("as_json"),
+    )
+
+
+@register(
+    "filter_rlike",
+    oracle="""
+    SELECT p_partkey, p_name FROM part
+    WHERE regexp_matches(p_name, '^(red|blue) .*(bolt|ring)$')
+    """,
+    doc="Regex predicate (rlike): anchored alternation pushed into the "
+    "filter (not the scan — regex isn't a parquet-pushable predicate).",
+)
+def filter_rlike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.where(F.col("p_name").rlike("^(red|blue) .*(bolt|ring)$")).select(
+        "p_partkey", "p_name"
+    )
+
+
+@register(
     "sample_stratified",
     oracle=None,  # seeded per-stratum Bernoulli → rows-only
     doc="Stratified sampling (sampleBy): per-class fractions with a fixed "
