@@ -64,6 +64,35 @@ def test_group_counts_match_python_truth(spark, reviews_tsv_dir):
     assert got == expect
 
 
+def test_cli_entry_reference_invocation(reviews_tsv_dir):
+    """The reference user's exact UX: `<script> <in> <out>` via
+    `python -m emr_with_custom_metrics_spark` in a fresh process."""
+    import subprocess
+    import sys
+
+    out = tempfile.mkdtemp(prefix="cli_out_") + "/pq"
+    r = subprocess.run(
+        [sys.executable, "-m", "emr_with_custom_metrics_spark", reviews_tsv_dir, out],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Books" in r.stdout  # X1: counts shown on stdout
+    assert len(glob.glob(f"{out}/part-*.parquet")) == 10  # P1 parity
+
+    # usage error path: exit 2 + usage text
+    r2 = subprocess.run(
+        [sys.executable, "-m", "emr_with_custom_metrics_spark"],
+        capture_output=True,
+        text=True,
+        timeout=60,
+        cwd="/root/repo",
+    )
+    assert r2.returncode == 2 and "usage:" in r2.stderr
+
+
 def test_master_only_guard():
     from emr_with_custom_metrics_spark.sources.reference_pipeline import (
         should_run_on_master,
