@@ -226,6 +226,68 @@ def join_cross_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q18_large_orders",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+           ROUND(SUM(l_quantity), 2) AS total_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 150)
+    GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+    doc="TPC-H Q18 shape: pre-aggregated semi-filter (orders over a "
+    "quantity threshold) feeding a 3-way join + group — the aggregate runs "
+    "BEFORE the join so only qualifying orderkeys shuffle.",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    big_orders = (
+        li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q")).where(F.col("q") > 150)
+    ).select("l_orderkey")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.join(big_orders.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q2_min_per_group_joinback",
+    oracle="""
+    SELECT n_name, s_suppkey, s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE (s_nationkey, s_acctbal) IN (
+      SELECT s_nationkey, MIN(s_acctbal) FROM supplier GROUP BY s_nationkey)
+    """,
+    doc="TPC-H Q2 shape: min-per-group then join back (the 'cheapest "
+    "supplier' pattern) — aggregate side broadcasts, no window needed.",
+)
+def q2_min_per_group_joinback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    mins = s.groupBy(F.col("s_nationkey").alias("mk")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        s.join(
+            F.broadcast(mins),
+            (s.s_nationkey == mins.mk) & (s.s_acctbal == mins.min_bal),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("n_name", "s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+@register(
     "q4_order_priority_check",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS order_count
