@@ -265,8 +265,9 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n_name, s_suppkey, s_name, s_acctbal
     FROM supplier JOIN nation ON s_nationkey = n_nationkey
-    WHERE (s_nationkey, s_acctbal) IN (
-      SELECT s_nationkey, MIN(s_acctbal) FROM supplier GROUP BY s_nationkey)
+    JOIN (SELECT s_nationkey AS mk, MIN(s_acctbal) AS mb
+          FROM supplier GROUP BY s_nationkey) m
+      ON s_nationkey = m.mk AND s_acctbal = m.mb
     """,
     doc="TPC-H Q2 shape: min-per-group then join back (the 'cheapest "
     "supplier' pattern) — aggregate side broadcasts, no window needed.",
