@@ -206,6 +206,57 @@ def test_watermark_drops_late_rows(spark):
     assert out.get(first_bucket) == 2, out
 
 
+def test_durable_parquet_metric_sink(spark, ordered_events_dir):
+    """M5 with a DURABLE sink: windowed metric stream appended to parquet
+    via foreachBatch, partitioned-idempotent per micro-batch — the
+    production CloudWatch-replacement shape (storage instead of API)."""
+    import tempfile as tf
+
+    from pyspark.sql import functions as SF
+
+    from emr_with_custom_metrics_spark.streaming.pipeline import (
+        EVENTS_SCHEMA,
+        windowed_metric,
+    )
+
+    sink_dir = tf.mkdtemp(prefix="metric_sink_") + "/points"
+    ckpt = tf.mkdtemp(prefix="ckpt_sink_")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ordered_events_dir)
+    )
+
+    def append_batch(batch_df, batch_id):
+        # idempotent per batch: partition dir keyed by batch_id — a replayed
+        # batch overwrites its own partition instead of duplicating
+        batch_df.withColumn("batch_id", SF.lit(batch_id)).write.mode(
+            "overwrite"
+        ).parquet(f"{sink_dir}/batch_id={batch_id}")
+
+    q = (
+        windowed_metric(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(append_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stored = spark.read.parquet(sink_dir)
+    assert stored.count() > 0
+    # every stored finalized window matches the batch ground truth
+    truth = {
+        r["bucket_start"]: (r["avg_value"], r["n_events"])
+        for r in __import__("emr_with_custom_metrics_spark.streaming.metrics", fromlist=["alarm_windows"])
+        .alarm_windows(spark.read.parquet(ordered_events_dir))
+        .collect()
+    }
+    for r in stored.collect():
+        exp = truth.get(r["bucket_start"])
+        assert exp is not None and exp == (r["avg_value"], r["n_events"]), r
+
+
 def test_stream_is_incremental(spark, events_stream_dir):
     """The file source must deliver multiple micro-batches — i.e. the
     pipeline is actually incremental, not a disguised batch job."""
