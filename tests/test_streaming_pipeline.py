@@ -71,10 +71,7 @@ def ordered_events_dir(spark):
     import shutil
 
     out = tempfile.mkdtemp(prefix="events_ordered_")
-    ev = load_table(spark, SF_SMOKE_DIR, "events")
-    qs = ev.approxQuantile("event_id", [0.25, 0.5, 0.75], 0.0)
-    bounds = [float("-inf"), *qs, float("inf")]
-    ev = ev.orderBy("ts").cache()
+    ev = load_table(spark, SF_SMOKE_DIR, "events").orderBy("ts").cache()
     rows = ev.count()
     per = rows // 4 + 1
     from pyspark.sql import Window
