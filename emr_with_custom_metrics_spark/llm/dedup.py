@@ -41,7 +41,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from emr_with_custom_metrics_spark.catalog import load_table
-from emr_with_custom_metrics_spark.llm.text import shingles, tokens
+from emr_with_custom_metrics_spark.llm.text import shingle_hashes, tokens
 from emr_with_custom_metrics_spark.registry import register
 
 NUM_MINHASHES = 64
@@ -58,14 +58,17 @@ def _token_sets(documents: DataFrame) -> DataFrame:
 
 
 def _shingle_sets(documents: DataFrame) -> DataFrame:
-    """Distinct 3-gram shingles per doc, fanned out across the cluster.
+    """Distinct 3-gram shingle HASHES per doc, fanned out across the cluster.
 
-    The fan-out repartition matters in two ways: locally, a single parquet
-    row-group otherwise pins the whole explode on one core; at 100 TB it is
-    a no-op shape-wise (inputs already arrive in thousands of splits)."""
+    Hashes, not strings: every downstream explode/join/intersect runs on
+    fixed-width longs (see text.shingle_hashes — Jaccard is preserved up to
+    negligible 64-bit collision odds). The fan-out repartition matters in
+    two ways: locally, a single parquet row-group otherwise pins the whole
+    explode on one core; at 100 TB it is a no-op shape-wise (inputs already
+    arrive in thousands of splits)."""
     n = documents.sparkSession.sparkContext.defaultParallelism
     return documents.repartition(n).select(
-        "doc_id", shingles(F.col("text")).alias("toks")
+        "doc_id", shingle_hashes(F.col("text")).alias("toks")
     )
 
 
@@ -197,14 +200,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 def minhash_signatures(token_sets: DataFrame, k: int = NUM_MINHASHES) -> DataFrame:
-    """k minhashes per doc in ONE pass: explode tokens, hash each token
-    string ONCE (xxhash64), then derive the k family members by re-hashing
-    the resulting 8-byte long with k seeds — k× cheaper than k string
-    hashes, same independence for minhash purposes. Min-aggregates combine
-    map-side; the shuffle carries (doc, k×8 bytes)."""
-    t = token_sets.select("doc_id", F.explode("toks").alias("token")).select(
-        "doc_id", F.xxhash64("token").alias("h")
-    )
+    """k minhashes per doc in ONE pass: explode the (already-hashed or raw)
+    shingles, derive the k family members by seeded re-hashing of each
+    element — one xxhash64 of a fixed-width value per seed. Min-aggregates
+    combine map-side; the shuffle carries (doc, k×8 bytes)."""
+    t = token_sets.select("doc_id", F.explode("toks").alias("h"))
     mins = [F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh_{i}") for i in range(k)]
     return t.groupBy("doc_id").agg(*mins)
 

@@ -57,6 +57,24 @@ def shingles(col: Column, n: int = 3) -> Column:
     )
 
 
+def shingle_hashes(col: Column, n: int = 3) -> Column:
+    """Distinct 64-bit hashes of word n-gram shingles — the similarity-
+    pipeline representation. Skipping the string materialization entirely
+    (xxhash64 hashes the sliced token sub-array directly) keeps shingle
+    exploding, shuffling and set-intersection in fixed-width longs; Jaccard
+    over the hash sets equals Jaccard over the string sets up to 64-bit
+    collision odds (~n²/2⁶⁵ — negligible at any corpus size that fits a
+    cluster)."""
+    w = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
+        lambda i: F.xxhash64(F.slice(w, (i + 1).cast("int"), n)),
+    )
+    return F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
 def _stop_count(tok: Column) -> Column:
     return F.size(F.filter(tok, lambda t: t.isin(*STOPWORDS)))
 

@@ -48,13 +48,15 @@ def test_incremental_dedup_flags_known_documents(spark):
     resent = docs.where(F.col("doc_id") < 20).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "toks"
     )
+    # shingle sets are 64-bit hashes now; novel docs = hash values that no
+    # real shingle hash will equal (tiny positive ints)
     novel = spark.createDataFrame(
         [
-            (200001, [f"zzq{i}a zzq{i}b zzq{i}c" for i in range(40)]),
-            (200002, [f"qqz{i}x qqz{i}y qqz{i}z" for i in range(40)]),
-            (200003, [f"xxv{i}m xxv{i}n xxv{i}o" for i in range(40)]),
+            (200001, [10_000 + i for i in range(40)]),
+            (200002, [20_000 + i for i in range(40)]),
+            (200003, [30_000 + i for i in range(40)]),
         ],
-        "doc_id BIGINT, toks ARRAY<STRING>",
+        "doc_id BIGINT, toks ARRAY<BIGINT>",
     )
     batch = resent.unionByName(novel)
     cands = dedup.incremental_dedup(corpus_sigs, batch)
