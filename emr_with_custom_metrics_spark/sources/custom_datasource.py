@@ -1,0 +1,123 @@
+"""A first-class Spark data source for the metrics-poll shape (op M1).
+
+The reference's metrics "source" is `curl` in a cron loop (reference
+scripts/custom-metrics.sh:7). Spark 4's Python DataSource API lets the
+engine expose that shape as a real ``spark.read.format(...)`` source
+instead of a shell pipeline:
+
+    spark.dataSource.register(MetricsPollDataSource)
+    raw = (spark.read.format("yarn_metrics")
+                .option("payload_file", "/path/points.jsonl").load())
+    parse_cluster_metrics(raw)          # → typed metric frame (M2/M3)
+
+Two transports, selected by option:
+* ``payload_file`` — JSONL of ``{"ts": ..., "payload": ...}`` records
+  (tests, replay, backfill). Partitioned by line ranges so a large capture
+  file fans out across the cluster.
+* ``endpoint``     — live HTTP polling; the transport callable is the same
+  deployment-injected stub as ``metrics_source.poll_once`` (no network in
+  this container, so exercised only through ``payload_file`` here).
+
+Also provides the STREAMING side (``readStream``) via a simple stream
+reader that tails the payload file — offsets are byte positions, so
+restarts resume exactly (checkpoint-compatible).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+
+SCHEMA = "poll_ts timestamp, payload string"
+
+
+def _parse_line(line: str):
+    rec = json.loads(line)
+    ts = datetime.fromisoformat(rec["ts"])
+    return (ts, rec["payload"] if isinstance(rec["payload"], str) else json.dumps(rec["payload"]))
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, path: str, start_line: int, end_line: int):
+        self.path = path
+        self.start_line = start_line
+        self.end_line = end_line
+
+
+class MetricsPollReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("payload_file")
+        if not self.path:
+            raise NotImplementedError(
+                "live 'endpoint' transport is deployment-specific; "
+                "use option('payload_file', ...) for captured/replayed payloads"
+            )
+        self.lines_per_partition = int(options.get("lines_per_partition", "1000"))
+
+    def partitions(self):
+        with open(self.path) as f:
+            n = sum(1 for _ in f)
+        step = self.lines_per_partition
+        return [
+            _RangePartition(self.path, i, min(i + step, n)) for i in range(0, max(n, 1), step)
+        ]
+
+    def read(self, partition: _RangePartition):
+        with open(partition.path) as f:
+            for i, line in enumerate(f):
+                if partition.start_line <= i < partition.end_line and line.strip():
+                    yield _parse_line(line)
+
+
+class MetricsPollStreamReader(SimpleDataSourceStreamReader):
+    """Tail the payload file: each micro-batch reads lines appended since
+    the last byte offset — the in-engine analogue of the 30 s cron poll
+    (op M6), with exact-resume offsets."""
+
+    def __init__(self, options: dict):
+        self.path = options["payload_file"]
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        pos = start["pos"]
+        rows = []
+        size = os.path.getsize(self.path)
+        if size > pos:
+            with open(self.path) as f:
+                f.seek(pos)
+                for line in f:
+                    if line.endswith("\n") and line.strip():
+                        rows.append(_parse_line(line))
+                        pos += len(line.encode())
+        return iter(rows), {"pos": pos}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        with open(self.path) as f:
+            f.seek(start["pos"])
+            chunk = f.read(end["pos"] - start["pos"])
+        return iter(_parse_line(ln) for ln in chunk.splitlines() if ln.strip())
+
+
+class MetricsPollDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "yarn_metrics"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> MetricsPollReader:
+        return MetricsPollReader(self.options)
+
+    def simpleStreamReader(self, schema) -> MetricsPollStreamReader:
+        return MetricsPollStreamReader(self.options)

@@ -1,0 +1,103 @@
+"""The yarn_metrics Python DataSource: batch read (partitioned), streaming
+tail with exact offsets, and composition with the M2/M3 parse stage."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def payload_file():
+    from emr_with_custom_metrics_spark.sources.metrics_source import sample_payload
+
+    d = tempfile.mkdtemp(prefix="poll_")
+    path = os.path.join(d, "points.jsonl")
+    with open(path, "w") as f:
+        for i in range(250):
+            rec = {
+                "ts": f"2024-01-01T00:{i // 60:02d}:{i % 60:02d}",
+                "payload": sample_payload(available=i % 17, total=16),
+            }
+            f.write(json.dumps(rec) + "\n")
+    return path
+
+
+def _register(spark):
+    from emr_with_custom_metrics_spark.sources.custom_datasource import (
+        MetricsPollDataSource,
+    )
+
+    spark.dataSource.register(MetricsPollDataSource)
+
+
+def test_batch_read_partitioned(spark, payload_file):
+    _register(spark)
+    raw = (
+        spark.read.format("yarn_metrics")
+        .option("payload_file", payload_file)
+        .option("lines_per_partition", "100")
+        .load()
+    )
+    assert raw.count() == 250
+    assert raw.rdd.getNumPartitions() == 3  # 250 lines / 100 per partition
+    assert dict(raw.dtypes) == {"poll_ts": "timestamp", "payload": "string"}
+
+
+def test_composes_with_parse_stage(spark, payload_file):
+    """source → M2/M3 parse → derived pct, including bc truncation parity."""
+    from emr_with_custom_metrics_spark.sources.metrics_source import (
+        parse_cluster_metrics,
+    )
+
+    _register(spark)
+    raw = spark.read.format("yarn_metrics").option("payload_file", payload_file).load()
+    derived = parse_cluster_metrics(raw)
+    row = derived.where(F.col("available_vcores") == 13).first()
+    assert row["core_available_pct"] == 81.25
+    assert derived.count() == 250
+
+
+def test_stream_tails_appends_with_exact_offsets(spark, payload_file):
+    """Streaming: process the file, append more lines, process again — the
+    second batch sees ONLY the appended records."""
+    import time
+
+    from emr_with_custom_metrics_spark.sources.metrics_source import sample_payload
+
+    _register(spark)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_poll_")
+    stream = (
+        spark.readStream.format("yarn_metrics").option("payload_file", payload_file).load()
+    )
+    # memory sink can't recover from a checkpoint; foreachBatch can
+    seen: list[int] = []
+
+    def run_once():
+        q = (
+            stream.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(lambda df, _id: seen.append(df.count()))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    run_once()
+    assert sum(seen) == 250
+
+    with open(payload_file, "a") as f:
+        for i in range(5):
+            f.write(
+                json.dumps(
+                    {"ts": f"2024-01-02T00:00:{i:02d}", "payload": sample_payload(1, 16)}
+                )
+                + "\n"
+            )
+    seen.clear()
+    run_once()  # same checkpoint → resumes at the stored byte offset
+    assert sum(seen) == 5
