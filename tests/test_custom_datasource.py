@@ -62,6 +62,39 @@ def test_composes_with_parse_stage(spark, payload_file):
     assert derived.count() == 250
 
 
+def test_metric_points_sink_roundtrip(spark, payload_file):
+    """End-to-end M1→M2/M3→M5 through custom formats: read with
+    yarn_metrics, derive, write with metric_points, read back and compare."""
+    import glob
+
+    from emr_with_custom_metrics_spark.sources.custom_datasource import (
+        MetricPointsDataSource,
+    )
+    from emr_with_custom_metrics_spark.sources.metrics_source import (
+        parse_cluster_metrics,
+        to_metric_points,
+    )
+
+    _register(spark)
+    spark.dataSource.register(MetricPointsDataSource)
+    raw = spark.read.format("yarn_metrics").option("payload_file", payload_file).load()
+    points = to_metric_points(
+        parse_cluster_metrics(raw),
+        "YARNCoreAvailablePercentage",
+        "Percent",
+        {"JobFlowId": "j-TEST"},
+    )
+    out = tempfile.mkdtemp(prefix="points_out_")
+    points.write.format("metric_points").mode("append").option("path", out).save()
+    files = glob.glob(f"{out}/part-*.jsonl")
+    assert files and not glob.glob(f"{out}/_tmp-*"), "uncommitted temp files left"
+    recs = [json.loads(l) for p in files for l in open(p)]
+    assert len(recs) == 250
+    assert all(r["metric_name"] == "YARNCoreAvailablePercentage" for r in recs[:5])
+    assert recs[0]["dimensions"] == {"JobFlowId": "j-TEST"}
+    assert recs[0]["unit"] == "Percent"
+
+
 def test_stream_tails_appends_with_exact_offsets(spark, payload_file):
     """Streaming: process the file, append more lines, process again — the
     second batch sees ONLY the appended records."""
