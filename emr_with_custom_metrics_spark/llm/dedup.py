@@ -274,6 +274,75 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_corpus(documents: DataFrame, jaccard_threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """The production dedup pipeline as ONE call: documents in → keep-list
+    out.
+
+    Stages (each linear except the selective candidate join):
+      1. exact content dedup (md5 hash-aggregate),
+      2. order-insensitive bag dedup (sorted-token-bag fingerprint),
+      3. sequence near-dup edges (MinHash-LSH candidates over shingle
+         hashes, exact-Jaccard verified),
+      4. connected components → one representative per duplicate cluster.
+
+    Returns (doc_id, keep BOOLEAN, reason STRING, cluster_rep BIGINT):
+    every input doc appears once; `keep` marks the survivor of its cluster.
+    """
+    bag = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.col("text"))))))
+    keyed = documents.select(
+        "doc_id", F.md5("text").alias("content_md5"), bag.alias("bag_md5")
+    )
+    # exact + bag dups collapse to edges against the cluster minimum
+    exact_edges = (
+        keyed.groupBy("content_md5")
+        .agg(F.min("doc_id").alias("a_id"), F.collect_list("doc_id").alias("ids"))
+        .select("a_id", F.explode("ids").alias("b_id"))
+        .where(F.col("a_id") < F.col("b_id"))
+    )
+    bag_edges = (
+        keyed.groupBy("bag_md5")
+        .agg(F.min("doc_id").alias("a_id"), F.collect_list("doc_id").alias("ids"))
+        .select("a_id", F.explode("ids").alias("b_id"))
+        .where(F.col("a_id") < F.col("b_id"))
+    )
+    shingled = _shingle_sets(documents)
+    near_edges = _minhash_verified_pairs(shingled, jaccard_threshold).select("a_id", "b_id")
+    edges = exact_edges.unionByName(bag_edges).unionByName(near_edges).distinct()
+    nodes = documents.select(F.col("doc_id").alias("node"))
+    labels = connected_components(nodes, edges)
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        (F.col("comp") == F.col("node")).alias("keep"),
+        F.when(F.col("comp") == F.col("node"), "unique_or_representative")
+        .otherwise("duplicate")
+        .alias("reason"),
+        F.col("comp").alias("cluster_rep"),
+    )
+
+
+def _minhash_verified_pairs(shingled: DataFrame, threshold: float) -> DataFrame:
+    sigs = minhash_signatures(shingled)
+    cands = lsh_candidate_pairs(sigs)
+    sized = shingled.select("doc_id", "toks", F.size("toks").alias("sz"))
+    a = sized.select(
+        F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"), F.col("sz").alias("a_sz")
+    )
+    b = sized.select(
+        F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks"), F.col("sz").alias("b_sz")
+    )
+    inter = F.size(F.array_intersect("a_toks", "b_toks"))
+    return (
+        cands.join(a, "a_id")
+        .join(b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (inter.cast("double") / (F.col("a_sz") + F.col("b_sz") - inter)).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def incremental_dedup(
     corpus_sigs: DataFrame, new_docs: DataFrame, threshold: float = JACCARD_THRESHOLD
 ) -> DataFrame:

@@ -72,6 +72,40 @@ def test_random_predicate_counts_match(orders_view, duck, pred):
     assert spark_n == duck_n, pred
 
 
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    how=st.sampled_from(["JOIN", "LEFT JOIN"]),
+    pred=predicates(),
+    group=st.sampled_from(["c_mktsegment", "c_nationkey"]),
+)
+def test_random_join_aggregates_match(orders_view, duck, how, pred, group):
+    from emr_with_custom_metrics_spark.catalog import register_views
+
+    register_views(orders_view, SF_DIR, ("orders", "customer"))
+    duck.execute(
+        "CREATE OR REPLACE VIEW customer AS "
+        f"SELECT * FROM read_parquet('{SF_DIR}/customer.parquet')"
+    )
+    q = (
+        f"SELECT {group} AS g, COUNT(o_orderkey) AS n, "
+        f"ROUND(SUM(o_totalprice), 2) AS s "
+        f"FROM customer {how} (SELECT * FROM orders WHERE {pred}) o "
+        f"ON c_custkey = o.o_custkey GROUP BY {group}"
+    )
+    sp = {r["g"]: (r["n"], r["s"]) for r in orders_view.sql(q).collect()}
+    dk = {row.g: (row.n, row.s) for row in duck.sql(q).df().itertuples()}
+    assert set(sp) == set(dk), q
+    for g, (n, s) in sp.items():
+        dn, ds = dk[g]
+        ds = None if ds != ds else ds  # pandas NaN ← SQL NULL
+        assert n == dn, (q, g)
+        assert (s is None and ds is None) or abs(s - ds) < 1e-6, (q, g, s, ds)
+
+
 @st.composite
 def scalar_exprs(draw) -> str:
     """A random scalar expression over customer columns, valid and

@@ -36,6 +36,36 @@ def test_upsert_is_idempotent(spark):
     assert out.where(F.col("name") == "y").collect()[0]["id"] == 5
 
 
+def test_dedup_corpus_keep_list(spark):
+    """The one-call dedup façade: every doc classified, representatives are
+    cluster minima, keep-list size == number of connected components; the
+    planted bag-duplicates must NOT survive as keepers."""
+    docs = load_table(spark, SF_DIR, "documents")
+    result = dedup.dedup_corpus(docs).cache()
+    n_docs = docs.count()
+    assert result.count() == n_docs  # every doc classified exactly once
+    kept = result.where(F.col("keep"))
+    # each cluster has exactly one keeper, and it is the cluster minimum
+    per_cluster = result.groupBy("cluster_rep").agg(
+        F.sum(F.col("keep").cast("int")).alias("keepers"),
+        F.min("doc_id").alias("min_id"),
+    )
+    bad = per_cluster.where(
+        (F.col("keepers") != 1) | (F.col("min_id") != F.col("cluster_rep"))
+    )
+    assert bad.count() == 0
+    # planted bag-duplicates: distinct bag fingerprints >= kept docs
+    from pyspark.sql import functions as SF
+
+    n_bags = docs.select(
+        SF.md5(
+            SF.concat_ws(" ", SF.array_sort(SF.array_distinct(SF.split("text", " "))))
+        ).alias("b")
+    ).distinct().count()
+    assert kept.count() <= n_bags < n_docs
+    result.unpersist()
+
+
 def test_incremental_dedup_flags_known_documents(spark):
     """Docs already in the corpus (planted: the batch IS a corpus sample)
     must collide with their own corpus signatures; novel synthetic docs
