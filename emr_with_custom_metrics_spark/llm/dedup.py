@@ -249,29 +249,8 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = NUM_BANDS, k: int = NUM_MI
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _shingle_sets(load_table(spark, sf_dir, "documents"))
-    sigs = minhash_signatures(docs)
-    cands = lsh_candidate_pairs(sigs)
-    # Exact-Jaccard verification on candidates only.
-    sized = docs.select("doc_id", "toks", F.size("toks").alias("sz"))
-    a = sized.select(
-        F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"), F.col("sz").alias("a_sz")
-    )
-    b = sized.select(
-        F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks"), F.col("sz").alias("b_sz")
-    )
-    inter = F.size(F.array_intersect("a_toks", "b_toks"))
-    return (
-        cands.join(a, "a_id")
-        .join(b, "b_id")
-        .select(
-            "a_id",
-            "b_id",
-            F.round(
-                inter.cast("double") / (F.col("a_sz") + F.col("b_sz") - inter), 6
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
-    )
+    pairs = _minhash_verified_pairs(docs, JACCARD_THRESHOLD)
+    return pairs.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
 
 
 def dedup_corpus(documents: DataFrame, jaccard_threshold: float = JACCARD_THRESHOLD) -> DataFrame:
