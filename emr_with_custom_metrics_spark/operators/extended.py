@@ -197,6 +197,53 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_quantile_battery",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.25), 4) AS p25,
+           ROUND(quantile_cont(value, 0.50), 4) AS p50,
+           ROUND(quantile_cont(value, 0.75), 4) AS p75,
+           ROUND(quantile_cont(value, 0.95), 4) AS p95,
+           ROUND(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+    doc="Interpolated quantile battery (exact percentile; at 100 TB swap "
+    "for approx_percentile with the same shape).",
+)
+def agg_quantile_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        *[
+            F.round(F.percentile("value", p), 4).alias(f"p{int(p * 100)}")
+            for p in (0.25, 0.50, 0.75, 0.95, 0.99)
+        ]
+    )
+
+
+@register(
+    "agg_linear_regression",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Built-in OLS aggregates: slope/intercept/R² of price vs quantity "
+    "per flag — single-pass distributed regression.",
+)
+def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").cast("bigint").alias("n"),
+    )
+
+
+@register(
     "histogram_value_buckets",
     oracle="""
     SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bucket,
