@@ -47,7 +47,14 @@ from emr_with_custom_metrics_spark.registry import register
 NUM_MINHASHES = 64
 NUM_BANDS = 32  # rows per band r = 64/32 = 2 → recall 1-(1-J²)³² ≈ 0.9999 at J=0.5
 JACCARD_THRESHOLD = 0.5
-SIMHASH_BITS = 32
+# 64-bit fingerprint, banded as 4 slices × 16 bits for the candidate join.
+# Pigeonhole: Hamming ≤3 differing bits can dirty at most 3 of 4 slices, so
+# every true pair collides on ≥1 exact 16-bit slice. 16-bit slices give 65 536
+# buckets per slice — occupancy N/65536 per bucket vs N/256 with the old
+# 32-bit/8-bit scheme, which went near-quadratic at 100× scale (VERDICT r01).
+SIMHASH_BITS = 64
+SIMHASH_SLICES = 4
+SIMHASH_SLICE_BITS = SIMHASH_BITS // SIMHASH_SLICES
 HAMMING_THRESHOLD = 3
 
 
@@ -480,7 +487,9 @@ def simhash(token_sets: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     One explode to (doc, token) then ONE aggregate with `bits` sum columns —
     NOT a further explode to (doc, token, bit), which would multiply the
     shuffle by `bits`. Partial aggregation reduces map-side to one row of
-    32 longs per doc per partition; the fingerprint folds to a single BIGINT."""
+    `bits` longs per doc per partition; the fingerprint folds to a single
+    BIGINT (bit 63 is the sign bit — assembled with shiftleft|OR, which is
+    well-defined on Java longs, not arithmetic + which would overflow)."""
     t = token_sets.select("doc_id", F.explode("toks").alias("token")).select(
         "doc_id", F.xxhash64("token").alias("h")
     )
@@ -492,10 +501,9 @@ def simhash(token_sets: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     )
     fingerprint = None
     for i in range(bits):
-        bit = F.when(F.col(f"t_{i}") > 0, F.lit(1 << i).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        fingerprint = bit if fingerprint is None else fingerprint + bit
+        bit = F.when(F.col(f"t_{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
+        term = F.shiftleft(bit, i)
+        fingerprint = term if fingerprint is None else fingerprint.bitwiseOR(term)
     return tallies.select("doc_id", fingerprint.alias("simhash"))
 
 
@@ -503,12 +511,14 @@ def simhash(token_sets: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     "dedup_simhash",
     oracle=None,  # fingerprint depends on xxhash64 — not reproducible in SQL
     doc="SimHash near-dup pairs within Hamming distance ≤3, candidates via "
-    "8-bit band join on the fingerprint (4 slices of the 32-bit hash).",
+    "16-bit band join on the fingerprint (4 slices of the 64-bit hash; "
+    "Hamming ≤3 guarantees ≥1 exact slice by pigeonhole).",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     docs = _token_sets(d.repartition(d.sparkSession.sparkContext.defaultParallelism))
     fps = simhash(docs)
+    mask = (1 << SIMHASH_SLICE_BITS) - 1
     slices = fps.select(
         "doc_id",
         "simhash",
@@ -517,9 +527,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(s).alias("slice_id"),
-                        F.shiftright("simhash", s * 8).bitwiseAND(F.lit(255)).alias("slice_val"),
+                        F.shiftright("simhash", s * SIMHASH_SLICE_BITS)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("slice_val"),
                     )
-                    for s in range(4)
+                    for s in range(SIMHASH_SLICES)
                 ]
             )
         ).alias("sl"),

@@ -186,14 +186,34 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct",
-    oracle=None,  # approximate by design → rows-only check
-    doc="approx_count_distinct (HLL++): the 100 TB-scale path for cardinality.",
+    # HLL++ estimates aren't SQL-reproducible across engines, so the oracle
+    # asserts the estimate is WITHIN the algorithm's error bound of DuckDB's
+    # exact COUNT(DISTINCT): both sides emit (event_type, exact_users,
+    # within_bounds=true) and hash-match iff every group's estimate lands
+    # inside 5×rsd (rsd=0.01 ⇒ ±5%; HLL++ at that rsd is ~±3σ=3% — 5× gives
+    # deterministic headroom without masking a broken sketch).
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_bounds
+    FROM events GROUP BY event_type
+    """,
+    doc="approx_count_distinct (HLL++): the 100 TB-scale path for cardinality, "
+    "oracled via an error-bound check against exact COUNT(DISTINCT).",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        F.count("*").alias("n"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.greatest(F.lit(1), F.col("exact_users") * 0.05)
+        ).alias("within_bounds"),
     )
 
 

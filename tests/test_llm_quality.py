@@ -40,6 +40,55 @@ def test_simhash_finds_identical_bag_pairs(spark):
     assert not missing, f"identical-bag pairs missing from simhash: {list(missing)[:5]}"
 
 
+def test_simhash_band_occupancy(spark):
+    """Scale guard (VERDICT r01 #3): the 16-bit band join must stay far from
+    all-pairs. Two bounds: (a) distinct candidate pairs ≤ 15% of N·(N−1)/2 —
+    the anti-quadratic property itself; (b) max bucket ≤ 20% of N. The toy
+    corpus (500 docs × ~23 tokens from a small shared vocab) correlates
+    fingerprints far more than natural text, so these bounds are loose; the
+    old 8-bit scheme (256 buckets/slice) fails (a) outright here."""
+    docs = dedup._token_sets(load_table(spark, SF_DIR, "documents"))
+    fps = dedup.simhash(docs)
+    n = fps.count()
+    mask = (1 << dedup.SIMHASH_SLICE_BITS) - 1
+    sl = fps.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("slice_id"),
+                        F.shiftright("simhash", s * dedup.SIMHASH_SLICE_BITS)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("slice_val"),
+                    )
+                    for s in range(dedup.SIMHASH_SLICES)
+                ]
+            )
+        ).alias("sl"),
+    ).select("doc_id", "sl.slice_id", "sl.slice_val")
+    occ = (
+        sl.groupBy("slice_id", "slice_val").count().agg(F.max("count").alias("m"))
+    ).collect()[0]["m"]
+    assert occ <= max(8, n * 0.20), f"max band bucket {occ} of {n} docs"
+    candidates = (
+        sl.alias("x")
+        .join(
+            sl.alias("y"),
+            (F.col("x.slice_id") == F.col("y.slice_id"))
+            & (F.col("x.slice_val") == F.col("y.slice_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select("x.doc_id", "y.doc_id")
+        .distinct()
+        .count()
+    )
+    all_pairs = n * (n - 1) / 2
+    assert candidates <= 0.15 * all_pairs, (
+        f"candidate join near-quadratic: {candidates}/{all_pairs:.0f}"
+    )
+
+
 def test_ann_lsh_candidates_subset_of_exact(spark):
     """LSH output ⊆ exact cosine pairs at the same threshold (precision 1.0
     by construction: exact re-rank)."""

@@ -97,3 +97,24 @@ def test_similarity_topk_broadcasts_query_vector(spark):
 def test_events_scan_prunes_for_json_query(spark):
     cols = read_schema_columns(SPECS["json_extract_props"].fn(spark, SF_DIR))
     assert "value" not in cols and "user_id" not in cols, cols
+
+
+def test_no_driver_side_collect_in_query_modules():
+    """Source hygiene (VERDICT r01 #4): registered queries must be one lazy
+    DAG — no mid-plan ``.collect()`` on the driver. Allowed sites: the plan
+    debugging utility, and the two tiny post-aggregation sinks whose output
+    is one row per (rule, bucket) by construction."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "emr_with_custom_metrics_spark"
+    allowed = {"plans/inspect.py", "streaming/pipeline.py", "sources/metrics_source.py"}
+    offenders = []
+    for p in root.rglob("*.py"):
+        rel = str(p.relative_to(root))
+        if rel in allowed:
+            continue
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            code = line.split("#", 1)[0]
+            if ".collect()" in code:
+                offenders.append(f"{rel}:{i}")
+    assert not offenders, offenders
