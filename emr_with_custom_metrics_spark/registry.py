@@ -115,6 +115,7 @@ _DRIVER_VERIFIED_R01 = frozenset(
 _HEAVY = frozenset(
     {
         "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
+        "dedup_ngram_jaccard_prefix",
         "dedup_clusters", "dedup_incremental_batch", "dedup_embedding_cosine",
         "similarity_ann_lsh", "similarity_ivf_topk", "cooldown_suppression",
         "autoscale_timeline", "multimodal_feature_extract",

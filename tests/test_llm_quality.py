@@ -30,6 +30,26 @@ def test_minhash_lsh_precision_and_recall(spark):
     assert recall >= 0.99, f"recall {recall:.4f} ({len(approx)}/{len(exact)})"
 
 
+def test_prefix_filtered_jaccard_equals_plain(spark):
+    """The PPJoin prefix filter must be lossless: identical pair set AND
+    identical jaccard values as the plain inverted-index join, at both the
+    production threshold and J=1.0 (prefix length collapses to 1)."""
+    docs = dedup._shingle_sets(load_table(spark, SF_DIR, "documents"))
+    for thr in (0.5, 1.0):
+        plain = {
+            (r["a_id"], r["b_id"]): r["jaccard"]
+            for r in dedup.jaccard_pairs(docs, thr).collect()
+        }
+        pref = {
+            (r["a_id"], r["b_id"]): r["jaccard"]
+            for r in dedup.jaccard_pairs_prefix(docs, thr).collect()
+        }
+        assert plain == pref, (
+            f"thr={thr}: {len(plain)} plain vs {len(pref)} prefix; "
+            f"diff={list(set(plain) ^ set(pref))[:5]}"
+        )
+
+
 def test_simhash_finds_identical_bag_pairs(spark):
     """Token-set-identical docs (the planted dups) must collide at Hamming 0."""
     docs = dedup._token_sets(load_table(spark, SF_DIR, "documents"))
