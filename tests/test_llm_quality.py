@@ -183,3 +183,25 @@ def test_ivf_topk_close_to_exact(spark):
     cell_exact = [r for r in exact if r["label"] == probed]
     for r in cell_exact:  # exact top-k members of this cell must all appear
         assert r["vec_id"] in ivf_by_id
+
+
+def test_connected_components_warns_when_unconverged(spark):
+    """ADVICE r01: exhausting max_iter without a fixpoint must not be
+    silent — a path graph of diameter 4 cannot converge in 1 iteration."""
+    import warnings
+
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "node long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "a_id long, b_id long"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        dedup.connected_components(nodes, edges, max_iter=1).count()
+    assert any("no fixpoint" in str(w.message) for w in caught)
+
+    # and with enough iterations: converged, single component, no warning
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        labels = dedup.connected_components(nodes, edges).collect()
+    assert not any("no fixpoint" in str(w.message) for w in caught)
+    assert {r["comp"] for r in labels} == {0}

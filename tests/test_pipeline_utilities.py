@@ -98,3 +98,47 @@ def test_incremental_dedup_flags_known_documents(spark):
     for i in range(20):
         assert (100000 + i, i) in pairs, f"resent doc {i} missed its original"
     assert not hits & {200001, 200002, 200003}, "novel docs falsely flagged"
+
+
+def test_poll_series_through_injected_transport(spark):
+    """M1/M6 seam (VERDICT r01 #6): the capture loop takes an injected
+    fetch + clock + sleep, so a deployment's HTTP client is configuration;
+    the captured frame flows straight into the M2/M3 parse stage."""
+    from datetime import datetime, timedelta, timezone
+
+    from emr_with_custom_metrics_spark.sources.metrics_source import (
+        parse_cluster_metrics,
+        poll_once,
+        poll_series,
+        sample_payload,
+    )
+
+    calls: list[str] = []
+    slept: list[float] = []
+    tick = {"n": 0}
+
+    def fake_fetch(url: str) -> str:
+        calls.append(url)
+        return sample_payload(available=len(calls) * 2, total=16)
+
+    def fake_now():
+        tick["n"] += 1
+        return datetime(2024, 1, 1, tzinfo=timezone.utc) + timedelta(seconds=30 * tick["n"])
+
+    assert poll_once("http://rm:8088/ws/v1/cluster/metrics", fake_fetch) == sample_payload(2, 16)
+    calls.clear()
+
+    raw = poll_series(
+        spark,
+        "http://rm:8088/ws/v1/cluster/metrics",
+        n_polls=3,
+        interval_s=30.0,
+        fetch=fake_fetch,
+        sleep=slept.append,
+        now=fake_now,
+    )
+    assert calls == ["http://rm:8088/ws/v1/cluster/metrics"] * 3
+    assert slept == [30.0, 30.0]  # cadence honored, first poll immediate
+    derived = parse_cluster_metrics(raw).orderBy("poll_ts").collect()
+    assert [r["available_vcores"] for r in derived] == [2, 4, 6]
+    assert derived[0]["core_available_pct"] == 12.5

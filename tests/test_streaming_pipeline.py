@@ -270,3 +270,47 @@ def test_stream_is_incremental(spark, events_stream_dir):
     )
     query.awaitTermination(120)
     assert len(batches) >= 2
+
+
+def test_cooldown_sink_state_survives_restart(spark, events_stream_dir):
+    """Durable cooldown (ADVICE r01): a sink rebuilt from its state file (a
+    simulated driver restart) must (a) skip replayed batches outright and
+    (b) keep honoring the cooldown horizon for new buckets."""
+    import json as _json
+    import os as _os
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_durable_")
+    query, sink = start_metrics_pipeline(
+        spark, events_stream_dir, ckpt, trigger={"availableNow": True}
+    )
+    query.awaitTermination(120)
+    state_path = _os.path.join(ckpt, "cooldown_state.json")
+    assert _os.path.exists(state_path)
+    st = _json.load(open(state_path))
+    assert st["last_fire"] == sink.last_fire and st["batch_id"] == sink.committed_batch
+
+    # "Restart": a fresh sink loads the durable state...
+    sink2 = CooldownSink(state_path=state_path)
+    assert sink2.last_fire == sink.last_fire
+    # ...a replayed (already-committed) batch is a no-op...
+    replay = spark.createDataFrame(
+        [(max(sink.last_fire.values()), 10.0, "scale-out", 5)],
+        "bucket_start long, avg_value double, rule string, scaling_adjustment int",
+    )
+    sink2(replay, sink.committed_batch)
+    assert sink2.actions == []
+    # ...and a NEW batch inside the cooldown horizon stays suppressed,
+    # while one beyond it fires.
+    rule, last = max(sink.last_fire.items(), key=lambda kv: kv[1])
+    inside = spark.createDataFrame(
+        [(last + 60, 10.0, rule, 5)],
+        "bucket_start long, avg_value double, rule string, scaling_adjustment int",
+    )
+    sink2(inside, sink.committed_batch + 1)
+    assert sink2.actions == []
+    beyond = spark.createDataFrame(
+        [(last + bm.COOLDOWN_SECONDS + 60, 10.0, rule, 5)],
+        "bucket_start long, avg_value double, rule string, scaling_adjustment int",
+    )
+    sink2(beyond, sink.committed_batch + 2)
+    assert [a[1] for a in sink2.actions] == [last + bm.COOLDOWN_SECONDS + 60]
