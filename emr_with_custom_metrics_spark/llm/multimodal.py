@@ -1,10 +1,15 @@
 """Multimodal columns: opaque binary payloads + typed metadata ([EXT]).
 
 Images/audio/video are ``BinaryType`` columns with typed metadata alongside
-(SURVEY.md §1.4). The container has no codec libraries, so the DECODE step
-is stubbed (deterministic fake, clearly marked) — but the Spark-side
-plumbing is real and tested: schemas, Arrow batch shapes, ``mapInPandas``
-signatures, partitioning of frame explosions.
+(SURVEY.md §1.4). Decode is tiered by what the environment can express:
+
+* REAL decoders for header-parseable uncompressed formats — PPM (P6) and
+  24-bit BMP — pure stdlib/numpy, no codec library needed
+  (``decode_image``; exercised end-to-end by ``multimodal_decode_ppm``).
+* A deterministic STUB for codec formats (JPEG/PNG/audio/video), clearly
+  marked: the container has no Pillow/ffmpeg. The Spark-side plumbing
+  around it — schemas, Arrow batch shapes, ``mapInPandas`` signatures,
+  partitioning of frame explosions — is real and tested either way.
 
 The fake decoder derives metadata deterministically from the payload length
 so the mapInPandas queries remain SQL-oracle-able — the harness then checks
@@ -25,13 +30,104 @@ DECODED_SCHEMA = "doc_id bigint, n_bytes bigint, width int, height int, n_frames
 
 
 def fake_decode_image(payload: bytes) -> tuple[int, int, int]:
-    """STUB decoder. A real deployment plugs Pillow/ffmpeg in here; the
-    container has neither, so metadata is derived deterministically from the
-    payload. Raises for empty payloads like a real decoder would."""
+    """STUB decoder for codec formats. A real deployment plugs Pillow/ffmpeg
+    in here; the container has neither, so metadata is derived
+    deterministically from the payload. Raises for empty payloads like a
+    real decoder would. Header-parseable formats decode for real — see
+    ``decode_image``."""
     if not payload:
         raise NotImplementedError("real image decoding requires a codec library")
     n = len(payload)
     return (n % 640 + 1, n % 480 + 1, n % 16 + 1)
+
+
+def encode_ppm(width: int, height: int, fill: int) -> bytes:
+    """Build a real binary PPM (P6) image: ASCII header + raw RGB bytes,
+    constant ``fill`` value per channel. Used to synthesize genuine image
+    payloads in-engine (the container ships no sample images)."""
+    return f"P6\n{width} {height}\n255\n".encode() + bytes([fill]) * (width * height * 3)
+
+
+def decode_image(payload: bytes) -> dict:
+    """REAL decode for uncompressed header-parseable formats (VERDICT r01
+    #8): PPM ``P6`` (Netpbm spec: magic, whitespace/#-comment-separated
+    width height maxval, raw RGB) and 24-bit uncompressed BMP
+    (BITMAPINFOHEADER fields at fixed little-endian offsets). Returns
+    format, dimensions, and pixel statistics computed from the actual
+    pixel bytes. Raises NotImplementedError for codec formats — callers
+    fall back to the stub."""
+    import numpy as np
+
+    if payload[:2] == b"P6":
+        # Tokenize the header: fields separated by whitespace, '#' starts a
+        # comment to end-of-line; exactly one whitespace byte follows maxval.
+        fields: list[int] = []
+        i = 2
+        while len(fields) < 3 and i < len(payload):
+            c = payload[i : i + 1]
+            if c == b"#":
+                i = payload.index(b"\n", i) + 1
+            elif c.isspace():
+                i += 1
+            elif c.isdigit():
+                j = i
+                while payload[j : j + 1].isdigit():
+                    j += 1
+                fields.append(int(payload[i:j]))
+                i = j
+            else:
+                raise ValueError(f"malformed PPM header byte {c!r} at {i}")
+        if len(fields) != 3 or not payload[i : i + 1].isspace():
+            raise ValueError("truncated PPM header")
+        w, h, maxval = fields
+        if not (0 < maxval < 65536) or w <= 0 or h <= 0:
+            raise ValueError("PPM dimensions out of range")
+        bpp = 3 * (2 if maxval > 255 else 1)
+        pixels = payload[i + 1 : i + 1 + w * h * bpp]
+        if len(pixels) != w * h * bpp:
+            raise ValueError("PPM pixel section truncated")
+        arr = np.frombuffer(pixels, dtype=">u2" if maxval > 255 else np.uint8)
+        return {
+            "format": "ppm",
+            "width": w,
+            "height": h,
+            "n_pixels": w * h,
+            "mean_byte": float(arr.mean()),
+        }
+    if payload[:2] == b"BM" and len(payload) >= 54:
+        declared = int.from_bytes(payload[2:6], "little")
+        if declared != len(payload):
+            raise ValueError("BMP size field mismatch")
+        off = int.from_bytes(payload[10:14], "little")
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        comp = int.from_bytes(payload[30:34], "little")
+        if bpp != 24 or comp != 0:
+            raise NotImplementedError("only uncompressed 24-bit BMP decodes here")
+        height = abs(h)
+        stride = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+        rows = np.frombuffer(
+            payload[off : off + stride * height], dtype=np.uint8
+        ).reshape(height, stride)[:, : w * 3]
+        return {
+            "format": "bmp",
+            "width": w,
+            "height": height,
+            "n_pixels": w * height,
+            "mean_byte": float(rows.mean()),
+        }
+    raise NotImplementedError("codec-compressed format: needs Pillow/ffmpeg")
+
+
+def _decode_any(payload: bytes) -> tuple[int, int, int]:
+    """Tiered dispatch: real header decode where the format allows, stub
+    for codec formats (honestly marked — see module docstring)."""
+    try:
+        meta = decode_image(payload)
+        return (meta["width"], meta["height"], 1)
+    except (NotImplementedError, ValueError):
+        return fake_decode_image(payload)
 
 
 def decode_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
@@ -40,7 +136,7 @@ def decode_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
     import pandas as pd
 
     for pdf in batches:
-        decoded = pdf["payload"].map(fake_decode_image)  # single decode pass
+        decoded = pdf["payload"].map(_decode_any)  # single decode pass
         w, h, fr = zip(*decoded) if len(decoded) else ((), (), ())
         yield pd.DataFrame(
             {
@@ -75,6 +171,58 @@ def with_payload(documents: DataFrame) -> DataFrame:
 def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = with_payload(load_fanned(spark, sf_dir, "documents"))
     return d.mapInPandas(decode_batch, schema=DECODED_SCHEMA)
+
+
+PPM_DECODED_SCHEMA = (
+    "doc_id bigint, fmt string, width int, height int, n_pixels bigint, mean_byte double"
+)
+
+
+def _ppm_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    """Synthesize a real P6 image per doc (dimensions/fill derived from
+    doc_id) and decode it with the REAL parser — encode and decode both
+    run executor-side over Arrow batches."""
+    import pandas as pd
+
+    for pdf in batches:
+        payloads = pdf["doc_id"].map(
+            lambda d: encode_ppm(int(d) % 10 + 1, int(d) % 7 + 1, int(d) % 251)
+        )
+        metas = payloads.map(decode_image)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "fmt": metas.map(lambda m: m["format"]),
+                "width": metas.map(lambda m: m["width"]).astype("int32"),
+                "height": metas.map(lambda m: m["height"]).astype("int32"),
+                "n_pixels": metas.map(lambda m: m["n_pixels"]).astype("int64"),
+                "mean_byte": metas.map(lambda m: round(m["mean_byte"], 4)),
+            }
+        )
+
+
+@register(
+    "multimodal_decode_ppm",
+    # Constant-fill pixels make every statistic header-predictable, so the
+    # REAL byte-level decode is still SQL-oracle-able: any parser bug
+    # (header offsets, comment handling, pixel-section length) breaks the
+    # value hash.
+    oracle="""
+    SELECT doc_id,
+           'ppm' AS fmt,
+           CAST(doc_id % 10 + 1 AS INTEGER) AS width,
+           CAST(doc_id % 7 + 1 AS INTEGER) AS height,
+           CAST((doc_id % 10 + 1) * (doc_id % 7 + 1) AS BIGINT) AS n_pixels,
+           ROUND(CAST(doc_id % 251 AS DOUBLE), 4) AS mean_byte
+    FROM documents
+    """,
+    doc="REAL image decode end-to-end (VERDICT r01 #8): synthesize binary "
+    "PPM (P6) payloads in-engine, parse header + pixel bytes with the real "
+    "decoder inside mapInPandas, emit dimensions and pixel statistics.",
+)
+def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fanned(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_ppm_roundtrip_batch, schema=PPM_DECODED_SCHEMA)
 
 
 FEATURE_DIM = 16

@@ -1,0 +1,75 @@
+"""Real image decode (PPM P6 / 24-bit BMP): byte-level parser correctness,
+dispatch tiering vs the codec stub, and the Arrow round-trip query."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from emr_with_custom_metrics_spark.llm.multimodal import (
+    _decode_any,
+    decode_image,
+    encode_ppm,
+    fake_decode_image,
+)
+
+
+def _bmp24(width: int, height: int, fill: int) -> bytes:
+    """Minimal uncompressed 24-bit BMP with correct 4-byte row padding."""
+    stride = (width * 3 + 3) & ~3
+    data = (bytes([fill]) * (width * 3) + b"\x00" * (stride - width * 3)) * height
+    size = 54 + len(data)
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", size, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data), 0, 0, 0, 0)
+    )
+    return header + data
+
+
+def test_ppm_decode_real_bytes():
+    meta = decode_image(encode_ppm(7, 5, 200))
+    assert meta == {
+        "format": "ppm", "width": 7, "height": 5, "n_pixels": 35, "mean_byte": 200.0
+    }
+
+
+def test_ppm_decode_with_comments_and_whitespace():
+    img = b"P6\n# a comment\n  7 # inline\n\t5\n# more\n255\n" + bytes([10]) * (7 * 5 * 3)
+    meta = decode_image(img)
+    assert (meta["width"], meta["height"], meta["mean_byte"]) == (7, 5, 10.0)
+
+
+def test_ppm_truncated_pixels_rejected():
+    img = encode_ppm(4, 4, 1)[:-1]
+    with pytest.raises(ValueError):
+        decode_image(img)
+
+
+def test_bmp_decode_real_bytes_with_row_padding():
+    meta = decode_image(_bmp24(3, 2, 77))  # stride 12 vs 9 raw: padding must be excluded
+    assert meta == {
+        "format": "bmp", "width": 3, "height": 2, "n_pixels": 6, "mean_byte": 77.0
+    }
+
+
+def test_bmp_size_field_mismatch_rejected():
+    img = bytearray(_bmp24(3, 2, 77))
+    img[2] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_image(bytes(img))
+
+
+def test_dispatch_tiers_real_vs_stub():
+    # real formats → real metadata
+    assert _decode_any(encode_ppm(9, 3, 0)) == (9, 3, 1)
+    assert _decode_any(_bmp24(4, 4, 1)) == (4, 4, 1)
+    # codec/opaque payloads → deterministic stub
+    text = "some document text payload".encode()
+    assert _decode_any(text) == fake_decode_image(text)
+    # text that merely STARTS like a magic number still falls back
+    trap = b"P6 is a bus route in the city"
+    assert _decode_any(trap) == fake_decode_image(trap)
+    with pytest.raises(NotImplementedError):
+        _decode_any(b"")  # empty payload raises like a real decoder
