@@ -1,0 +1,93 @@
+"""MergeTarget interface: upsert semantics (replace/append/idempotent),
+partition-scoped rewrites that leave untouched partitions' files alone,
+cross-partition-move and emptied-partition guards, Delta gating."""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from emr_with_custom_metrics_spark.plans.merge import (
+    DeltaTarget,
+    ParquetRewriteTarget,
+    PartitionedParquetTarget,
+)
+
+
+def _snapshot(target):
+    return {
+        r["k"]: (r["p"], r["v"]) for r in target.read().select("k", "p", "v").collect()
+    }
+
+
+@pytest.fixture()
+def seeded(spark):
+    path = tempfile.mkdtemp(prefix="merge_t_") + "/t"
+    df = spark.createDataFrame(
+        [(k, k % 3, float(k)) for k in range(30)], "k long, p long, v double"
+    )
+    df.write.partitionBy("p").parquet(path)
+    return path
+
+
+def test_parquet_rewrite_merge_semantics(spark, seeded):
+    t = ParquetRewriteTarget(spark, seeded)
+    updates = spark.createDataFrame(
+        [(3, 0, 999.0), (100, 1, 100.0)], "k long, p long, v double"
+    )
+    t.merge(updates, "k")
+    snap = _snapshot(t)
+    assert snap[3] == (0, 999.0) and snap[100] == (1, 100.0) and len(snap) == 31
+    t.merge(updates, "k")  # idempotent
+    assert _snapshot(t) == snap
+    t.delete_where(F.col("k") >= 100)
+    assert 100 not in _snapshot(t)
+
+
+def test_partitioned_merge_touches_only_affected_partitions(spark, seeded):
+    t = PartitionedParquetTarget(spark, seeded, "p")
+    untouched_files = set(glob.glob(f"{seeded}/p=2/*.parquet"))
+    assert untouched_files
+    updates = spark.createDataFrame(
+        [(3, 0, 999.0), (101, 1, 101.0)], "k long, p long, v double"
+    )
+    t.merge(updates, "k")
+    snap = _snapshot(t)
+    assert snap[3] == (0, 999.0) and snap[101] == (1, 101.0) and len(snap) == 31
+    # partition p=2 was neither touched by updates nor rewritten
+    assert set(glob.glob(f"{seeded}/p=2/*.parquet")) == untouched_files
+    t.merge(updates, "k")
+    assert _snapshot(t) == snap
+
+
+def test_partitioned_merge_rejects_cross_partition_move(spark, seeded):
+    t = PartitionedParquetTarget(spark, seeded, "p")
+    mover = spark.createDataFrame([(3, 1, 3.0)], "k long, p long, v double")  # 3 lives in p=0
+    with pytest.raises(ValueError, match="moves key"):
+        t.merge(mover, "k")
+
+
+def test_partitioned_delete_scoped_and_guarded(spark, seeded):
+    t = PartitionedParquetTarget(spark, seeded, "p")
+    untouched_files = set(glob.glob(f"{seeded}/p=2/*.parquet"))
+    t.delete_where((F.col("p") == 0) & (F.col("k") >= 27))
+    snap = _snapshot(t)
+    assert 27 not in snap and len(snap) == 29
+    assert set(glob.glob(f"{seeded}/p=2/*.parquet")) == untouched_files
+    with pytest.raises(ValueError, match="empties whole partition"):
+        t.delete_where(F.col("p") == 1)  # would empty the partition
+
+
+def test_delta_target_gated_behind_import(spark, seeded):
+    try:
+        import delta  # noqa: F401
+
+        pytest.skip("delta-spark installed; gating not applicable")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="delta-spark"):
+        DeltaTarget(spark, seeded)
