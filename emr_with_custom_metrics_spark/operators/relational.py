@@ -190,8 +190,10 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # asserts the estimate is WITHIN the algorithm's error bound of DuckDB's
     # exact COUNT(DISTINCT): both sides emit (event_type, exact_users,
     # within_bounds=true) and hash-match iff every group's estimate lands
-    # inside 5×rsd (rsd=0.01 ⇒ ±5%; HLL++ at that rsd is ~±3σ=3% — 5× gives
-    # deterministic headroom without masking a broken sketch).
+    # inside 5×rsd (rsd=0.02 ⇒ ±10%; HLL++ at that rsd is ~±3σ=6% — 5×
+    # gives deterministic headroom without masking a broken sketch).
+    # rsd=0.02, not 0.01: register arrays grow ~(1/rsd)², and measured cost
+    # at rsd=0.01 was 3.5× for one extra accuracy bit nothing here needs.
     oracle="""
     SELECT event_type,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
@@ -204,7 +206,7 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     agg = ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count_distinct("user_id").alias("exact_users"),
     )
     return agg.select(
@@ -212,7 +214,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_users",
         (
             F.abs(F.col("approx_users") - F.col("exact_users"))
-            <= F.greatest(F.lit(1), F.col("exact_users") * 0.05)
+            <= F.greatest(F.lit(1), F.col("exact_users") * 0.10)
         ).alias("within_bounds"),
     )
 
