@@ -572,3 +572,38 @@ def stream_dedup_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "udtf_ngrams",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+               WHERE doc_id < 40)
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+           toks[i] || ' ' || toks[i+1] AS bigram
+    FROM t, RANGE(1, 100000) r(i) WHERE i <= LEN(toks) - 1
+    """,
+    doc="A REAL Python UDTF (Spark 3.5+ ``@udtf``, not a mapInPandas "
+    "analogue): bigram generator applied via SQL LATERAL TABLE syntax — "
+    "one input row fans out to n-1 output rows. Row-at-a-time Python is "
+    "the documented slow path (like python_udf_scalar); the vectorized "
+    "equivalents live in llm/text.shingle_hashes. [EXT] UDTF row of "
+    "SURVEY.md §2A.1.",
+)
+def udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, bigram string")
+    class BigramGen:
+        def eval(self, text: str):
+            toks = (text or "").split()
+            for i in range(len(toks) - 1):
+                yield (i, f"{toks[i]} {toks[i + 1]}")
+
+    spark.udtf.register("bigram_gen", BigramGen)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        """SELECT d.doc_id, g.pos, g.bigram
+           FROM docs_udtf d, LATERAL bigram_gen(d.text) g
+           WHERE d.doc_id < 40"""
+    )
