@@ -607,3 +607,60 @@ def udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM docs_udtf d, LATERAL bigram_gen(d.text) g
            WHERE d.doc_id < 40"""
     )
+
+
+@register(
+    "unpivot_order_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, ROUND(val, 2) AS val
+    FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+          FROM lineitem WHERE l_orderkey < 500)
+    UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount))
+    """,
+    doc="UNPIVOT / melt: wide measure columns to long (measure, value) rows "
+    "— the inverse of pivot_status_by_priority (SURVEY.md §2A.1 "
+    "aggregations row). Map-side only: no shuffle, n_cols× row fan-out.",
+)
+def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < 500)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+    )
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    ).select(
+        "l_orderkey", "l_linenumber", "measure", F.round("val", 2).alias("val")
+    )
+
+
+@register(
+    "agg_approx_quantile",
+    # Sketched quantiles aren't cross-engine reproducible; like
+    # agg_approx_distinct the oracle checks the ESTIMATE against exact
+    # bounds: with accuracy=1000 the rank error is ≤ 0.1% of N, so the
+    # estimate must land between the exact 0.48 and 0.52 quantiles (±4pp
+    # of headroom vs the guaranteed ±0.1pp — a broken sketch still fails).
+    oracle="""
+    SELECT event_type, TRUE AS within_bounds FROM events GROUP BY event_type
+    """,
+    doc="approx_percentile (GK sketch): the 100 TB path for quantiles — "
+    "mergeable per-partition sketches, no global sort — oracled via an "
+    "error-bound check against the exact interpolated quantile.",
+)
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 1000).alias("est"),
+        F.percentile("value", 0.48).alias("lo"),
+        F.percentile("value", 0.52).alias("hi"),
+    )
+    return agg.select(
+        "event_type",
+        ((F.col("est") >= F.col("lo")) & (F.col("est") <= F.col("hi"))).alias(
+            "within_bounds"
+        ),
+    )

@@ -314,3 +314,62 @@ def test_cooldown_sink_state_survives_restart(spark, events_stream_dir):
     )
     sink2(beyond, sink.committed_batch + 2)
     assert [a[1] for a in sink2.actions] == [last + bm.COOLDOWN_SECONDS + 60]
+
+
+def test_stream_stream_join_matches_batch(spark, ordered_events_dir):
+    """Stream-stream inner join with watermarks on both sides and a time-
+    range condition (click→purchase within 10 min) over time-ordered
+    micro-batches (random splits would make later batches late-data wrt
+    the watermark — correct-but-empty): availableNow finalizes all state,
+    so the result must equal the batch formulation exactly."""
+    import tempfile as tf
+
+    from emr_with_custom_metrics_spark.streaming.pipeline import EVENTS_SCHEMA
+
+    def split(df):
+        clicks = df.where(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+        )
+        purchases = df.where(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        return clicks, purchases
+
+    def join(clicks, purchases):
+        return clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+        ).select("c_user", "c_id", "p_id")
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ordered_events_dir)
+    )
+    s_clicks, s_purchases = split(stream)
+    out = join(
+        s_clicks.withWatermark("c_ts", "30 minutes"),
+        s_purchases.withWatermark("p_ts", "30 minutes"),
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join")
+        .option("checkpointLocation", tf.mkdtemp(prefix="ckpt_ssj_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["c_user"], r["c_id"], r["p_id"])
+        for r in spark.sql("SELECT * FROM ss_join").collect()
+    }
+    b_clicks, b_purchases = split(spark.read.parquet(ordered_events_dir))
+    want = {
+        (r["c_user"], r["c_id"], r["p_id"]) for r in join(b_clicks, b_purchases).collect()
+    }
+    assert got == want and len(want) > 0
