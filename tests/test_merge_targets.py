@@ -91,3 +91,41 @@ def test_delta_target_gated_behind_import(spark, seeded):
         pass
     with pytest.raises(ImportError, match="delta-spark"):
         DeltaTarget(spark, seeded)
+
+
+def test_streaming_upsert_through_merge_target(spark):
+    """Composition: a stream applied to a MergeTarget inside foreachBatch —
+    the continuous-ingestion upsert pipeline. Re-keyed events arriving in
+    later micro-batches must overwrite earlier values (last-writer-wins by
+    batch order), new keys append."""
+    import tempfile as tf
+
+    path = tf.mkdtemp(prefix="stream_merge_") + "/t"
+    spark.createDataFrame(
+        [(k, k % 3, 0.0) for k in range(12)], "k long, p long, v double"
+    ).write.partitionBy("p").parquet(path)
+    target = PartitionedParquetTarget(spark, path, "p")
+
+    src = tf.mkdtemp(prefix="stream_merge_src_")
+    # two micro-batch files: batch 2 re-updates key 5 (same partition p=2)
+    spark.createDataFrame([(5, 2, 55.0), (20, 2, 20.0)], "k long, p long, v double") \
+        .coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame([(5, 2, 555.0), (21, 0, 21.0)], "k long, p long, v double") \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("k long, p long, v double") \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", tf.mkdtemp(prefix="ckpt_merge_"))
+        .foreachBatch(lambda df, _id: target.merge(df, "k"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    snap = _snapshot(target)
+    assert snap[20] == (2, 20.0) and snap[21] == (0, 21.0)
+    assert snap[5][1] in (55.0, 555.0)  # one of the update batches won...
+    assert len(snap) == 14
+    # ...and since file order is deterministic here, specifically the later one
+    assert snap[5] == (2, 555.0)
