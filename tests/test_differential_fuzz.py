@@ -233,3 +233,55 @@ def test_random_grouped_aggregates_match(orders_view, duck, pred, group, agg_col
         assert n == dn, (q, g)
         for a, b in ((s, ds), (lo, dlo), (hi, dhi)):
             assert (a is None and b is None) or abs(a - b) < 1e-6, (q, g, a, b)
+
+
+@st.composite
+def window_exprs(draw) -> str:
+    """A random window function call, semantics-identical in both engines:
+    deterministic because ordering is by the UNIQUE o_orderkey."""
+    part = draw(st.sampled_from(["o_orderstatus", "o_orderpriority", ""]))
+    over = (
+        f"OVER (PARTITION BY {part} ORDER BY o_orderkey)"
+        if part
+        else "OVER (ORDER BY o_orderkey)"
+    )
+    kind = draw(st.sampled_from(["rank", "offset", "frame"]))
+    if kind == "rank":
+        fn = draw(st.sampled_from(["ROW_NUMBER()", "RANK()", "DENSE_RANK()", "NTILE(4)"]))
+        return f"CAST({fn} {over} AS DOUBLE)"
+    if kind == "offset":
+        fn = draw(st.sampled_from(["LAG", "LEAD"]))
+        off = draw(st.integers(min_value=1, max_value=3))
+        return f"{fn}(o_totalprice, {off}) {over}"
+    lo = draw(st.integers(min_value=0, max_value=5))
+    agg = draw(st.sampled_from(["SUM", "MIN", "MAX", "COUNT"]))
+    frame = f"ROWS BETWEEN {lo} PRECEDING AND CURRENT ROW"
+    if part:
+        over_f = f"OVER (PARTITION BY {part} ORDER BY o_orderkey {frame})"
+    else:
+        over_f = f"OVER (ORDER BY o_orderkey {frame})"
+    return f"CAST({agg}(o_totalprice) {over_f} AS DOUBLE)"
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(wexpr=window_exprs())
+def test_random_window_functions_match(orders_view, duck, wexpr):
+    """Checksum the window column per status group: any drift in frame
+    semantics, null handling at partition edges, or tie-breaking shows up
+    as a checksum mismatch (ordering key is unique → deterministic)."""
+    q = (
+        "SELECT o_orderstatus AS g, ROUND(SUM(w), 1) AS cs, COUNT(w) AS n FROM ("
+        f"  SELECT o_orderstatus, {wexpr} AS w FROM orders WHERE o_orderkey < 8000"
+        ") GROUP BY o_orderstatus"
+    )
+    sp = {r["g"]: (r["cs"], r["n"]) for r in orders_view.sql(q).collect()}
+    dk = {row.g: (row.cs, row.n) for row in duck.sql(q).df().itertuples()}
+    assert set(sp) == set(dk), q
+    for g, (cs, n) in sp.items():
+        dcs, dn = dk[g]
+        assert n == dn, (q, g, n, dn)
+        assert (cs is None and dcs is None) or abs(cs - dcs) < 1e-6, (q, g, cs, dcs)
