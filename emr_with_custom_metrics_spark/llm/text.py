@@ -391,3 +391,100 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(bag).alias("bag_md5"),
         F.substring(F.md5("text"), 1, 16).alias("fp64_hex"),
     )
+
+
+@register(
+    "text_repetition_ratio",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (SELECT doc_id,
+                 CASE WHEN LEN(toks) >= 3
+                      THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                            for i in range(1, LEN(toks) - 1)]
+                      ELSE [] END AS grams
+          FROM t)
+    SELECT doc_id,
+           CAST(LEN(grams) AS BIGINT) AS n_grams,
+           ROUND(CASE WHEN LEN(grams) > 0
+                      THEN 1.0 - LEN(list_distinct(grams))::DOUBLE / LEN(grams)
+                      ELSE 0.0 END, 6) AS rep_ratio
+    FROM g
+    """,
+    doc="Repetition ratio (C4/Gopher-style quality rule): fraction of "
+    "duplicated word 3-grams per document — high values flag boilerplate "
+    "and degenerate/looping text. Map-side only (transform + "
+    "array_distinct inside the row), no shuffle.",
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fanned(spark, sf_dir, "documents")
+    w = tokens(F.col("text"))
+    grams = F.when(
+        F.size(w) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(w) - 3, F.lit(0))),
+            lambda i: F.array_join(F.slice(w, (i + 1).cast("int"), 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select("doc_id", grams.alias("grams"))
+    n = F.size("grams")
+    return g.select(
+        "doc_id",
+        n.cast("bigint").alias("n_grams"),
+        F.round(
+            F.when(
+                n > 0,
+                1.0 - F.size(F.array_distinct("grams")).cast("double") / n,
+            ).otherwise(0.0),
+            6,
+        ).alias("rep_ratio"),
+    )
+
+
+@register(
+    "text_pii_scrub",
+    # The corpus carries no PII, so deterministic fake PII (email + phone
+    # derived from doc_id) is planted in-query on BOTH sides — the regex
+    # detection and redaction logic is then fully value-checked.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             text || ' contact u' || doc_id || '@example.com or 555-' ||
+             LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' AS t
+      FROM documents WHERE doc_id < 300)
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(t, '[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z]')) AS INTEGER)
+             AS n_emails,
+           CAST(LEN(regexp_extract_all(t, '\\d{3}-\\d{4}')) AS INTEGER) AS n_phones,
+           md5(regexp_replace(regexp_replace(t,
+                 '[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z]', '<EMAIL>', 'g'),
+                 '\\d{3}-\\d{4}', '<PHONE>', 'g')) AS scrubbed_md5
+    FROM p
+    """,
+    doc="PII scrub ([EXT] pipeline hygiene): detect + redact email/phone "
+    "patterns, emitting match counts and the hash of the redacted text "
+    "(hash-checking redaction byte-for-byte). All JVM-side regexps; at "
+    "100 TB this is a map-only pass. Fake PII planted deterministically "
+    "in-query — the corpus itself is synthetic words.",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    email_re = "[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z]"
+    phone_re = r"\d{3}-\d{4}"
+    d = load_fanned(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" now"),
+    )
+    p = d.select("doc_id", planted.alias("t"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("t"), email_re, "<EMAIL>"), phone_re, "<PHONE>"
+    )
+    return p.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(email_re), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(phone_re), F.lit(0))).alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
