@@ -274,7 +274,7 @@ def test_random_window_functions_match(orders_view, duck, wexpr):
     semantics, null handling at partition edges, or tie-breaking shows up
     as a checksum mismatch (ordering key is unique → deterministic)."""
     q = (
-        "SELECT o_orderstatus AS g, ROUND(SUM(w), 1) AS cs, COUNT(w) AS n FROM ("
+        "SELECT o_orderstatus AS g, SUM(w) AS cs, COUNT(w) AS n FROM ("
         f"  SELECT o_orderstatus, {wexpr} AS w FROM orders WHERE o_orderkey < 8000"
         ") GROUP BY o_orderstatus"
     )
@@ -284,4 +284,8 @@ def test_random_window_functions_match(orders_view, duck, wexpr):
     for g, (cs, n) in sp.items():
         dcs, dn = dk[g]
         assert n == dn, (q, g, n, dn)
-        assert (cs is None and dcs is None) or abs(cs - dcs) < 1e-6, (q, g, cs, dcs)
+        # relative tolerance: the checksum sums thousands of ~1e5-magnitude
+        # doubles, so engines legitimately differ by summation order — an
+        # exact (or SQL-rounded) compare flips on .5 ULP boundaries.
+        tol = 1e-9 * max(1.0, abs(cs or 0.0), abs(dcs or 0.0))
+        assert (cs is None and dcs is None) or abs(cs - dcs) <= tol, (q, g, cs, dcs)
