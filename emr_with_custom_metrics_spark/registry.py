@@ -164,6 +164,7 @@ def _ensure_loaded() -> None:
     import emr_with_custom_metrics_spark.operators.relational  # noqa: F401
     import emr_with_custom_metrics_spark.operators.extended  # noqa: F401
     import emr_with_custom_metrics_spark.operators.joins  # noqa: F401
+    import emr_with_custom_metrics_spark.operators.tpch_extra  # noqa: F401
     import emr_with_custom_metrics_spark.operators.windows  # noqa: F401
     import emr_with_custom_metrics_spark.operators.setops  # noqa: F401
     import emr_with_custom_metrics_spark.operators.asof  # noqa: F401
