@@ -1,0 +1,313 @@
+"""Corpus-preparation operators a training-data pipeline runs at 100 TB:
+document fingerprinting (winnowing), edit-distance near-dup blocking,
+deterministic dataset splits, sequence packing, and weighted mixture
+sampling.
+
+No reference analogue (the reference is a single-table metrics ETL,
+`spark_converter.py:20-28`); these are the §2B "beyond the reference"
+operators the engine mandate adds. All are pure Catalyst expressions —
+no Python UDFs — so they stay inside whole-stage codegen and scale
+linearly with the corpus.
+
+Determinism contract: every hash used for placement (splits, sampling
+buckets) is ``md5`` of a stable key — identical lowercase hex in Spark and
+DuckDB — so the oracle reproduces placement exactly, and a re-run on the
+same corpus lands every document in the same shard. Never ``rand()``.
+
+Tokenization matches ``llm/text.py``: whitespace split (the corpus is
+pre-normalized; swap the regex tokenizer in one place if not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emr_with_custom_metrics_spark.catalog import load_fanned, load_table
+from emr_with_custom_metrics_spark.registry import register
+
+_HEX = "0123456789abcdef"
+
+
+@register(
+    "text_fingerprint_winnowing",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), g AS (
+        SELECT doc_id,
+               list_transform(range(1, len(toks) - 2),
+                   i -> md5(array_to_string(list_slice(toks, i, i + 3), ' '))) AS grams
+        FROM t WHERE len(toks) >= 8
+    ), f AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(grams) - 3),
+                   j -> list_min(list_slice(grams, j, j + 4)))) AS fps
+        FROM g
+    )
+    SELECT doc_id, UNNEST(fps) AS fingerprint FROM f
+    """,
+    doc="Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the "
+    "MOSS scheme): hash every 4-token shingle, keep the minimum hash of "
+    "each sliding window of 5 — guarantees any shared run of ≥ 8 tokens "
+    "between two documents shares a fingerprint, at ~1/5 the stored "
+    "hashes of full shingling. All array HOFs (transform/slice/array_min) "
+    "— per-row work, embarrassingly parallel, no shuffle until the "
+    "fingerprint join a caller adds. md5 keeps the oracle bit-identical.",
+)
+def text_fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k, w = 4, 5
+    d = load_fanned(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    # n-k+1 k-grams exist for n tokens; winnowing needs ≥ 1 full window of
+    # w grams → n ≥ k + w - 1. (Spark's sequence(1, m) DESCENDS for m < 1,
+    # so the size guard is correctness, not just efficiency.)
+    grams = F.expr(
+        f"transform(sequence(1, size(toks) - {k - 1}), "
+        f"i -> md5(concat_ws(' ', slice(toks, i, {k}))))"
+    )
+    fps = F.expr(
+        f"array_distinct(transform(sequence(1, size(grams) - {w - 1}), "
+        f"j -> array_min(slice(grams, j, {w}))))"
+    )
+    return (
+        d.where(F.size("toks") >= k + w - 1)
+        .select("doc_id", grams.alias("grams"))
+        .select("doc_id", F.explode(fps).alias("fingerprint"))
+    )
+
+
+@register(
+    "dedup_levenshtein_blocked",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, n_chars // 64 AS blk, substr(text, 1, 96) AS prefix
+        FROM documents
+    )
+    SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+           CAST(levenshtein(a.prefix, b.prefix) AS INT) AS edit_dist
+    FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.prefix, b.prefix) <= 24
+    """,
+    doc="Edit-distance near-duplicate pairs with length-bucket blocking: "
+    "candidate pairs only form inside a 64-char length band (levenshtein "
+    "≥ |len(a)-len(b)|, so distant-length pairs cannot qualify and are "
+    "never materialized). Distance runs on a 96-char prefix — O(96²) per "
+    "pair instead of O(doc²). At 100 TB the blocking key is the shuffle "
+    "key (equi-join, no cross join); tighter bands or an added first-token "
+    "key cap block sizes under skew, and Spark's 3-arg "
+    "levenshtein(l, r, threshold) short-circuits the DP early (kept out "
+    "of this query only because DuckDB lacks the 3-arg form).",
+)
+def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            (F.col("n_chars") / 64).cast("bigint").alias("blk"),
+            F.substring("text", 1, 96).alias("prefix"),
+        )
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .where(dist <= 24)
+        .select(
+            F.col("a.doc_id").alias("left_id"),
+            F.col("b.doc_id").alias("right_id"),
+            dist.cast("int").alias("edit_dist"),
+        )
+    )
+
+
+@register(
+    "split_train_valid_test",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT source,
+               CASE WHEN b <= 12 THEN 'train'
+                    WHEN b <= 14 THEN 'valid'
+                    ELSE 'test' END AS split_name
+        FROM (
+            SELECT source,
+                   instr('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS b
+            FROM documents
+        )
+    )
+    SELECT split_name, COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources
+    FROM assigned GROUP BY split_name
+    """,
+    doc="Deterministic 75/12.5/12.5 train/valid/test split: the first hex "
+    "nibble of md5(doc_id) picks the shard. Hash-based (never rand()) so "
+    "membership is a pure function of the id — re-runs, backfills, and "
+    "incremental batches land every document in the same split, and the "
+    "assignment needs no shuffle at all (map-side expression). The "
+    "per-split source count verifies every split draws from all sources.",
+)
+def split_train_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(f"instr('{_HEX}', substring(md5(cast(doc_id as string)), 1, 1))")
+    split_name = (
+        F.when(bucket <= 12, "train").when(bucket <= 14, "valid").otherwise("test")
+    )
+    return (
+        d.select(split_name.alias("split_name"), "source")
+        .groupBy("split_name")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+@register(
+    "pack_token_chunks",
+    oracle="""
+    WITH sized AS (
+        SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ), spans AS (
+        SELECT source, doc_id, n_tok,
+               CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT)
+                   AS tok_start,
+               CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end
+        FROM sized
+    ), chunked AS (
+        SELECT source, doc_id, tok_start, tok_end,
+               UNNEST(generate_series(tok_start // 256, (tok_end - 1) // 256))
+                   AS chunk_id
+        FROM spans
+    )
+    SELECT source, chunk_id, COUNT(*) AS n_docs,
+           SUM(LEAST(tok_end, (chunk_id + 1) * 256)
+               - GREATEST(tok_start, chunk_id * 256)) AS chunk_tokens
+    FROM chunked GROUP BY source, chunk_id
+    """,
+    doc="Concat-and-chunk sequence packing (the LM-pretraining layout): "
+    "per source, documents concatenate in doc_id order into a token "
+    "stream cut into 256-token chunks; a document spanning a boundary "
+    "contributes to both chunks. One window per source computes the "
+    "spans (single shuffle on source), the chunk fan-out is a sequence "
+    "explode — no iteration, no driver state. Every chunk but each "
+    "source's last sums to exactly 256 tokens, which the oracle checks "
+    "value-by-value. At 100 TB the source partitioning bounds window "
+    "state; for a single giant source, pre-bucket by (source, "
+    "doc_id div N) and offset chunk ids by a per-bucket base.",
+)
+def pack_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    budget = 256
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    win = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    spans = d.select(
+        "source",
+        "doc_id",
+        (F.sum("n_tok").over(win) - F.col("n_tok")).alias("tok_start"),
+        F.sum("n_tok").over(win).alias("tok_end"),
+    )
+    chunked = spans.select(
+        "source",
+        "tok_start",
+        "tok_end",
+        F.explode(
+            F.sequence(
+                F.expr(f"tok_start div {budget}"), F.expr(f"(tok_end - 1) div {budget}")
+            )
+        ).alias("chunk_id"),
+    )
+    in_chunk = F.least(
+        F.col("tok_end"), (F.col("chunk_id") + 1) * budget
+    ) - F.greatest(F.col("tok_start"), F.col("chunk_id") * budget)
+    return chunked.groupBy("source", "chunk_id").agg(
+        F.count("*").alias("n_docs"), F.sum(in_chunk).alias("chunk_tokens")
+    )
+
+
+@register(
+    "mixture_sample_weighted",
+    oracle=f"""
+    WITH rated AS (
+        SELECT source,
+               (instr('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+               + instr('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS b,
+               64 * (CAST(substr(source, 4) AS INT) % 3 + 1) AS keep_below
+        FROM documents
+    )
+    SELECT source, COUNT(*) AS n_total,
+           SUM(CASE WHEN b < keep_below THEN 1 ELSE 0 END) AS n_kept
+    FROM rated GROUP BY source
+    """,
+    doc="Weighted mixture sampling: each source keeps a configured "
+    "fraction (here 25/50/75% by source number mod 3 — stand-in for a "
+    "real mixture config) chosen by the first md5 byte of doc_id against "
+    "a 256-bucket threshold. Deterministic membership (same doc always "
+    "kept or dropped — stable across re-runs and incremental loads, "
+    "unlike df.sample), map-side only, integer compare. The oracle "
+    "recomputes placement exactly.",
+)
+def mixture_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    b = (
+        (F.expr(f"instr('{_HEX}', substring(md5(cast(doc_id as string)), 1, 1))") - 1) * 16
+        + F.expr(f"instr('{_HEX}', substring(md5(cast(doc_id as string)), 2, 1))")
+        - 1
+    )
+    keep_below = 64 * (F.substring("source", 4, 10).cast("int") % 3 + 1)
+    return (
+        d.select("source", b.alias("b"), keep_below.alias("keep_below"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(F.col("b") < F.col("keep_below"), 1).otherwise(0)).alias("n_kept"),
+        )
+    )
+
+
+@register(
+    "text_heavy_hitters",
+    oracle="""
+    WITH tok AS (
+        SELECT UNNEST(string_split(text, ' ')) AS token FROM documents
+    ), counts AS (
+        SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+    ), total AS (
+        SELECT SUM(cnt) AS t FROM counts
+    )
+    SELECT token, cnt, CAST(ROUND(cnt / t, 6) AS DOUBLE) AS share
+    FROM counts, total
+    WHERE cnt > t / 200
+    """,
+    doc="Exact heavy hitters: tokens above 0.5% of corpus mass, with "
+    "share-of-total. Partial aggregation does the heavy lifting "
+    "map-side (vocabulary, not corpus, crosses the shuffle); the 1-row "
+    "total re-attaches via broadcast cross join. The exact ground truth "
+    "a count-min/SpaceSaving sketch would be validated against.",
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fanned(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") > F.col("t") / 200)
+        .select(
+            "token",
+            "cnt",
+            F.round(F.col("cnt") / F.col("t"), 6).cast("double").alias("share"),
+        )
+    )

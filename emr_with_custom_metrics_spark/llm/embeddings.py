@@ -1,0 +1,197 @@
+"""Embedding-column analytics: int8 quantization, covariance (the PCA
+precursor), and Lloyd's k-means — all over the ``embeddings`` table's
+``array<float>`` column, all JVM-side (array HOFs / built-in aggregates,
+no Python UDF in any hot path).
+
+No reference analogue (§2B mandate). Scale notes per operator; the common
+theme is that per-vector work is map-side and the only shuffles carry
+fixed-size state (d² co-moments, k·d centroid sums) — never vectors.
+
+Float determinism: per-vector HOF folds (``aggregate``) run
+left-to-right over the same 64 elements in both engines, so derived
+scalars are bit-stable; cross-row aggregates (covariance, inertia) are
+summation-order-dependent and are rounded to 6 dp on both sides, leaving
+~9 orders of magnitude between fp jitter (~1e-15 rel) and the rounding
+step. k-means emits integer sizes plus rounded inertia and is held to a
+convergence test instead of an oracle (iteration count × float drift can
+flip a boundary assignment).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emr_with_custom_metrics_spark.catalog import load_fanned, load_table
+from emr_with_custom_metrics_spark.registry import register
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH q AS (
+        -- CAST to DOUBLE on both operands: DuckDB otherwise divides
+        -- DECIMAL/FLOAT in float32 while Spark promotes to double
+        SELECT vec_id,
+               CAST(127.0 AS DOUBLE)
+               / CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+                   AS scale
+        FROM embeddings
+        WHERE list_max(list_transform(embedding, x -> abs(x))) > 0
+    )
+    SELECT e.vec_id,
+           CAST(ROUND(q.scale, 6) AS DOUBLE) AS scale,
+           CAST(list_aggregate(list_transform(e.embedding,
+                    x -> CAST(round(x * q.scale) AS BIGINT)), 'sum') AS BIGINT)
+               AS code_sum,
+           CAST(list_max(list_transform(e.embedding,
+                    x -> abs(CAST(round(x * q.scale) AS BIGINT)))) AS BIGINT)
+               AS max_abs_code
+    FROM embeddings e JOIN q ON e.vec_id = q.vec_id
+    """,
+    doc="Symmetric int8 quantization: per-vector scale = 127/max|x|, "
+    "codes = round(x·scale) ∈ [-127, 127]. Emits integer checksums "
+    "(code sum, max |code|) rather than the code arrays — integers "
+    "hash-match exactly across engines, and max_abs_code = 127 for every "
+    "vector is the saturation invariant. Pure map-side HOF work: at "
+    "100 TB this is a scan-shaped pass that writes 16× smaller vectors, "
+    "no shuffle at all.",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_fanned(spark, sf_dir, "embeddings")
+    amax = F.array_max(F.expr("transform(embedding, x -> abs(x))"))
+    # project the per-vector scale once; the code lambdas reference it as
+    # an outer attribute instead of recomputing the array max per element
+    scaled = e.where(amax > 0).select(
+        "vec_id", "embedding", (F.lit(127.0) / amax.cast("double")).alias("vscale")
+    )
+    codes = F.expr("transform(embedding, x -> cast(round(x * vscale) as bigint))")
+    return scaled.select(
+        "vec_id",
+        F.round("vscale", 6).cast("double").alias("scale"),
+        F.aggregate(codes, F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias("code_sum"),
+        F.array_max(F.transform(codes, lambda c: F.abs(c))).alias("max_abs_code"),
+    )
+
+
+@register(
+    "embedding_covariance",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.i AS i, b.i AS j
+        FROM (SELECT UNNEST(range(8)) AS i) a,
+             (SELECT UNNEST(range(8)) AS i) b
+        WHERE a.i <= b.i
+    )
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           CAST(ROUND(COVAR_SAMP(embedding[i + 1], embedding[j + 1]), 6) AS DOUBLE)
+               AS cov
+    FROM embeddings, pairs
+    GROUP BY i, j
+    """,
+    doc="Sample covariance over the first 8 embedding dimensions — the "
+    "d×d co-moment matrix that feeds a driver-side eigendecomposition "
+    "for PCA (d² numbers; the eigensolve is O(d³) on d≪1000, never a "
+    "cluster job). The 36-row dim-pair table broadcasts onto the "
+    "vectors; each covariance is one built-in COVAR_SAMP over "
+    "element_at — the shuffle carries 36 co-moment triples, not "
+    "vectors. At full d=64 that's 2080 pairs: same plan, still "
+    "broadcast-side. Rounded to 6 dp (merge-order fp jitter ~1e-15).",
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = spark.range(8).select(F.col("id").cast("int").alias("i"))
+    pairs = dims.crossJoin(dims.select(F.col("i").alias("j"))).where(F.col("i") <= F.col("j"))
+    return (
+        e.crossJoin(F.broadcast(pairs))
+        .groupBy("i", "j")
+        .agg(
+            F.round(
+                F.covar_samp(
+                    F.element_at("embedding", F.col("i") + 1),
+                    F.element_at("embedding", F.col("j") + 1),
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("cov")
+        )
+    )
+
+
+@register(
+    "kmeans_embeddings",
+    oracle=None,  # iterative float argmin: boundary assignments are not
+    # engine-reproducible; held to the convergence/partition invariants in
+    # tests/test_llm_quality.py instead.
+    doc="Lloyd's k-means (k=8, 3 iterations) expressed as DataFrame ops: "
+    "assignment is a broadcast join of the k centroids onto the vectors "
+    "(distance via zip_with/aggregate HOFs — JVM codegen, no UDF), "
+    "argmin via min_by; the update step posexplodes assigned vectors to "
+    "(cluster, dim, value) and averages per cell, so the shuffle carries "
+    "k·d cell sums, never raw vectors. Each iteration localCheckpoints "
+    "the k·d centroid table to truncate lineage (the round-1 "
+    "connected-components lesson). Returns cluster sizes + inertia. "
+    "At 100 TB: identical plan per iteration; k·d state broadcasts at "
+    "any k that fits a training job (k≤65k), vectors never shuffle.",
+)
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _kmeans_df(spark, sf_dir, k=8, iters=3)
+
+
+def _kmeans_df(spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 3) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_fanned(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    # deterministic init: the k lowest vec_ids (no rand(); reproducible)
+    centroids = (
+        e.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.row_number().over(Window.orderBy("vec_id")).alias("cid"),
+            F.col("embedding").alias("centroid"),
+        )
+    )
+
+    dist2 = F.aggregate(
+        F.zip_with("embedding", "centroid", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    for _ in range(iters):
+        assigned = (
+            e.crossJoin(F.broadcast(centroids))
+            .select("vec_id", "embedding", "cid", dist2.alias("d2"))
+            .groupBy("vec_id")
+            .agg(
+                F.min_by("cid", "d2").alias("cid"),
+                F.first("embedding").alias("embedding"),
+                F.min("d2").alias("d2"),
+            )
+        )
+        centroids = (
+            assigned.select("cid", F.posexplode("embedding").alias("dim", "val"))
+            .groupBy("cid", "dim")
+            .agg(F.avg("val").alias("mean"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "mean"))),
+                    lambda s: s["mean"].cast("float"),
+                ).alias("centroid")
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    final = (
+        e.crossJoin(F.broadcast(centroids))
+        .select("vec_id", dist2.alias("d2"), "cid")
+        .groupBy("vec_id")
+        .agg(F.min_by("cid", "d2").alias("cid"), F.min("d2").alias("d2"))
+    )
+    return final.groupBy("cid").agg(
+        F.count("*").alias("n_points"),
+        F.round(F.sum("d2"), 4).cast("double").alias("inertia"),
+    )

@@ -168,6 +168,7 @@ def _ensure_loaded() -> None:
     import emr_with_custom_metrics_spark.operators.windows  # noqa: F401
     import emr_with_custom_metrics_spark.operators.setops  # noqa: F401
     import emr_with_custom_metrics_spark.operators.asof  # noqa: F401
+    import emr_with_custom_metrics_spark.operators.anomaly  # noqa: F401
     import emr_with_custom_metrics_spark.functions.scalar  # noqa: F401
     import emr_with_custom_metrics_spark.functions.collections  # noqa: F401
     import emr_with_custom_metrics_spark.functions.vector  # noqa: F401
@@ -175,6 +176,8 @@ def _ensure_loaded() -> None:
     import emr_with_custom_metrics_spark.streaming.metrics  # noqa: F401
     import emr_with_custom_metrics_spark.llm.text  # noqa: F401
     import emr_with_custom_metrics_spark.llm.dedup  # noqa: F401
+    import emr_with_custom_metrics_spark.llm.corpus_ops  # noqa: F401
+    import emr_with_custom_metrics_spark.llm.embeddings  # noqa: F401
     import emr_with_custom_metrics_spark.llm.similarity  # noqa: F401
     import emr_with_custom_metrics_spark.llm.multimodal  # noqa: F401
     _LOADED = True

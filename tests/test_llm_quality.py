@@ -205,3 +205,31 @@ def test_connected_components_warns_when_unconverged(spark):
         labels = dedup.connected_components(nodes, edges).collect()
     assert not any("no fixpoint" in str(w.message) for w in caught)
     assert {r["comp"] for r in labels} == {0}
+
+
+def test_kmeans_partitions_all_vectors_and_is_deterministic(spark):
+    """kmeans_embeddings is rows-only: hold it to the partition invariant
+    (cluster sizes sum to N, ≤ k clusters, positive inertia) and to
+    determinism — two runs from the same deterministic seeds must agree
+    exactly (no rand() anywhere in the pipeline)."""
+    out = SPECS["kmeans_embeddings"].fn(spark, SF_DIR).collect()
+    n_vectors = load_table(spark, SF_DIR, "embeddings").count()
+    assert sum(r["n_points"] for r in out) == n_vectors
+    assert 1 <= len(out) <= 8
+    assert sum(r["inertia"] for r in out) > 0
+
+    out2 = SPECS["kmeans_embeddings"].fn(spark, SF_DIR).collect()
+    assert sorted((r["cid"], r["n_points"], r["inertia"]) for r in out) == sorted(
+        (r["cid"], r["n_points"], r["inertia"]) for r in out2
+    )
+
+
+def test_kmeans_improves_on_singleiter_inertia(spark):
+    """Lloyd's monotonicity: running the registered 3-iteration query must
+    not end with higher inertia than a 1-iteration variant built from the
+    same deterministic seeds."""
+    from emr_with_custom_metrics_spark.llm.embeddings import _kmeans_df
+
+    one = _kmeans_df(spark, SF_DIR, iters=1).collect()
+    three = _kmeans_df(spark, SF_DIR, iters=3).collect()
+    assert sum(r["inertia"] for r in three) <= sum(r["inertia"] for r in one) + 1e-6
