@@ -16,8 +16,8 @@ Scale posture: every dim side (nation/region/supplier/part) carries an
 explicit ``F.broadcast`` — at 100 TB those stay KB–MB while the fact side
 grows, so the only shuffles left are the fact-side aggregations. Global
 scalars (Q11's threshold, Q15's max, Q22's mean) are computed as 1-row
-aggregates and re-attached via ``crossJoin(F.broadcast(...))`` — never a
-driver-side ``.collect()`` (the ``text_logfreq_score`` lesson, VERDICT r1).
+aggregates and re-attached via ``crossJoin(F.broadcast(...))`` — never
+collected driver-side (the ``text_logfreq_score`` lesson, VERDICT r1).
 
 Float-hash discipline (registry docstring): money sums run in
 DECIMAL(12,2) and surface as DOUBLE; averages are expressed as

@@ -118,7 +118,7 @@ _HEAVY = frozenset(
         "dedup_ngram_jaccard_prefix",
         "dedup_clusters", "dedup_incremental_batch", "dedup_embedding_cosine",
         "similarity_ann_lsh", "similarity_ivf_topk", "cooldown_suppression",
-        "autoscale_timeline", "multimodal_feature_extract",
+        "autoscale_timeline", "multimodal_feature_extract", "kmeans_embeddings",
     }
 )
 

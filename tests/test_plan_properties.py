@@ -118,3 +118,53 @@ def test_no_driver_side_collect_in_query_modules():
             if ".collect()" in code:
                 offenders.append(f"{rel}:{i}")
     assert not offenders, offenders
+
+
+def test_q7_broadcasts_every_dim(spark):
+    # supplier + both nation aliases broadcast; only the fact-side joins
+    # (orders⋈customer⋈lineitem) may shuffle.
+    plan = formatted_plan(SPECS["q7_nation_volume"].fn(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+
+
+def test_q19_disjunction_pushes_supersets_to_both_scans(spark):
+    # Catalyst extracts per-side OR-supersets: the part scan must carry a
+    # p_brand/p_size disjunct, lineitem must carry the quantity range.
+    df = SPECS["q19_disjunctive_pred"].fn(spark, SF_DIR)
+    pf = " ".join(pushed_filters(df))
+    assert "p_brand" in pf or "p_size" in pf, pf
+    assert "l_quantity" in pf, pf
+
+
+def test_q11_global_threshold_is_broadcast_not_collect(spark):
+    # share-of-total must re-attach the 1-row aggregate via a broadcast
+    # join (BroadcastNestedLoopJoin for the cross join), never a second
+    # scan-wide shuffle or a driver collect.
+    plan = formatted_plan(SPECS["q11_part_value_share"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan[:2000]
+
+
+def test_q22_anti_join_shape(spark):
+    plan = formatted_plan(SPECS["q22_inactive_customers"].fn(spark, SF_DIR))
+    assert "LeftAnti" in plan, plan[:2000]
+
+
+def test_winnowing_is_shuffle_free(spark):
+    # per-document HOF pipeline: the only exchange allowed is the
+    # load_fanned round-robin repartition (scan parallelism), never a
+    # data-dependent shuffle.
+    df = SPECS["text_fingerprint_winnowing"].fn(spark, SF_DIR)
+    assert count_exchanges(df) <= 1, formatted_plan(df)[:2000]
+
+
+def test_split_assignment_is_map_side(spark):
+    # the split assignment itself adds no exchange: the only shuffles are
+    # the final 3-group aggregation and COUNT(DISTINCT source)'s expand
+    # (two exchanges total for the summary, none for the assignment)
+    df = SPECS["split_train_valid_test"].fn(spark, SF_DIR)
+    assert count_exchanges(df) <= 2, formatted_plan(df)[:2000]
+
+
+def test_zscore_stats_broadcast_back(spark):
+    plan = formatted_plan(SPECS["events_zscore_outliers"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
