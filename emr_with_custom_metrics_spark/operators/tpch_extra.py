@@ -464,3 +464,96 @@ def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c_acctbal").cast("decimal(14,2)")).cast("double").alias("totacctbal"),
         )
     )
+
+
+_Q16 = """
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_size IN (1, 5, 9, 13, 17)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+"""
+
+
+@register(
+    "sql_q16_supplier_cnt",
+    oracle=_Q16,
+    doc="TPC-H Q16 shape via the SQL entry point: distinct-supplier counts "
+    "per part class with a NOT IN exclusion subquery. Adaptation: the "
+    "part-supplier relation is lineitem (no partsupp); 'complaint' "
+    "suppliers are the negative-balance ones. s_suppkey is non-null so "
+    "the null-aware NOT IN compiles to a broadcast anti join, and "
+    "COUNT(DISTINCT) runs as the two-phase expand aggregate.",
+)
+def sql_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emr_with_custom_metrics_spark.operators.extended import _sql
+
+    return _sql(spark, sf_dir, _Q16, ("lineitem", "part", "supplier"))
+
+
+_Q20 = """
+    SELECT s_name, CAST(ROUND(s_acctbal, 2) AS DOUBLE) AS s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'red%'
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey
+        HAVING SUM(l_quantity) > 100
+    )
+    AND s_nationkey IN (
+        SELECT n_nationkey FROM nation
+        WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+    )
+"""
+
+
+@register(
+    "sql_q20_excess_shippers",
+    oracle=_Q20,
+    doc="TPC-H Q20 shape via the SQL entry point: nested IN-subqueries — "
+    "an aggregated HAVING subquery (suppliers who moved >100 units of "
+    "red parts in 1996) intersected with a dim-filter subquery. "
+    "Adaptation: shipped quantity stands in for partsupp availability. "
+    "Both IN's compile to semi joins; the nation one broadcasts.",
+)
+def sql_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emr_with_custom_metrics_spark.operators.extended import _sql
+
+    return _sql(spark, sf_dir, _Q20, ("supplier", "lineitem", "part", "nation"))
+
+
+_Q21 = """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s_name
+"""
+
+
+@register(
+    "sql_q21_waiting_supplier",
+    oracle=_Q21,
+    doc="TPC-H Q21 shape via the SQL entry point: the classic "
+    "EXISTS + NOT EXISTS pair — suppliers whose line item shipped last "
+    "in a multi-supplier finished order. Adaptation: 'kept waiting' is "
+    "latest l_shipdate in the order (no receipt/commit dates). Both "
+    "correlated subqueries decorrelate to joins on l_orderkey "
+    "(semi + anti), so the plan is three hash joins on the same key — "
+    "one shuffle of lineitem reused across them.",
+)
+def sql_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emr_with_custom_metrics_spark.operators.extended import _sql
+
+    return _sql(spark, sf_dir, _Q21, ("supplier", "lineitem", "orders"))
