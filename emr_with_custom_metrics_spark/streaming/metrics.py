@@ -380,3 +380,45 @@ def cooldown_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return alarms.groupBy("rule").applyInPandas(
         suppress, schema="rule string, bucket_start bigint, avg_value double"
     )
+
+
+@register(
+    "stream_enrich_dim",
+    oracle="""
+    SELECT n_name, event_type, COUNT(*) AS n_events,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name, event_type
+    """,
+    doc="Stream-static enrichment: the event stream joins two static dims "
+    "(customer → nation) before aggregating per nation. In Structured "
+    "Streaming this exact plan runs with events as readStream — "
+    "stream-static joins need no watermark and the static side is "
+    "re-resolved per micro-batch (picking up dim updates); both dims "
+    "broadcast, so the stream side never shuffles before the aggregate. "
+    "`tests/test_streaming_pipeline.py::test_stream_static_enrichment_matches_batch` "
+    "runs the streaming form and asserts equality with this batch result.",
+)
+def stream_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return enrich_with_dims(
+        ev,
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def enrich_with_dims(events: DataFrame, customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """Shared batch/streaming formulation: works identically on a batch
+    events frame and a readStream one (stream-static join)."""
+    return (
+        events.join(F.broadcast(customer), F.col("user_id") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )

@@ -7,6 +7,8 @@ broadcast, window batteries share one exchange, top-k avoids global sorts.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from emr_with_custom_metrics_spark import registry
@@ -168,3 +170,24 @@ def test_split_assignment_is_map_side(spark):
 def test_zscore_stats_broadcast_back(spark):
     plan = formatted_plan(SPECS["events_zscore_outliers"].fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path):
+    """The 100 TB layout contract: a table written partitioned by a column
+    must expose PartitionFilters (directory pruning — zero IO for pruned
+    partitions, not just row-group skipping) when filtered on it."""
+    out = str(tmp_path / "orders_by_status")
+    load_table(spark, SF_DIR, "orders").write.partitionBy("o_orderstatus").mode(
+        "overwrite"
+    ).parquet(out)
+    df = spark.read.parquet(out).where(F.col("o_orderstatus") == "F")
+    plan = formatted_plan(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "o_orderstatus" in m.group(1), plan[:1500]
+    # and the non-partition predicate must NOT appear as a pushed filter
+    # (it is the partition key; nothing else to push here)
+    df2 = spark.read.parquet(out).where(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 1000)
+    )
+    pf = " ".join(pushed_filters(df2))
+    assert "o_totalprice" in pf, pf

@@ -373,3 +373,44 @@ def test_stream_stream_join_matches_batch(spark, ordered_events_dir):
         (r["c_user"], r["c_id"], r["p_id"]) for r in join(b_clicks, b_purchases).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_static_enrichment_matches_batch(spark, events_stream_dir):
+    """Stream-static join: the event stream enriches against two static
+    dims (broadcast, no watermark needed) and aggregates; with
+    availableNow + complete mode the final result must equal the batch
+    formulation of the same plan."""
+    import tempfile as tf
+
+    from emr_with_custom_metrics_spark.catalog import load_table
+    from emr_with_custom_metrics_spark.streaming.metrics import enrich_with_dims
+    from emr_with_custom_metrics_spark.streaming.pipeline import EVENTS_SCHEMA
+
+    customer = load_table(spark, SF_SMOKE_DIR, "customer")
+    nation = load_table(spark, SF_SMOKE_DIR, "nation")
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_stream_dir)
+    )
+    q = (
+        enrich_with_dims(stream, customer, nation)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("enriched")
+        .option("checkpointLocation", tf.mkdtemp(prefix="ckpt_enrich_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["n_name"], r["event_type"], r["n_events"], r["avg_value"])
+        for r in spark.sql("SELECT * FROM enriched").collect()
+    }
+    batch = spark.read.schema(EVENTS_SCHEMA).parquet(events_stream_dir)
+    want = {
+        (r["n_name"], r["event_type"], r["n_events"], r["avg_value"])
+        for r in enrich_with_dims(batch, customer, nation).collect()
+    }
+    assert got == want and len(want) > 0
