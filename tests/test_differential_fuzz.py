@@ -289,3 +289,39 @@ def test_random_window_functions_match(orders_view, duck, wexpr):
         # exact (or SQL-rounded) compare flips on .5 ULP boundaries.
         tol = 1e-9 * max(1.0, abs(cs or 0.0), abs(dcs or 0.0))
         assert (cs is None and dcs is None) or abs(cs - dcs) <= tol, (q, g, cs, dcs)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    op=st.sampled_from(
+        ["UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL", "EXCEPT", "EXCEPT ALL"]
+    ),
+    pred_a=predicates(),
+    pred_b=predicates(),
+)
+def test_random_set_operations_match(orders_view, duck, op, pred_a, pred_b):
+    """Set-op semantics diffed against DuckDB: bag vs set variants, NULL
+    equality (set ops treat NULLs as equal — unlike predicates), and
+    duplicate multiplicity under ALL. Projection keeps a few columns so
+    row identity is non-trivial but hashable.
+
+    Fuzzer-found dialect trap (kept out of the projection on purpose):
+    CAST(double AS INT) TRUNCATES in Spark but ROUNDS-to-nearest in
+    DuckDB — 123.9 becomes 123 vs 124, changing row identity. FLOOR is
+    identical in both; any oracled query casting a fractional double to
+    an integer type must floor/round explicitly first."""
+    proj = "o_orderstatus, o_orderpriority, CAST(FLOOR(o_totalprice) AS BIGINT) AS p"
+    q = (
+        f"SELECT COUNT(*) AS n, COALESCE(SUM(p), 0) AS s FROM ("
+        f"SELECT {proj} FROM orders WHERE {pred_a} "
+        f"{op} "
+        f"SELECT {proj} FROM orders WHERE {pred_b}) t"
+    )
+    sp = orders_view.sql(q).collect()[0]
+    row = duck.sql(q).df()
+    assert sp["n"] == row["n"][0], (q, sp["n"], row["n"][0])
+    assert int(sp["s"]) == int(row["s"][0]), (q, sp["s"], row["s"][0])
