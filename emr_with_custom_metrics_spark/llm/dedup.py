@@ -137,13 +137,25 @@ _SHINGLE_JACCARD_PAIRS_ORACLE = """
              list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
                             for i in range(1, LEN(toks) - 1)]) AS sh
       FROM w),
+    sizes AS (SELECT doc_id, LEN(sh) AS n FROM docs),
+    tok AS (SELECT doc_id, UNNEST(sh) AS s FROM docs),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS c
+      FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
     pairs AS (
-      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-             ROUND(LEN(list_intersect(a.sh, b.sh))::DOUBLE
-                   / LEN(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-      FROM docs a JOIN docs b ON a.doc_id < b.doc_id)
+      SELECT a_id, b_id,
+             ROUND(c::DOUBLE / (sa.n + sb.n - c), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = a_id
+      JOIN sizes sb ON sb.doc_id = b_id)
     SELECT a_id, b_id, jaccard FROM pairs WHERE jaccard >= {thr}
 """
+# NOTE: inverted-index formulation (same as the engine's own plan) rather
+# than all-pairs list_intersect — |A∩B| from the token self-join, |A∪B| =
+# |A|+|B|−|A∩B|; integer counts → identical 6-dp rounding. Cut the
+# driver-side oracle cost ~10× at sf0.01 (the all-pairs form intersected
+# ~1000-element lists for every one of the 31k doc pairs).
 
 
 def jaccard_pairs(documents: DataFrame, threshold: float) -> DataFrame:
@@ -561,11 +573,20 @@ def connected_components(
              list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
                             for i in range(1, LEN(toks) - 1)]) AS s
       FROM w),
+    -- inverted-index pair generation (same rewrite as
+    -- _SHINGLE_JACCARD_PAIRS_ORACLE: ~10× cheaper than all-pairs
+    -- list_intersect, identical pairs)
+    sizes AS (SELECT doc_id, LEN(s) AS n FROM sh),
+    tok AS (SELECT doc_id, UNNEST(s) AS shingle FROM sh),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS c
+      FROM tok a JOIN tok b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
     pairs AS (
-      SELECT a.doc_id AS a_id, b.doc_id AS b_id
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE LEN(list_intersect(a.s, b.s))::DOUBLE
-            / LEN(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+      SELECT a_id, b_id FROM inter
+      JOIN sizes sa ON sa.doc_id = a_id
+      JOIN sizes sb ON sb.doc_id = b_id
+      WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5),
     edges AS (
       SELECT a_id AS s, b_id AS t FROM pairs
       UNION SELECT b_id, a_id FROM pairs),

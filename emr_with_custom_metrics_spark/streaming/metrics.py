@@ -205,15 +205,18 @@ INITIAL_CAPACITY = 2  # the reference cluster's 2 core/task baseline (README.md:
     "autoscale_timeline",
     oracle="""
     WITH RECURSIVE
-    metric AS (
+    -- MATERIALIZED: the recursion below joins `ordered` once per step;
+    -- without the hint DuckDB re-derives the whole events aggregation
+    -- every iteration (measured 25 s -> 3 s at sf0.01)
+    metric AS MATERIALIZED (
       SELECT CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_start,
              ROUND(AVG(value), 4) AS avg_value
       FROM events GROUP BY 1),
-    alarms AS (
+    alarms AS MATERIALIZED (
       SELECT bucket_start, 'scale-out' AS rule, 5 AS adj FROM metric WHERE avg_value <= 25.0
       UNION ALL
       SELECT bucket_start, 'scale-in', -2 FROM metric WHERE avg_value > 75.0),
-    ordered AS (
+    ordered AS MATERIALIZED (
       SELECT bucket_start, rule, adj,
              ROW_NUMBER() OVER (ORDER BY bucket_start, rule) AS i
       FROM alarms),
