@@ -244,3 +244,76 @@ def test_transform_with_state_env_gap_documented(spark):
     except ImportError:
         pytest.skip("google.protobuf absent: transformWithState unavailable (documented)")
     pytest.fail("protobuf available — migrate stateful ops to transformWithState")
+
+
+def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
+    """Z-order layout contract: vs a single-column sort, the Morton layout
+    must bound per-file min/max spans on BOTH columns (file skipping for
+    predicates on either), and preserve the rows exactly."""
+    from emr_with_custom_metrics_spark.plans.scale import zorder_write
+
+    df = load_table(spark, SF_DIR, "part").select("p_partkey", "p_size", "p_retailprice")
+    n_files = 8
+
+    z_dir = str(tmp_path / "zorder")
+    zorder_write(df, z_dir, "p_partkey", "p_size", n_files)
+    lin_dir = str(tmp_path / "linear")
+    (
+        df.repartitionByRange(n_files, F.col("p_partkey"))
+        .sortWithinPartitions("p_partkey")
+        .write.mode("overwrite")
+        .parquet(lin_dir)
+    )
+
+    def spans(path, col):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg((F.max(col) - F.min(col)).alias("span"))
+            .collect()
+        )
+        return sum(r["span"] for r in per_file) / len(per_file)
+
+    # rows survive the layout change
+    assert spark.read.parquet(z_dir).count() == df.count()
+    got = {r["p_partkey"] for r in spark.read.parquet(z_dir).collect()}
+    want = {r["p_partkey"] for r in df.collect()}
+    assert got == want
+
+    # the linear layout leaves p_size unclustered (each file spans ~the
+    # whole 1..50 domain); z-order must cut its average span while keeping
+    # p_partkey spans far below the full-table span.
+    full_key_span = df.agg((F.max("p_partkey") - F.min("p_partkey"))).collect()[0][0]
+    assert spans(z_dir, "p_size") < 0.75 * spans(lin_dir, "p_size")
+    assert spans(z_dir, "p_partkey") < 0.6 * full_key_span
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """DPP: a partitioned fact joined to a selectively-filtered dim must
+    show a dynamicpruning subquery in the fact's PartitionFilters — at
+    100 TB this is the difference between scanning one partition and all
+    of them when the partition keys only appear via the dim filter."""
+    import re as _re
+
+    from emr_with_custom_metrics_spark.plans.inspect import formatted_plan
+
+    fact_dir = str(tmp_path / "lineitem_by_year")
+    li = load_table(spark, SF_DIR, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    li.write.partitionBy("ship_year").mode("overwrite").parquet(fact_dir)
+
+    years = (
+        spark.range(1995, 2002)
+        .select(F.col("id").cast("int").alias("y"))
+        .withColumn("tag", F.when(F.col("y") == 1996, "pick").otherwise("skip"))
+    )
+    dim_dir = str(tmp_path / "year_dim")
+    years.write.mode("overwrite").parquet(dim_dir)
+
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.read.parquet(dim_dir).where(F.col("tag") == "pick")
+    joined = fact.join(dim, fact.ship_year == dim.y).groupBy("ship_year").count()
+    plan = formatted_plan(joined)
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "dynamicpruning" in m.group(1), plan[:3000]
