@@ -311,3 +311,171 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cnt") / F.col("t"), 6).cast("double").alias("share"),
         )
     )
+
+
+@register(
+    "decontaminate_against_eval",
+    oracle="""
+    WITH tr AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE source <> 'src0'
+    ), ev AS (
+        SELECT DISTINCT g FROM (
+            SELECT UNNEST(list_transform(range(1, len(toks) - 3),
+                       i -> array_to_string(list_slice(toks, i, i + 4), ' '))) AS g
+            FROM (SELECT string_split(text, ' ') AS toks FROM documents
+                  WHERE source = 'src0')
+            WHERE len(toks) >= 5
+        )
+    ), hits AS (
+        SELECT doc_id, COUNT(DISTINCT g) AS n_hits
+        FROM (
+            SELECT doc_id,
+                   UNNEST(list_transform(range(1, len(toks) - 3),
+                       i -> array_to_string(list_slice(toks, i, i + 4), ' '))) AS g
+            FROM tr WHERE len(toks) >= 5
+        ) tg JOIN ev USING (g)
+        GROUP BY doc_id
+    )
+    SELECT t.doc_id, COALESCE(h.n_hits, 0) AS n_overlap_5grams,
+           COALESCE(h.n_hits, 0) >= 3 AS contaminated
+    FROM tr t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    """,
+    doc="Benchmark decontamination: flag training documents sharing ≥3 "
+    "distinct 5-gram spans with the held-out eval set (src0 stands in "
+    "for the benchmark). The eval side reduces to a DISTINCT 5-gram set "
+    "— small enough to broadcast at any realistic benchmark size — so "
+    "the screen is a broadcast semi-join against the training n-gram "
+    "stream: no shuffle of the corpus, cost linear in training tokens. "
+    "The standard pre-training hygiene pass (GPT-3 §4 / PaLM App. published "
+    "methodology), exact rather than hashed so the oracle reproduces it.",
+)
+def decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fanned(spark, sf_dir, "documents")
+    k = 5
+    grams = F.expr(
+        f"transform(sequence(1, size(toks) - {k - 1}), "
+        f"i -> concat_ws(' ', slice(toks, i, {k})))"
+    )
+    train = d.where(F.col("source") != "src0").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).where(F.size("toks") >= k)
+    ev_grams = (
+        d.where(F.col("source") == "src0")
+        .select(F.split("text", " ").alias("toks"))
+        .where(F.size("toks") >= k)
+        .select(F.explode(grams).alias("g"))
+        .distinct()
+    )
+    hits = (
+        train.select("doc_id", F.explode(grams).alias("g"))
+        .join(F.broadcast(ev_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_hits"))
+    )
+    return (
+        train.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_overlap_5grams"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= 3).alias("contaminated"),
+        )
+    )
+
+
+@register(
+    "knn_self_join_exact",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+               list_aggregate(list_transform(range(1, 65),
+                   i -> CAST(a.embedding[i] AS DOUBLE)
+                        * CAST(b.embedding[i] AS DOUBLE)), 'sum') AS dot
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ), ranked AS (
+        SELECT qid, nid, dot,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY dot DESC, nid) AS rn
+        FROM pairs
+    )
+    SELECT qid, nid, CAST(ROUND(dot, 6) AS DOUBLE) AS dot, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 3
+    """,
+    doc="Exact k-NN self-join (top-3 neighbors per vector by dot product) "
+    "— the ground-truth baseline the ANN pair path "
+    "(similarity_ann_lsh) trades against, and the exact shape used to "
+    "measure ANN recall offline. Deliberately quadratic (documented "
+    "small-N oracle, like dedup_embedding_cosine); at corpus scale the "
+    "LSH/IVF paths produce the candidates and this plan reranks within "
+    "buckets only. Dot products fold left-to-right over the same 64 "
+    "floats in both engines → 6-dp rounding is bit-stable; ties broken "
+    "by neighbor id so ROW_NUMBER is deterministic.",
+)
+def knn_self_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_fanned(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    b = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"))
+    dot = F.aggregate(
+        F.zip_with("qv", "nv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("nid"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", dot.alias("dot"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("qid", "nid", F.round("dot", 6).cast("double").alias("dot"),
+                F.col("rn").cast("int").alias("rn"))
+    )
+
+
+@register(
+    "corpus_report_by_source",
+    oracle="""
+    WITH base AS (
+        SELECT source, doc_id, n_chars,
+               len(string_split(text, ' ')) AS n_tok,
+               md5(text) AS h
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(ROUND(AVG(n_chars), 2) AS DOUBLE) AS avg_chars,
+           COUNT(DISTINCT h) AS n_unique_texts,
+           CAST(ROUND(1.0 - COUNT(DISTINCT h) / COUNT(*), 4) AS DOUBLE)
+               AS exact_dup_rate
+    FROM base GROUP BY source
+    """,
+    doc="Per-source corpus report: the one-stop table a data curator "
+    "reads before a training run — volume (docs, tokens), shape "
+    "(avg chars), and exact-duplicate rate via md5 distinct counts. One "
+    "aggregation pass; the md5 runs map-side so the shuffle carries "
+    "16-byte hashes, never text (the dedup_exact discipline applied to "
+    "reporting).",
+)
+def corpus_report_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "source",
+            "n_chars",
+            F.size(F.split("text", " ")).alias("n_tok"),
+            F.md5("text").alias("h"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("n_chars"), 2).cast("double").alias("avg_chars"),
+            F.countDistinct("h").alias("n_unique_texts"),
+            F.round(
+                F.lit(1.0) - F.countDistinct("h") / F.count("*"), 4
+            ).cast("double").alias("exact_dup_rate"),
+        )
+    )

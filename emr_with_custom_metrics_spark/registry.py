@@ -119,6 +119,7 @@ _HEAVY = frozenset(
         "dedup_clusters", "dedup_incremental_batch", "dedup_embedding_cosine",
         "similarity_ann_lsh", "similarity_ivf_topk", "cooldown_suppression",
         "autoscale_timeline", "multimodal_feature_extract", "kmeans_embeddings",
+        "decontaminate_against_eval", "knn_self_join_exact",
     }
 )
 
