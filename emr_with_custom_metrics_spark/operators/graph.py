@@ -1,0 +1,89 @@
+"""Iterative graph analytics as DataFrame loops — PageRank over the
+document-similarity graph.
+
+Second iterative algorithm beside connected components
+(``llm/dedup.connected_components``) and k-means
+(``llm/embeddings``): same scaling discipline — per-iteration state is
+one (node, value) table, every step is an equi-join + aggregate on the
+node key, and ``localCheckpoint`` truncates lineage so the plan does not
+grow with the iteration count. No reference analogue (the reference is a
+single-table ETL); this is §2B "beyond the reference" breadth — centrality
+over a near-dup graph ranks canonical documents inside duplicate
+neighborhoods (keep the hub, drop the satellites).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emr_with_custom_metrics_spark.catalog import load_table
+from emr_with_custom_metrics_spark.registry import register
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank on (node), (src, dst) frames. Undirected callers pass both
+    edge directions. Dangling mass is not redistributed (ranks then sum to
+    < 1 — standard for similarity graphs where isolated docs should keep
+    the teleport floor only).
+
+    Per iteration: one shuffle (contribution aggregate on dst) plus the
+    broadcast-friendly degree join. State is (node, rank) — 16 bytes a
+    node, never adjacency lists. The node count enters as a broadcast
+    1-row aggregate, not a driver action (the text_logfreq_score lesson:
+    keep the whole computation one lazy DAG)."""
+    n = nodes.agg(F.count("*").alias("__n"))
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = nodes.crossJoin(F.broadcast(n)).select(
+        "node", (F.lit(1.0) / F.col("__n")).alias("rank")
+    )
+    for _ in range(iters):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) / F.col("__n")
+                    + F.lit(damping) * F.coalesce("c", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
+@register(
+    "pagerank_similarity_graph",
+    oracle=None,  # iterative float fixpoint — held to invariant tests
+    # (positivity, mass conservation, determinism, hub-over-isolate order)
+    # in tests/test_llm_quality.py
+    doc="PageRank (5 iterations, d=0.85) over the 3-gram-Jaccard ≥0.3 "
+    "similarity graph: ranks canonical documents inside duplicate "
+    "neighborhoods. Edges come from the same inverted-index jaccard join "
+    "as dedup; both directions are emitted for the undirected graph. "
+    "Per-iteration cost is one aggregate shuffle keyed by node.",
+)
+def pagerank_similarity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emr_with_custom_metrics_spark.llm.dedup import _shingle_sets, jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(_shingle_sets(d), 0.3).select("a_id", "b_id")
+    edges = pairs.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).unionByName(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+    nodes = d.select(F.col("doc_id").alias("node"))
+    ranks = pagerank(nodes, edges)
+    return ranks.select(F.col("node").alias("doc_id"), F.round("rank", 8).alias("rank"))

@@ -292,3 +292,56 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ordered_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
     return r.select("r_regionkey", "r_name").orderBy("r_name")
+
+
+@register(
+    "agg_approx_top_k",
+    # Sketch contents aren't SQL-reproducible; the oracle pattern follows
+    # agg_approx_distinct: both sides emit the EXACT top-10 tokens (ties
+    # broken by token so rank is total) and a within_bounds flag that is
+    # TRUE iff the sketch's estimate for that token is exact — with
+    # maxItemsTracked (10000) far above this vocabulary, approx_top_k
+    # degenerates to exact counting, so any FALSE means a broken sketch
+    # integration, not sketch noise. At a 100 TB vocabulary the tracked
+    # set saturates and the flag's tolerance would widen to the sketch's
+    # documented error — the pattern stays the same.
+    oracle="""
+    WITH tok AS (
+        SELECT UNNEST(string_split(text, ' ')) AS token FROM documents
+    ), exact AS (
+        SELECT token, COUNT(*) AS exact_cnt,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rnk
+        FROM tok GROUP BY token
+    )
+    SELECT CAST(rnk AS INT) AS rnk, token, exact_cnt, TRUE AS within_bounds
+    FROM exact WHERE rnk <= 10
+    """,
+    doc="approx_top_k sketch (Spark 4) for heavy hitters — the streaming-"
+    "friendly counterpart of text_heavy_hitters' exact aggregation, "
+    "oracled via an exactness check against the true top-10.",
+)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("token"))
+    # ask the sketch for 50 so boundary ties at exact-rank 10 are always
+    # inside the returned list (the comparison set stays the exact top-10)
+    sketch = (
+        tok.agg(F.expr("approx_top_k(token, 50, 10000)").alias("top"))
+        .select(F.explode("top").alias("e"))
+        .select(F.col("e.item").alias("token"), F.col("e.count").alias("est_cnt"))
+    )
+    w = Window.orderBy(F.col("exact_cnt").desc(), "token")
+    exact = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("exact_cnt"))
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= 10)
+    )
+    return exact.join(sketch, "token", "left").select(
+        "rnk",
+        "token",
+        "exact_cnt",
+        (F.coalesce("est_cnt", F.lit(-1)) == F.col("exact_cnt")).alias("within_bounds"),
+    )

@@ -233,3 +233,36 @@ def test_kmeans_improves_on_singleiter_inertia(spark):
     one = _kmeans_df(spark, SF_DIR, iters=1).collect()
     three = _kmeans_df(spark, SF_DIR, iters=3).collect()
     assert sum(r["inertia"] for r in three) <= sum(r["inertia"] for r in one) + 1e-6
+
+
+def test_pagerank_invariants(spark):
+    """pagerank_similarity_graph is rows-only: hold it to mass conservation
+    (sum of ranks ≤ 1 + eps; dangling mass is deliberately not
+    redistributed), positivity (every node ≥ the teleport floor),
+    connectivity ordering (a node with edges outranks an isolated node on
+    average), and determinism across runs."""
+    out = SPECS["pagerank_similarity_graph"].fn(spark, SF_DIR).collect()
+    n = load_table(spark, SF_DIR, "documents").count()
+    assert len(out) == n
+    total = sum(r["rank"] for r in out)
+    assert 0 < total <= 1.0 + 1e-6
+    floor = 0.15 / n
+    assert all(r["rank"] >= floor * 0.999 for r in out)
+
+    from emr_with_custom_metrics_spark.llm.dedup import _shingle_sets, jaccard_pairs
+
+    d = load_table(spark, SF_DIR, "documents")
+    pair_rows = jaccard_pairs(_shingle_sets(d), 0.3).collect()
+    linked = {r["a_id"] for r in pair_rows} | {r["b_id"] for r in pair_rows}
+    ranks = {r["doc_id"]: r["rank"] for r in out}
+    linked_ranks = [v for k, v in ranks.items() if k in linked]
+    isolated_ranks = [v for k, v in ranks.items() if k not in linked]
+    if linked_ranks and isolated_ranks:
+        assert (sum(linked_ranks) / len(linked_ranks)) > (
+            sum(isolated_ranks) / len(isolated_ranks)
+        )
+
+    out2 = SPECS["pagerank_similarity_graph"].fn(spark, SF_DIR).collect()
+    assert sorted((r["doc_id"], r["rank"]) for r in out) == sorted(
+        (r["doc_id"], r["rank"]) for r in out2
+    )
