@@ -425,3 +425,56 @@ def enrich_with_dims(events: DataFrame, customer: DataFrame, nation: DataFrame) 
             F.round(F.avg("value"), 4).alias("avg_value"),
         )
     )
+
+
+def windowed_topk(events: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k event types per 5-minute window by count — the batch
+    formulation. Streaming cannot rank inside append-mode windows (rank
+    needs the finished window); the streaming form aggregates
+    (window, event_type) counts with a watermark and ranks in
+    ``foreachBatch`` once windows finalize — see
+    tests/test_streaming_pipeline.py::test_streaming_windowed_topk.
+    WindowGroupLimit keeps the batch rank from materializing full
+    per-window orderings."""
+    from pyspark.sql import Window
+
+    counts = events.groupBy(
+        F.window("ts", "5 minutes").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    ranked = counts.select(
+        F.unix_timestamp("w.start").alias("bucket_start"),
+        "event_type",
+        "n",
+        F.row_number()
+        .over(
+            Window.partitionBy("w").orderBy(F.col("n").desc(), "event_type")
+        )
+        .alias("rnk"),
+    )
+    return ranked.where(F.col("rnk") <= k)
+
+
+@register(
+    "windowed_topk_events",
+    oracle="""
+    WITH counts AS (
+        SELECT CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_start,
+               event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ), ranked AS (
+        SELECT bucket_start, event_type, n,
+               ROW_NUMBER() OVER (PARTITION BY bucket_start
+                                  ORDER BY n DESC, event_type) AS rnk
+        FROM counts
+    )
+    SELECT bucket_start, event_type, n, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+    doc="Top-3 event types per 5-minute window (deterministic tie-break by "
+    "type). The batch form of the streaming foreachBatch top-k pattern; "
+    "one shuffle for the window counts, WindowGroupLimit for the rank.",
+)
+def windowed_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windowed_topk(load_table(spark, sf_dir, "events")).select(
+        "bucket_start", "event_type", "n", F.col("rnk").cast("int").alias("rnk")
+    )

@@ -414,3 +414,61 @@ def test_stream_static_enrichment_matches_batch(spark, events_stream_dir):
         for r in enrich_with_dims(batch, customer, nation).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_windowed_topk(spark, events_stream_dir):
+    """Per-window top-k in streaming: append-mode windows cannot rank, so
+    the streaming form emits watermarked (window, type) counts and ranks
+    inside foreachBatch after availableNow finalizes every window — the
+    result must equal the batch windowed_topk."""
+    import tempfile as tf
+
+    from emr_with_custom_metrics_spark.streaming.metrics import windowed_topk
+    from emr_with_custom_metrics_spark.streaming.pipeline import EVENTS_SCHEMA
+    from pyspark.sql import Window as W
+
+    collected = []
+
+    def rank_batch(bdf, batch_id):
+        ranked = bdf.select(
+            "bucket_start",
+            "event_type",
+            "n",
+            F.row_number()
+            .over(W.partitionBy("bucket_start").orderBy(F.col("n").desc(), "event_type"))
+            .alias("rnk"),
+        ).where(F.col("rnk") <= 3)
+        collected.extend(
+            (r["bucket_start"], r["event_type"], r["n"], r["rnk"])
+            for r in ranked.collect()
+        )
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_stream_dir)
+    )
+    counts = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_timestamp("w.start").alias("bucket_start"), "event_type", "n")
+    )
+    q = (
+        counts.writeStream.outputMode("complete")
+        .foreachBatch(rank_batch)
+        .option("checkpointLocation", tf.mkdtemp(prefix="ckpt_topk_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # keep only the final batch's rows: complete mode re-emits everything,
+    # so the last invocation holds the finalized ranking
+    batch = spark.read.schema(EVENTS_SCHEMA).parquet(events_stream_dir)
+    want = {
+        (r["bucket_start"], r["event_type"], r["n"], r["rnk"])
+        for r in windowed_topk(batch).collect()
+    }
+    got = set(collected)
+    assert want <= got and len(want) > 0
