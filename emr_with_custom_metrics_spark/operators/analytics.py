@@ -1,0 +1,146 @@
+"""Warehouse analytics patterns: SCD2 history construction, funnel
+conversion, retention cohorts.
+
+The reference computes one grouped count (`spark_converter.py:26`); these
+are the standard product-analytics shapes a warehouse engine must express
+(§2A.1 breadth). All three are single-pass window/join plans — no
+iteration, no driver state — and each groups or joins on a user/customer
+key, so at 100 TB they shuffle once on that key and scale with the
+per-key history length, not the table count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from emr_with_custom_metrics_spark.catalog import load_table
+from emr_with_custom_metrics_spark.registry import register
+
+
+@register(
+    "scd2_customer_history",
+    oracle="""
+    SELECT o_custkey AS custkey,
+           CAST(ROW_NUMBER() OVER w AS INT) AS version,
+           o_orderdate AS valid_from,
+           LEAD(o_orderdate) OVER w AS valid_to,
+           (LEAD(o_orderdate) OVER w IS NULL) AS is_current,
+           CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS order_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="SCD2 (type-2 slowly-changing dimension) history build: each order "
+    "opens a version valid until the customer's next order; the open "
+    "version has valid_to NULL. One window over the change stream — the "
+    "standard way to turn an event log into a temporal dimension without "
+    "a format-level MERGE (ties broken by o_orderkey so versions are "
+    "total-ordered and engine-stable).",
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.row_number().over(w).cast("int").alias("version"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.lead("o_orderdate").over(w).isNull().alias("is_current"),
+        F.round("o_totalprice", 2).cast("double").alias("order_price"),
+    )
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        GROUP BY e.user_id
+    )
+    SELECT * FROM (
+        SELECT 1 AS stage_no, 'view' AS stage, COUNT(*) AS n_users FROM v
+        UNION ALL SELECT 2, 'click', COUNT(*) FROM c
+        UNION ALL SELECT 3, 'purchase', COUNT(*) FROM p
+    ) s
+    """,
+    doc="Ordered funnel conversion: users whose first view precedes a "
+    "click precedes a purchase (strict event-time ordering, not mere "
+    "co-occurrence). Each stage is a per-user MIN aggregate semi-joined "
+    "to the previous stage — three shuffles on user_id, each smaller "
+    "than the last; the per-user state is one timestamp per stage.",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.lit(1).alias("stage_no"), F.lit("view").alias("stage"), F.count("*").alias("n_users"))
+        .unionByName(
+            c.agg(F.lit(2).alias("stage_no"), F.lit("click").alias("stage"), F.count("*").alias("n_users"))
+        )
+        .unionByName(
+            p.agg(F.lit(3).alias("stage_no"), F.lit("purchase").alias("stage"), F.count("*").alias("n_users"))
+        )
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               CAST(FLOOR(epoch(MIN(ts)) / 604800) AS BIGINT) AS cohort_week
+        FROM events GROUP BY user_id
+    )
+    SELECT cohort_week,
+           CAST(FLOOR(epoch(e.ts) / 604800) AS BIGINT) - cohort_week
+               AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    doc="Retention cohort matrix: users bucketed by first-seen week, "
+    "activity counted per week offset. First-seen table is one aggregate "
+    "(per-user 8-byte state) broadcast back onto the stream; epoch-week "
+    "integer arithmetic keeps the matrix engine-exact. The classic "
+    "triangle every growth dashboard draws.",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    week = lambda c: F.floor(F.unix_timestamp(c) / 604800).cast("bigint")  # noqa: E731
+    firsts = ev.groupBy("user_id").agg(week(F.min("ts")).alias("cohort_week"))
+    return (
+        ev.join(F.broadcast(firsts), "user_id")
+        .groupBy(
+            "cohort_week",
+            (week(F.col("ts")) - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
