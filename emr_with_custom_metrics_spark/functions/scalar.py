@@ -211,3 +211,36 @@ def conditional_case(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("size_band"),
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("is_final"),
     )
+
+
+@register(
+    "json_variant_battery",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k,
+           COUNT(*) AS n_missing_null
+    FROM events GROUP BY event_type
+    """,
+    doc="Spark 4 VARIANT type: props parse once into a variant column, "
+    "fields extract via variant_get (typed path access on the binary "
+    "variant encoding — the modern engine path for semi-structured "
+    "columns, vs per-access get_json_object string re-parsing). "
+    "try_variant_get on a missing path must null out for every row "
+    "(counted), and the numeric aggregates must match DuckDB's JSON "
+    "extraction exactly.",
+)
+def json_variant_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    k = F.expr("variant_get(v, '$.k', 'int')")
+    missing = F.expr("try_variant_get(v, '$.does_not_exist', 'int')")
+    return v.groupBy("event_type").agg(
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.min(k).cast("int").alias("min_k"),
+        F.max(k).cast("int").alias("max_k"),
+        F.count(F.when(missing.isNull(), 1)).alias("n_missing_null"),
+    )

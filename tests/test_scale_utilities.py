@@ -317,3 +317,24 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     plan = formatted_plan(joined)
     m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "dynamicpruning" in m.group(1), plan[:3000]
+
+
+def test_observe_quality_rides_the_same_action(spark):
+    """df.observe metrics must arrive from the action that already runs —
+    row count and per-column null counts with zero extra scans — and must
+    not break pushdown below the observation."""
+    from emr_with_custom_metrics_spark.plans.inspect import pushed_filters
+    from emr_with_custom_metrics_spark.plans.observability import observe_quality
+
+    base = load_table(spark, SF_DIR, "orders").where(F.col("o_totalprice") > 1000)
+    tapped, obs = observe_quality(base, "orders_quality", "o_orderpriority")
+    out = tapped.groupBy("o_orderstatus").count()
+    n_out = out.count()
+    assert n_out > 0
+    m = obs.get
+    want = base.count()
+    assert m["n_rows"] == want
+    assert m["n_null_o_orderpriority"] == 0
+    # the filter still reaches the scan below the observation
+    pf = " ".join(pushed_filters(tapped))
+    assert "o_totalprice" in pf, pf
