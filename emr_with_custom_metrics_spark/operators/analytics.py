@@ -1,12 +1,14 @@
 """Warehouse analytics patterns: SCD2 history construction, funnel
-conversion, retention cohorts.
+conversion, retention cohorts, sweep-line concurrency, bitmap-index
+retention.
 
 The reference computes one grouped count (`spark_converter.py:26`); these
 are the standard product-analytics shapes a warehouse engine must express
-(§2A.1 breadth). All three are single-pass window/join plans — no
-iteration, no driver state — and each groups or joins on a user/customer
-key, so at 100 TB they shuffle once on that key and scale with the
-per-key history length, not the table count.
+(§2A.1 breadth). All are single-pass window/join plans — no iteration, no
+driver state — grouping or joining on a user/customer key, so at 100 TB
+they shuffle once on that key and scale with per-key history length, not
+table count (the global-order sweeps document their partition-by-day
+hierarchical variant inline).
 """
 
 from __future__ import annotations
@@ -184,3 +186,73 @@ def concurrent_events_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return swept.groupBy(
         (F.floor(F.unix_timestamp("t") / 3600) * 3600).cast("bigint").alias("hour_start")
     ).agg(F.max("concurrency").cast("bigint").alias("peak_concurrency"))
+
+
+@register(
+    "bitmap_weekly_retention",
+    oracle="""
+    WITH words AS (
+        SELECT event_type,
+               CAST(FLOOR(epoch(ts) / 604800) AS BIGINT) AS week,
+               BIT_OR(CASE WHEN user_id // 64 = 0
+                           THEN (CAST(1 AS UBIGINT) << (user_id % 64)) ELSE 0 END) AS w0,
+               BIT_OR(CASE WHEN user_id // 64 = 1
+                           THEN (CAST(1 AS UBIGINT) << (user_id % 64)) ELSE 0 END) AS w1,
+               BIT_OR(CASE WHEN user_id // 64 = 2
+                           THEN (CAST(1 AS UBIGINT) << (user_id % 64)) ELSE 0 END) AS w2
+        FROM events GROUP BY 1, 2
+    )
+    -- DuckDB bit_count returns TINYINT; widen BEFORE adding (119+21
+    -- overflows INT8)
+    SELECT a.event_type, a.week,
+           CAST(bit_count(a.w0) AS INT) + CAST(bit_count(a.w1) AS INT)
+               + CAST(bit_count(a.w2) AS INT) AS n_active,
+           CAST(bit_count(a.w0 & b.w0) AS INT) + CAST(bit_count(a.w1 & b.w1) AS INT)
+               + CAST(bit_count(a.w2 & b.w2) AS INT) AS n_retained
+    FROM words a JOIN words b
+      ON a.event_type = b.event_type AND b.week = a.week - 1
+    """,
+    doc="Bitmap-index OLAP: per (event_type, week) the active-user SET is "
+    "three 64-bit words built by BIT_OR of one-hot user bits; "
+    "week-over-week retention is popcount of the word-wise AND — set "
+    "intersection without COUNT(DISTINCT)'s expand or any row "
+    "explosion. The aggregate state is 24 bytes per group regardless of "
+    "user count per group; at real cardinalities the words column "
+    "becomes a roaring-style chunked array (same query shape, word "
+    "explode + AND + popcount-sum). The classic ClickHouse/Druid "
+    "groupBitmap technique expressed in stock Spark.",
+)
+def bitmap_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    week = F.floor(F.unix_timestamp("ts") / 604800).cast("bigint").alias("week")
+
+    def word(i: int):
+        return F.expr(
+            f"bit_or(CASE WHEN user_id div 64 = {i} "
+            f"THEN shiftleft(1L, CAST(user_id % 64 AS INT)) ELSE 0L END)"
+        ).alias(f"w{i}")
+
+    words = ev.groupBy("event_type", week).agg(word(0), word(1), word(2))
+    a, b = words.alias("a"), words.alias("b")
+    pop = lambda c: F.bit_count(c)  # noqa: E731
+    return (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("b.week") == F.col("a.week") - 1),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.week").alias("week"),
+            (pop(F.col("a.w0")) + pop(F.col("a.w1")) + pop(F.col("a.w2")))
+            .cast("int")
+            .alias("n_active"),
+            (
+                pop(F.col("a.w0").bitwiseAND(F.col("b.w0")))
+                + pop(F.col("a.w1").bitwiseAND(F.col("b.w1")))
+                + pop(F.col("a.w2").bitwiseAND(F.col("b.w2")))
+            )
+            .cast("int")
+            .alias("n_retained"),
+        )
+    )
