@@ -73,3 +73,35 @@ def test_dispatch_tiers_real_vs_stub():
     assert _decode_any(trap) == fake_decode_image(trap)
     with pytest.raises(NotImplementedError):
         _decode_any(b"")  # empty payload raises like a real decoder
+
+
+def test_wav_decoder_walks_chunks_and_rejects_garbage():
+    """The RIFF parser must skip unknown chunks (with odd-size padding),
+    reject non-WAV payloads, and report exact PCM16 statistics."""
+    import struct
+
+    import pytest
+
+    from emr_with_custom_metrics_spark.llm.multimodal import decode_wav, encode_wav
+
+    m = decode_wav(encode_wav(16000, 2, 120, 300))
+    assert m == {
+        "sample_rate": 16000,
+        "n_channels": 2,
+        "n_samples": 120,
+        "duration_us": 120 * 1_000_000 // 16000,
+        "rms": 300.0,
+    }
+
+    # inject an odd-sized LIST chunk between fmt and data: parser must skip
+    # it (including the pad byte) and still find the data chunk
+    wav = encode_wav(8000, 1, 10, 5)
+    fmt_end = 12 + 8 + 16
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    patched = wav[:fmt_end] + junk + wav[fmt_end:]
+    assert decode_wav(patched)["n_samples"] == 10
+
+    with pytest.raises(ValueError):
+        decode_wav(b"OggS" + b"\x00" * 64)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x00\x00\x00\x00WAVE")  # no data chunk
