@@ -479,3 +479,66 @@ def corpus_report_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double").alias("exact_dup_rate"),
         )
     )
+
+
+@register(
+    "e2e_corpus_pipeline",
+    oracle=f"""
+    WITH deduped AS (
+        SELECT doc_id, source, text,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents
+    ), kept AS (
+        SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+        FROM deduped WHERE rn = 1
+    ), quality AS (
+        SELECT * FROM kept WHERE n_tok >= 8
+    ), assigned AS (
+        SELECT source, n_tok,
+               CASE WHEN b <= 12 THEN 'train'
+                    WHEN b <= 14 THEN 'valid' ELSE 'test' END AS split_name
+        FROM (SELECT *,
+                     instr('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS b
+              FROM quality)
+    )
+    SELECT split_name, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST((SUM(n_tok) + 255) // 256 AS BIGINT) AS n_chunks
+    FROM assigned GROUP BY split_name, source
+    """,
+    doc="The END-TO-END training-data pipeline as one composed lazy plan: "
+    "exact dedup (md5 keep-first) → quality floor (≥8 tokens) → "
+    "deterministic split assignment → per-(split, source) packing "
+    "summary (contiguous 256-token chunks ⇒ n_chunks = ⌈tokens/256⌉). "
+    "Each stage is the same logic as its standalone operator "
+    "(dedup_keep_first_by_key / split_train_valid_test / "
+    "pack_token_chunks); composing them stays ONE shuffle-per-stage DAG "
+    "with no driver materialization between stages — the property that "
+    "makes the pipeline a single job at 100 TB. Oracled end-to-end, so "
+    "a drift in ANY stage breaks the hash.",
+)
+def e2e_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "source", F.size(F.split("text", " ")).alias("n_tok"))
+        .where(F.col("n_tok") >= 8)
+    )
+    bucket = F.expr(f"instr('{_HEX}', substring(md5(cast(doc_id as string)), 1, 1))")
+    split_name = (
+        F.when(bucket <= 12, "train").when(bucket <= 14, "valid").otherwise("test")
+    )
+    return (
+        kept.select(split_name.alias("split_name"), "source", "n_tok")
+        .groupBy("split_name", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            ((F.sum("n_tok") + 255) / 256).cast("bigint").alias("n_chunks"),
+        )
+    )
