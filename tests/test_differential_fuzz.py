@@ -325,3 +325,57 @@ def test_random_set_operations_match(orders_view, duck, op, pred_a, pred_b):
     row = duck.sql(q).df()
     assert sp["n"] == row["n"][0], (q, sp["n"], row["n"][0])
     assert int(sp["s"]) == int(row["s"][0]), (q, sp["s"], row["s"][0])
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    combo=st.sampled_from(
+        [
+            "GROUPING SETS ((o_orderstatus), (o_orderpriority), ())",
+            "GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus))",
+            "ROLLUP (o_orderstatus, o_orderpriority)",
+            "CUBE (o_orderstatus, o_orderpriority)",
+        ]
+    ),
+    pred=predicates(),
+)
+def test_random_grouping_sets_match(orders_view, duck, combo, pred):
+    """Grouping-set semantics diffed against DuckDB: super-aggregate NULL
+    markers, GROUPING() bit values, and per-set counts must agree for
+    random predicates × set shapes.
+
+    Fuzzer-found divergence (excluded below, documented here): on an
+    EMPTY input, DuckDB emits the global () grouping-set row (COUNT=0)
+    per the SQL standard; Spark emits no rows at all. Any oracled
+    grouping-sets/ROLLUP/CUBE query whose WHERE can empty out would
+    hash-mismatch — keep such filters out of oracled super-aggregates."""
+    from hypothesis import assume
+
+    n_in = duck.sql(f"SELECT COUNT(*) AS n FROM orders WHERE {pred}").df()["n"][0]
+    assume(n_in > 0)
+    q = (
+        "SELECT o_orderstatus, o_orderpriority, "
+        "CAST(GROUPING(o_orderstatus) AS INT) AS g1, "
+        "CAST(GROUPING(o_orderpriority) AS INT) AS g2, "
+        "COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS s "
+        f"FROM orders WHERE {pred} GROUP BY {combo}"
+    )
+    sp = {
+        (r["o_orderstatus"], r["o_orderpriority"], r["g1"], r["g2"]): (r["n"], r["s"])
+        for r in orders_view.sql(q).collect()
+    }
+    dk = {
+        (row.o_orderstatus if row.o_orderstatus == row.o_orderstatus else None,
+         row.o_orderpriority if row.o_orderpriority == row.o_orderpriority else None,
+         row.g1, row.g2): (row.n, row.s)
+        for row in duck.sql(q).df().itertuples()
+    }
+    assert set(sp) == set(dk), (q, set(sp) ^ set(dk))
+    for k, (n, s) in sp.items():
+        dn, ds = dk[k]
+        assert n == dn, (q, k)
+        assert (s is None and ds is None) or abs(s - ds) < 1e-6, (q, k, s, ds)
