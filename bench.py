@@ -46,6 +46,19 @@ HEADLINE = [
     "text_word_freq_topk",
     "text_tfidf_top_term",
     "multimodal_decode_meta",
+    # round-2 additions (new rows; the 21 rows above stay diffable vs r01)
+    "q7_nation_volume",
+    "q19_disjunctive_pred",
+    "scd2_customer_history",
+    "bitmap_weekly_retention",
+    "text_fingerprint_winnowing",
+    "decontaminate_against_eval",
+    "dedup_levenshtein_blocked",
+    "knn_self_join_exact",
+    "kmeans_embeddings",
+    "pagerank_similarity_graph",
+    "e2e_corpus_pipeline",
+    "multimodal_decode_wav",
 ]
 
 
