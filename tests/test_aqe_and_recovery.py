@@ -90,10 +90,10 @@ def test_streaming_checkpoint_restart_processes_nothing_twice(spark):
 
     s1 = Counting()
     q1, _ = start_metrics_pipeline(spark, src, ckpt, sink=s1, trigger={"availableNow": True})
-    q1.awaitTermination(120)
+    assert q1.awaitTermination(420), "stream did not finish (timeout is silent)"
     assert s1.batches > 0
 
     s2 = Counting()
     q2, _ = start_metrics_pipeline(spark, src, ckpt, sink=s2, trigger={"availableNow": True})
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(420), "stream did not finish (timeout is silent)"
     assert len(s2.actions) == 0, "restart re-emitted alarms already processed"

@@ -118,7 +118,7 @@ def test_stream_tails_appends_with_exact_offsets(spark, payload_file):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(60)
+        assert q.awaitTermination(420), "stream did not finish (timeout is silent)"
 
     run_once()
     assert sum(seen) == 250

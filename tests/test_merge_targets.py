@@ -122,7 +122,7 @@ def test_streaming_upsert_through_merge_target(spark):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(420), "stream did not finish (timeout is silent)"
     snap = _snapshot(target)
     assert snap[20] == (2, 20.0) and snap[21] == (0, 21.0)
     assert snap[5][1] in (55.0, 555.0)  # one of the update batches won...

@@ -139,7 +139,7 @@ def test_stateful_running_totals_stream(spark):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(420), "stream did not finish (timeout is silent)"
     final = {
         r["event_type"]: (r["n_events"], r["sum_value"])
         for r in spark.sql(
@@ -224,7 +224,7 @@ def test_streaming_ingest_dedup_first_occurrence_only(spark):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(420), "stream did not finish (timeout is silent)"
     got = spark.sql("SELECT doc_key, doc_id FROM ingest_dedup").collect()
     keys = [r["doc_key"] for r in got]
     assert len(keys) == len(set(keys)), "a key passed through twice"

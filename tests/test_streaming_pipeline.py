@@ -37,7 +37,7 @@ def test_stream_matches_batch_alarms(spark, events_stream_dir):
         sink=sink,
         trigger={"availableNow": True},
     )
-    query.awaitTermination(120)
+    assert query.awaitTermination(420), "stream did not finish (timeout is silent)"
 
     # Batch ground truth over the SAME files (watermark in availableNow mode
     # finalizes all windows, so totals must line up exactly).
@@ -118,7 +118,7 @@ def test_streaming_session_windows_match_batch(spark, ordered_events_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(420), "stream did not finish (timeout is silent)"
     got = {
         (r["user_id"], r["session_start"]): r["n_events"]
         for r in spark.sql("SELECT * FROM stream_sessions").collect()
@@ -239,7 +239,7 @@ def test_durable_parquet_metric_sink(spark, ordered_events_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(420), "stream did not finish (timeout is silent)"
     stored = spark.read.parquet(sink_dir)
     assert stored.count() > 0
     # every stored finalized window matches the batch ground truth
@@ -268,7 +268,7 @@ def test_stream_is_incremental(spark, events_stream_dir):
     query, _ = start_metrics_pipeline(
         spark, events_stream_dir, ckpt, sink=CountingSink(), trigger={"availableNow": True}
     )
-    query.awaitTermination(120)
+    assert query.awaitTermination(420), "stream did not finish (timeout is silent)"
     assert len(batches) >= 2
 
 
@@ -283,7 +283,7 @@ def test_cooldown_sink_state_survives_restart(spark, events_stream_dir):
     query, sink = start_metrics_pipeline(
         spark, events_stream_dir, ckpt, trigger={"availableNow": True}
     )
-    query.awaitTermination(120)
+    assert query.awaitTermination(420), "stream did not finish (timeout is silent)"
     state_path = _os.path.join(ckpt, "cooldown_state.json")
     assert _os.path.exists(state_path)
     st = _json.load(open(state_path))
@@ -363,7 +363,7 @@ def test_stream_stream_join_matches_batch(spark, ordered_events_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(420), "stream did not finish (timeout is silent)"
     got = {
         (r["c_user"], r["c_id"], r["p_id"])
         for r in spark.sql("SELECT * FROM ss_join").collect()
@@ -403,7 +403,11 @@ def test_stream_static_enrichment_matches_batch(spark, events_stream_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    # awaitTermination(timeout) returns False on timeout WITHOUT raising —
+    # under a loaded machine a silent timeout reads a half-finished sink
+    # and fails the equality check confusingly (observed once in a full
+    # contended suite run). Fail loudly instead.
+    assert q.awaitTermination(420), "stream-static enrichment did not finish"
     got = {
         (r["n_name"], r["event_type"], r["n_events"], r["avg_value"])
         for r in spark.sql("SELECT * FROM enriched").collect()
@@ -461,7 +465,7 @@ def test_streaming_windowed_topk(spark, events_stream_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(420), "stream did not finish (timeout is silent)"
 
     # keep only the final batch's rows: complete mode re-emits everything,
     # so the last invocation holds the finalized ranking
