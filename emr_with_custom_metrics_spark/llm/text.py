@@ -488,3 +488,69 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(F.col("t"), F.lit(phone_re), F.lit(0))).alias("n_phones"),
         F.md5(scrubbed).alias("scrubbed_md5"),
     )
+
+
+@register(
+    "text_bigram_logprob",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ), bigrams AS (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(toks)),
+                   i -> toks[i] || ' ' || toks[i + 1])) AS bg,
+               UNNEST(list_transform(range(1, len(toks)), i -> toks[i])) AS w1
+        FROM tok
+    ), bg_counts AS (
+        SELECT bg, COUNT(*) AS c_bg FROM bigrams GROUP BY bg
+    ), w1_counts AS (
+        SELECT w1, COUNT(*) AS c_w1 FROM bigrams GROUP BY w1
+    )
+    SELECT d.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(ROUND(AVG(LN(c_bg::DOUBLE / c_w1)), 4) AS DOUBLE) AS avg_logprob
+    FROM bigrams d
+    JOIN bg_counts USING (bg)
+    JOIN w1_counts USING (w1)
+    GROUP BY d.doc_id
+    """,
+    doc="Bigram language-model scoring — the KenLM-style perplexity "
+    "quality filter: a bigram LM is 'trained' on the corpus itself "
+    "(C(w1,w2)/C(w1) maximum-likelihood estimates, exact integer-count "
+    "ratios) and every document is scored by its mean bigram "
+    "log-probability; unusually low scores mark boilerplate/garbled "
+    "text, unusually high mark near-boilerplate repetition. Two "
+    "aggregate passes build the model (vocabulary-sized, broadcastable) "
+    "and one join scores the stream — at 100 TB the model tables stay "
+    "KB–MB while the scoring pass is map-side after the broadcast. "
+    "Self-trained ⇒ every doc bigram exists in the model, so the ML "
+    "estimate needs no smoothing and stays SQL-exact (log of an "
+    "integer-count ratio, rounded at 4 dp).",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fanned(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).where(F.size("toks") >= 2)
+    bigrams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(concat_ws(' ', toks[i-1], toks[i]) AS bg, toks[i-1] AS w1))"
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.bg", "e.w1")
+    bg_counts = bigrams.groupBy("bg").agg(F.count("*").alias("c_bg"))
+    w1_counts = bigrams.groupBy("w1").agg(F.count("*").alias("c_w1"))
+    return (
+        bigrams.join(F.broadcast(bg_counts), "bg")
+        .join(F.broadcast(w1_counts), "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(F.log(F.col("c_bg") / F.col("c_w1"))), 4)
+            .cast("double")
+            .alias("avg_logprob"),
+        )
+    )
