@@ -379,3 +379,87 @@ def test_random_grouping_sets_match(orders_view, duck, combo, pred):
         dn, ds = dk[k]
         assert n == dn, (q, k)
         assert (s is None and ds is None) or abs(s - ds) < 1e-6, (q, k, s, ds)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left_type=st.sampled_from(["view", "click", "signup"]),
+    right_type=st.sampled_from(["purchase", "error"]),
+    pred=predicates(),
+)
+def test_random_asof_joins_match_duckdb_native(orders_view, duck, left_type, right_type, pred):
+    """The union+window as-of operator diffed against DuckDB's NATIVE
+    ASOF LEFT JOIN over random event-type splits (predicates randomize the
+    left side's density). Ties and no-earlier-row NULLs must agree."""
+    from pyspark.sql import functions as F
+
+    from emr_with_custom_metrics_spark.catalog import load_table, register_views
+    from emr_with_custom_metrics_spark.operators.asof import asof_join
+
+    register_views(orders_view, SF_DIR, ("events",))
+    duck.execute(
+        "CREATE OR REPLACE VIEW events AS "
+        f"SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"
+    )
+    ev = load_table(orders_view, SF_DIR, "events")
+    left = ev.where(F.col("event_type") == left_type).select(
+        "user_id", "ts", "event_id"
+    )
+    right = ev.where(F.col("event_type") == right_type).select(
+        "user_id", "ts", F.col("value").alias("r_value")
+    )
+    got = {
+        (r["event_id"], None if r["r_value"] is None else round(r["r_value"], 6))
+        for r in asof_join(left, right, key="user_id", ts="ts",
+                           right_value_cols=["r_value"]).collect()
+    }
+    q = f"""
+        WITH l AS (SELECT user_id, ts, event_id FROM events
+                   WHERE event_type = '{left_type}'),
+             r AS (SELECT user_id, ts, value AS r_value FROM events
+                   WHERE event_type = '{right_type}')
+        SELECT l.event_id, ROUND(r.r_value, 6) AS r_value
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+    """
+    import math
+    want = {
+        (row.event_id, None if (isinstance(row.r_value, float) and math.isnan(row.r_value)) else round(row.r_value, 6))
+        for row in duck.sql(q).df().itertuples()
+    }
+    assert got == want, (left_type, right_type, len(got ^ want), list(got ^ want)[:5])
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    q10=st.integers(min_value=0, max_value=10),
+    group=st.sampled_from(["o_orderstatus", "o_orderpriority"]),
+    pred=predicates(),
+)
+def test_random_exact_percentiles_match(orders_view, duck, q10, group, pred):
+    """Exact percentile interpolation diffed against QUANTILE_CONT for
+    random quantiles/groups/predicates — both engines implement linear
+    interpolation on the sorted sample; boundary quantiles (0, 1) and
+    single-row groups are the edge cases worth fuzzing."""
+    qv = q10 / 10.0
+    q = (
+        f"SELECT {group} AS g, COUNT(*) AS n, "
+        f"ROUND(PERCENTILE_CONT({qv}) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p "
+        f"FROM orders WHERE {pred} GROUP BY {group}"
+    )
+    sp = {r["g"]: (r["n"], r["p"]) for r in orders_view.sql(q).collect()}
+    dk = {row.g: (row.n, row.p) for row in duck.sql(q).df().itertuples()}
+    assert set(sp) == set(dk), q
+    for g, (n, p) in sp.items():
+        dn, dp = dk[g]
+        assert n == dn, (q, g)
+        tol = 1e-6 * max(1.0, abs(p or 0.0))
+        assert (p is None and dp is None) or abs(p - dp) <= tol, (q, g, p, dp)
