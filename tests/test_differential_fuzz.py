@@ -463,3 +463,60 @@ def test_random_exact_percentiles_match(orders_view, duck, q10, group, pred):
         assert n == dn, (q, g)
         tol = 1e-6 * max(1.0, abs(p or 0.0))
         assert (p is None and dp is None) or abs(p - dp) <= tol, (q, g, p, dp)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    gap_min=st.integers(min_value=1, max_value=120),
+    etype=st.sampled_from(["view", "click", "purchase", "error", "signup"]),
+)
+def test_random_session_windows_match_lag_emulation(orders_view, duck, gap_min, etype):
+    """session_window(gap) diffed against the portable lag/cumsum
+    emulation at random gaps: a new session starts when the time since
+    the previous event is >= gap (Spark's session extends to last+gap,
+    boundary EXCLUSIVE — the fuzzer pins that semantic)."""
+    from pyspark.sql import functions as F
+
+    from emr_with_custom_metrics_spark.catalog import load_table, register_views
+
+    register_views(orders_view, SF_DIR, ("events",))
+    duck.execute(
+        "CREATE OR REPLACE VIEW events AS "
+        f"SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"
+    )
+    ev = load_table(orders_view, SF_DIR, "events").where(F.col("event_type") == etype)
+    got = {
+        (r["user_id"], r["session_start"]): r["n"]
+        for r in ev.groupBy(
+            F.session_window("ts", f"{gap_min} minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n"))
+        .select("user_id", F.unix_timestamp("w.start").alias("session_start"), "n")
+        .collect()
+    }
+    q = f"""
+        WITH t AS (
+            SELECT user_id, ts,
+                   CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) >= {gap_min * 60}
+                        OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+            FROM events WHERE event_type = '{etype}'
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), s AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM t
+        )
+        SELECT user_id, CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start,
+               COUNT(*) AS n
+        FROM s GROUP BY user_id, sid
+    """
+    want = {
+        (row.user_id, row.session_start): row.n for row in duck.sql(q).df().itertuples()
+    }
+    assert got == want, (gap_min, etype, len(set(got) ^ set(want)),
+                         list(set(got) ^ set(want))[:5])
