@@ -895,10 +895,17 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = docs.select("doc_id", F.size("toks").alias("n"))
     tok = docs.select("doc_id", F.explode("toks").alias("s"))
     a, b = tok.alias("a"), tok.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") != F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("small_id"), F.col("b.doc_id").alias("big_id"))
+    # |A∩B| is symmetric: join/aggregate each unordered pair ONCE (<) and
+    # mirror the counts afterwards — half the shuffle of a <> theta join
+    inter_lt = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("lo"), F.col("b.doc_id").alias("hi"))
         .agg(F.count("*").alias("c"))
+    )
+    inter = inter_lt.select(
+        F.col("lo").alias("small_id"), F.col("hi").alias("big_id"), "c"
+    ).unionByName(
+        inter_lt.select(F.col("hi").alias("small_id"), F.col("lo").alias("big_id"), "c")
     )
     sa = sizes.select(F.col("doc_id").alias("small_id"), F.col("n").alias("n_small"))
     sb = sizes.select(F.col("doc_id").alias("big_id"), F.col("n").alias("n_big"))
