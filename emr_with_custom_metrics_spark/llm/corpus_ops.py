@@ -197,8 +197,8 @@ def split_train_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM spans
     )
     SELECT source, chunk_id, COUNT(*) AS n_docs,
-           SUM(LEAST(tok_end, (chunk_id + 1) * 256)
-               - GREATEST(tok_start, chunk_id * 256)) AS chunk_tokens
+           CAST(SUM(LEAST(tok_end, (chunk_id + 1) * 256)
+               - GREATEST(tok_start, chunk_id * 256)) AS BIGINT) AS chunk_tokens
     FROM chunked GROUP BY source, chunk_id
     """,
     doc="Concat-and-chunk sequence packing (the LM-pretraining layout): "
@@ -257,7 +257,7 @@ def pack_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT source, COUNT(*) AS n_total,
-           SUM(CASE WHEN b < keep_below THEN 1 ELSE 0 END) AS n_kept
+           CAST(SUM(CASE WHEN b < keep_below THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM rated GROUP BY source
     """,
     doc="Weighted mixture sampling: each source keeps a configured "
@@ -369,9 +369,14 @@ def decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(sequence(1, size(toks) - {k - 1}), "
         f"i -> concat_ws(' ', slice(toks, i, {k})))"
     )
+    # No size filter on the OUTPUT side: a <k-token training doc is still a
+    # training doc — it appears with 0 overlap (r2 ADVICE; matches the
+    # oracle's unfiltered tr CTE). The k-token floor applies only where
+    # grams are generated, since sequence(1, n) runs DESCENDING for n < 1
+    # and would emit bogus slice indices.
     train = d.where(F.col("source") != "src0").select(
         "doc_id", F.split("text", " ").alias("toks")
-    ).where(F.size("toks") >= k)
+    )
     ev_grams = (
         d.where(F.col("source") == "src0")
         .select(F.split("text", " ").alias("toks"))
@@ -380,7 +385,8 @@ def decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     hits = (
-        train.select("doc_id", F.explode(grams).alias("g"))
+        train.where(F.size("toks") >= k)
+        .select("doc_id", F.explode(grams).alias("g"))
         .join(F.broadcast(ev_grams), "g")
         .groupBy("doc_id")
         .agg(F.countDistinct("g").alias("n_hits"))

@@ -687,9 +687,9 @@ def simhash(token_sets: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     previous all-JVM form (explode + 64 bit-extract sum aggregates)
     evaluated 64 expressions per exploded row — same lesson as minhash,
     ~2× on the fingerprint stage. No shuffle; only (doc_id, 8 B)
-    fingerprints leave the stage. int16 tallies are safe: docs hold ≪32k
-    distinct shingles (and at ingestion scale the per-doc cap should be
-    enforced upstream anyway).
+    fingerprints leave the stage. Votes stay int16 for memory, but the
+    reduceat accumulator is int32 so a >32k-token document cannot wrap
+    the per-bit tally.
 
     Accepts string-token sets (hashed to longs JVM-side first — one
     xxhash64 inside a transform) or pre-hashed long sets."""
@@ -726,7 +726,11 @@ def simhash(token_sets: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
             else:
                 z = x
             votes = (((z[:, None] >> shifts) & np.uint64(1)).astype(np.int16) * 2 - 1)
-            tallies = np.add.reduceat(votes, offsets, axis=0)  # (n_docs, bits)
+            # Accumulate in int32 (r2 ADVICE): reduceat otherwise sums in the
+            # votes dtype, and a >32,767-token doc would wrap int16 and
+            # silently corrupt its fingerprint. Votes stay int16 (memory-
+            # bound on the 500k-token chunk); only the accumulator widens.
+            tallies = np.add.reduceat(votes, offsets, axis=0, dtype=np.int32)
             fp = ((tallies > 0).astype(np.uint64) << shifts).sum(
                 axis=1, dtype=np.uint64
             )

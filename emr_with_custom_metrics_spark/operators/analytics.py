@@ -194,65 +194,63 @@ def concurrent_events_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH words AS (
         SELECT event_type,
                CAST(FLOOR(epoch(ts) / 604800) AS BIGINT) AS week,
-               BIT_OR(CASE WHEN user_id // 64 = 0
-                           THEN (CAST(1 AS UBIGINT) << (user_id % 64)) ELSE 0 END) AS w0,
-               BIT_OR(CASE WHEN user_id // 64 = 1
-                           THEN (CAST(1 AS UBIGINT) << (user_id % 64)) ELSE 0 END) AS w1,
-               BIT_OR(CASE WHEN user_id // 64 = 2
-                           THEN (CAST(1 AS UBIGINT) << (user_id % 64)) ELSE 0 END) AS w2
-        FROM events GROUP BY 1, 2
+               user_id // 64 AS word_idx,
+               BIT_OR(CAST(1 AS UBIGINT) << (user_id % 64)) AS word
+        FROM events GROUP BY 1, 2, 3
+    ), pairs AS (
+        -- bit_count returns TINYINT; widen before summing
+        SELECT a.event_type, a.week,
+               CAST(bit_count(a.word) AS INT) AS pa,
+               CAST(bit_count(a.word & COALESCE(b.word, CAST(0 AS UBIGINT)))
+                    AS INT) AS pr
+        FROM words a LEFT JOIN words b
+          ON a.event_type = b.event_type AND a.word_idx = b.word_idx
+         AND b.week = a.week - 1
     )
-    -- DuckDB bit_count returns TINYINT; widen BEFORE adding (119+21
-    -- overflows INT8)
-    SELECT a.event_type, a.week,
-           CAST(bit_count(a.w0) AS INT) + CAST(bit_count(a.w1) AS INT)
-               + CAST(bit_count(a.w2) AS INT) AS n_active,
-           CAST(bit_count(a.w0 & b.w0) AS INT) + CAST(bit_count(a.w1 & b.w1) AS INT)
-               + CAST(bit_count(a.w2 & b.w2) AS INT) AS n_retained
-    FROM words a JOIN words b
-      ON a.event_type = b.event_type AND b.week = a.week - 1
+    SELECT g.event_type, g.week,
+           CAST(SUM(g.pa) AS INT) AS n_active,
+           CAST(SUM(g.pr) AS INT) AS n_retained
+    FROM pairs g
+    WHERE EXISTS (SELECT 1 FROM words w
+                  WHERE w.event_type = g.event_type AND w.week = g.week - 1)
+    GROUP BY 1, 2
     """,
-    doc="Bitmap-index OLAP: per (event_type, week) the active-user SET is "
-    "three 64-bit words built by BIT_OR of one-hot user bits; "
-    "week-over-week retention is popcount of the word-wise AND — set "
-    "intersection without COUNT(DISTINCT)'s expand or any row "
-    "explosion. The aggregate state is 24 bytes per group regardless of "
-    "user count per group; at real cardinalities the words column "
-    "becomes a roaring-style chunked array (same query shape, word "
-    "explode + AND + popcount-sum). The classic ClickHouse/Druid "
-    "groupBitmap technique expressed in stock Spark.",
+    doc="Bitmap-index OLAP: per (event_type, week) the active-user SET is a "
+    "collection of 64-bit words keyed by word_idx = user_id div 64 — "
+    "sized by the DATA, so any user-id domain is covered (r2 ADVICE: the "
+    "fixed 3-word variant silently dropped user_id >= 192). "
+    "Week-over-week retention is popcount of the word-wise AND via a "
+    "word-aligned left join — set intersection without COUNT(DISTINCT)'s "
+    "expand or any row explosion. Aggregate state is 8 bytes per "
+    "occupied word per group (a sparse roaring-style layout); the "
+    "final semi join keeps only weeks whose predecessor exists, "
+    "preserving the pairwise-join semantics. The classic "
+    "ClickHouse/Druid groupBitmap technique expressed in stock Spark.",
 )
 def bitmap_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     week = F.floor(F.unix_timestamp("ts") / 604800).cast("bigint").alias("week")
-
-    def word(i: int):
-        return F.expr(
-            f"bit_or(CASE WHEN user_id div 64 = {i} "
-            f"THEN shiftleft(1L, CAST(user_id % 64 AS INT)) ELSE 0L END)"
-        ).alias(f"w{i}")
-
-    words = ev.groupBy("event_type", week).agg(word(0), word(1), word(2))
+    words = ev.groupBy(
+        "event_type", week, F.expr("user_id div 64").alias("word_idx")
+    ).agg(F.expr("bit_or(shiftleft(1L, CAST(user_id % 64 AS INT)))").alias("word"))
     a, b = words.alias("a"), words.alias("b")
-    pop = lambda c: F.bit_count(c)  # noqa: E731
-    return (
-        a.join(
-            b,
-            (F.col("a.event_type") == F.col("b.event_type"))
-            & (F.col("b.week") == F.col("a.week") - 1),
-        )
-        .select(
-            F.col("a.event_type").alias("event_type"),
-            F.col("a.week").alias("week"),
-            (pop(F.col("a.w0")) + pop(F.col("a.w1")) + pop(F.col("a.w2")))
-            .cast("int")
-            .alias("n_active"),
-            (
-                pop(F.col("a.w0").bitwiseAND(F.col("b.w0")))
-                + pop(F.col("a.w1").bitwiseAND(F.col("b.w1")))
-                + pop(F.col("a.w2").bitwiseAND(F.col("b.w2")))
-            )
-            .cast("int")
-            .alias("n_retained"),
-        )
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.word_idx") == F.col("b.word_idx"))
+        & (F.col("b.week") == F.col("a.week") - 1),
+        "left",
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.week").alias("week"),
+        F.bit_count(F.col("a.word")).alias("pa"),
+        F.bit_count(
+            F.col("a.word").bitwiseAND(F.coalesce(F.col("b.word"), F.lit(0).cast("long")))
+        ).alias("pr"),
     )
+    agg = pairs.groupBy("event_type", "week").agg(
+        F.sum("pa").cast("int").alias("n_active"),
+        F.sum("pr").cast("int").alias("n_retained"),
+    )
+    prev_weeks = words.select("event_type", (F.col("week") + 1).alias("week")).distinct()
+    return agg.join(prev_weeks, ["event_type", "week"], "left_semi")

@@ -59,6 +59,14 @@ def _pin_utc(fn: QueryFn) -> QueryFn:
             spark.conf.set("spark.sql.session.timeZone", "UTC")
             if _sf_of(sf_dir) <= 0.011:
                 spark.conf.set("spark.sql.shuffle.partitions", "8")
+            else:
+                # Symmetric restore (r2 ADVICE): without this, one small-SF
+                # query pins 8 partitions onto every later sf0.1+ query in
+                # the same session.
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions",
+                    spark.sparkContext.getConf().get("spark.sql.shuffle.partitions", "32"),
+                )
         except Exception:
             pass
         return fn(spark, sf_dir)
@@ -82,15 +90,15 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     return wrap
 
 
-# Queries that already have a green row in CORRECTNESS_r01.json (the driver
-# verified exactly the first 50 registry entries in round 1, VERDICT.md).
-# The driver's verify loop walks ``queries()`` in dict order under a time
-# budget, so the 72 not-yet-verified queries must come FIRST this round.
-_DRIVER_VERIFIED_R01 = frozenset(
+# Queries that already have a green row in CORRECTNESS_r01.json ∪
+# CORRECTNESS_r02.json (the driver verifies ~50 registry entries per round
+# under a time budget, walking ``queries()`` in dict order). The 71
+# never-verified queries must therefore come FIRST each round; this set is
+# refreshed from the latest CORRECTNESS_r{N}.json at the start of every round.
+_DRIVER_VERIFIED = frozenset(
     {
+        # --- round 1 (CORRECTNESS_r01.json, 49 green) ---
         "a1_group_count", "filter_project", "filter_predicates", "q1_pricing_summary",
-        # agg_approx_distinct deliberately absent: its r01 row was the lone
-        # "no_oracle" err; it re-verifies early now that it carries an oracle.
         "agg_stats", "rollup_agg", "cube_agg", "distinct_values",
         "topk_orders", "ordered_projection", "sql_q6_forecast_revenue",
         "sql_grouping_sets", "sql_scalar_subquery", "sql_in_subquery",
@@ -106,6 +114,32 @@ _DRIVER_VERIFIED_R01 = frozenset(
         "q4_order_priority_check", "q14_promo_revenue_share", "q10_returned_items",
         "join_interval_time", "join_theta_range", "window_rank_battery",
         "window_offsets",
+        # --- round 2 (CORRECTNESS_r02.json, 49 green) ---
+        # q12_priority_shipping deliberately absent: its r02 row was the lone
+        # hash_match=false (oracle-side HUGEINT, fixed this round) — it
+        # re-verifies early with the corrected CAST(... AS BIGINT) oracle.
+        # bitmap_weekly_retention also absent: its r02 green row verified the
+        # 3-word variant that truncated user_id >= 192 (r2 ADVICE); the
+        # data-sized rewrite changes the answer, so it needs a fresh row.
+        "agg_approx_distinct", "agg_approx_top_k", "udtf_ngrams",
+        "unpivot_order_measures", "agg_approx_quantile", "q7_nation_volume",
+        "q8_market_share", "q9_product_profit", "q11_part_value_share",
+        "q13_customer_distribution", "q15_top_supplier",
+        "q17_small_quantity_revenue", "q19_disjunctive_pred",
+        "q22_inactive_customers", "sql_q16_supplier_cnt",
+        "sql_q20_excess_shippers", "sql_q21_waiting_supplier",
+        "window_running_sum", "topk_per_group", "window_first_last",
+        "setop_union_all", "setop_intersect", "setop_except",
+        "setop_intersect_all", "setop_except_all", "setop_union_missing_columns",
+        "setop_union_distinct", "asof_purchase_last_click",
+        "events_zscore_outliers", "events_mad_outliers", "scd2_customer_history",
+        "funnel_view_click_purchase", "retention_cohorts",
+        "concurrent_events_timeline",
+        "scalar_string_funcs", "scalar_date_funcs", "scalar_math_funcs",
+        "json_extract_props", "json_from_json_struct", "m3_derived_metric",
+        "conditional_case", "json_variant_battery", "array_funcs", "map_funcs",
+        "posexplode_tokens", "scalar_string_funcs2", "scalar_date_funcs2",
+        "hof_battery",
     }
 )
 
@@ -133,7 +167,7 @@ def _driver_order(names: list[str]) -> list[str]:
     idx = {n: i for i, n in enumerate(names)}
 
     def key(n: str) -> tuple[int, int, int]:
-        verified = 1 if n in _DRIVER_VERIFIED_R01 else 0
+        verified = 1 if n in _DRIVER_VERIFIED else 0
         heavy = 1 if n in _HEAVY else 0
         return (verified, heavy, idx[n])
 

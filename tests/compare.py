@@ -35,6 +35,19 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name:
     a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
     for c in a.columns:
         av, bv = a[c], b[c]
+        # Dtype-strict gate (VERDICT r02 #3): the driver's value-hash does NOT
+        # coerce, so an int64 Spark column vs a float64 oracle column (the
+        # DuckDB-HUGEINT→pandas-float64 class) hash-mismatches there even when
+        # the values are numerically identical. Fail here too.
+        int_vs_float = (
+            pd.api.types.is_integer_dtype(av) and pd.api.types.is_float_dtype(bv)
+        ) or (pd.api.types.is_float_dtype(av) and pd.api.types.is_integer_dtype(bv))
+        assert not int_vs_float, (
+            f"{name}: column {c} dtype class mismatch spark={av.dtype} vs "
+            f"oracle={bv.dtype} — the driver's hash will fail on this even if "
+            f"values agree (likely an uncast DuckDB HUGEINT aggregate; add "
+            f"CAST(... AS BIGINT) to the oracle or cast the Spark side)"
+        )
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
             af = av.astype("float64").to_numpy()
             bf = bv.astype("float64").to_numpy()

@@ -24,6 +24,26 @@ def test_query_matches_oracle(spark, duck, name):
     assert_frames_match(spark_pdf, oracle_pdf, name)
 
 
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_oracle_output_types_lint(duck, name):
+    """Mechanical oracle-type lint (VERDICT r02 #3): DuckDB ``SUM()`` over
+    integers returns HUGEINT (int128), which pandas silently converts to
+    float64 — the driver's value-hash then mismatches while row/schema checks
+    pass (the exact q12_priority_shipping failure class). Binding the oracle
+    (no execution) exposes the result types; any HUGEINT column means a
+    missing ``CAST(... AS BIGINT)``."""
+    rel = duck.sql(SPECS[name].oracle)
+    bad = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if "HUGEINT" in str(t).upper()
+    ]
+    assert not bad, (
+        f"{name}: oracle emits int128 columns {bad} — pandas converts these to "
+        f"float64 and the driver's hash fails; CAST(... AS BIGINT) in the oracle"
+    )
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_query_runs(spark, name):
     spec = SPECS[name]

@@ -102,23 +102,44 @@ def test_events_scan_prunes_for_json_query(spark):
 
 
 def test_no_driver_side_collect_in_query_modules():
-    """Source hygiene (VERDICT r01 #4): registered queries must be one lazy
-    DAG — no mid-plan ``.collect()`` on the driver. Allowed sites: the plan
-    debugging utility, and the two tiny post-aggregation sinks whose output
-    is one row per (rule, bucket) by construction."""
+    """Source hygiene (VERDICT r01 #4, widened per r2 ADVICE): registered
+    queries must be one lazy DAG — no mid-plan ``.collect()``,
+    ``.toPandas()``, or eager ``.localCheckpoint()`` on the driver unless
+    the site is explicitly allowlisted below, so every documented exception
+    is auditable here rather than invisible to the grep.
+
+    ``.collect()`` allowlist: the plan debugging utility and the two tiny
+    post-aggregation sinks whose output is one row per (rule, bucket).
+    ``.toPandas()`` allowlist: ``dedup_embedding_cosine``'s broadcast build
+    side — the documented small-N exact N² baseline (VERDICT r02).
+    ``.localCheckpoint()`` allowlist: iterative-algorithm lineage cuts
+    (connected components, pagerank, k-means) and the ngram-jaccard
+    candidate reuse — each truncates an otherwise exponentially-growing
+    plan, the sanctioned Spark pattern for loops."""
     import pathlib
 
     root = pathlib.Path(__file__).resolve().parent.parent / "emr_with_custom_metrics_spark"
-    allowed = {"plans/inspect.py", "streaming/pipeline.py", "sources/metrics_source.py"}
+    allowed = {
+        ".collect()": {
+            "plans/inspect.py",
+            "streaming/pipeline.py",
+            "sources/metrics_source.py",
+        },
+        ".toPandas(": {"llm/dedup.py"},
+        ".localCheckpoint(": {
+            "llm/dedup.py",
+            "operators/graph.py",
+            "llm/embeddings.py",
+        },
+    }
     offenders = []
     for p in root.rglob("*.py"):
         rel = str(p.relative_to(root))
-        if rel in allowed:
-            continue
         for i, line in enumerate(p.read_text().splitlines(), 1):
             code = line.split("#", 1)[0]
-            if ".collect()" in code:
-                offenders.append(f"{rel}:{i}")
+            for pat, files in allowed.items():
+                if pat in code and rel not in files:
+                    offenders.append(f"{rel}:{i} ({pat}")
     assert not offenders, offenders
 
 
