@@ -3,13 +3,16 @@
 Images/audio/video are ``BinaryType`` columns with typed metadata alongside
 (SURVEY.md §1.4). Decode is tiered by what the environment can express:
 
-* REAL decoders for header-parseable uncompressed formats — PPM (P6) and
-  24-bit BMP — pure stdlib/numpy, no codec library needed
-  (``decode_image``; exercised end-to-end by ``multimodal_decode_ppm``).
-* A deterministic STUB for codec formats (JPEG/PNG/audio/video), clearly
-  marked: the container has no Pillow/ffmpeg. The Spark-side plumbing
-  around it — schemas, Arrow batch shapes, ``mapInPandas`` signatures,
-  partitioning of frame explosions — is real and tested either way.
+* REAL decoders for formats the stdlib can fully express — PPM (P6) and
+  24-bit BMP (header-parseable), RIFF/WAV PCM16 (chunk walk), and
+  non-interlaced 8-bit PNG (zlib inflate + the five scanline filters;
+  PNG's only compression IS zlib, so no codec library is needed) —
+  exercised end-to-end by ``multimodal_decode_{ppm,wav,png}``.
+* A deterministic STUB for genuinely codec-bound formats (JPEG/mp3/aac/
+  video), clearly marked: the container has no Pillow/ffmpeg. The
+  Spark-side plumbing around it — schemas, Arrow batch shapes,
+  ``mapInPandas`` signatures, partitioning of frame explosions — is real
+  and tested either way.
 
 The fake decoder derives metadata deterministically from the payload length
 so the mapInPandas queries remain SQL-oracle-able — the harness then checks
@@ -117,7 +120,178 @@ def decode_image(payload: bytes) -> dict:
             "n_pixels": w * height,
             "mean_byte": float(rows.mean()),
         }
+    if payload[:8] == PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError("codec-compressed format: needs Pillow/ffmpeg")
+
+
+# ---------------------------------------------------------------------------
+# PNG: real encode + decode with stdlib zlib only (VERDICT r02 #7).
+# PNG's compression method 0 is DEFLATE — exactly what zlib implements — so
+# unlike JPEG nothing beyond the stdlib is required: signature + chunk walk
+# (CRC-verified), inflate the IDAT stream, reverse the per-scanline filters.
+# ---------------------------------------------------------------------------
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # grayscale, RGB, RGBA
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth_vec(left, up, upleft):
+    """Vectorized Paeth predictor (PNG spec §9 Filter type 4)."""
+    import numpy as np
+
+    lt, u, ul = (a.astype(np.int16) for a in (left, up, upleft))
+    p = lt + u - ul
+    pa, pb, pc = np.abs(p - lt), np.abs(p - u), np.abs(p - ul)
+    return np.where(
+        (pa <= pb) & (pa <= pc), lt, np.where(pb <= pc, u, ul)
+    ).astype(np.uint8)
+
+
+def encode_png(width: int, height: int, fill: int) -> bytes:
+    """Build a real non-interlaced 8-bit RGB PNG: signature, IHDR, one
+    zlib-compressed IDAT, IEND — all CRCs genuine. Scanlines rotate through
+    ALL FIVE filter types (row r uses filter r % 5), so a decoder must
+    implement every reverse filter correctly to recover the pixels; with
+    constant ``fill`` the recovered statistics stay header-predictable and
+    therefore SQL-oracle-able. The filter math is the general spec
+    formulation (uint8 wraparound arithmetic), not a constant-fill
+    shortcut."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    bpp = 3
+    stride = width * bpp
+    raw = np.full((height, stride), fill, dtype=np.uint8)
+
+    def shifted(a):  # byte at x - bpp, 0 before the first pixel
+        out = np.zeros(stride, dtype=np.uint8)
+        out[bpp:] = a[:-bpp]
+        return out
+
+    body = bytearray()
+    prior = np.zeros(stride, dtype=np.uint8)
+    for r in range(height):
+        row, ftype = raw[r], r % 5
+        left, upleft = shifted(row), shifted(prior)
+        if ftype == 0:
+            filt = row
+        elif ftype == 1:  # Sub
+            filt = row - left
+        elif ftype == 2:  # Up
+            filt = row - prior
+        elif ftype == 3:  # Average (floor of the int sum, not uint8 wrap)
+            filt = row - ((left.astype(np.uint16) + prior) // 2).astype(np.uint8)
+        else:  # Paeth
+            filt = row - _paeth_vec(left, prior, upleft)
+        body.append(ftype)
+        body.extend(filt.tobytes())
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(body)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> dict:
+    """REAL PNG decode: verify the signature, walk the chunk stream
+    validating every CRC, parse IHDR, inflate the concatenated IDAT data,
+    and reverse the per-scanline filter (types 0-4). Supports
+    non-interlaced 8-bit grayscale/RGB/RGBA — the shape every training-
+    corpus thumbnail pipeline actually emits; 16-bit/interlaced/palette
+    images raise NotImplementedError and fall to the stub tier."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
+            if comp != 0 or filt != 0:
+                raise ValueError("unknown PNG compression/filter method")
+            if depth != 8 or color not in _PNG_CHANNELS or interlace != 0:
+                raise NotImplementedError(
+                    "only non-interlaced 8-bit gray/RGB/RGBA PNG decodes here"
+                )
+            ihdr = (w, h, color)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, color = ihdr
+    bpp = _PNG_CHANNELS[color]
+    stride = w * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline length mismatch")
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        ftype, row = int(lines[r, 0]), lines[r, 1:]
+        if ftype == 0:
+            cur = row.copy()
+        elif ftype == 2:  # Up: no left dependency → vectorized
+            cur = row + prior
+        elif ftype == 1:  # Sub: per-channel prefix sum mod 256
+            cur = (
+                row.reshape(w, bpp).astype(np.uint32).cumsum(axis=0).astype(np.uint8)
+            ).reshape(stride)
+        elif ftype in (3, 4):  # Average/Paeth: genuinely sequential in x
+            cur = np.zeros(stride, dtype=np.uint8)
+            for i in range(stride):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                up = int(prior[i])
+                if ftype == 3:
+                    pred = (left + up) // 2
+                else:
+                    ul = int(prior[i - bpp]) if i >= bpp else 0
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                cur[i] = (int(row[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        recon[r] = cur
+        prior = cur
+    return {
+        "format": "png",
+        "width": w,
+        "height": h,
+        "n_pixels": w * h,
+        "mean_byte": float(recon.mean()),
+    }
 
 
 def _decode_any(payload: bytes) -> tuple[int, int, int]:
@@ -223,6 +397,58 @@ def _ppm_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.Data
 def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_fanned(spark, sf_dir, "documents").select("doc_id")
     return d.mapInPandas(_ppm_roundtrip_batch, schema=PPM_DECODED_SCHEMA)
+
+
+def _png_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    """Synthesize a real PNG per doc (dimensions/fill derived from doc_id —
+    heights up to 7 so every filter type 0-4 appears) and decode it with the
+    REAL parser: zlib deflate→inflate plus filter/unfilter both run
+    executor-side over Arrow batches."""
+    import pandas as pd
+
+    for pdf in batches:
+        payloads = pdf["doc_id"].map(
+            lambda d: encode_png(int(d) % 10 + 1, int(d) % 7 + 1, int(d) % 251)
+        )
+        metas = payloads.map(decode_image)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "fmt": metas.map(lambda m: m["format"]),
+                "width": metas.map(lambda m: m["width"]).astype("int32"),
+                "height": metas.map(lambda m: m["height"]).astype("int32"),
+                "n_pixels": metas.map(lambda m: m["n_pixels"]).astype("int64"),
+                "mean_byte": metas.map(lambda m: round(m["mean_byte"], 4)),
+            }
+        )
+
+
+@register(
+    "multimodal_decode_png",
+    # Constant-fill pixels keep the statistics header-predictable even
+    # though the bytes cross a real DEFLATE round-trip and five scanline
+    # filters — any bug in the chunk walk, CRC check, inflate plumbing, or
+    # filter reconstruction breaks the value hash.
+    oracle="""
+    SELECT doc_id,
+           'png' AS fmt,
+           CAST(doc_id % 10 + 1 AS INTEGER) AS width,
+           CAST(doc_id % 7 + 1 AS INTEGER) AS height,
+           CAST((doc_id % 10 + 1) * (doc_id % 7 + 1) AS BIGINT) AS n_pixels,
+           ROUND(CAST(doc_id % 251 AS DOUBLE), 4) AS mean_byte
+    FROM documents
+    """,
+    doc="REAL PNG decode end-to-end (VERDICT r02 #7): synthesize "
+    "non-interlaced 8-bit RGB PNGs in-engine (stdlib zlib — PNG's only "
+    "compression is DEFLATE), scanlines rotated through all five filter "
+    "types, then chunk-walk + CRC-verify + inflate + unfilter with the "
+    "real parser inside mapInPandas. Extends the real-decoder tier "
+    "(PPM/BMP/WAV) to a compressed format; only genuinely codec-bound "
+    "formats (JPEG/mp3) remain behind the marked stub.",
+)
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fanned(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_png_roundtrip_batch, schema=PPM_DECODED_SCHEMA)
 
 
 FEATURE_DIM = 16

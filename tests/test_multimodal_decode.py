@@ -75,6 +75,83 @@ def test_dispatch_tiers_real_vs_stub():
         _decode_any(b"")  # empty payload raises like a real decoder
 
 
+def test_png_roundtrip_all_filter_types():
+    """encode_png rotates filters 0-4 across rows; a 10x7 image therefore
+    exercises every reverse filter. Constant fill must survive the full
+    deflate→inflate→unfilter round-trip exactly."""
+    from emr_with_custom_metrics_spark.llm.multimodal import decode_png, encode_png
+
+    for w, h, fill in [(10, 7, 200), (1, 1, 0), (3, 6, 255), (8, 5, 37)]:
+        meta = decode_png(encode_png(w, h, fill))
+        assert meta == {
+            "format": "png", "width": w, "height": h,
+            "n_pixels": w * h, "mean_byte": float(fill),
+        }, (w, h, fill)
+
+
+def test_png_filter_bytes_match_spec():
+    """Pin the ENCODER to the PNG spec independently of the decoder (a
+    shared predictor misunderstanding would cancel in a round-trip): for
+    constant fill f the filtered scanlines are hand-computable — Sub rows
+    are [f]*bpp then zeros, Up rows are all zeros, Average rows are
+    [f - f//2]*bpp then zeros, Paeth rows are all zeros."""
+    import struct
+    import zlib
+
+    from emr_with_custom_metrics_spark.llm.multimodal import encode_png
+
+    w, h, f, bpp = 4, 5, 201, 3
+    png = encode_png(w, h, f)
+    # IDAT is the second chunk: sig(8) + IHDR chunk (12+13 bytes)
+    idat_off = 8 + 12 + 13
+    (ln,) = struct.unpack(">I", png[idat_off : idat_off + 4])
+    assert png[idat_off + 4 : idat_off + 8] == b"IDAT"
+    raw = zlib.decompress(png[idat_off + 8 : idat_off + 8 + ln])
+    stride = w * bpp
+    rows = [raw[r * (stride + 1) : (r + 1) * (stride + 1)] for r in range(h)]
+    assert rows[0] == bytes([0]) + bytes([f]) * stride  # None
+    assert rows[1] == bytes([1]) + bytes([f] * bpp) + bytes(stride - bpp)  # Sub
+    assert rows[2] == bytes([2]) + bytes(stride)  # Up
+    assert rows[3] == bytes([3]) + bytes([f - f // 2] * bpp) + bytes(stride - bpp)
+    assert rows[4] == bytes([4]) + bytes(stride)  # Paeth picks `up` = f
+
+
+def test_png_rejects_corruption_and_unsupported():
+    import pytest
+
+    from emr_with_custom_metrics_spark.llm.multimodal import decode_png, encode_png
+
+    png = bytearray(encode_png(5, 4, 10))
+    png[20] ^= 0xFF  # flip an IHDR byte → CRC must fail
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(png))
+
+    png = bytearray(encode_png(5, 4, 10))
+    png[8 + 8 + 12] = 1  # IHDR interlace byte (Adam7) → unsupported tier
+    # recompute nothing: CRC now fails first, which is also correct — so
+    # instead build a fresh IHDR with a valid CRC to reach the tier check
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 5, 4, 8, 2, 0, 0, 1)
+    chunk = struct.pack(">I", 13) + b"IHDR" + ihdr + struct.pack(
+        ">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
+    )
+    patched = bytes(png[:8]) + chunk + bytes(png[8 + 25 :])
+    with pytest.raises(NotImplementedError):
+        decode_png(patched)
+
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\njunk")
+
+
+def test_png_dispatches_through_decode_image():
+    from emr_with_custom_metrics_spark.llm.multimodal import decode_image, encode_png
+
+    assert _decode_any(encode_png(6, 3, 9)) == (6, 3, 1)
+    assert decode_image(encode_png(2, 2, 128))["format"] == "png"
+
+
 def test_wav_decoder_walks_chunks_and_rejects_garbage():
     """The RIFF parser must skip unknown chunks (with odd-size padding),
     reject non-WAV payloads, and report exact PCM16 statistics."""
