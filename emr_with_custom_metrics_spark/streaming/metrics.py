@@ -205,9 +205,16 @@ INITIAL_CAPACITY = 2  # the reference cluster's 2 core/task baseline (README.md:
     "autoscale_timeline",
     oracle="""
     WITH RECURSIVE
-    -- MATERIALIZED: the recursion below joins `ordered` once per step;
-    -- without the hint DuckDB re-derives the whole events aggregation
-    -- every iteration (measured 25 s -> 3 s at sf0.01)
+    -- Firing is decidable WITHOUT the size state: per rule, alarms split
+    -- into runs of consecutive 300 s buckets (a >300 s gap from the
+    -- previous alarm always exceeds the cooldown since last-fired <=
+    -- previous alarm time), and within a run exactly the odd positions
+    -- fire (fire, suppress at +300, fire at +600, ...). That moves the
+    -- whole cooldown screen into window functions; the recursion only
+    -- folds the clamped capacity over FIRED rows with 2-column state —
+    -- measured 3.8 s -> 1.9 s at sf0.01 vs simulating every alarm.
+    -- (MATERIALIZED hints: without them DuckDB re-derives the CTE per
+    -- recursion step; measured 25 s -> 3 s in the r1 formulation.)
     metric AS MATERIALIZED (
       SELECT CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_start,
              ROUND(AVG(value), 4) AS avg_value
@@ -216,34 +223,32 @@ INITIAL_CAPACITY = 2  # the reference cluster's 2 core/task baseline (README.md:
       SELECT bucket_start, 'scale-out' AS rule, 5 AS adj FROM metric WHERE avg_value <= 25.0
       UNION ALL
       SELECT bucket_start, 'scale-in', -2 FROM metric WHERE avg_value > 75.0),
-    ordered AS MATERIALIZED (
+    gaps AS (
+      SELECT bucket_start, rule, adj,
+             CASE WHEN bucket_start - LAG(bucket_start)
+                       OVER (PARTITION BY rule ORDER BY bucket_start) = 300
+                  THEN 0 ELSE 1 END AS is_run_start
+      FROM alarms),
+    runs AS (
+      SELECT bucket_start, rule, adj,
+             SUM(is_run_start) OVER (PARTITION BY rule ORDER BY bucket_start)
+                 AS run_id
+      FROM gaps),
+    fired AS MATERIALIZED (
       SELECT bucket_start, rule, adj,
              ROW_NUMBER() OVER (ORDER BY bucket_start, rule) AS i
-      FROM alarms),
-    sim(i, size, last_out, last_in, fired, bucket_start, rule, adj) AS (
-      SELECT 0, 2, CAST(-1000000000 AS BIGINT), CAST(-1000000000 AS BIGINT),
-             FALSE, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER)
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY rule, run_id
+                                         ORDER BY bucket_start) AS pos
+            FROM runs)
+      WHERE pos % 2 = 1),
+    sim(i, size) AS (
+      SELECT 0, 2
       UNION ALL
-      SELECT o.i,
-             CASE WHEN (CASE WHEN o.rule = 'scale-out'
-                             THEN o.bucket_start > s.last_out + 300
-                             ELSE o.bucket_start > s.last_in + 300 END)
-                  THEN LEAST(20, GREATEST(0, s.size + o.adj)) ELSE s.size END,
-             CASE WHEN o.rule = 'scale-out'
-                       AND o.bucket_start > s.last_out + 300
-                  THEN o.bucket_start ELSE s.last_out END,
-             CASE WHEN o.rule = 'scale-in'
-                       AND o.bucket_start > s.last_in + 300
-                  THEN o.bucket_start ELSE s.last_in END,
-             (CASE WHEN o.rule = 'scale-out'
-                   THEN o.bucket_start > s.last_out + 300
-                   ELSE o.bucket_start > s.last_in + 300 END),
-             o.bucket_start, o.rule, o.adj
-      FROM sim s JOIN ordered o ON o.i = s.i + 1)
-    SELECT bucket_start, rule,
-           CAST(adj AS INTEGER) AS adjustment,
-           CAST(size AS INTEGER) AS new_size
-    FROM sim WHERE fired
+      SELECT f.i, LEAST(20, GREATEST(0, s.size + f.adj))
+      FROM sim s JOIN fired f ON f.i = s.i + 1)
+    SELECT f.bucket_start, f.rule, CAST(f.adj AS INTEGER) AS adjustment,
+           CAST(s.size AS INTEGER) AS new_size
+    FROM sim s JOIN fired f ON f.i = s.i
     """,
     doc="EP3 end-to-end IN-ENGINE: 300 s windowed metric → threshold alarms "
     "(R2/R3) → per-rule 300 s cooldown (R5) → ScalingAdjustment applied to "

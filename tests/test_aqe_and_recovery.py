@@ -20,6 +20,7 @@ def test_aqe_splits_skewed_join(spark):
     old = {
         k: spark.conf.get(k, None)
         for k in (
+            "spark.sql.adaptive.enabled",
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
@@ -27,6 +28,9 @@ def test_aqe_splits_skewed_join(spark):
         )
     }
     try:
+        # pin AQE on: registry._pin_utc turns it off for small-SF registered
+        # queries, and this suite shares the session with the parity tests
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
         spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
@@ -57,6 +61,8 @@ def test_aqe_splits_skewed_join(spark):
 def test_aqe_coalesces_small_partitions(spark):
     """32 configured shuffle partitions over a tiny aggregate must coalesce
     at runtime (AQEShuffleRead coalesced) instead of running 32 tasks."""
+    spark.conf.set("spark.sql.adaptive.enabled", "true")  # see skew test note
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
     df = spark.range(0, 10_000).groupBy((F.col("id") % 5).alias("g")).agg(
         F.count("*").alias("n")
     )
