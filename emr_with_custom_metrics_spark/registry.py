@@ -64,6 +64,12 @@ def _pin_utc(fn: QueryFn) -> QueryFn:
                 # full driver-sim); at real scale it earns its keep, so this
                 # is strictly a correctness-gate accelerator.
                 spark.conf.set("spark.sql.adaptive.enabled", "false")
+                # Whole-stage codegen compiles a bespoke Java class per plan
+                # — worth it on GB-scale scans, pure first-run latency on the
+                # KB inputs of the correctness gate (171 unique plans × the
+                # compile cost is a large share of the driver-sim wall).
+                # Interpreted eval is semantically identical.
+                spark.conf.set("spark.sql.codegen.wholeStage", "false")
             else:
                 # Symmetric restore (r2 ADVICE): without this, one small-SF
                 # query pins 8 partitions / no-AQE onto every later sf0.1+
@@ -73,6 +79,7 @@ def _pin_utc(fn: QueryFn) -> QueryFn:
                     spark.sparkContext.getConf().get("spark.sql.shuffle.partitions", "32"),
                 )
                 spark.conf.set("spark.sql.adaptive.enabled", "true")
+                spark.conf.set("spark.sql.codegen.wholeStage", "true")
         except Exception:
             pass
         return fn(spark, sf_dir)
