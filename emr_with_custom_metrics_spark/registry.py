@@ -156,6 +156,20 @@ _DRIVER_VERIFIED = frozenset(
     }
 )
 
+# Unverified queries whose FAMILY already has green driver rows (scalar/json
+# battery, filters, sampling, and 3 of the 5 format roundtrips): deferred to
+# the back of the unverified tier so that — under the ~50-query budget both
+# prior rounds exhibited — the never-verified multimodal and similarity
+# families make the cut instead of a third redundant row for an
+# already-covered family.
+_FAMILY_COVERED_DEFER = frozenset(
+    {
+        "json_battery2", "json_to_json", "filter_rlike", "null_handling_funcs",
+        "sample_deterministic", "formats_json_roundtrip",
+        "formats_orc_roundtrip", "formats_text_roundtrip",
+    }
+)
+
 # Heaviest per-invocation queries at sf0.01 (streaming-query startup or
 # multi-stage dedup/ANN pipelines): still unverified-first, but after the
 # cheap batch ones so a time-capped verify pass banks the most green rows.
@@ -173,16 +187,23 @@ _HEAVY = frozenset(
 
 
 def _driver_order(names: list[str]) -> list[str]:
-    """Driver-facing ordering: unverified-cheap, unverified-heavy, verified.
+    """Driver-facing ordering: unverified-cheap, unverified-heavy,
+    unverified-but-family-covered, verified.
 
     Within each tier, registration order (stable) is kept.
     """
     idx = {n: i for i, n in enumerate(names)}
 
     def key(n: str) -> tuple[int, int, int]:
-        verified = 1 if n in _DRIVER_VERIFIED else 0
-        heavy = 1 if n in _HEAVY else 0
-        return (verified, heavy, idx[n])
+        if n in _DRIVER_VERIFIED:
+            tier = 3
+        elif n in _FAMILY_COVERED_DEFER:
+            tier = 2
+        elif n in _HEAVY:
+            tier = 1
+        else:
+            tier = 0
+        return (tier, idx[n])
 
     return sorted(names, key=key)
 
