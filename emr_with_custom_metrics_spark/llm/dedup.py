@@ -821,43 +821,73 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Embedding near-duplicate pairs (cosine ≥0.4), exact all-pairs "
     "baseline — the small-N ground truth for the LSH variant. Executed "
-    "as a broadcast-GEMM: the full (N×d) matrix ships to every executor "
-    "(the same build-and-broadcast a BroadcastHashJoin performs — the "
-    "build job below is that mechanism made explicit, not a hidden "
-    "correctness dependency) and each partition multiplies its block "
-    "against it in one numpy call. Replaces the row-pair theta join "
-    "whose per-pair HOF dot was interpreter-bound (measured 75 s → 3 s "
-    "at sf0.1 for identical output; compute is still deliberately N²— "
-    "the broadcastable-matrix assumption matches "
-    "similarity_topk_exact's broadcast query vector, and past that size "
-    "the ANN path is the production route).",
+    "as a fully distributed BLOCK-PAIR GEMM: vectors hash into P blocks, "
+    "each block packs into one row (collect_list under groupBy — a "
+    "normal shuffle, no driver materialization), the P·(P+1)/2 unordered "
+    "block pairs join, and each pair multiplies its two (n/P × d) "
+    "matrices in a single numpy call inside mapInPandas. Replaces the "
+    "r1 row-pair theta join (per-pair HOF dot, interpreter-bound, 75 s "
+    "→ 3 s at sf0.1) AND the r2 driver-side toPandas+broadcast build "
+    "(r2 ADVICE: an eager driver job and a driver-memory bound). "
+    "Compute is still deliberately N² — this is the exact baseline; at "
+    "scale, size P so a block fits executor memory (shuffle volume is "
+    "(P+1)·N·d) and use the ANN path as the production route.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
+    # Block count: 8 spreads the GEMM across executors at test scale while
+    # keeping 36 block-pair tasks; at cluster scale choose P ≈ N·d·8B /
+    # (executor-memory budget per block) so each packed block row fits.
+    P = 8
     e = load_fanned(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    build = e.toPandas()  # broadcast build side (N×d floats; MBs at baseline scale)
-    ids = build["vec_id"].to_numpy()
-    mat = np.stack(build["embedding"].to_numpy()).astype(np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, mat))
+    blocks = (
+        e.groupBy(F.pmod(F.xxhash64("vec_id"), F.lit(P)).alias("blk"))
+        .agg(
+            F.collect_list("vec_id").alias("ids"),
+            F.collect_list("embedding").alias("vecs"),
+        )
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    pairs = a.join(b, F.col("a.blk") <= F.col("b.blk")).select(
+        F.col("a.ids").alias("ids_a"),
+        F.col("a.vecs").alias("vecs_a"),
+        F.col("b.ids").alias("ids_b"),
+        F.col("b.vecs").alias("vecs_b"),
+        (F.col("a.blk") == F.col("b.blk")).alias("self_pair"),
+    )
 
     def kernel(batches):
         import pandas as pd
 
-        all_ids, m = bc.value
-        for pdf in batches:
-            blk_ids = pdf["vec_id"].to_numpy()
-            blk = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            blk /= np.linalg.norm(blk, axis=1, keepdims=True)
-            sims = np.round(blk @ m.T, 6)  # (b, N)
-            keep = (sims >= 0.4) & (blk_ids[:, None] < all_ids[None, :])
-            r, c = np.nonzero(keep)
-            yield pd.DataFrame(
-                {"a_id": blk_ids[r], "b_id": all_ids[c], "cos_sim": sims[r, c]}
-            )
+        def unpack(ids_cell, vecs_cell):
+            ids = np.asarray(ids_cell, dtype=np.int64)
+            m = np.array([np.asarray(v, dtype=np.float64) for v in vecs_cell])
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            return ids, m
 
-    return e.mapInPandas(kernel, schema="a_id long, b_id long, cos_sim double")
+        for pdf in batches:
+            for ids_a, vecs_a, ids_b, vecs_b, _self in pdf.itertuples(index=False):
+                ia, ma = unpack(ids_a, vecs_a)
+                ib, mb = unpack(ids_b, vecs_b)
+                sims = np.round(ma @ mb.T, 6)
+                # Each unordered vector pair lands in exactly one block-pair
+                # row (blk_a <= blk_b); id order inside it is arbitrary, so
+                # orient by id — which also drops the self-pair diagonal.
+                keep = (sims >= 0.4) & (ia[:, None] < ib[None, :])
+                r, c = np.nonzero(keep)
+                lo, hi, s = ia[r], ib[c], sims[r, c]
+                if not _self:
+                    # blk_a != blk_b: pairs where the b-side id is smaller
+                    # were excluded above — recover them mirrored.
+                    keep2 = (sims >= 0.4) & (ia[:, None] > ib[None, :])
+                    r2, c2 = np.nonzero(keep2)
+                    lo = np.concatenate([lo, ib[c2]])
+                    hi = np.concatenate([hi, ia[r2]])
+                    s = np.concatenate([s, sims[r2, c2]])
+                yield pd.DataFrame({"a_id": lo, "b_id": hi, "cos_sim": s})
+
+    return pairs.mapInPandas(kernel, schema="a_id long, b_id long, cos_sim double")
 
 
 @register(

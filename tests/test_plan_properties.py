@@ -110,8 +110,8 @@ def test_no_driver_side_collect_in_query_modules():
 
     ``.collect()`` allowlist: the plan debugging utility and the two tiny
     post-aggregation sinks whose output is one row per (rule, bucket).
-    ``.toPandas()`` allowlist: ``dedup_embedding_cosine``'s broadcast build
-    side — the documented small-N exact N² baseline (VERDICT r02).
+    ``.toPandas()`` allowlist: EMPTY as of r3 — dedup_embedding_cosine's
+    driver-side build was replaced by a distributed block-pair GEMM.
     ``.localCheckpoint()`` allowlist: iterative-algorithm lineage cuts
     (connected components, pagerank, k-means) and the ngram-jaccard
     candidate reuse — each truncates an otherwise exponentially-growing
@@ -125,7 +125,7 @@ def test_no_driver_side_collect_in_query_modules():
             "streaming/pipeline.py",
             "sources/metrics_source.py",
         },
-        ".toPandas(": {"llm/dedup.py"},
+        ".toPandas(": set(),
         ".localCheckpoint(": {
             "llm/dedup.py",
             "operators/graph.py",
