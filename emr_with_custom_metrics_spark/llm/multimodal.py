@@ -3,12 +3,13 @@
 Images/audio/video are ``BinaryType`` columns with typed metadata alongside
 (SURVEY.md §1.4). Decode is tiered by what the environment can express:
 
-* REAL decoders for formats the stdlib can fully express — PPM (P6) and
-  24-bit BMP (header-parseable), RIFF/WAV PCM16 (chunk walk), and
-  non-interlaced 8-bit PNG (zlib inflate + the five scanline filters;
-  PNG's only compression IS zlib, so no codec library is needed) —
-  exercised end-to-end by ``multimodal_decode_{ppm,wav,png}``.
-* A deterministic STUB for genuinely codec-bound formats (JPEG/mp3/aac/
+* REAL decoders for formats numpy + the stdlib can fully express — PPM
+  (P6) and 24-bit BMP (header-parseable), RIFF/WAV PCM16 (chunk walk),
+  non-interlaced 8-bit PNG (zlib inflate + the five scanline filters),
+  and baseline sequential JPEG (full T.81 pipeline — canonical Huffman,
+  zigzag run-length, dequant, 8×8 IDCT, YCbCr→RGB — in ``llm/jpeg.py``)
+  — exercised end-to-end by ``multimodal_decode_{ppm,wav,png,jpeg}``.
+* A deterministic STUB for genuinely codec-bound formats (mp3/aac/
   video), clearly marked: the container has no Pillow/ffmpeg. The
   Spark-side plumbing around it — schemas, Arrow batch shapes,
   ``mapInPandas`` signatures, partitioning of frame explosions — is real
@@ -122,6 +123,10 @@ def decode_image(payload: bytes) -> dict:
         }
     if payload[:8] == PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from emr_with_custom_metrics_spark.llm.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError("codec-compressed format: needs Pillow/ffmpeg")
 
 
@@ -449,6 +454,60 @@ def _png_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.Data
 def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_fanned(spark, sf_dir, "documents").select("doc_id")
     return d.mapInPandas(_png_roundtrip_batch, schema=PPM_DECODED_SCHEMA)
+
+
+def _jpeg_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    """Synthesize a real baseline JPEG per doc and decode it with the full
+    T.81 pipeline (canonical Huffman → run-length → dequant → IDCT), both
+    executor-side over Arrow batches. Fill is forced EVEN so the DC-only
+    constant blocks quantize losslessly (see ``llm/jpeg.py`` docstring) and
+    the statistic stays SQL-predictable even across a lossy codec."""
+    import pandas as pd
+
+    from emr_with_custom_metrics_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    for pdf in batches:
+        payloads = pdf["doc_id"].map(
+            lambda d: encode_jpeg(int(d) % 10 + 1, int(d) % 7 + 1, (int(d) % 125) * 2)
+        )
+        metas = payloads.map(decode_jpeg)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "fmt": metas.map(lambda m: m["format"]),
+                "width": metas.map(lambda m: m["width"]).astype("int32"),
+                "height": metas.map(lambda m: m["height"]).astype("int32"),
+                "n_pixels": metas.map(lambda m: m["n_pixels"]).astype("int64"),
+                "mean_byte": metas.map(lambda m: round(m["mean_byte"], 4)),
+            }
+        )
+
+
+@register(
+    "multimodal_decode_jpeg",
+    # Even-fill flat images reconstruct EXACTLY across the lossy codec
+    # (DC = 8·(fill−128) is a multiple of the Annex K DC quant step 16),
+    # so the value hash pins the whole entropy+transform pipeline: any bit
+    # slip in Huffman/run-length/stuffing or scaling error in the IDCT
+    # shifts mean_byte.
+    oracle="""
+    SELECT doc_id,
+           'jpeg' AS fmt,
+           CAST(doc_id % 10 + 1 AS INTEGER) AS width,
+           CAST(doc_id % 7 + 1 AS INTEGER) AS height,
+           CAST((doc_id % 10 + 1) * (doc_id % 7 + 1) AS BIGINT) AS n_pixels,
+           ROUND(CAST((doc_id % 125) * 2 AS DOUBLE), 4) AS mean_byte
+    FROM documents
+    """,
+    doc="REAL baseline JPEG decode end-to-end: synthesize T.81 baseline "
+    "JFIF payloads in-engine (DCT → Annex K quantization → zigzag "
+    "run-length → canonical Huffman → byte stuffing), then decode them "
+    "with the full inverse pipeline inside mapInPandas. The last image "
+    "codec tier — the stub now covers only audio/video codecs.",
+)
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fanned(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_jpeg_roundtrip_batch, schema=PPM_DECODED_SCHEMA)
 
 
 FEATURE_DIM = 16

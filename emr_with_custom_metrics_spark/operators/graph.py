@@ -37,20 +37,26 @@ def pagerank(
     node, never adjacency lists. The node count enters as a broadcast
     1-row aggregate, not a driver action (the text_logfreq_score lesson:
     keep the whole computation one lazy DAG)."""
-    # checkpoint the edge set ONCE: every iteration's contribution subtree
-    # references it, and without lineage truncation each of the `iters`
-    # lazy checkpoints re-derives the full edge computation (measured 5×
-    # the jaccard join cost at sf0.1 — 25 s → 7 s with this line)
-    edges = edges.localCheckpoint(eager=False)
-    n = nodes.agg(F.count("*").alias("__n"))
+    # Materialize the per-src out-degree INTO the edge table once, hash-
+    # partitioned on src, and checkpoint THAT: every iteration's
+    # contribution join then probes a pre-partitioned (src, dst, deg)
+    # table — no per-iteration degree aggregate, no per-iteration edge
+    # exchange (only the small ranks side shuffles to the join, and the
+    # one unavoidable contribution aggregate shuffles on dst). Without
+    # lineage truncation each of the `iters` lazy checkpoints would also
+    # re-derive the full edge computation (measured 5× the jaccard join
+    # cost at sf0.1 — 25 s → 7 s when this was first added).
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    edges_w = (
+        edges.join(deg, "src").repartition("src").localCheckpoint(eager=False)
+    )
+    n = nodes.agg(F.count("*").alias("__n"))
     ranks = nodes.crossJoin(F.broadcast(n)).select(
         "node", (F.lit(1.0) / F.col("__n")).alias("rank")
     )
     for _ in range(iters):
         contribs = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(deg, "src")
+            edges_w.join(ranks, edges_w.src == ranks.node)
             .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("c"))

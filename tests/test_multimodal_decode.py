@@ -182,3 +182,79 @@ def test_wav_decoder_walks_chunks_and_rejects_garbage():
         decode_wav(b"OggS" + b"\x00" * 64)
     with pytest.raises(ValueError):
         decode_wav(b"RIFF\x00\x00\x00\x00WAVE")  # no data chunk
+
+
+def test_jpeg_flat_even_fill_exact_roundtrip():
+    """Even-fill flat images must reconstruct EXACTLY across the lossy
+    codec (DC-only blocks, DC a multiple of the quant step — the contract
+    the multimodal_decode_jpeg oracle relies on), at every edge-padding
+    shape."""
+    from emr_with_custom_metrics_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    for w, h, fill in [(8, 8, 100), (10, 7, 200), (1, 1, 2), (17, 23, 0), (9, 16, 248)]:
+        m = decode_jpeg(encode_jpeg(w, h, fill))
+        assert (m["format"], m["width"], m["height"]) == ("jpeg", w, h)
+        assert m["n_pixels"] == w * h
+        assert m["mean_byte"] == fill, (w, h, fill, m["mean_byte"])
+
+
+def test_jpeg_lossy_path_bounded_error():
+    """Non-flat images exercise the AC run-length + Huffman path; a single
+    slipped bit in the entropy layer corrupts every later block, so a tight
+    mean-error bound is a whole-pipeline check."""
+    import numpy as np
+
+    from emr_with_custom_metrics_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    for _ in range(4):
+        h, w = (int(x) for x in rng.integers(8, 40, 2))
+        base = int(rng.integers(30, 226))
+        img = np.clip(base + rng.normal(0, 5, (h, w)), 0, 255).astype(np.uint8)
+        m = decode_jpeg(encode_jpeg(w, h, img))
+        assert abs(m["mean_byte"] - img.mean()) < 3.0
+
+
+def test_jpeg_color_roundtrip_and_dispatch():
+    """3-component 4:4:4 path: RGB → YCbCr → entropy → inverse → RGB, and
+    the tiered dispatcher must route JPEG magic to the real decoder."""
+    import numpy as np
+
+    from emr_with_custom_metrics_spark.llm.jpeg import decode_jpeg, encode_jpeg
+    from emr_with_custom_metrics_spark.llm.multimodal import decode_image
+
+    img = np.full((16, 12, 3), 200, dtype=np.uint8)
+    m = decode_jpeg(encode_jpeg(12, 16, img))
+    assert m["mean_byte"] == 200.0  # gray flat color: Cb=Cr=128 exactly
+
+    rng = np.random.default_rng(3)
+    img = np.clip(rng.integers(0, 256, (1, 1, 3)) + rng.normal(0, 4, (24, 17, 3)), 0, 255).astype(np.uint8)
+    m = decode_jpeg(encode_jpeg(17, 24, img))
+    assert abs(m["mean_byte"] - img.mean()) < 4.0
+
+    assert decode_image(encode_jpeg(5, 4, 100))["format"] == "jpeg"
+
+
+def test_jpeg_rejects_out_of_scope_streams():
+    """Progressive/subsampled/restart streams must fall to the stub tier
+    (NotImplementedError), corrupt streams must raise ValueError."""
+    import pytest
+
+    from emr_with_custom_metrics_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    good = bytearray(encode_jpeg(8, 8, 100))
+    sof = good.find(b"\xff\xc0")
+    prog = bytearray(good)
+    prog[sof + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(prog))
+
+    sub = bytearray(good)
+    sub[sof + 11] = 0x22  # sampling 1x1 -> 2x2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(sub))
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xd9")  # no SOF/SOS
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
