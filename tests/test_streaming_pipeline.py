@@ -409,15 +409,24 @@ def test_stream_static_enrichment_matches_batch(spark, events_stream_dir):
     # contended suite run). Fail loudly instead.
     assert q.awaitTermination(420), "stream-static enrichment did not finish"
     got = {
-        (r["n_name"], r["event_type"], r["n_events"], r["avg_value"])
+        (r["n_name"], r["event_type"]): (r["n_events"], r["avg_value"])
         for r in spark.sql("SELECT * FROM enriched").collect()
     }
     batch = spark.read.schema(EVENTS_SCHEMA).parquet(events_stream_dir)
     want = {
-        (r["n_name"], r["event_type"], r["n_events"], r["avg_value"])
+        (r["n_name"], r["event_type"]): (r["n_events"], r["avg_value"])
         for r in enrich_with_dims(batch, customer, nation).collect()
     }
-    assert got == want and len(want) > 0
+    # Counts must be exact; the averages cross DIFFERENT fp summation
+    # orders (incremental per-file state vs one whole-input sum), so the
+    # shared plan's ROUND(avg, 4) can legitimately flip a half-ULP
+    # boundary case — compare within one ulp of the rounding grain
+    # instead of set-equality (observed: 38.7262 vs 38.7263).
+    assert set(got) == set(want) and len(want) > 0
+    for key, (n, avg) in got.items():
+        wn, wavg = want[key]
+        assert n == wn, (key, n, wn)
+        assert abs(avg - wavg) <= 1.01e-4, (key, avg, wavg)
 
 
 def test_streaming_windowed_topk(spark, events_stream_dir):
