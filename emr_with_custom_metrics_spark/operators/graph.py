@@ -47,9 +47,10 @@ def pagerank(
     # re-derive the full edge computation (measured 5× the jaccard join
     # cost at sf0.1 — 25 s → 7 s when this was first added).
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    edges_w = (
-        edges.join(deg, "src").repartition("src").localCheckpoint(eager=False)
-    )
+    # the equi-join on src already leaves the output hash-partitioned by
+    # src — exactly the layout the per-iteration ranks join probes — so no
+    # explicit repartition is needed before the checkpoint
+    edges_w = edges.join(deg, "src").localCheckpoint(eager=False)
     n = nodes.agg(F.count("*").alias("__n"))
     ranks = nodes.crossJoin(F.broadcast(n)).select(
         "node", (F.lit(1.0) / F.col("__n")).alias("rank")
