@@ -672,6 +672,92 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_keep_canonical",
+    oracle="""
+    WITH RECURSIVE
+    w AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE LEN(string_split(text, ' ')) >= 3),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                            for i in range(1, LEN(toks) - 1)]) AS s
+      FROM w),
+    sizes AS (SELECT doc_id, LEN(s) AS n FROM sh),
+    tok AS (SELECT doc_id, UNNEST(s) AS shingle FROM sh),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS c
+      FROM tok a JOIN tok b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT a_id, b_id FROM inter
+      JOIN sizes sa ON sa.doc_id = a_id
+      JOIN sizes sb ON sb.doc_id = b_id
+      WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5),
+    edges AS (
+      SELECT a_id AS s, b_id AS t FROM pairs
+      UNION SELECT b_id, a_id FROM pairs),
+    reach(node, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.t, r.comp FROM reach r JOIN edges e ON e.s = r.node
+      WHERE r.comp < e.t),
+    members AS (
+      SELECT node AS doc_id, CAST(MIN(comp) AS BIGINT) AS cluster_rep
+      FROM reach GROUP BY node),
+    scored AS (
+      SELECT m.cluster_rep, m.doc_id,
+             LEN(string_split(d.text, ' ')) AS n_tok
+      FROM members m JOIN documents d USING (doc_id)),
+    ranked AS (
+      SELECT cluster_rep, doc_id, n_tok,
+             ROW_NUMBER() OVER (PARTITION BY cluster_rep
+                                ORDER BY n_tok DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY cluster_rep) AS n_members
+      FROM scored)
+    SELECT cluster_rep, doc_id AS kept_doc_id,
+           CAST(n_tok AS BIGINT) AS kept_tokens,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(n_members - 1 AS BIGINT) AS n_dropped
+    FROM ranked WHERE rn = 1
+    """,
+    doc="End-to-end dedup APPLICATION: near-dup clusters (shingle-Jaccard "
+    "≥0.5 → connected components) canonicalized by keeping each "
+    "cluster's LONGEST member (ties → smallest doc_id) — the standard "
+    "near-dup canonicalization heuristic, composing the cluster and "
+    "quality families into the actual corpus deliverable. Output is "
+    "LINEAR (one row per kept document) with provenance counts; the "
+    "per-cluster argmax is a WindowGroupLimit-style top-1, so nothing "
+    "materializes full per-cluster orderings at scale.",
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    edges = jaccard_pairs(_shingle_sets(d), 0.5).select("a_id", "b_id")
+    nodes = d.select(F.col("doc_id").alias("node"))
+    labels = connected_components(nodes, edges)
+    scored = labels.join(
+        d.select("doc_id", F.size(F.split("text", " ")).alias("n_tok")),
+        labels.node == F.col("doc_id"),
+    ).select(F.col("comp").alias("cluster_rep"), "doc_id", "n_tok")
+    w = Window.partitionBy("cluster_rep").orderBy(F.desc("n_tok"), F.asc("doc_id"))
+    wc = Window.partitionBy("cluster_rep")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wc))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_rep",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("n_tok").cast("long").alias("kept_tokens"),
+            F.col("n_members").cast("long").alias("n_members"),
+            (F.col("n_members") - 1).cast("long").alias("n_dropped"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -177,7 +177,8 @@ _HEAVY = frozenset(
     {
         "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
         "dedup_ngram_jaccard_prefix",
-        "dedup_clusters", "dedup_incremental_batch", "dedup_embedding_cosine",
+        "dedup_clusters", "dedup_keep_canonical", "dedup_incremental_batch",
+        "dedup_embedding_cosine",
         "similarity_ann_lsh", "similarity_ivf_topk", "cooldown_suppression",
         "autoscale_timeline", "multimodal_feature_extract", "kmeans_embeddings",
         "decontaminate_against_eval", "knn_self_join_exact",
