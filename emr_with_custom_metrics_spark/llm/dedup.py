@@ -581,6 +581,13 @@ def connected_components(
         .localCheckpoint()
     )
     labels = nodes.select("node", F.col("node").alias("comp"))
+    # Fixpoint detection: min-label propagation only ever DECREASES labels,
+    # so sum(comp) strictly decreases every round until convergence and is
+    # equal exactly at the fixpoint — one narrow aggregate over the (small,
+    # already-checkpointed) label table per round instead of the r1
+    # label-vs-label join + count (two fewer jobs per iteration, which at
+    # driver-correctness scale is most of the loop's cost).
+    prev_sum: int | None = None
     for _ in range(max_iter):
         neigh = (
             sym.join(labels, sym.src == labels.node)
@@ -589,16 +596,11 @@ def connected_components(
         new_labels = (
             labels.unionByName(neigh).groupBy("node").agg(F.min("comp").alias("comp"))
         ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = new_labels.agg(F.sum("comp")).first()[0]
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     else:
         # Loop exhausted without the changed==0 fixpoint: labels may split
         # one true component into several representatives. Surface it —

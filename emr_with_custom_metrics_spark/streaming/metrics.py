@@ -204,22 +204,22 @@ INITIAL_CAPACITY = 2  # the reference cluster's 2 core/task baseline (README.md:
 @register(
     "autoscale_timeline",
     oracle="""
-    WITH RECURSIVE
     -- Firing is decidable WITHOUT the size state: per rule, alarms split
     -- into runs of consecutive 300 s buckets (a >300 s gap from the
     -- previous alarm always exceeds the cooldown since last-fired <=
     -- previous alarm time), and within a run exactly the odd positions
     -- fire (fire, suppress at +300, fire at +600, ...). That moves the
-    -- whole cooldown screen into window functions; the recursion only
-    -- folds the clamped capacity over FIRED rows with 2-column state —
-    -- measured 3.8 s -> 1.9 s at sf0.01 vs simulating every alarm.
-    -- (MATERIALIZED hints: without them DuckDB re-derives the CTE per
-    -- recursion step; measured 25 s -> 3 s in the r1 formulation.)
-    metric AS MATERIALIZED (
+    -- whole cooldown screen into window functions. The remaining
+    -- sequential piece — the clamped capacity fold over FIRED rows — is a
+    -- list_prepend + list_reduce prefix fold instead of a RECURSIVE CTE:
+    -- O(n²/2) lambda steps but no per-step join/rescan, measured
+    -- 2.3 s -> 0.5 s at sf0.01 (the r2 recursive form was itself
+    -- 3.8 -> 1.9 s over r1's full per-alarm simulation).
+    WITH metric AS (
       SELECT CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_start,
              ROUND(AVG(value), 4) AS avg_value
       FROM events GROUP BY 1),
-    alarms AS MATERIALIZED (
+    alarms AS (
       SELECT bucket_start, 'scale-out' AS rule, 5 AS adj FROM metric WHERE avg_value <= 25.0
       UNION ALL
       SELECT bucket_start, 'scale-in', -2 FROM metric WHERE avg_value > 75.0),
@@ -234,21 +234,23 @@ INITIAL_CAPACITY = 2  # the reference cluster's 2 core/task baseline (README.md:
              SUM(is_run_start) OVER (PARTITION BY rule ORDER BY bucket_start)
                  AS run_id
       FROM gaps),
-    fired AS MATERIALIZED (
+    fired AS (
       SELECT bucket_start, rule, adj,
              ROW_NUMBER() OVER (ORDER BY bucket_start, rule) AS i
       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY rule, run_id
                                          ORDER BY bucket_start) AS pos
             FROM runs)
       WHERE pos % 2 = 1),
-    sim(i, size) AS (
-      SELECT 0, 2
-      UNION ALL
-      SELECT f.i, LEAST(20, GREATEST(0, s.size + f.adj))
-      FROM sim s JOIN fired f ON f.i = s.i + 1)
-    SELECT f.bucket_start, f.rule, CAST(f.adj AS INTEGER) AS adjustment,
-           CAST(s.size AS INTEGER) AS new_size
-    FROM sim s JOIN fired f ON f.i = s.i
+    packed AS (
+      SELECT LIST(adj ORDER BY i) AS adjs, LIST(bucket_start ORDER BY i) AS bs,
+             LIST(rule ORDER BY i) AS rs
+      FROM fired)
+    SELECT bs[i] AS bucket_start, rs[i] AS rule,
+           CAST(adjs[i] AS INTEGER) AS adjustment,
+           CAST(list_reduce(list_prepend(2, adjs[1:i]),
+                (acc, x) -> LEAST(20, GREATEST(0, acc + x))) AS INTEGER)
+               AS new_size
+    FROM packed, UNNEST(range(1, len(adjs) + 1)) AS t(i)
     """,
     doc="EP3 end-to-end IN-ENGINE: 300 s windowed metric → threshold alarms "
     "(R2/R3) → per-rule 300 s cooldown (R5) → ScalingAdjustment applied to "
