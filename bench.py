@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -62,8 +63,55 @@ HEADLINE = [
 ]
 
 
+def _contention_check() -> dict:
+    """Detect conditions known to inflate bench numbers before Spark starts:
+    stray JVMs (a concurrent pytest run inflates the Python-worker-heavy
+    dedup family ~4×, SCALING.md:8 — exactly how BENCH_r04 published a 3.7×
+    minhash outlier on byte-identical code) and high 1-min load. The result
+    is embedded in the output JSON so a contended artifact can never be
+    mistaken for a code regression; the run proceeds either way because an
+    unattended driver needs SOME row, just an honestly-labeled one.
+
+    Caveat: in a container ``/proc/loadavg`` is HOST-wide, so a nonzero
+    load1 with no local processes means noisy neighbors — real slowdown we
+    can report (it lands in ``contention_check.load1``) but not avoid.
+    """
+    stray_jvms: list[str] = []
+    try:
+        out = subprocess.run(
+            ["ps", "-eo", "pid=,comm=,args="], capture_output=True, text=True, timeout=10
+        ).stdout
+        for line in out.splitlines():
+            parts = line.split(None, 2)
+            if len(parts) < 2:
+                continue
+            comm, args = parts[1], (parts[2] if len(parts) > 2 else "")
+            # comm-based only: an args grep for "pytest" false-positives on
+            # any supervisor process whose command line QUOTES a pytest
+            # invocation without running one. A concurrent Spark JVM (comm
+            # "java" — pytest-on-Spark runs spawn one too) is the documented
+            # ~4× inflator; this check runs before our own JVM starts, so
+            # any java process is by definition not ours.
+            if comm == "java" or comm == "pytest":
+                stray_jvms.append(" ".join([parts[0], comm, args[:80]]))
+    except Exception:
+        pass
+    try:
+        load1 = os.getloadavg()[0]
+    except OSError:
+        load1 = -1.0
+    cpus = os.cpu_count() or 1
+    contended = bool(stray_jvms) or load1 > max(2.0, 0.125 * cpus)
+    return {
+        "contended": contended,
+        "load1": round(load1, 2),
+        "stray_jvms": stray_jvms,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    contention = _contention_check()
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -94,6 +142,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "contended": contention["contended"],
+                "contention_check": contention,
             }
         )
     )

@@ -587,7 +587,7 @@ def connected_components(
     # already-checkpointed) label table per round instead of the r1
     # label-vs-label join + count (two fewer jobs per iteration, which at
     # driver-correctness scale is most of the loop's cost).
-    prev_sum: int | None = None
+    prev_sum = None
     for _ in range(max_iter):
         neigh = (
             sym.join(labels, sym.src == labels.node)
@@ -596,7 +596,11 @@ def connected_components(
         new_labels = (
             labels.unionByName(neigh).groupBy("node").agg(F.min("comp").alias("comp"))
         ).localCheckpoint(eager=True)
-        cur_sum = new_labels.agg(F.sum("comp")).first()[0]
+        # Sum as decimal(38,0): non-ANSI SUM(long) wraps silently on
+        # overflow, and a wrapped sum colliding with prev_sum would end the
+        # loop before the true fixpoint (r4 VERDICT). 38 digits covers
+        # 2^63 ids × ~10^18 rows without wrap.
+        cur_sum = new_labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
         labels = new_labels
         if cur_sum == prev_sum:
             break
@@ -929,35 +933,36 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (executor-memory budget per block) so each packed block row fits.
     P = 8
     e = load_fanned(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # One collect_list of (id, vector) structs, not two parallel collect_lists
+    # zipped by index: collect_list's element order is documented
+    # non-deterministic, so two independent aggregates could legally disagree
+    # on order and mispair ids with vectors (r4 VERDICT / r3 ADVICE).
     blocks = (
         e.groupBy(F.pmod(F.xxhash64("vec_id"), F.lit(P)).alias("blk"))
-        .agg(
-            F.collect_list("vec_id").alias("ids"),
-            F.collect_list("embedding").alias("vecs"),
-        )
+        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("pack"))
     )
     a, b = blocks.alias("a"), blocks.alias("b")
     pairs = a.join(b, F.col("a.blk") <= F.col("b.blk")).select(
-        F.col("a.ids").alias("ids_a"),
-        F.col("a.vecs").alias("vecs_a"),
-        F.col("b.ids").alias("ids_b"),
-        F.col("b.vecs").alias("vecs_b"),
+        F.col("a.pack").alias("pack_a"),
+        F.col("b.pack").alias("pack_b"),
         (F.col("a.blk") == F.col("b.blk")).alias("self_pair"),
     )
 
     def kernel(batches):
         import pandas as pd
 
-        def unpack(ids_cell, vecs_cell):
-            ids = np.asarray(ids_cell, dtype=np.int64)
-            m = np.array([np.asarray(v, dtype=np.float64) for v in vecs_cell])
+        def unpack(pack_cell):
+            ids = np.asarray([r["vec_id"] for r in pack_cell], dtype=np.int64)
+            m = np.array(
+                [np.asarray(r["embedding"], dtype=np.float64) for r in pack_cell]
+            )
             m /= np.linalg.norm(m, axis=1, keepdims=True)
             return ids, m
 
         for pdf in batches:
-            for ids_a, vecs_a, ids_b, vecs_b, _self in pdf.itertuples(index=False):
-                ia, ma = unpack(ids_a, vecs_a)
-                ib, mb = unpack(ids_b, vecs_b)
+            for pack_a, pack_b, _self in pdf.itertuples(index=False):
+                ia, ma = unpack(pack_a)
+                ib, mb = unpack(pack_b)
                 sims = np.round(ma @ mb.T, 6)
                 # Each unordered vector pair lands in exactly one block-pair
                 # row (blk_a <= blk_b); id order inside it is arbitrary, so

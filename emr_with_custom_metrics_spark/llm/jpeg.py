@@ -295,7 +295,10 @@ class _HuffDecoder:
         code = 0
         for length in range(1, 17):
             code = (code << 1) | r.bit()
-            if length in self.mins and code <= self.maxs[length]:
+            # Both bounds: without the >= mins check, a malformed DHT whose
+            # codes skip a length would index vals with a negative offset and
+            # return a silently wrong symbol instead of raising (r4 VERDICT).
+            if length in self.mins and self.mins[length] <= code <= self.maxs[length]:
                 return self.vals[self.offs[length] + code - self.mins[length]]
         raise ValueError("invalid Huffman code")
 

@@ -15,6 +15,7 @@ order-insensitive value hash is stable across engines.
 
 from __future__ import annotations
 
+import warnings
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -41,47 +42,49 @@ def _sf_of(sf_dir: str) -> float:
         return 1.0
 
 
+# Session confs that only help at the driver's KB-scale correctness gate:
+# 8 shuffle tasks instead of 32 cuts fixed per-stage scheduling cost; AQE's
+# runtime re-planning is pure stage-boundary latency on KB inputs; whole-stage
+# codegen's per-plan Java compile dominates tiny first-run queries (171 unique
+# plans × compile cost). All three earn their keep at bench scale (sf0.1+),
+# so they're restored — from a snapshot of whatever the session actually had,
+# not reconstructed defaults (r3 ADVICE) — on the first large-SF query.
+_PERF_CONF_SMALL_SF = {
+    "spark.sql.shuffle.partitions": "8",
+    "spark.sql.adaptive.enabled": "false",
+    "spark.sql.codegen.wholeStage": "false",
+}
+_PERF_CONF_SAVED: dict[str, str] = {}
+
+
 def _pin_utc(fn: QueryFn) -> QueryFn:
     """Run every query with session tz = UTC so event-time functions
     (year/window/unix_timestamp) hash-match the tz-naive DuckDB oracle even
     when the caller's session was built with a local timezone.
 
-    Also right-sizes ``spark.sql.shuffle.partitions`` to the data scale:
-    at sf<=0.01 (the driver's correctness scale) 32 shuffle tasks are pure
-    scheduling overhead per query — 8 keeps the same plans but cuts the
-    fixed per-stage cost, so the driver's verify loop gets through more of
-    the registry in its time budget. At bench scale (sf0.1+) the session
-    default (32) stands, so BENCH numbers are unaffected.
+    Also right-sizes the perf confs in ``_PERF_CONF_SMALL_SF`` to the data
+    scale: overridden at sf<=0.01 (the driver's correctness scale), restored
+    from a point-of-override snapshot at sf0.1+ so BENCH numbers and any
+    caller-set session confs are unaffected.
     """
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # A failed UTC pin would silently produce tz-dependent hashes in a
+        # non-UTC driver session — let it raise loudly instead (r4 VERDICT).
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         try:
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
             if _sf_of(sf_dir) <= 0.011:
-                spark.conf.set("spark.sql.shuffle.partitions", "8")
-                # AQE's runtime re-planning is pure stage-boundary latency at
-                # KB-scale inputs (~12% of the per-query floor measured on the
-                # full driver-sim); at real scale it earns its keep, so this
-                # is strictly a correctness-gate accelerator.
-                spark.conf.set("spark.sql.adaptive.enabled", "false")
-                # Whole-stage codegen compiles a bespoke Java class per plan
-                # — worth it on GB-scale scans, pure first-run latency on the
-                # KB inputs of the correctness gate (171 unique plans × the
-                # compile cost is a large share of the driver-sim wall).
-                # Interpreted eval is semantically identical.
-                spark.conf.set("spark.sql.codegen.wholeStage", "false")
-            else:
-                # Symmetric restore (r2 ADVICE): without this, one small-SF
-                # query pins 8 partitions / no-AQE onto every later sf0.1+
-                # query in the same session.
-                spark.conf.set(
-                    "spark.sql.shuffle.partitions",
-                    spark.sparkContext.getConf().get("spark.sql.shuffle.partitions", "32"),
-                )
-                spark.conf.set("spark.sql.adaptive.enabled", "true")
-                spark.conf.set("spark.sql.codegen.wholeStage", "true")
-        except Exception:
-            pass
+                for k, v in _PERF_CONF_SMALL_SF.items():
+                    if k not in _PERF_CONF_SAVED:
+                        _PERF_CONF_SAVED[k] = spark.conf.get(k)
+                    spark.conf.set(k, v)
+            elif _PERF_CONF_SAVED:
+                for k, v in _PERF_CONF_SAVED.items():
+                    spark.conf.set(k, v)
+                _PERF_CONF_SAVED.clear()
+        except Exception as exc:
+            # Perf-only tuning: correctness is unaffected, but never silent.
+            warnings.warn(f"registry perf-conf pinning failed: {exc!r}", stacklevel=2)
         return fn(spark, sf_dir)
 
     wrapped.__name__ = fn.__name__
@@ -103,11 +106,11 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     return wrap
 
 
-# Queries that already have a green row in CORRECTNESS_r01.json ∪
-# CORRECTNESS_r02.json (the driver verifies ~50 registry entries per round
-# under a time budget, walking ``queries()`` in dict order). The 71
-# never-verified queries must therefore come FIRST each round; this set is
-# refreshed from the latest CORRECTNESS_r{N}.json at the start of every round.
+# Queries that already have a driver row in CORRECTNESS_r01..r04.json (the
+# driver verifies ~50 registry entries per round under a time budget, walking
+# ``queries()`` in dict order). The 26 never-verified queries must therefore
+# come FIRST each round; this set is refreshed from the latest
+# CORRECTNESS_r{N}.json at the start of every round.
 _DRIVER_VERIFIED = frozenset(
     {
         # --- round 1 (CORRECTNESS_r01.json, 49 green) ---
@@ -153,20 +156,28 @@ _DRIVER_VERIFIED = frozenset(
         "conditional_case", "json_variant_battery", "array_funcs", "map_funcs",
         "posexplode_tokens", "scalar_string_funcs2", "scalar_date_funcs2",
         "hof_battery",
-    }
-)
-
-# Unverified queries whose FAMILY already has green driver rows (scalar/json
-# battery, filters, sampling, and 3 of the 5 format roundtrips): deferred to
-# the back of the unverified tier so that — under the ~50-query budget both
-# prior rounds exhibited — the never-verified multimodal and similarity
-# families make the cut instead of a third redundant row for an
-# already-covered family.
-_FAMILY_COVERED_DEFER = frozenset(
-    {
-        "json_battery2", "json_to_json", "filter_rlike", "null_handling_funcs",
-        "sample_deterministic", "formats_json_roundtrip",
-        "formats_orc_roundtrip", "formats_text_roundtrip",
+        # --- rounds 3+4 (CORRECTNESS_r03.json == CORRECTNESS_r04.json, 50
+        # rows: 49 hash-green + sample_stratified rows-only-by-design) ---
+        "q12_priority_shipping", "bitmap_weekly_retention", "sample_stratified",
+        "vector_norms", "vector_centroids", "formats_csv_roundtrip",
+        "parquet_partitioned_write", "metrics_tumbling_avg",
+        "metrics_sliding_avg", "alarm_scale_out", "alarm_scale_in",
+        "alarm_dimension_filter", "session_windows", "timeseries_gapfill_ffill",
+        "stream_enrich_dim", "windowed_topk_events", "text_token_stats",
+        "text_word_freq_topk", "text_lang_source_stats", "text_quality_score",
+        "text_lang_id", "text_token_count_bpe", "text_normalize",
+        "text_logfreq_score", "text_tfidf_top_term", "text_fingerprint",
+        "text_repetition_ratio", "text_pii_scrub", "text_bigram_logprob",
+        "dedup_exact", "dedup_bag_normalized", "dedup_containment_pairs",
+        "text_fingerprint_winnowing", "dedup_levenshtein_blocked",
+        "split_train_valid_test", "pack_token_chunks",
+        "mixture_sample_weighted", "text_heavy_hitters",
+        "corpus_report_by_source", "e2e_corpus_pipeline",
+        "embedding_quantize_int8", "embedding_covariance",
+        "similarity_topk_exact", "similarity_pairwise_dot",
+        "multimodal_decode_meta", "multimodal_decode_ppm",
+        "multimodal_decode_png", "multimodal_decode_jpeg",
+        "multimodal_binary_stats", "multimodal_frame_sample",
     }
 )
 
@@ -187,18 +198,22 @@ _HEAVY = frozenset(
 )
 
 
-def _driver_order(names: list[str]) -> list[str]:
-    """Driver-facing ordering: unverified-cheap, unverified-heavy,
-    unverified-but-family-covered, verified.
+def _driver_order(specs: dict[str, "QuerySpec"]) -> list[str]:
+    """Driver-facing ordering, round 5: the 26 never-verified queries (r1–r4
+    union is in ``_DRIVER_VERIFIED``) all fit inside one round's ~50-query
+    budget, so they lead unconditionally — oracled-cheap first (bank the most
+    hash-green rows under a time cap), then oracled-heavy, then the rows-only
+    checks, then the already-verified tail for re-verification.
 
     Within each tier, registration order (stable) is kept.
     """
+    names = list(specs)
     idx = {n: i for i, n in enumerate(names)}
 
-    def key(n: str) -> tuple[int, int, int]:
+    def key(n: str) -> tuple[int, int]:
         if n in _DRIVER_VERIFIED:
             tier = 3
-        elif n in _FAMILY_COVERED_DEFER:
+        elif specs[n].oracle is None:
             tier = 2
         elif n in _HEAVY:
             tier = 1
@@ -211,7 +226,7 @@ def _driver_order(names: list[str]) -> list[str]:
 
 def all_specs() -> dict[str, QuerySpec]:
     _ensure_loaded()
-    return {n: _REGISTRY[n] for n in _driver_order(list(_REGISTRY))}
+    return {n: _REGISTRY[n] for n in _driver_order(_REGISTRY)}
 
 
 def QUERIES() -> dict[str, QueryFn]:
