@@ -9,12 +9,15 @@ codec tier (mp3/aac) remains honestly stubbed.
 
 Scope, honestly stated:
 
-* ``encode_jpeg`` — baseline, grayscale (1 component), standard Annex K
-  luminance quantization + Huffman tables, no subsampling, no restarts.
-* ``decode_jpeg`` — baseline sequential (SOF0) with any number of
-  components at 1×1 sampling (grayscale or 4:4:4 YCbCr→RGB); progressive,
-  subsampled, arithmetic-coded, or restart-interval streams raise
-  ``NotImplementedError`` and fall to the stub tier like other codecs.
+* ``encode_jpeg`` — baseline, grayscale (1 component) or RGB (3
+  components), standard Annex K luminance quantization + Huffman tables,
+  luma sampling 1×1 / 2×1 / 2×2 (chroma always 1×1 — i.e. 4:4:4, 4:2:2,
+  4:2:0, the common camera layouts), no restarts.
+* ``decode_jpeg`` — baseline sequential (SOF0), interleaved scan, any
+  component count with per-component sampling factors up to 4×4 (chroma
+  upsampled nearest-neighbor); progressive, arithmetic-coded, or
+  restart-interval streams raise ``NotImplementedError`` and fall to the
+  stub tier like other codecs.
 
 Exactness contract used by the oracled query: a flat image whose fill is
 EVEN reconstructs bit-exactly — the DCT of a constant block is DC-only,
@@ -182,14 +185,32 @@ def _plane_blocks(plane: np.ndarray) -> np.ndarray:
     return q.reshape(-1, 64)[:, ZIGZAG].astype(np.int64)
 
 
-def encode_jpeg(width: int, height: int, pixels) -> bytes:
+def _box_downsample(plane: np.ndarray, h: int, v: int) -> np.ndarray:
+    """Average ``v``×``h`` boxes (edge-padded to a multiple), the standard
+    chroma downsample. Flat input stays flat, preserving the exactness
+    contract for subsampled encodes of constant images."""
+    if h == 1 and v == 1:
+        return plane
+    ph, pw = -(-plane.shape[0] // v) * v, -(-plane.shape[1] // h) * h
+    p = np.pad(
+        plane.astype(np.float64),
+        ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+        mode="edge",
+    )
+    boxes = p.reshape(ph // v, v, pw // h, h).mean(axis=(1, 3))
+    return np.clip(np.rint(boxes), 0, 255).astype(np.uint8)
+
+
+def encode_jpeg(width: int, height: int, pixels, sampling: tuple[int, int] = (1, 1)) -> bytes:
     """Real baseline JFIF encoder. ``pixels`` is a flat fill value (int,
     grayscale), an (h, w) uint8 array (grayscale), or an (h, w, 3) uint8
-    array (RGB — converted to YCbCr and written as three 1×1-sampled
-    components sharing the Annex K luminance tables, which is legal and
-    keeps the table bookkeeping minimal). Partial edge blocks pad by edge
-    replication (flat for flat inputs, so the exactness contract in the
-    module docstring holds for any width/height)."""
+    array (RGB — converted to YCbCr and written as three components
+    sharing the Annex K luminance tables, which is legal and keeps the
+    table bookkeeping minimal). ``sampling`` is the LUMA (h, v) factor —
+    (1, 1) = 4:4:4, (2, 1) = 4:2:2, (2, 2) = 4:2:0 — chroma is always
+    1×1 and box-average downsampled; ignored for grayscale. Partial edge
+    blocks pad by edge replication (flat for flat inputs, so the exactness
+    contract in the module docstring holds for any width/height)."""
     if np.isscalar(pixels):
         planes = [np.full((height, width), int(pixels), dtype=np.uint8)]
     else:
@@ -204,13 +225,33 @@ def encode_jpeg(width: int, height: int, pixels) -> bytes:
             planes = [
                 np.clip(np.rint(p), 0, 255).astype(np.uint8) for p in (y, cb, cr)
             ]
-    zz = [_plane_blocks(p) for p in planes]
+    hl, vl = sampling if len(planes) == 3 else (1, 1)
+    if hl not in (1, 2) or vl not in (1, 2):
+        raise ValueError("luma sampling factors must be 1 or 2")
+    # MCU grid is sized by the luma factors; each plane is edge-padded to
+    # its own MCU-aligned dimensions so _plane_blocks' 8-padding is a no-op
+    # and block indices line up with the interleaved walk below.
+    mcux, mcuy = -(-width // (8 * hl)), -(-height // (8 * vl))
+    factors = [(hl, vl)] + [(1, 1)] * (len(planes) - 1)
+    padded = []
+    for ci, (h, v) in enumerate(factors):
+        p = planes[ci] if ci == 0 else _box_downsample(planes[ci], hl, vl)
+        th, tw = mcuy * 8 * v, mcux * 8 * h
+        padded.append(
+            np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
+        )
+    zz = [_plane_blocks(p) for p in padded]
 
     w = _BitWriter()
     preds = [0] * len(planes)
-    for b in range(zz[0].shape[0]):  # interleaved MCU order (1×1 sampling)
-        for ci in range(len(planes)):
-            preds[ci] = _encode_block(w, zz[ci][b], preds[ci])
+    for my in range(mcuy):  # interleaved MCU order (T.81 §A.2.3)
+        for mx in range(mcux):
+            for ci, (h, v) in enumerate(factors):
+                bwc = mcux * h
+                for by in range(v):
+                    for bx in range(h):
+                        bi = (my * v + by) * bwc + (mx * h + bx)
+                        preds[ci] = _encode_block(w, zz[ci][bi], preds[ci])
     w.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -219,7 +260,8 @@ def encode_jpeg(width: int, height: int, pixels) -> bytes:
     nc = len(planes)
     qt = bytes([0]) + bytes(STD_LUM_QT.reshape(-1)[ZIGZAG].astype(np.uint8))
     sof = struct.pack(">BHHB", 8, height, width, nc) + b"".join(
-        bytes([cid + 1, 0x11, 0]) for cid in range(nc)
+        bytes([cid + 1, (factors[cid][0] << 4) | factors[cid][1], 0])
+        for cid in range(nc)
     )
     dht_seg = seg(0xFFC4, bytes([0x00]) + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS)) + seg(
         0xFFC4, bytes([0x10]) + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS)
@@ -351,9 +393,10 @@ def decode_jpeg(payload: bytes) -> dict:
                 raise NotImplementedError("only 8-bit precision")
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
-                if hv != 0x11:
-                    raise NotImplementedError("subsampled JPEG unsupported (1x1 only)")
-                comps.append({"id": cid, "tq": tq})
+                h, v = hv >> 4, hv & 0xF
+                if not (1 <= h <= 4 and 1 <= v <= 4):
+                    raise ValueError(f"illegal sampling factors {h}x{v}")
+                comps.append({"id": cid, "tq": tq, "h": h, "v": v})
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):
@@ -380,46 +423,71 @@ def decode_jpeg(payload: bytes) -> dict:
     if scan is None or not comps:
         raise ValueError("JPEG missing SOS or SOF0")
 
-    bw, bh = -(-width // 8), -(-height // 8)
-    n_blocks = bw * bh
+    # Interleaved-scan MCU geometry (T.81 §A.2.3): the MCU spans 8·Hmax ×
+    # 8·Vmax image samples; component ci contributes v×h blocks per MCU.
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    for c in comps:
+        if hmax % c["h"] or vmax % c["v"]:
+            raise NotImplementedError(
+                "non-integer chroma upsample ratio unsupported"
+            )
+    mcux, mcuy = -(-width // (8 * hmax)), -(-height // (8 * vmax))
     r = _BitReader(scan)
-    planes = [np.empty((n_blocks, 64), dtype=np.int32) for _ in comps]
+    planes = [
+        np.empty((mcuy * c["v"] * mcux * c["h"], 64), dtype=np.int32) for c in comps
+    ]
     pred = [0] * len(comps)
     comp_idx = {c["id"]: i for i, c in enumerate(comps)}
     order = [(comp_idx[cid], td, ta) for cid, td, ta in scan_comps]
-    for b in range(n_blocks):
-        for ci, td, ta in order:
-            zz = np.zeros(64, dtype=np.int32)
-            s = dc_tabs[td].decode(r)
-            diff = _extend(r.bits(s), s) if s else 0
-            pred[ci] += diff
-            zz[0] = pred[ci]
-            k = 1
-            while k < 64:
-                rs = ac_tabs[ta].decode(r)
-                run, size = rs >> 4, rs & 0xF
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("AC run overflows block")
-                zz[k] = _extend(r.bits(size), size)
-                k += 1
-            planes[ci][b] = zz
+
+    def read_block(td: int, ta: int, dc_pred: int) -> tuple[np.ndarray, int]:
+        zz = np.zeros(64, dtype=np.int32)
+        s = dc_tabs[td].decode(r)
+        dc_pred += _extend(r.bits(s), s) if s else 0
+        zz[0] = dc_pred
+        k = 1
+        while k < 64:
+            rs = ac_tabs[ta].decode(r)
+            run, size = rs >> 4, rs & 0xF
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("AC run overflows block")
+            zz[k] = _extend(r.bits(size), size)
+            k += 1
+        return zz, dc_pred
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, td, ta in order:
+                h, v = comps[ci]["h"], comps[ci]["v"]
+                bwc = mcux * h
+                for by in range(v):
+                    for bx in range(h):
+                        zz, pred[ci] = read_block(td, ta, pred[ci])
+                        planes[ci][(my * v + by) * bwc + (mx * h + bx)] = zz
     out = []
     for ci, comp in enumerate(comps):
-        deq = np.zeros((n_blocks, 64), dtype=np.float64)
+        h, v = comp["h"], comp["v"]
+        bwc, bhc = mcux * h, mcuy * v
+        deq = np.zeros((planes[ci].shape[0], 64), dtype=np.float64)
         deq[:, ZIGZAG] = planes[ci] * qts[comp["tq"]].reshape(-1)[ZIGZAG]
         blocks = deq.reshape(-1, 8, 8)
         pix = np.einsum("nk,bnm,mj->bkj", _C, blocks, _C) + 128.0
         full = (
-            pix.reshape(bh, bw, 8, 8)
+            pix.reshape(bhc, bwc, 8, 8)
             .transpose(0, 2, 1, 3)
-            .reshape(bh * 8, bw * 8)[:height, :width]
+            .reshape(bhc * 8, bwc * 8)
         )
+        # Nearest-neighbor chroma upsample back to the luma sample grid,
+        # then crop the MCU padding.
+        full = np.repeat(np.repeat(full, vmax // v, axis=0), hmax // h, axis=1)
+        full = full[:height, :width]
         out.append(np.clip(np.rint(full), 0, 255).astype(np.uint8))
     if len(out) == 3:  # JFIF YCbCr -> RGB
         y, cb, cr = (p.astype(np.float64) for p in out)
@@ -436,6 +504,11 @@ def decode_jpeg(payload: bytes) -> dict:
         samples = np.stack(out, axis=-1)
     return {
         "format": "jpeg",
+        # Luma sampling factors as parsed from SOF0 (first component is luma
+        # by JFIF convention): "1x1" = 4:4:4, "2x1" = 4:2:2, "2x2" = 4:2:0.
+        # Surfaced so oracled queries can pin that the subsampled MCU walk
+        # actually ran, not just that bytes round-tripped.
+        "sampling": f"{comps[0]['h']}x{comps[0]['v']}",
         "width": int(width),
         "height": int(height),
         "n_pixels": int(width) * int(height),

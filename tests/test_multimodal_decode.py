@@ -236,8 +236,8 @@ def test_jpeg_color_roundtrip_and_dispatch():
 
 
 def test_jpeg_rejects_out_of_scope_streams():
-    """Progressive/subsampled/restart streams must fall to the stub tier
-    (NotImplementedError), corrupt streams must raise ValueError."""
+    """Progressive streams must fall to the stub tier (NotImplementedError);
+    corrupt or self-inconsistent streams must raise ValueError."""
     import pytest
 
     from emr_with_custom_metrics_spark.llm.jpeg import decode_jpeg, encode_jpeg
@@ -249,12 +249,41 @@ def test_jpeg_rejects_out_of_scope_streams():
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(prog))
 
+    # Subsampling is now in scope — but a stream whose SOF CLAIMS 2x2 while
+    # its entropy data carries one block per MCU is corrupt, not unsupported:
+    # the MCU walk over-reads and must fail loudly, never return wrong pixels.
     sub = bytearray(good)
-    sub[sof + 11] = 0x22  # sampling 1x1 -> 2x2
-    with pytest.raises(NotImplementedError):
+    sub[sof + 11] = 0x22  # sampling 1x1 -> 2x2, entropy data unchanged
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(sub))
 
     with pytest.raises(ValueError):
         decode_jpeg(b"\xff\xd8\xff\xd9")  # no SOF/SOS
     with pytest.raises(ValueError):
         decode_jpeg(b"not a jpeg")
+
+
+def test_jpeg_subsampled_roundtrip():
+    """4:2:0 and 4:2:2 decode through the generic MCU walk: flat gray color
+    images reconstruct exactly (DC-only blocks, even fill), structured
+    images within a lossy bound, and the decoder reports the sampling
+    factors it parsed from SOF0."""
+    import numpy as np
+
+    from emr_with_custom_metrics_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    for sampling, tag in [((2, 2), "2x2"), ((2, 1), "2x1"), ((1, 2), "1x2")]:
+        for w, h in [(5, 5), (10, 7), (17, 23), (33, 16)]:
+            rgb = np.full((h, w, 3), 120, dtype=np.uint8)
+            m = decode_jpeg(encode_jpeg(w, h, rgb, sampling=sampling))
+            assert m["sampling"] == tag
+            assert (m["width"], m["height"]) == (w, h)
+            assert m["mean_byte"] == 120.0, (sampling, w, h, m)
+
+    rng = np.random.default_rng(11)
+    img = np.clip(
+        rng.integers(0, 256, (1, 1, 3)) + rng.normal(0, 6, (40, 56, 3)), 0, 255
+    ).astype(np.uint8)
+    for sampling in [(2, 2), (2, 1)]:
+        m = decode_jpeg(encode_jpeg(56, 40, img, sampling=sampling))
+        assert abs(m["mean_byte"] - img.mean()) < 4.0
