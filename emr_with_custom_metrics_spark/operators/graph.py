@@ -51,8 +51,14 @@ def pagerank(
     # src — exactly the layout the per-iteration ranks join probes — so no
     # explicit repartition is needed before the checkpoint
     edges_w = edges.join(deg, "src").localCheckpoint(eager=False)
-    n = nodes.agg(F.count("*").alias("__n"))
-    ranks = nodes.crossJoin(F.broadcast(n)).select(
+    # Same treatment for the node table: every iteration's rank-refresh
+    # left join probes it on `node`, so scan + hash-partition it ONCE and
+    # checkpoint that layout. Without this the source table is re-scanned
+    # and re-exchanged `iters` times — noise at test scale, but at 100 TB
+    # each re-scan is a full pass over the corpus ids.
+    nodes_p = nodes.repartition("node").localCheckpoint(eager=False)
+    n = nodes_p.agg(F.count("*").alias("__n"))
+    ranks = nodes_p.crossJoin(F.broadcast(n)).select(
         "node", (F.lit(1.0) / F.col("__n")).alias("rank")
     )
     for _ in range(iters):
@@ -63,7 +69,7 @@ def pagerank(
             .agg(F.sum("c").alias("c"))
         )
         ranks = (
-            nodes.join(contribs, "node", "left")
+            nodes_p.join(contribs, "node", "left")
             .crossJoin(F.broadcast(n))
             .select(
                 "node",
