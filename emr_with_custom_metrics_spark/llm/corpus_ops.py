@@ -136,6 +136,74 @@ def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_levenshtein_multipass",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, n_chars // 64 AS blk,
+               string_split(text, ' ')[1] AS tok0,
+               string_split(text, ' ')[2] AS tok1,
+               substr(text, 1, 96) AS prefix
+        FROM documents
+    ),
+    p AS (
+        SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+               levenshtein(a.prefix, b.prefix) AS dist
+        FROM d a JOIN d b
+          ON a.blk = b.blk AND a.tok0 = b.tok0 AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id, b.doc_id, levenshtein(a.prefix, b.prefix)
+        FROM d a JOIN d b
+          ON a.blk = b.blk AND a.tok1 = b.tok1 AND a.doc_id < b.doc_id
+    )
+    SELECT left_id, right_id, CAST(dist AS INT) AS edit_dist
+    FROM p WHERE dist <= 24
+    """,
+    doc="The multi-pass blocking scheme ``dedup_levenshtein_blocked``'s "
+    "docstring prescribes, as a first-class query: pass 1 blocks on "
+    "(64-char length band, token 1), pass 2 on (band, token 2), and the "
+    "union-distinct of the two passes recovers pairs whose edit touches "
+    "the leading token — the single-pass variant's one recall hole. A "
+    "pair caught by both passes carries the identical distance, so a "
+    "plain distinct dedups the union. Cost is ~2x one pass (each pass "
+    "keeps the same in-block quadratic bound); at production scale this "
+    "is the standard recall/cost dial — add passes on more token "
+    "positions, never widen a block. Docs with one token have a NULL "
+    "token 2 and simply skip pass 2 in both engines (null-unsafe join).",
+)
+def dedup_levenshtein_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            (F.col("n_chars") / 64).cast("bigint").alias("blk"),
+            F.split("text", " ").getItem(0).alias("tok0"),
+            F.split("text", " ").getItem(1).alias("tok1"),
+            F.substring("text", 1, 96).alias("prefix"),
+        )
+    )
+
+    def one_pass(key: str) -> DataFrame:
+        a, b = d.alias("a"), d.alias("b")
+        dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"), 24)
+        return (
+            a.join(
+                b,
+                (F.col("a.blk") == F.col("b.blk"))
+                & (F.col(f"a.{key}") == F.col(f"b.{key}"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .where(dist >= 0)
+            .select(
+                F.col("a.doc_id").alias("left_id"),
+                F.col("b.doc_id").alias("right_id"),
+                dist.cast("int").alias("edit_dist"),
+            )
+        )
+
+    return one_pass("tok0").unionByName(one_pass("tok1")).distinct()
+
+
+@register(
     "split_train_valid_test",
     oracle=f"""
     WITH assigned AS (

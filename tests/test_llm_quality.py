@@ -266,3 +266,21 @@ def test_pagerank_invariants(spark):
     assert sorted((r["doc_id"], r["rank"]) for r in out) == sorted(
         (r["doc_id"], r["rank"]) for r in out2
     )
+
+
+def test_levenshtein_multipass_supersets_single_pass(spark):
+    """The tok-2 second pass exists to recover pairs a leading-token edit
+    hides from the tok-1 block; the union must therefore contain every
+    single-pass pair with identical distances, and any extras must still
+    respect the distance cap."""
+    single = {
+        (r["left_id"], r["right_id"]): r["edit_dist"]
+        for r in SPECS["dedup_levenshtein_blocked"].fn(spark, SF_DIR).collect()
+    }
+    multi = {
+        (r["left_id"], r["right_id"]): r["edit_dist"]
+        for r in SPECS["dedup_levenshtein_multipass"].fn(spark, SF_DIR).collect()
+    }
+    assert set(single) <= set(multi)
+    assert all(multi[k] == v for k, v in single.items())
+    assert all(0 <= v <= 24 for v in multi.values())
