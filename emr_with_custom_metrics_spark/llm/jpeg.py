@@ -12,12 +12,12 @@ Scope, honestly stated:
 * ``encode_jpeg`` — baseline, grayscale (1 component) or RGB (3
   components), standard Annex K luminance quantization + Huffman tables,
   luma sampling 1×1 / 2×1 / 2×2 (chroma always 1×1 — i.e. 4:4:4, 4:2:2,
-  4:2:0, the common camera layouts), no restarts.
+  4:2:0, the common camera layouts), optional DRI/RSTn restart markers.
 * ``decode_jpeg`` — baseline sequential (SOF0), interleaved scan, any
   component count with per-component sampling factors up to 4×4 (chroma
-  upsampled nearest-neighbor); progressive, arithmetic-coded, or
-  restart-interval streams raise ``NotImplementedError`` and fall to the
-  stub tier like other codecs.
+  upsampled nearest-neighbor), restart intervals with sequence
+  validation; progressive or arithmetic-coded streams raise
+  ``NotImplementedError`` and fall to the stub tier like other codecs.
 
 Exactness contract used by the oracled query: a flat image whose fill is
 EVEN reconstructs bit-exactly — the DCT of a constant block is DC-only,
@@ -201,16 +201,25 @@ def _box_downsample(plane: np.ndarray, h: int, v: int) -> np.ndarray:
     return np.clip(np.rint(boxes), 0, 255).astype(np.uint8)
 
 
-def encode_jpeg(width: int, height: int, pixels, sampling: tuple[int, int] = (1, 1)) -> bytes:
+def encode_jpeg(
+    width: int,
+    height: int,
+    pixels,
+    sampling: tuple[int, int] = (1, 1),
+    restart_interval: int = 0,
+) -> bytes:
     """Real baseline JFIF encoder. ``pixels`` is a flat fill value (int,
     grayscale), an (h, w) uint8 array (grayscale), or an (h, w, 3) uint8
     array (RGB — converted to YCbCr and written as three components
     sharing the Annex K luminance tables, which is legal and keeps the
     table bookkeeping minimal). ``sampling`` is the LUMA (h, v) factor —
     (1, 1) = 4:4:4, (2, 1) = 4:2:2, (2, 2) = 4:2:0 — chroma is always
-    1×1 and box-average downsampled; ignored for grayscale. Partial edge
-    blocks pad by edge replication (flat for flat inputs, so the exactness
-    contract in the module docstring holds for any width/height)."""
+    1×1 and box-average downsampled; ignored for grayscale. A nonzero
+    ``restart_interval`` writes a DRI segment and an RSTn marker (with DC
+    predictor reset) every that many MCUs — the error-resilience layout
+    every camera emits. Partial edge blocks pad by edge replication (flat
+    for flat inputs, so the exactness contract in the module docstring
+    holds for any width/height)."""
     if np.isscalar(pixels):
         planes = [np.full((height, width), int(pixels), dtype=np.uint8)]
     else:
@@ -244,8 +253,16 @@ def encode_jpeg(width: int, height: int, pixels, sampling: tuple[int, int] = (1,
 
     w = _BitWriter()
     preds = [0] * len(planes)
+    mcu_i = 0
+    rst_seq = 0
     for my in range(mcuy):  # interleaved MCU order (T.81 §A.2.3)
         for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                w.flush()  # pad to byte boundary (stuffed if the pad is 0xFF)
+                w.out += bytes([0xFF, 0xD0 + (rst_seq & 7)])
+                rst_seq += 1
+                preds = [0] * len(planes)
+            mcu_i += 1
             for ci, (h, v) in enumerate(factors):
                 bwc = mcux * h
                 for by in range(v):
@@ -270,12 +287,14 @@ def encode_jpeg(width: int, height: int, pixels, sampling: tuple[int, int] = (1,
         [0, 63, 0]
     )
     app0 = b"JFIF\x00" + bytes([1, 1, 0, 0, 1, 0, 1, 0, 0])
+    dri = seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     return (
         b"\xff\xd8"
         + seg(0xFFE0, app0)
         + seg(0xFFDB, qt)
         + seg(0xFFC0, sof)
         + dht_seg
+        + dri
         + seg(0xFFDA, sos)
         + bytes(w.out)
         + b"\xff\xd9"
@@ -308,6 +327,21 @@ class _BitReader:
             self._n = 8
         self._n -= 1
         return (self._acc >> self._n) & 1
+
+    def restart(self, n: int) -> None:
+        """Consume an RSTn marker (T.81 §F.2.1.3.1): discard the pad bits
+        to the byte boundary, then require the modulo-8 sequence number —
+        a mismatch means lost MCUs, which must fail loudly."""
+        self._n = 0
+        if self.pos + 2 > len(self.data) or self.data[self.pos] != 0xFF:
+            raise ValueError("expected restart marker")
+        marker = self.data[self.pos + 1]
+        if marker != 0xD0 + (n & 7):
+            raise ValueError(
+                f"restart marker out of sequence: got {marker:#x}, "
+                f"expected {0xD0 + (n & 7):#x}"
+            )
+        self.pos += 2
 
     def bits(self, n: int) -> int:
         v = 0
@@ -362,6 +396,7 @@ def decode_jpeg(payload: bytes) -> dict:
     dc_tabs: dict[int, _HuffDecoder] = {}
     ac_tabs: dict[int, _HuffDecoder] = {}
     comps: list[dict] = []
+    restart_interval = 0
     width = height = 0
     scan: bytes | None = None
     scan_comps: list[tuple[int, int, int]] = []
@@ -407,7 +442,7 @@ def decode_jpeg(payload: bytes) -> dict:
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _HuffDecoder(bits, vals)
                 i += 17 + n
         elif marker == 0xDD:  # DRI
-            raise NotImplementedError("restart intervals unsupported")
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
             ns = body[0]
             for c in range(ns):
@@ -462,8 +497,17 @@ def decode_jpeg(payload: bytes) -> dict:
             k += 1
         return zz, dc_pred
 
+    mcu_i = 0
+    rst_seq = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                # T.81 §F.2.1.3: byte-align, consume RSTn (modulo-8
+                # sequence), reset every DC predictor.
+                r.restart(rst_seq)
+                rst_seq += 1
+                pred = [0] * len(comps)
+            mcu_i += 1
             for ci, td, ta in order:
                 h, v = comps[ci]["h"], comps[ci]["v"]
                 bwc = mcux * h

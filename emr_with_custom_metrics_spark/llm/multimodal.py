@@ -531,7 +531,13 @@ def _jpeg_subsampled_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Itera
         fill = (d % 125) * 2
         rgb = np.full((h, w, 3), fill, dtype=np.uint8)
         sampling = (2, 2) if d % 2 == 0 else (2, 1)
-        return decode_jpeg(encode_jpeg(w, h, rgb, sampling=sampling))
+        # Every third doc also writes DRI/RSTn restart markers — the
+        # camera error-resilience layout. The decoded statistics are
+        # invariant to restarts (same blocks, DC predictors just reset),
+        # so the oracle is untouched while the driver row exercises the
+        # restart path end-to-end.
+        ri = 2 if d % 3 == 0 else 0
+        return decode_jpeg(encode_jpeg(w, h, rgb, sampling=sampling, restart_interval=ri))
 
     for pdf in batches:
         metas = pdf["doc_id"].map(lambda d: one(int(d)))

@@ -287,3 +287,34 @@ def test_jpeg_subsampled_roundtrip():
     for sampling in [(2, 2), (2, 1)]:
         m = decode_jpeg(encode_jpeg(56, 40, img, sampling=sampling))
         assert abs(m["mean_byte"] - img.mean()) < 4.0
+
+
+def test_jpeg_restart_intervals():
+    """DRI/RSTn: flat images stay exact across restarts (DC predictor
+    resets re-derive the same values), the RST sequence number wraps
+    modulo 8, and an out-of-sequence marker — lost MCUs — raises."""
+    import numpy as np
+    import pytest
+
+    from emr_with_custom_metrics_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    for ri in [1, 2, 7]:
+        for w, h in [(24, 16), (33, 25), (10, 7)]:
+            assert decode_jpeg(encode_jpeg(w, h, 100, restart_interval=ri))["mean_byte"] == 100.0
+            rgb = np.full((h, w, 3), 120, dtype=np.uint8)
+            m = decode_jpeg(encode_jpeg(w, h, rgb, sampling=(2, 2), restart_interval=ri))
+            assert m["mean_byte"] == 120.0
+
+    # 144 MCUs at interval 1 → 143 restarts, sequence wraps 0-7 repeatedly
+    assert decode_jpeg(encode_jpeg(96, 96, 100, restart_interval=1))["mean_byte"] == 100.0
+
+    rng = np.random.default_rng(5)
+    img = np.clip(128 + rng.normal(0, 20, (24, 40)), 0, 255).astype(np.uint8)
+    m = decode_jpeg(encode_jpeg(40, 24, img, restart_interval=2))
+    assert abs(m["mean_byte"] - img.mean()) < 3.0
+
+    p = bytearray(encode_jpeg(24, 8, 100, restart_interval=1))
+    i = p.find(b"\xff\xd0")
+    p[i + 1] = 0xD5  # out-of-sequence restart
+    with pytest.raises(ValueError, match="restart marker"):
+        decode_jpeg(bytes(p))
