@@ -60,8 +60,9 @@ HEADLINE = [
     "pagerank_similarity_graph",
     "e2e_corpus_pipeline",
     "multimodal_decode_wav",
-    # round-5 addition (new row; the 33 rows above stay diffable vs r01-r04)
+    # round-5 additions (new rows; the 33 rows above stay diffable vs r01-r04)
     "multimodal_decode_jpeg_subsampled",
+    "multimodal_decode_gif",
 ]
 
 

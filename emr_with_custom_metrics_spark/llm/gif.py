@@ -1,0 +1,229 @@
+"""GIF87a codec (LZW, GIF flavor) in numpy + stdlib only.
+
+Extends the real image-decode tier (PPM/BMP/PNG/baseline-JPEG) with the
+last common image container: GIF's only compression is the LZW variant of
+GIF89a/87a Appendix F — variable-width codes growing 3→12 bits, a CLEAR
+code that resets the string table, EOI termination, and sub-block byte
+framing. All of it is specified exactly and implementable with numpy +
+``bytes``; no codec library involved.
+
+Scope, honestly stated:
+
+* ``encode_gif`` — GIF87a, single image, 8-bit grayscale global color
+  table (palette[i] = (i, i, i)), REAL LZW compression with dictionary
+  growth and 12-bit table-full CLEAR emission.
+* ``decode_gif`` — GIF87a/89a single-image streams with a global color
+  table; 89a extension blocks (graphics control, comment, application)
+  are skipped per spec. Interlaced images and local color tables raise
+  ``NotImplementedError`` and fall to the stub tier; corrupt LZW streams
+  raise ``ValueError``.
+
+Because GIF is LOSSLESS, the whole-pipeline check is stronger than
+JPEG's even-fill contract: ``decode(encode(img))`` must reproduce the
+exact per-pixel mean for ANY grayscale image, which oracled queries and
+property tests use directly.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """GIF-flavor LZW (89a Appendix F): emit CLEAR, build the string table
+    greedily, grow the code width at table-size powers of two, re-CLEAR
+    when the 12-bit table fills, end with EOI."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits  # LSB-first packing
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh_table() -> dict[bytes, int]:
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh_table()
+    next_code = eoi + 1
+    width = min_code_size + 1
+    put(clear, width)
+    run = b""
+    for sym in indices.tobytes():
+        cand = run + bytes([sym])
+        if cand in table:
+            run = cand
+            continue
+        put(table[run], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        elif next_code > (1 << 12) - 1:
+            put(clear, width)
+            table = fresh_table()
+            next_code = eoi + 1
+            width = min_code_size + 1
+        run = bytes([sym])
+    if run:
+        put(table[run], width)
+    put(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> np.ndarray:
+    """Inverse of :func:`_lzw_encode`, tolerant of any conforming encoder
+    (handles the deferred-clear convention: a full table simply stops
+    growing until the encoder sends CLEAR)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    acc = 0
+    nbits = 0
+    pos = 0
+
+    def get(width: int) -> int:
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream exhausted before EOI")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code_size + 1
+    prev: bytes | None = None
+    while True:
+        code = get(width)
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("LZW: first code after clear not a root")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("LZW: code beyond table")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        if len(out) > n_expected:
+            raise ValueError("LZW output exceeds image size")
+    if len(out) != n_expected:
+        raise ValueError("LZW output shorter than image size")
+    return np.frombuffer(bytes(out), dtype=np.uint8)
+
+
+def _sub_blocks(payload: bytes) -> bytes:
+    """Wrap raw bytes into GIF's ≤255-byte length-prefixed sub-blocks."""
+    out = bytearray()
+    for i in range(0, len(payload), 255):
+        chunk = payload[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif(width: int, height: int, pixels) -> bytes:
+    """GIF87a encoder: grayscale palette (256 entries, palette[i] = i,i,i),
+    real LZW. ``pixels`` is a flat fill value or an (h, w) uint8 array."""
+    if np.isscalar(pixels):
+        arr = np.full((height, width), int(pixels), dtype=np.uint8)
+    else:
+        arr = np.asarray(pixels, dtype=np.uint8)
+    header = b"GIF87a"
+    # logical screen descriptor: global color table, 8 bits/channel, 256 cells
+    lsd = struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    imgdesc = struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+    min_code_size = 8
+    lzw = _lzw_encode(arr.reshape(-1), min_code_size)
+    return (
+        header + lsd + gct + imgdesc + bytes([min_code_size]) + _sub_blocks(lzw)
+        + b"\x3b"
+    )
+
+
+def decode_gif(payload: bytes) -> dict:
+    """Decode a GIF87a/89a single-image stream (module docstring scope).
+
+    Returns format/width/height/n_pixels/mean_byte like the other real
+    decoders (mean over the palette-mapped RGB samples)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x3B:  # trailer
+            raise ValueError("GIF contains no image data")
+        if block == 0x21:  # 89a extension: label + sub-blocks, skip per spec
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block {block:#x}")
+        _, _, _, w, h, iflags = struct.unpack_from("<BHHHHB", payload, pos)
+        pos += 10
+        if iflags & 0x40:
+            raise NotImplementedError("interlaced GIF unsupported")
+        if iflags & 0x80:
+            raise NotImplementedError("local color table unsupported")
+        if gct is None:
+            raise ValueError("GIF image without any color table")
+        min_code_size = payload[pos]
+        pos += 1
+        lzw = bytearray()
+        while payload[pos] != 0:
+            ln = payload[pos]
+            lzw += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        indices = _lzw_decode(bytes(lzw), min_code_size, w * h)
+        if int(indices.max(initial=0)) >= len(gct):
+            raise ValueError("pixel index beyond color table")
+        rgb = gct[indices]
+        return {
+            "format": "gif",
+            "width": int(w),
+            "height": int(h),
+            "n_pixels": int(w) * int(h),
+            "mean_byte": float(rgb.mean()),
+        }
+    raise ValueError("GIF truncated before trailer")

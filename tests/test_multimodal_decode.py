@@ -318,3 +318,60 @@ def test_jpeg_restart_intervals():
     p[i + 1] = 0xD5  # out-of-sequence restart
     with pytest.raises(ValueError, match="restart marker"):
         decode_jpeg(bytes(p))
+
+
+def test_gif_lossless_roundtrip_any_image():
+    """GIF is lossless: decode(encode(img)) must reproduce the exact mean
+    for arbitrary grayscale images, including sizes that drive the LZW
+    table through its 12-bit CLEAR and the KwKwK self-reference case."""
+    import numpy as np
+
+    from emr_with_custom_metrics_spark.llm.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(3)
+    for w, h in [(1, 1), (7, 5), (33, 21), (255, 3)]:
+        img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        m = decode_gif(encode_gif(w, h, img))
+        assert (m["format"], m["width"], m["height"]) == ("gif", w, h)
+        assert m["mean_byte"] == img.mean()
+
+    # noise at 300x200 = 60k pixels forces the table-full CLEAR path;
+    # aaa... runs force KwKwK
+    img = rng.integers(0, 256, (200, 300)).astype(np.uint8)
+    assert decode_gif(encode_gif(300, 200, img))["mean_byte"] == img.mean()
+    img = np.zeros((4, 100), dtype=np.uint8)
+    assert decode_gif(encode_gif(100, 4, img))["mean_byte"] == 0.0
+
+
+def test_gif_extension_skipping_and_rejections():
+    """89a extension blocks are skipped per spec; interlace and local
+    color tables fall to the stub tier; corrupt streams raise."""
+    import pytest
+
+    from emr_with_custom_metrics_spark.llm.gif import decode_gif, encode_gif
+
+    p = bytearray(encode_gif(5, 4, 100))
+    ins = 13 + 768  # after header + LSD + 256-entry GCT
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphics control extension
+    assert decode_gif(bytes(p[:ins]) + gce + bytes(p[ins:]))["mean_byte"] == 100.0
+
+    img_desc_flags = ins + 9  # last byte of the image descriptor
+    interlaced = bytearray(p)
+    interlaced[img_desc_flags] = 0x40
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_gif(bytes(interlaced))
+
+    with pytest.raises(ValueError):
+        decode_gif(b"GIF87a" + b"\x00" * 20)  # truncated garbage
+    with pytest.raises(ValueError):
+        decode_gif(b"not a gif")
+    with pytest.raises(ValueError):
+        decode_gif(bytes(encode_gif(20, 20, 7))[:40])  # truncated LZW
+
+
+def test_gif_dispatches_through_decode_image():
+    from emr_with_custom_metrics_spark.llm.gif import encode_gif
+    from emr_with_custom_metrics_spark.llm.multimodal import decode_image
+
+    assert decode_image(encode_gif(6, 3, 9))["format"] == "gif"
+    assert _decode_any(encode_gif(4, 4, 200)) == (4, 4, 1)
