@@ -9,14 +9,16 @@ framing. All of it is specified exactly and implementable with numpy +
 
 Scope, honestly stated:
 
-* ``encode_gif`` — GIF87a, single image, 8-bit grayscale global color
-  table (palette[i] = (i, i, i)), REAL LZW compression with dictionary
-  growth and 12-bit table-full CLEAR emission.
-* ``decode_gif`` — GIF87a/89a single-image streams with a global color
-  table; 89a extension blocks (graphics control, comment, application)
-  are skipped per spec. Interlaced images and local color tables raise
-  ``NotImplementedError`` and fall to the stub tier; corrupt LZW streams
-  raise ``ValueError``.
+* ``encode_gif`` — GIF87a, one or more images (multi-image = animation
+  frames), 8-bit grayscale global color table (palette[i] = (i, i, i)),
+  REAL LZW compression with dictionary growth and 12-bit table-full
+  CLEAR emission.
+* ``decode_gif`` — GIF87a/89a streams with a global color table, every
+  image block walked (frame count + per-frame means exposed for the
+  frame-sampling operator); 89a extension blocks (graphics control,
+  comment, application) are skipped per spec. Interlaced images and
+  local color tables raise ``NotImplementedError`` and fall to the stub
+  tier; corrupt LZW streams raise ``ValueError``.
 
 Because GIF is LOSSLESS, the whole-pipeline check is stronger than
 JPEG's even-fill contract: ``decode(encode(img))`` must reproduce the
@@ -156,29 +158,37 @@ def _sub_blocks(payload: bytes) -> bytes:
 
 def encode_gif(width: int, height: int, pixels) -> bytes:
     """GIF87a encoder: grayscale palette (256 entries, palette[i] = i,i,i),
-    real LZW. ``pixels`` is a flat fill value or an (h, w) uint8 array."""
+    real LZW. ``pixels`` is a flat fill value, an (h, w) uint8 array, or an
+    (n, h, w) uint8 array — n > 1 writes a multi-image stream (one image
+    descriptor + LZW block per frame), which GIF87a supports natively;
+    the 89a timing extensions are presentation metadata a data pipeline
+    doesn't need."""
     if np.isscalar(pixels):
-        arr = np.full((height, width), int(pixels), dtype=np.uint8)
+        frames = np.full((1, height, width), int(pixels), dtype=np.uint8)
     else:
         arr = np.asarray(pixels, dtype=np.uint8)
+        frames = arr[None, ...] if arr.ndim == 2 else arr
     header = b"GIF87a"
     # logical screen descriptor: global color table, 8 bits/channel, 256 cells
     lsd = struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
     gct = bytes(v for i in range(256) for v in (i, i, i))
-    imgdesc = struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
     min_code_size = 8
-    lzw = _lzw_encode(arr.reshape(-1), min_code_size)
-    return (
-        header + lsd + gct + imgdesc + bytes([min_code_size]) + _sub_blocks(lzw)
-        + b"\x3b"
-    )
+    body = bytearray()
+    for frame in frames:
+        body += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+        body.append(min_code_size)
+        body += _sub_blocks(_lzw_encode(frame.reshape(-1), min_code_size))
+    return header + lsd + gct + bytes(body) + b"\x3b"
 
 
 def decode_gif(payload: bytes) -> dict:
-    """Decode a GIF87a/89a single-image stream (module docstring scope).
+    """Decode a GIF87a/89a stream (module docstring scope), walking EVERY
+    image block — a multi-image stream is GIF's animation layout.
 
-    Returns format/width/height/n_pixels/mean_byte like the other real
-    decoders (mean over the palette-mapped RGB samples)."""
+    Returns format/width/height (of the first frame) / n_frames /
+    frame_means (per-frame palette-mapped RGB mean, the frame-sampling
+    hook) / n_pixels (per frame) / mean_byte (over all frames) like the
+    other real decoders."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
@@ -188,10 +198,11 @@ def decode_gif(payload: bytes) -> dict:
         n = 2 << (flags & 0x07)
         gct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
         pos += 3 * n
+    frames: list[tuple[int, int, float]] = []  # (w, h, mean)
     while pos < len(payload):
         block = payload[pos]
         if block == 0x3B:  # trailer
-            raise ValueError("GIF contains no image data")
+            break
         if block == 0x21:  # 89a extension: label + sub-blocks, skip per spec
             pos += 2
             while payload[pos] != 0:
@@ -215,15 +226,20 @@ def decode_gif(payload: bytes) -> dict:
             ln = payload[pos]
             lzw += payload[pos + 1 : pos + 1 + ln]
             pos += 1 + ln
+        pos += 1  # the sub-block terminator
         indices = _lzw_decode(bytes(lzw), min_code_size, w * h)
         if int(indices.max(initial=0)) >= len(gct):
             raise ValueError("pixel index beyond color table")
-        rgb = gct[indices]
-        return {
-            "format": "gif",
-            "width": int(w),
-            "height": int(h),
-            "n_pixels": int(w) * int(h),
-            "mean_byte": float(rgb.mean()),
-        }
-    raise ValueError("GIF truncated before trailer")
+        frames.append((int(w), int(h), float(gct[indices].mean())))
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    w, h, _ = frames[0]
+    return {
+        "format": "gif",
+        "width": w,
+        "height": h,
+        "n_pixels": w * h,
+        "n_frames": len(frames),
+        "frame_means": [m for _, _, m in frames],
+        "mean_byte": float(np.mean([m for _, _, m in frames])),
+    }

@@ -643,6 +643,74 @@ def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(_gif_roundtrip_batch, schema=PPM_DECODED_SCHEMA)
 
 
+GIF_FRAMES_SCHEMA = "doc_id bigint, n_frames int, n_sampled int, sampled_mean double"
+
+
+def _gif_frame_sample_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    """Frame sampling over REAL animated GIFs: synthesize a multi-image
+    GIF87a stream per doc (K = doc_id%4+1 gradient frames, frame f's
+    pixel(x,y) = (doc_id + 7f + x + y) % 256), decode every frame with the
+    real LZW pipeline, keep stride-2 frames (0, 2, ...) — the standard
+    keyframe-thinning shape — and report their mean. GIF is lossless and
+    frames are equal-size, so the oracle recomputes the same statistic
+    from the closed-form pattern."""
+    import numpy as np
+    import pandas as pd
+
+    from emr_with_custom_metrics_spark.llm.gif import decode_gif, encode_gif
+
+    def one(d: int) -> dict:
+        k = d % 4 + 1
+        w, h = d % 9 + 1, d % 7 + 1
+        ff, yy, xx = np.meshgrid(np.arange(k), np.arange(h), np.arange(w), indexing="ij")
+        frames = ((d + 7 * ff + xx + yy) % 256).astype(np.uint8)
+        meta = decode_gif(encode_gif(w, h, frames))
+        sampled = meta["frame_means"][::2]
+        return {
+            "n_frames": meta["n_frames"],
+            "n_sampled": len(sampled),
+            "sampled_mean": round(float(np.mean(sampled)), 4),
+        }
+
+    for pdf in batches:
+        metas = pdf["doc_id"].map(lambda d: one(int(d)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_frames": metas.map(lambda m: m["n_frames"]).astype("int32"),
+                "n_sampled": metas.map(lambda m: m["n_sampled"]).astype("int32"),
+                "sampled_mean": metas.map(lambda m: m["sampled_mean"]),
+            }
+        )
+
+
+@register(
+    "multimodal_gif_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(doc_id % 4 + 1 AS INTEGER) AS n_frames,
+           CAST((doc_id % 4 + 2) // 2 AS INTEGER) AS n_sampled,
+           ROUND((SELECT AVG(fm) FROM (
+                    SELECT f.k,
+                           AVG(CAST((doc_id + 7 * f.k + x.i + y.j) % 256 AS DOUBLE)) AS fm
+                    FROM range(4) f(k), range(9) x(i), range(7) y(j)
+                    WHERE f.k < doc_id % 4 + 1 AND f.k % 2 = 0
+                      AND x.i < doc_id % 9 + 1 AND y.j < doc_id % 7 + 1
+                    GROUP BY f.k) t), 4) AS sampled_mean
+    FROM documents
+    """,
+    doc="Frame sampling over REAL animated GIFs (multi-image GIF87a "
+    "streams, every frame LZW-decoded): stride-2 keyframe thinning with "
+    "per-frame means — upgrades the frame-sample capability from the "
+    "deterministic fake-video stub to an actual container format. "
+    "Per-frame integer sums are exactly representable in doubles, so the "
+    "two engines' frame means are bit-identical before the final round.",
+)
+def multimodal_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fanned(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_gif_frame_sample_batch, schema=GIF_FRAMES_SCHEMA)
+
+
 FEATURE_DIM = 16
 FEATURE_SCHEMA = "doc_id bigint, feature array<float>, feat_norm double"
 

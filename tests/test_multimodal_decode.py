@@ -375,3 +375,23 @@ def test_gif_dispatches_through_decode_image():
 
     assert decode_image(encode_gif(6, 3, 9))["format"] == "gif"
     assert _decode_any(encode_gif(4, 4, 200)) == (4, 4, 1)
+
+
+def test_gif_multiframe_stream():
+    """Multi-image GIF87a streams (the animation layout): every frame is
+    LZW-decoded, per-frame means are exact, and single-frame behavior is
+    unchanged."""
+    import numpy as np
+
+    from emr_with_custom_metrics_spark.llm.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(9)
+    frames = rng.integers(0, 256, (5, 9, 12)).astype(np.uint8)
+    m = decode_gif(encode_gif(12, 9, frames))
+    assert m["n_frames"] == 5
+    assert m["frame_means"] == [f.mean() for f in frames]
+    assert m["mean_byte"] == np.mean([f.mean() for f in frames])
+    assert (m["width"], m["height"], m["n_pixels"]) == (12, 9, 108)
+
+    single = decode_gif(encode_gif(4, 3, 77))
+    assert single["n_frames"] == 1 and single["mean_byte"] == 77.0
