@@ -643,6 +643,78 @@ def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(_gif_roundtrip_batch, schema=PPM_DECODED_SCHEMA)
 
 
+G711_SCHEMA = "doc_id bigint, codec string, sample_rate int, n_samples int, duration_us bigint, rms double"
+
+
+def _g711_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    """Synthesize a G.711 telephony WAV per doc (μ-law for even doc_ids,
+    A-law for odd, constant companded byte = doc_id % 256) and decode it
+    through the real RIFF walk + ITU expansion formulas. A constant
+    companded signal expands to a constant linear value, so RMS equals
+    that magnitude exactly and the oracle can recompute it with integer
+    arithmetic."""
+    import pandas as pd
+
+    def one(d: int) -> dict:
+        law = "ulaw" if d % 2 == 0 else "alaw"
+        m = decode_wav(encode_wav_g711(8000, 1, d % 50 + 10, d % 256, law))
+        return {
+            "codec": m["codec"],
+            "sample_rate": m["sample_rate"],
+            "n_samples": m["n_samples"],
+            "duration_us": m["duration_us"],
+            "rms": round(m["rms"], 4),
+        }
+
+    for pdf in batches:
+        metas = pdf["doc_id"].map(lambda d: one(int(d)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "codec": metas.map(lambda m: m["codec"]),
+                "sample_rate": metas.map(lambda m: m["sample_rate"]).astype("int32"),
+                "n_samples": metas.map(lambda m: m["n_samples"]).astype("int32"),
+                "duration_us": metas.map(lambda m: m["duration_us"]).astype("int64"),
+                "rms": metas.map(lambda m: m["rms"]),
+            }
+        )
+
+
+@register(
+    "multimodal_decode_wav_g711",
+    # The oracle re-derives the G.711 expansion with integer arithmetic:
+    # μ-law mag = ((mant·8+132)·2^exp)−132 over the complemented byte,
+    # A-law mag over the 0x55-xored byte — any slip in the complement,
+    # exponent/mantissa split, or bias constants shifts the hash.
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS codec,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(doc_id % 50 + 10 AS INTEGER) AS n_samples,
+           CAST((doc_id % 50 + 10) * 1000000 // 8000 AS BIGINT) AS duration_us,
+           ROUND(CAST(CASE WHEN doc_id % 2 = 0 THEN
+             (((255 - doc_id % 256) % 16) * 8 + 132)
+               * (1 << (((255 - doc_id % 256) // 16) % 8)) - 132
+           ELSE
+             CASE WHEN ((xor(doc_id % 256, 85) // 16) % 8) = 0
+                  THEN (xor(doc_id % 256, 85) % 16) * 16 + 8
+                  ELSE ((xor(doc_id % 256, 85) % 16) * 16 + 264)
+                       * (1 << (((xor(doc_id % 256, 85) // 16) % 8) - 1))
+             END
+           END AS DOUBLE), 4) AS rms
+    FROM documents
+    """,
+    doc="REAL G.711 telephony audio decode (WAV format tags 6/7 — A-law "
+    "and μ-law, the codecs call-center corpora arrive in): RIFF chunk "
+    "walk + ITU-T G.711 expansion formulas, no codec library. Constant "
+    "companded signals expand to a constant linear value, making RMS "
+    "integer-exact; the audio stub tier now covers only mp3/aac.",
+)
+def multimodal_decode_wav_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fanned(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_g711_roundtrip_batch, schema=G711_SCHEMA)
+
+
 GIF_FRAMES_SCHEMA = "doc_id bigint, n_frames int, n_sampled int, sampled_mean double"
 
 
@@ -829,10 +901,62 @@ def encode_wav(sample_rate: int, n_channels: int, n_samples: int, amplitude: int
     return header + struct.pack("<h", amplitude) * (n_samples * n_channels)
 
 
+def ulaw_expand(u: "np.ndarray") -> "np.ndarray":  # noqa: F821
+    """ITU-T G.711 μ-law byte → linear PCM16 (max magnitude 32124)."""
+    import numpy as np
+
+    u = (~u.astype(np.int64)) & 0xFF
+    sign = (u & 0x80) != 0
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag)
+
+
+def alaw_expand(a: "np.ndarray") -> "np.ndarray":  # noqa: F821
+    """ITU-T G.711 A-law byte → linear PCM16 (max magnitude 32256)."""
+    import numpy as np
+
+    a = a.astype(np.int64) ^ 0x55
+    # A-law's sign convention is INVERTED vs μ-law: bit 7 set (after the
+    # 0x55 toggle) means positive — CCITT reference alaw2linear.
+    positive = (a & 0x80) != 0
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << (exp - 1))
+    return np.where(positive, mag, -mag)
+
+
+_WAV_CODECS = {1: "pcm16", 6: "alaw", 7: "ulaw"}
+
+
+def encode_wav_g711(
+    sample_rate: int, n_channels: int, n_samples: int, byte_value: int, law: str
+) -> bytes:
+    """RIFF/WAVE with G.711 companded 8-bit frames (format tag 6 = A-law,
+    7 = μ-law — the telephony codecs every call-center corpus arrives in),
+    constant companded ``byte_value`` per sample."""
+    import struct
+
+    tag = 6 if law == "alaw" else 7
+    n_bytes = n_samples * n_channels
+    header = (
+        b"RIFF"
+        + struct.pack("<I", 36 + n_bytes)
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, tag, n_channels, sample_rate,
+                      sample_rate * n_channels, n_channels, 8)
+        + b"data"
+        + struct.pack("<I", n_bytes)
+    )
+    return header + bytes([byte_value]) * n_bytes
+
+
 def decode_wav(payload: bytes) -> dict:
     """REAL WAV parse: validate RIFF/WAVE magic, read the fmt chunk, locate
     the data chunk (skipping any other chunks), return format metadata and
-    the RMS of the PCM16 samples."""
+    the RMS over linear samples — PCM16 directly, or G.711 μ-law/A-law
+    bytes expanded through the ITU formulas first."""
     import struct
 
     import numpy as np
@@ -847,16 +971,26 @@ def decode_wav(payload: bytes) -> dict:
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             audio_fmt, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
-            if audio_fmt != 1 or bits != 16:
-                raise ValueError("only PCM16 supported")
-            fmt = (n_ch, rate)
+            if audio_fmt == 1 and bits == 16:
+                pass
+            elif audio_fmt in (6, 7) and bits == 8:
+                pass
+            else:
+                raise ValueError("only PCM16 and G.711 alaw/ulaw supported")
+            fmt = (audio_fmt, n_ch, rate)
         elif cid == b"data":
             if fmt is None:
                 raise ValueError("data chunk before fmt")
-            n_ch, rate = fmt
-            x = np.frombuffer(body, dtype="<i2").astype(np.float64)
+            audio_fmt, n_ch, rate = fmt
+            if audio_fmt == 1:
+                x = np.frombuffer(body, dtype="<i2").astype(np.float64)
+            else:
+                raw = np.frombuffer(body, dtype=np.uint8)
+                expand = alaw_expand if audio_fmt == 6 else ulaw_expand
+                x = expand(raw).astype(np.float64)
             n_samples = len(x) // n_ch
             return {
+                "codec": _WAV_CODECS[audio_fmt],
                 "sample_rate": rate,
                 "n_channels": n_ch,
                 "n_samples": n_samples,

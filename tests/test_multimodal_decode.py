@@ -163,6 +163,7 @@ def test_wav_decoder_walks_chunks_and_rejects_garbage():
 
     m = decode_wav(encode_wav(16000, 2, 120, 300))
     assert m == {
+        "codec": "pcm16",
         "sample_rate": 16000,
         "n_channels": 2,
         "n_samples": 120,
@@ -395,3 +396,33 @@ def test_gif_multiframe_stream():
 
     single = decode_gif(encode_gif(4, 3, 77))
     assert single["n_frames"] == 1 and single["mean_byte"] == 77.0
+
+
+def test_g711_expansion_matches_reference_values():
+    """Pin the μ-law/A-law expanders to CCITT reference-table points and
+    structural properties (symmetric companding, PCM16 range), and the
+    full WAV container round trip for format tags 6/7."""
+    import numpy as np
+
+    from emr_with_custom_metrics_spark.llm.multimodal import (
+        alaw_expand,
+        decode_wav,
+        encode_wav_g711,
+        ulaw_expand,
+    )
+
+    assert ulaw_expand(np.array([0xFF]))[0] == 0
+    assert ulaw_expand(np.array([0x80]))[0] == 32124
+    assert ulaw_expand(np.array([0x00]))[0] == -32124
+    assert alaw_expand(np.array([0xD5]))[0] == 8
+    assert alaw_expand(np.array([0x55]))[0] == -8
+    assert alaw_expand(np.array([0xAA]))[0] == 32256
+    for f in (ulaw_expand, alaw_expand):
+        v = f(np.arange(256))
+        assert v.min() >= -32768 and v.max() <= 32767
+        assert sorted(v[v > 0]) == sorted(-v[v < 0])  # symmetric companding
+
+    m = decode_wav(encode_wav_g711(8000, 1, 100, 0x80, "ulaw"))
+    assert (m["codec"], m["rms"], m["n_samples"]) == ("ulaw", 32124.0, 100)
+    m = decode_wav(encode_wav_g711(16000, 2, 50, 0xD5, "alaw"))
+    assert (m["codec"], m["rms"], m["duration_us"]) == ("alaw", 8.0, 50 * 1_000_000 // 16000)
