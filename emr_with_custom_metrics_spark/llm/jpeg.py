@@ -12,12 +12,16 @@ Scope, honestly stated:
 * ``encode_jpeg`` — baseline, grayscale (1 component) or RGB (3
   components), standard Annex K luminance quantization + Huffman tables,
   luma sampling 1×1 / 2×1 / 2×2 (chroma always 1×1 — i.e. 4:4:4, 4:2:2,
-  4:2:0, the common camera layouts), optional DRI/RSTn restart markers.
-* ``decode_jpeg`` — baseline sequential (SOF0), interleaved scan, any
-  component count with per-component sampling factors up to 4×4 (chroma
-  upsampled nearest-neighbor), restart intervals with sequence
-  validation; progressive or arithmetic-coded streams raise
-  ``NotImplementedError`` and fall to the stub tier like other codecs.
+  4:2:0, the common camera layouts), optional DRI/RSTn restart markers,
+  optional progressive output (SOF2 spectral selection: interleaved DC
+  scan + per-component AC band scans).
+* ``decode_jpeg`` — baseline sequential (SOF0) with per-component
+  sampling factors up to 4×4 (chroma upsampled nearest-neighbor) and
+  restart intervals with sequence validation; progressive (SOF2)
+  spectral-selection streams at 1×1 sampling, multi-scan with EOB-run
+  coding. Successive-approximation progressive, subsampled progressive,
+  and arithmetic-coded streams raise ``NotImplementedError`` and fall to
+  the stub tier like other codecs.
 
 Exactness contract used by the oracled query: a flat image whose fill is
 EVEN reconstructs bit-exactly — the DCT of a constant block is DC-only,
@@ -201,12 +205,39 @@ def _box_downsample(plane: np.ndarray, h: int, v: int) -> np.ndarray:
     return np.clip(np.rint(boxes), 0, 255).astype(np.uint8)
 
 
+def _encode_band(w: _BitWriter, zz: np.ndarray, lo: int, hi: int) -> None:
+    """Run-length + Huffman encode coefficients ``lo..hi`` of one block
+    (progressive AC band; EOB emitted per block, i.e. EOBRUN = 1 — legal,
+    and the only EOBn the Annex K tables can express)."""
+    nz = np.nonzero(zz[lo : hi + 1])[0]
+    last = lo + int(nz[-1]) if len(nz) else lo - 1
+    run = 0
+    for i in range(lo, last + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = _AC_ENC[0xF0]
+            w.put(code, ln)
+            run -= 16
+        s, bits = _magnitude(v)
+        code, ln = _AC_ENC[(run << 4) | s]
+        w.put(code, ln)
+        w.put(bits, s)
+        run = 0
+    if last < hi:
+        code, ln = _AC_ENC[0x00]  # EOB
+        w.put(code, ln)
+
+
 def encode_jpeg(
     width: int,
     height: int,
     pixels,
     sampling: tuple[int, int] = (1, 1),
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Real baseline JFIF encoder. ``pixels`` is a flat fill value (int,
     grayscale), an (h, w) uint8 array (grayscale), or an (h, w, 3) uint8
@@ -237,6 +268,8 @@ def encode_jpeg(
     hl, vl = sampling if len(planes) == 3 else (1, 1)
     if hl not in (1, 2) or vl not in (1, 2):
         raise ValueError("luma sampling factors must be 1 or 2")
+    if progressive and ((hl, vl) != (1, 1) or restart_interval):
+        raise ValueError("progressive encode supports 1x1 sampling, no restarts")
     # MCU grid is sized by the luma factors; each plane is edge-padded to
     # its own MCU-aligned dimensions so _plane_blocks' 8-padding is a no-op
     # and block indices line up with the interleaved walk below.
@@ -250,6 +283,54 @@ def encode_jpeg(
             np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
         )
     zz = [_plane_blocks(p) for p in padded]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    nc = len(planes)
+    qt = bytes([0]) + bytes(STD_LUM_QT.reshape(-1)[ZIGZAG].astype(np.uint8))
+    sof = struct.pack(">BHHB", 8, height, width, nc) + b"".join(
+        bytes([cid + 1, (factors[cid][0] << 4) | factors[cid][1], 0])
+        for cid in range(nc)
+    )
+    dht_seg = seg(0xFFC4, bytes([0x00]) + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS)) + seg(
+        0xFFC4, bytes([0x10]) + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS)
+    )
+    app0 = b"JFIF\x00" + bytes([1, 1, 0, 0, 1, 0, 1, 0, 0])
+    dri = seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+
+    if progressive:
+        # Spectral-selection progressive (T.81 §G, Ah = Al = 0): one
+        # interleaved DC scan, then per component two AC band scans
+        # (1-5, 6-63 — AC scans must be single-component, §G.1.1.1.1).
+        scans = []
+        w = _BitWriter()
+        preds = [0] * nc
+        for b in range(zz[0].shape[0]):
+            for ci in range(nc):
+                s, bits = _magnitude(int(zz[ci][b][0]) - preds[ci])
+                code, ln = _DC_ENC[s]
+                w.put(code, ln)
+                if s:
+                    w.put(bits, s)
+                preds[ci] = int(zz[ci][b][0])
+        w.flush()
+        sos_dc = bytes([nc]) + b"".join(bytes([c + 1, 0x00]) for c in range(nc)) + bytes(
+            [0, 0, 0]
+        )
+        scans.append(seg(0xFFDA, sos_dc) + bytes(w.out))
+        for ci in range(nc):
+            for lo, hi in ((1, 5), (6, 63)):
+                w = _BitWriter()
+                for b in range(zz[ci].shape[0]):
+                    _encode_band(w, zz[ci][b], lo, hi)
+                w.flush()
+                sos_ac = bytes([1, ci + 1, 0x00, lo, hi, 0])
+                scans.append(seg(0xFFDA, sos_ac) + bytes(w.out))
+        return (
+            b"\xff\xd8" + seg(0xFFE0, app0) + seg(0xFFDB, qt) + seg(0xFFC2, sof)
+            + dht_seg + b"".join(scans) + b"\xff\xd9"
+        )
 
     w = _BitWriter()
     preds = [0] * len(planes)
@@ -270,24 +351,9 @@ def encode_jpeg(
                         bi = (my * v + by) * bwc + (mx * h + bx)
                         preds[ci] = _encode_block(w, zz[ci][bi], preds[ci])
     w.flush()
-
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
-
-    nc = len(planes)
-    qt = bytes([0]) + bytes(STD_LUM_QT.reshape(-1)[ZIGZAG].astype(np.uint8))
-    sof = struct.pack(">BHHB", 8, height, width, nc) + b"".join(
-        bytes([cid + 1, (factors[cid][0] << 4) | factors[cid][1], 0])
-        for cid in range(nc)
-    )
-    dht_seg = seg(0xFFC4, bytes([0x00]) + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS)) + seg(
-        0xFFC4, bytes([0x10]) + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS)
-    )
     sos = bytes([nc]) + b"".join(bytes([cid + 1, 0x00]) for cid in range(nc)) + bytes(
         [0, 63, 0]
     )
-    app0 = b"JFIF\x00" + bytes([1, 1, 0, 0, 1, 0, 1, 0, 0])
-    dri = seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     return (
         b"\xff\xd8"
         + seg(0xFFE0, app0)
@@ -384,8 +450,25 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _entropy_end(payload: bytes, start: int) -> int:
+    """Index of the first real marker after ``start``: 0xFF00 stuffing and
+    RST0-7 belong to the entropy stream, anything else terminates it."""
+    i = start
+    n = len(payload)
+    while i < n:
+        i = payload.find(b"\xff", i)
+        if i < 0 or i + 1 >= n:
+            raise ValueError("entropy segment unterminated")
+        nxt = payload[i + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            i += 2
+            continue
+        return i
+    raise ValueError("entropy segment unterminated")
+
+
 def decode_jpeg(payload: bytes) -> dict:
-    """Decode a baseline sequential JPEG (see module docstring for scope).
+    """Decode a baseline or progressive JPEG (module docstring for scope).
 
     Returns format/width/height/n_pixels/mean_byte like the other real
     decoders in ``llm.multimodal`` (mean over all output samples)."""
@@ -398,8 +481,115 @@ def decode_jpeg(payload: bytes) -> dict:
     comps: list[dict] = []
     restart_interval = 0
     width = height = 0
-    scan: bytes | None = None
-    scan_comps: list[tuple[int, int, int]] = []
+    progressive = False
+    planes: list[np.ndarray] = []
+    n_scans = 0
+    hmax = vmax = mcux = mcuy = 0
+
+    def decode_scan(
+        scan: bytes, scan_comps: list[tuple[int, int, int]], ss: int, se: int,
+        ah: int, al: int,
+    ) -> None:
+        """Decode one entropy-coded segment into the coefficient planes.
+        Sequential scans cover the full band interleaved; progressive
+        scans deposit one spectral band per pass (T.81 §G.2)."""
+        if ah or al:
+            raise NotImplementedError(
+                "progressive successive approximation unsupported "
+                "(spectral selection only)"
+            )
+        if progressive and ss == 0 and se != 0:
+            raise ValueError("progressive DC scan must have Se = 0 (T.81 G.1.1.1.1)")
+        if not progressive and (ss != 0 or se != 63):
+            raise ValueError("sequential scan must cover the full 0-63 band")
+        comp_idx = {c["id"]: i for i, c in enumerate(comps)}
+        order = [(comp_idx[cid], td, ta) for cid, td, ta in scan_comps]
+        r = _BitReader(scan)
+        pred = [0] * len(comps)
+
+        def read_band(ci: int, td: int, ta: int, block: int, lo: int, hi: int) -> None:
+            zz = planes[ci][block]
+            if lo == 0:
+                s = dc_tabs[td].decode(r)
+                pred[ci] += _extend(r.bits(s), s) if s else 0
+                zz[0] = pred[ci]
+                lo = 1
+            k = lo
+            while k <= hi:
+                rs = ac_tabs[ta].decode(r)
+                run, size = rs >> 4, rs & 0xF
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += run
+                if k > hi:
+                    raise ValueError("AC run overflows band")
+                zz[k] = _extend(r.bits(size), size)
+                k += 1
+
+        if ss == 0:
+            # DC / sequential scan: interleaved MCU walk over the scan's
+            # components (sequential scans also cover AC, se == 63).
+            mcu_i = 0
+            rst_seq = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                        r.restart(rst_seq)
+                        rst_seq += 1
+                        pred = [0] * len(comps)
+                    mcu_i += 1
+                    for ci, td, ta in order:
+                        h, v = comps[ci]["h"], comps[ci]["v"]
+                        bwc = mcux * h
+                        for by in range(v):
+                            for bx in range(h):
+                                read_band(
+                                    ci, td, ta,
+                                    (my * v + by) * bwc + (mx * h + bx), ss, se,
+                                )
+        else:
+            # Progressive AC scan: non-interleaved, exactly one component
+            # (T.81 §G.1.1.1.1), with EOB-run coding (§G.1.2.2).
+            if len(order) != 1:
+                raise ValueError("progressive AC scan must be single-component")
+            ci, _td, ta = order[0]
+            n_blocks = planes[ci].shape[0]
+            eobrun = 0
+            mcu_i = 0
+            rst_seq = 0
+            for b in range(n_blocks):
+                if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                    r.restart(rst_seq)
+                    rst_seq += 1
+                    eobrun = 0
+                mcu_i += 1
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                zz = planes[ci][b]
+                k = ss
+                while k <= se:
+                    rs = ac_tabs[ta].decode(r)
+                    run, size = rs >> 4, rs & 0xF
+                    if size == 0:
+                        if run == 15:  # ZRL
+                            k += 16
+                            continue
+                        # EOBn: run of 2^run + extra-bits blocks whose band
+                        # is done, INCLUDING this one
+                        eobrun = (1 << run) - 1
+                        if run:
+                            eobrun += r.bits(run)
+                        break
+                    k += run
+                    if k > se:
+                        raise ValueError("AC run overflows band")
+                    zz[k] = _extend(r.bits(size), size)
+                    k += 1
+
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -407,8 +597,10 @@ def decode_jpeg(payload: bytes) -> dict:
         pos += 2
         if marker == 0xD9:  # EOI
             break
-        if marker in (0xC2, 0xC1, 0xC3) or 0xC5 <= marker <= 0xCF and marker != 0xC8:
-            raise NotImplementedError("only baseline sequential (SOF0) JPEG decodes here")
+        if marker in (0xC1, 0xC3) or 0xC5 <= marker <= 0xCF and marker != 0xC8:
+            raise NotImplementedError(
+                "only baseline (SOF0) and progressive (SOF2) JPEG decode here"
+            )
         (ln,) = struct.unpack_from(">H", payload, pos)
         body = payload[pos + 2 : pos + ln]
         pos += ln
@@ -422,7 +614,8 @@ def decode_jpeg(payload: bytes) -> dict:
                 tab[ZIGZAG] = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8)
                 qts[tq] = tab.reshape(8, 8)
                 i += 65
-        elif marker == 0xC0:  # SOF0
+        elif marker in (0xC0, 0xC2):  # SOF0 / SOF2
+            progressive = marker == 0xC2
             prec, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -432,6 +625,20 @@ def decode_jpeg(payload: bytes) -> dict:
                 if not (1 <= h <= 4 and 1 <= v <= 4):
                     raise ValueError(f"illegal sampling factors {h}x{v}")
                 comps.append({"id": cid, "tq": tq, "h": h, "v": v})
+            if progressive and any(c["h"] != 1 or c["v"] != 1 for c in comps):
+                raise NotImplementedError("subsampled progressive JPEG unsupported")
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            for c in comps:
+                if hmax % c["h"] or vmax % c["v"]:
+                    raise NotImplementedError(
+                        "non-integer chroma upsample ratio unsupported"
+                    )
+            mcux, mcuy = -(-width // (8 * hmax)), -(-height // (8 * vmax))
+            planes = [
+                np.zeros((mcuy * c["v"] * mcux * c["h"], 64), dtype=np.int32)
+                for c in comps
+            ]
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):
@@ -444,77 +651,21 @@ def decode_jpeg(payload: bytes) -> dict:
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
+            if not comps:
+                raise ValueError("SOS before SOF")
             ns = body[0]
+            scan_comps = []
             for c in range(ns):
                 cid, tt = body[1 + 2 * c], body[2 + 2 * c]
                 scan_comps.append((cid, tt >> 4, tt & 0xF))
-            # entropy data runs from here to the next non-stuffed, non-RST
-            # marker; our scope has no restarts, so scan to EOI
-            end = payload.rfind(b"\xff\xd9")
-            if end < 0:
-                raise ValueError("missing EOI")
-            scan = payload[pos:end]
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            end = _entropy_end(payload, pos)
+            decode_scan(payload[pos:end], scan_comps, ss, se, ahal >> 4, ahal & 0xF)
             pos = end
-    if scan is None or not comps:
+            n_scans += 1
+    if n_scans == 0 or not comps:
         raise ValueError("JPEG missing SOS or SOF0")
 
-    # Interleaved-scan MCU geometry (T.81 §A.2.3): the MCU spans 8·Hmax ×
-    # 8·Vmax image samples; component ci contributes v×h blocks per MCU.
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    for c in comps:
-        if hmax % c["h"] or vmax % c["v"]:
-            raise NotImplementedError(
-                "non-integer chroma upsample ratio unsupported"
-            )
-    mcux, mcuy = -(-width // (8 * hmax)), -(-height // (8 * vmax))
-    r = _BitReader(scan)
-    planes = [
-        np.empty((mcuy * c["v"] * mcux * c["h"], 64), dtype=np.int32) for c in comps
-    ]
-    pred = [0] * len(comps)
-    comp_idx = {c["id"]: i for i, c in enumerate(comps)}
-    order = [(comp_idx[cid], td, ta) for cid, td, ta in scan_comps]
-
-    def read_block(td: int, ta: int, dc_pred: int) -> tuple[np.ndarray, int]:
-        zz = np.zeros(64, dtype=np.int32)
-        s = dc_tabs[td].decode(r)
-        dc_pred += _extend(r.bits(s), s) if s else 0
-        zz[0] = dc_pred
-        k = 1
-        while k < 64:
-            rs = ac_tabs[ta].decode(r)
-            run, size = rs >> 4, rs & 0xF
-            if rs == 0x00:  # EOB
-                break
-            if rs == 0xF0:  # ZRL
-                k += 16
-                continue
-            k += run
-            if k > 63:
-                raise ValueError("AC run overflows block")
-            zz[k] = _extend(r.bits(size), size)
-            k += 1
-        return zz, dc_pred
-
-    mcu_i = 0
-    rst_seq = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
-                # T.81 §F.2.1.3: byte-align, consume RSTn (modulo-8
-                # sequence), reset every DC predictor.
-                r.restart(rst_seq)
-                rst_seq += 1
-                pred = [0] * len(comps)
-            mcu_i += 1
-            for ci, td, ta in order:
-                h, v = comps[ci]["h"], comps[ci]["v"]
-                bwc = mcux * h
-                for by in range(v):
-                    for bx in range(h):
-                        zz, pred[ci] = read_block(td, ta, pred[ci])
-                        planes[ci][(my * v + by) * bwc + (mx * h + bx)] = zz
     out = []
     for ci, comp in enumerate(comps):
         h, v = comp["h"], comp["v"]
@@ -548,10 +699,13 @@ def decode_jpeg(payload: bytes) -> dict:
         samples = np.stack(out, axis=-1)
     return {
         "format": "jpeg",
-        # Luma sampling factors as parsed from SOF0 (first component is luma
-        # by JFIF convention): "1x1" = 4:4:4, "2x1" = 4:2:2, "2x2" = 4:2:0.
-        # Surfaced so oracled queries can pin that the subsampled MCU walk
-        # actually ran, not just that bytes round-tripped.
+        # Frame type and luma sampling as parsed from SOF0/SOF2 (first
+        # component is luma by JFIF convention): "1x1" = 4:4:4, "2x1" =
+        # 4:2:2, "2x2" = 4:2:0. Surfaced so oracled queries can pin that
+        # the subsampled MCU walk / multi-scan progressive path actually
+        # ran, not just that bytes round-tripped.
+        "progressive": progressive,
+        "n_scans": n_scans,
         "sampling": f"{comps[0]['h']}x{comps[0]['v']}",
         "width": int(width),
         "height": int(height),

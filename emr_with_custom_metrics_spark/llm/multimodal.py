@@ -636,11 +636,72 @@ def _gif_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.Data
     "them with the full inverse pipeline inside mapInPandas. With "
     "PPM/BMP/PNG/baseline-JPEG(+subsampled+restarts)/WAV this completes "
     "the real tier for every common still-image container; the stub now "
-    "covers only progressive JPEG and audio/video codecs.",
+    "covers only successive-approximation JPEG and audio/video codecs.",
 )
 def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_fanned(spark, sf_dir, "documents").select("doc_id")
     return d.mapInPandas(_gif_roundtrip_batch, schema=PPM_DECODED_SCHEMA)
+
+
+def _jpeg_progressive_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    """Synthesize PROGRESSIVE (SOF2, spectral-selection) JPEGs — gray for
+    even doc_ids, 4:4:4 color for odd — and decode them through the
+    multi-scan path (interleaved DC scan + per-component AC band scans
+    with EOB-run handling). Same even-fill exactness contract as baseline:
+    the scan layout changes, the coefficients do not. ``fmt`` carries the
+    scan count THE DECODER counted, pinning that the multi-scan walk ran
+    (1 + 2 AC bands for gray = 3; 1 + 3·2 for color = 7)."""
+    import numpy as np
+    import pandas as pd
+
+    from emr_with_custom_metrics_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    def one(d: int) -> dict:
+        w, h = d % 12 + 1, d % 9 + 1
+        fill = (d % 125) * 2
+        if d % 2 == 0:
+            m = decode_jpeg(encode_jpeg(w, h, fill, progressive=True))
+        else:
+            rgb = np.full((h, w, 3), fill, dtype=np.uint8)
+            m = decode_jpeg(encode_jpeg(w, h, rgb, progressive=True))
+        assert m["progressive"]
+        return m
+
+    for pdf in batches:
+        metas = pdf["doc_id"].map(lambda d: one(int(d)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "fmt": metas.map(lambda m: f"{m['format']}:prog{m['n_scans']}"),
+                "width": metas.map(lambda m: m["width"]).astype("int32"),
+                "height": metas.map(lambda m: m["height"]).astype("int32"),
+                "n_pixels": metas.map(lambda m: m["n_pixels"]).astype("int64"),
+                "mean_byte": metas.map(lambda m: round(m["mean_byte"], 4)),
+            }
+        )
+
+
+@register(
+    "multimodal_decode_jpeg_progressive",
+    oracle="""
+    SELECT doc_id,
+           'jpeg:prog' || CASE WHEN doc_id % 2 = 0 THEN '3' ELSE '7' END AS fmt,
+           CAST(doc_id % 12 + 1 AS INTEGER) AS width,
+           CAST(doc_id % 9 + 1 AS INTEGER) AS height,
+           CAST((doc_id % 12 + 1) * (doc_id % 9 + 1) AS BIGINT) AS n_pixels,
+           ROUND(CAST((doc_id % 125) * 2 AS DOUBLE), 4) AS mean_byte
+    FROM documents
+    """,
+    doc="REAL progressive JPEG decode (SOF2, spectral selection): "
+    "interleaved DC scan + single-component AC band scans with EOB-run "
+    "coding, accumulated across scans before one dequant+IDCT. The "
+    "oracle pins the per-stream scan COUNT the decoder walked (3 gray / "
+    "7 color) alongside the exact even-fill statistic. Successive "
+    "approximation remains the one honestly-stubbed JPEG mode.",
+)
+def multimodal_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fanned(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_jpeg_progressive_roundtrip_batch, schema=PPM_DECODED_SCHEMA)
 
 
 G711_SCHEMA = "doc_id bigint, codec string, sample_rate int, n_samples int, duration_us bigint, rms double"

@@ -245,9 +245,16 @@ def test_jpeg_rejects_out_of_scope_streams():
 
     good = bytearray(encode_jpeg(8, 8, 100))
     sof = good.find(b"\xff\xc0")
-    prog = bytearray(good)
-    prog[sof + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+    lossless = bytearray(good)
+    lossless[sof + 1] = 0xC3  # SOF0 -> SOF3 (lossless) stays out of scope
     with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(lossless))
+
+    prog = bytearray(good)
+    prog[sof + 1] = 0xC2  # SOF0 -> SOF2: now decodable in general, but THIS
+    # stream keeps its sequential full-band scan header, which a progressive
+    # frame forbids (DC scans need Se=0) -> self-inconsistent, not a stub
+    with pytest.raises(ValueError, match="Se = 0"):
         decode_jpeg(bytes(prog))
 
     # Subsampling is now in scope — but a stream whose SOF CLAIMS 2x2 while
@@ -426,3 +433,101 @@ def test_g711_expansion_matches_reference_values():
     assert (m["codec"], m["rms"], m["n_samples"]) == ("ulaw", 32124.0, 100)
     m = decode_wav(encode_wav_g711(16000, 2, 50, 0xD5, "alaw"))
     assert (m["codec"], m["rms"], m["duration_us"]) == ("alaw", 8.0, 50 * 1_000_000 // 16000)
+
+
+def test_jpeg_progressive_spectral_selection():
+    """Progressive (SOF2, spectral selection): flat images exact, and a
+    structured image must decode to EXACTLY the baseline result — same
+    coefficients, different scan layout — for gray and color."""
+    import numpy as np
+
+    from emr_with_custom_metrics_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    for w, h in [(8, 8), (10, 7), (33, 25)]:
+        assert decode_jpeg(encode_jpeg(w, h, 100, progressive=True))["mean_byte"] == 100.0
+        rgb = np.full((h, w, 3), 120, dtype=np.uint8)
+        assert decode_jpeg(encode_jpeg(w, h, rgb, progressive=True))["mean_byte"] == 120.0
+
+    rng = np.random.default_rng(7)
+    img = np.clip(128 + rng.normal(0, 20, (24, 40)), 0, 255).astype(np.uint8)
+    assert (
+        decode_jpeg(encode_jpeg(40, 24, img, progressive=True))["mean_byte"]
+        == decode_jpeg(encode_jpeg(40, 24, img))["mean_byte"]
+    )
+    imgc = np.clip(
+        rng.integers(0, 256, (1, 1, 3)) + rng.normal(0, 6, (20, 28, 3)), 0, 255
+    ).astype(np.uint8)
+    assert (
+        decode_jpeg(encode_jpeg(28, 20, imgc, progressive=True))["mean_byte"]
+        == decode_jpeg(encode_jpeg(28, 20, imgc))["mean_byte"]
+    )
+
+
+def test_jpeg_progressive_eobrun_and_unsupported_scopes():
+    """Handcraft a progressive stream whose AC scan uses an EOBn symbol
+    (EOBRUN covering 2 blocks) — the path our own encoder never emits —
+    plus the successive-approximation and subsampled-progressive rejects."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from emr_with_custom_metrics_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    # 16x8 grayscale, flat 100: two 8x8 blocks, all AC zero.
+    qt = bytes([0]) + bytes([1] * 64)  # quant 1 everywhere (DC exact)
+    sof = struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0])
+    # DC table: symbols 0..11 at canonical lengths (reuse Annex K layout)
+    from emr_with_custom_metrics_spark.llm.jpeg import DC_LUM_BITS, DC_LUM_VALS
+
+    dht_dc = seg(0xFFC4, bytes([0x00]) + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS))
+    # AC table with ONLY symbol 0x10 (EOB1: run=1 → eobrun = 2-1+extra)
+    ac_bits = [1] + [0] * 15
+    dht_ac = seg(0xFFC4, bytes([0x10]) + bytes(ac_bits) + bytes([0x10]))
+    # DC scan: value -224 per block? DC = 8*(100-128)/1 = -224, category 8.
+    # diff block1 = -224, diff block2 = 0.
+    from emr_with_custom_metrics_spark.llm.jpeg import _BitWriter, _DC_ENC, _magnitude
+
+    w = _BitWriter()
+    s, bits = _magnitude(-224)
+    code, ln = _DC_ENC[s]
+    w.put(code, ln)
+    w.put(bits, s)
+    code, ln = _DC_ENC[0]
+    w.put(code, ln)
+    w.flush()
+    sos_dc = seg(0xFFDA, bytes([1, 1, 0x00, 0, 0, 0])) + bytes(w.out)
+    # AC scan: single EOB1 symbol (1 bit, code 0) + 1 extra bit (0) → both
+    # blocks' bands done via eobrun=1 carryover.
+    sos_ac = seg(0xFFDA, bytes([1, 1, 0x00, 1, 63, 0])) + bytes([0x3F])
+    jpg = (
+        b"\xff\xd8" + seg(0xFFDB, qt) + seg(0xFFC2, sof) + dht_dc + dht_ac
+        + sos_dc + sos_ac + b"\xff\xd9"
+    )
+    m = decode_jpeg(jpg)
+    assert (m["width"], m["height"]) == (16, 8)
+    assert m["mean_byte"] == 100.0
+
+    # successive approximation (Al=1) → honest stub tier
+    good = bytearray(encode_jpeg(8, 8, 100, progressive=True))
+    i = good.find(b"\xff\xda")
+    assert good[i + 2 : i + 4] == b"\x00\x08"  # DC scan header length
+    bad = bytearray(good)
+    bad[i + 9] = 0x01  # AhAl byte of the DC scan
+    with pytest.raises(NotImplementedError, match="successive approximation"):
+        decode_jpeg(bytes(bad))
+
+    # subsampled progressive → honest stub tier
+    with pytest.raises(ValueError, match="progressive encode supports"):
+        encode_jpeg(
+            16, 16, np.full((16, 16, 3), 4, np.uint8), sampling=(2, 2), progressive=True
+        )
+    prog = bytearray(encode_jpeg(8, 8, 100, progressive=True))
+    s2 = prog.find(b"\xff\xc2")
+    sub = bytearray(prog)
+    sub[s2 + 11] = 0x22  # claim 2x2 sampling in SOF2
+    with pytest.raises(NotImplementedError, match="subsampled progressive"):
+        decode_jpeg(bytes(sub))
