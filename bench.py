@@ -63,6 +63,8 @@ HEADLINE = [
     # round-5 additions (new rows; the 33 rows above stay diffable vs r01-r04)
     "multimodal_decode_jpeg_subsampled",
     "multimodal_decode_gif",
+    "multimodal_decode_jpeg_progressive",
+    "multimodal_decode_wav_g711",
 ]
 
 
