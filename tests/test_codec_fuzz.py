@@ -1,0 +1,140 @@
+"""Property-based fuzzing of the from-scratch codecs (no Spark session):
+random images through GIF/JPEG round trips, checking the invariants each
+format guarantees — exactness where the math is lossless, cross-layout
+equality where only the container layout differs. Catches entropy-layer
+edge cases (code-width boundaries, EOB runs, stuffing, table growth) that
+hand-picked examples miss."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def gray_images(draw, max_side: int = 40):
+    w = draw(st.integers(min_value=1, max_value=max_side))
+    h = draw(st.integers(min_value=1, max_value=max_side))
+    seed = draw(st.integers(min_value=0, max_value=2**31 - 1))
+    style = draw(st.sampled_from(["noise", "flat", "gradient", "blocks"]))
+    rng = np.random.default_rng(seed)
+    if style == "noise":
+        img = rng.integers(0, 256, (h, w))
+    elif style == "flat":
+        img = np.full((h, w), int(rng.integers(0, 256)))
+    elif style == "gradient":
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        img = (xx * int(rng.integers(1, 9)) + yy * int(rng.integers(1, 9))) % 256
+    else:
+        img = np.repeat(
+            np.repeat(rng.integers(0, 256, (-(-h // 4), -(-w // 4))), 4, 0), 4, 1
+        )[:h, :w]
+    return w, h, img.astype(np.uint8)
+
+
+@settings(max_examples=60, deadline=None)
+@given(gray_images())
+def test_gif_roundtrip_is_lossless(img):
+    """GIF guarantees bit-exact pixels: the decoded mean equals the source
+    mean for EVERY image, whatever path the LZW table growth takes."""
+    from emr_with_custom_metrics_spark.llm.gif import decode_gif, encode_gif
+
+    w, h, a = img
+    m = decode_gif(encode_gif(w, h, a))
+    assert (m["width"], m["height"], m["n_frames"]) == (w, h, 1)
+    assert m["mean_byte"] == a.mean()
+
+
+@settings(max_examples=30, deadline=None)
+@given(gray_images(max_side=24), st.integers(min_value=1, max_value=5))
+def test_gif_multiframe_means_exact(img, n_frames):
+    from emr_with_custom_metrics_spark.llm.gif import decode_gif, encode_gif
+
+    w, h, a = img
+    frames = np.stack([(a.astype(np.int64) + 31 * i) % 256 for i in range(n_frames)])
+    m = decode_gif(encode_gif(w, h, frames.astype(np.uint8)))
+    assert m["n_frames"] == n_frames
+    assert m["frame_means"] == [f.mean() for f in frames]
+
+
+@settings(max_examples=40, deadline=None)
+@given(gray_images(max_side=32))
+def test_jpeg_progressive_equals_baseline(img):
+    """Spectral selection only reorders WHICH scan carries each
+    coefficient; the reconstructed image must match baseline exactly."""
+    from emr_with_custom_metrics_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    w, h, a = img
+    base = decode_jpeg(encode_jpeg(w, h, a))
+    prog = decode_jpeg(encode_jpeg(w, h, a, progressive=True))
+    assert base["mean_byte"] == prog["mean_byte"]
+    assert prog["progressive"] and prog["n_scans"] == 3
+
+
+@settings(max_examples=30, deadline=None)
+@given(gray_images(max_side=32), st.integers(min_value=1, max_value=4))
+def test_jpeg_restart_layout_equals_plain(img, ri):
+    """Restart markers only re-frame the entropy stream (byte-align +
+    predictor reset); the decoded image must match the unrestarted one."""
+    from emr_with_custom_metrics_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    w, h, a = img
+    plain = decode_jpeg(encode_jpeg(w, h, a))
+    restarted = decode_jpeg(encode_jpeg(w, h, a, restart_interval=ri))
+    assert plain["mean_byte"] == restarted["mean_byte"]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=30),
+    st.integers(min_value=1, max_value=30),
+    st.integers(min_value=0, max_value=127),
+    st.sampled_from([(1, 1), (2, 1), (1, 2), (2, 2)]),
+)
+def test_jpeg_subsampled_flat_even_fill_exact(w, h, half_fill, sampling):
+    """The even-fill exactness contract holds at every sampling layout and
+    edge-padding geometry (flat planes are DC-only; box downsample and
+    nearest-neighbor upsample are identity on flat chroma)."""
+    from emr_with_custom_metrics_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    fill = half_fill * 2
+    rgb = np.full((h, w, 3), fill, dtype=np.uint8)
+    m = decode_jpeg(encode_jpeg(w, h, rgb, sampling=sampling))
+    assert m["mean_byte"] == float(fill)
+    assert m["sampling"] == f"{sampling[0]}x{sampling[1]}"
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=0, max_value=255), st.sampled_from(["ulaw", "alaw"]))
+def test_g711_constant_signal_rms_is_expansion_magnitude(byte_value, law):
+    """For a constant companded byte the RMS equals |expand(byte)| exactly,
+    for every byte value in both laws."""
+    from emr_with_custom_metrics_spark.llm.multimodal import (
+        alaw_expand,
+        decode_wav,
+        encode_wav_g711,
+        ulaw_expand,
+    )
+
+    expand = ulaw_expand if law == "ulaw" else alaw_expand
+    expected = abs(int(expand(np.array([byte_value]))[0]))
+    m = decode_wav(encode_wav_g711(8000, 1, 16, byte_value, law))
+    assert m["rms"] == float(expected)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=255), min_size=1, max_size=4000),
+    st.integers(min_value=2, max_value=8),
+)
+def test_gif_lzw_encode_decode_inverse(symbols, min_code_size):
+    """The LZW pair is inverse for any symbol stream within the alphabet —
+    including streams long enough to force code-width growth and 12-bit
+    CLEAR — independent of the GIF container."""
+    from emr_with_custom_metrics_spark.llm.gif import _lzw_decode, _lzw_encode
+
+    alphabet = 1 << min_code_size
+    data = np.array([s % alphabet for s in symbols], dtype=np.uint8)
+    out = _lzw_decode(_lzw_encode(data, min_code_size), min_code_size, len(data))
+    assert np.array_equal(out, data)
