@@ -704,6 +704,76 @@ def multimodal_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> Data
     return d.mapInPandas(_jpeg_progressive_roundtrip_batch, schema=PPM_DECODED_SCHEMA)
 
 
+AVI_SCHEMA = "doc_id bigint, fmt string, width int, height int, n_frames int, duration_us bigint, mean_byte double"
+
+
+def _avi_mjpeg_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    """Synthesize an MJPEG AVI per doc (K = doc_id%3+1 independent JPEG
+    frames, frame f flat even fill ((doc_id + 16f) % 125)·2) and decode it
+    through the real RIFF walk + per-frame T.81 pipeline. The even-fill
+    contract makes every frame mean exact, so the container statistic is
+    SQL-predictable end-to-end across TWO nested binary formats."""
+    import numpy as np
+    import pandas as pd
+
+    from emr_with_custom_metrics_spark.llm.avi import decode_avi, encode_avi_mjpeg
+    from emr_with_custom_metrics_spark.llm.jpeg import encode_jpeg
+
+    def one(d: int) -> dict:
+        k = d % 3 + 1
+        w, h = d % 10 + 1, d % 8 + 1
+        frames = [encode_jpeg(w, h, ((d + 16 * f) % 125) * 2) for f in range(k)]
+        m = decode_avi(encode_avi_mjpeg(w, h, frames, fps=25))
+        return {
+            "fmt": m["format"],
+            "width": m["width"],
+            "height": m["height"],
+            "n_frames": m["n_frames"],
+            "duration_us": m["duration_us"],
+            "mean_byte": round(m["mean_byte"], 4),
+        }
+
+    for pdf in batches:
+        metas = pdf["doc_id"].map(lambda d: one(int(d)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "fmt": metas.map(lambda m: m["fmt"]),
+                "width": metas.map(lambda m: m["width"]).astype("int32"),
+                "height": metas.map(lambda m: m["height"]).astype("int32"),
+                "n_frames": metas.map(lambda m: m["n_frames"]).astype("int32"),
+                "duration_us": metas.map(lambda m: m["duration_us"]).astype("int64"),
+                "mean_byte": metas.map(lambda m: m["mean_byte"]),
+            }
+        )
+
+
+@register(
+    "multimodal_decode_avi_mjpeg",
+    oracle="""
+    SELECT doc_id,
+           'avi-mjpeg' AS fmt,
+           CAST(doc_id % 10 + 1 AS INTEGER) AS width,
+           CAST(doc_id % 8 + 1 AS INTEGER) AS height,
+           CAST(doc_id % 3 + 1 AS INTEGER) AS n_frames,
+           CAST(40000 * (doc_id % 3 + 1) AS BIGINT) AS duration_us,
+           ROUND((SELECT AVG(CAST(((doc_id + 16 * f.k) % 125) * 2 AS DOUBLE))
+                  FROM range(3) f(k)
+                  WHERE f.k < doc_id % 3 + 1), 4) AS mean_byte
+    FROM documents
+    """,
+    doc="REAL video-container decode: Motion JPEG in AVI — a RIFF tree "
+    "walk (same chunk grammar as WAV) over '00dc' frame chunks, each an "
+    "independent baseline JPEG decoded by the from-scratch T.81 "
+    "pipeline, with header-vs-stream frame-count and dimension cross "
+    "checks. The one video format needing no inter-frame codec; H.264 "
+    "and friends remain the honest ffmpeg-shaped stub.",
+)
+def multimodal_decode_avi_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fanned(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_avi_mjpeg_batch, schema=AVI_SCHEMA)
+
+
 G711_SCHEMA = "doc_id bigint, codec string, sample_rate int, n_samples int, duration_us bigint, rms double"
 
 

@@ -531,3 +531,44 @@ def test_jpeg_progressive_eobrun_and_unsupported_scopes():
     sub[s2 + 11] = 0x22  # claim 2x2 sampling in SOF2
     with pytest.raises(NotImplementedError, match="subsampled progressive"):
         decode_jpeg(bytes(sub))
+
+
+def test_avi_mjpeg_container():
+    """RIFF walk + per-frame JPEG decode: exact means for even-fill frames,
+    container transparency for structured frames, and loud failures for
+    header/stream inconsistencies."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from emr_with_custom_metrics_spark.llm.avi import decode_avi, encode_avi_mjpeg
+    from emr_with_custom_metrics_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    frames = [encode_jpeg(16, 12, f) for f in (100, 102, 200)]
+    m = decode_avi(encode_avi_mjpeg(16, 12, frames, fps=10))
+    assert (m["format"], m["n_frames"]) == ("avi-mjpeg", 3)
+    assert m["frame_means"] == [100.0, 102.0, 200.0]
+    assert m["duration_us"] == 300_000
+
+    rng = np.random.default_rng(1)
+    imgs = [
+        np.clip(128 + rng.normal(0, 15, (24, 32)), 0, 255).astype(np.uint8)
+        for _ in range(4)
+    ]
+    payloads = [encode_jpeg(32, 24, i) for i in imgs]
+    m = decode_avi(encode_avi_mjpeg(32, 24, payloads))
+    assert m["frame_means"] == [decode_jpeg(p)["mean_byte"] for p in payloads]
+
+    with pytest.raises(ValueError):
+        decode_avi(b"RIFF\x00\x00\x00\x00WAVE")
+    bad = bytearray(encode_avi_mjpeg(16, 12, frames))
+    bad[4] ^= 0xFF
+    with pytest.raises(ValueError, match="size field"):
+        decode_avi(bytes(bad))
+    good = encode_avi_mjpeg(16, 12, frames)
+    i = good.find(b"avih") + 8 + 16  # dwTotalFrames field
+    tampered = bytearray(good)
+    tampered[i] = 9
+    with pytest.raises(ValueError, match="declares"):
+        decode_avi(bytes(tampered))
