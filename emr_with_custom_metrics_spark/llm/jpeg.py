@@ -14,14 +14,16 @@ Scope, honestly stated:
   luma sampling 1×1 / 2×1 / 2×2 (chroma always 1×1 — i.e. 4:4:4, 4:2:2,
   4:2:0, the common camera layouts), optional DRI/RSTn restart markers,
   optional progressive output (SOF2 spectral selection: interleaved DC
-  scan + per-component AC band scans).
+  scan + per-component AC band scans; ``successive=True`` adds the
+  two-pass successive-approximation script with DC/AC refinement scans).
 * ``decode_jpeg`` — baseline sequential (SOF0) with per-component
   sampling factors up to 4×4 (chroma upsampled nearest-neighbor) and
   restart intervals with sequence validation; progressive (SOF2)
-  spectral-selection streams at 1×1 sampling, multi-scan with EOB-run
-  coding. Successive-approximation progressive, subsampled progressive,
-  and arithmetic-coded streams raise ``NotImplementedError`` and fall to
-  the stub tier like other codecs.
+  streams at 1×1 sampling: spectral selection AND successive
+  approximation (DC bit refinement, AC ±2^Al insertion + correction-bit
+  refinement per §G.1.2.3, EOB-run coding in both scan kinds).
+  Subsampled progressive and arithmetic-coded streams raise
+  ``NotImplementedError`` and fall to the stub tier like other codecs.
 
 Exactness contract used by the oracled query: a flat image whose fill is
 EVEN reconstructs bit-exactly — the DCT of a constant block is DC-only,
@@ -231,6 +233,58 @@ def _encode_band(w: _BitWriter, zz: np.ndarray, lo: int, hi: int) -> None:
         w.put(code, ln)
 
 
+def _encode_ac_first(w: _BitWriter, zz: np.ndarray, lo: int, hi: int, al: int) -> None:
+    """AC first scan at precision Al: encode the point transform
+    |v| >> Al with original sign (T.81 §G.1.2.1 — divide toward zero)."""
+    t = np.sign(zz[lo : hi + 1]) * (np.abs(zz[lo : hi + 1]) >> al)
+    band = np.zeros(hi + 1, dtype=np.int64)
+    band[lo:] = t
+    _encode_band(w, band, lo, hi)
+
+
+def _encode_ac_refine(w: _BitWriter, zz: np.ndarray, lo: int, hi: int, al: int) -> None:
+    """AC refinement scan (T.81 §G.1.2.3), emitting bits in the exact
+    order the §G.2 decoder walk consumes them: each ZRL carries the
+    correction bits of already-nonzero coefficients crossed within ITS
+    16-zero span; each (run,1) symbol carries the sign bit and then the
+    corrections crossed before the newly-nonzero target; the trailing EOB
+    carries the corrections of the rest of the band."""
+    t = np.abs(zz[lo : hi + 1]) >> al  # 0 = still zero, 1 = newly nonzero, >1 = history
+
+    def correction(k: int) -> int:
+        return (abs(int(zz[k])) >> al) & 1
+
+    new_positions = [lo + int(i) for i in np.nonzero(t == 1)[0]]
+    walk = lo
+    for n in new_positions:
+        # zero-history run length between walk and the target
+        r = sum(1 for k in range(walk, n) if t[k - lo] == 0)
+        while r > 15:
+            code, ln = _AC_ENC[0xF0]
+            w.put(code, ln)
+            zeros = 0
+            while zeros < 16:  # cross exactly 16 zero-history slots
+                if t[walk - lo] == 0:
+                    zeros += 1
+                else:  # history-nonzero crossed inside this span
+                    w.put(correction(walk), 1)
+                walk += 1
+            r -= 16
+        code, ln = _AC_ENC[(r << 4) | 1]
+        w.put(code, ln)
+        w.put(1 if zz[n] > 0 else 0, 1)  # sign of the new ±2^Al
+        for k in range(walk, n):  # corrections crossed reaching the target
+            if t[k - lo] >= 2:
+                w.put(correction(k), 1)
+        walk = n + 1
+    if not new_positions or walk <= hi:
+        code, ln = _AC_ENC[0x00]  # EOB (EOBRUN = 1)
+        w.put(code, ln)
+        for k in range(walk, hi + 1):
+            if t[k - lo] >= 2:
+                w.put(correction(k), 1)
+
+
 def encode_jpeg(
     width: int,
     height: int,
@@ -238,6 +292,7 @@ def encode_jpeg(
     sampling: tuple[int, int] = (1, 1),
     restart_interval: int = 0,
     progressive: bool = False,
+    successive: bool = False,
 ) -> bytes:
     """Real baseline JFIF encoder. ``pixels`` is a flat fill value (int,
     grayscale), an (h, w) uint8 array (grayscale), or an (h, w, 3) uint8
@@ -268,6 +323,8 @@ def encode_jpeg(
     hl, vl = sampling if len(planes) == 3 else (1, 1)
     if hl not in (1, 2) or vl not in (1, 2):
         raise ValueError("luma sampling factors must be 1 or 2")
+    if successive:
+        progressive = True
     if progressive and ((hl, vl) != (1, 1) or restart_interval):
         raise ValueError("progressive encode supports 1x1 sampling, no restarts")
     # MCU grid is sized by the luma factors; each plane is edge-padded to
@@ -300,33 +357,73 @@ def encode_jpeg(
     dri = seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
 
     if progressive:
-        # Spectral-selection progressive (T.81 §G, Ah = Al = 0): one
-        # interleaved DC scan, then per component two AC band scans
-        # (1-5, 6-63 — AC scans must be single-component, §G.1.1.1.1).
         scans = []
-        w = _BitWriter()
-        preds = [0] * nc
-        for b in range(zz[0].shape[0]):
+        n_blocks = zz[0].shape[0]
+
+        def dc_first_scan(al: int) -> bytes:
+            # Interleaved DC scan: DPCM over the point-transformed values
+            # (DC point transform is an ARITHMETIC shift, §G.1.2.1 —
+            # Python's >> on negatives matches).
+            w = _BitWriter()
+            preds = [0] * nc
+            for b in range(n_blocks):
+                for ci in range(nc):
+                    val = int(zz[ci][b][0]) >> al
+                    s, bits = _magnitude(val - preds[ci])
+                    code, ln = _DC_ENC[s]
+                    w.put(code, ln)
+                    if s:
+                        w.put(bits, s)
+                    preds[ci] = val
+            w.flush()
+            hdr = bytes([nc]) + b"".join(bytes([c + 1, 0x00]) for c in range(nc)) + bytes(
+                [0, 0, al]
+            )
+            return seg(0xFFDA, hdr) + bytes(w.out)
+
+        def dc_refine_scan(al: int) -> bytes:
+            # One raw bit per block per component: bit Al of the DC value.
+            w = _BitWriter()
+            for b in range(n_blocks):
+                for ci in range(nc):
+                    w.put((int(zz[ci][b][0]) >> al) & 1, 1)
+            w.flush()
+            hdr = bytes([nc]) + b"".join(bytes([c + 1, 0x00]) for c in range(nc)) + bytes(
+                [0, 0, ((al + 1) << 4) | al]
+            )
+            return seg(0xFFDA, hdr) + bytes(w.out)
+
+        if successive:
+            # Successive approximation (§G.1.2): coarse pass at Al = 1,
+            # then one refinement pass restoring full precision.
+            scans.append(dc_first_scan(1))
             for ci in range(nc):
-                s, bits = _magnitude(int(zz[ci][b][0]) - preds[ci])
-                code, ln = _DC_ENC[s]
-                w.put(code, ln)
-                if s:
-                    w.put(bits, s)
-                preds[ci] = int(zz[ci][b][0])
-        w.flush()
-        sos_dc = bytes([nc]) + b"".join(bytes([c + 1, 0x00]) for c in range(nc)) + bytes(
-            [0, 0, 0]
-        )
-        scans.append(seg(0xFFDA, sos_dc) + bytes(w.out))
-        for ci in range(nc):
-            for lo, hi in ((1, 5), (6, 63)):
                 w = _BitWriter()
-                for b in range(zz[ci].shape[0]):
-                    _encode_band(w, zz[ci][b], lo, hi)
+                for b in range(n_blocks):
+                    _encode_ac_first(w, zz[ci][b], 1, 63, 1)
                 w.flush()
-                sos_ac = bytes([1, ci + 1, 0x00, lo, hi, 0])
-                scans.append(seg(0xFFDA, sos_ac) + bytes(w.out))
+                scans.append(seg(0xFFDA, bytes([1, ci + 1, 0x00, 1, 63, 1])) + bytes(w.out))
+            scans.append(dc_refine_scan(0))
+            for ci in range(nc):
+                w = _BitWriter()
+                for b in range(n_blocks):
+                    _encode_ac_refine(w, zz[ci][b], 1, 63, 0)
+                w.flush()
+                scans.append(
+                    seg(0xFFDA, bytes([1, ci + 1, 0x00, 1, 63, 0x10])) + bytes(w.out)
+                )
+        else:
+            # Spectral-selection-only (Ah = Al = 0): one interleaved DC
+            # scan, then per component two AC band scans (1-5, 6-63 —
+            # AC scans must be single-component, §G.1.1.1.1).
+            scans.append(dc_first_scan(0))
+            for ci in range(nc):
+                for lo, hi in ((1, 5), (6, 63)):
+                    w = _BitWriter()
+                    for b in range(n_blocks):
+                        _encode_band(w, zz[ci][b], lo, hi)
+                    w.flush()
+                    scans.append(seg(0xFFDA, bytes([1, ci + 1, 0x00, lo, hi, 0])) + bytes(w.out))
         return (
             b"\xff\xd8" + seg(0xFFE0, app0) + seg(0xFFDB, qt) + seg(0xFFC2, sof)
             + dht_seg + b"".join(scans) + b"\xff\xd9"
@@ -492,16 +589,14 @@ def decode_jpeg(payload: bytes) -> dict:
     ) -> None:
         """Decode one entropy-coded segment into the coefficient planes.
         Sequential scans cover the full band interleaved; progressive
-        scans deposit one spectral band per pass (T.81 §G.2)."""
-        if ah or al:
-            raise NotImplementedError(
-                "progressive successive approximation unsupported "
-                "(spectral selection only)"
-            )
+        scans deposit one spectral band per pass (T.81 §G.2), successive
+        approximation adding one precision bit per refinement scan."""
         if progressive and ss == 0 and se != 0:
             raise ValueError("progressive DC scan must have Se = 0 (T.81 G.1.1.1.1)")
         if not progressive and (ss != 0 or se != 63):
             raise ValueError("sequential scan must cover the full 0-63 band")
+        if ah and ah != al + 1:
+            raise ValueError("refinement scan must have Ah = Al + 1")
         comp_idx = {c["id"]: i for i, c in enumerate(comps)}
         order = [(comp_idx[cid], td, ta) for cid, td, ta in scan_comps]
         r = _BitReader(scan)
@@ -510,9 +605,13 @@ def decode_jpeg(payload: bytes) -> dict:
         def read_band(ci: int, td: int, ta: int, block: int, lo: int, hi: int) -> None:
             zz = planes[ci][block]
             if lo == 0:
+                if ah:  # DC refinement: one correction bit per block (§G.2)
+                    if r.bit():
+                        zz[0] |= 1 << al
+                    return
                 s = dc_tabs[td].decode(r)
                 pred[ci] += _extend(r.bits(s), s) if s else 0
-                zz[0] = pred[ci]
+                zz[0] = pred[ci] << al
                 lo = 1
             k = lo
             while k <= hi:
@@ -526,8 +625,15 @@ def decode_jpeg(payload: bytes) -> dict:
                 k += run
                 if k > hi:
                     raise ValueError("AC run overflows band")
-                zz[k] = _extend(r.bits(size), size)
+                zz[k] = _extend(r.bits(size), size) << al
                 k += 1
+
+        def refine_ac_nonzero(zz: np.ndarray, k: int) -> None:
+            """Apply one correction bit to a known-nonzero coefficient
+            (T.81 §G.1.2.3): move its magnitude toward the next precision
+            level if the bit says so."""
+            if r.bit() and not zz[k] & (1 << al):
+                zz[k] += (1 << al) if zz[k] >= 0 else -(1 << al)
 
         if ss == 0:
             # DC / sequential scan: interleaved MCU walk over the scan's
@@ -558,37 +664,75 @@ def decode_jpeg(payload: bytes) -> dict:
             ci, _td, ta = order[0]
             n_blocks = planes[ci].shape[0]
             eobrun = 0
-            mcu_i = 0
-            rst_seq = 0
             for b in range(n_blocks):
-                if restart_interval and mcu_i and mcu_i % restart_interval == 0:
-                    r.restart(rst_seq)
-                    rst_seq += 1
-                    eobrun = 0
-                mcu_i += 1
-                if eobrun:
-                    eobrun -= 1
-                    continue
                 zz = planes[ci][b]
+                if ah == 0:  # first scan for this band
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = ac_tabs[ta].decode(r)
+                        run, size = rs >> 4, rs & 0xF
+                        if size == 0:
+                            if run == 15:  # ZRL
+                                k += 16
+                                continue
+                            # EOBn: 2^run + extra-bits blocks done,
+                            # INCLUDING this one
+                            eobrun = (1 << run) - 1
+                            if run:
+                                eobrun += r.bits(run)
+                            break
+                        k += run
+                        if k > se:
+                            raise ValueError("AC run overflows band")
+                        zz[k] = _extend(r.bits(size), size) << al
+                        k += 1
+                    continue
+                # AC refinement (§G.1.2.3): newly-nonzero coefficients
+                # arrive as ±2^Al; every already-nonzero coefficient
+                # crossed — including inside ZRL spans and EOB runs —
+                # consumes one correction bit.
                 k = ss
-                while k <= se:
-                    rs = ac_tabs[ta].decode(r)
-                    run, size = rs >> 4, rs & 0xF
-                    if size == 0:
-                        if run == 15:  # ZRL
-                            k += 16
-                            continue
-                        # EOBn: run of 2^run + extra-bits blocks whose band
-                        # is done, INCLUDING this one
-                        eobrun = (1 << run) - 1
-                        if run:
-                            eobrun += r.bits(run)
-                        break
-                    k += run
-                    if k > se:
-                        raise ValueError("AC run overflows band")
-                    zz[k] = _extend(r.bits(size), size)
-                    k += 1
+                if not eobrun:
+                    while k <= se:
+                        rs = ac_tabs[ta].decode(r)
+                        run, size = rs >> 4, rs & 0xF
+                        if size == 0:
+                            if run != 15:  # EOBn: corrections then run
+                                eobrun = 1 << run
+                                if run:
+                                    eobrun += r.bits(run)
+                                break
+                            newval = 0  # ZRL: skip 16 zero-history slots
+                        else:
+                            if size != 1:
+                                raise ValueError(
+                                    "AC refinement size must be 1 (T.81 G.1.2.3)"
+                                )
+                            newval = (1 << al) if r.bit() else -(1 << al)
+                        # advance past `run` zero-history positions,
+                        # correcting nonzero-history ones on the way
+                        while k <= se:
+                            if zz[k] != 0:
+                                refine_ac_nonzero(zz, k)
+                            else:
+                                if run == 0:
+                                    break
+                                run -= 1
+                            k += 1
+                        if size and k <= se:
+                            zz[k] = newval
+                        k += 1
+                if eobrun:
+                    # inside an EOB run every remaining nonzero-history
+                    # coefficient of the block still takes a correction bit
+                    while k <= se:
+                        if zz[k] != 0:
+                            refine_ac_nonzero(zz, k)
+                        k += 1
+                    eobrun -= 1
 
     while pos < len(payload):
         if payload[pos] != 0xFF:

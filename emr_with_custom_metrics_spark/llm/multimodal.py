@@ -4,16 +4,19 @@ Images/audio/video are ``BinaryType`` columns with typed metadata alongside
 (SURVEY.md §1.4). Decode is tiered by what the environment can express:
 
 * REAL decoders for formats numpy + the stdlib can fully express — PPM
-  (P6) and 24-bit BMP (header-parseable), RIFF/WAV PCM16 (chunk walk),
-  non-interlaced 8-bit PNG (zlib inflate + the five scanline filters),
-  and baseline sequential JPEG (full T.81 pipeline — canonical Huffman,
-  zigzag run-length, dequant, 8×8 IDCT, YCbCr→RGB — in ``llm/jpeg.py``)
-  — exercised end-to-end by ``multimodal_decode_{ppm,wav,png,jpeg}``.
-* A deterministic STUB for genuinely codec-bound formats (mp3/aac/
-  video), clearly marked: the container has no Pillow/ffmpeg. The
-  Spark-side plumbing around it — schemas, Arrow batch shapes,
-  ``mapInPandas`` signatures, partitioning of frame explosions — is real
-  and tested either way.
+  (P6) and 24-bit BMP (header-parseable); non-interlaced 8-bit PNG (zlib
+  inflate + the five scanline filters); JPEG in ``llm/jpeg.py`` (full
+  T.81: baseline sequential incl. 4:2:2/4:2:0 subsampling and restart
+  markers, progressive spectral selection AND successive approximation);
+  GIF87a/89a in ``llm/gif.py`` (from-scratch LZW, single- and
+  multi-frame); RIFF/WAV PCM16 plus G.711 A-law/μ-law telephony audio;
+  and Motion-JPEG-in-AVI video in ``llm/avi.py`` — each exercised
+  end-to-end by a ``multimodal_*`` registry query.
+* A deterministic STUB for the genuinely codec-bound remainder
+  (arithmetic-coded JPEG, mp3/aac, inter-frame video codecs), clearly
+  marked: the container has no Pillow/ffmpeg. The Spark-side plumbing
+  around it — schemas, Arrow batch shapes, ``mapInPandas`` signatures,
+  partitioning of frame explosions — is real and tested either way.
 
 The fake decoder derives metadata deterministically from the payload length
 so the mapInPandas queries remain SQL-oracle-able — the harness then checks
@@ -636,7 +639,7 @@ def _gif_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.Data
     "them with the full inverse pipeline inside mapInPandas. With "
     "PPM/BMP/PNG/baseline-JPEG(+subsampled+restarts)/WAV this completes "
     "the real tier for every common still-image container; the stub now "
-    "covers only successive-approximation JPEG and audio/video codecs.",
+    "covers only arithmetic-coded JPEG and inter-frame video codecs.",
 )
 def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_fanned(spark, sf_dir, "documents").select("doc_id")
@@ -644,13 +647,14 @@ def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _jpeg_progressive_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
-    """Synthesize PROGRESSIVE (SOF2, spectral-selection) JPEGs — gray for
-    even doc_ids, 4:4:4 color for odd — and decode them through the
-    multi-scan path (interleaved DC scan + per-component AC band scans
-    with EOB-run handling). Same even-fill exactness contract as baseline:
-    the scan layout changes, the coefficients do not. ``fmt`` carries the
-    scan count THE DECODER counted, pinning that the multi-scan walk ran
-    (1 + 2 AC bands for gray = 3; 1 + 3·2 for color = 7)."""
+    """Synthesize PROGRESSIVE (SOF2) JPEGs — spectral selection for
+    doc_id % 4 in (0, 1), SUCCESSIVE APPROXIMATION (coarse Al=1 pass +
+    DC/AC refinement scans) for doc_id % 4 in (2, 3); gray for even %4
+    values, 4:4:4 color for odd — and decode them through the multi-scan
+    path. Same even-fill exactness contract as baseline: the scan layout
+    changes, the coefficients do not. ``fmt`` carries the scan count THE
+    DECODER counted, pinning which script ran (gray 3 / color 7 spectral;
+    gray 4 / color 8 successive)."""
     import numpy as np
     import pandas as pd
 
@@ -659,11 +663,12 @@ def _jpeg_progressive_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Iter
     def one(d: int) -> dict:
         w, h = d % 12 + 1, d % 9 + 1
         fill = (d % 125) * 2
+        succ = d % 4 >= 2
         if d % 2 == 0:
-            m = decode_jpeg(encode_jpeg(w, h, fill, progressive=True))
+            m = decode_jpeg(encode_jpeg(w, h, fill, progressive=True, successive=succ))
         else:
             rgb = np.full((h, w, 3), fill, dtype=np.uint8)
-            m = decode_jpeg(encode_jpeg(w, h, rgb, progressive=True))
+            m = decode_jpeg(encode_jpeg(w, h, rgb, progressive=True, successive=succ))
         assert m["progressive"]
         return m
 
@@ -685,19 +690,21 @@ def _jpeg_progressive_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Iter
     "multimodal_decode_jpeg_progressive",
     oracle="""
     SELECT doc_id,
-           'jpeg:prog' || CASE WHEN doc_id % 2 = 0 THEN '3' ELSE '7' END AS fmt,
+           'jpeg:prog' || CASE doc_id % 4
+             WHEN 0 THEN '3' WHEN 1 THEN '7' WHEN 2 THEN '4' ELSE '8' END AS fmt,
            CAST(doc_id % 12 + 1 AS INTEGER) AS width,
            CAST(doc_id % 9 + 1 AS INTEGER) AS height,
            CAST((doc_id % 12 + 1) * (doc_id % 9 + 1) AS BIGINT) AS n_pixels,
            ROUND(CAST((doc_id % 125) * 2 AS DOUBLE), 4) AS mean_byte
     FROM documents
     """,
-    doc="REAL progressive JPEG decode (SOF2, spectral selection): "
-    "interleaved DC scan + single-component AC band scans with EOB-run "
-    "coding, accumulated across scans before one dequant+IDCT. The "
-    "oracle pins the per-stream scan COUNT the decoder walked (3 gray / "
-    "7 color) alongside the exact even-fill statistic. Successive "
-    "approximation remains the one honestly-stubbed JPEG mode.",
+    doc="REAL progressive JPEG decode (SOF2): spectral selection AND "
+    "successive approximation — interleaved DC scans, single-component "
+    "AC band scans, DC bit refinement, AC correction-bit refinement, "
+    "EOB-run coding — accumulated across scans before one dequant+IDCT. "
+    "The oracle pins the per-stream scan COUNT the decoder walked "
+    "(3/7 spectral, 4/8 successive) alongside the exact even-fill "
+    "statistic. Arithmetic coding is the one JPEG mode left stubbed.",
 )
 def multimodal_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_fanned(spark, sf_dir, "documents").select("doc_id")

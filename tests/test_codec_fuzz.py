@@ -138,3 +138,19 @@ def test_gif_lzw_encode_decode_inverse(symbols, min_code_size):
     data = np.array([s % alphabet for s in symbols], dtype=np.uint8)
     out = _lzw_decode(_lzw_encode(data, min_code_size), min_code_size, len(data))
     assert np.array_equal(out, data)
+
+
+@settings(max_examples=40, deadline=None)
+@given(gray_images(max_side=32))
+def test_jpeg_successive_equals_baseline(img):
+    """Successive approximation is a lossless re-layering of the same
+    quantized coefficients — reconstruction must equal baseline exactly,
+    whatever refinement-path the random image drives (EOB runs, ZRL spans
+    with interleaved correction bits, newly-nonzero insertions)."""
+    from emr_with_custom_metrics_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    w, h, a = img
+    base = decode_jpeg(encode_jpeg(w, h, a))
+    succ = decode_jpeg(encode_jpeg(w, h, a, successive=True))
+    assert base["mean_byte"] == succ["mean_byte"]
+    assert succ["n_scans"] == 4

@@ -511,13 +511,13 @@ def test_jpeg_progressive_eobrun_and_unsupported_scopes():
     assert (m["width"], m["height"]) == (16, 8)
     assert m["mean_byte"] == 100.0
 
-    # successive approximation (Al=1) → honest stub tier
+    # an inconsistent refinement header (Ah must equal Al + 1) is corrupt
     good = bytearray(encode_jpeg(8, 8, 100, progressive=True))
     i = good.find(b"\xff\xda")
     assert good[i + 2 : i + 4] == b"\x00\x08"  # DC scan header length
     bad = bytearray(good)
-    bad[i + 9] = 0x01  # AhAl byte of the DC scan
-    with pytest.raises(NotImplementedError, match="successive approximation"):
+    bad[i + 9] = 0x31  # AhAl = 3,1 on the DC scan
+    with pytest.raises(ValueError, match="Ah = Al"):
         decode_jpeg(bytes(bad))
 
     # subsampled progressive → honest stub tier
@@ -572,3 +572,34 @@ def test_avi_mjpeg_container():
     tampered[i] = 9
     with pytest.raises(ValueError, match="declares"):
         decode_avi(bytes(tampered))
+
+
+def test_jpeg_successive_approximation_equals_baseline():
+    """Successive approximation re-layers the same coefficients across a
+    coarse pass (Al=1) and a refinement pass; reconstruction must equal
+    baseline EXACTLY — flat, structured, gray and color — and the scan
+    count pins the 4-scan gray / 8-scan color script."""
+    import numpy as np
+
+    from emr_with_custom_metrics_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    assert decode_jpeg(encode_jpeg(10, 7, 100, successive=True))["mean_byte"] == 100.0
+
+    rng = np.random.default_rng(17)
+    for _ in range(6):
+        h, w = (int(x) for x in rng.integers(8, 40, 2))
+        img = np.clip(
+            rng.integers(0, 256, (1, 1)) + rng.normal(0, 20, (h, w)), 0, 255
+        ).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(w, h, img))
+        succ = decode_jpeg(encode_jpeg(w, h, img, successive=True))
+        assert base["mean_byte"] == succ["mean_byte"]
+        assert succ["n_scans"] == 4
+
+    imgc = np.clip(
+        rng.integers(0, 256, (1, 1, 3)) + rng.normal(0, 10, (24, 28, 3)), 0, 255
+    ).astype(np.uint8)
+    assert (
+        decode_jpeg(encode_jpeg(28, 24, imgc, successive=True))["mean_byte"]
+        == decode_jpeg(encode_jpeg(28, 24, imgc))["mean_byte"]
+    )
