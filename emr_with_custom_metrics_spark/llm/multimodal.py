@@ -781,6 +781,86 @@ def multimodal_decode_avi_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(_avi_mjpeg_batch, schema=AVI_SCHEMA)
 
 
+E2E_MM_SCHEMA = "fmt string, n_docs bigint, avg_mean double, total_pixels bigint"
+
+
+def _e2e_multimodal_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    """Synthesize a MIXED-format image corpus (doc_id % 5 selects
+    PPM / PNG / GIF / baseline JPEG / progressive JPEG) and decode every
+    payload through ``decode_image``'s magic-byte DISPATCH — the pipeline
+    shape a real binary-column corpus hits, where the format is data, not
+    schema. Emits per-doc rows; the query aggregates per format."""
+    import numpy as np
+    import pandas as pd
+
+    from emr_with_custom_metrics_spark.llm.gif import encode_gif
+    from emr_with_custom_metrics_spark.llm.jpeg import encode_jpeg
+
+    def one(d: int) -> dict:
+        w, h = d % 9 + 1, d % 7 + 1
+        kind = d % 5
+        if kind == 0:
+            payload = encode_ppm(w, h, d % 251)
+        elif kind == 1:
+            payload = encode_png(w, h, d % 251)
+        elif kind == 2:
+            payload = encode_gif(w, h, d % 256)
+        elif kind == 3:
+            payload = encode_jpeg(w, h, (d % 125) * 2)
+        else:
+            payload = encode_jpeg(w, h, (d % 125) * 2, progressive=True)
+        m = decode_image(payload)
+        return {"fmt": m["format"], "mean": m["mean_byte"], "px": m["n_pixels"]}
+
+    for pdf in batches:
+        metas = pdf["doc_id"].map(lambda d: one(int(d)))
+        yield pd.DataFrame(
+            {
+                "fmt": metas.map(lambda m: m["fmt"]),
+                "mean": metas.map(lambda m: m["mean"]),
+                "px": metas.map(lambda m: m["px"]).astype("int64"),
+            }
+        )
+
+
+@register(
+    "e2e_multimodal_pipeline",
+    oracle="""
+    WITH per_doc AS (
+        SELECT CASE doc_id % 5 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png'
+                               WHEN 2 THEN 'gif' ELSE 'jpeg' END AS fmt,
+               CASE WHEN doc_id % 5 IN (0, 1) THEN doc_id % 251
+                    WHEN doc_id % 5 = 2 THEN doc_id % 256
+                    ELSE (doc_id % 125) * 2 END AS mean,
+               (doc_id % 9 + 1) * (doc_id % 7 + 1) AS px
+        FROM documents
+    )
+    SELECT fmt,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(CAST(mean AS DOUBLE)), 4) AS avg_mean,
+           CAST(SUM(px) AS BIGINT) AS total_pixels
+    FROM per_doc GROUP BY fmt
+    """,
+    doc="End-to-end multimodal corpus pipeline: a mixed-format binary "
+    "column (PPM/PNG/GIF/baseline-JPEG/progressive-JPEG chosen per row) "
+    "decoded through magic-byte dispatch — format is DATA, not schema — "
+    "then aggregated per format (count, mean statistic, total pixels). "
+    "Every decode is one of the real from-scratch codecs, and every "
+    "per-doc statistic is exact (flat fills; JPEG fills even), so the "
+    "whole pipeline hashes against closed-form SQL.",
+)
+def e2e_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fanned(spark, sf_dir, "documents").select("doc_id")
+    per_doc = d.mapInPandas(
+        _e2e_multimodal_batch, schema="fmt string, mean double, px bigint"
+    )
+    return per_doc.groupBy("fmt").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("mean"), 4).alias("avg_mean"),
+        F.sum("px").cast("bigint").alias("total_pixels"),
+    )
+
+
 G711_SCHEMA = "doc_id bigint, codec string, sample_rate int, n_samples int, duration_us bigint, rms double"
 
 
