@@ -69,6 +69,11 @@ def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
         put(table[run], width)
         table[cand] = next_code
         next_code += 1
+        # Width growth is synchronized with the decoder's LAGGED table:
+        # the decoder reconstructs entry N while reading the code emitted
+        # one step after N was assigned here, so growing after assigning
+        # code 1<<width lands between the same two wire codes as the
+        # decoder's growth at table length 1<<width.
         if next_code - 1 == (1 << width) and width < 12:
             width += 1
         elif next_code > (1 << 12) - 1:
@@ -79,6 +84,13 @@ def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
         run = bytes([sym])
     if run:
         put(table[run], width)
+        # Terminal boundary (found by fuzzing): the decoder appends one
+        # more entry for this final code — an entry the encoder never
+        # assigns — and grows its code width if that append lands exactly
+        # on 1<<width. EOI is read AFTER that append, so it must be
+        # emitted at the grown width.
+        if next_code == (1 << width) and width < 12:
+            width += 1
     put(eoi, width)
     if nbits:
         out.append(acc & 0xFF)
