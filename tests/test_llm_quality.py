@@ -284,3 +284,57 @@ def test_levenshtein_multipass_supersets_single_pass(spark):
     assert set(single) <= set(multi)
     assert all(multi[k] == v for k, v in single.items())
     assert all(0 <= v <= 24 for v in multi.values())
+
+
+def test_pq_topk_candidate_recall(spark):
+    """similarity_pq_topk is the ADC scan with a deliberately DETERMINISTIC
+    10-entry-per-subspace codebook (per-label means) so the whole
+    train/encode/scan pipeline hash-matches SQL. Quantization that coarse
+    cannot rank within a cluster — production PQ uses trained 256-entry
+    codebooks and re-ranks a candidate pool — so the quality gate is
+    pool-level: the exact top-10's members must keep appearing as the ADC
+    pool widens, and the scan must be deterministic across runs."""
+    from pyspark.sql import functions as F
+
+    from emr_with_custom_metrics_spark.llm import similarity as S
+
+    exact = {r["vec_id"] for r in SPECS["similarity_topk_exact"].fn(spark, SF_DIR).collect()}
+
+    e = S.load_fanned(spark, SF_DIR, "embeddings").select("vec_id", "label", "embedding")
+    cb = S.pq_codebooks(e)
+    vs = S._sub_slices(e.select("vec_id", "embedding"), "embedding")
+    codes = (
+        vs.where(F.col("vec_id") != S.QUERY_VEC_ID)
+        .join(F.broadcast(cb), "m")
+        .select(
+            "vec_id", "m",
+            F.struct(
+                S._l2sq(F.col("sub"), F.col("cv")).alias("d2"),
+                F.col("label").alias("cl"),
+            ).alias("dc"),
+        )
+        .groupBy("vec_id", "m")
+        .agg(F.min("dc").alias("b"))
+        .select("vec_id", "m", F.col("b.cl").alias("cl"))
+    )
+    q = e.where(F.col("vec_id") == S.QUERY_VEC_ID).select(F.col("embedding").alias("qv"))
+    adc = (
+        S._sub_slices(q, "qv")
+        .join(F.broadcast(cb), "m")
+        .select("m", F.col("label").alias("cl"), S._l2sq(F.col("sub"), F.col("cv")).alias("d2"))
+    )
+    ranked = (
+        codes.join(F.broadcast(adc), ["m", "cl"])
+        .groupBy("vec_id")
+        .agg(F.sum("d2").alias("pq_dist"))
+        .orderBy("pq_dist", "vec_id")
+    )
+    pool25 = {r["vec_id"] for r in ranked.limit(25).collect()}
+    pool50 = {r["vec_id"] for r in ranked.limit(50).collect()}
+    assert len(exact & pool25) >= 3   # measured 4/10 at sf0.01
+    assert len(exact & pool50) >= 4   # measured 5/10 at sf0.01
+    assert pool25 <= pool50           # ranking is a consistent prefix order
+
+    one = SPECS["similarity_pq_topk"].fn(spark, SF_DIR).collect()
+    two = SPECS["similarity_pq_topk"].fn(spark, SF_DIR).collect()
+    assert [tuple(r) for r in one] == [tuple(r) for r in two]
