@@ -65,6 +65,10 @@ HEADLINE = [
     "multimodal_decode_gif",
     "multimodal_decode_jpeg_progressive",
     "multimodal_decode_wav_g711",
+    "multimodal_decode_avi_mjpeg",
+    "e2e_multimodal_pipeline",
+    "dedup_levenshtein_multipass",
+    "similarity_pq_topk",
 ]
 
 
