@@ -106,11 +106,11 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     return wrap
 
 
-# Queries that already have a driver row in CORRECTNESS_r01..r04.json (the
-# driver verifies ~50 registry entries per round under a time budget, walking
-# ``queries()`` in dict order). The 26 never-verified queries must therefore
-# come FIRST each round; this set is refreshed from the latest
-# CORRECTNESS_r{N}.json at the start of every round.
+# Queries that already have a driver row in CORRECTNESS_r01..r05.json (the
+# driver verifies ~50 registry entries per round under a fixed query-count
+# budget, walking ``queries()`` in dict order). Never-verified / changed
+# queries must therefore come FIRST each round; this set is refreshed from
+# the latest CORRECTNESS_r{N}.json at the start of every round.
 _DRIVER_VERIFIED = frozenset(
     {
         # --- round 1 (CORRECTNESS_r01.json, 49 green) ---
@@ -178,6 +178,27 @@ _DRIVER_VERIFIED = frozenset(
         "multimodal_decode_meta", "multimodal_decode_ppm",
         "multimodal_decode_png", "multimodal_decode_jpeg",
         "multimodal_binary_stats", "multimodal_frame_sample",
+        # --- round 5 (CORRECTNESS_r05.json, 50 rows: 40 hash-green + 9
+        # rows-only-by-design + 1 ERR). Deliberately absent:
+        #   multimodal_feature_extract — the r5 ERR (driver canonicalizer vs
+        #     array<float>); output reshaped this round, needs a fresh row.
+        #   sample_deterministic, cooldown_suppression — upgraded from
+        #     rows-only to oracled this round (r5 VERDICT items 2+4); the
+        #     answer-defining logic changed, so they re-verify first.
+        "json_battery2", "json_to_json", "filter_rlike", "null_handling_funcs",
+        "formats_json_roundtrip", "formats_orc_roundtrip",
+        "formats_text_roundtrip", "dedup_levenshtein_multipass",
+        "similarity_pq_topk", "multimodal_decode_jpeg_subsampled",
+        "multimodal_decode_gif", "multimodal_decode_jpeg_progressive",
+        "multimodal_decode_avi_mjpeg", "e2e_multimodal_pipeline",
+        "multimodal_decode_wav_g711", "multimodal_gif_frame_sample",
+        "multimodal_decode_wav", "autoscale_timeline", "dedup_ngram_jaccard",
+        "dedup_ngram_jaccard_prefix", "dedup_clusters", "dedup_keep_canonical",
+        "dedup_embedding_cosine", "decontaminate_against_eval",
+        "knn_self_join_exact", "similarity_ivf_topk",
+        "pagerank_similarity_graph", "dedup_minhash_lsh",
+        "dedup_incremental_batch", "dedup_simhash", "kmeans_embeddings",
+        "similarity_ann_lsh",
     }
 )
 
@@ -199,11 +220,11 @@ _HEAVY = frozenset(
 
 
 def _driver_order(specs: dict[str, "QuerySpec"]) -> list[str]:
-    """Driver-facing ordering, round 5: the 26 never-verified queries (r1–r4
-    union is in ``_DRIVER_VERIFIED``) all fit inside one round's ~50-query
-    budget, so they lead unconditionally — oracled-cheap first (bank the most
-    hash-green rows under a time cap), then oracled-heavy, then the rows-only
-    checks, then the already-verified tail for re-verification.
+    """Driver-facing ordering, round 6: unverified/changed queries (the r5
+    ERR, the two rows-only→oracled upgrades, and any new round-6 queries)
+    lead unconditionally — oracled-cheap first (bank the most hash-green rows
+    under the ~50-query cap), then oracled-heavy, then the rows-only checks,
+    then the already-verified tail for re-verification.
 
     Within each tier, registration order (stable) is kept.
     """
