@@ -1003,6 +1003,18 @@ def multimodal_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FEATURE_DIM = 16
 FEATURE_SCHEMA = "doc_id bigint, feature array<float>, feat_norm double"
+FEATURE_FOLD_SCHEMA = "doc_id bigint, fold array<int>, feat_norm double"
+
+
+def fold_bytes(payload: bytes, dim: int = FEATURE_DIM) -> list[int]:
+    """Integer byte-fold: position-bucketed byte sums mod 997. The exact
+    (integer) core of the stub feature extractor — kept separate so the
+    registered query can digest EXACT ints instead of formatted floats
+    (no cross-engine float-printing parity risk)."""
+    acc = [0] * dim
+    for i, b in enumerate(payload):
+        acc[i % dim] = (acc[i % dim] + b) % 997
+    return acc
 
 
 def fake_feature_extract(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
@@ -1011,10 +1023,7 @@ def fake_feature_extract(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     and machines, so downstream similarity plumbing is testable."""
     if not payload:
         raise NotImplementedError("real feature extraction requires a model runtime")
-    acc = [0] * dim
-    for i, b in enumerate(payload):
-        acc[i % dim] = (acc[i % dim] + b) % 997
-    return [v / 997.0 for v in acc]
+    return [v / 997.0 for v in fold_bytes(payload, dim)]
 
 
 def feature_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
@@ -1033,16 +1042,80 @@ def feature_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]
         )
 
 
+def extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Internal array<float> feature path for the similarity tier — the
+    pre-round-6 shape of ``multimodal_feature_extract``. Unregistered: the
+    driver's canonicalizer cannot hash an array<float> column (the r5 ERR),
+    so the registered query below projects a digest instead."""
+    d = with_payload(load_fanned(spark, sf_dir, "documents"))
+    return d.mapInPandas(feature_batch, schema=FEATURE_SCHEMA)
+
+
+def _norm_of_fold(fold: list[int]) -> float:
+    import math
+
+    s = 0.0
+    for v in fold:
+        t = v / 997.0
+        s += t * t  # explicit left-to-right multiply: bit-parity with the
+        # oracle's list_transform(x -> (x/997.0)*(x/997.0)) + list_sum
+    return math.sqrt(s)
+
+
+def feature_fold_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    import pandas as pd
+
+    for pdf in batches:
+        folds = pdf["payload"].map(fold_bytes)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "fold": folds,
+                "feat_norm": folds.map(_norm_of_fold),
+            }
+        )
+
+
 @register(
     "multimodal_feature_extract",
-    oracle=None,  # byte-level fold; not worth re-expressing in SQL → rows-only
+    oracle="""
+    WITH hx AS (
+      SELECT doc_id, hex(ENCODE(text)) AS h,
+             CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n
+      FROM documents
+    ), folded AS (
+      SELECT doc_id,
+             list_transform(range(16), k ->
+               CAST(COALESCE(list_sum(list_transform(range((n - k + 15) // 16), j ->
+                 CAST(('0x' || substr(h, CAST(2 * (k + 16 * j) + 1 AS BIGINT), 2))
+                      AS INTEGER))), 0) % 997 AS INTEGER)) AS fold
+      FROM hx
+    )
+    SELECT doc_id,
+           ROUND(sqrt(list_sum(list_transform(fold, x -> (x / 997.0) * (x / 997.0)))), 6)
+             AS feat_norm,
+           md5(array_to_string(fold, ',')) AS feat_digest
+    FROM folded
+    """,
     doc="Binary → embedding feature extraction via mapInPandas: the Arrow "
-    "round-trip that matters for multimodal pipelines — array<float> OUTPUT "
-    "from a pandas stage, feeding the similarity operators downstream.",
+    "round-trip that matters for multimodal pipelines. The pandas stage "
+    "emits the EXACT integer byte-fold (position-bucketed sums mod 997) "
+    "plus the L2 norm of the derived float feature; the JVM side digests "
+    "the ints — so the driver hash is float-format-free while the "
+    "array<float> path stays available via ``extract_features``. Upgraded "
+    "round 6 from rows-only to a full oracle: DuckDB reconstructs the fold "
+    "from hex(blob) byte parsing.",
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = with_payload(load_fanned(spark, sf_dir, "documents"))
-    return d.mapInPandas(feature_batch, schema=FEATURE_SCHEMA)
+    folded = d.mapInPandas(feature_fold_batch, schema=FEATURE_FOLD_SCHEMA)
+    return folded.select(
+        "doc_id",
+        F.round("feat_norm", 6).alias("feat_norm"),
+        F.md5(F.concat_ws(",", F.transform("fold", lambda x: x.cast("string")))).alias(
+            "feat_digest"
+        ),
+    )
 
 
 @register(
