@@ -95,15 +95,20 @@ def _contention_check() -> dict:
             if len(parts) < 2:
                 continue
             comm, args = parts[1], (parts[2] if len(parts) > 2 else "")
-            # comm-based only: an args grep for "pytest" false-positives on
-            # any supervisor process whose command line QUOTES a pytest
-            # invocation without running one. A concurrent Spark JVM (comm
-            # "java" — pytest-on-Spark runs spawn one too) is the documented
-            # ~4× inflator; this check runs before our own JVM starts, so
-            # any LIVE java process is by definition not ours. <defunct>
-            # zombies (a just-exited bench's unreaped JVM) consume nothing
-            # and must not trip the flag — back-to-back runs are normal.
-            if (comm in ("java", "pytest")) and "<defunct>" not in args:
+            # A broad args grep for "pytest" false-positives on any
+            # supervisor process whose command line QUOTES a pytest
+            # invocation without running one — so the args match is scoped
+            # to python comms only: `python -m pytest` (how this repo's
+            # tests actually run) reports comm "python"/"python3.11", which
+            # a comm=="pytest" check alone never catches (r5 ADVICE). A
+            # concurrent Spark JVM (comm "java" — pytest-on-Spark runs
+            # spawn one too) is the documented ~4× inflator; this check
+            # runs before our own JVM starts, so any LIVE java process is
+            # by definition not ours. <defunct> zombies (a just-exited
+            # bench's unreaped JVM) consume nothing and must not trip the
+            # flag — back-to-back runs are normal.
+            pytest_via_python = comm.startswith("python") and "-m pytest" in args
+            if (comm in ("java", "pytest") or pytest_via_python) and "<defunct>" not in args:
                 stray_jvms.append(" ".join([parts[0], comm, args[:80]]))
     except Exception:
         pass

@@ -203,11 +203,22 @@ def decode_gif(payload: bytes) -> dict:
     other real decoders."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
+
+    def _need(upto: int) -> None:
+        # Truncation is a DATA error, not a scope boundary: raise ValueError
+        # so multimodal._decode_any's stub fallback catches it — an
+        # unchecked payload[pos] would IndexError and kill the whole
+        # mapInPandas batch on one malformed blob (r5 ADVICE).
+        if upto > len(payload):
+            raise ValueError("truncated GIF")
+
+    _need(13)
     sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
     gct = None
     if flags & 0x80:
         n = 2 << (flags & 0x07)
+        _need(pos + 3 * n)
         gct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
         pos += 3 * n
     frames: list[tuple[int, int, float]] = []  # (w, h, mean)
@@ -217,12 +228,15 @@ def decode_gif(payload: bytes) -> dict:
             break
         if block == 0x21:  # 89a extension: label + sub-blocks, skip per spec
             pos += 2
+            _need(pos + 1)
             while payload[pos] != 0:
                 pos += 1 + payload[pos]
+                _need(pos + 1)
             pos += 1
             continue
         if block != 0x2C:
             raise ValueError(f"unknown GIF block {block:#x}")
+        _need(pos + 10)
         _, _, _, w, h, iflags = struct.unpack_from("<BHHHHB", payload, pos)
         pos += 10
         if iflags & 0x40:
@@ -231,13 +245,17 @@ def decode_gif(payload: bytes) -> dict:
             raise NotImplementedError("local color table unsupported")
         if gct is None:
             raise ValueError("GIF image without any color table")
+        _need(pos + 1)
         min_code_size = payload[pos]
         pos += 1
         lzw = bytearray()
+        _need(pos + 1)
         while payload[pos] != 0:
             ln = payload[pos]
+            _need(pos + 1 + ln)
             lzw += payload[pos + 1 : pos + 1 + ln]
             pos += 1 + ln
+            _need(pos + 1)
         pos += 1  # the sub-block terminator
         indices = _lzw_decode(bytes(lzw), min_code_size, w * h)
         if int(indices.max(initial=0)) >= len(gct):

@@ -22,8 +22,10 @@ Scope, honestly stated:
   streams at 1×1 sampling: spectral selection AND successive
   approximation (DC bit refinement, AC ±2^Al insertion + correction-bit
   refinement per §G.1.2.3, EOB-run coding in both scan kinds).
-  Subsampled progressive and arithmetic-coded streams raise
-  ``NotImplementedError`` and fall to the stub tier like other codecs.
+  Subsampled progressive, progressive-with-restart-intervals,
+  non-interleaved (single-component scan) subsampled sequential, and
+  arithmetic-coded streams raise ``NotImplementedError`` and fall to the
+  stub tier like other codecs.
 
 Exactness contract used by the oracled query: a flat image whose fill is
 EVEN reconstructs bit-exactly — the DCT of a constant block is DC-only,
@@ -593,6 +595,12 @@ def decode_jpeg(payload: bytes) -> dict:
         approximation adding one precision bit per refinement scan."""
         if progressive and ss == 0 and se != 0:
             raise ValueError("progressive DC scan must have Se = 0 (T.81 G.1.1.1.1)")
+        if progressive and restart_interval:
+            # The progressive AC path below has no RSTn handling — an
+            # external SOF2+DRI stream would die mid-scan with "marker
+            # inside entropy data" instead of falling to the stub tier.
+            # Out of documented scope → say so explicitly (r5 ADVICE).
+            raise NotImplementedError("progressive JPEG with restart intervals unsupported")
         if not progressive and (ss != 0 or se != 63):
             raise ValueError("sequential scan must cover the full 0-63 band")
         if ah and ah != al + 1:
@@ -638,6 +646,15 @@ def decode_jpeg(payload: bytes) -> dict:
         if ss == 0:
             # DC / sequential scan: interleaved MCU walk over the scan's
             # components (sequential scans also cover AC, se == 63).
+            if len(order) == 1:
+                ci0 = order[0][0]
+                if comps[ci0]["h"] > 1 or comps[ci0]["v"] > 1:
+                    # A single-component (non-interleaved) scan walks the
+                    # component's OWN ceil(w/8)xceil(h/8) raster without MCU
+                    # padding (T.81 §A.2.2); the interleaved walk below only
+                    # coincides with that when h = v = 1. Unimplemented →
+                    # fall to the stub tier explicitly (r5 ADVICE).
+                    raise NotImplementedError("non-interleaved subsampled scan")
             mcu_i = 0
             rst_seq = 0
             for my in range(mcuy):

@@ -312,21 +312,32 @@ def _l2sq(a, b):
              AVG(embedding[t.i]::DOUBLE) AS c
       FROM embeddings, RANGE(1, 65) t(i) GROUP BY label, (t.i - 1) // {PQ_SUBDIM}, t.i),
     cb AS (SELECT label, m, LIST(c ORDER BY i) AS cv FROM cb_comp GROUP BY label, m),
+    -- Squared distance computed explicitly on BOTH sides (no list_distance:
+    -- its sqrt, later re-squared, ranks/sums a subtly different quantity
+    -- than Spark's exact sum of squares — ULP divergence could flip the
+    -- argmin tie-break or the 6-dp rounding on near-ties; r5 ADVICE).
     enc_d AS (
-      SELECT e.vec_id, cb.m, cb.label AS cl,
-             list_distance(list_slice(e.embedding::DOUBLE[],
-                                      cb.m * {PQ_SUBDIM} + 1, (cb.m + 1) * {PQ_SUBDIM}), cb.cv) AS d
-      FROM embeddings e, cb WHERE e.vec_id <> {QUERY_VEC_ID}),
+      SELECT vec_id, m, cl,
+             list_sum(list_transform(range(1, {PQ_SUBDIM + 1}), i ->
+               (sl[i] - cv[i]) * (sl[i] - cv[i]))) AS d2
+      FROM (
+        SELECT e.vec_id, cb.m, cb.label AS cl, cb.cv,
+               list_slice(e.embedding::DOUBLE[],
+                          cb.m * {PQ_SUBDIM} + 1, (cb.m + 1) * {PQ_SUBDIM}) AS sl
+        FROM embeddings e, cb WHERE e.vec_id <> {QUERY_VEC_ID})),
     enc AS (
       SELECT vec_id, m, cl FROM (
         SELECT vec_id, m, cl,
-               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cl) AS rn
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cl) AS rn
         FROM enc_d) WHERE rn = 1),
     adc AS (
-      SELECT cb.m, cb.label AS cl,
-             POWER(list_distance(list_slice(q.qv, cb.m * {PQ_SUBDIM} + 1,
-                                            (cb.m + 1) * {PQ_SUBDIM}), cb.cv), 2) AS d2
-      FROM cb, q)
+      SELECT m, cl,
+             list_sum(list_transform(range(1, {PQ_SUBDIM + 1}), i ->
+               (sl[i] - cv[i]) * (sl[i] - cv[i]))) AS d2
+      FROM (
+        SELECT cb.m, cb.label AS cl, cb.cv,
+               list_slice(q.qv, cb.m * {PQ_SUBDIM} + 1, (cb.m + 1) * {PQ_SUBDIM}) AS sl
+        FROM cb, q))
     SELECT enc.vec_id, ROUND(SUM(adc.d2), 6) AS pq_dist
     FROM enc JOIN adc ON enc.m = adc.m AND enc.cl = adc.cl
     GROUP BY enc.vec_id

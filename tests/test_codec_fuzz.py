@@ -154,3 +154,58 @@ def test_jpeg_successive_equals_baseline(img):
     succ = decode_jpeg(encode_jpeg(w, h, a, successive=True))
     assert base["mean_byte"] == succ["mean_byte"]
     assert succ["n_scans"] == 4
+
+
+@settings(max_examples=50, deadline=None)
+@given(gray_images(max_side=24), st.integers(min_value=6, max_value=2000))
+def test_gif_truncation_raises_valueerror_not_indexerror(img, cut):
+    """Truncating a valid stream anywhere past the magic must either still
+    parse (a cut at the trailer is a valid shorter stream) or raise
+    ValueError/NotImplementedError — the error types ``_decode_any``'s stub
+    fallback catches. IndexError/struct.error would escape it and kill a
+    whole mapInPandas batch on one malformed blob (r5 ADVICE)."""
+    from emr_with_custom_metrics_spark.llm.gif import decode_gif, encode_gif
+
+    w, h, a = img
+    payload = encode_gif(w, h, a)
+    truncated = payload[: min(cut, len(payload) - 1)]
+    try:
+        decode_gif(truncated)
+    except (ValueError, NotImplementedError):
+        pass
+
+
+def test_jpeg_non_interleaved_subsampled_scan_raises_nie():
+    """A baseline stream whose subsampled component arrives in its own
+    single-component scan walks a different (non-MCU-padded) grid per T.81
+    §A.2.2 — out of implemented scope, so it must fall to the stub tier
+    via NotImplementedError instead of mis-decoding (r5 ADVICE). Built by
+    rewriting an interleaved 4:2:0 stream's SOS header to ns=1 over the
+    2x2-sampled luma component; the guard fires before any entropy read."""
+    import pytest
+
+    from emr_with_custom_metrics_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    rgb = np.full((16, 16, 3), 120, dtype=np.uint8)
+    payload = encode_jpeg(16, 16, rgb, sampling=(2, 2))
+    sos = payload.index(b"\xff\xda")
+    luma_id, luma_tdta = payload[sos + 5], payload[sos + 6]
+    single = bytes([0xFF, 0xDA, 0x00, 0x08, 0x01, luma_id, luma_tdta, 0x00, 0x3F, 0x00])
+    spliced = payload[:sos] + single + payload[sos + 14 :]
+    with pytest.raises(NotImplementedError, match="non-interleaved subsampled"):
+        decode_jpeg(spliced)
+
+
+def test_jpeg_progressive_with_dri_raises_nie():
+    """SOF2 + DRI is out of scope (the progressive AC path has no RSTn
+    handling): the decoder must say so at SOS time instead of dying
+    mid-scan with a corrupt-data ValueError (r5 ADVICE)."""
+    import pytest
+
+    from emr_with_custom_metrics_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    payload = encode_jpeg(16, 16, np.full((16, 16), 100, np.uint8), progressive=True)
+    sos = payload.index(b"\xff\xda")
+    spliced = payload[:sos] + b"\xff\xdd\x00\x04\x00\x04" + payload[sos:]
+    with pytest.raises(NotImplementedError, match="restart intervals"):
+        decode_jpeg(spliced)

@@ -257,12 +257,14 @@ def test_jpeg_rejects_out_of_scope_streams():
     with pytest.raises(ValueError, match="Se = 0"):
         decode_jpeg(bytes(prog))
 
-    # Subsampling is now in scope — but a stream whose SOF CLAIMS 2x2 while
-    # its entropy data carries one block per MCU is corrupt, not unsupported:
-    # the MCU walk over-reads and must fail loudly, never return wrong pixels.
+    # A single-component frame claiming 2x2 sampling is a LEGAL stream whose
+    # one scan is non-interleaved over a subsampled component — per T.81
+    # §A.2.2 that walks the component's own (non-MCU-padded) grid, which is
+    # out of implemented scope: stub tier, not corrupt-data (r5 ADVICE
+    # changed this from ValueError to NotImplementedError).
     sub = bytearray(good)
     sub[sof + 11] = 0x22  # sampling 1x1 -> 2x2, entropy data unchanged
-    with pytest.raises(ValueError):
+    with pytest.raises(NotImplementedError, match="non-interleaved subsampled"):
         decode_jpeg(bytes(sub))
 
     with pytest.raises(ValueError):
