@@ -265,16 +265,34 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
 
 
+# ~10% of the 24-bit space of the first 6 md5 hex nibbles (0.1 * 16^6).
+_SAMPLE_THRESHOLD_24BIT = 1_677_722
+
+
 @register(
     "sample_deterministic",
-    oracle=None,  # seeded Bernoulli sample is partitioning-dependent → rows-only
-    doc="Seeded Bernoulli sampling (TABLESAMPLE): deterministic for a fixed "
-    "seed + input layout; the constant-fraction way to build dev corpora "
-    "from 100 TB without a shuffle.",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber
+    FROM lineitem
+    WHERE CAST(('0x' || substr(md5(l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR),
+                               1, 6)) AS INTEGER) < {_SAMPLE_THRESHOLD_24BIT}
+    """,
+    doc="Deterministic ~10% row sample via md5 threshold on the composite "
+    "key: membership is a pure function of the row's identity, so it "
+    "survives repartitioning, backfills, and engine changes — which is "
+    "what a 100 TB pipeline actually wants from 'deterministic sampling' "
+    "(Spark's seeded Bernoulli ``df.sample`` is partitioning-dependent: "
+    "same seed, different layout, different rows). Map-side expression, "
+    "no shuffle; exactly SQL-expressible, so oracled (upgraded round 6 "
+    "from rows-only, r5 VERDICT item 4).",
 )
 def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+    key = F.concat_ws(
+        "-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+    )
+    bucket = F.conv(F.substring(F.md5(key), 1, 6), 16, 10).cast("bigint")
+    return li.where(bucket < _SAMPLE_THRESHOLD_24BIT).select("l_orderkey", "l_linenumber")
 
 
 @register(

@@ -356,10 +356,48 @@ def timeseries_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cooldown_suppression",
-    oracle=None,  # inherently sequential state → rows-only check (driver contract)
+    oracle="""
+    -- The greedy fire/suppress state is decidable without sequential
+    -- replay (same argument as autoscale_timeline, r5 VERDICT item 2):
+    -- per rule, alarms split into runs of consecutive 300 s buckets (a
+    -- >300 s gap from the PREVIOUS ALARM always clears the cooldown,
+    -- since last-fired <= previous alarm time, so every run head fires),
+    -- and inside a run exactly the odd positions fire — fire, suppress
+    -- at +300, fire at +600 from the last fire, ... That turns the
+    -- whole sequential screen into two window functions.
+    WITH metric AS (
+      SELECT CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_start,
+             ROUND(AVG(value), 4) AS avg_value
+      FROM events GROUP BY 1),
+    alarms AS (
+      SELECT 'scale-out' AS rule, bucket_start, avg_value
+      FROM metric WHERE avg_value <= 25.0
+      UNION ALL
+      SELECT 'scale-in', bucket_start, avg_value
+      FROM metric WHERE avg_value > 75.0),
+    gaps AS (
+      SELECT rule, bucket_start, avg_value,
+             CASE WHEN bucket_start - LAG(bucket_start)
+                       OVER (PARTITION BY rule ORDER BY bucket_start) = 300
+                  THEN 0 ELSE 1 END AS is_run_start
+      FROM alarms),
+    runs AS (
+      SELECT rule, bucket_start, avg_value,
+             SUM(is_run_start) OVER (PARTITION BY rule ORDER BY bucket_start)
+                 AS run_id
+      FROM gaps)
+    SELECT rule, bucket_start, avg_value
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY rule, run_id
+                                       ORDER BY bucket_start) AS pos
+          FROM runs)
+    WHERE pos % 2 = 1
+    """,
     doc="R5: cooldown — after an alarm fires, suppress further fires for "
     "300 s. Sequential per rule-key state, implemented with applyInPandas "
-    "(keys scale out; the per-key scan is a linear pass).",
+    "(keys scale out; the per-key scan is a linear pass). Upgraded round 6 "
+    "from rows-only to oracled: the greedy fire set equals 'odd positions "
+    "within runs of consecutive buckets', which SQL window functions "
+    "express exactly (see oracle comment).",
 )
 def cooldown_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
