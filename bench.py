@@ -69,6 +69,10 @@ HEADLINE = [
     "e2e_multimodal_pipeline",
     "dedup_levenshtein_multipass",
     "similarity_pq_topk",
+    # round-6 additions (new rows; the 41 rows above stay diffable vs r01-r05)
+    "join_skew_salted",
+    "parquet_dpp_prune",
+    "multimodal_feature_extract",
 ]
 
 

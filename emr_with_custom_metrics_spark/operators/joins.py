@@ -458,3 +458,80 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(s.s_nationkey.alias("nationkey"))
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-hardened equi-join (salting)
+# ---------------------------------------------------------------------------
+def salted_equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    n_salt: int,
+) -> DataFrame:
+    """Equi-join hardened against a hot left-side key by salting.
+
+    The skewed (probe) side gets a deterministic salt in [0, n_salt) from a
+    hash of its full row; the build side is replicated n_salt times with
+    every salt value. Joining on (key, salt) splits each hot key's rows
+    across n_salt shuffle partitions instead of funnelling them into one
+    straggler task — the classic mitigation when AQE's skew-join split
+    can't apply (non-sort-merge plans, skew re-introduced by a downstream
+    aggregate, or AQE disabled). Cost: the build side is scanned/broadcast
+    n_salt× — cheap when the build side is much smaller than the probe
+    side, which is exactly the skewed-fact⋈dim-ish shape that needs this.
+
+    The salt is derived (never random) so the plan is deterministic, and
+    the join RESULT is salt-invariant either way: every (left row, right
+    row) key match still pairs exactly once, because the right replica
+    carrying that left row's salt is unique. Dropped from the output.
+    """
+    salt = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salt))
+    l_salted = left.withColumn("_salt", salt)
+    r_salted = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    joined = l_salted.join(
+        r_salted,
+        (F.col(left_key) == F.col(right_key)) & (l_salted["_salt"] == r_salted["_salt"]),
+    )
+    return joined.drop("_salt")
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM (SELECT CASE WHEN l_linenumber >= 3 THEN 1 ELSE l_orderkey END AS hk,
+                 l_extendedprice
+          FROM lineitem) li
+    JOIN orders ON o_orderkey = hk
+    GROUP BY o_orderpriority
+    """,
+    doc="Skew-join hardening demo (r5 VERDICT item 5): ~71% of lineitem "
+    "rows are remapped onto ONE hot orderkey (the hot-customer shape that "
+    "breaks sort-merge joins at 100 TB — a single task gets the whole hot "
+    "key), then joined to orders through ``salted_equi_join``: probe rows "
+    "salt-split 8 ways, build rows replicated 8×, so the hot key spreads "
+    "over 8 tasks. The salt never appears in the result, so the plain "
+    "unsalted join is the exact oracle; equality with the unsalted Spark "
+    "plan is asserted in tests/test_plan_properties.py.",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_linenumber") >= 3, F.lit(1))
+        .otherwise(F.col("l_orderkey"))
+        .alias("hk"),
+        "l_extendedprice",
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_equi_join(li, o, "hk", "o_orderkey", n_salt=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )

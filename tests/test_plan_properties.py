@@ -212,3 +212,61 @@ def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path):
     )
     pf = " ".join(pushed_filters(df2))
     assert "o_totalprice" in pf, pf
+
+
+def test_dpp_reaches_partitioned_scan(spark):
+    """parquet_dpp_prune's partitioned read must carry a
+    DynamicPruningExpression — proof the runtime dim join prunes partition
+    FILES, not just rows (r5 VERDICT item 6)."""
+    df = SPECS["parquet_dpp_prune"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_salted_join_equals_unsalted(spark):
+    """The salt must be invisible in the result: join_skew_salted equals
+    the plain unsalted formulation row-for-row."""
+    from emr_with_custom_metrics_spark.operators import joins as J
+
+    salted = SPECS["join_skew_salted"].fn(spark, SF_DIR)
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        F.when(F.col("l_linenumber") >= 3, F.lit(1))
+        .otherwise(F.col("l_orderkey"))
+        .alias("hk"),
+        "l_extendedprice",
+    )
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderpriority")
+    plain = (
+        li.join(o, F.col("hk") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+    got = {tuple(r) for r in salted.collect()}
+    want = {tuple(r) for r in plain.collect()}
+    assert got == want
+
+
+def test_salted_join_splits_hot_key(spark):
+    """The salted probe side must actually spread the hot key: every salt
+    value in [0, 8) receives rows for the hot key."""
+    from emr_with_custom_metrics_spark.operators.joins import salted_equi_join
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        F.when(F.col("l_linenumber") >= 3, F.lit(1))
+        .otherwise(F.col("l_orderkey"))
+        .alias("hk"),
+        "l_extendedprice",
+    )
+    salt = F.pmod(F.hash(*[F.col(c) for c in li.columns]), F.lit(8))
+    n_salts = (
+        li.where(F.col("hk") == 1)
+        .select(salt.alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n_salts == 8, n_salts
