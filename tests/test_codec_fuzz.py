@@ -209,3 +209,89 @@ def test_jpeg_progressive_with_dri_raises_nie():
     spliced = payload[:sos] + b"\xff\xdd\x00\x04\x00\x04" + payload[sos:]
     with pytest.raises(NotImplementedError, match="restart intervals"):
         decode_jpeg(spliced)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.sampled_from([44100, 48000, 32000]),
+    st.integers(min_value=2, max_value=5),
+)
+def test_mpeg1_tone_roundtrip_snr(seed, fs, n_frames):
+    """Layer I-shaped encode→decode must reconstruct band-limited tone
+    mixes at ≥ 40 dB SNR (interior samples; the lapped-transform edges
+    lack overlap partners). Fixed static allocation, so this bound holds
+    for ANY tone mix the generator draws — no psychoacoustic tuning."""
+    from emr_with_custom_metrics_spark.llm.mpeg_audio import (
+        FRAME_SAMPLES,
+        decode_mpeg1_layer1,
+        encode_mpeg1_layer1,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = FRAME_SAMPLES * n_frames
+    t = np.arange(n)
+    x = np.zeros(n)
+    for _ in range(int(rng.integers(1, 4))):
+        f = float(rng.uniform(100, 0.04 * fs))
+        x += float(rng.uniform(0.05, 0.4)) * np.sin(2 * np.pi * f * t / fs + float(rng.uniform(0, 6.28)))
+    m = decode_mpeg1_layer1(encode_mpeg1_layer1(x, fs))
+    y = m["samples"]
+    xi, yi = x[32:-32], y[32:-32]
+    snr = 10 * np.log10(np.sum(xi * xi) / max(np.sum((xi - yi) ** 2), 1e-300))
+    assert snr >= 40.0, snr
+    assert m["n_frames"] == n_frames and m["n_samples"] == n
+
+
+def test_mpeg1_filterbank_is_exact_pr():
+    """With quantization bypassed, analysis→synthesis is the identity to
+    fp precision — the property the ISO pseudo-QMF only approximates and
+    this module's MDCT bank guarantees (module docstring scope)."""
+    from emr_with_custom_metrics_spark.llm.mpeg_audio import (
+        mdct_analysis,
+        mdct_synthesis,
+    )
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(32 * 60)
+    y = mdct_synthesis(mdct_analysis(x))
+    err = x[32:-32] - y[32:-32]
+    snr = 10 * np.log10(np.sum(x[32:-32] ** 2) / max(np.sum(err**2), 1e-300))
+    assert snr > 250.0, snr
+
+
+def test_mpeg1_stream_contract():
+    """Constant frame size; truncation → ValueError; foreign layouts →
+    NotImplementedError naming the unsupported feature."""
+    import pytest
+
+    from emr_with_custom_metrics_spark.llm.mpeg_audio import (
+        FRAME_BYTES,
+        FRAME_SAMPLES,
+        decode_mpeg1_layer1,
+        encode_mpeg1_layer1,
+    )
+
+    fs = 44100
+    t = np.arange(FRAME_SAMPLES * 3)
+    payload = encode_mpeg1_layer1(0.4 * np.sin(2 * np.pi * 500 * t / fs), fs)
+    assert len(payload) == 3 * FRAME_BYTES
+
+    with pytest.raises(ValueError, match="truncated"):
+        decode_mpeg1_layer1(payload[: FRAME_BYTES + 100])
+
+    # flip private_bit (bit 23 of the 32-bit header = byte 2, bit 0):
+    # an ISO Table-C prototype stream must fall to the stub tier
+    iso = bytearray(payload)
+    iso[2] &= 0xFE
+    with pytest.raises(NotImplementedError, match="Table-C prototype"):
+        decode_mpeg1_layer1(bytes(iso))
+
+    # rewrite layer field (bits 13-14 = byte 1, bits 1-2) to Layer III (01)
+    l3 = bytearray(payload)
+    l3[1] = (l3[1] & 0xF9) | 0x02
+    with pytest.raises(NotImplementedError, match="Layer III"):
+        decode_mpeg1_layer1(bytes(l3))
+
+    with pytest.raises(ValueError):
+        decode_mpeg1_layer1(b"\x00\x01")
