@@ -74,6 +74,7 @@ HEADLINE = [
     "parquet_dpp_prune",
     "multimodal_feature_extract",
     "multimodal_decode_mpeg1",
+    "multimodal_decode_avi_rle_delta",
 ]
 
 

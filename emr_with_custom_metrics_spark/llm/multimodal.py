@@ -1430,3 +1430,80 @@ def _mpeg_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.Dat
 def multimodal_decode_mpeg1(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_fanned(spark, sf_dir, "documents").select("doc_id")
     return d.mapInPandas(_mpeg_roundtrip_batch, schema=MPEG_DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video: inter-frame (P-frame) decode — BI_RLE8 temporal deltas in AVI
+# ---------------------------------------------------------------------------
+AVI_RLE_SCHEMA = (
+    "doc_id bigint, width int, height int, n_frames int, "
+    "pix_sum_first bigint, pix_sum_last bigint"
+)
+
+
+def _avi_rle_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    import numpy as np
+    import pandas as pd
+
+    from emr_with_custom_metrics_spark.llm.avi import (
+        decode_avi_rle,
+        encode_avi_rle_delta,
+    )
+
+    def roundtrip(d: int) -> dict:
+        w, h, n = 16 + d % 17, 8 + d % 9, 2 + d % 3
+        c0 = d % 251
+        frames = np.full((n, h, w), c0, dtype=np.uint8)
+        for j in range(1, n):
+            frames[j] = frames[j - 1]
+            frames[j, j, :] = (d * 31 + j * 57) % 251  # row-j update: P-frame
+        return decode_avi_rle(encode_avi_rle_delta(frames))
+
+    for pdf in batches:
+        metas = pdf["doc_id"].map(lambda d: roundtrip(int(d)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": metas.map(lambda m: m["width"]).astype("int32"),
+                "height": metas.map(lambda m: m["height"]).astype("int32"),
+                "n_frames": metas.map(lambda m: m["n_frames"]).astype("int32"),
+                "pix_sum_first": metas.map(lambda m: m["frame_sums"][0]).astype("int64"),
+                "pix_sum_last": metas.map(lambda m: m["frame_sums"][-1]).astype("int64"),
+            }
+        )
+
+
+@register(
+    "multimodal_decode_avi_rle_delta",
+    # The codec is LOSSLESS, so each reconstructed frame's integer pixel
+    # sum is closed-form from the generator: constant keyframe c0, then
+    # frame j overwrites row j with (d*31 + j*57) % 251. Integer sums —
+    # no float formatting anywhere in the hash.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             16 + doc_id % 17 AS w, 8 + doc_id % 9 AS h,
+             2 + doc_id % 3 AS nf, doc_id % 251 AS c0
+      FROM documents)
+    SELECT doc_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(nf AS INT) AS n_frames,
+           CAST(w * h * c0 AS BIGINT) AS pix_sum_first,
+           CAST(w * h * c0 + (SELECT COALESCE(SUM(w * (((doc_id * 31 + j.j * 57) % 251) - c0)), 0)
+                              FROM range(1, 4) j(j) WHERE j.j < nf)
+                AS BIGINT) AS pix_sum_last
+    FROM p
+    """,
+    doc="INTER-FRAME video decode (r5 VERDICT item 7 — the 'no temporal "
+    "compression' gap): BI_RLE8-in-AVI streams where frame 0 is a "
+    "keyframe and every later frame is a temporal DELTA (unchanged rows "
+    "become skip opcodes; skipped pixels inherit the previous frame's "
+    "canvas — the documented BI_RLE8 P-frame semantics). The decoder "
+    "replays deltas against a persistent canvas inside mapInPandas; "
+    "per-frame integer pixel sums prove each reconstructed frame, not "
+    "just the container walk. Motion-compensated codecs (H.264 etc.) "
+    "remain the honest stub.",
+)
+def multimodal_decode_avi_rle_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fanned(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_avi_rle_roundtrip_batch, schema=AVI_RLE_SCHEMA)

@@ -295,3 +295,50 @@ def test_mpeg1_stream_contract():
 
     with pytest.raises(ValueError):
         decode_mpeg1_layer1(b"\x00\x01")
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+def test_avi_rle8_delta_roundtrip_lossless(seed):
+    """BI_RLE8 temporal coding is lossless: random keyframe + random rect
+    updates reconstruct EVERY frame exactly through the persistent-canvas
+    replay, whatever run/skip structure the diffs produce."""
+    from emr_with_custom_metrics_spark.llm.avi import (
+        decode_avi_rle,
+        encode_avi_rle_delta,
+    )
+
+    rng = np.random.default_rng(seed)
+    h = int(rng.integers(4, 24))
+    w = int(rng.integers(4, 48))
+    n = int(rng.integers(2, 8))
+    frames = np.zeros((n, h, w), dtype=np.uint8)
+    frames[0] = rng.integers(0, 256, (h, w))
+    for k in range(1, n):
+        frames[k] = frames[k - 1]
+        if rng.random() < 0.85:  # some frames are pure repeats (all-skip)
+            r0 = int(rng.integers(0, h))
+            c0 = int(rng.integers(0, w))
+            r1 = int(rng.integers(r0 + 1, h + 1))
+            c1 = int(rng.integers(c0 + 1, w + 1))
+            frames[k, r0:r1, c0:c1] = int(rng.integers(0, 256))
+    m = decode_avi_rle(encode_avi_rle_delta(frames))
+    assert m["frame_sums"] == [int(f.sum()) for f in frames]
+    assert (m["width"], m["height"], m["n_frames"]) == (w, h, n)
+
+
+def test_avi_rle8_truncation_raises_valueerror():
+    from emr_with_custom_metrics_spark.llm.avi import (
+        decode_avi_rle,
+        encode_avi_rle_delta,
+        rle8_apply,
+    )
+    import pytest
+
+    frames = np.arange(2 * 8 * 16, dtype=np.uint8).reshape(2, 8, 16) % 251
+    payload = encode_avi_rle_delta(frames)
+    with pytest.raises(ValueError):
+        decode_avi_rle(payload[:-10])  # size-field mismatch
+    canvas = np.zeros((8, 16), dtype=np.uint8)
+    with pytest.raises(ValueError, match="end-of-bitmap"):
+        rle8_apply(b"\x03\x07", canvas)  # run then stream just stops
