@@ -75,6 +75,10 @@ HEADLINE = [
     "multimodal_feature_extract",
     "multimodal_decode_mpeg1",
     "multimodal_decode_avi_rle_delta",
+    "graph_triangle_count",
+    "dedup_paragraph_chunks",
+    "dq_profile_columns",
+    "dq_constraint_checks",
 ]
 
 

@@ -926,6 +926,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(P+1)·N·d) and use the ANN path as the production route.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_cosine_pairs(spark, sf_dir, threshold=0.4)
+
+
+def embedding_cosine_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float
+) -> DataFrame:
+    """All cosine-similar pairs (a_id < b_id, cos_sim ≥ threshold) via the
+    distributed block-pair GEMM described on ``dedup_embedding_cosine`` —
+    shared with the similarity-graph operators (triangle counting)."""
     import numpy as np
 
     # Block count: 8 spreads the GEMM across executors at test scale while
@@ -967,13 +976,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # Each unordered vector pair lands in exactly one block-pair
                 # row (blk_a <= blk_b); id order inside it is arbitrary, so
                 # orient by id — which also drops the self-pair diagonal.
-                keep = (sims >= 0.4) & (ia[:, None] < ib[None, :])
+                keep = (sims >= threshold) & (ia[:, None] < ib[None, :])
                 r, c = np.nonzero(keep)
                 lo, hi, s = ia[r], ib[c], sims[r, c]
                 if not _self:
                     # blk_a != blk_b: pairs where the b-side id is smaller
                     # were excluded above — recover them mirrored.
-                    keep2 = (sims >= 0.4) & (ia[:, None] > ib[None, :])
+                    keep2 = (sims >= threshold) & (ia[:, None] > ib[None, :])
                     r2, c2 = np.nonzero(keep2)
                     lo = np.concatenate([lo, ib[c2]])
                     hi = np.concatenate([hi, ia[r2]])
@@ -1042,4 +1051,65 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "big_id")
         .where((cont >= 0.9) & (F.col("n_small") <= F.col("n_big")))
         .select("small_id", "big_id", F.round(cont, 6).alias("containment"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level (chunk) dedup — the CCNet-style sub-document pass
+# ---------------------------------------------------------------------------
+PARAGRAPH_TOKENS = 10
+
+
+@register(
+    "dedup_paragraph_chunks",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    c AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(LEN(toks) // 10),
+               i -> md5(array_to_string(list_slice(toks, i*10 + 1, i*10 + 10), ' ')))) AS h
+      FROM t WHERE LEN(toks) >= 10),
+    g AS (SELECT h, COUNT(*) AS cnt FROM c GROUP BY h)
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(COUNT(*) FILTER (WHERE cnt > 1) AS BIGINT) AS n_dup_chunks,
+           ROUND(COUNT(*) FILTER (WHERE cnt > 1)::DOUBLE / COUNT(*), 6) AS dup_ratio
+    FROM c JOIN g USING (h)
+    GROUP BY doc_id
+    """,
+    doc="Sub-document dedup, CCNet-style: documents split into consecutive "
+    "10-token chunks (the paragraph proxy for this corpus), each chunk "
+    "md5-hashed, and every doc scored by the fraction of its chunks that "
+    "occur ANYWHERE else in the corpus — the signal CCNet thresholds to "
+    "drop boilerplate-heavy documents that whole-document dedup misses "
+    "entirely. Plan: map-side chunk+hash (array HOFs, no shuffle), one "
+    "16-byte-key aggregate for global chunk counts, one join back, one "
+    "per-doc aggregate. Shuffles carry hashes and counts, never text — "
+    "at 100 TB the chunk-hash table is the only wide state and it "
+    "partitions cleanly by hash.",
+)
+def dedup_paragraph_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = PARAGRAPH_TOKENS
+    d = load_fanned(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    chunk_hashes = F.expr(
+        f"transform(sequence(0, size(toks) div {k} - 1), "
+        f"i -> md5(concat_ws(' ', slice(toks, i*{k} + 1, {k}))))"
+    )
+    chunks = (
+        d.where(F.size("toks") >= k)
+        .select("doc_id", F.explode(chunk_hashes).alias("h"))
+    )
+    counts = chunks.groupBy("h").agg(F.count("*").alias("cnt"))
+    return (
+        chunks.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count_if(F.col("cnt") > 1).cast("bigint").alias("n_dup_chunks"),
+            F.round(
+                F.count_if(F.col("cnt") > 1) / F.count("*"), 6
+            ).alias("dup_ratio"),
+        )
     )

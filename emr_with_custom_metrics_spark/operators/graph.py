@@ -105,3 +105,60 @@ def pagerank_similarity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = d.select(F.col("doc_id").alias("node"))
     ranks = pagerank(nodes, edges)
     return ranks.select(F.col("node").alias("doc_id"), F.round("rank", 8).alias("rank"))
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    edges AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.3),
+    tri AS (
+      SELECT e1.a_id AS a, e1.b_id AS b, e2.b_id AS c
+      FROM edges e1 JOIN edges e2 ON e1.b_id = e2.a_id
+           JOIN edges e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id)
+    SELECT node, COUNT(*) AS n_triangles FROM (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+    GROUP BY node
+    """,
+    doc="Per-node triangle counting over the cosine≥0.3 similarity graph "
+    "(edges from llm.dedup.embedding_cosine_pairs' block-pair GEMM): the "
+    "standard compact-forward join — orient every edge low→high id, join "
+    "e1(a,b)⋈e2(b,c) for wedges, close against e3(a,c). Ordering each "
+    "triangle a<b<c counts it exactly once and caps the wedge join by "
+    "high-id out-degree (the classic skew bound: hubs contribute their "
+    "LOW-id side only). Triangle density is the clustering-coefficient "
+    "numerator — community structure in near-dup neighborhoods, mixture "
+    "leakage between sources. Two self-joins on 16-byte edge keys; at "
+    "100 TB the edge table shuffles by join key and AQE handles hub skew.",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emr_with_custom_metrics_spark.llm.dedup import embedding_cosine_pairs
+
+    edges = embedding_cosine_pairs(spark, sf_dir, threshold=0.3).select("a_id", "b_id")
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b_id") == F.col("e2.a_id"))
+        .join(
+            e3,
+            (F.col("e3.a_id") == F.col("e1.a_id"))
+            & (F.col("e3.b_id") == F.col("e2.b_id")),
+        )
+        .select(
+            F.col("e1.a_id").alias("a"),
+            F.col("e1.b_id").alias("b"),
+            F.col("e2.b_id").alias("c"),
+        )
+    )
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+    )
+    return nodes.groupBy("node").agg(F.count("*").alias("n_triangles"))

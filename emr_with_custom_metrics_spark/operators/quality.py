@@ -1,0 +1,195 @@
+"""Data-quality operators: column profiling and constraint validation.
+
+A 100 TB training-data pipeline spends real compute on exactly these two
+shapes before any model sees a byte: profile every column (null ratio,
+cardinality, bounds) and validate referential/key constraints across
+tables. The reference system has no notion of either (its one job is a
+blind groupBy-count, scripts/spark_converter.py:25-31); this module adds
+them as first-class engine operators in the mandated extension tier.
+
+Scale posture: profiling is ONE aggregate pass per table (every metric
+for every column computed in a single shuffle-free partial-agg +
+single-row reduce, then unpivoted map-side — never one scan per column),
+and each constraint check is an anti-join or hash-aggregate that AQE can
+broadcast; nothing here holds more than a handful of scalar rows after
+the reduce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emr_with_custom_metrics_spark.catalog import load_table
+from emr_with_custom_metrics_spark.registry import register
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderpriority",
+)
+
+
+@register(
+    "dq_profile_columns",
+    oracle="""
+    WITH agg AS (
+      SELECT COUNT(*) AS n_rows,
+             COUNT(o_orderkey) AS nn0, COUNT(DISTINCT o_orderkey) AS nd0,
+               MIN(CAST(o_orderkey AS VARCHAR)) AS mn0, MAX(CAST(o_orderkey AS VARCHAR)) AS mx0,
+             COUNT(o_custkey) AS nn1, COUNT(DISTINCT o_custkey) AS nd1,
+               MIN(CAST(o_custkey AS VARCHAR)) AS mn1, MAX(CAST(o_custkey AS VARCHAR)) AS mx1,
+             COUNT(o_orderstatus) AS nn2, COUNT(DISTINCT o_orderstatus) AS nd2,
+               MIN(CAST(o_orderstatus AS VARCHAR)) AS mn2, MAX(CAST(o_orderstatus AS VARCHAR)) AS mx2,
+             COUNT(o_totalprice) AS nn3, COUNT(DISTINCT o_totalprice) AS nd3,
+               MIN(CAST(o_totalprice AS VARCHAR)) AS mn3, MAX(CAST(o_totalprice AS VARCHAR)) AS mx3,
+             COUNT(o_orderpriority) AS nn4, COUNT(DISTINCT o_orderpriority) AS nd4,
+               MIN(CAST(o_orderpriority AS VARCHAR)) AS mn4, MAX(CAST(o_orderpriority AS VARCHAR)) AS mx4
+      FROM orders)
+    SELECT c.col AS column_name,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(CASE c.i WHEN 0 THEN n_rows - nn0 WHEN 1 THEN n_rows - nn1
+                WHEN 2 THEN n_rows - nn2 WHEN 3 THEN n_rows - nn3
+                ELSE n_rows - nn4 END AS BIGINT) AS n_nulls,
+           CAST(CASE c.i WHEN 0 THEN nd0 WHEN 1 THEN nd1 WHEN 2 THEN nd2
+                WHEN 3 THEN nd3 ELSE nd4 END AS BIGINT) AS n_distinct,
+           CASE c.i WHEN 0 THEN mn0 WHEN 1 THEN mn1 WHEN 2 THEN mn2
+                WHEN 3 THEN mn3 ELSE mn4 END AS min_str,
+           CASE c.i WHEN 0 THEN mx0 WHEN 1 THEN mx1 WHEN 2 THEN mx2
+                WHEN 3 THEN mx3 ELSE mx4 END AS max_str
+    FROM agg, (VALUES (0, 'o_orderkey'), (1, 'o_custkey'),
+                      (2, 'o_orderstatus'), (3, 'o_totalprice'),
+                      (4, 'o_orderpriority')) AS c(i, col)
+    """,
+    doc="Column profiling in ONE pass: every metric (rows, nulls, exact "
+    "distinct, lexicographic min/max over the string cast — type-uniform "
+    "so one schema covers heterogeneous columns) for five orders columns "
+    "computed in a single aggregate (partial map-side combine, single-row "
+    "reduce), then unpivoted map-side via explode of a literal struct "
+    "array. One scan total — never per-column scans, which is the "
+    "difference between 1x and 5x the 100 TB read bill.",
+)
+def dq_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("n_rows")]
+    for i, c in enumerate(_PROFILE_COLS):
+        aggs += [
+            F.count(c).alias(f"nn{i}"),
+            F.count_distinct(c).alias(f"nd{i}"),
+            F.min(F.col(c).cast("string")).alias(f"mn{i}"),
+            F.max(F.col(c).cast("string")).alias(f"mx{i}"),
+        ]
+    one = o.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                (F.col("n_rows") - F.col(f"nn{i}")).alias("n_nulls"),
+                F.col(f"nd{i}").alias("n_distinct"),
+                F.col(f"mn{i}").alias("min_str"),
+                F.col(f"mx{i}").alias("max_str"),
+            )
+            for i, c in enumerate(_PROFILE_COLS)
+        ]
+    )
+    return one.select("n_rows", F.explode(per_col).alias("p")).select(
+        F.col("p.column_name").alias("column_name"),
+        "n_rows",
+        F.col("p.n_nulls").alias("n_nulls"),
+        F.col("p.n_distinct").alias("n_distinct"),
+        F.col("p.min_str").alias("min_str"),
+        F.col("p.max_str").alias("max_str"),
+    )
+
+
+@register(
+    "dq_constraint_checks",
+    oracle="""
+    SELECT 'lineitem_fk_orders' AS check_name,
+           CAST((SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'orders_fk_customer',
+           CAST((SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_pk_unique',
+           CAST((SELECT COALESCE(SUM(cnt - 1), 0) FROM
+              (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderkey) d
+            WHERE cnt > 1) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_qty_range',
+           CAST((SELECT COUNT(*) FROM lineitem
+            WHERE l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_price_positive',
+           CAST((SELECT COUNT(*) FROM orders
+            WHERE o_totalprice IS NULL OR o_totalprice <= 0) AS BIGINT)
+    ORDER BY check_name
+    """,
+    doc="Constraint validation battery: two referential checks (anti-join "
+    "counts — left_anti, so the probe side never materializes matches), a "
+    "primary-key uniqueness check (hash-aggregate, excess-copy count), and "
+    "two value-range predicates (map-side). Each check reduces to one "
+    "scalar; the union is a 5-row frame. The anti-join build sides "
+    "(orders/customer keys) broadcast under AQE at any scale where the "
+    "dimension fits memory.",
+)
+def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        # df is a single-row aggregate exposing column "v"
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.col("v").cast("bigint").alias("n_violations"),
+        )
+
+    fk_li = one(
+        "lineitem_fk_orders",
+        li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("v")),
+    )
+    fk_o = one(
+        "orders_fk_customer",
+        o.join(c.select("c_custkey"), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").alias("v")),
+    )
+    pk = one(
+        "orders_pk_unique",
+        o.groupBy("o_orderkey")
+        .count()
+        .where(F.col("count") > 1)
+        .agg(F.coalesce(F.sum(F.col("count") - 1), F.lit(0)).alias("v")),
+    )
+    qty = one(
+        "lineitem_qty_range",
+        li.agg(
+            F.count_if(
+                F.col("l_quantity").isNull()
+                | (F.col("l_quantity") < 1)
+                | (F.col("l_quantity") > 50)
+            ).alias("v")
+        ),
+    )
+    price = one(
+        "orders_price_positive",
+        o.agg(
+            F.count_if(
+                F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)
+            ).alias("v")
+        ),
+    )
+    return (
+        fk_li.unionByName(fk_o)
+        .unionByName(pk)
+        .unionByName(qty)
+        .unionByName(price)
+        .orderBy("check_name")
+    )

@@ -214,7 +214,7 @@ _HEAVY = frozenset(
         "similarity_ann_lsh", "similarity_ivf_topk", "cooldown_suppression",
         "autoscale_timeline", "multimodal_feature_extract", "kmeans_embeddings",
         "decontaminate_against_eval", "knn_self_join_exact",
-        "pagerank_similarity_graph",
+        "pagerank_similarity_graph", "graph_triangle_count",
     }
 )
 
@@ -278,6 +278,7 @@ def _ensure_loaded() -> None:
     import emr_with_custom_metrics_spark.operators.anomaly  # noqa: F401
     import emr_with_custom_metrics_spark.operators.graph  # noqa: F401
     import emr_with_custom_metrics_spark.operators.analytics  # noqa: F401
+    import emr_with_custom_metrics_spark.operators.quality  # noqa: F401
     import emr_with_custom_metrics_spark.functions.scalar  # noqa: F401
     import emr_with_custom_metrics_spark.functions.collections  # noqa: F401
     import emr_with_custom_metrics_spark.functions.vector  # noqa: F401
