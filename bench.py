@@ -79,6 +79,7 @@ HEADLINE = [
     "dedup_paragraph_chunks",
     "dq_profile_columns",
     "dq_constraint_checks",
+    "cdc_merge_upsert",
 ]
 
 

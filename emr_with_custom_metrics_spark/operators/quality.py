@@ -190,3 +190,70 @@ def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(price)
         .orderBy("check_name")
     )
+
+
+@register(
+    "cdc_merge_upsert",
+    oracle="""
+    WITH cdc AS (
+      SELECT c_custkey AS k, 'U' AS op,
+             ROUND(c_acctbal + 500.25, 2) AS new_bal, 'UPDATED' AS new_seg
+      FROM customer WHERE c_custkey % 97 = 0 AND c_custkey % 101 <> 0
+      UNION ALL
+      SELECT c_custkey, 'D', NULL, NULL
+      FROM customer WHERE c_custkey % 101 = 0
+      UNION ALL
+      SELECT 10000000 + t.i, 'I', ROUND(100.5 + t.i, 2), 'NEWSEG'
+      FROM range(10) t(i)
+    )
+    SELECT COALESCE(k, c_custkey) AS c_custkey,
+           CASE WHEN op = 'I' THEN 'new-' || CAST(k AS VARCHAR) ELSE c_name END AS c_name,
+           CASE WHEN op IN ('U', 'I') THEN new_bal ELSE c_acctbal END AS c_acctbal,
+           CASE WHEN op IN ('U', 'I') THEN new_seg ELSE c_mktsegment END AS c_mktsegment
+    FROM customer FULL JOIN cdc ON c_custkey = cdc.k
+    WHERE op IS NULL OR op <> 'D'
+    """,
+    doc="CDC apply (MERGE semantics without a table format): a change batch "
+    "of updates / deletes / inserts derived deterministically from the "
+    "dim itself applies to customer via ONE full-outer join on the key — "
+    "matched+U rewrites columns, matched+D drops the row, unmatched CDC "
+    "rows insert, unmatched target rows pass through. This is the "
+    "row-level core that MERGE INTO compiles to; the FILE-level variants "
+    "(partition-scoped parquet rewrite, Delta gating) live in "
+    "plans/merge.py with their own test suite. At scale the CDC side is "
+    "small → broadcast; the target never shuffles.",
+)
+def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    upd = c.where((F.col("c_custkey") % 97 == 0) & (F.col("c_custkey") % 101 != 0)).select(
+        F.col("c_custkey").alias("k"),
+        F.lit("U").alias("op"),
+        F.round(F.col("c_acctbal") + 500.25, 2).alias("new_bal"),
+        F.lit("UPDATED").alias("new_seg"),
+    )
+    dele = c.where(F.col("c_custkey") % 101 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("new_bal"),
+        F.lit(None).cast("string").alias("new_seg"),
+    )
+    ins = spark.range(10).select(
+        (F.lit(10_000_000) + F.col("id")).alias("k"),
+        F.lit("I").alias("op"),
+        F.round(F.lit(100.5) + F.col("id"), 2).alias("new_bal"),
+        F.lit("NEWSEG").alias("new_seg"),
+    )
+    cdc = upd.unionByName(dele).unionByName(ins)
+    merged = c.join(F.broadcast(cdc), c.c_custkey == cdc.k, "full_outer")
+    return merged.where(F.col("op").isNull() | (F.col("op") != "D")).select(
+        F.coalesce(F.col("k"), F.col("c_custkey")).alias("c_custkey"),
+        F.when(F.col("op") == "I", F.concat(F.lit("new-"), F.col("k").cast("string")))
+        .otherwise(F.col("c_name"))
+        .alias("c_name"),
+        F.when(F.col("op").isin("U", "I"), F.col("new_bal"))
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        F.when(F.col("op").isin("U", "I"), F.col("new_seg"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
