@@ -139,7 +139,15 @@ def pagerank_similarity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emr_with_custom_metrics_spark.llm.dedup import embedding_cosine_pairs
 
-    edges = embedding_cosine_pairs(spark, sf_dir, threshold=0.3).select("a_id", "b_id")
+    # localCheckpoint: the edge table is referenced by all three join legs —
+    # without it the block-pair GEMM replays once per leg (and once per
+    # union branch: 9 MapInPandas instances in the measured plan). Same
+    # remedy pagerank uses for its per-iteration edge probes.
+    edges = (
+        embedding_cosine_pairs(spark, sf_dir, threshold=0.3)
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=False)
+    )
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
     e3 = edges.alias("e3")
@@ -156,9 +164,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e2.b_id").alias("c"),
         )
     )
-    nodes = (
-        tri.select(F.col("a").alias("node"))
-        .unionByName(tri.select(F.col("b").alias("node")))
-        .unionByName(tri.select(F.col("c").alias("node")))
+    # One map-side explode per triangle row — not a 3-way self-union, which
+    # would recompute the whole wedge join per branch.
+    nodes = tri.select(
+        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
     )
     return nodes.groupBy("node").agg(F.count("*").alias("n_triangles"))
