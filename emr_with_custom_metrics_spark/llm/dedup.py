@@ -1101,15 +1101,19 @@ def dedup_paragraph_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.where(F.size("toks") >= k)
         .select("doc_id", F.explode(chunk_hashes).alias("h"))
     )
-    counts = chunks.groupBy("h").agg(F.count("*").alias("cnt"))
-    return (
-        chunks.join(counts, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_chunks"),
-            F.count_if(F.col("cnt") > 1).cast("bigint").alias("n_dup_chunks"),
-            F.round(
-                F.count_if(F.col("cnt") > 1) / F.count("*"), 6
-            ).alias("dup_ratio"),
-        )
+    # Global occurrence count as a WINDOW over the chunk hash, not a
+    # groupBy+self-join: the join form scans and re-explodes every document
+    # twice (both join inputs share the explode subtree — no exchange
+    # reuse). One pass, one shuffle by h, one by doc_id. Skew note: the
+    # window buffers each hash group in one task, so a corpus with a
+    # mega-hot boilerplate chunk (hundreds of millions of copies) should
+    # flip back to groupBy(h).count()+join — partial aggregation absorbs
+    # hot keys; the re-scan is the lesser cost there.
+    from pyspark.sql import Window
+
+    counted = chunks.withColumn("cnt", F.count("*").over(Window.partitionBy("h")))
+    return counted.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.count_if(F.col("cnt") > 1).cast("bigint").alias("n_dup_chunks"),
+        F.round(F.count_if(F.col("cnt") > 1) / F.count("*"), 6).alias("dup_ratio"),
     )
