@@ -80,6 +80,8 @@ HEADLINE = [
     "dq_profile_columns",
     "dq_constraint_checks",
     "cdc_merge_upsert",
+    "similarity_ivfpq_topk",
+    "similarity_recall_report",
 ]
 
 
