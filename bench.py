@@ -82,6 +82,8 @@ HEADLINE = [
     "cdc_merge_upsert",
     "similarity_ivfpq_topk",
     "similarity_recall_report",
+    "decontaminate_bloom_prefilter",
+    "text_gopher_rules",
 ]
 
 

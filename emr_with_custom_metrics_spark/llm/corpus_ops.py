@@ -393,9 +393,7 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "decontaminate_against_eval",
-    oracle="""
+_DECONTAMINATE_ORACLE = """
     WITH tr AS (
         SELECT doc_id, string_split(text, ' ') AS toks FROM documents
         WHERE source <> 'src0'
@@ -420,7 +418,12 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT t.doc_id, COALESCE(h.n_hits, 0) AS n_overlap_5grams,
            COALESCE(h.n_hits, 0) >= 3 AS contaminated
     FROM tr t LEFT JOIN hits h ON t.doc_id = h.doc_id
-    """,
+    """
+
+
+@register(
+    "decontaminate_against_eval",
+    oracle=_DECONTAMINATE_ORACLE,
     doc="Benchmark decontamination: flag training documents sharing ≥3 "
     "distinct 5-gram spans with the held-out eval set (src0 stands in "
     "for the benchmark). The eval side reduces to a DISTINCT 5-gram set "
@@ -627,4 +630,97 @@ def e2e_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("bigint").alias("total_tokens"),
             ((F.sum("n_tok") + 255) / 256).cast("bigint").alias("n_chunks"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination: same answer, sketch-sized broadcast
+# ---------------------------------------------------------------------------
+BLOOM_BITS = 1 << 16  # 64 Kbit filter = 1024 longs (8 KB broadcast)
+BLOOM_HASHES = 3
+
+
+@register(
+    "decontaminate_bloom_prefilter",
+    # IDENTICAL oracle to decontaminate_against_eval: a Bloom filter has no
+    # false negatives (every eval gram sets its own bits) and the exact
+    # verify join removes the false positives, so the final answer is
+    # bit-for-bit the exact screen's.
+    oracle=_DECONTAMINATE_ORACLE,
+    doc="The sketch-accelerated form of ``decontaminate_against_eval``: "
+    "the eval 5-gram set is folded into a 64 Kbit Bloom filter BUILT IN "
+    "DATAFRAME OPS (k=3 xxhash64 bit positions per gram, exploded, "
+    "bit_or-aggregated into 1024 64-bit words — Spark ships no public "
+    "bloom_filter_agg, measured UNRESOLVED_ROUTINE), broadcast at 8 KB "
+    "instead of the full gram set, probed map-side (a gram survives only "
+    "if ALL k bits hit), and survivors alone reach the exact semi-join "
+    "that removes false positives. At real benchmark scale the exact "
+    "gram set is GBs — too big to broadcast — while the bloom stays KBs "
+    "and the exact join runs on the few-percent survivor stream; "
+    "accuracy is untouched, which is why the oracle is shared verbatim.",
+)
+def decontaminate_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fanned(spark, sf_dir, "documents")
+    k = 5
+    grams = F.expr(
+        f"transform(sequence(1, size(toks) - {k - 1}), "
+        f"i -> concat_ws(' ', slice(toks, i, {k})))"
+    )
+    train = d.where(F.col("source") != "src0").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    ev_grams = (
+        d.where(F.col("source") == "src0")
+        .select(F.split("text", " ").alias("toks"))
+        .where(F.size("toks") >= k)
+        .select(F.explode(grams).alias("g"))
+        .distinct()
+    )
+
+    def bit_positions(gcol):
+        return F.array(
+            *[
+                F.pmod(F.xxhash64(gcol, F.lit(i)), F.lit(BLOOM_BITS))
+                for i in range(BLOOM_HASHES)
+            ]
+        )
+
+    # Build: explode each gram's k bit positions, OR them into 64-bit words.
+    bloom = (
+        ev_grams.select(F.explode(bit_positions(F.col("g"))).alias("bit"))
+        .select(
+            (F.col("bit") / 64).cast("long").alias("word"),
+            F.expr("shiftleft(1L, CAST(bit % 64 AS INT))").alias("m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("mask"))
+    )
+
+    # Probe: every training gram checks its k bits against the broadcast
+    # word table; count-of-hits == k means "possibly in the eval set".
+    tg = train.where(F.size("toks") >= k).select("doc_id", F.explode(grams).alias("g"))
+    probe = tg.select(
+        "doc_id", "g", F.posexplode(bit_positions(F.col("g"))).alias("i", "bit")
+    ).select(
+        "doc_id", "g", (F.col("bit") / 64).cast("long").alias("word"),
+        F.expr("shiftleft(1L, CAST(bit % 64 AS INT))").alias("m"),
+    )
+    survivors = (
+        probe.join(F.broadcast(bloom), "word")
+        .where((F.col("mask").bitwiseAND(F.col("m"))) == F.col("m"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("nbits"))
+        .where(F.col("nbits") == BLOOM_HASHES)
+        .select("doc_id", "g")
+    )
+    # Exact verify on survivors only — false positives die here.
+    hits = (
+        survivors.join(F.broadcast(ev_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_hits"))
+    )
+    return train.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_overlap_5grams"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) >= 3).alias("contaminated"),
     )

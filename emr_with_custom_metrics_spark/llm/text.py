@@ -554,3 +554,96 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_logprob"),
         )
     )
+
+
+@register(
+    "text_gopher_rules",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    stop AS (
+      SELECT LIST(w) AS sw FROM (
+        SELECT w FROM (SELECT UNNEST(t) AS w FROM toks)
+        GROUP BY w ORDER BY COUNT(*) DESC, w LIMIT 8)),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(LEN(t) AS BIGINT) AS n_words,
+             ROUND(list_sum(list_transform(t, x -> CAST(LENGTH(x) AS DOUBLE))) / LEN(t), 4)
+               AS mean_word_len,
+             ROUND(list_sum(list_transform(t, x ->
+               CASE WHEN regexp_matches(x, '^[a-zA-Z]+$') THEN 1.0 ELSE 0.0 END)) / LEN(t), 4)
+               AS alpha_ratio,
+             CAST(LEN(list_distinct(list_filter(t, x -> list_contains(stop.sw, x))))
+                  AS BIGINT) AS n_stopwords
+      FROM toks, stop)
+    SELECT doc_id, n_words, mean_word_len, alpha_ratio, n_stopwords,
+           (n_words BETWEEN 50 AND 100000
+            AND mean_word_len BETWEEN 3 AND 10
+            AND alpha_ratio >= 0.8
+            AND n_stopwords >= 2) AS passes
+    FROM per_doc
+    """,
+    doc="Gopher-style quality rules (Rae et al. published heuristics, "
+    "adapted honestly to this corpus): word-count bounds, mean-word-length "
+    "bounds, ≥80% alphabetic words, and the stop-word rule — with the "
+    "stoplist DERIVED from the corpus itself (top-8 tokens by frequency, "
+    "deterministic tie-break) because the synthetic vocabulary contains "
+    "no English function words and a fixed English list would vacuously "
+    "fail every document. All array HOFs per doc (zero shuffle) plus one "
+    "8-row broadcast for the stoplist; the per-rule columns are emitted "
+    "so downstream curation can threshold differently without re-scanning.",
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fanned(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    )
+    stop = (
+        d.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(8)
+        .agg(F.collect_set("w").alias("stopset"))
+    )
+    per = d.crossJoin(F.broadcast(stop)).select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_words"),
+        F.round(
+            F.aggregate(
+                F.transform("t", lambda x: F.length(x).cast("double")),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+            / F.size("t"),
+            4,
+        ).alias("mean_word_len"),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    "t",
+                    lambda x: F.when(x.rlike("^[a-zA-Z]+$"), F.lit(1.0)).otherwise(
+                        F.lit(0.0)
+                    ),
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+            / F.size("t"),
+            4,
+        ).alias("alpha_ratio"),
+        F.size(
+            F.array_distinct(
+                F.filter("t", lambda x: F.array_contains(F.col("stopset"), x))
+            )
+        )
+        .cast("bigint")
+        .alias("n_stopwords"),
+    )
+    return per.select(
+        "*",
+        (
+            F.col("n_words").between(50, 100000)
+            & F.col("mean_word_len").between(3, 10)
+            & (F.col("alpha_ratio") >= 0.8)
+            & (F.col("n_stopwords") >= 2)
+        ).alias("passes"),
+    )
