@@ -84,6 +84,7 @@ HEADLINE = [
     "similarity_recall_report",
     "decontaminate_bloom_prefilter",
     "text_gopher_rules",
+    "multimodal_decode_mpeg1_l2",
 ]
 
 

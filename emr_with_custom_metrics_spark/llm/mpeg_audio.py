@@ -34,9 +34,13 @@ Scope, honestly stated:
   raises ``NotImplementedError`` on private_bit=0 streams (true ISO
   Table-C streams) so they fall to the stub tier instead of decoding
   through the wrong filterbank.
-* Layer II (grouped quantization) and Layer III (Huffman spectral data,
-  bit reservoir) remain honestly stubbed — header says which layer, and
-  the decoder names them in its ``NotImplementedError``.
+* **Layer II** (round 6, second half of this module): 1152-sample
+  frames, up-to-three scalefactors per subband with 2-bit scfsi
+  selection, grouped base-L codes for 3/5/9-level subbands — the pieces
+  that make Layer II a distinct codec. Layer III (Huffman spectral
+  data, bit reservoir) remains honestly stubbed — the header says which
+  layer, and each decoder names foreign layers in its
+  ``NotImplementedError``.
 
 Reference parity note: the reference system (tmusabbir/
 emr-with-custom-metrics) ships no media decode at all — this tier
@@ -173,10 +177,10 @@ def _dequantize(codes: np.ndarray, sf: np.ndarray, nb: np.ndarray) -> np.ndarray
     return s * sf[None, :]
 
 
-def _write_header(w: _BitWriter, rate_index: int) -> None:
+def _write_header(w: _BitWriter, rate_index: int, layer: int = 1) -> None:
     w.write(0xFFF, 12)  # syncword
     w.write(1, 1)  # ID: MPEG-1
-    w.write(0b11, 2)  # layer: Layer I
+    w.write(0b11 if layer == 1 else 0b10, 2)  # layer field (I=11, II=10)
     w.write(1, 1)  # protection_bit: no CRC
     w.write(0, 4)  # bitrate_index: free format
     w.write(rate_index, 2)
@@ -247,7 +251,10 @@ def decode_mpeg1_layer1(payload: bytes) -> dict:
         layer_code = r.read(2)
         if layer_code != 0b11:
             name = {0b01: "Layer III", 0b10: "Layer II"}.get(layer_code, "reserved layer")
-            raise NotImplementedError(f"{name} unsupported")
+            raise NotImplementedError(
+                f"{name} stream in the Layer I decoder"
+                + (" (use decode_mpeg1_layer2)" if layer_code == 0b10 else "")
+            )
         if r.read(1) != 1:
             raise NotImplementedError("CRC-protected frames unsupported")
         if r.read(4) != 0:
@@ -302,6 +309,227 @@ def decode_mpeg1_layer1(payload: bytes) -> dict:
         "duration_us": n_samples * 1_000_000 // sample_rate,
         # constant static allocation → constant frame size → exact rate
         "bitrate_bps": FRAME_BYTES * 8 * sample_rate // FRAME_SAMPLES,
+        "rms": float(np.sqrt(np.mean(y * y))),
+        "samples": y,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Layer II: 1152-sample frames, scfsi scalefactor sharing, grouped codes
+# ---------------------------------------------------------------------------
+# What makes Layer II a different codec (ISO 11172-3 §2.4.2.3, Layer II):
+#   * 36 subband samples per frame (3 parts of 12) instead of 12,
+#   * up to THREE scalefactors per subband with 2-bit scfsi selecting how
+#     many are transmitted (the 1.5-2x scalefactor-bits saving),
+#   * grouped quantization for 3/5/9-level subbands: three samples pack
+#     into ONE base-L code (5/7/10 bits per triplet).
+# The filterbank and honesty boundary (private_bit signature) are shared
+# with Layer I above. Allocation is static per subband — levels, not
+# bit-counts, because grouping is level-driven.
+L2_FRAME_SAMPLES = N_SUBBANDS * 36  # 1152, per §2.4.2.1
+L2_LEVELS = np.array(
+    [32767] * 4 + [1023] * 4 + [255] * 6 + [63] * 6 + [9] * 6 + [3] * 6,
+    dtype=np.int64,
+)
+_L2_GROUP_BITS = {3: 5, 5: 7, 9: 10}  # ceil(log2(L^3)) for grouped levels
+
+
+def _l2_quantize(part: np.ndarray, sf: np.ndarray, levels: np.ndarray) -> np.ndarray:
+    """L-level midtread on s/sf ∈ [-1, 1): codes in [0, L)."""
+    s = part / sf[None, :]
+    codes = np.floor((s + 1.0) * levels[None, :] / 2.0).astype(np.int64)
+    return np.clip(codes, 0, levels[None, :] - 1)
+
+
+def _l2_dequantize(codes: np.ndarray, sf: np.ndarray, levels: np.ndarray) -> np.ndarray:
+    return ((2.0 * codes + 1.0) / levels[None, :] - 1.0) * sf[None, :]
+
+
+def encode_mpeg1_layer2(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Layer II-shaped encode: mono float samples → 1152-sample frames."""
+    if sample_rate not in _RATE_INDEX:
+        raise ValueError(f"sample rate {sample_rate} not an MPEG-1 rate")
+    n_frames = len(samples) // L2_FRAME_SAMPLES
+    if n_frames == 0:
+        raise ValueError("input shorter than one 1152-sample frame")
+    x = np.asarray(samples, dtype=np.float64)[: n_frames * L2_FRAME_SAMPLES]
+    S = mdct_analysis(x)  # (n_frames * 36, 32)
+
+    w = _BitWriter()
+    levels = L2_LEVELS
+    for f in range(n_frames):
+        block = S[f * 36 : (f + 1) * 36]
+        parts = [block[p * 12 : (p + 1) * 12] for p in range(3)]
+        # One scalefactor per (part, subband): smallest table value ≥ peak.
+        sf_idx = np.empty((3, N_SUBBANDS), dtype=np.int64)
+        for p in range(3):
+            peak = np.minimum(np.abs(parts[p]).max(axis=0), 2.0)
+            sf_idx[p] = np.clip(
+                (SCALEFACTORS[None, :] >= peak[:, None]).sum(axis=1) - 1, 0, 62
+            )
+        # scfsi per subband (encoder decision mirrors the spec's D.1a
+        # intent): 2 = one sf for all parts, 1 = parts 0-1 share, 3 =
+        # parts 1-2 share, 0 = three distinct sfs. Sharing uses the
+        # LARGER scalefactor (max value = min index) so no sample clips.
+        scfsi = np.zeros(N_SUBBANDS, dtype=np.int64)
+        for sb in range(N_SUBBANDS):
+            s0, s1, s2 = sf_idx[:, sb]
+            if s0 == s1 == s2:
+                scfsi[sb] = 2
+            elif s0 == s1:
+                scfsi[sb] = 1
+            elif s1 == s2:
+                scfsi[sb] = 3
+        eff = sf_idx.copy()
+        for sb in range(N_SUBBANDS):
+            if scfsi[sb] == 2:
+                eff[:, sb] = sf_idx[:, sb].min()
+            elif scfsi[sb] == 1:
+                eff[0, sb] = eff[1, sb] = sf_idx[:2, sb].min()
+            elif scfsi[sb] == 3:
+                eff[1, sb] = eff[2, sb] = sf_idx[1:, sb].min()
+        codes = np.concatenate(
+            [
+                _l2_quantize(parts[p], SCALEFACTORS[eff[p]], levels)
+                for p in range(3)
+            ]
+        )  # (36, 32)
+
+        _write_header(w, _RATE_INDEX[sample_rate], layer=2)
+        for sb in range(N_SUBBANDS):  # allocation: index into our level table
+            w.write(int(np.log2(levels[sb] + 1)) if levels[sb] > 9 else
+                    {3: 1, 5: 2, 9: 3}[int(levels[sb])], 4)
+        for sb in range(N_SUBBANDS):
+            w.write(int(scfsi[sb]), 2)
+        for sb in range(N_SUBBANDS):  # transmitted scalefactors per scfsi
+            sel = scfsi[sb]
+            if sel == 0:
+                to_send = (eff[0, sb], eff[1, sb], eff[2, sb])
+            elif sel == 1:
+                to_send = (eff[0, sb], eff[2, sb])
+            elif sel == 3:
+                to_send = (eff[0, sb], eff[1, sb])
+            else:
+                to_send = (eff[0, sb],)
+            for v in to_send:
+                w.write(int(v), 6)
+        for gr in range(12):  # granule = 3 consecutive samples per subband
+            rows = codes[3 * gr : 3 * gr + 3]  # (3, 32)
+            for sb in range(N_SUBBANDS):
+                lv = int(levels[sb])
+                if lv in _L2_GROUP_BITS:
+                    v0, v1, v2 = (int(rows[i, sb]) for i in range(3))
+                    w.write(v0 + lv * v1 + lv * lv * v2, _L2_GROUP_BITS[lv])
+                else:
+                    nb = int(np.log2(lv + 1))
+                    for i in range(3):
+                        w.write(int(rows[i, sb]), nb)
+        w.byte_align()
+    return bytes(w.buf)
+
+
+def decode_mpeg1_layer2(payload: bytes) -> dict:
+    """Parse and decode Layer II-shaped frames (same error contract as the
+    Layer I decoder; Layer I streams are routed to ``decode_mpeg1_layer1``
+    by the caller or rejected here by the layer field)."""
+    if len(payload) < 4:
+        raise ValueError("truncated MPEG audio payload")
+    r = _BitReader(payload)
+    frames = []
+    sample_rate = None
+    levels = L2_LEVELS
+    while r.bytepos < len(payload):
+        if r.read(12) != 0xFFF:
+            raise ValueError("bad MPEG syncword")
+        if r.read(1) != 1:
+            raise NotImplementedError("MPEG-2 (ID=0) unsupported")
+        layer_code = r.read(2)
+        if layer_code != 0b10:
+            name = {0b01: "Layer III", 0b11: "Layer I"}.get(layer_code, "reserved layer")
+            raise NotImplementedError(f"{name} stream in the Layer II decoder")
+        if r.read(1) != 1:
+            raise NotImplementedError("CRC-protected frames unsupported")
+        if r.read(4) != 0:
+            raise NotImplementedError("standard-bitrate frames unsupported (free format only)")
+        rate_index = r.read(2)
+        if rate_index not in SAMPLE_RATES:
+            raise ValueError("reserved sampling-frequency index")
+        rate = SAMPLE_RATES[rate_index]
+        sample_rate = sample_rate or rate
+        if rate != sample_rate:
+            raise ValueError("sampling frequency changes mid-stream")
+        r.read(1)
+        if r.read(1) != 1:
+            raise NotImplementedError(
+                "ISO Table-C prototype stream (private_bit=0) unsupported"
+            )
+        if r.read(2) != 0b11:
+            raise NotImplementedError("stereo modes unsupported")
+        r.read(2 + 1 + 1 + 2)
+
+        alloc = [r.read(4) for _ in range(N_SUBBANDS)]
+        want = [
+            int(np.log2(levels[sb] + 1)) if levels[sb] > 9 else
+            {3: 1, 5: 2, 9: 3}[int(levels[sb])]
+            for sb in range(N_SUBBANDS)
+        ]
+        if alloc != want:
+            raise ValueError("allocation disagrees with the static level table")
+        scfsi = [r.read(2) for _ in range(N_SUBBANDS)]
+        eff = np.empty((3, N_SUBBANDS), dtype=np.int64)
+        for sb in range(N_SUBBANDS):
+            sel = scfsi[sb]
+            if sel == 0:
+                a, b, c = r.read(6), r.read(6), r.read(6)
+            elif sel == 1:
+                a = b = r.read(6)
+                c = r.read(6)
+            elif sel == 3:
+                a = r.read(6)
+                b = c = r.read(6)
+            else:
+                a = b = c = r.read(6)
+            eff[:, sb] = (a, b, c)
+        if (eff > 62).any():
+            raise ValueError("scalefactor index out of Table B.1 range")
+        codes = np.empty((36, N_SUBBANDS), dtype=np.int64)
+        for gr in range(12):
+            for sb in range(N_SUBBANDS):
+                lv = int(levels[sb])
+                if lv in _L2_GROUP_BITS:
+                    c = r.read(_L2_GROUP_BITS[lv])
+                    codes[3 * gr, sb] = c % lv
+                    codes[3 * gr + 1, sb] = (c // lv) % lv
+                    codes[3 * gr + 2, sb] = c // (lv * lv)
+                    if codes[3 * gr + 2, sb] >= lv:
+                        raise ValueError("grouped code out of range")
+                else:
+                    nb = int(np.log2(lv + 1))
+                    for i in range(3):
+                        codes[3 * gr + i, sb] = r.read(nb)
+        r.byte_align()
+        block = np.concatenate(
+            [
+                _l2_dequantize(codes[p * 12 : (p + 1) * 12], SCALEFACTORS[eff[p]], levels)
+                for p in range(3)
+            ]
+        )
+        frames.append(block)
+
+    if not frames:
+        raise ValueError("no MPEG frames in payload")
+    S = np.concatenate(frames, axis=0)
+    y = mdct_synthesis(S)
+    n_frames = len(frames)
+    n_samples = n_frames * L2_FRAME_SAMPLES
+    return {
+        "codec": "mpeg1-layer2-mdct",
+        "layer": 2,
+        "sample_rate": sample_rate,
+        "n_channels": 1,
+        "n_frames": n_frames,
+        "n_samples": n_samples,
+        "duration_us": n_samples * 1_000_000 // sample_rate,
         "rms": float(np.sqrt(np.mean(y * y))),
         "samples": y,
     }

@@ -1507,3 +1507,71 @@ def _avi_rle_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.
 def multimodal_decode_avi_rle_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_fanned(spark, sf_dir, "documents").select("doc_id")
     return d.mapInPandas(_avi_rle_roundtrip_batch, schema=AVI_RLE_SCHEMA)
+
+
+MPEG_L2_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_frames int, n_samples bigint, "
+    "duration_us bigint, layer int"
+)
+
+
+def _mpeg_l2_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    import numpy as np
+    import pandas as pd
+
+    from emr_with_custom_metrics_spark.llm.mpeg_audio import (
+        L2_FRAME_SAMPLES,
+        decode_mpeg1_layer2,
+        encode_mpeg1_layer2,
+    )
+
+    def roundtrip(d: int) -> dict:
+        fs = (44100, 48000, 32000)[d % 3]
+        n = L2_FRAME_SAMPLES * (1 + d % 2)
+        t = np.arange(n)
+        x = (0.2 + (d % 7) / 10.0) * np.sin(2.0 * np.pi * (150.0 + (d % 25) * 120.0) * t / fs)
+        return decode_mpeg1_layer2(encode_mpeg1_layer2(x, fs))
+
+    for pdf in batches:
+        metas = pdf["doc_id"].map(lambda d: roundtrip(int(d)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "sample_rate": metas.map(lambda m: m["sample_rate"]).astype("int32"),
+                "n_frames": metas.map(lambda m: m["n_frames"]).astype("int32"),
+                "n_samples": metas.map(lambda m: m["n_samples"]).astype("int64"),
+                "duration_us": metas.map(lambda m: m["duration_us"]).astype("int64"),
+                "layer": metas.map(lambda m: m["layer"]).astype("int32"),
+            }
+        )
+
+
+@register(
+    "multimodal_decode_mpeg1_l2",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                  ELSE 32000 END AS fs,
+             1 + doc_id % 2 AS nf
+      FROM documents)
+    SELECT doc_id,
+           CAST(fs AS INT) AS sample_rate,
+           CAST(nf AS INT) AS n_frames,
+           CAST(1152 * nf AS BIGINT) AS n_samples,
+           CAST(1152 * nf * 1000000 // fs AS BIGINT) AS duration_us,
+           CAST(2 AS INT) AS layer
+    FROM p
+    """,
+    doc="MPEG-1 Layer II-shaped decode: the second (distinct) codec of the "
+    "compressed-audio tier — 1152-sample frames, 2-bit scfsi scalefactor "
+    "sharing (frame size varies with signal stationarity), grouped "
+    "base-3/5/9 triplet codes. Full bitstream parse + subband synthesis "
+    "inside mapInPandas; oracled columns are closed-form from the encode "
+    "parameters, reconstruction held to SNR bounds in the codec fuzz "
+    "tests (tones ~70 dB — the 3-scalefactor granularity beats Layer I's "
+    "single-sf frames).",
+)
+def multimodal_decode_mpeg1_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fanned(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_mpeg_l2_roundtrip_batch, schema=MPEG_L2_SCHEMA)

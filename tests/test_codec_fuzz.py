@@ -342,3 +342,60 @@ def test_avi_rle8_truncation_raises_valueerror():
     canvas = np.zeros((8, 16), dtype=np.uint8)
     with pytest.raises(ValueError, match="end-of-bitmap"):
         rle8_apply(b"\x03\x07", canvas)  # run then stream just stops
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.sampled_from([44100, 48000, 32000]),
+    st.integers(min_value=1, max_value=3),
+)
+def test_mpeg1_layer2_tone_roundtrip_snr(seed, fs, n_frames):
+    """Layer II round trip: ≥ 45 dB on tone mixes (the 3-scalefactor
+    frames track amplitude 3x finer than Layer I). White noise is NOT in
+    this bound — the 3-level top bands quantize broadband content at
+    ~1.6 bits, the codec's documented trade."""
+    from emr_with_custom_metrics_spark.llm.mpeg_audio import (
+        L2_FRAME_SAMPLES,
+        decode_mpeg1_layer2,
+        encode_mpeg1_layer2,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = L2_FRAME_SAMPLES * n_frames
+    t = np.arange(n)
+    x = np.zeros(n)
+    for _ in range(int(rng.integers(1, 4))):
+        f = float(rng.uniform(100, 0.04 * fs))
+        x += float(rng.uniform(0.05, 0.4)) * np.sin(
+            2 * np.pi * f * t / fs + float(rng.uniform(0, 6.28))
+        )
+    m = decode_mpeg1_layer2(encode_mpeg1_layer2(x, fs))
+    y = m["samples"]
+    xi, yi = x[32:-32], y[32:-32]
+    snr = 10 * np.log10(np.sum(xi * xi) / max(np.sum((xi - yi) ** 2), 1e-300))
+    assert snr >= 45.0, snr
+    assert m["n_frames"] == n_frames and m["layer"] == 2
+
+
+def test_mpeg1_layer_cross_rejection():
+    """Each layer's decoder names a foreign layer explicitly instead of
+    mis-parsing its field layout."""
+    import pytest
+
+    from emr_with_custom_metrics_spark.llm.mpeg_audio import (
+        FRAME_SAMPLES,
+        L2_FRAME_SAMPLES,
+        decode_mpeg1_layer1,
+        decode_mpeg1_layer2,
+        encode_mpeg1_layer1,
+        encode_mpeg1_layer2,
+    )
+
+    tone = lambda n, fs: 0.4 * np.sin(2 * np.pi * 500 * np.arange(n) / fs)  # noqa: E731
+    l1 = encode_mpeg1_layer1(tone(FRAME_SAMPLES, 44100), 44100)
+    l2 = encode_mpeg1_layer2(tone(L2_FRAME_SAMPLES, 44100), 44100)
+    with pytest.raises(NotImplementedError, match="Layer II stream"):
+        decode_mpeg1_layer1(l2)
+    with pytest.raises(NotImplementedError, match="Layer I stream"):
+        decode_mpeg1_layer2(l1)
