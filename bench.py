@@ -85,6 +85,7 @@ HEADLINE = [
     "decontaminate_bloom_prefilter",
     "text_gopher_rules",
     "multimodal_decode_mpeg1_l2",
+    "sql_pipe_syntax",
 ]
 
 

@@ -664,3 +664,42 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_bounds"
         ),
     )
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_quantity), 2) AS total_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    HAVING COUNT(*) > 100
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="Spark 4's SQL pipe syntax (|>) as an engine entry point: the same "
+    "scan → filter → aggregate → post-filter → order dataflow a user "
+    "writes top-to-bottom instead of inside-out. Catalyst compiles it to "
+    "the identical plan as the classic GROUP BY/HAVING form — which is "
+    "exactly what the DuckDB oracle runs, so the equivalence is "
+    "hash-verified, not asserted.",
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        FROM lineitem
+        |> WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+        |> AGGREGATE COUNT(*) AS n_items,
+                     ROUND(SUM(l_quantity), 2) AS total_qty,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                       AS total_price
+           GROUP BY l_returnflag, l_linestatus
+        |> WHERE n_items > 100
+        |> ORDER BY l_returnflag, l_linestatus
+        """,
+        ("lineitem",),
+    )
