@@ -270,3 +270,33 @@ def test_salted_join_splits_hot_key(spark):
         .count()
     )
     assert n_salts == 8, n_salts
+
+
+def test_salted_join_property_random_tables(spark):
+    """salted_equi_join == plain inner join for ANY table pair and salt
+    factor — including duplicate keys on BOTH sides (each left row must
+    pair with every matching right row exactly once, via the unique
+    replica carrying its salt)."""
+    import random
+
+    from emr_with_custom_metrics_spark.operators.joins import salted_equi_join
+
+    rng = random.Random(17)
+    for trial in range(3):
+        n_salt = rng.choice([2, 5, 8])
+        left = spark.createDataFrame(
+            [(rng.randint(0, 6), rng.randint(0, 99)) for _ in range(200)],
+            "k long, v long",
+        )
+        right = spark.createDataFrame(
+            [(rng.randint(0, 6), rng.randint(0, 99)) for _ in range(40)],
+            "rk long, w long",
+        )
+        got = sorted(
+            tuple(r)
+            for r in salted_equi_join(left, right, "k", "rk", n_salt).collect()
+        )
+        want = sorted(
+            tuple(r) for r in left.join(right, F.col("k") == F.col("rk")).collect()
+        )
+        assert got == want, f"trial {trial} n_salt={n_salt}"
