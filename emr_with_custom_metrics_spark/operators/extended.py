@@ -703,3 +703,84 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         ("lineitem",),
     )
+
+
+@register(
+    "sql_recursive_cte_hierarchy",
+    oracle="""
+    WITH RECURSIVE tree(k, bal, depth) AS (
+        SELECT c_custkey, c_acctbal, 1 FROM customer WHERE c_custkey < 10
+        UNION ALL
+        SELECT c.c_custkey, c.c_acctbal, t.depth + 1
+        FROM customer c JOIN tree t ON c.c_custkey // 10 = t.k
+        WHERE c.c_custkey >= 10
+    )
+    SELECT depth,
+           COUNT(*) AS n_nodes,
+           ROUND(SUM(bal), 2) AS sum_bal,
+           MAX(k) AS max_key
+    FROM tree GROUP BY depth
+    """,
+    doc="Spark 4 recursive CTE (WITH RECURSIVE, new in 4.0): iterate a "
+    "parent-child hierarchy derived from the customer key space "
+    "(parent(k) = k div 10; keys < 10 are roots, so every customer "
+    "terminates in <= ceil(log10(max_key)) steps). Each recursive step is "
+    "one join of the static customer table against the previous frontier — "
+    "the same per-iteration shuffle shape as the hand-rolled fixpoints in "
+    "operators/graph.py, but driven by the engine's own recursion operator. "
+    "The depth guard is structural (WHERE c_custkey >= 10 keeps root 0 from "
+    "self-joining), not a hard-coded iteration cap.",
+)
+def sql_recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        WITH RECURSIVE tree(k, bal, depth) AS (
+            SELECT c_custkey, c_acctbal, 1 FROM customer WHERE c_custkey < 10
+            UNION ALL
+            SELECT c.c_custkey, c.c_acctbal, t.depth + 1
+            FROM customer c JOIN tree t ON c.c_custkey DIV 10 = t.k
+            WHERE c.c_custkey >= 10
+        )
+        SELECT depth,
+               COUNT(*) AS n_nodes,
+               ROUND(SUM(bal), 2) AS sum_bal,
+               MAX(k) AS max_key
+        FROM tree GROUP BY depth
+        """,
+        ("customer",),
+    )
+
+
+@register(
+    "sql_lateral_topn",
+    oracle="""
+    SELECT n.n_name, t.c_custkey, ROUND(t.c_acctbal, 2) AS acctbal
+    FROM nation n, LATERAL (
+        SELECT c_custkey, c_acctbal FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+    ) t
+    """,
+    doc="Correlated LATERAL subquery with ORDER BY ... LIMIT (Spark 4): "
+    "top-2 customers per nation, written the way an analyst writes it. "
+    "Catalyst decorrelates this into the same ranked-window plan as the "
+    "explicit row_number() form (operators/windows.py topk_per_group) — "
+    "per-key state is bounded at k rows, so the shape holds at any key "
+    "cardinality. DuckDB runs the identical LATERAL text as the oracle.",
+)
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT n.n_name, t.c_custkey, ROUND(t.c_acctbal, 2) AS acctbal
+        FROM nation n, LATERAL (
+            SELECT c_custkey, c_acctbal FROM customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) t
+        """,
+        ("nation", "customer"),
+    )

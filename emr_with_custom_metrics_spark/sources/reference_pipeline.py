@@ -249,3 +249,41 @@ def parquet_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority", F.col("order_year").cast("int").alias("order_year"))
         .agg(F.count("*").alias("n_orders"))
     )
+
+
+@register(
+    "formats_xml_roundtrip",
+    oracle="""
+    SELECT s_nationkey, COUNT(*) AS cnt, ROUND(SUM(s_acctbal), 2) AS sum_bal
+    FROM supplier GROUP BY s_nationkey
+    """,
+    doc="XML round-trip through Spark 4's built-in XML source (spark-xml "
+    "was folded into core in 4.0): write supplier rows as <supplier> "
+    "elements, read back with an explicit schema + rowTag, aggregate. "
+    "XML is the interchange format the reference's EMR ecosystem meets "
+    "in config/feed form; values must survive element text encoding.",
+)
+def formats_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    tmp = tempfile.mkdtemp(prefix="xml_roundtrip_")
+    path = f"{tmp}/supplier_xml"
+    (
+        s.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "suppliers")
+        .option("rowTag", "supplier")
+        .save(path)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "supplier")
+        .schema("s_suppkey BIGINT, s_nationkey INT, s_acctbal DOUBLE")
+        .load(path)
+    )
+    return back.groupBy("s_nationkey").agg(
+        F.count("*").alias("cnt"), F.round(F.sum("s_acctbal"), 2).alias("sum_bal")
+    )
