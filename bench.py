@@ -86,6 +86,10 @@ HEADLINE = [
     "text_gopher_rules",
     "multimodal_decode_mpeg1_l2",
     "sql_pipe_syntax",
+    "sql_recursive_cte_hierarchy",
+    "sql_lateral_topn",
+    "timeseries_ewma",
+    "timeseries_delta_of_delta",
 ]
 
 

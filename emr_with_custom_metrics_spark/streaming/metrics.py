@@ -523,3 +523,150 @@ def windowed_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_topk(load_table(spark, sf_dir, "events")).select(
         "bucket_start", "event_type", "n", F.col("rnk").cast("int").alias("rnk")
     )
+
+
+@register(
+    "timeseries_ewma",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+               list(value ORDER BY ts, event_id) AS vals
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day,
+           CAST(len(vals) AS BIGINT) AS n_points,
+           ROUND(list_reduce(vals,
+                 (acc, x) -> CAST(0.3 AS DOUBLE) * x
+                           + CAST(0.7 AS DOUBLE) * acc), 6) AS ewma
+    FROM s
+    """,
+    doc="Exponentially weighted moving average per (metric, day): a "
+    "sequential recurrence y_t = a*x_t + (1-a)*y_{t-1} that no plain "
+    "aggregate expresses. Implemented as an ordered array fold — "
+    "collect_list(struct) -> array_sort -> aggregate() HOF — entirely "
+    "JVM-side. The group key includes the day so per-group state is "
+    "BOUNDED (one day of one metric), which is what makes the fold safe "
+    "at 100 TB: the shuffle distributes (metric, day) groups across "
+    "executors and no array exceeds a day's points. The DuckDB oracle "
+    "folds the identical value sequence with list_reduce, so both "
+    "engines perform the same IEEE double ops in the same order — "
+    "hash-compared at 6 dp, not approximated.",
+)
+def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    grouped = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+            F.struct("ts", "event_id", "value").alias("pt"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.array_sort(F.collect_list("pt")).alias("pts"))
+    )
+    return grouped.select(
+        "event_type",
+        "day",
+        F.size("pts").cast("bigint").alias("n_points"),
+        F.round(
+            F.expr(
+                """
+                aggregate(transform(pts, s -> s.value), CAST(NULL AS DOUBLE),
+                          (acc, x) -> CASE WHEN acc IS NULL THEN x
+                                      ELSE CAST(0.3 AS DOUBLE) * x
+                                         + CAST(0.7 AS DOUBLE) * acc END)
+                """
+            ),
+            6,
+        ).alias("ewma"),
+    )
+
+
+@register(
+    "timeseries_delta_of_delta",
+    oracle="""
+    WITH d AS (
+        -- FLOOR before the BIGINT cast: DuckDB's double->int cast ROUNDS
+        -- while Spark's unix_timestamp truncates (round-2 gotcha #a).
+        SELECT event_type, ts, event_id,
+               CAST(FLOOR(epoch(ts)) AS BIGINT)
+             - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                 OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dt
+        FROM events
+    ), dd AS (
+        SELECT event_type,
+               dt - LAG(dt) OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS dod
+        FROM d
+    ), bits AS (
+        SELECT event_type,
+               CASE WHEN dod IS NULL THEN 64
+                    WHEN dod = 0 THEN 1
+                    WHEN dod BETWEEN -63 AND 64 THEN 9
+                    WHEN dod BETWEEN -255 AND 256 THEN 12
+                    WHEN dod BETWEEN -2047 AND 2048 THEN 16
+                    ELSE 36 END AS nbits,
+               dod
+        FROM dd
+    )
+    SELECT event_type,
+           COUNT(*) AS n_points,
+           CAST(SUM(nbits) AS BIGINT) AS bits_total,
+           ROUND(AVG(CAST(nbits AS DOUBLE)), 4) AS avg_bits,
+           ROUND(CAST(SUM(nbits) AS DOUBLE) / (64.0 * COUNT(*)), 4) AS ratio_vs_raw,
+           CAST(SUM(CASE WHEN nbits = 1  THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_dod,
+           CAST(SUM(CASE WHEN nbits = 9  THEN 1 ELSE 0 END) AS BIGINT) AS n_7bit,
+           CAST(SUM(CASE WHEN nbits = 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_9bit,
+           CAST(SUM(CASE WHEN nbits = 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_12bit,
+           CAST(SUM(CASE WHEN nbits = 36 THEN 1 ELSE 0 END) AS BIGINT) AS n_32bit
+    FROM bits GROUP BY event_type
+    """,
+    doc="Gorilla-style timestamp compressibility report (Pelkonen et al., "
+    "VLDB 2015 §4.1 — the public delta-of-delta encoding behind Facebook's "
+    "in-memory TSDB, and the storage model a metrics engine like the "
+    "reference would adopt at scale): per metric stream, second deltas of "
+    "arrival time are bucketed into the paper's variable-width classes "
+    "{0:1 bit, ±63:9, ±255:12, ±2047:16, else:36} and summed into the "
+    "bits-per-point the series would cost on disk. Two stacked LAGs over "
+    "one window partition — a single shuffle on event_type, then "
+    "map-side arithmetic; the aggregate reuses the same partitioning so "
+    "AQE coalesces it shuffle-free. Pure integer window math, "
+    "hash-compared exactly.",
+)
+def timeseries_delta_of_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    d = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        (F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)).alias("dt"),
+    )
+    dd = d.select(
+        "event_type",
+        (F.col("dt") - F.lag("dt").over(w)).alias("dod"),
+    )
+    nbits = (
+        F.when(F.col("dod").isNull(), 64)
+        .when(F.col("dod") == 0, 1)
+        .when(F.col("dod").between(-63, 64), 9)
+        .when(F.col("dod").between(-255, 256), 12)
+        .when(F.col("dod").between(-2047, 2048), 16)
+        .otherwise(36)
+    )
+    b = dd.select("event_type", nbits.alias("nbits"))
+    return b.groupBy("event_type").agg(
+        F.count("*").alias("n_points"),
+        F.sum("nbits").cast("bigint").alias("bits_total"),
+        F.round(F.avg(F.col("nbits").cast("double")), 4).alias("avg_bits"),
+        F.round(
+            F.sum("nbits").cast("double") / (64.0 * F.count("*")), 4
+        ).alias("ratio_vs_raw"),
+        F.sum(F.when(F.col("nbits") == 1, 1).otherwise(0)).cast("bigint").alias("n_zero_dod"),
+        F.sum(F.when(F.col("nbits") == 9, 1).otherwise(0)).cast("bigint").alias("n_7bit"),
+        F.sum(F.when(F.col("nbits") == 12, 1).otherwise(0)).cast("bigint").alias("n_9bit"),
+        F.sum(F.when(F.col("nbits") == 16, 1).otherwise(0)).cast("bigint").alias("n_12bit"),
+        F.sum(F.when(F.col("nbits") == 36, 1).otherwise(0)).cast("bigint").alias("n_32bit"),
+    )
