@@ -90,6 +90,7 @@ HEADLINE = [
     "sql_lateral_topn",
     "timeseries_ewma",
     "timeseries_delta_of_delta",
+    "sketch_countmin_heavy_hitters",
 ]
 
 

@@ -724,3 +724,109 @@ def decontaminate_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
         F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_overlap_5grams"),
         (F.coalesce(F.col("n_hits"), F.lit(0)) >= 3).alias("contaminated"),
     )
+
+
+def _cm_col_expr(r: int) -> str:
+    """Column index of ``token`` in count-min hash row ``r`` (w = 128).
+
+    Three md5 nibbles of a seeded key -> 0..4095, reduced mod 128. The text
+    is valid in BOTH Spark SQL and DuckDB (same md5 hex, same 1-based
+    instr/substring, non-negative %), so the sketch the oracle builds is
+    bit-identical to the engine's — one template, two engines, zero drift.
+    """
+    k = f"md5(concat('cm{r}|', token))"
+    return (
+        f"((instr('{_HEX}', substring({k}, 1, 1)) - 1) * 256"
+        f" + (instr('{_HEX}', substring({k}, 2, 1)) - 1) * 16"
+        f" + (instr('{_HEX}', substring({k}, 3, 1)) - 1)) % 128"
+    )
+
+
+# Sketch domain is word BIGRAMS, not unigrams: the synthetic corpus has a
+# 31-token vocabulary, so unigrams over any reasonable width would never
+# collide and the sketch's one-sided error would be vacuously zero. Bigrams
+# (~|V|^2 distinct) over w=128 give every cell real colliding mass.
+_CM_ORACLE = f"""
+    WITH tok AS (
+        SELECT UNNEST(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i + 1])) AS token
+        FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+        WHERE len(toks) >= 2
+    ), cells AS (
+        SELECT r, col, COUNT(*) AS cell_cnt FROM (
+            SELECT 0 AS r, {_cm_col_expr(0)} AS col FROM tok
+            UNION ALL SELECT 1, {_cm_col_expr(1)} FROM tok
+            UNION ALL SELECT 2, {_cm_col_expr(2)} FROM tok
+            UNION ALL SELECT 3, {_cm_col_expr(3)} FROM tok
+        ) GROUP BY r, col
+    ), exact AS (
+        SELECT token, COUNT(*) AS exact_cnt FROM tok GROUP BY token
+        ORDER BY exact_cnt DESC, token LIMIT 20
+    ), probes AS (
+        SELECT token, exact_cnt, 0 AS r, {_cm_col_expr(0)} AS col FROM exact
+        UNION ALL SELECT token, exact_cnt, 1, {_cm_col_expr(1)} FROM exact
+        UNION ALL SELECT token, exact_cnt, 2, {_cm_col_expr(2)} FROM exact
+        UNION ALL SELECT token, exact_cnt, 3, {_cm_col_expr(3)} FROM exact
+    )
+    SELECT token, exact_cnt,
+           CAST(MIN(cell_cnt) AS BIGINT) AS cm_est,
+           CAST(MIN(cell_cnt) - exact_cnt AS BIGINT) AS overcount
+    FROM probes JOIN cells USING (r, col)
+    GROUP BY token, exact_cnt
+"""
+
+
+@register(
+    "sketch_countmin_heavy_hitters",
+    oracle=_CM_ORACLE,
+    doc="Count-min sketch (Cormode & Muthukrishnan, J.Alg 2005): a 4x512 "
+    "counter array replaces the full vocabulary — the fixed-size frequency "
+    "summary a 100 TB corpus pass ships to the driver when the exact "
+    "vocabulary (text_heavy_hitters) no longer fits anywhere. Hashes are "
+    "seeded md5 nibbles, so unlike most sketches this one is fully "
+    "deterministic and the DuckDB oracle rebuilds the IDENTICAL sketch "
+    "from one shared expression template and hash-verifies estimates, "
+    "overcounts included (CM error is one-sided: est >= exact always; "
+    "est <= exact + e/w*N with prob 1-(1/2)^d at d=4, w=128; the domain "
+    "is word bigrams so collisions actually occur — see _CM_ORACLE note). "
+    "Plan shape: one explode -> 4-row stack -> 512-cell aggregate "
+    "(map-side partial agg means the BIGRAM VOCABULARY never crosses the "
+    "shuffle, only <=512 cells per task), probe side joins the broadcast "
+    "sketch.",
+)
+def sketch_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fanned(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(w) - 2, F.lit(0))),
+            lambda i: F.array_join(F.slice(w, (i + 1).cast("int"), 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tok = d.select(F.explode(bigrams).alias("token"))
+
+    stack = ", ".join(f"{r}, ({_cm_col_expr(r)})" for r in range(4))
+    cells = (
+        tok.selectExpr(f"stack(4, {stack}) AS (r, col)")
+        .groupBy("r", "col")
+        .agg(F.count("*").alias("cell_cnt"))
+    )
+
+    exact = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "token")
+        .limit(20)
+    )
+    probes = exact.selectExpr(
+        "token", "exact_cnt", f"stack(4, {stack}) AS (r, col)"
+    )
+    return (
+        probes.join(F.broadcast(cells), ["r", "col"])
+        .groupBy("token", "exact_cnt")
+        .agg(
+            F.min("cell_cnt").cast("bigint").alias("cm_est"),
+            (F.min("cell_cnt") - F.col("exact_cnt")).cast("bigint").alias("overcount"),
+        )
+    )

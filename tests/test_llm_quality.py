@@ -338,3 +338,29 @@ def test_pq_topk_candidate_recall(spark):
     one = SPECS["similarity_pq_topk"].fn(spark, SF_DIR).collect()
     two = SPECS["similarity_pq_topk"].fn(spark, SF_DIR).collect()
     assert [tuple(r) for r in one] == [tuple(r) for r in two]
+
+
+def test_countmin_error_is_one_sided_and_bounded(spark):
+    """CM guarantees: est >= exact always (one-sided), and
+    est <= exact + (e/w)*N with probability 1-(1/2)^d per probe — here the
+    DETERMINISTIC hashes make the bound checkable outright on every row."""
+    import math
+
+    rows = SPECS["sketch_countmin_heavy_hitters"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    d = load_table(spark, SF_DIR, "documents")
+    n_bigrams = (
+        d.select(
+            F.greatest(F.size(F.split("text", " ")) - 1, F.lit(0)).alias("nb")
+        )
+        .agg(F.sum("nb"))
+        .collect()[0][0]
+    )
+    bound = math.e / 128 * n_bigrams
+    for r in rows:
+        assert r["cm_est"] >= r["exact_cnt"], r  # never undercounts
+        assert r["overcount"] == r["cm_est"] - r["exact_cnt"]
+        assert r["overcount"] <= bound, (r, bound)
+    # the sketch must actually be exercised: with a 31-word vocabulary the
+    # bigram domain is the thing that makes collisions (and this test) real
+    assert any(r["overcount"] > 0 for r in rows)
