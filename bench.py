@@ -91,6 +91,7 @@ HEADLINE = [
     "timeseries_ewma",
     "timeseries_delta_of_delta",
     "sketch_countmin_heavy_hitters",
+    "bucketed_join_no_shuffle",
 ]
 
 

@@ -287,3 +287,71 @@ def formats_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("s_nationkey").agg(
         F.count("*").alias("cnt"), F.round(F.sum("s_acctbal"), 2).alias("sum_bal")
     )
+
+
+def write_bucketed_pair(spark: SparkSession, sf_dir: str, buckets: int = 8) -> tuple[str, str]:
+    """Write orders + lineitem as BUCKETED tables on the join key.
+
+    Bucketing is the layout that makes repeated large-to-large joins free of
+    their dominant cost: both sides hash-partitioned into the same number of
+    buckets on ``orderkey`` AT WRITE TIME, so every later join/aggregate on
+    that key reads co-located buckets and Catalyst plans a SortMergeJoin
+    with NO Exchange on either side (asserted in
+    tests/test_plan_properties.py). At 100 TB this converts the nightly
+    fact-to-fact join from a full network shuffle of both tables into a
+    local merge per bucket — the single biggest recurring saving a
+    warehouse layout decision can buy. saveAsTable is required (bucket
+    metadata lives in the catalog, not the files); the in-memory catalog
+    keeps the sandbox clean of Hive state, and option("path") keeps data in
+    a tempdir instead of ./spark-warehouse."""
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="bucketed_")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_quantity"
+    )
+    for df, name, key in (
+        (o, "ewcm_orders_bkt", "o_orderkey"),
+        (li, "ewcm_lineitem_bkt", "l_orderkey"),
+    ):
+        (
+            df.write.mode("overwrite")
+            .option("path", f"{tmp}/{name}")
+            .bucketBy(buckets, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    return "ewcm_orders_bkt", "ewcm_lineitem_bkt"
+
+
+@register(
+    "bucketed_join_no_shuffle",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc="Join over the bucketed layout written by write_bucketed_pair: "
+    "orderkey-bucketed orders x lineitem merge bucket-to-bucket with no "
+    "exchange on either join input. The oracle joins the ORIGINAL "
+    "parquet tables — bucketing is purely physical, so the answers must "
+    "hash-match exactly; the plan property (0 Exchanges under the join) "
+    "is asserted separately in tests/test_plan_properties.py.",
+)
+def bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ot, lt = write_bucketed_pair(spark, sf_dir)
+    o = spark.table(ot)
+    li = spark.table(lt)
+    joined = o.join(li, o.o_orderkey == li.l_orderkey)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )

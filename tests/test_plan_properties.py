@@ -300,3 +300,31 @@ def test_salted_join_property_random_tables(spark):
             tuple(r) for r in left.join(right, F.col("k") == F.col("rk")).collect()
         )
         assert got == want, f"trial {trial} n_salt={n_salt}"
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Both join inputs are bucketed on the join key at write time, so the
+    SortMergeJoin consumes the buckets' native partitioning: ZERO exchanges
+    anywhere in the join plan (with broadcast disabled so the small SF
+    can't sidestep the property being asserted)."""
+    from emr_with_custom_metrics_spark.sources.reference_pipeline import (
+        write_bucketed_pair,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ot, lt = write_bucketed_pair(spark, SF_DIR)
+        o, li = spark.table(ot), spark.table(lt)
+        j = o.join(li, o.o_orderkey == li.l_orderkey)
+        plan = formatted_plan(j)
+        assert "SortMergeJoin" in plan, plan
+        assert count_exchanges(j) == 0, plan
+        # identical logical join over the UNBUCKETED parquet shuffles both
+        # sides — the layout, not the optimizer mood, is what removed them
+        po = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderpriority")
+        pl = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+        pj = po.join(pl, po.o_orderkey == pl.l_orderkey)
+        assert count_exchanges(pj) == 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
