@@ -92,6 +92,7 @@ HEADLINE = [
     "timeseries_delta_of_delta",
     "sketch_countmin_heavy_hitters",
     "bucketed_join_no_shuffle",
+    "geo_grid_nearest",
 ]
 
 

@@ -364,3 +364,37 @@ def test_countmin_error_is_one_sided_and_bounded(spark):
     # the sketch must actually be exercised: with a 31-word vocabulary the
     # bigram domain is the thing that makes collisions (and this test) real
     assert any(r["overcount"] > 0 for r in rows)
+
+
+def test_geo_grid_join_equals_brute_force(spark):
+    """The 3x3 neighborhood replication must lose NO within-radius pair:
+    grid-bucketed nearest == brute-force cross-join nearest, row for row."""
+    from emr_with_custom_metrics_spark.operators import geo
+
+    grid = {
+        (r["c_custkey"], r["s_suppkey"], r["d2"])
+        for r in SPECS["geo_grid_nearest"].fn(spark, SF_DIR).collect()
+    }
+    cust = (
+        load_table(spark, SF_DIR, "customer")
+        .where(F.col("c_custkey") < 400)
+        .selectExpr("c_custkey", f"{geo._lat('c_custkey')} AS lat",
+                    f"{geo._lon('c_custkey')} AS lon")
+    )
+    stat = load_table(spark, SF_DIR, "supplier").selectExpr(
+        "s_suppkey", f"{geo._lat('s_suppkey')} AS s_lat",
+        f"{geo._lon('s_suppkey')} AS s_lon"
+    )
+    d2 = (F.col("lat") - F.col("s_lat")) * (F.col("lat") - F.col("s_lat")) + (
+        F.col("lon") - F.col("s_lon")) * (F.col("lon") - F.col("s_lon"))
+    brute = (
+        cust.crossJoin(stat)
+        .withColumn("d2", d2)
+        .where(F.col("d2") <= geo.CELL_DEG * geo.CELL_DEG)
+        .groupBy("c_custkey")
+        .agg(F.min(F.struct("d2", "s_suppkey")).alias("b"))
+        .select("c_custkey", F.col("b.s_suppkey").alias("s_suppkey"),
+                F.round("b.d2", 6).alias("d2"))
+    )
+    brute_set = {(r["c_custkey"], r["s_suppkey"], r["d2"]) for r in brute.collect()}
+    assert grid == brute_set
