@@ -133,3 +133,52 @@ def seen_keys_dedup(documents: DataFrame, key_col: str = "doc_key") -> DataFrame
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TWS_OUTPUT_SCHEMA = "event_type string, n_events bigint, sum_value double"
+
+
+def running_totals_tws(events: DataFrame) -> DataFrame:
+    """The same cumulative per-key totals as ``running_totals_by_type``, on
+    Spark 4's transformWithStateInPandas — the successor API to
+    applyInPandasWithState (SPARK-49564): named state variables on an
+    explicit handle (composable ValueState/ListState/MapState instead of
+    one monolithic state row), timers, and TTL. Requires the RocksDB state
+    store provider (the only backend the operator supports — which is also
+    the right backend at 100 TB: state lives on executor local disk with
+    changelog checkpointing, not on the JVM heap). Equivalence with the
+    applyInPandasWithState formulation is asserted in
+    tests/test_scale_utilities.py — environment-gated: the API's
+    Python<->JVM state protocol needs the protobuf package, absent in this
+    container, so the test documents the skip the way the JDBC surface
+    does."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n BIGINT, s DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            got = self._totals.get()
+            n, s = (int(got[0]), float(got[1])) if got is not None else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._totals.update((n, s))
+            yield pd.DataFrame(
+                {"event_type": [key[0]], "n_events": [n], "sum_value": [s]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("event_type").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -338,3 +338,77 @@ def test_observe_quality_rides_the_same_action(spark):
     # the filter still reaches the scan below the observation
     pf = " ".join(pushed_filters(tapped))
     assert "o_totalprice" in pf, pf
+
+
+def test_transform_with_state_matches_apply_in_pandas(spark):
+    """transformWithStateInPandas (Spark 4 successor API, RocksDB-backed
+    state) must converge to the same per-key totals as the
+    applyInPandasWithState formulation and the batch ground truth."""
+    import tempfile as tf
+
+    from emr_with_custom_metrics_spark.streaming.pipeline import EVENTS_SCHEMA
+    from emr_with_custom_metrics_spark.streaming.stateful import running_totals_tws
+    from tests.conftest import SF_SMOKE_DIR
+
+    # transformWithState's Python<->JVM state protocol is protobuf-based
+    # (pyspark/sql/streaming/proto/StateMessage_pb2); without the protobuf
+    # package the driver worker crashes at PRE_INIT. The operator itself is
+    # environment-gated, not broken — same class of skip as the JDBC
+    # driver-jar test.
+    import pytest
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        pytest.skip("protobuf not installed: transformWithState state "
+                    "protocol unavailable in this container")
+
+    src = tf.mkdtemp(prefix="events_tws_")
+    load_table(spark, SF_SMOKE_DIR, "events").repartition(3).write.mode("overwrite").parquet(src)
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = running_totals_tws(stream)
+        ckpt = tf.mkdtemp(prefix="ckpt_tws_")
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("running_totals_tws")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(420), "stream did not finish (timeout is silent)"
+    finally:
+        spark.conf.set(provider_key, old)
+
+    final = {
+        r["event_type"]: (r["n_events"], r["sum_value"])
+        for r in spark.sql(
+            """SELECT event_type, n_events, sum_value FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                              ORDER BY n_events DESC) rn
+                 FROM running_totals_tws) WHERE rn = 1"""
+        ).collect()
+    }
+    truth = {
+        r["event_type"]: (r["n"], r["s"])
+        for r in spark.read.parquet(src)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(final) == set(truth)
+    for k, (n, s) in truth.items():
+        assert final[k][0] == n
+        assert abs(final[k][1] - s) < 1e-6 * max(1.0, abs(s))
