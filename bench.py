@@ -93,6 +93,7 @@ HEADLINE = [
     "sketch_countmin_heavy_hitters",
     "bucketed_join_no_shuffle",
     "geo_grid_nearest",
+    "sketch_distinct_hll_kmv",
 ]
 
 

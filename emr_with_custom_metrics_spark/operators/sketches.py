@@ -1,0 +1,124 @@
+"""Distinct-count sketches: HyperLogLog and K-minimum-values, from scratch.
+
+Spark ships approx_count_distinct (HLL++, seeded internally — registered as
+the rows-only-bounded ``agg_approx_distinct``). These are the same sketches
+REBUILT on deterministic md5-derived hashes, which buys the thing the
+built-in can't give: the DuckDB oracle reconstructs the identical register
+array / hash set and the ESTIMATES hash-verify exactly. Pedagogically they
+are also the two classic designs (Flajolet et al. 2007 HLL; Bar-Yossef et
+al. 2002 KMV) a metrics engine would ship to count uniques over 100 TB with
+256 bytes of state per group.
+
+Implementation note: the ENTIRE query is one SQL string valid in both Spark
+SQL and DuckDB (md5 nibbles, bin()/length() for bit width, `CAST(1 AS
+BIGINT) <<` for exact powers of two, ln() for the small-range correction),
+run through spark.sql on one side and handed to DuckDB verbatim on the
+other — one template, two engines, zero drift. The harmonic sum is kept as
+an exact INTEGER (sum of 2^(25-rho) instead of sum of 2^-rho floats) so it
+is addition-order-independent; the only float ops are two divisions and one
+ln at the very end.
+
+Plan shape at scale: one distinct (the exact baseline needs it anyway) ->
+per-(group, bucket) max-aggregate -> 256-row-per-group re-aggregate. The
+register table, not the value set, crosses the second shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from emr_with_custom_metrics_spark.catalog import register_views
+from emr_with_custom_metrics_spark.registry import register
+
+_HEX = "0123456789abcdef"
+
+
+def _nib(k: str, i: int) -> str:
+    return f"(instr('{_HEX}', substring({k}, {i}, 1)) - 1)"
+
+
+def _md5key(seed: str, col: str) -> str:
+    return f"md5(concat('{seed}|', CAST({col} AS STRING)))"
+
+
+# 32-bit hash split nibble-wise: w = first 6 nibbles (24 bits), bucket =
+# last 2 nibbles (8 bits, m = 256) — no division, no engine-specific idiv.
+_K = _md5key("hll", "user_id")
+_W = (
+    f"({_nib(_K, 1)} * 1048576 + {_nib(_K, 2)} * 65536 + {_nib(_K, 3)} * 4096"
+    f" + {_nib(_K, 4)} * 256 + {_nib(_K, 5)} * 16 + {_nib(_K, 6)})"
+)
+_BUCKET = f"({_nib(_K, 7)} * 16 + {_nib(_K, 8)})"
+_H32 = f"(CAST({_W} AS BIGINT) * 256 + {_BUCKET})"
+
+_SKETCH_SQL = f"""
+    WITH base AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ), hashed AS (
+        SELECT event_type,
+               {_BUCKET} AS bucket,
+               CASE WHEN {_W} = 0 THEN 25
+                    ELSE 25 - LENGTH(BIN(CAST({_W} AS BIGINT))) END AS rho,
+               {_H32} AS h32
+        FROM base
+    ), exact AS (
+        SELECT event_type, COUNT(*) AS exact_distinct FROM base GROUP BY event_type
+    ), regs AS (
+        SELECT event_type, bucket, MAX(rho) AS rho
+        FROM hashed GROUP BY event_type, bucket
+    ), hll AS (
+        SELECT event_type,
+               SUM(CAST(1 AS BIGINT) << (25 - rho)) AS sum_present,
+               COUNT(*) AS n_present
+        FROM regs GROUP BY event_type
+    ), hll_est AS (
+        SELECT event_type,
+               CASE
+                 WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 33554432.0
+                      / (sum_present + (256 - n_present) * 33554432.0) <= 640.0
+                      AND n_present < 256
+                 THEN 256.0 * LN(256.0 / (256 - n_present))
+                 ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 33554432.0
+                      / (sum_present + (256 - n_present) * 33554432.0)
+               END AS est
+        FROM hll
+    ), kmv_ranked AS (
+        SELECT event_type, h32,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h32) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_hashes
+        FROM (SELECT DISTINCT event_type, h32 FROM hashed)
+    ), kmv AS (
+        SELECT event_type,
+               CASE WHEN n_hashes < 32 THEN CAST(n_hashes AS DOUBLE)
+                    ELSE 31.0 * 4294967296.0 / (h32 + 1.0) END AS est
+        FROM kmv_ranked
+        WHERE rn = CASE WHEN n_hashes < 32 THEN n_hashes ELSE 32 END
+    )
+    SELECT e.event_type,
+           e.exact_distinct,
+           ROUND(h.est, 4) AS hll_est,
+           ROUND(ABS(h.est - e.exact_distinct) / e.exact_distinct, 4)
+             AS hll_rel_err,
+           ROUND(k.est, 4) AS kmv_est,
+           ROUND(ABS(k.est - e.exact_distinct) / e.exact_distinct, 4)
+             AS kmv_rel_err
+    FROM exact e
+    JOIN hll_est h ON e.event_type = h.event_type
+    JOIN kmv k ON e.event_type = k.event_type
+"""
+
+
+@register(
+    "sketch_distinct_hll_kmv",
+    oracle=_SKETCH_SQL,
+    doc="HyperLogLog (m=256, with the small-range linear-counting "
+    "correction) and KMV (k=32) distinct-user estimates per event_type, "
+    "next to the exact count and relative errors — both sketches built "
+    "from deterministic md5-derived 32-bit hashes so the oracle rebuilds "
+    "byte-identical register arrays and the estimates hash-verify. "
+    "Expected accuracy: HLL sigma = 1.04/sqrt(256) = 6.5%, KMV sigma = "
+    "1/sqrt(30) = 18%; the quality test pins both.",
+)
+def sketch_distinct_hll_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_SKETCH_SQL)

@@ -398,3 +398,17 @@ def test_geo_grid_join_equals_brute_force(spark):
     )
     brute_set = {(r["c_custkey"], r["s_suppkey"], r["d2"]) for r in brute.collect()}
     assert grid == brute_set
+
+
+def test_hll_kmv_error_within_sigma_bounds(spark):
+    """HLL sigma = 1.04/sqrt(256) = 6.5%, KMV sigma = 1/sqrt(k-2) ~ 18%:
+    hold both estimates to 3 sigma at the correctness SF (linear-counting
+    branch: 150 distinct users) AND the smoke SF. The sf0.1 raw-HLL branch
+    is exercised by the bench run and was hand-verified at 7.6% err."""
+    from tests.conftest import SF_SMOKE_DIR
+
+    for sf_dir in (SF_DIR, SF_SMOKE_DIR):
+        for r in SPECS["sketch_distinct_hll_kmv"].fn(spark, sf_dir).collect():
+            assert r["hll_rel_err"] <= 3 * 0.065, (sf_dir, dict(r.asDict()))
+            assert r["kmv_rel_err"] <= 3 * 0.18, (sf_dir, dict(r.asDict()))
+            assert r["exact_distinct"] > 0
