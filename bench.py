@@ -94,6 +94,8 @@ HEADLINE = [
     "bucketed_join_no_shuffle",
     "geo_grid_nearest",
     "sketch_distinct_hll_kmv",
+    "ivm_incremental_agg",
+    "formats_parquet_schema_evolution",
 ]
 
 

@@ -257,3 +257,59 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("c_mktsegment"))
         .alias("c_mktsegment"),
     )
+
+
+@register(
+    "ivm_incremental_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Incremental view maintenance for algebraic aggregates: the "
+    "'materialized' state (orders before 1997) and the delta batch "
+    "(1997 onward) are aggregated SEPARATELY into mergeable partial "
+    "states (count, sum, max), then combined by re-aggregating the "
+    "partials — count += count, sum += sum, max = max(max) — with the "
+    "derived avg computed only from the merged state (avg itself is not "
+    "mergeable; its partials are). The oracle is the full recompute, so "
+    "the driver hash-proves merge(partials) == recompute(all). At "
+    "100 TB this is THE refresh pattern: the nightly update touches "
+    "O(delta), never the full fact table. Non-algebraic aggregates "
+    "(exact distinct, exact median) do not merge this way — that is "
+    "what the sketch tier (sketch_distinct_hll_kmv: HLL registers merge "
+    "by max) is for.",
+)
+def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    split = "1997-01-01"
+    o = load_table(spark, sf_dir, "orders")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("rev_part"),
+            F.max("o_totalprice").alias("max_part"),
+        )
+
+    base = partial(o.where(F.col("o_orderdate") < F.lit(split)))
+    delta = partial(o.where(F.col("o_orderdate") >= F.lit(split)))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("rev_part").alias("rev"),
+            F.max("max_part").alias("max_part"),
+        )
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(F.col("rev").cast("double") / F.col("n_orders"), 6).alias("avg_price"),
+        F.col("max_part").cast("double").alias("max_price"),
+    )

@@ -355,3 +355,66 @@ def bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_price"),
     )
+
+
+@register(
+    "formats_parquet_schema_evolution",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey >= 1000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_priority,
+           CAST(SUM(CASE WHEN o_orderkey >= 1000 THEN 1 ELSE 0 END)
+              - COUNT(CASE WHEN o_orderkey >= 1000
+                           THEN o_orderpriority END) AS BIGINT) AS n_null_priority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    """,
+    doc="Schema evolution on a parquet lake: an early batch written with "
+    "two columns, a later batch with a third (o_orderpriority), read "
+    "back in ONE scan with mergeSchema=true — the old files surface the "
+    "new column as NULL. This is the steady state of any long-lived "
+    "100 TB dataset (columns arrive mid-history; rewriting petabytes to "
+    "backfill is not an option), and the reader must reconcile footers "
+    "per-file instead of trusting the first one. The oracle recomputes "
+    "the same null pattern from the key split that defined the batches.",
+)
+def formats_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="pq_evolve_")
+    # batch 1: the early schema (no priority column), keys < 1000
+    (
+        o.where(F.col("o_orderkey") < 1000)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(f"{tmp}/data/b1")
+    )
+    # batch 2: the evolved schema, keys >= 1000
+    (
+        o.where(F.col("o_orderkey") >= 1000)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite")
+        .parquet(f"{tmp}/data/b2")
+    )
+    back = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(f"{tmp}/data")
+    )
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum((F.col("o_orderkey") >= 1000).cast("int")).cast("bigint").alias(
+            "n_with_priority"
+        ),
+        F.sum(
+            ((F.col("o_orderkey") >= 1000) & F.col("o_orderpriority").isNull()).cast(
+                "int"
+            )
+        )
+        .cast("bigint")
+        .alias("n_null_priority"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias(
+            "sum_price"
+        ),
+    )
