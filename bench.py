@@ -96,6 +96,7 @@ HEADLINE = [
     "sketch_distinct_hll_kmv",
     "ivm_incremental_agg",
     "formats_parquet_schema_evolution",
+    "multimodal_decode_jpeg_arithmetic",
 ]
 
 

@@ -132,7 +132,17 @@ def decode_image(payload: bytes) -> dict:
     if payload[:2] == b"\xff\xd8":
         from emr_with_custom_metrics_spark.llm.jpeg import decode_jpeg
 
-        return decode_jpeg(payload)
+        try:
+            return decode_jpeg(payload)
+        except NotImplementedError:
+            # SOF9 streams: the arithmetic tier decodes our own (COM-tagged)
+            # streams and re-raises NotImplementedError for foreign ones,
+            # which falls through to the stub tier as before.
+            from emr_with_custom_metrics_spark.llm.jpeg_arith import (
+                decode_jpeg_arithmetic,
+            )
+
+            return decode_jpeg_arithmetic(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         from emr_with_custom_metrics_spark.llm.gif import decode_gif
 
@@ -641,8 +651,8 @@ def _gif_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.Data
     "table growth, 12-bit CLEAR handling, sub-block framing) and decode "
     "them with the full inverse pipeline inside mapInPandas. With "
     "PPM/BMP/PNG/baseline-JPEG(+subsampled+restarts)/WAV this completes "
-    "the real tier for every common still-image container; the stub now "
-    "covers only arithmetic-coded JPEG and inter-frame video codecs.",
+    "the real tier for every common still-image container (arithmetic "
+    "JPEG and RLE-delta inter-frame video followed later this round).",
 )
 def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_fanned(spark, sf_dir, "documents").select("doc_id")
@@ -707,7 +717,8 @@ def _jpeg_progressive_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Iter
     "EOB-run coding — accumulated across scans before one dequant+IDCT. "
     "The oracle pins the per-stream scan COUNT the decoder walked "
     "(3/7 spectral, 4/8 successive) alongside the exact even-fill "
-    "statistic. Arithmetic coding is the one JPEG mode left stubbed.",
+    "statistic. Arithmetic coding lives in llm/jpeg_arith.py "
+    "(multimodal_decode_jpeg_arithmetic).",
 )
 def multimodal_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_fanned(spark, sf_dir, "documents").select("doc_id")
@@ -1575,3 +1586,70 @@ def _mpeg_l2_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.
 def multimodal_decode_mpeg1_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_fanned(spark, sf_dir, "documents").select("doc_id")
     return d.mapInPandas(_mpeg_l2_roundtrip_batch, schema=MPEG_L2_SCHEMA)
+
+
+def _jpeg_arith_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    """Synthesize ARITHMETIC-coded (SOF9) JPEGs — gray fills for even
+    doc_id, flat 4:4:4 color for odd — and decode them through the
+    MQ-family adaptive coder (llm/jpeg_arith.py). The entropy layer is
+    lossless, so the even-fill exactness contract carries over unchanged;
+    ``fmt`` pins that the DAC segment was parsed and the arithmetic path
+    (not the Huffman one) actually ran."""
+    import numpy as np
+    import pandas as pd
+
+    from emr_with_custom_metrics_spark.llm.jpeg_arith import (
+        decode_jpeg_arithmetic,
+        encode_jpeg_arithmetic,
+    )
+
+    def one(d: int) -> dict:
+        w, h = d % 14 + 1, d % 11 + 1
+        fill = (d % 125) * 2
+        if d % 2 == 0:
+            m = decode_jpeg_arithmetic(encode_jpeg_arithmetic(w, h, fill))
+        else:
+            rgb = np.full((h, w, 3), fill, dtype=np.uint8)
+            m = decode_jpeg_arithmetic(encode_jpeg_arithmetic(w, h, rgb))
+        assert m["arithmetic"] and m["dac_seen"] and m["n_scans"] == 1
+        return m
+
+    for pdf in batches:
+        metas = pdf["doc_id"].map(lambda d: one(int(d)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "fmt": metas.map(lambda m: f"{m['format']}:arith{m['n_scans']}"),
+                "width": metas.map(lambda m: m["width"]).astype("int32"),
+                "height": metas.map(lambda m: m["height"]).astype("int32"),
+                "n_pixels": metas.map(lambda m: m["n_pixels"]).astype("int64"),
+                "mean_byte": metas.map(lambda m: round(m["mean_byte"], 4)),
+            }
+        )
+
+
+@register(
+    "multimodal_decode_jpeg_arithmetic",
+    oracle="""
+    SELECT doc_id,
+           'jpeg:arith1' AS fmt,
+           CAST(doc_id % 14 + 1 AS INTEGER) AS width,
+           CAST(doc_id % 11 + 1 AS INTEGER) AS height,
+           CAST((doc_id % 14 + 1) * (doc_id % 11 + 1) AS BIGINT) AS n_pixels,
+           ROUND(CAST((doc_id % 125) * 2 AS DOUBLE), 4) AS mean_byte
+    FROM documents
+    """,
+    doc="Arithmetic-coded JPEG (SOF9) decode — the last JPEG mode, now "
+    "real: an adaptive binary arithmetic coder (MQ-family interval "
+    "subdivision with conditional exchange and renormalization; "
+    "llm/jpeg_arith.py) drives the Annex-F-shaped DC/AC decision model "
+    "over the same DCT pipeline as the Huffman tier. Self-consistency, "
+    "not foreign interop, is the contract: the decoder requires this "
+    "engine's COM tag and raises NotImplementedError for true T.81 QM "
+    "streams (whose Table D.3 estimator is not reproduced), so they "
+    "fall to the stub tier instead of mis-decoding — the same honesty "
+    "boundary as the MPEG-audio tier.",
+)
+def multimodal_decode_jpeg_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fanned(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_jpeg_arith_roundtrip_batch, schema=PPM_DECODED_SCHEMA)

