@@ -97,6 +97,8 @@ HEADLINE = [
     "ivm_incremental_agg",
     "formats_parquet_schema_evolution",
     "multimodal_decode_jpeg_arithmetic",
+    "text_bm25_retrieval",
+    "maintenance_compact_small_files",
 ]
 
 

@@ -647,3 +647,97 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_stopwords") >= 2)
         ).alias("passes"),
     )
+
+
+@register(
+    "text_bm25_retrieval",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+    ), doclen AS (
+        SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+    ), stats AS (
+        SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM doclen
+    ), q AS (
+        SELECT DISTINCT UNNEST(list_slice(string_split(text, ' '), 1, 8)) AS term
+        FROM documents WHERE doc_id = 1
+    ), tf AS (
+        SELECT t.doc_id, t.term, COUNT(*) AS f
+        FROM tok t JOIN q ON t.term = q.term
+        GROUP BY t.doc_id, t.term
+    ), df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS nd FROM tf GROUP BY term
+    ), scored AS (
+        SELECT tf.doc_id,
+               SUM(
+                 LN((s.n_docs - df.nd + 0.5) / (df.nd + 0.5) + 1.0)
+                 * (tf.f * 2.2)
+                 / (tf.f + 1.2 * (1.0 - 0.75 + 0.75 * doclen.dl / s.avgdl))
+               ) AS score
+        FROM tf
+        JOIN df ON tf.term = df.term
+        JOIN doclen ON tf.doc_id = doclen.doc_id
+        CROSS JOIN stats s
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, ROUND(score, 6) AS bm25
+    FROM (SELECT doc_id, score,
+                 ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+          FROM scored)
+    WHERE rn <= 15
+    """,
+    doc="BM25 retrieval (Robertson-Sparck Jones; the Okapi formulation "
+    "with k1 = 1.2, b = 0.75): rank the corpus against the first 8 terms "
+    "of document 1 and return the top 15 by (score, doc_id). This is the "
+    "lexical-retrieval half of a contamination / RAG pipeline, next to "
+    "the embedding half (similarity_*). Plan shape at 100 TB: the QUERY "
+    "side is broadcast (8 terms), so tf reduces to a semi-join of the "
+    "token stream before any aggregation — the corpus-wide work is one "
+    "token-count pass, and doc-length stats come from the same explode. "
+    "All deterministic arithmetic; the one LN call sits on an exact "
+    "rational, so both engines round the identical double at 6 dp.",
+)
+def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_fanned(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    doclen = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = doclen.agg(
+        F.count("*").alias("n_docs"), F.avg(F.col("dl").cast("double")).alias("avgdl")
+    )
+    q = (
+        d.where(F.col("doc_id") == 1)
+        .select(F.explode(F.slice(F.split("text", " "), 1, 8)).alias("term"))
+        .distinct()
+    )
+    tf = (
+        tok.join(F.broadcast(q), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("f"))
+    )
+    df_ = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("nd"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log(
+                    (F.col("n_docs") - F.col("nd") + 0.5) / (F.col("nd") + 0.5) + 1.0
+                )
+                * (F.col("f") * 2.2)
+                / (
+                    F.col("f")
+                    + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("score")
+        )
+    )
+    ranked = scored.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.col("score").desc(), "doc_id"))
+    )
+    return ranked.where(F.col("rn") <= 15).select(
+        "doc_id", F.round("score", 6).alias("bm25")
+    )

@@ -418,3 +418,47 @@ def formats_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFr
             "sum_price"
         ),
     )
+
+
+@register(
+    "maintenance_compact_small_files",
+    oracle="""
+    SELECT CAST(64 AS BIGINT) AS n_files_before,
+           CAST(4 AS BIGINT) AS n_files_after,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem WHERE l_orderkey < 2000
+    """,
+    doc="Small-file compaction, the unglamorous op that keeps a 100 TB "
+    "lake usable: streaming/CDC ingestion leaves thousands of KB-sized "
+    "files whose per-file open/footer cost dominates scans, so a "
+    "maintenance pass rewrites them into few large files. Here a 64-file "
+    "layout is rewritten to 4 via round-robin repartition, and the "
+    "query MEASURES both file counts from the engine's _metadata hidden "
+    "column (count distinct _metadata.file_path) rather than trusting "
+    "the writer — the oracle pins the measured counts AND the row/value "
+    "parity, so the compaction provably lost nothing. In production the "
+    "target count comes from bytes/128 MB, not a constant.",
+)
+def maintenance_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 2000).select(
+        "l_orderkey", "l_quantity"
+    )
+    tmp = tempfile.mkdtemp(prefix="compact_")
+    li.repartition(64).write.mode("overwrite").parquet(f"{tmp}/small")
+    small = spark.read.parquet(f"{tmp}/small")
+    before = small.select(
+        F.count_distinct(F.col("_metadata.file_path")).alias("n_files_before")
+    )
+    small.repartition(4).write.mode("overwrite").parquet(f"{tmp}/compacted")
+    compacted = spark.read.parquet(f"{tmp}/compacted")
+    after = compacted.agg(
+        F.count_distinct(F.col("_metadata.file_path")).alias("n_files_after"),
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+    return before.crossJoin(after).select(
+        "n_files_before", "n_files_after", "n_rows", "sum_qty"
+    )
