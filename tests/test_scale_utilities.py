@@ -243,7 +243,11 @@ def test_transform_with_state_env_gap_documented(spark):
         import google.protobuf.descriptor  # noqa: F401
     except ImportError:
         pytest.skip("google.protobuf absent: transformWithState unavailable (documented)")
-    pytest.fail("protobuf available — migrate stateful ops to transformWithState")
+    pytest.fail(
+        "protobuf available — stateful.running_totals_tws is ready and its "
+        "equivalence test (test_transform_with_state_matches_apply_in_pandas) "
+        "now runs; migrate seen_keys_dedup / cooldown_fires the same way"
+    )
 
 
 def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
