@@ -99,6 +99,8 @@ HEADLINE = [
     "multimodal_decode_jpeg_arithmetic",
     "text_bm25_retrieval",
     "maintenance_compact_small_files",
+    "agg_hll_sketch_union",
+    "sql_collation_lcase",
 ]
 
 

@@ -784,3 +784,142 @@ def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         ("nation", "customer"),
     )
+
+
+@register(
+    "agg_hll_sketch_union",
+    oracle="""
+    WITH per_type AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, exact_distinct, TRUE AS within_bounds,
+           TRUE AS merge_consistent
+    FROM per_type
+    UNION ALL
+    SELECT 'ALL', COUNT(DISTINCT user_id), TRUE, TRUE FROM events
+    """,
+    doc="Spark 4's built-in Datasketches HLL surface — hll_sketch_agg / "
+    "hll_union_agg / hll_sketch_estimate: per-metric sketches whose "
+    "BINARY state MERGES (the property that lets 1000 executors sketch "
+    "independently and a coordinator union the results — and lets "
+    "yesterday's sketch update incrementally like ivm_incremental_agg's "
+    "partials). The 'ALL' row checks merge consistency in-engine: the "
+    "union-of-group-sketches estimate must equal the direct global "
+    "sketch estimate exactly (same lgK, same stream). Estimates are "
+    "seeded internally, so like agg_approx_distinct the oracle pins "
+    "exact counts + error-bound flags (lgK=12 -> rsd ~1.6%, checked at "
+    "5x) rather than the estimate bytes.",
+)
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id, 12)").alias("sk"),
+        F.count_distinct("user_id").alias("exact_distinct"),
+    )
+    rsd5 = 5 * 1.04 / (2**6)  # 5 x rsd at lgK=12 (1.04/sqrt(2^12))
+    typed = per_type.select(
+        "event_type",
+        "exact_distinct",
+        (
+            F.abs(
+                F.expr("hll_sketch_estimate(sk)").cast("double")
+                - F.col("exact_distinct")
+            )
+            <= F.lit(rsd5) * F.col("exact_distinct")
+        ).alias("within_bounds"),
+        F.lit(True).alias("merge_consistent"),
+    )
+    merged = per_type.agg(F.expr("hll_union_agg(sk, false)").alias("usk"))
+    direct = ev.agg(
+        F.expr("hll_sketch_agg(user_id, 12)").alias("dsk"),
+        F.count_distinct("user_id").alias("exact_distinct"),
+    )
+    all_row = merged.crossJoin(direct).select(
+        F.lit("ALL").alias("event_type"),
+        "exact_distinct",
+        (
+            F.abs(
+                F.expr("hll_sketch_estimate(usk)").cast("double")
+                - F.col("exact_distinct")
+            )
+            <= F.lit(rsd5) * F.col("exact_distinct")
+        ).alias("within_bounds"),
+        (
+            F.expr("hll_sketch_estimate(usk)") == F.expr("hll_sketch_estimate(dsk)")
+        ).alias("merge_consistent"),
+    )
+    return typed.unionByName(all_row)
+
+
+@register(
+    "sql_parameterized",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n_items,
+           ROUND(SUM(l_quantity), 2) AS total_qty
+    FROM lineitem
+    WHERE l_quantity < 24 AND l_discount BETWEEN 0.03 AND 0.07
+    GROUP BY l_returnflag
+    """,
+    doc="Parameterized SQL (spark.sql(query, args=...), Spark 3.4+): "
+    "named parameter markers bound server-side — the injection-safe way "
+    "an application layer passes user input into engine SQL, and the "
+    "plan-cache-friendly way to re-run one template at 100 TB. The "
+    "oracle runs the same query with the bindings inlined, proving the "
+    "binding path changes nothing.",
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag, COUNT(*) AS n_items,
+               ROUND(SUM(l_quantity), 2) AS total_qty
+        FROM lineitem
+        WHERE l_quantity < :max_qty AND l_discount BETWEEN :lo AND :hi
+        GROUP BY l_returnflag
+        """,
+        args={"max_qty": 24, "lo": 0.03, "hi": 0.07},
+    )
+
+
+@register(
+    "sql_collation_lcase",
+    oracle="""
+    WITH mixed AS (
+        SELECT c_nationkey,
+               CASE WHEN c_custkey % 2 = 0 THEN UPPER(c_mktsegment)
+                    ELSE LOWER(c_mktsegment) END AS seg
+        FROM customer
+    )
+    SELECT c_nationkey,
+           COUNT(DISTINCT LOWER(seg)) AS n_segments,
+           COUNT(*) AS n_customers
+    FROM mixed GROUP BY c_nationkey
+    """,
+    doc="Spark 4 collation support: COLLATE(col, 'UTF8_LCASE') makes "
+    "comparison/grouping/DISTINCT case-insensitive AT THE TYPE LEVEL — "
+    "the engine-native form of the LOWER() normalization the oracle "
+    "uses, except collation survives into joins and group-bys without "
+    "rewriting every predicate. The query mixes the case of the segment "
+    "column by row parity, then counts distinct segments under the "
+    "case-insensitive collation; hash parity with the LOWER() oracle "
+    "proves the collated comparison semantics.",
+)
+def sql_collation_lcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        WITH mixed AS (
+            SELECT c_nationkey,
+                   CASE WHEN c_custkey % 2 = 0 THEN UPPER(c_mktsegment)
+                        ELSE LOWER(c_mktsegment) END AS seg
+            FROM customer
+        )
+        SELECT c_nationkey,
+               COUNT(DISTINCT COLLATE(seg, 'UTF8_LCASE')) AS n_segments,
+               COUNT(*) AS n_customers
+        FROM mixed GROUP BY c_nationkey
+        """,
+        ("customer",),
+    )
