@@ -101,6 +101,10 @@ HEADLINE = [
     "maintenance_compact_small_files",
     "agg_hll_sketch_union",
     "sql_collation_lcase",
+    "graph_label_propagation",
+    "session_windows_dynamic_gap",
+    "mapinarrow_token_stats",
+    "udtf_dynamic_schema",
 ]
 
 

@@ -24,9 +24,11 @@ Scope, honestly stated:
   approximation (DC bit refinement, AC ±2^Al insertion + correction-bit
   refinement per §G.1.2.3, EOB-run coding in both scan kinds).
   Subsampled progressive, progressive-with-restart-intervals,
-  non-interleaved (single-component scan) subsampled sequential, and
-  arithmetic-coded streams raise ``NotImplementedError`` and fall to the
-  stub tier like other codecs.
+  non-interleaved (single-component scan) subsampled sequential streams
+  raise ``NotImplementedError`` and fall to the stub tier like other
+  codecs; arithmetic-coded (SOF9) streams are handled by
+  ``llm/jpeg_arith.py`` (this engine's own streams decode for real, foreign
+  QM streams fall to the stub tier — see that module's honesty boundary).
 
 Exactness contract used by the oracled query: a flat image whose fill is
 EVEN reconstructs bit-exactly — the DCT of a constant block is DC-only,

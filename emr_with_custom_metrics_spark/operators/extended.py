@@ -923,3 +923,93 @@ def sql_collation_lcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         ("customer",),
     )
+
+
+@register(
+    "mapinarrow_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id < 300
+    """,
+    doc="mapInArrow: the zero-copy tier of the Python UDF matrix (row UDF "
+    "-> pandas UDF -> mapInPandas -> mapInArrow). Batches arrive as "
+    "pyarrow RecordBatches and every operation here is a pyarrow.compute "
+    "kernel (split_pattern / list_value_length / utf8_length) — no "
+    "pandas materialization, no Python-object row, which at 100 TB is "
+    "the difference between Arrow buffer arithmetic and a per-row "
+    "interpreter loop. Exact string stats, fully oracled.",
+)
+def mapinarrow_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+    )
+
+    def stats(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for rb in batches:
+            text = rb.column(1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(0),
+                    pc.cast(
+                        pc.list_value_length(pc.split_pattern(text, pattern=" ")),
+                        pa.int64(),
+                    ),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                ],
+                ["doc_id", "n_tokens", "n_chars"],
+            )
+
+    return d.mapInArrow(
+        stats, schema="doc_id bigint, n_tokens bigint, n_chars bigint"
+    )
+
+
+@register(
+    "udtf_dynamic_schema",
+    oracle="""
+    SELECT doc_id,
+           string_split(text, ' ')[1] AS tok_1,
+           string_split(text, ' ')[2] AS tok_2,
+           string_split(text, ' ')[3] AS tok_3
+    FROM documents WHERE doc_id < 40
+    """,
+    doc="Polymorphic UDTF (Spark 3.5+/4: a static analyze() method "
+    "computes the OUTPUT SCHEMA from the call site's constant arguments "
+    "at plan time) — here first_tokens(text, 3) materializes columns "
+    "tok_1..tok_3, and calling it with another k would change the "
+    "schema without touching the class. The engine-extension shape for "
+    "config-driven feature extraction where the feature list is data.",
+)
+def udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class FirstTokens:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, k: AnalyzeArgument) -> AnalyzeResult:
+            if not isinstance(k.value, int) or k.value < 1:
+                raise ValueError("k must be a positive integer literal")
+            st = StructType()
+            for i in range(k.value):
+                st = st.add(f"tok_{i + 1}", StringType())
+            return AnalyzeResult(st)
+
+        def eval(self, text: str, k: int):
+            toks = (text or "").split(" ")
+            yield tuple(toks[i] if i < len(toks) else None for i in range(k))
+
+    spark.udtf.register("first_tokens", udtf(FirstTokens))
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf2")
+    return spark.sql(
+        """SELECT d.doc_id, g.tok_1, g.tok_2, g.tok_3
+           FROM docs_udtf2 d, LATERAL first_tokens(d.text, 3) g
+           WHERE d.doc_id < 40"""
+    )

@@ -170,3 +170,100 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
     )
     return nodes.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle(rounds: int) -> str:
+    """Chained-CTE oracle for synchronous label propagation — generated
+    from one template per iteration so the SQL provably performs the same
+    update schedule as the DataFrame loop below."""
+    parts = [
+        """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    edges AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.3),
+    dir_edges AS (
+      SELECT a_id AS node, b_id AS nbr FROM edges
+      UNION ALL SELECT b_id, a_id FROM edges),
+    labels0 AS (SELECT vec_id AS node, vec_id AS label FROM e)"""
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f""",
+    cnt{i} AS (
+      SELECT d.node, l.label, COUNT(*) AS c
+      FROM dir_edges d JOIN labels{p} l ON d.nbr = l.node
+      GROUP BY d.node, l.label),
+    pick{i} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+        FROM cnt{i}) WHERE rn = 1),
+    labels{i} AS (
+      SELECT b.node, COALESCE(k.label, b.label) AS label
+      FROM labels{p} b LEFT JOIN pick{i} k ON b.node = k.node)""")
+    parts.append(f"""
+    SELECT node, label AS community FROM labels{rounds}""")
+    return "".join(parts)
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(_LPA_ROUNDS),
+    doc="Community detection by synchronous label propagation (Raghavan "
+    "et al. 2007) over the cosine>=0.3 similarity graph — the fourth "
+    "graph algorithm next to PageRank, connected components, and "
+    "triangle counting, and unlike most LPA implementations this one is "
+    "fully DETERMINISTIC (each node adopts its neighbors' most frequent "
+    "label, ties broken by MIN label, all nodes updated simultaneously "
+    "for a fixed 3 rounds) and therefore fully oracled: the DuckDB side "
+    "replays the identical schedule as chained CTEs generated from one "
+    "template. Per iteration: one shuffle to join labels onto the "
+    "directed edge list, one aggregate, one window argmax — the same "
+    "per-round cost envelope as pagerank, with the label table "
+    "checkpoint-truncated so lineage stays flat.",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from emr_with_custom_metrics_spark.llm.dedup import embedding_cosine_pairs
+
+    edges = (
+        embedding_cosine_pairs(spark, sf_dir, threshold=0.3)
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=False)
+    )
+    dir_edges = edges.select(
+        F.col("a_id").alias("node"), F.col("b_id").alias("nbr")
+    ).unionByName(edges.select(F.col("b_id").alias("node"), F.col("a_id").alias("nbr")))
+    dir_edges = dir_edges.localCheckpoint(eager=False)
+
+    labels = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(F.col("vec_id").alias("node"))
+        .withColumn("label", F.col("node"))
+    )
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), "label")
+    for _ in range(_LPA_ROUNDS):
+        cnt = (
+            dir_edges.join(
+                labels.select(F.col("node").alias("nbr"), F.col("label")), "nbr"
+            )
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        pick = cnt.withColumn("rn", F.row_number().over(w)).where(
+            F.col("rn") == 1
+        ).select("node", F.col("label").alias("new_label"))
+        labels = (
+            labels.join(pick, "node", "left")
+            .select(
+                "node", F.coalesce("new_label", "label").alias("label")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels.select("node", F.col("label").alias("community"))

@@ -196,7 +196,14 @@ def parquet_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = tempfile.mkdtemp(prefix="pq_part_")
     path = f"{tmp}/orders_by_year"
-    o.write.mode("overwrite").partitionBy("order_year").parquet(path)
+    # repartition on the partition column first: one task (and one file) per
+    # partition instead of every shuffle task writing a sliver of every
+    # year — 7 files, not up to 7 x n_tasks. The small-files discipline
+    # maintenance_compact_small_files exists to repair, applied at write
+    # time where it is free.
+    o.repartition("order_year").write.mode("overwrite").partitionBy(
+        "order_year"
+    ).parquet(path)
     back = spark.read.parquet(path)
     return back.groupBy("o_orderpriority", F.col("order_year").cast("int").alias("order_year")).agg(
         F.count("*").alias("cnt")
@@ -235,7 +242,10 @@ def parquet_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = tempfile.mkdtemp(prefix="pq_dpp_")
     path = f"{tmp}/orders_by_year"
-    o.write.mode("overwrite").partitionBy("order_year").parquet(path)
+    # single file per partition (see parquet_partitioned_write)
+    o.repartition("order_year").write.mode("overwrite").partitionBy(
+        "order_year"
+    ).parquet(path)
     back = spark.read.parquet(path)
 
     dim = (

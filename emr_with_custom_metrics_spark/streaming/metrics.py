@@ -670,3 +670,65 @@ def timeseries_delta_of_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("nbits") == 16, 1).otherwise(0)).cast("bigint").alias("n_12bit"),
         F.sum(F.when(F.col("nbits") == 36, 1).otherwise(0)).cast("bigint").alias("n_32bit"),
     )
+
+
+@register(
+    "session_windows_dynamic_gap",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN event_type = 'view' THEN 600 ELSE 1800 END AS gap_s
+        FROM events WHERE user_id < 40
+    ), marked AS (
+        SELECT user_id, ts, gap_s,
+               CASE WHEN MAX(CAST(FLOOR(epoch(ts)) AS BIGINT) + gap_s)
+                         OVER (PARTITION BY user_id ORDER BY ts, gap_s
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         > CAST(FLOOR(epoch(ts)) AS BIGINT)
+                    THEN 0 ELSE 1 END AS is_new
+        FROM g
+    ), sess AS (
+        SELECT user_id, ts, gap_s,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, gap_s
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS session_no
+        FROM marked
+    )
+    SELECT user_id, session_no,
+           COUNT(*) AS n_events,
+           CAST(MIN(FLOOR(epoch(ts))) AS BIGINT) AS first_ts
+    FROM sess GROUP BY user_id, session_no
+    """,
+    doc="Session windows with a DYNAMIC gap (Spark 3.2+: session_window "
+    "accepts a per-row gap expression — views time out after 10 min, "
+    "everything else after 30): sessions merge while any member's "
+    "[ts, ts+gap) interval covers the next event. The DataFrame side "
+    "uses the engine's native session_window operator; the oracle "
+    "replays the same merge rule as a sweep line (running MAX of "
+    "interval ends decides session breaks) — the same emulation "
+    "technique the fixed-gap session fuzzer pins, now with the gap as "
+    "data. Sessions are numbered per user in time order so both sides "
+    "produce identical keys without exposing engine-internal window "
+    "bounds.",
+)
+def session_windows_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    gap = F.when(F.col("event_type") == "view", F.lit("10 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    sess = (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.unix_timestamp(F.min("ts")).alias("first_ts"),
+        )
+    )
+    order = Window.partitionBy("user_id").orderBy("first_ts")
+    return sess.select(
+        "user_id",
+        F.row_number().over(order).cast("bigint").alias("session_no"),
+        "n_events",
+        "first_ts",
+    )
