@@ -105,6 +105,8 @@ HEADLINE = [
     "session_windows_dynamic_gap",
     "mapinarrow_token_stats",
     "udtf_dynamic_schema",
+    "window_ignore_nulls",
+    "scalar_xml_funcs",
 ]
 
 

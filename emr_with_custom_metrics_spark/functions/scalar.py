@@ -244,3 +244,41 @@ def json_variant_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k).cast("int").alias("max_k"),
         F.count(F.when(missing.isNull(), 1)).alias("n_missing_null"),
     )
+
+
+@register(
+    "scalar_xml_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority AS xml_priority,
+           ROUND(o_totalprice, 2) AS xml_price,
+           TRUE AS roundtrip_ok
+    FROM orders WHERE o_orderkey < 300
+    """,
+    doc="Column-level XML (Spark 4: to_xml / from_xml as expressions, not "
+    "just the file source): each order serializes to an XML fragment and "
+    "parses back with an explicit schema; the oracle pins the parsed "
+    "fields to the originals, proving the round trip value-exact. The "
+    "roundtrip_ok flag additionally checks IN-ENGINE that the parsed "
+    "struct equals the source values row by row — the XML text itself "
+    "(whitespace, element order) is representation, not data, and is "
+    "deliberately not hashed.",
+)
+def scalar_xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 300)
+    xml = F.to_xml(
+        F.struct(
+            F.col("o_orderpriority").alias("prio"),
+            F.round("o_totalprice", 2).alias("price"),
+        )
+    )
+    parsed = F.from_xml(xml, "prio STRING, price DOUBLE")
+    return o.select(
+        "o_orderkey",
+        parsed.getField("prio").alias("xml_priority"),
+        parsed.getField("price").alias("xml_price"),
+        (
+            (parsed.getField("prio") == F.col("o_orderpriority"))
+            & (parsed.getField("price") == F.round("o_totalprice", 2))
+        ).alias("roundtrip_ok"),
+    )

@@ -1013,3 +1013,50 @@ def udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM docs_udtf2 d, LATERAL first_tokens(d.text, 3) g
            WHERE d.doc_id < 40"""
     )
+
+
+@register(
+    "transpose_priority_metrics",
+    oracle="""
+    WITH agg AS (
+        SELECT o_orderpriority,
+               ROUND(AVG(o_totalprice), 2) AS avg_price,
+               ROUND(MAX(o_totalprice), 2) AS max_price
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT 'avg_price' AS key,
+           MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN avg_price END) AS "1-URGENT",
+           MAX(CASE WHEN o_orderpriority = '2-HIGH' THEN avg_price END) AS "2-HIGH",
+           MAX(CASE WHEN o_orderpriority = '3-MEDIUM' THEN avg_price END) AS "3-MEDIUM",
+           MAX(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN avg_price END) AS "4-NOT SPECIFIED",
+           MAX(CASE WHEN o_orderpriority = '5-LOW' THEN avg_price END) AS "5-LOW"
+    FROM agg
+    UNION ALL
+    SELECT 'max_price',
+           MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN max_price END),
+           MAX(CASE WHEN o_orderpriority = '2-HIGH' THEN max_price END),
+           MAX(CASE WHEN o_orderpriority = '3-MEDIUM' THEN max_price END),
+           MAX(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN max_price END),
+           MAX(CASE WHEN o_orderpriority = '5-LOW' THEN max_price END)
+    FROM agg
+    """,
+    doc="DataFrame.transpose (new in Spark 4.0): rows become columns with "
+    "the first column as the new header — the report-shaping inverse of "
+    "unpivot, done engine-side. Correct usage gate: transpose COLLECTS "
+    "the frame's first column to the driver to name the output columns, "
+    "so it is only ever legal on a small aggregate (here 5 rows x 2 "
+    "metrics), never a fact table — which is why the input is the "
+    "grouped summary and the oracle is a manual conditional-aggregation "
+    "pivot of the same summary.",
+)
+def transpose_priority_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+    return agg.transpose()

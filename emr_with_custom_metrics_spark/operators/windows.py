@@ -154,3 +154,58 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("event_type").over(w).alias("last_type"),
         F.count("*").over(Window.partitionBy("user_id")).alias("n_events"),
     ).distinct()
+
+
+@register(
+    "window_ignore_nulls",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN value < 20 THEN NULL ELSE ROUND(value, 4) END AS v
+        FROM events WHERE user_id < 30
+    )
+    SELECT user_id, event_id,
+           LAG(v IGNORE NULLS) OVER w AS prev_valid,
+           LEAD(v IGNORE NULLS) OVER w AS next_valid,
+           FIRST(v IGNORE NULLS) OVER w AS first_valid,
+           LAST(v IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_valid
+    FROM base
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="IGNORE NULLS across the offset/navigation window family — the "
+    "sensor-data idiom (last known good reading, next valid reading) "
+    "that timeseries_gapfill_ffill builds on. lag/lead skip null gaps "
+    "instead of landing on them; first/last take the frame's first/last "
+    "NON-NULL. Same one-shuffle window envelope as the other batteries; "
+    "DuckDB runs the identical IGNORE NULLS syntax.",
+)
+def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emr_with_custom_metrics_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    # Spark's IGNORE NULLS sits AFTER the call parens (LAG(v) IGNORE NULLS);
+    # DuckDB's sits inside them (LAG(v IGNORE NULLS)) — same semantics, two
+    # placements, hence two texts.
+    return spark.sql(
+        """
+        WITH base AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN value < 20 THEN NULL
+                        ELSE ROUND(value, 4) END AS v
+            FROM events WHERE user_id < 30
+        )
+        SELECT user_id, event_id,
+               LAG(v) IGNORE NULLS OVER w AS prev_valid,
+               LEAD(v) IGNORE NULLS OVER w AS next_valid,
+               FIRST(v) IGNORE NULLS OVER w AS first_valid,
+               LAST(v) IGNORE NULLS OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                 AS last_valid
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """
+    )
