@@ -523,3 +523,47 @@ def test_grouped_state_pipeline_matches_driver_sink(spark, events_stream_dir):
     )
     sink(replay, sink.committed_batch)
     assert sink.actions == before
+
+
+def test_statestore_reader_inspects_checkpoint(spark, events_stream_dir):
+    """Spark 4's state data source: streaming state is INSPECTABLE offline
+    (spark.read.format('statestore') over the checkpoint) — the ops
+    tool for debugging a stuck 100 TB stateful job without replaying it.
+    The per-key counts recovered from the state store must equal the
+    batch ground truth over the same files."""
+    ckpt = tempfile.mkdtemp(prefix="ckpt_ssread_")
+    from emr_with_custom_metrics_spark.streaming.pipeline import EVENTS_SCHEMA
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_stream_dir)
+    )
+    agg = stream.groupBy("event_type").agg(F.count("*").alias("n"))
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ssread_totals")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(420), "stream did not finish"
+
+    meta = spark.read.format("state-metadata").load(ckpt)
+    ops = {r["operatorName"] for r in meta.collect()}
+    assert "stateStoreSave" in ops, ops
+
+    state = spark.read.format("statestore").load(ckpt)
+    # value struct's single field is the count aggregate; address it
+    # positionally — its name is plan-generated ("count(1)") and not a
+    # stable contract
+    got = {r["key"]["event_type"]: r["value"][0] for r in state.collect()}
+    truth = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(events_stream_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == truth
