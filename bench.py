@@ -107,6 +107,8 @@ HEADLINE = [
     "udtf_dynamic_schema",
     "window_ignore_nulls",
     "scalar_xml_funcs",
+    "sql_join_hints",
+    "pack_chunks_overlap",
 ]
 
 

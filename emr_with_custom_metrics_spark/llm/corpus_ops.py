@@ -830,3 +830,59 @@ def sketch_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.min("cell_cnt") - F.col("exact_cnt")).cast("bigint").alias("overcount"),
         )
     )
+
+
+@register(
+    "pack_chunks_overlap",
+    oracle="""
+    WITH sized AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n_tok
+        FROM documents WHERE doc_id < 200
+    ), starts AS (
+        SELECT doc_id, toks, n_tok,
+               UNNEST(generate_series(0, GREATEST(n_tok - 1, 0), 48)) AS start
+        FROM sized
+    )
+    SELECT doc_id,
+           CAST(start / 48 AS BIGINT) AS chunk_idx,
+           CAST(LEAST(n_tok, start + 64) - start AS BIGINT) AS chunk_tokens,
+           md5(array_to_string(list_slice(toks, start + 1, start + 64), ' '))
+             AS chunk_digest
+    FROM starts
+    """,
+    doc="Sliding-window chunking with overlap (chunk 64 tokens, stride 48 "
+    "-> 16-token overlap): the RAG/embedding-index layout, complementary "
+    "to pack_token_chunks' cross-document packing — retrieval chunks "
+    "must NOT cross document boundaries and must overlap so no answer "
+    "span is split. chunk_digest is the md5 of the chunk TEXT: a "
+    "content-defined id that is stable under re-partitioning, re-runs, "
+    "and upstream reordering — what you key the vector index on so "
+    "re-embedding is incremental. Pure explode + slice, no shuffle at "
+    "all until a consumer aggregates.",
+)
+def pack_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .withColumn("n_tok", F.size("toks"))
+    )
+    starts = d.select(
+        "doc_id",
+        "toks",
+        "n_tok",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("n_tok") - 1, F.lit(0)), F.lit(48))
+        ).alias("start"),
+    )
+    return starts.select(
+        "doc_id",
+        (F.col("start") / 48).cast("bigint").alias("chunk_idx"),
+        (F.least(F.col("n_tok"), F.col("start") + 64) - F.col("start"))
+        .cast("bigint")
+        .alias("chunk_tokens"),
+        F.md5(
+            F.concat_ws(" ", F.slice(F.col("toks"), F.col("start") + 1, 64))
+        ).alias("chunk_digest"),
+    )

@@ -535,3 +535,51 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+@register(
+    "sql_join_hints",
+    oracle="""
+    WITH j AS (
+        SELECT o.o_orderpriority, COUNT(*) AS n,
+               ROUND(SUM(l.l_quantity), 2) AS qty
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderpriority
+    )
+    SELECT 'broadcast' AS strategy, * FROM j
+    UNION ALL SELECT 'merge', * FROM j
+    UNION ALL SELECT 'shuffle_hash', * FROM j
+    """,
+    doc="Join strategy hints (SQL /*+ BROADCAST / MERGE / SHUFFLE_HASH */): "
+    "the same logical join executed under all three physical strategies "
+    "must produce identical answers — hints steer cost, never semantics. "
+    "tests/test_plan_properties.py asserts each hint actually selected "
+    "its operator (BroadcastHashJoin / SortMergeJoin / ShuffledHashJoin), "
+    "because a hint Catalyst quietly ignores is a no-op, not a strategy. "
+    "At 100 TB this is the dial for the cases AQE statistics get wrong: "
+    "a dim table just over the broadcast threshold, or a pre-sorted "
+    "bucketed pair where merge beats hash.",
+)
+def sql_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emr_with_custom_metrics_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("orders", "lineitem"))
+    parts = [
+        spark.sql(
+            f"""
+            SELECT /*+ {hint} */ '{tag}' AS strategy, o.o_orderpriority,
+                   COUNT(*) AS n, ROUND(SUM(l.l_quantity), 2) AS qty
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderpriority
+            """
+        )
+        for tag, hint in (
+            ("broadcast", "BROADCAST(o)"),
+            ("merge", "MERGE(o)"),
+            ("shuffle_hash", "SHUFFLE_HASH(o)"),
+        )
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -328,3 +328,23 @@ def test_bucketed_join_has_no_exchange(spark):
         assert count_exchanges(pj) == 2
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_join_hints_select_their_operators(spark):
+    """A hint Catalyst ignores is a no-op, not a strategy: each hinted
+    variant of the same logical join must surface its physical operator."""
+    from emr_with_custom_metrics_spark.catalog import register_views
+
+    register_views(spark, SF_DIR, ("orders", "lineitem"))
+    for hint, op in (
+        ("BROADCAST(o)", "BroadcastHashJoin"),
+        ("MERGE(o)", "SortMergeJoin"),
+        ("SHUFFLE_HASH(o)", "ShuffledHashJoin"),
+    ):
+        df = spark.sql(
+            f"""SELECT /*+ {hint} */ o.o_orderpriority, COUNT(*) AS n
+                FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+                GROUP BY o.o_orderpriority"""
+        )
+        plan = formatted_plan(df)
+        assert op in plan, (hint, plan)
