@@ -109,6 +109,7 @@ HEADLINE = [
     "scalar_xml_funcs",
     "sql_join_hints",
     "pack_chunks_overlap",
+    "multimodal_decode_video_motion",
 ]
 
 

