@@ -520,3 +520,80 @@ def test_random_session_windows_match_lag_emulation(orders_view, duck, gap_min, 
     }
     assert got == want, (gap_min, etype, len(set(got) ^ set(want)),
                          list(set(got) ^ set(want))[:5])
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(seed=st.integers(0, 2**31 - 1))
+def test_ewma_fold_matches_pandas_ewm(spark, seed):
+    """The HOF-fold EWMA (timeseries_ewma's kernel) against pandas'
+    independent ewm(adjust=False) implementation on random series — a
+    third engine agreeing pins the recurrence semantics, not just the
+    Spark/DuckDB pair's shared template."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 60))
+    vals = rng.uniform(-100, 100, n).round(4).tolist()
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i int, v double")
+    got = (
+        df.agg(F.array_sort(F.collect_list(F.struct("i", "v"))).alias("pts"))
+        .select(
+            F.expr(
+                """aggregate(transform(pts, s -> s.v), CAST(NULL AS DOUBLE),
+                             (acc, x) -> CASE WHEN acc IS NULL THEN x
+                                         ELSE CAST(0.3 AS DOUBLE) * x
+                                            + CAST(0.7 AS DOUBLE) * acc END)"""
+            ).alias("ewma")
+        )
+        .collect()[0]["ewma"]
+    )
+    want = pd.Series(vals).ewm(alpha=0.3, adjust=False).mean().iloc[-1]
+    assert abs(got - want) < 1e-9 * max(1.0, abs(want))
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(seed=st.integers(0, 2**31 - 1))
+def test_geo_grid_join_complete_on_random_points(spark, seed):
+    """The 3x3-neighborhood grid join loses no within-radius pair for ANY
+    point configuration — random points, brute force as ground truth
+    (generalizes the fixed-table equality test in test_llm_quality)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from emr_with_custom_metrics_spark.operators.geo import CELL_DEG
+
+    rng = np.random.default_rng(seed)
+    na, nb = int(rng.integers(5, 40)), int(rng.integers(5, 40))
+    pa = [(int(i), float(rng.uniform(-60, 60)), float(rng.uniform(-120, 120)))
+          for i in range(na)]
+    pb = [(int(i), float(rng.uniform(-60, 60)), float(rng.uniform(-120, 120)))
+          for i in range(nb)]
+    A = spark.createDataFrame(pa, "aid int, lat double, lon double")
+    B = spark.createDataFrame(pb, "bid int, s_lat double, s_lon double")
+    d2 = (F.col("lat") - F.col("s_lat")) * (F.col("lat") - F.col("s_lat")) + (
+        F.col("lon") - F.col("s_lon")) * (F.col("lon") - F.col("s_lon"))
+    B9 = (
+        B.withColumn("dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select("bid", "s_lat", "s_lon",
+                (F.floor(F.col("s_lat") / CELL_DEG) + F.col("dx")).alias("cx"),
+                (F.floor(F.col("s_lon") / CELL_DEG) + F.col("dy")).alias("cy"))
+    )
+    Ac = A.withColumn("cx", F.floor(F.col("lat") / CELL_DEG)).withColumn(
+        "cy", F.floor(F.col("lon") / CELL_DEG))
+    grid = {
+        (r["aid"], r["bid"])
+        for r in Ac.join(B9, ["cx", "cy"]).withColumn("d2", d2)
+        .where(F.col("d2") <= CELL_DEG * CELL_DEG).select("aid", "bid")
+        .distinct().collect()
+    }
+    brute = {
+        (r["aid"], r["bid"])
+        for r in A.crossJoin(B).withColumn("d2", d2)
+        .where(F.col("d2") <= CELL_DEG * CELL_DEG).select("aid", "bid").collect()
+    }
+    assert grid == brute
