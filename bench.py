@@ -110,6 +110,8 @@ HEADLINE = [
     "sql_join_hints",
     "pack_chunks_overlap",
     "multimodal_decode_video_motion",
+    "scd2_asof_lookup",
+    "agg_filter_clause",
 ]
 
 

@@ -254,3 +254,110 @@ def bitmap_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prev_weeks = words.select("event_type", (F.col("week") + 1).alias("week")).distinct()
     return agg.join(prev_weeks, ["event_type", "week"], "left_semi")
+
+
+@register(
+    "scd2_asof_lookup",
+    oracle="""
+    WITH hist AS (
+        SELECT o_custkey AS custkey,
+               CAST(ROW_NUMBER() OVER w AS INT) AS version,
+               o_orderdate AS valid_from,
+               LEAD(o_orderdate) OVER w AS valid_to
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ), ev AS (
+        SELECT user_id, ts, event_id FROM events WHERE user_id < 50
+    )
+    SELECT e.user_id, e.event_id, h.version,
+           CAST(FLOOR(epoch(h.valid_from)) AS BIGINT) AS version_from
+    FROM ev e JOIN hist h
+      ON e.user_id = h.custkey
+     AND e.ts >= h.valid_from
+     AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+    """,
+    doc="Point-in-time (as-of) lookup against the SCD2 dimension that "
+    "scd2_customer_history builds: each event joins the dimension "
+    "version whose [valid_from, valid_to) interval covers its event "
+    "time — THE temporal-warehouse join (what a fact table does to a "
+    "type-2 dimension nightly). The interval predicate makes this a "
+    "range join; the version intervals per key are non-overlapping, so "
+    "each event matches at most one version and the join stays 1:1. At "
+    "100 TB: broadcast the dimension when it fits; otherwise sort-merge "
+    "on the key with the range as a post-filter (Catalyst pushes the "
+    "equality to the join and evaluates the interval residual inline).",
+)
+def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hist = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate").alias("valid_from"),
+            "o_orderkey",
+        )
+    )
+    w = Window.partitionBy("custkey").orderBy("valid_from", "o_orderkey")
+    hist = hist.select(
+        "custkey",
+        F.row_number().over(w).cast("int").alias("version"),
+        "valid_from",
+        F.lead("valid_from").over(w).alias("valid_to"),
+    )
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") < 50)
+        .select("user_id", "ts", "event_id")
+    )
+    joined = ev.join(
+        F.broadcast(hist),
+        (F.col("user_id") == F.col("custkey"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        "version",
+        F.unix_timestamp("valid_from").alias("version_from"),
+    )
+
+
+@register(
+    "agg_filter_clause",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_all,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                FILTER (WHERE o_totalprice > 100000) AS DOUBLE) AS big_rev,
+           ROUND(AVG(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 4)
+             AS avg_open,
+           COUNT(DISTINCT o_custkey) FILTER (WHERE o_orderstatus <> 'P')
+             AS n_custs_nonpending
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Standard-SQL FILTER clause on aggregates: per-aggregate "
+    "predicates inside ONE grouped pass — the idiom that replaces N "
+    "self-joins or CASE-wrapped SUMs with declarative intent, and keeps "
+    "everything inside a single partial-aggregation shuffle. Identical "
+    "syntax in Spark SQL and DuckDB; the decimal cast keeps the "
+    "filtered SUM midpoint-free per the round-1 pricing rule.",
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emr_with_custom_metrics_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_all,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                    FILTER (WHERE o_totalprice > 100000) AS DOUBLE) AS big_rev,
+               ROUND(AVG(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 4)
+                 AS avg_open,
+               COUNT(DISTINCT o_custkey) FILTER (WHERE o_orderstatus <> 'P')
+                 AS n_custs_nonpending
+        FROM orders GROUP BY o_orderpriority
+        """
+    )
