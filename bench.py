@@ -112,6 +112,8 @@ HEADLINE = [
     "multimodal_decode_video_motion",
     "scd2_asof_lookup",
     "agg_filter_clause",
+    "multimodal_audio_spectral",
+    "multimodal_phash_dedup",
 ]
 
 

@@ -1739,3 +1739,171 @@ def multimodal_decode_video_motion(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("doc_id") < 400
     )
     return d.mapInPandas(_video_mc_roundtrip_batch, schema=EWMC_SCHEMA)
+
+
+AUDIO_SPECTRAL_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_samples int, peak_bin int, "
+    "centroid_ok boolean"
+)
+
+
+def _audio_spectral_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    """Audio FEATURE EXTRACTION (the tier above decode): synthesize a pure
+    tone exactly centered on FFT bin k = 32 + doc_id % 192 (freq = k*fs/N,
+    so the 1024-sample window holds an integer number of periods), write
+    real RIFF/WAV PCM16 bytes, parse them back with a chunk walk, and run
+    an rFFT — the spectral peak must land exactly on bin k and the
+    spectral centroid within 0.1 bin (int16 quantization spreads only
+    ~-80 dB of energy off-bin)."""
+    import struct as st
+
+    import numpy as np
+    import pandas as pd
+
+    fs, n = 8000, 1024
+
+    def one(d: int) -> dict:
+        k = 32 + d % 192
+        t = np.arange(n)
+        pcm = np.rint(12000.0 * np.sin(2.0 * np.pi * k * t / n)).astype("<i2")
+        data = pcm.tobytes()
+        fmt = st.pack("<HHIIHH", 1, 1, fs, fs * 2, 2, 16)
+        wav = (
+            b"RIFF" + st.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+            + b"fmt " + st.pack("<I", len(fmt)) + fmt
+            + b"data" + st.pack("<I", len(data)) + data
+        )
+        # parse back: chunk walk to the data payload (real bytes, real walk)
+        assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+        pos, samples = 12, None
+        while pos + 8 <= len(wav):
+            cid, ln = wav[pos : pos + 4], st.unpack_from("<I", wav, pos + 4)[0]
+            if cid == b"data":
+                samples = np.frombuffer(wav[pos + 8 : pos + 8 + ln], dtype="<i2")
+            pos += 8 + ln + (ln % 2)
+        mag = np.abs(np.fft.rfft(samples.astype(np.float64)))
+        peak = int(np.argmax(mag))
+        power = mag * mag
+        centroid = float((np.arange(mag.size) * power).sum() / power.sum())
+        return {
+            "sample_rate": fs,
+            "n_samples": n,
+            "peak_bin": peak,
+            "centroid_ok": abs(centroid - k) < 0.1,
+        }
+
+    for pdf in batches:
+        metas = pdf["doc_id"].map(lambda d: one(int(d)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "sample_rate": metas.map(lambda m: m["sample_rate"]).astype("int32"),
+                "n_samples": metas.map(lambda m: m["n_samples"]).astype("int32"),
+                "peak_bin": metas.map(lambda m: m["peak_bin"]).astype("int32"),
+                "centroid_ok": metas.map(lambda m: m["centroid_ok"]),
+            }
+        )
+
+
+@register(
+    "multimodal_audio_spectral",
+    oracle="""
+    SELECT doc_id, 8000 AS sample_rate, 1024 AS n_samples,
+           CAST(32 + doc_id % 192 AS INTEGER) AS peak_bin,
+           TRUE AS centroid_ok
+    FROM documents WHERE doc_id < 400
+    """,
+    doc="Spectral feature extraction over real WAV bytes: rFFT peak bin "
+    "and spectral centroid per document tone. Bin-centered synthesis "
+    "makes the peak bin EXACTLY SQL-predictable (the oracle pins the "
+    "full frequency bookkeeping: sample rate, window, bin mapping), so "
+    "an off-by-one in the chunk walk, sample width, or FFT indexing "
+    "breaks the hash. The feature tier that MFCC/fingerprint pipelines "
+    "build on, expressed as the same mapInPandas batch shape as the "
+    "decoders.",
+)
+def multimodal_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fanned(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 400
+    )
+    return d.mapInPandas(_audio_spectral_batch, schema=AUDIO_SPECTRAL_SCHEMA)
+
+
+PHASH_SCHEMA = "rep_doc bigint, n_members bigint"
+
+_DCT32 = None
+
+
+def _dct32() -> "np.ndarray":  # noqa: F821
+    global _DCT32
+    if _DCT32 is None:
+        import numpy as np
+
+        m = np.zeros((32, 32))
+        for k in range(32):
+            for i in range(32):
+                m[k, i] = (np.sqrt(1 / 32) if k == 0 else np.sqrt(2 / 32)) * np.cos(
+                    (2 * i + 1) * k * np.pi / 64
+                )
+        _DCT32 = m
+    return _DCT32
+
+
+def phash64(img: "np.ndarray") -> int:  # noqa: F821
+    """Perceptual hash: 32x32 DCT, top-left 8x8 low-frequency block minus
+    DC, bits = coefficient > median. Invariant to uniform brightness
+    shifts BY CONSTRUCTION (a constant only moves the DC coefficient,
+    which is excluded) — the provable invariance the planted-duplicate
+    oracle leans on."""
+    import numpy as np
+
+    c = _dct32()
+    coef = c @ img.astype(np.float64) @ c.T
+    low = coef[:8, :8].reshape(-1)[1:]
+    med = float(np.median(low))
+    bits = 0
+    for i, v in enumerate(low):
+        if v > med:
+            bits |= 1 << i
+    return bits
+
+
+def _phash_group_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    import numpy as np
+    import pandas as pd
+
+    def one(d: int) -> int:
+        g = d % 7
+        base = np.random.default_rng(1000 + g).integers(30, 131, (32, 32))
+        delta = (d // 7) % 25 * 4  # uniform brightness shift, clip-free
+        return phash64((base + delta).astype(np.uint8))
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "phash": pdf["doc_id"].map(lambda d: one(int(d)))}
+        )
+
+
+@register(
+    "multimodal_phash_dedup",
+    oracle="""
+    SELECT CAST(doc_id % 7 AS BIGINT) AS rep_doc, COUNT(*) AS n_members
+    FROM documents GROUP BY doc_id % 7
+    """,
+    doc="Image near-duplicate grouping by perceptual hash: 7 planted base "
+    "images, each document carrying one of them under a per-doc uniform "
+    "brightness shift. pHash (32x32 DCT low-band median-threshold bits) "
+    "is provably invariant to the shift, so every group collapses to ONE "
+    "hash and the group sizes — and representatives (min doc_id = the "
+    "group index, since docs 0-6 carry the 7 bases) — are exactly "
+    "SQL-predictable. Cross-group hash collisions would merge rows and "
+    "break the oracle, so the 64-bit separation is verified, not "
+    "assumed. The image-side analog of dedup_exact: fixed-size "
+    "fingerprint, hash-aggregate, no pairwise work.",
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fanned(spark, sf_dir, "documents").select("doc_id")
+    hashed = d.mapInPandas(_phash_group_batch, schema="doc_id bigint, phash bigint")
+    return hashed.groupBy("phash").agg(
+        F.min("doc_id").alias("rep_doc"), F.count("*").alias("n_members")
+    ).select("rep_doc", "n_members")

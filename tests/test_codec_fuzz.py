@@ -584,3 +584,18 @@ def test_video_mc_lossy_content_bounded_error(seed):
     d = decode_video_mc(encode_video_mc(fr))
     for i in range(k):
         assert abs(d["frame_means"][i] - float(fr[i].mean())) < 6.0, (i, d["frame_means"][i])
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(0, 25))
+def test_phash_brightness_invariance_and_sensitivity(seed, shift4):
+    """pHash is exactly invariant to uniform brightness (DC-only change)
+    and sensitive to actual content change (different random image)."""
+    from emr_with_custom_metrics_spark.llm.multimodal import phash64
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(30, 131, (32, 32))
+    shifted = (img + shift4 * 4).astype(np.uint8)
+    assert phash64(img.astype(np.uint8)) == phash64(shifted)
+    other = np.random.default_rng(seed + 1).integers(30, 131, (32, 32))
+    assert phash64(img.astype(np.uint8)) != phash64(other.astype(np.uint8))
