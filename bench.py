@@ -114,6 +114,7 @@ HEADLINE = [
     "agg_filter_clause",
     "multimodal_audio_spectral",
     "multimodal_phash_dedup",
+    "text_bpe_train_merges",
 ]
 
 

@@ -741,3 +741,138 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.where(F.col("rn") <= 15).select(
         "doc_id", F.round("score", 6).alias("bm25")
     )
+
+
+_BPE_ROUNDS = 5
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """Chained-CTE oracle replaying the identical BPE schedule (one CTE
+    block per merge round, generated from one template — the LPA pattern).
+    Tokens are wrapped as chr(1)||tok||chr(2); a merge replaces the exact
+    wrapped pair, and because patterns begin/end with the markers they
+    cannot share boundary characters, so SQL's non-overlapping
+    left-to-right replace() IS greedy BPE pair application."""
+    head = """
+    WITH docs0 AS (
+        SELECT doc_id,
+               list_aggregate(list_transform(string_split(text, ' '),
+                   t -> chr(1) || t || chr(2)), 'string_agg', '') AS r
+        FROM documents WHERE doc_id < 300
+    )"""
+    blocks, outs = [head], []
+    for i in range(rounds):
+        j = i + 1
+        blocks.append(f""",
+    toks{i} AS (
+        SELECT doc_id,
+               string_split(substr(r, 2, length(r) - 2),
+                            chr(2) || chr(1)) AS t
+        FROM docs{i}
+    ), cnt{i} AS (
+        SELECT a, b, COUNT(*) AS c FROM (
+            SELECT t[i] AS a, t[i + 1] AS b
+            FROM toks{i}, UNNEST(range(1, len(t))) AS u(i)
+        ) GROUP BY a, b
+    ), best{i} AS (
+        SELECT a, b, c FROM cnt{i}
+        ORDER BY c DESC, a, b LIMIT 1
+    ), docs{j} AS (
+        SELECT d.doc_id,
+               replace(d.r, chr(1) || best{i}.a || chr(2)
+                          || chr(1) || best{i}.b || chr(2),
+                       chr(1) || best{i}.a || ' ' || best{i}.b || chr(2)) AS r
+        FROM docs{i} d, best{i}
+    ), size{j} AS (
+        SELECT CAST(SUM(len(string_split(substr(r, 2, length(r) - 2),
+                                         chr(2) || chr(1)))) AS BIGINT) AS n
+        FROM docs{j}
+    )""")
+        outs.append(
+            f"SELECT {j} AS round, a AS tok_a, b AS tok_b, c AS pair_count,"
+            f" (SELECT n FROM size{j}) AS tokens_after FROM best{i}"
+        )
+    return "".join(blocks) + "\n    " + "\n    UNION ALL ".join(outs)
+
+
+@register(
+    "text_bpe_train_merges",
+    oracle=_bpe_oracle(_BPE_ROUNDS),
+    doc="BPE tokenizer training IN-ENGINE (Sennrich et al. 2016's merge "
+    "loop, word-level): each round counts adjacent token pairs across "
+    "the corpus, merges the globally most frequent pair (ties broken "
+    "lexicographically), and re-tokenizes — 5 rounds, emitting each "
+    "learned merge with its count and the corpus token count after. "
+    "Fully DETERMINISTIC and fully oracled: tokens ride in a "
+    "control-char-wrapped string form where the merge is one replace() "
+    "whose pattern cannot straddle boundaries, so SQL's non-overlapping "
+    "replace IS greedy BPE; the DuckDB side replays the identical "
+    "schedule as generated chained CTEs. Plan shape per round: one "
+    "pair-explode aggregate (map-side partial), a 1-row broadcast of "
+    "the winning pair, one map-side replace — no driver-side state, no "
+    "collect; rounds scale as O(corpus) each, the schedule a real "
+    "tokenizer trainer runs distributed.",
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    docs = d.select(
+        "doc_id",
+        F.expr(
+            "array_join(transform(split(text, ' '), t -> concat(char(1), t, char(2))), '')"
+        ).alias("r"),
+    )
+    rows = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        toks = docs.select(
+            "doc_id",
+            F.expr(
+                "split(substring(r, 2, length(r) - 2), concat(char(2), char(1)))"
+            ).alias("t"),
+        )
+        # sequence(1, 0) DESCENDS in Spark (round-1 gotcha), so single-token
+        # docs must short-circuit to an empty pair list
+        pairs = toks.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) >= 2 THEN "
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b)) "
+                    "ELSE array() END"
+                )
+            ).alias("p")
+        ).select("p.a", "p.b")
+        best = (
+            pairs.groupBy("a", "b")
+            .agg(F.count("*").alias("c"))
+            .orderBy(F.col("c").desc(), "a", "b")
+            .limit(1)
+        )
+        docs = docs.crossJoin(F.broadcast(best)).select(
+            "doc_id",
+            F.replace(
+                F.col("r"),
+                F.concat(
+                    F.lit("\x01"), F.col("a"), F.lit("\x02"),
+                    F.lit("\x01"), F.col("b"), F.lit("\x02"),
+                ),
+                F.concat(F.lit("\x01"), F.col("a"), F.lit(" "), F.col("b"), F.lit("\x02")),
+            ).alias("r"),
+        ).localCheckpoint(eager=False)
+        size = docs.select(
+            F.expr(
+                "size(split(substring(r, 2, length(r) - 2), concat(char(2), char(1))))"
+            ).alias("n")
+        ).agg(F.sum("n").cast("bigint").alias("tokens_after"))
+        rows.append(
+            best.crossJoin(F.broadcast(size)).select(
+                F.lit(rnd).alias("round"),
+                F.col("a").alias("tok_a"),
+                F.col("b").alias("tok_b"),
+                F.col("c").alias("pair_count"),
+                "tokens_after",
+            )
+        )
+    out = rows[0]
+    for rdf in rows[1:]:
+        out = out.unionByName(rdf)
+    return out
