@@ -115,6 +115,7 @@ HEADLINE = [
     "multimodal_audio_spectral",
     "multimodal_phash_dedup",
     "text_bpe_train_merges",
+    "graph_bfs_levels",
 ]
 
 

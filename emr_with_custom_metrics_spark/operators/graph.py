@@ -267,3 +267,65 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     return labels.select("node", F.col("label").alias("community"))
+
+
+_BFS_EDGES_SQL = """
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.3"""
+
+
+@register(
+    "graph_bfs_levels",
+    oracle=f"""
+    WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    edges AS ({_BFS_EDGES_SQL}),
+    dir_edges AS (
+      SELECT a_id AS src, b_id AS dst FROM edges
+      UNION ALL SELECT b_id, a_id FROM edges),
+    bfs(node, lvl) AS (
+        SELECT CAST(0 AS BIGINT), 0
+        UNION ALL
+        SELECT d.dst, b.lvl + 1
+        FROM bfs b JOIN dir_edges d ON d.src = b.node
+        WHERE b.lvl < 4
+    )
+    SELECT node, MIN(lvl) AS level FROM bfs GROUP BY node
+    """,
+    doc="Single-source BFS levels over the cosine>=0.3 similarity graph "
+    "through the engine's OWN recursion operator (WITH RECURSIVE, Spark "
+    "4) — where sql_recursive_cte_hierarchy recursed a synthetic tree, "
+    "this walks a real cyclic graph, computing the 4-HOP NEIGHBORHOOD "
+    "levels of node 0: the frontier re-visits nodes (Spark's recursion "
+    "supports only UNION ALL, so revisits multiply — which is why the "
+    "hop bound is part of the SEMANTICS here, and why the unbounded "
+    "all-pairs form belongs to the hand-rolled fixpoints instead), and "
+    "min-aggregation collapses revisits to shortest distance. The hand-rolled loop "
+    "variants (pagerank/LPA/connected components) trade this operator's "
+    "convenience for per-iteration checkpoint control; a user gets both "
+    "idioms. DuckDB executes the identical recursive text.",
+)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emr_with_custom_metrics_spark.llm.dedup import embedding_cosine_pairs
+
+    edges = (
+        embedding_cosine_pairs(spark, sf_dir, threshold=0.3)
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=False)
+    )
+    dir_edges = edges.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).unionByName(edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+    dir_edges.createOrReplaceTempView("bfs_dir_edges")
+    return spark.sql(
+        """
+        WITH RECURSIVE bfs(node, lvl) AS (
+            SELECT CAST(0 AS BIGINT), 0
+            UNION ALL
+            SELECT d.dst, b.lvl + 1
+            FROM bfs b JOIN bfs_dir_edges d ON d.src = b.node
+            WHERE b.lvl < 4
+        )
+        SELECT node, MIN(lvl) AS level FROM bfs GROUP BY node
+        """
+    )
