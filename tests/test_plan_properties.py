@@ -130,6 +130,10 @@ def test_no_driver_side_collect_in_query_modules():
             "llm/dedup.py",
             "operators/graph.py",
             "llm/embeddings.py",
+            # BPE merge rounds: each round's corpus feeds both the next
+            # round's pair counts AND the token-count output — same
+            # per-iteration lineage truncation as the graph fixpoints
+            "llm/text.py",
         },
     }
     offenders = []
