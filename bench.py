@@ -116,6 +116,8 @@ HEADLINE = [
     "multimodal_phash_dedup",
     "text_bpe_train_merges",
     "graph_bfs_levels",
+    "json_parse_modes",
+    "multimodal_audio_fingerprint",
 ]
 
 

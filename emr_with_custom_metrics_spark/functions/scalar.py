@@ -282,3 +282,50 @@ def scalar_xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (parsed.getField("price") == F.round("o_totalprice", 2))
         ).alias("roundtrip_ok"),
     )
+
+
+@register(
+    "json_parse_modes",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0
+                    THEN '{"a": ' || CAST(doc_id AS VARCHAR) || ', "b": "x"'
+                    ELSE '{"a": ' || CAST(doc_id AS VARCHAR) || ', "b": "x"}'
+               END AS j
+        FROM documents WHERE doc_id < 500
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_parsed,
+           CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_corrupt,
+           CAST(SUM(CASE WHEN doc_id % 5 <> 0 THEN doc_id ELSE 0 END) AS BIGINT)
+             AS sum_parsed_a
+    FROM raw
+    """,
+    doc="Malformed-record handling on the JSON ingestion path: every 5th "
+    "payload is truncated mid-object; from_json in PERMISSIVE mode (the "
+    "default, and the only sane setting for a 100 TB feed where one bad "
+    "record must not kill a 6-hour job) yields NULL for the corrupt rows "
+    "while clean rows parse — the query counts both populations and "
+    "checksums the parsed field, and the oracle reconstructs the exact "
+    "corruption pattern from the row-id rule. FAILFAST's throw-on-first "
+    "behavior is the test suite's job, not a distributed query's.",
+)
+def json_parse_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    j = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit('{"a": '), F.col("doc_id").cast("string"), F.lit(', "b": "x"')),
+    ).otherwise(
+        F.concat(F.lit('{"a": '), F.col("doc_id").cast("string"), F.lit(', "b": "x"}'))
+    )
+    parsed = F.from_json(j, "a BIGINT, b STRING", {"mode": "PERMISSIVE"})
+    withp = d.select("doc_id", parsed.alias("p"))
+    return withp.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("p.a").isNotNull().cast("int")).cast("bigint").alias("n_parsed"),
+        F.sum(F.col("p.a").isNull().cast("int")).cast("bigint").alias("n_corrupt"),
+        F.sum(F.coalesce(F.col("p.a"), F.lit(0))).cast("bigint").alias("sum_parsed_a"),
+    )

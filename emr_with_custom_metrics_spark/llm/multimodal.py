@@ -1907,3 +1907,68 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.groupBy("phash").agg(
         F.min("doc_id").alias("rep_doc"), F.count("*").alias("n_members")
     ).select("rep_doc", "n_members")
+
+
+def audio_constellation_digest(pcm: "np.ndarray", seg: int = 256) -> str:  # noqa: F821
+    """Shazam-style constellation, reduced to its deterministic core: the
+    clip is cut into fixed windows, each window contributes its dominant
+    spectral peak, and the ordered (peak_bin, next_peak_bin, dt=1) pair
+    chain — equivalently the peak-bin sequence — is hashed. Amplitude
+    scaling moves magnitudes, never argmax bins, so loudness-shifted
+    copies of a clip collide ON PURPOSE (that is the retrieval property:
+    re-encoded/re-leveled audio should land in the same bucket)."""
+    import hashlib
+
+    import numpy as np
+
+    n = (len(pcm) // seg) * seg
+    wins = pcm[:n].astype(np.float64).reshape(-1, seg)
+    peaks = np.argmax(np.abs(np.fft.rfft(wins, axis=1))[:, 1:], axis=1) + 1
+    return hashlib.md5("-".join(str(int(p)) for p in peaks).encode()).hexdigest()
+
+
+def _audio_fp_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    import numpy as np
+    import pandas as pd
+
+    seg, nseg = 256, 6
+
+    def one(d: int) -> str:
+        g = d % 5
+        amp = 3000.0 * (1 + (d // 5) % 4)  # loudness variant, peak-invariant
+        t = np.arange(seg)
+        segs = []
+        for s in range(nseg):
+            k = 20 + (g * 7 + s * 13) % 100  # bin-centered tone schedule
+            segs.append(np.rint(amp * np.sin(2 * np.pi * k * t / seg)))
+        pcm = np.concatenate(segs).astype(np.int16)
+        return audio_constellation_digest(pcm, seg)
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "fp": pdf["doc_id"].map(lambda d: one(int(d)))}
+        )
+
+
+@register(
+    "multimodal_audio_fingerprint",
+    oracle="""
+    SELECT CAST(doc_id % 5 AS BIGINT) AS rep_doc, COUNT(*) AS n_members
+    FROM documents GROUP BY doc_id % 5
+    """,
+    doc="Audio-clip near-duplicate grouping by constellation fingerprint "
+    "(the audio analog of multimodal_phash_dedup): 5 planted tone "
+    "sequences, each document carrying one at a per-doc loudness level. "
+    "Peak-bin chains are amplitude-invariant by construction (argmax "
+    "over scaled magnitudes), so each planted clip collapses to one "
+    "digest and group sizes + representatives oracle exactly; an "
+    "accidental cross-group digest collision would merge rows and break "
+    "the hash. Fingerprint-then-hash-aggregate — no pairwise audio "
+    "comparison anywhere, the property that matters at corpus scale.",
+)
+def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fanned(spark, sf_dir, "documents").select("doc_id")
+    fps = d.mapInPandas(_audio_fp_batch, schema="doc_id bigint, fp string")
+    return fps.groupBy("fp").agg(
+        F.min("doc_id").alias("rep_doc"), F.count("*").alias("n_members")
+    ).select("rep_doc", "n_members")
