@@ -567,3 +567,56 @@ def test_statestore_reader_inspects_checkpoint(spark, events_stream_dir):
         .collect()
     }
     assert got == truth
+
+
+def test_chained_stateful_aggregations_match_batch(spark, ordered_events_dir):
+    """Multiple stateful operators in ONE streaming query (Spark 3.5+):
+    10-min counts re-aggregated into 30-min maxima. Watermark propagation
+    only works by passing the WINDOW STRUCT into the next window() call —
+    re-asserting withWatermark on a derived timestamp silently resets
+    tracking and emits nothing (measured while building this). Emitted
+    rows must equal the batch two-level aggregation restricted to windows
+    the final watermark closed."""
+    from emr_with_custom_metrics_spark.streaming.pipeline import EVENTS_SCHEMA
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ordered_events_dir)
+    )
+    s1 = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "10 minutes").alias("w1"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    s2 = s1.groupBy(F.window(F.col("w1"), "30 minutes").alias("w2"), "event_type").agg(
+        F.max("n").alias("max_n")
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_chain_")
+    q = (
+        s2.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("chained_aggs")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(420), "stream did not finish"
+    got = {
+        (r["w2"]["start"], r["event_type"]): r["max_n"]
+        for r in spark.sql("SELECT * FROM chained_aggs").collect()
+    }
+
+    ev = spark.read.parquet(ordered_events_dir)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    batch = (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w1"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .groupBy(F.window(F.col("w1"), "30 minutes").alias("w2"), "event_type")
+        .agg(F.max("n").alias("max_n"))
+        .where(F.col("w2.end") <= F.lit(max_ts))
+    )
+    want = {
+        (r["w2"]["start"], r["event_type"]): r["max_n"] for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
