@@ -118,6 +118,8 @@ HEADLINE = [
     "graph_bfs_levels",
     "json_parse_modes",
     "multimodal_audio_fingerprint",
+    "text_cooccurrence_pmi",
+    "graph_clustering_coefficient",
 ]
 
 

@@ -876,3 +876,86 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for rdf in rows[1:]:
         out = out.unionByName(rdf)
     return out
+
+
+@register(
+    "text_cooccurrence_pmi",
+    oracle="""
+    WITH dt AS (
+        SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS tok
+        FROM documents
+    ), n_docs AS (
+        SELECT COUNT(DISTINCT doc_id) AS nd FROM dt
+    ), marg AS (
+        SELECT tok, COUNT(*) AS df FROM dt GROUP BY tok
+    ), pairs AS (
+        SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS n_ab
+        FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY a.tok, b.tok
+    )
+    SELECT tok_a, tok_b, n_ab,
+           ROUND(LN((CAST(n_ab AS DOUBLE) * nd)
+                    / (CAST(ma.df AS DOUBLE) * mb.df)), 6) AS pmi
+    FROM pairs
+    JOIN marg ma ON tok_a = ma.tok
+    JOIN marg mb ON tok_b = mb.tok
+    CROSS JOIN n_docs
+    WHERE n_ab >= 20
+    ORDER BY pmi DESC, tok_a, tok_b LIMIT 20
+    """,
+    doc="Pointwise mutual information over document-level token "
+    "co-occurrence: PMI(a,b) = ln(P(a,b) / P(a)P(b)) at document "
+    "granularity, support-filtered (n_ab >= 20) and top-20 by "
+    "association — the collocation/phrase-mining statistic (and the "
+    "base quantity behind PPMI embedding matrices). Everything up to "
+    "the final LN is exact integer counting: the distinct-per-doc "
+    "explode feeds one self-join on doc_id (bounded per doc by the "
+    "31-token vocabulary; at web scale the marginal-frequency prune "
+    "runs BEFORE the pair join so stopword pairs never materialize), "
+    "and the one float op sits on an exact rational, so both engines "
+    "round the identical double.",
+)
+def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_fanned(spark, sf_dir, "documents")
+    dt = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    nd = dt.agg(F.count_distinct("doc_id").alias("nd"))
+    marg = dt.groupBy("tok").agg(F.count("*").alias("df"))
+    a = dt.alias("a")
+    b = dt.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .groupBy(F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b"))
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= 20)
+    )
+    scored = (
+        pairs.join(F.broadcast(marg.withColumnRenamed("tok", "tok_a")
+                               .withColumnRenamed("df", "df_a")), "tok_a")
+        .join(F.broadcast(marg.withColumnRenamed("tok", "tok_b")
+                          .withColumnRenamed("df", "df_b")), "tok_b")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "tok_a", "tok_b", "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab").cast("double") * F.col("nd"))
+                    / (F.col("df_a").cast("double") * F.col("df_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.col("pmi").desc(), "tok_a", "tok_b")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .drop("rn")
+    )

@@ -329,3 +329,89 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT node, MIN(lvl) AS level FROM bfs GROUP BY node
         """
     )
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    edges AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.3),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT a_id AS node FROM edges UNION ALL SELECT b_id FROM edges)
+      GROUP BY node),
+    tri AS (
+      SELECT e1.a_id AS a, e1.b_id AS b, e2.b_id AS c
+      FROM edges e1 JOIN edges e2 ON e1.b_id = e2.a_id
+           JOIN edges e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id),
+    tcnt AS (
+      SELECT node, COUNT(*) AS t FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+      GROUP BY node)
+    SELECT deg.node, deg.d AS degree,
+           CAST(COALESCE(tcnt.t, 0) AS BIGINT) AS n_triangles,
+           ROUND(CASE WHEN deg.d >= 2
+                      THEN 2.0 * COALESCE(tcnt.t, 0) / (deg.d * (deg.d - 1))
+                      ELSE 0.0 END, 6) AS clustering
+    FROM deg LEFT JOIN tcnt ON deg.node = tcnt.node
+    """,
+    doc="Local clustering coefficient per node: 2T / (d(d-1)) — how close "
+    "each node's neighborhood is to a clique, the standard community-"
+    "cohesion metric composed from two quantities this engine already "
+    "computes (degree from the edge list, triangles from the compact-"
+    "forward join). Integer counts until one final division; nodes of "
+    "degree < 2 define coefficient 0. Same shuffle envelope as "
+    "graph_triangle_count plus one broadcast-back join.",
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emr_with_custom_metrics_spark.llm.dedup import embedding_cosine_pairs
+
+    edges = (
+        embedding_cosine_pairs(spark, sf_dir, threshold=0.3)
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        edges.select(F.col("a_id").alias("node"))
+        .unionByName(edges.select(F.col("b_id").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b_id") == F.col("e2.a_id"))
+        .join(
+            e3,
+            (F.col("e3.a_id") == F.col("e1.a_id"))
+            & (F.col("e3.b_id") == F.col("e2.b_id")),
+        )
+        .select(
+            F.col("e1.a_id").alias("a"),
+            F.col("e1.b_id").alias("b"),
+            F.col("e2.b_id").alias("c"),
+        )
+    )
+    tcnt = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("t"))
+    )
+    return deg.join(tcnt, "node", "left").select(
+        "node",
+        F.col("d").alias("degree"),
+        F.coalesce("t", F.lit(0)).cast("bigint").alias("n_triangles"),
+        F.round(
+            F.when(
+                F.col("d") >= 2,
+                2.0 * F.coalesce("t", F.lit(0)) / (F.col("d") * (F.col("d") - 1)),
+            ).otherwise(0.0),
+            6,
+        ).alias("clustering"),
+    )
