@@ -120,6 +120,7 @@ HEADLINE = [
     "multimodal_audio_fingerprint",
     "text_cooccurrence_pmi",
     "graph_clustering_coefficient",
+    "embedding_pca_project",
 ]
 
 

