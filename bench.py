@@ -121,6 +121,8 @@ HEADLINE = [
     "text_cooccurrence_pmi",
     "graph_clustering_coefficient",
     "embedding_pca_project",
+    "similarity_hard_negatives",
+    "snapshot_diff",
 ]
 
 

@@ -886,3 +886,125 @@ def pack_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.slice(F.col("toks"), F.col("start") + 1, 64))
         ).alias("chunk_digest"),
     )
+
+
+@register(
+    "similarity_hard_negatives",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+        FROM embeddings WHERE vec_id < 40
+    ), pairs AS (
+        SELECT q.qid, e.vec_id AS nid, e.label AS neg_label,
+               list_aggregate(list_transform(range(1, 65),
+                   i -> CAST(q.qv[i] AS DOUBLE)
+                        * CAST(e.embedding[i] AS DOUBLE)), 'sum') AS dot
+        FROM q JOIN embeddings e ON e.label <> q.qlabel
+    ), ranked AS (
+        SELECT qid, nid, neg_label, dot,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY dot DESC, nid) AS rn
+        FROM pairs
+    )
+    SELECT qid, nid, neg_label, CAST(ROUND(dot, 6) AS DOUBLE) AS dot,
+           CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 3
+    """,
+    doc="Hard-negative mining for contrastive training: per query vector, "
+    "the top-3 most similar vectors carrying a DIFFERENT label — the "
+    "examples that teach an embedding model the most (easy random "
+    "negatives quickly contribute ~zero gradient; hard negatives are "
+    "what MultipleNegativesRankingLoss-style training mines for). Same "
+    "deterministic ordered-fold dot products as knn_self_join_exact; "
+    "the bounded 40-query demo scans all candidates — at corpus scale "
+    "the candidate set comes from the IVF probe (similarity_ivf_topk) "
+    "and this plan reranks within probed cells only.",
+)
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    cand = e.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("nv"),
+        F.col("label").alias("neg_label"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "nv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("nid"))
+    return (
+        F.broadcast(q)
+        .join(cand, F.col("neg_label") != F.col("qlabel"))
+        .select("qid", "nid", "neg_label", dot.alias("dot"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("qid", "nid", "neg_label", F.round("dot", 6).alias("dot"),
+                F.col("rn").cast("int").alias("rn"))
+    )
+
+
+@register(
+    "corpus_negative_samples",
+    oracle=f"""
+    WITH n AS (SELECT COUNT(*) AS nd FROM documents),
+    samples AS (
+        SELECT doc_id, r AS neg_rank,
+               ((instr('{_HEX}', substr(md5('neg' || CAST(r AS VARCHAR) || '|'
+                        || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+              + (instr('{_HEX}', substr(md5('neg' || CAST(r AS VARCHAR) || '|'
+                        || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+              + (instr('{_HEX}', substr(md5('neg' || CAST(r AS VARCHAR) || '|'
+                        || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+              + (instr('{_HEX}', substr(md5('neg' || CAST(r AS VARCHAR) || '|'
+                        || CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % nd AS raw
+        FROM documents, n, (SELECT UNNEST([1, 2, 3]) AS r)
+        WHERE doc_id < 200
+    )
+    SELECT doc_id, neg_rank,
+           CAST(CASE WHEN raw = doc_id THEN (raw + 1) % (SELECT nd FROM n)
+                     ELSE raw END AS BIGINT) AS neg_doc_id
+    FROM samples
+    """,
+    doc="Deterministic random negatives for contrastive pairs: 3 "
+    "hash-sampled other documents per anchor (the EASY negatives that "
+    "complement similarity_hard_negatives' hard ones; real batches mix "
+    "both). md5-derived indices make the sample reproducible across "
+    "runs and partitionings — the property rand() can never give a "
+    "100 TB pipeline — and the self-collision rule (raw == anchor -> "
+    "next index) is part of the oracled contract rather than a resample "
+    "loop, so the SQL replays it exactly.",
+)
+def corpus_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    nd_df = d.agg(F.count("*").alias("nd"))
+    anchors = d.where(F.col("doc_id") < 200).select("doc_id")
+    ranks = anchors.select(
+        "doc_id", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("neg_rank")
+    )
+    k = "md5(concat('neg', CAST(neg_rank AS STRING), '|', CAST(doc_id AS STRING)))"
+    raw = (
+        f"((instr('{_HEX}', substring({k}, 1, 1)) - 1) * 4096"
+        f" + (instr('{_HEX}', substring({k}, 2, 1)) - 1) * 256"
+        f" + (instr('{_HEX}', substring({k}, 3, 1)) - 1) * 16"
+        f" + (instr('{_HEX}', substring({k}, 4, 1)) - 1)) % nd"
+    )
+    return (
+        ranks.crossJoin(F.broadcast(nd_df))
+        .selectExpr("doc_id", "neg_rank", f"{raw} AS raw", "nd")
+        .select(
+            "doc_id",
+            "neg_rank",
+            F.when(F.col("raw") == F.col("doc_id"), (F.col("raw") + 1) % F.col("nd"))
+            .otherwise(F.col("raw"))
+            .cast("bigint")
+            .alias("neg_doc_id"),
+        )
+    )

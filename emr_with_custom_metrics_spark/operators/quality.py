@@ -313,3 +313,74 @@ def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rev").cast("double") / F.col("n_orders"), 6).alias("avg_price"),
         F.col("max_part").cast("double").alias("max_price"),
     )
+
+
+@register(
+    "snapshot_diff",
+    oracle="""
+    WITH nxt AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 13 = 0
+                    THEN ROUND(o_totalprice * 1.1, 2)
+                    ELSE ROUND(o_totalprice, 2) END AS price
+        FROM orders WHERE o_orderkey % 97 <> 0
+    ), cur AS (
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS price FROM orders
+    )
+    SELECT CAST(SUM(CASE WHEN c.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_added,
+           CAST(SUM(CASE WHEN n.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           CAST(SUM(CASE WHEN c.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+                          AND c.price <> n.price THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_changed,
+           CAST(SUM(CASE WHEN c.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+                          AND c.price = n.price THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unchanged
+    FROM cur c FULL OUTER JOIN nxt n ON c.o_orderkey = n.o_orderkey
+    """,
+    doc="Table-state diff between two snapshots (the audit view behind any "
+    "CDC/merge pipeline — what changed since yesterday, row-exactly): "
+    "one FULL OUTER join on the key classifies every row as "
+    "added/removed/changed/unchanged. The 'next' snapshot is derived "
+    "in-query by deterministic rules (every 97th key deleted, every "
+    "13th repriced) so the classification itself is what the oracle "
+    "pins. At 100 TB both snapshots shuffle once on the key — or not at "
+    "all if both are bucketed on it (bucketed_join_no_shuffle's "
+    "layout), which is exactly how nightly snapshot diffs stay cheap.",
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cur = o.select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    nxt = (
+        o.where(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 13 == 0, F.round(F.col("o_totalprice") * 1.1, 2)
+            )
+            .otherwise(F.round("o_totalprice", 2))
+            .alias("price"),
+        )
+    )
+    c = cur.alias("c")
+    n = nxt.alias("n")
+    j = c.join(n, F.col("c.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+    return j.agg(
+        F.sum(F.col("c.o_orderkey").isNull().cast("int")).cast("bigint").alias("n_added"),
+        F.sum(F.col("n.o_orderkey").isNull().cast("int")).cast("bigint").alias("n_removed"),
+        F.sum(
+            (
+                F.col("c.o_orderkey").isNotNull()
+                & F.col("n.o_orderkey").isNotNull()
+                & (F.col("c.price") != F.col("n.price"))
+            ).cast("int")
+        ).cast("bigint").alias("n_changed"),
+        F.sum(
+            (
+                F.col("c.o_orderkey").isNotNull()
+                & F.col("n.o_orderkey").isNotNull()
+                & (F.col("c.price") == F.col("n.price"))
+            ).cast("int")
+        ).cast("bigint").alias("n_unchanged"),
+    )
