@@ -352,3 +352,50 @@ def test_join_hints_select_their_operators(spark):
         )
         plan = formatted_plan(df)
         assert op in plan, (hint, plan)
+
+
+def test_aqe_splits_planted_skew(spark):
+    """AQE's runtime skew-join handling, observed: the same 71%-hot-key
+    join the salting demo hardens by hand gets split automatically when
+    OptimizeSkewedJoin's thresholds see the skew — `isSkew=true` appears
+    on the executed SortMergeJoin. This is the r5 SCALING.md crossover
+    point made mechanical: below the thresholds you salt by hand, above
+    them AQE does it for you."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # repartition(16) first: AQE splits a skewed REDUCE partition at
+        # MAPPER granularity, so a single-map-task stage (one 13 MB local
+        # parquet file) has nothing to split and the rule silently no-ops —
+        # measured while building this. On a real cluster the map side is
+        # always many tasks; locally we must fan it out to see the rule.
+        li = load_table(spark, SF_DIR, "lineitem").repartition(16).select(
+            F.when(F.col("l_linenumber") >= 3, F.lit(1))
+            .otherwise(F.col("l_orderkey"))
+            .alias("hk"),
+            "l_extendedprice",
+        )
+        o = (
+            load_table(spark, SF_DIR, "orders")
+            .repartition(8)
+            .select("o_orderkey", "o_orderpriority")
+        )
+        j = li.join(o, F.col("hk") == F.col("o_orderkey"))
+        j.collect()  # final adaptive plan only exists after an action
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin(skew=true)" in plan, plan[:2500]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
