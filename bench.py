@@ -123,6 +123,7 @@ HEADLINE = [
     "embedding_pca_project",
     "similarity_hard_negatives",
     "snapshot_diff",
+    "multimodal_decode_mpeg1_l3",
 ]
 
 

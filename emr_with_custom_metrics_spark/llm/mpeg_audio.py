@@ -180,7 +180,7 @@ def _dequantize(codes: np.ndarray, sf: np.ndarray, nb: np.ndarray) -> np.ndarray
 def _write_header(w: _BitWriter, rate_index: int, layer: int = 1) -> None:
     w.write(0xFFF, 12)  # syncword
     w.write(1, 1)  # ID: MPEG-1
-    w.write(0b11 if layer == 1 else 0b10, 2)  # layer field (I=11, II=10)
+    w.write({1: 0b11, 2: 0b10, 3: 0b01}[layer], 2)  # layer field (I=11, II=10, III=01)
     w.write(1, 1)  # protection_bit: no CRC
     w.write(0, 4)  # bitrate_index: free format
     w.write(rate_index, 2)
@@ -525,6 +525,208 @@ def decode_mpeg1_layer2(payload: bytes) -> dict:
     return {
         "codec": "mpeg1-layer2-mdct",
         "layer": 2,
+        "sample_rate": sample_rate,
+        "n_channels": 1,
+        "n_frames": n_frames,
+        "n_samples": n_samples,
+        "duration_us": n_samples * 1_000_000 // sample_rate,
+        "rms": float(np.sqrt(np.mean(y * y))),
+        "samples": y,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Layer III-shaped: hybrid filterbank, power-law quantization, sf bands
+# ---------------------------------------------------------------------------
+# What makes Layer III a different codec (ISO 11172-3 §2.4.2.7 et seq.):
+#   * the HYBRID filterbank — the 32-subband bank feeds an 18-point MDCT
+#     per subband, yielding 576 spectral lines per granule (2 granules per
+#     1152-sample frame) with TDAC overlap across granules,
+#   * NONUNIFORM quantization: |x|^(3/4) companding before the uniform
+#     step, inverted as xq^(4/3) — small coefficients keep finer steps,
+#   * SCALEFACTOR BANDS: one scalefactor per group of spectral lines whose
+#     widths grow with frequency (critical-band-ish), not per subband.
+# Honestly out of scope, enforced by the shared private-bit boundary: the
+# real Layer III Huffman tables (B.7), the bit reservoir (main_data_begin
+# back-pointing), window switching, and the tabulated per-rate scalefactor
+# band boundaries. The entropy layer here is fixed-width per band with a
+# 4-bit width field (engine-local, like the video tier's), and the band
+# layout is a formula-derived geometric progression — real SOF... real ISO
+# Layer III streams raise NotImplementedError and fall to the stub tier,
+# never mis-decode.
+L3_FRAME_SAMPLES = N_SUBBANDS * 36  # 1152
+_L3_LINES = 18
+_WIN36 = np.sin(np.pi / 36.0 * (np.arange(36) + 0.5))
+_CM18 = np.sqrt(2.0 / _L3_LINES) * np.cos(
+    np.pi
+    / _L3_LINES
+    * (np.arange(36)[None, :] + 0.5 + _L3_LINES / 2.0)
+    * (np.arange(_L3_LINES)[:, None] + 0.5)
+)
+_SCALE18 = 6.0  # sqrt(36): same worst-case-gain argument as _FB_SCALE
+
+
+def _l3_band_edges(n_bands: int = 12, n_lines: int = _L3_LINES) -> np.ndarray:
+    """Formula-derived scalefactor-band boundaries over the 18 MDCT lines
+    of one subband: geometric growth rounded to integers, first bands one
+    line wide. (Real Layer III tables span the full 576 lines per rate;
+    banding per subband keeps the layout orthogonal to the subband loop
+    while preserving the grows-with-frequency property.)"""
+    edges = [0]
+    for b in range(1, n_bands + 1):
+        edges.append(min(n_lines, max(edges[-1] + 1, round(n_lines ** (b / n_bands)))))
+    return np.array(edges[: n_bands + 1], dtype=np.int64)
+
+
+_L3_EDGES = _l3_band_edges()
+_L3_NBANDS = len(_L3_EDGES) - 1
+
+
+def _mdct18_analysis(ts: np.ndarray) -> np.ndarray:
+    """18-line MDCT over one subband's time series (hop 18, window 36,
+    zero-padded tail): (len(ts) // 18, 18)."""
+    n_blocks = len(ts) // _L3_LINES
+    padded = np.concatenate([ts, np.zeros(_L3_LINES)])
+    idx = np.arange(36)[None, :] + _L3_LINES * np.arange(n_blocks)[:, None]
+    return (padded[idx] * _WIN36[None, :]) @ _CM18.T / _SCALE18
+
+
+def _mdct18_synthesis(S: np.ndarray) -> np.ndarray:
+    n_blocks = S.shape[0]
+    blocks = (S @ _CM18) * _WIN36[None, :] * _SCALE18
+    y = np.zeros((n_blocks + 1) * _L3_LINES)
+    for b in range(n_blocks):
+        y[b * _L3_LINES : b * _L3_LINES + 36] += blocks[b]
+    return y[: n_blocks * _L3_LINES]
+
+
+def _l3_quantize(lines: np.ndarray, sf: float, nbits: int) -> np.ndarray:
+    """Power-law midtread: code = round((|x|/sf)^(3/4) * (2^(nbits-1)-1)),
+    sign carried separately in the code's top half."""
+    top = (1 << (nbits - 1)) - 1
+    mag = np.clip(np.abs(lines) / sf, 0.0, 1.0) ** 0.75
+    codes = np.rint(mag * top).astype(np.int64)
+    return np.where(lines < 0, codes + (top + 1), codes)
+
+
+def _l3_dequantize(codes: np.ndarray, sf: float, nbits: int) -> np.ndarray:
+    top = (1 << (nbits - 1)) - 1
+    neg = codes > top
+    mag = (codes - np.where(neg, top + 1, 0)).astype(np.float64) / top
+    vals = sf * mag ** (4.0 / 3.0)
+    return np.where(neg, -vals, vals)
+
+
+def encode_mpeg1_layer3(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Layer III-shaped encode: 1152-sample frames, 2 granules x 576
+    spectral lines through the hybrid filterbank. Per (subband, band):
+    6-bit scalefactor index + 4-bit code width, then fixed-width
+    power-law codes (width 0 = band silent)."""
+    if sample_rate not in _RATE_INDEX:
+        raise ValueError(f"sample rate {sample_rate} not an MPEG-1 rate")
+    n_frames = len(samples) // L3_FRAME_SAMPLES
+    if n_frames == 0:
+        raise ValueError("input shorter than one 1152-sample frame")
+    x = np.asarray(samples, dtype=np.float64)[: n_frames * L3_FRAME_SAMPLES]
+    S = mdct_analysis(x)  # (n_frames * 36, 32) subband samples
+    # second stage: per-subband 18-MDCT over the WHOLE stream (TDAC
+    # overlap crosses granule and frame boundaries, as in real L3)
+    lines = np.stack(
+        [_mdct18_analysis(S[:, sb]) for sb in range(N_SUBBANDS)], axis=1
+    )  # (2 * n_frames granules, 32 subbands, 18 lines)
+
+    w = _BitWriter()
+    for f in range(n_frames):
+        _write_header(w, _RATE_INDEX[sample_rate], layer=3)
+        for g in (2 * f, 2 * f + 1):
+            for sb in range(N_SUBBANDS):
+                for b in range(_L3_NBANDS):
+                    lo, hi = _L3_EDGES[b], _L3_EDGES[b + 1]
+                    seg = lines[g, sb, lo:hi]
+                    peak = float(np.abs(seg).max())
+                    if peak == 0.0:
+                        w.write(0, 6)
+                        w.write(0, 4)  # width 0: silent band
+                        continue
+                    sf_i = int(
+                        np.clip((SCALEFACTORS >= min(peak, 2.0)).sum() - 1, 0, 62)
+                    )
+                    nbits = 9 if sb < 8 else (7 if sb < 20 else 5)
+                    w.write(sf_i, 6)
+                    w.write(nbits, 4)
+                    for c in _l3_quantize(seg, float(SCALEFACTORS[sf_i]), nbits):
+                        w.write(int(c), nbits + 1)  # +1: sign half
+        w.byte_align()
+    return bytes(w.buf)
+
+
+def decode_mpeg1_layer3(payload: bytes) -> dict:
+    """Parse and decode Layer III-shaped frames (same error contract as
+    the other layers; the private-bit boundary keeps real ISO L3 streams
+    in the stub tier)."""
+    if len(payload) < 4:
+        raise ValueError("truncated MPEG audio payload")
+    r = _BitReader(payload)
+    granules = []
+    sample_rate = None
+    while r.bytepos < len(payload):
+        if r.read(12) != 0xFFF:
+            raise ValueError("bad MPEG syncword")
+        if r.read(1) != 1:
+            raise NotImplementedError("MPEG-2 (ID=0) unsupported")
+        layer_code = r.read(2)
+        if layer_code != 0b01:
+            name = {0b10: "Layer II", 0b11: "Layer I"}.get(layer_code, "reserved layer")
+            raise NotImplementedError(f"{name} stream in the Layer III decoder")
+        if r.read(1) != 1:
+            raise NotImplementedError("CRC-protected frames unsupported")
+        if r.read(4) != 0:
+            raise NotImplementedError("standard-bitrate frames unsupported (free format only)")
+        rate_index = r.read(2)
+        if rate_index not in SAMPLE_RATES:
+            raise ValueError("reserved sampling-frequency index")
+        rate = SAMPLE_RATES[rate_index]
+        sample_rate = sample_rate or rate
+        if rate != sample_rate:
+            raise ValueError("sampling frequency changes mid-stream")
+        r.read(1)
+        if r.read(1) != 1:
+            raise NotImplementedError(
+                "true ISO Layer III stream (private_bit=0): Huffman tables "
+                "B.7 / bit reservoir not implemented"
+            )
+        if r.read(2) != 0b11:
+            raise NotImplementedError("stereo modes unsupported")
+        r.read(2 + 1 + 1 + 2)
+        for _ in range(2):  # granules
+            g = np.zeros((N_SUBBANDS, _L3_LINES))
+            for sb in range(N_SUBBANDS):
+                for b in range(_L3_NBANDS):
+                    lo, hi = _L3_EDGES[b], _L3_EDGES[b + 1]
+                    sf_i = r.read(6)
+                    nbits = r.read(4)
+                    if nbits == 0:
+                        continue
+                    codes = np.array(
+                        [r.read(nbits + 1) for _ in range(hi - lo)], dtype=np.int64
+                    )
+                    g[sb, lo:hi] = _l3_dequantize(
+                        codes, float(SCALEFACTORS[sf_i]), nbits
+                    )
+            granules.append(g)
+        r.byte_align()
+    if not granules:
+        raise ValueError("no MPEG frames in payload")
+    lines = np.stack(granules, axis=0)  # (n_granules, 32, 18)
+    S = np.stack(
+        [_mdct18_synthesis(lines[:, sb, :]) for sb in range(N_SUBBANDS)], axis=1
+    )  # (n_granules * 18, 32)
+    y = mdct_synthesis(S)
+    n_frames = len(granules) // 2
+    n_samples = n_frames * L3_FRAME_SAMPLES
+    return {
+        "codec": "mpeg1-layer3-hybrid",
+        "layer": 3,
         "sample_rate": sample_rate,
         "n_channels": 1,
         "n_frames": n_frames,

@@ -1972,3 +1972,73 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fps.groupBy("fp").agg(
         F.min("doc_id").alias("rep_doc"), F.count("*").alias("n_members")
     ).select("rep_doc", "n_members")
+
+
+def _mpeg_l3_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    import numpy as np
+    import pandas as pd
+
+    from emr_with_custom_metrics_spark.llm.mpeg_audio import (
+        L3_FRAME_SAMPLES,
+        decode_mpeg1_layer3,
+        encode_mpeg1_layer3,
+    )
+
+    def roundtrip(d: int) -> dict:
+        fs = (44100, 48000, 32000)[d % 3]
+        n = L3_FRAME_SAMPLES * (1 + d % 2)
+        t = np.arange(n)
+        x = (0.2 + (d % 7) / 10.0) * np.sin(
+            2.0 * np.pi * (150.0 + (d % 25) * 120.0) * t / fs
+        )
+        return decode_mpeg1_layer3(encode_mpeg1_layer3(x, fs))
+
+    for pdf in batches:
+        metas = pdf["doc_id"].map(lambda d: roundtrip(int(d)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "sample_rate": metas.map(lambda m: m["sample_rate"]).astype("int32"),
+                "n_frames": metas.map(lambda m: m["n_frames"]).astype("int32"),
+                "n_samples": metas.map(lambda m: m["n_samples"]).astype("int64"),
+                "duration_us": metas.map(lambda m: m["duration_us"]).astype("int64"),
+                "layer": metas.map(lambda m: m["layer"]).astype("int32"),
+            }
+        )
+
+
+@register(
+    "multimodal_decode_mpeg1_l3",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                  ELSE 32000 END AS fs,
+             1 + doc_id % 2 AS nf
+      FROM documents WHERE doc_id < 240)
+    SELECT doc_id,
+           CAST(fs AS INT) AS sample_rate,
+           CAST(nf AS INT) AS n_frames,
+           CAST(1152 * nf AS BIGINT) AS n_samples,
+           CAST(1152 * nf * 1000000 // fs AS BIGINT) AS duration_us,
+           CAST(3 AS INT) AS layer
+    FROM p
+    """,
+    doc="MPEG-1 Layer III-shaped decode, completing the layer family: the "
+    "HYBRID filterbank (32-subband bank feeding an 18-line MDCT per "
+    "subband — 576 spectral lines per granule, TDAC overlap across "
+    "granules and frames, measured perfect-reconstruction at ~280 dB "
+    "with quantization bypassed), power-law |x|^(3/4) quantization, and "
+    "per-(subband, band) scalefactors over geometric scalefactor bands. "
+    "Huffman tables B.7 / bit reservoir / window switching stay behind "
+    "the shared private-bit honesty boundary (true ISO L3 streams fall "
+    "to the stub tier). ~53 dB tone round-trips in the codec fuzz "
+    "tests; oracled columns are closed-form from the encode parameters.",
+)
+def multimodal_decode_mpeg1_l3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_fanned(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 240)
+    )
+    return d.mapInPandas(_mpeg_l3_roundtrip_batch, schema=MPEG_L2_SCHEMA)
