@@ -236,6 +236,9 @@ _DRIVER_DEFER = frozenset(
         "sql_parameterized", "sql_collation_lcase", "transpose_priority_metrics",
         "scalar_xml_funcs", "window_ignore_nulls", "json_parse_modes",
         "agg_filter_clause", "sql_lateral_topn", "formats_xml_roundtrip",
+        # + one more when Layer III joined (the formats family has six
+        # long-green rows; the null-pattern here is low-risk to defer)
+        "formats_parquet_schema_evolution",
     }
 )
 
