@@ -1117,3 +1117,118 @@ def dedup_paragraph_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("cnt") > 1).cast("bigint").alias("n_dup_chunks"),
         F.round(F.count_if(F.col("cnt") > 1) / F.count("*"), 6).alias("dup_ratio"),
     )
+
+
+SPAN_TOKENS = 15
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    w AS (
+      SELECT doc_id,
+             UNNEST(range(LEN(toks) - {SPAN_TOKENS} + 1)) AS pos,
+             UNNEST(list_transform(range(LEN(toks) - {SPAN_TOKENS} + 1),
+               i -> md5(array_to_string(
+                      list_slice(toks, i + 1, i + {SPAN_TOKENS}), ' ')))) AS h
+      FROM t WHERE LEN(toks) >= {SPAN_TOKENS}),
+    c AS (SELECT doc_id, pos,
+                 COUNT(*) OVER (PARTITION BY h) AS cnt
+          FROM w),
+    d AS (SELECT doc_id, pos FROM c WHERE cnt > 1),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                    OR pos > LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                             + {SPAN_TOKENS}
+                  THEN 1 ELSE 0 END AS brk
+      FROM d),
+    sp AS (SELECT doc_id, pos,
+                  SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM isl),
+    spans AS (SELECT doc_id, grp, MIN(pos) AS s,
+                     MAX(pos) + {SPAN_TOKENS} - 1 AS e
+              FROM sp GROUP BY doc_id, grp),
+    per_doc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+                       CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens
+                FROM spans GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(LEN(t.toks) AS BIGINT) AS n_tokens,
+           COALESCE(n_spans, 0) AS n_spans,
+           COALESCE(dup_tokens, 0) AS dup_tokens,
+           ROUND(COALESCE(dup_tokens, 0)::DOUBLE
+                 / NULLIF(LEN(t.toks), 0), 6) AS dup_ratio
+    FROM t LEFT JOIN per_doc USING (doc_id)
+    """,
+    doc="ExactSubstr-style span-level dedup (Lee et al., 'Deduplicating "
+    "Training Data Makes Language Models Better'): every STRIDE-1 sliding "
+    "15-token window is hashed, windows whose exact token sequence occurs "
+    "more than once ANYWHERE in the corpus (cross-doc or intra-doc) are "
+    "flagged, and per document the flagged windows are merged into maximal "
+    "duplicated spans (overlap-or-adjacent interval union via the lag/"
+    "cumsum islands idiom). Output per doc: token count, span count, "
+    "tokens covered by duplicated spans, coverage ratio — the per-doc "
+    "signal span-removal pipelines threshold on. The paper's suffix-array "
+    "formulation is a single-machine algorithm; the windowed-hash "
+    "formulation is the shuffle-native equivalent for fixed span width "
+    "(k=15 scales down the paper's 50-token spans to this corpus). Plan: "
+    "map-side window hashing (array HOFs over one explode), occurrence "
+    "counts as a COUNT window over the 16-byte hash (one shuffle; partial-"
+    "agg-friendly groupBy+join is the documented flip for a mega-hot "
+    "boilerplate hash, same tradeoff as dedup_paragraph_chunks), then "
+    "islands windows by doc_id (second shuffle, also the output "
+    "partitioning). Shuffles carry (doc_id, pos, hash) triples, never "
+    "text — at 100 TB the stride-1 window table is ~|tokens| rows of "
+    "~32 bytes, partitioning cleanly by hash.",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    k = SPAN_TOKENS
+    base = load_fanned(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        tokens(F.col("text")).alias("toks"),
+    )
+    wins = F.expr(
+        f"transform(sequence(0, size(toks) - {k}), "
+        f"i -> struct(i AS pos, md5(concat_ws(' ', slice(toks, i + 1, {k}))) AS h))"
+    )
+    w = (
+        base.where(F.col("n_tokens") >= k)
+        .select("doc_id", F.explode(wins).alias("w"))
+        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    )
+    dup = (
+        w.withColumn("cnt", F.count("*").over(Window.partitionBy("h")))
+        .where(F.col("cnt") > 1)
+        .select("doc_id", "pos")
+    )
+    by_doc = Window.partitionBy("doc_id").orderBy("pos")
+    lag_pos = F.lag("pos").over(by_doc)
+    sp = dup.withColumn(
+        "brk", F.when(lag_pos.isNull() | (F.col("pos") > lag_pos + k), 1).otherwise(0)
+    ).withColumn("grp", F.sum("brk").over(by_doc))
+    spans = sp.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("s"), (F.max("pos") + k - 1).alias("e")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("dup_tokens"),
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.expr("nullif(n_tokens, 0)"),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )

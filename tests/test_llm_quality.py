@@ -435,3 +435,35 @@ def test_pca_projection_captures_dominant_variance(spark):
     # round count, not sloppiness (see embedding_pca_project docstring)
     assert abs(pc1.var(ddof=1) - evals[-1]) < 5e-3 * evals[-1]
     assert pc1.var(ddof=1) >= emb.var(axis=0, ddof=1).max() - 1e-9
+
+
+def test_substring_spans_invariants(spark):
+    """Span-level dedup ground truth: (a) coverage never exceeds the doc,
+    (b) span accounting is self-consistent (each maximal span covers at
+    least one full window), and (c) every EXACT-duplicate document (the
+    dedup_exact groups) is fully covered — a doc whose whole text occurs
+    twice in the corpus is one wall-to-wall duplicated span."""
+    out = SPECS["dedup_substring_spans"].fn(spark, SF_DIR).cache()
+    k = dedup.SPAN_TOKENS
+    bad = out.where(
+        (F.col("dup_tokens") > F.col("n_tokens"))
+        | ((F.col("n_spans") > 0) & (F.col("dup_tokens") < F.lit(k)))
+        | ((F.col("n_spans") == 0) & (F.col("dup_tokens") != 0))
+    )
+    assert bad.count() == 0
+
+    docs = load_table(spark, SF_DIR, "documents")
+    exact_dup_ids = (
+        docs.groupBy("text")
+        .agg(F.count("*").alias("c"), F.collect_list("doc_id").alias("ids"))
+        .where(F.col("c") > 1)
+        .select(F.explode("ids").alias("doc_id"))
+    )
+    uncovered = (
+        out.join(exact_dup_ids, "doc_id")
+        .where(F.col("n_tokens") >= k)
+        .where(F.col("dup_tokens") != F.col("n_tokens"))
+    )
+    assert uncovered.count() == 0
+    assert out.where(F.col("n_spans") > 0).count() > 0  # corpus has near-dups
+    out.unpersist()
