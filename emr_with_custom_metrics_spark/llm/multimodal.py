@@ -2042,3 +2042,96 @@ def multimodal_decode_mpeg1_l3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") < 240)
     )
     return d.mapInPandas(_mpeg_l3_roundtrip_batch, schema=MPEG_L2_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio: FLAC (subset) lossless compression (llm/flac.py)
+# ---------------------------------------------------------------------------
+FLAC_DECODED_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_frames int, n_samples bigint, "
+    "duration_us bigint, sample_sum bigint, sample_min int, sample_max int"
+)
+
+
+def _flac_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    import numpy as np
+    import pandas as pd
+
+    from emr_with_custom_metrics_spark.llm.flac import decode_flac, encode_flac
+
+    def roundtrip(d: int) -> dict:
+        fs = (44100, 48000, 32000)[d % 3]
+        n = 1500 + (d % 5) * 1200
+        a = 3 + d % 5
+        b = d % 997
+        t = np.arange(n, dtype=np.int64)
+        x = ((a * t + b) % 4001 - 2000).astype(np.int16)
+        meta = decode_flac(encode_flac(x, fs))
+        s = meta["samples"].astype(np.int64)
+        meta["sample_sum"] = int(s.sum())
+        meta["sample_min"] = int(s.min())
+        meta["sample_max"] = int(s.max())
+        return meta
+
+    for pdf in batches:
+        metas = pdf["doc_id"].map(lambda d: roundtrip(int(d)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "sample_rate": metas.map(lambda m: m["sample_rate"]).astype("int32"),
+                "n_frames": metas.map(lambda m: m["n_frames"]).astype("int32"),
+                "n_samples": metas.map(lambda m: m["n_samples"]).astype("int64"),
+                "duration_us": metas.map(lambda m: m["duration_us"]).astype("int64"),
+                "sample_sum": metas.map(lambda m: m["sample_sum"]).astype("int64"),
+                "sample_min": metas.map(lambda m: m["sample_min"]).astype("int32"),
+                "sample_max": metas.map(lambda m: m["sample_max"]).astype("int32"),
+            }
+        )
+
+
+@register(
+    "multimodal_decode_flac",
+    # The signal is an integer ramp-with-wraparound derived from doc_id, so
+    # the oracle RE-SYNTHESIZES it in SQL (list ops over range(n)) and
+    # aggregates — while the Spark side goes through the full encode →
+    # container parse → Rice decode → fixed-predictor reconstruction →
+    # CRC-8/CRC-16/MD5 verification path. Any prediction, Rice, framing, or
+    # integrity bug breaks sample_sum/min/max exactly (FLAC is lossless, so
+    # unlike the MPEG tier there is no SNR tolerance — the oracle holds the
+    # decode to BIT-exact reconstruction).
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                              ELSE 32000 END) AS fs,
+             1500 + (doc_id % 5) * 1200 AS n,
+             3 + doc_id % 5 AS a,
+             doc_id % 997 AS b
+      FROM documents),
+    s AS (
+      SELECT doc_id, fs, n,
+             list_transform(range(n), t -> (a * t + b) % 4001 - 2000) AS xs
+      FROM p)
+    SELECT doc_id,
+           CAST(fs AS INT) AS sample_rate,
+           CAST(CEIL(n / 4096.0) AS INT) AS n_frames,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(n * 1000000 // fs AS BIGINT) AS duration_us,
+           CAST(list_sum(xs) AS BIGINT) AS sample_sum,
+           CAST(list_min(xs) AS INT) AS sample_min,
+           CAST(list_max(xs) AS INT) AS sample_max
+    FROM s
+    """,
+    doc="REAL lossless-compressed audio decode end-to-end: synthesize "
+    "int16 ramp signals (parameters derived from doc_id), encode as "
+    "spec-conformant subset FLAC (fixed predictors + Rice residuals, "
+    "llm/flac.py), then parse the container, verify CRC-8/CRC-16/MD5, and "
+    "reconstruct inside mapInPandas. Completes the compressed-audio "
+    "family: MPEG-1 Layers I-III cover lossy subband coding, FLAC covers "
+    "the predict-and-entropy-code lossless family. Arrow-batched, "
+    "embarrassingly parallel — the 100 TB shape is a binary-column scan "
+    "with per-row decode, no shuffle at all.",
+)
+def multimodal_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fanned(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_flac_roundtrip_batch, schema=FLAC_DECODED_SCHEMA)

@@ -660,3 +660,78 @@ def test_mpeg1_layer3_cross_rejection_and_boundary():
     b[2] ^= 0x01  # header byte 2 bit0 = private_bit
     with pytest.raises(NotImplementedError):
         M.decode_mpeg1_layer3(bytes(b))
+
+
+# ---------------------------------------------------------------------------
+# FLAC (subset) lossless codec (llm/flac.py)
+# ---------------------------------------------------------------------------
+@settings(max_examples=40, deadline=None)
+@given(
+    x=st.lists(st.integers(-32768, 32767), min_size=1, max_size=600),
+    rate=st.sampled_from([8000, 16000, 44100, 48000]),
+)
+def test_flac_roundtrip_is_lossless(x, rate):
+    from emr_with_custom_metrics_spark.llm.flac import decode_flac, encode_flac
+
+    sig = np.array(x, dtype=np.int16)
+    meta = decode_flac(encode_flac(sig, rate))
+    assert meta["sample_rate"] == rate
+    assert np.array_equal(meta["samples"], sig)
+
+
+def test_flac_block_boundary_lengths_and_compression():
+    """Lengths straddling the 4096 block boundary roundtrip exactly, and
+    predictable content (ramps/sines) actually compresses — a Rice coder
+    that silently fell back to verbatim everywhere would pass roundtrip
+    tests while compressing nothing."""
+    from emr_with_custom_metrics_spark.llm.flac import decode_flac, encode_flac
+
+    for n in (4095, 4096, 4097, 8192, 8193):
+        sig = (np.arange(n, dtype=np.int64) * 7 % 4001 - 2000).astype(np.int16)
+        enc = encode_flac(sig, 44100)
+        meta = decode_flac(enc)
+        assert np.array_equal(meta["samples"], sig)
+        assert meta["n_frames"] == -(-n // 4096)
+        assert len(enc) < 0.5 * 2 * n  # ramps must beat raw PCM by 2x+
+
+    tone = (5000 * np.sin(np.arange(6000) * 0.02)).astype(np.int16)
+    assert len(encode_flac(tone, 44100)) < 0.35 * 2 * len(tone)
+
+
+@settings(max_examples=25, deadline=None)
+@given(seed=st.integers(0, 10_000), cut=st.floats(0.3, 0.99))
+def test_flac_corruption_is_detected(seed, cut):
+    """Flipping any byte of the frame payload must raise (CRC-8, CRC-16,
+    MD5, or a structural ValueError) — never return wrong samples."""
+    from emr_with_custom_metrics_spark.llm.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(seed)
+    sig = rng.integers(-3000, 3000, 900).astype(np.int16)
+    enc = bytearray(encode_flac(sig, 44100))
+    pos = 4 + 4 + 34 + int((len(enc) - 42) * cut)  # inside frame data
+    enc[min(pos, len(enc) - 1)] ^= 0x55
+    try:
+        meta = decode_flac(bytes(enc))
+        # A flip that lands in zero-padding of the last byte can decode;
+        # then the samples MUST still be exact (integrity held by MD5).
+        assert np.array_equal(meta["samples"], sig)
+    except (ValueError, NotImplementedError):
+        pass
+
+
+def test_flac_unsupported_features_fall_to_stub():
+    """Foreign conformant features (stereo STREAMINFO, LPC subframe type)
+    raise NotImplementedError — the multimodal dispatch stub contract —
+    not a mis-decode."""
+    import pytest
+
+    from emr_with_custom_metrics_spark.llm.flac import decode_flac, encode_flac
+
+    sig = np.arange(100, dtype=np.int16)
+    enc = bytearray(encode_flac(sig, 44100))
+    # STREAMINFO channels field: byte 8+4+12 = offset 24 bits 9-11 of byte…
+    # channels-1 sits in bits [100:103] of STREAMINFO → byte 12 of the
+    # 34-byte block (stream offset 8 + 12), bits 4-6 (mask 0x0E).
+    enc[8 + 12] |= 0x02  # channels-1: 0 -> 1 (stereo)
+    with pytest.raises(NotImplementedError, match="multi-channel"):
+        decode_flac(bytes(enc))
