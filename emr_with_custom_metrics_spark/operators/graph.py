@@ -415,3 +415,63 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("clustering"),
     )
+
+
+@register(
+    "graph_shortest_paths",
+    oracle=f"""
+    WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    edges AS ({_BFS_EDGES_SQL}),
+    wedges AS (
+      SELECT a_id AS src, b_id AS dst, 1 + (a_id + b_id) % 7 AS w FROM edges
+      UNION ALL
+      SELECT b_id, a_id, 1 + (a_id + b_id) % 7 FROM edges),
+    sp(node, cost, hops) AS (
+        SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0
+        UNION ALL
+        SELECT d.dst, s.cost + d.w, s.hops + 1
+        FROM sp s JOIN wedges d ON d.src = s.node
+        WHERE s.hops < 4
+    )
+    SELECT node, CAST(MIN(cost) AS BIGINT) AS cost FROM sp GROUP BY node
+    """,
+    doc="Single-source WEIGHTED shortest paths (bounded Bellman-Ford) over "
+    "the cosine>=0.3 similarity graph — the weighted complement of "
+    "graph_bfs_levels: where BFS drives the engine's OWN recursion "
+    "operator with unit hops, this is the hand-rolled relaxation loop "
+    "with integer edge weights (w = 1 + (a+b) % 7, deterministic, so the "
+    "whole fixpoint is hash-oracled — rare for an iterative graph op). "
+    "Semantics: minimum path cost from node 0 over paths of at most 4 "
+    "edges (the hop bound IS the contract, matching BFS). Plan: the "
+    "directed weighted edge table is built once and lineage-truncated "
+    "(localCheckpoint); each of the 4 rounds is one join + one "
+    "min-aggregate shuffle keyed by node — Pregel's per-superstep cost. "
+    "The frontier table carries (node, cost) pairs only; at 100 TB the "
+    "edge table partitions by src and AQE handles hub skew.",
+)
+def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emr_with_custom_metrics_spark.llm.dedup import embedding_cosine_pairs
+
+    pairs = embedding_cosine_pairs(spark, sf_dir, threshold=0.3).select("a_id", "b_id")
+    w = 1 + (F.col("a_id") + F.col("b_id")) % 7
+    dir_edges = (
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"), w.alias("w"))
+        .unionByName(
+            pairs.select(
+                F.col("b_id").alias("src"), F.col("a_id").alias("dst"), w.alias("w")
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    dist = spark.createDataFrame([(0, 0)], "node bigint, cost bigint")
+    for _ in range(4):
+        relaxed = dir_edges.join(dist, dir_edges.src == dist.node).select(
+            F.col("dst").alias("node"), (F.col("cost") + F.col("w")).alias("cost")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=False)
+        )
+    return dist.select("node", F.col("cost").cast("bigint").alias("cost"))

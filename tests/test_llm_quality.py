@@ -467,3 +467,20 @@ def test_substring_spans_invariants(spark):
     assert uncovered.count() == 0
     assert out.where(F.col("n_spans") > 0).count() > 0  # corpus has near-dups
     out.unpersist()
+
+
+def test_shortest_paths_bracket_bfs_levels(spark):
+    """Weighted shortest paths vs unit-weight BFS on the same graph and
+    hop bound: with weights in [1, 7], every node's cost must satisfy
+    level <= cost <= 7 * level, and the two reachable sets must be equal."""
+    sp = {
+        r["node"]: r["cost"]
+        for r in SPECS["graph_shortest_paths"].fn(spark, SF_DIR).collect()
+    }
+    lv = {
+        r["node"]: r["level"]
+        for r in SPECS["graph_bfs_levels"].fn(spark, SF_DIR).collect()
+    }
+    assert set(sp) == set(lv)
+    assert all(lv[n] <= sp[n] <= 7 * lv[n] for n in sp)
+    assert sp[0] == 0
