@@ -732,3 +732,92 @@ def session_windows_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "first_ts",
     )
+
+
+@register(
+    "timeseries_holt_winters",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+               list(value ORDER BY ts, event_id) AS vals
+        FROM events GROUP BY 1, 2
+    ), hw AS (
+        -- DOUBLE[2] accumulator ([level, trend]), NOT a struct: DuckDB
+        -- v1.0 evaluates struct-returning reduce lambdas by mutating the
+        -- accumulator FIELD BY FIELD, so a 'b' entry that references acc.l
+        -- reads the freshly-written NEW level (measured: diverges from the
+        -- sequential recurrence at the 3rd element). List construction
+        -- evaluates every element against the old accumulator.
+        SELECT event_type, day, len(vals) AS n,
+               list_reduce(
+                 list_transform(vals,
+                   x -> [CAST(x AS DOUBLE), CAST(0.0 AS DOUBLE)]),
+                 (acc, x) -> [
+                   CAST(0.4 AS DOUBLE) * x[1]
+                      + CAST(0.6 AS DOUBLE) * (acc[1] + acc[2]),
+                   CAST(0.3 AS DOUBLE)
+                        * ((CAST(0.4 AS DOUBLE) * x[1]
+                            + CAST(0.6 AS DOUBLE) * (acc[1] + acc[2])) - acc[1])
+                      + CAST(0.7 AS DOUBLE) * acc[2]
+                 ]) AS st
+        FROM s
+    )
+    SELECT event_type, day,
+           CAST(n AS BIGINT) AS n_points,
+           ROUND(st[1], 6) AS level,
+           ROUND(st[2], 6) AS trend,
+           ROUND(st[1] + st[2], 6) AS forecast_next
+    FROM hw
+    """,
+    doc="Holt's double exponential smoothing (level + trend) per (metric, "
+    "day): the two-state extension of timeseries_ewma's one-state "
+    "recurrence — l_t = a*x_t + (1-a)(l+b), b_t = g*(l_t - l) + (1-g)*b, "
+    "init l_0 = x_0, b_0 = 0. Same ordered-array-fold idiom, but the "
+    "accumulator is a STRUCT, demonstrating that the aggregate() HOF "
+    "carries arbitrary per-group state machines JVM-side (no Python, no "
+    "UDAF). Group state stays day-bounded — the 100 TB safety property "
+    "the EWMA doc establishes. Oracle parity tricks: (1) DuckDB's "
+    "list_reduce takes no init value, so BOTH sides map each element to a "
+    "full state first — the first element then IS the init state; (2) the "
+    "DuckDB accumulator is a DOUBLE[2] LIST, because its struct-returning "
+    "reduce lambdas mutate the accumulator field-by-field (a trend entry "
+    "referencing acc.l reads the freshly-written new level — measured "
+    "divergence at element 3); (3) the new-level arithmetic is textually "
+    "duplicated inside the trend update on both engines so every step "
+    "performs the same IEEE double ops in the same order (6 dp hash).",
+)
+def timeseries_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    grouped = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+            F.struct("ts", "event_id", "value").alias("pt"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.array_sort(F.collect_list("pt")).alias("pts"))
+    )
+    st = F.expr(
+        """
+        aggregate(
+          transform(pts, s -> named_struct('l', s.value, 'b', CAST(0.0 AS DOUBLE))),
+          named_struct('l', CAST(NULL AS DOUBLE), 'b', CAST(0.0 AS DOUBLE)),
+          (acc, x) -> CASE WHEN acc.l IS NULL THEN x
+            ELSE named_struct(
+              'l', CAST(0.4 AS DOUBLE) * x.l
+                 + CAST(0.6 AS DOUBLE) * (acc.l + acc.b),
+              'b', CAST(0.3 AS DOUBLE)
+                   * ((CAST(0.4 AS DOUBLE) * x.l
+                       + CAST(0.6 AS DOUBLE) * (acc.l + acc.b)) - acc.l)
+                 + CAST(0.7 AS DOUBLE) * acc.b) END)
+        """
+    )
+    return grouped.select(
+        "event_type",
+        "day",
+        F.size("pts").cast("bigint").alias("n_points"),
+        F.round(st.getField("l"), 6).alias("level"),
+        F.round(st.getField("b"), 6).alias("trend"),
+        F.round(st.getField("l") + st.getField("b"), 6).alias("forecast_next"),
+    )
