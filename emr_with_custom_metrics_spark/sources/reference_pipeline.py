@@ -472,3 +472,55 @@ def maintenance_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFra
     return before.crossJoin(after).select(
         "n_files_before", "n_files_after", "n_rows", "sum_qty"
     )
+
+
+@register(
+    "formats_binaryfile_scan",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
+           CAST(SUM(CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT))
+                AS BIGINT) AS checksum
+    FROM documents GROUP BY source
+    """,
+    doc="binaryFile ingestion path — how raw corpus/media files enter the "
+    "engine before any decoder runs (the multimodal tier's upstream): "
+    "documents are written as a PARTITIONED text layout (distributed "
+    "write, one file per source via repartition-on-the-partition-column — "
+    "no driver loop), then re-ingested with the binaryFile data source "
+    "using pathGlobFilter + recursiveFileLookup, whole-file content "
+    "decoded and split back into records, partition identity recovered "
+    "from the path (recursiveFileLookup disables partition-column "
+    "inference, so the path regexp IS the contract). The per-source "
+    "aggregate is file-layout-independent — count, chars, and an md5-"
+    "derived content checksum hold whether a source arrives as one file "
+    "or fifty, which is what makes the oracle (recomputed straight from "
+    "the documents table) valid for any writer parallelism. At 100 TB "
+    "binaryFile is the pattern for image/audio corpora: one row per "
+    "object, content never leaves the executor that read it.",
+)
+def formats_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents").select("text", "source")
+    tmp = tempfile.mkdtemp(prefix="binaryfile_scan_")
+    path = f"{tmp}/docs_txt"
+    d.repartition("source").write.mode("overwrite").partitionBy("source").text(path)
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+    )
+    lines = back.select(
+        F.regexp_extract("path", "source=([^/]+)", 1).alias("source"),
+        F.explode(F.split(F.decode("content", "UTF-8"), "\n")).alias("text"),
+    ).where(F.length("text") > 0)
+    return lines.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("sum_chars"),
+        F.sum(F.conv(F.substring(F.md5("text"), 1, 12), 16, 10).cast("bigint"))
+        .cast("bigint")
+        .alias("checksum"),
+    )
