@@ -98,3 +98,92 @@ def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         "click_value",
     )
+
+
+def _cogroup_asof(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":  # noqa: F821
+    """Per-user as-of match: for each purchase, the last click at or before
+    it. searchsorted over the click timeline sorted by (ts, click_id):
+    side='right' lands past every equal timestamp, so simultaneous clicks
+    tie-break to the HIGHEST click_id — the contract the oracle's
+    ORDER BY c.ts DESC, c.click_id DESC pins."""
+    import numpy as np
+    import pandas as pd
+
+    if len(left) == 0:
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series(dtype="int64"),
+                "purchase_id": pd.Series(dtype="int64"),
+                "purchase_epoch": pd.Series(dtype="int64"),
+                "click_id": pd.Series(dtype="Int64"),
+                "click_value": pd.Series(dtype="float64"),
+            }
+        )
+    p = left.sort_values("purchase_id")
+    p_ts = p["ts"].values.astype("datetime64[us]").astype("int64")
+    c = right.sort_values(["ts", "click_id"])
+    c_ts = c["ts"].values.astype("datetime64[us]").astype("int64")
+    idx = np.searchsorted(c_ts, p_ts, side="right") - 1
+    matched = idx >= 0
+    click_id = pd.array(
+        [int(c["click_id"].iloc[i]) if ok else None for i, ok in zip(idx, matched)],
+        dtype="Int64",
+    )
+    click_value = np.array(
+        [float(c["value"].iloc[i]) if ok else np.nan for i, ok in zip(idx, matched)]
+    )
+    return pd.DataFrame(
+        {
+            "user_id": p["user_id"].values,
+            "purchase_id": p["purchase_id"].values,
+            "purchase_epoch": p_ts // 1_000_000,
+            "click_id": click_id,
+            "click_value": np.round(click_value, 2),
+        }
+    )
+
+
+@register(
+    "cogroup_asof_pandas",
+    oracle="""
+    WITH p AS (SELECT user_id, event_id AS purchase_id, ts
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, event_id AS click_id, ts, value
+          FROM events WHERE event_type = 'click'),
+    j AS (
+      SELECT p.user_id, p.purchase_id,
+             CAST(FLOOR(epoch(p.ts)) AS BIGINT) AS purchase_epoch,
+             c.click_id, ROUND(c.value, 2) AS click_value,
+             ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                                ORDER BY c.ts DESC, c.click_id DESC) AS rn
+      FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts)
+    SELECT user_id, purchase_id, purchase_epoch, click_id, click_value
+    FROM j WHERE rn = 1
+    """,
+    doc="Cogrouped applyInPandas — the one pandas-on-Spark grouping API "
+    "the rest of the repo doesn't exercise: two DataFrames grouped on the "
+    "same key, each key's TWO pandas frames handed to one function "
+    "(df.groupBy(k).cogroup(other.groupBy(k))). Semantics match "
+    "asof_purchase_last_click (last click at-or-before each purchase, "
+    "LEFT), but computed per-user in numpy via searchsorted instead of "
+    "the union-window composition — the idiom for custom two-sided "
+    "per-key logic (feature backfill, interleaved replay) that no join "
+    "expresses directly. Scale shape: one co-partitioning shuffle of both "
+    "sides by key, Arrow-batched per-key frames, no driver involvement; "
+    "per-key state is bounded by a user's history. Tie-break contract "
+    "(simultaneous clicks -> highest click_id) is pinned identically in "
+    "the numpy side (sort + side='right') and the oracle's window order.",
+)
+def cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts", "value"
+    )
+    return purchases.groupBy("user_id").cogroup(clicks.groupBy("user_id")).applyInPandas(
+        _cogroup_asof,
+        schema="user_id bigint, purchase_id bigint, purchase_epoch bigint, "
+        "click_id bigint, click_value double",
+    )
