@@ -959,3 +959,147 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 20)
         .drop("rn")
     )
+
+
+def _bpe_encode_oracle(rounds: int) -> str:
+    """Train-then-apply oracle: the trainer's chained-CTE schedule learns
+    best0..best{R-1} on the doc_id < 300 split, and a parallel enc-chain
+    applies each merge to EVERY document (same wrapped-replace trick)."""
+    head = """
+    WITH docs0 AS (
+        SELECT doc_id,
+               list_aggregate(list_transform(string_split(text, ' '),
+                   t -> chr(1) || t || chr(2)), 'string_agg', '') AS r
+        FROM documents WHERE doc_id < 300
+    ), enc0 AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_before,
+               list_aggregate(list_transform(string_split(text, ' '),
+                   t -> chr(1) || t || chr(2)), 'string_agg', '') AS r
+        FROM documents
+    )"""
+    blocks = [head]
+    for i in range(rounds):
+        j = i + 1
+        blocks.append(f""",
+    toks{i} AS (
+        SELECT doc_id,
+               string_split(substr(r, 2, length(r) - 2),
+                            chr(2) || chr(1)) AS t
+        FROM docs{i}
+    ), cnt{i} AS (
+        SELECT a, b, COUNT(*) AS c FROM (
+            SELECT t[i] AS a, t[i + 1] AS b
+            FROM toks{i}, UNNEST(range(1, len(t))) AS u(i)
+        ) GROUP BY a, b
+    ), best{i} AS (
+        SELECT a, b FROM cnt{i}
+        ORDER BY c DESC, a, b LIMIT 1
+    ), docs{j} AS (
+        SELECT d.doc_id,
+               replace(d.r, chr(1) || best{i}.a || chr(2)
+                          || chr(1) || best{i}.b || chr(2),
+                       chr(1) || best{i}.a || ' ' || best{i}.b || chr(2)) AS r
+        FROM docs{i} d, best{i}
+    ), enc{j} AS (
+        SELECT e.doc_id, e.n_before,
+               replace(e.r, chr(1) || best{i}.a || chr(2)
+                          || chr(1) || best{i}.b || chr(2),
+                       chr(1) || best{i}.a || ' ' || best{i}.b || chr(2)) AS r
+        FROM enc{i} e, best{i}
+    )""")
+    return "".join(blocks) + f"""
+    SELECT doc_id, n_before,
+           CAST(len(t) AS BIGINT) AS n_after,
+           CAST(len(list_filter(t, x -> contains(x, ' '))) AS BIGINT)
+               AS n_merged
+    FROM (SELECT doc_id, n_before,
+                 string_split(substr(r, 2, length(r) - 2),
+                              chr(2) || chr(1)) AS t
+          FROM enc{rounds})
+    """
+
+
+@register(
+    "text_bpe_encode",
+    oracle=_bpe_encode_oracle(_BPE_ROUNDS),
+    doc="BPE ENCODE — the apply half of the tokenizer workflow "
+    "text_bpe_train_merges trains: the 5-round merge schedule is learned "
+    "on the doc_id < 300 training split, then each learned merge is "
+    "applied IN ORDER to every document in the corpus (greedy "
+    "left-to-right pair application — exactly what the wrapped-token "
+    "replace() implements, per the trainer's boundary argument). Emits "
+    "per-doc token counts before/after and the number of merged "
+    "(multi-word) tokens. Train-on-split / apply-on-corpus is the real "
+    "deployment shape: merges are a tiny broadcast artifact (one row per "
+    "round), application is a map-side replace chain — at 100 TB the "
+    "encode pass is embarrassingly parallel and the training pass is the "
+    "only shuffling stage.",
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wrap = F.expr(
+        "array_join(transform(split(text, ' '), t -> concat(char(1), t, char(2))), '')"
+    )
+    d_all = load_table(spark, sf_dir, "documents")
+    enc = d_all.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_before"),
+        wrap.alias("r"),
+    )
+    docs = d_all.where(F.col("doc_id") < 300).select("doc_id", wrap.alias("r"))
+    for _ in range(_BPE_ROUNDS):
+        toks = docs.select(
+            "doc_id",
+            F.expr(
+                "split(substring(r, 2, length(r) - 2), concat(char(2), char(1)))"
+            ).alias("t"),
+        )
+        pairs = toks.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) >= 2 THEN "
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b)) "
+                    "ELSE array() END"
+                )
+            ).alias("p")
+        ).select("p.a", "p.b")
+        best = (
+            pairs.groupBy("a", "b")
+            .agg(F.count("*").alias("c"))
+            .orderBy(F.col("c").desc(), "a", "b")
+            .limit(1)
+            .select("a", "b")
+        )
+        pat = F.concat(
+            F.lit("\x01"), F.col("a"), F.lit("\x02"),
+            F.lit("\x01"), F.col("b"), F.lit("\x02"),
+        )
+        rep = F.concat(F.lit("\x01"), F.col("a"), F.lit(" "), F.col("b"), F.lit("\x02"))
+        docs = (
+            docs.crossJoin(F.broadcast(best))
+            .select("doc_id", F.replace(F.col("r"), pat, rep).alias("r"))
+            .localCheckpoint(eager=False)
+        )
+        enc = (
+            enc.crossJoin(F.broadcast(best))
+            .select(
+                "doc_id", "n_before", F.replace(F.col("r"), pat, rep).alias("r")
+            )
+            .localCheckpoint(eager=False)
+        )
+    toks_f = enc.select(
+        "doc_id",
+        "n_before",
+        F.expr(
+            "split(substring(r, 2, length(r) - 2), concat(char(2), char(1)))"
+        ).alias("t"),
+    )
+    return toks_f.select(
+        "doc_id",
+        "n_before",
+        F.size("t").cast("bigint").alias("n_after"),
+        F.size(F.expr("filter(t, x -> contains(x, ' '))")).cast("bigint").alias(
+            "n_merged"
+        ),
+    )
