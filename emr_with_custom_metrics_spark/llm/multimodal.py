@@ -184,7 +184,9 @@ def _paeth_vec(left, up, upleft):
     ).astype(np.uint8)
 
 
-def encode_png(width: int, height: int, fill: int) -> bytes:
+def encode_png(
+    width: int, height: int, fill: int, *, pixels: "np.ndarray | None" = None  # noqa: F821
+) -> bytes:
     """Build a real non-interlaced 8-bit RGB PNG: signature, IHDR, one
     zlib-compressed IDAT, IEND — all CRCs genuine. Scanlines rotate through
     ALL FIVE filter types (row r uses filter r % 5), so a decoder must
@@ -200,7 +202,17 @@ def encode_png(width: int, height: int, fill: int) -> bytes:
 
     bpp = 3
     stride = width * bpp
-    raw = np.full((height, stride), fill, dtype=np.uint8)
+    if pixels is not None:
+        # Caller-supplied content (h, w) grayscale or (h, w, 3) RGB —
+        # the resize tier feeds gradients through the same filter walk.
+        px = np.asarray(pixels, dtype=np.uint8)
+        if px.ndim == 2:
+            px = np.repeat(px[:, :, None], 3, axis=2)
+        if px.shape != (height, width, 3):
+            raise ValueError("pixels shape does not match width/height")
+        raw = px.reshape(height, stride).copy()
+    else:
+        raw = np.full((height, stride), fill, dtype=np.uint8)
 
     def shifted(a):  # byte at x - bpp, 0 before the first pixel
         out = np.zeros(stride, dtype=np.uint8)
@@ -234,7 +246,7 @@ def encode_png(width: int, height: int, fill: int) -> bytes:
     )
 
 
-def decode_png(payload: bytes) -> dict:
+def decode_png(payload: bytes, *, return_pixels: bool = False) -> dict:
     """REAL PNG decode: verify the signature, walk the chunk stream
     validating every CRC, parse IHDR, inflate the concatenated IDAT data,
     and reverse the per-scanline filter (types 0-4). Supports
@@ -310,13 +322,16 @@ def decode_png(payload: bytes) -> dict:
             raise ValueError(f"bad PNG filter type {ftype}")
         recon[r] = cur
         prior = cur
-    return {
+    meta = {
         "format": "png",
         "width": w,
         "height": h,
         "n_pixels": w * h,
         "mean_byte": float(recon.mean()),
     }
+    if return_pixels:
+        meta["pixels"] = recon.reshape(h, w, bpp)
+    return meta
 
 
 def _decode_any(payload: bytes) -> tuple[int, int, int]:
@@ -2135,3 +2150,109 @@ def _flac_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.Dat
 def multimodal_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_fanned(spark, sf_dir, "documents").select("doc_id")
     return d.mapInPandas(_flac_roundtrip_batch, schema=FLAC_DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Image resize tier: decode -> box-average downsample -> stats
+# ---------------------------------------------------------------------------
+RESIZE_SCHEMA = (
+    "doc_id bigint, src_w int, src_h int, factor int, out_w int, out_h int, "
+    "pixel_sum bigint, corner_tl int, corner_br int"
+)
+
+
+def box_downsample(px: "np.ndarray", f: int) -> "np.ndarray":  # noqa: F821
+    """Integer box-average downsample by factor f (floor-crop remainder,
+    per-block floor mean) — the thumbnailing primitive. Vectorized
+    reshape-mean; exact integer math (sums in int64, one floor divide)."""
+    import numpy as np
+
+    h2, w2 = px.shape[0] // f, px.shape[1] // f
+    crop = px[: h2 * f, : w2 * f].astype(np.int64)
+    return crop.reshape(h2, f, w2, f).sum(axis=(1, 3)) // (f * f)
+
+
+def _resize_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    import numpy as np
+    import pandas as pd
+
+    def run(d: int) -> dict:
+        w = 24 + (d % 5) * 8
+        h = 16 + (d % 7) * 8
+        base = d % 50
+        f = 2 + d % 3
+        r = np.arange(h)[:, None]
+        c = np.arange(w)[None, :]
+        gray = (base + r + c).astype(np.uint8)  # max 49+63+55 < 256: no wrap
+        meta = decode_png(encode_png(w, h, 0, pixels=gray), return_pixels=True)
+        small = box_downsample(meta["pixels"][:, :, 0], f)
+        return {
+            "src_w": meta["width"],
+            "src_h": meta["height"],
+            "factor": f,
+            "out_w": small.shape[1],
+            "out_h": small.shape[0],
+            "pixel_sum": int(small.sum()),
+            "corner_tl": int(small[0, 0]),
+            "corner_br": int(small[-1, -1]),
+        }
+
+    for pdf in batches:
+        metas = pdf["doc_id"].map(lambda d: run(int(d)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "src_w": metas.map(lambda m: m["src_w"]).astype("int32"),
+                "src_h": metas.map(lambda m: m["src_h"]).astype("int32"),
+                "factor": metas.map(lambda m: m["factor"]).astype("int32"),
+                "out_w": metas.map(lambda m: m["out_w"]).astype("int32"),
+                "out_h": metas.map(lambda m: m["out_h"]).astype("int32"),
+                "pixel_sum": metas.map(lambda m: m["pixel_sum"]).astype("int64"),
+                "corner_tl": metas.map(lambda m: m["corner_tl"]).astype("int32"),
+                "corner_br": metas.map(lambda m: m["corner_br"]).astype("int32"),
+            }
+        )
+
+
+@register(
+    "multimodal_image_resize",
+    # Gradient pixel(r,c) = base + r + c (non-wrapping), so the f x f box
+    # mean at block (by, bx) is EXACTLY base + f*(by + bx) + (f - 1): the
+    # oracle computes resized sums/corners in closed form while the Spark
+    # side earns them through PNG encode -> full filter-reversing decode ->
+    # vectorized box downsample. Closed-form sum over all blocks:
+    # W2*H2*(base + f - 1) + f*W2*H2*(W2 + H2 - 2)/2.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             24 + (doc_id % 5) * 8 AS w,
+             16 + (doc_id % 7) * 8 AS h,
+             doc_id % 50 AS base,
+             2 + doc_id % 3 AS f
+      FROM documents),
+    q AS (SELECT doc_id, w, h, base, f, w // f AS w2, h // f AS h2 FROM p)
+    SELECT doc_id,
+           CAST(w AS INT) AS src_w,
+           CAST(h AS INT) AS src_h,
+           CAST(f AS INT) AS factor,
+           CAST(w2 AS INT) AS out_w,
+           CAST(h2 AS INT) AS out_h,
+           CAST(w2 * h2 * (base + f - 1)
+                + f * w2 * h2 * (w2 + h2 - 2) // 2 AS BIGINT) AS pixel_sum,
+           CAST(base + f - 1 AS INT) AS corner_tl,
+           CAST(base + f * (h2 - 1 + w2 - 1) + f - 1 AS INT) AS corner_br
+    FROM q
+    """,
+    doc="Image RESIZE — the remaining named primitive of the multimodal "
+    "pandas-UDF tier (decode / feature-extract / RESIZE / frame-sample): "
+    "synthesize a gradient image per doc, push it through the REAL PNG "
+    "path (all five scanline filters on encode, filter-reversing decode, "
+    "CRC-checked), then box-average downsample by an integer factor — "
+    "the thumbnail/vision-preprocess step every image corpus runs before "
+    "training. Exact integer box means keep the whole pipeline "
+    "hash-oracled. Arrow-batched mapInPandas, zero shuffle; at 100 TB "
+    "this is a pure map stage whose output is ~1/f^2 of its input.",
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fanned(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_resize_batch, schema=RESIZE_SCHEMA)
