@@ -1203,7 +1203,14 @@ WAV_DECODED_SCHEMA = (
 )
 
 
-def encode_wav(sample_rate: int, n_channels: int, n_samples: int, amplitude: int) -> bytes:
+def encode_wav(
+    sample_rate: int,
+    n_channels: int,
+    n_samples: int,
+    amplitude: int,
+    *,
+    samples: "np.ndarray | None" = None,  # noqa: F821
+) -> bytes:
     """Build a real RIFF/WAVE file: canonical 44-byte header + PCM16
     little-endian frames at constant ``amplitude``. Genuine audio bytes
     synthesized in-engine (the container ships no sample media)."""
@@ -1219,6 +1226,14 @@ def encode_wav(sample_rate: int, n_channels: int, n_samples: int, amplitude: int
         + b"data"
         + struct.pack("<I", n_bytes)
     )
+    if samples is not None:
+        # Caller-supplied PCM16 content (resample tier); mono interleave.
+        import numpy as np
+
+        pcm = np.asarray(samples, dtype="<i2")
+        if pcm.size != n_samples * n_channels:
+            raise ValueError("samples length does not match header fields")
+        return header + pcm.tobytes()
     return header + struct.pack("<h", amplitude) * (n_samples * n_channels)
 
 
@@ -1273,7 +1288,7 @@ def encode_wav_g711(
     return header + bytes([byte_value]) * n_bytes
 
 
-def decode_wav(payload: bytes) -> dict:
+def decode_wav(payload: bytes, *, return_samples: bool = False) -> dict:
     """REAL WAV parse: validate RIFF/WAVE magic, read the fmt chunk, locate
     the data chunk (skipping any other chunks), return format metadata and
     the RMS over linear samples — PCM16 directly, or G.711 μ-law/A-law
@@ -1310,7 +1325,7 @@ def decode_wav(payload: bytes) -> dict:
                 expand = alaw_expand if audio_fmt == 6 else ulaw_expand
                 x = expand(raw).astype(np.float64)
             n_samples = len(x) // n_ch
-            return {
+            meta = {
                 "codec": _WAV_CODECS[audio_fmt],
                 "sample_rate": rate,
                 "n_channels": n_ch,
@@ -1318,6 +1333,9 @@ def decode_wav(payload: bytes) -> dict:
                 "duration_us": n_samples * 1_000_000 // rate,
                 "rms": float(np.sqrt(np.mean(x * x))) if len(x) else 0.0,
             }
+            if return_samples:
+                meta["samples"] = x
+            return meta
         pos += 8 + size + (size & 1)
     raise ValueError("no data chunk")
 
@@ -2256,3 +2274,110 @@ def _resize_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]
 def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_fanned(spark, sf_dir, "documents").select("doc_id")
     return d.mapInPandas(_resize_batch, schema=RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio resample tier: decode -> box-average decimate -> stats
+# ---------------------------------------------------------------------------
+AUDIO_RESAMPLE_SCHEMA = (
+    "doc_id bigint, src_rate int, factor int, out_rate int, n_out bigint, "
+    "out_sum bigint, out_min int, out_max int"
+)
+
+
+def decimate_box(x: "np.ndarray", f: int) -> "np.ndarray":  # noqa: F821
+    """Integer-factor decimation with block-mean anti-alias prefilter
+    (floor-crop remainder): the 1-D sibling of box_downsample. Exact
+    integer math — int64 block sums, one floor divide."""
+    import numpy as np
+
+    n2 = len(x) // f
+    return x[: n2 * f].astype(np.int64).reshape(n2, f).sum(axis=1) // f
+
+
+def _audio_resample_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    import numpy as np
+    import pandas as pd
+
+    def run(d: int) -> dict:
+        rate = (48000, 44100, 32000)[d % 3]
+        n = 1200 + (d % 7) * 600
+        a = 2 + d % 5
+        b = d % 811
+        f = 2 + d % 3
+        t = np.arange(n, dtype=np.int64)
+        x = ((a * t + b) % 2001).astype(np.int16)  # nonnegative: // matches
+        meta = decode_wav(encode_wav(rate, 1, n, 0, samples=x), return_samples=True)
+        y = decimate_box(meta["samples"].astype(np.int64), f)
+        return {
+            "src_rate": rate,
+            "factor": f,
+            "out_rate": rate // f,
+            "n_out": len(y),
+            "out_sum": int(y.sum()),
+            "out_min": int(y.min()),
+            "out_max": int(y.max()),
+        }
+
+    for pdf in batches:
+        metas = pdf["doc_id"].map(lambda d: run(int(d)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "src_rate": metas.map(lambda m: m["src_rate"]).astype("int32"),
+                "factor": metas.map(lambda m: m["factor"]).astype("int32"),
+                "out_rate": metas.map(lambda m: m["out_rate"]).astype("int32"),
+                "n_out": metas.map(lambda m: m["n_out"]).astype("int64"),
+                "out_sum": metas.map(lambda m: m["out_sum"]).astype("int64"),
+                "out_min": metas.map(lambda m: m["out_min"]).astype("int32"),
+                "out_max": metas.map(lambda m: m["out_max"]).astype("int32"),
+            }
+        )
+
+
+@register(
+    "multimodal_audio_resample",
+    # The oracle RE-SYNTHESIZES the ramp in SQL and decimates it with list
+    # ops (block sums // f — samples kept NONNEGATIVE because DuckDB's //
+    # truncates toward zero while numpy floors), while the Spark side goes
+    # through the real WAV container write -> chunk-walk parse -> block-
+    # mean decimation. Any header, sample-width, or blocking bug breaks
+    # the hash.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             (CASE doc_id % 3 WHEN 0 THEN 48000 WHEN 1 THEN 44100
+                              ELSE 32000 END) AS rate,
+             1200 + (doc_id % 7) * 600 AS n,
+             2 + doc_id % 5 AS a,
+             doc_id % 811 AS b,
+             2 + doc_id % 3 AS f
+      FROM documents),
+    s AS (
+      SELECT doc_id, rate, f, n // f AS n2,
+             list_transform(range(n // f),
+               k -> list_sum(list_transform(range(f),
+                      j -> (a * (k * f + j) + b) % 2001)) // f) AS ys
+      FROM p)
+    SELECT doc_id,
+           CAST(rate AS INT) AS src_rate,
+           CAST(f AS INT) AS factor,
+           CAST(rate // f AS INT) AS out_rate,
+           CAST(n2 AS BIGINT) AS n_out,
+           CAST(list_sum(ys) AS BIGINT) AS out_sum,
+           CAST(list_min(ys) AS INT) AS out_min,
+           CAST(list_max(ys) AS INT) AS out_max
+    FROM s
+    """,
+    doc="Audio RESAMPLE (integer-factor decimation with block-mean "
+    "anti-alias prefilter) through the REAL WAV path: synthesize ramp "
+    "PCM16, write a genuine RIFF container, chunk-walk it back, then "
+    "decimate — the sample-rate normalization step every audio corpus "
+    "runs before feature extraction (the 1-D sibling of "
+    "multimodal_image_resize). Exact integer block means keep the whole "
+    "pipeline hash-oracled. Arrow-batched mapInPandas, zero shuffle; "
+    "output is 1/f of the input.",
+)
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fanned(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_audio_resample_batch, schema=AUDIO_RESAMPLE_SCHEMA)
