@@ -122,3 +122,72 @@ _SKETCH_SQL = f"""
 def sketch_distinct_hll_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_SKETCH_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (equi-depth per deterministic bucket)
+# ---------------------------------------------------------------------------
+_QK = _md5key("qsk", "k")
+_QBUCKET = f"({_nib(_QK, 1)} * 2 + ({_nib(_QK, 2)} % 2))"  # 5 bits -> 32 buckets
+
+_QSKETCH_SQL = f"""
+    WITH base AS (
+        SELECT l_extendedprice AS val,
+               concat(CAST(l_orderkey AS STRING), '-',
+                      CAST(l_linenumber AS STRING)) AS k
+        FROM lineitem
+    ), bucketed AS (
+        SELECT val, k, {_QBUCKET} AS bucket FROM base
+    ), tiled AS (
+        SELECT bucket, val,
+               NTILE(64) OVER (PARTITION BY bucket ORDER BY val, k) AS tile
+        FROM bucketed
+    ), summary AS (
+        SELECT bucket, tile, MAX(val) AS point, COUNT(*) AS w
+        FROM tiled GROUP BY bucket, tile
+    ), tot AS (
+        SELECT CAST(SUM(w) AS BIGINT) AS n, COUNT(*) AS n_summary FROM summary
+    ), cum AS (
+        SELECT point,
+               SUM(w) OVER (ORDER BY point, bucket, tile
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cw
+        FROM summary
+    ), qs AS (
+        SELECT CAST(0.25 AS DOUBLE) AS q
+        UNION ALL SELECT CAST(0.5 AS DOUBLE)
+        UNION ALL SELECT CAST(0.75 AS DOUBLE)
+        UNION ALL SELECT CAST(0.9 AS DOUBLE)
+    )
+    SELECT q,
+           MIN(point) AS est,
+           CAST((SELECT n FROM tot) AS BIGINT) AS n_values,
+           CAST((SELECT n_summary FROM tot) AS BIGINT) AS n_summary_points
+    FROM qs JOIN cum ON CAST(cw AS DOUBLE) >= q * (SELECT n FROM tot)
+    GROUP BY q
+"""
+
+
+@register(
+    "sketch_quantile_mergeable",
+    oracle=_QSKETCH_SQL,
+    doc="Mergeable QUANTILE sketch — the third classic sketch family next "
+    "to count-min (frequency) and HLL/KMV (distinct): an equi-depth "
+    "summary (64 order statistics + weights) built per DETERMINISTIC "
+    "md5-derived bucket, then merged by weighted cumulative rank. Using "
+    "hash buckets instead of physical partitions as the compaction unit "
+    "is what makes the sketch layout-independent — the same property "
+    "sample_deterministic establishes — so the whole estimate chain is "
+    "hash-oracled (one SQL template, two engines, the HLL module's "
+    "pattern), where Spark's own approx_percentile (layout-seeded "
+    "KLL-ish) can only be rows-only-checked. Rank error is bounded by "
+    "the per-bucket tile width (~n_b/64); measured error asserted in "
+    "tests. Plan shape at 100 TB: one shuffle by bucket (32-way, "
+    "rebalanceable by widening the bucket field), per-bucket sort of "
+    "1/32 of the data, then a 2048-row summary re-aggregate — the "
+    "summary, not the values, crosses the merge shuffle; per-group "
+    "state is 64 points regardless of input size.",
+)
+def sketch_quantile_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_QSKETCH_SQL)
