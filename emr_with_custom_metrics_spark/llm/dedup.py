@@ -1232,3 +1232,116 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ratio"),
         )
     )
+
+
+@register(
+    "dedup_substring_remove",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    w AS (
+      SELECT doc_id,
+             UNNEST(range(LEN(toks) - {SPAN_TOKENS} + 1)) AS pos,
+             UNNEST(list_transform(range(LEN(toks) - {SPAN_TOKENS} + 1),
+               i -> md5(array_to_string(
+                      list_slice(toks, i + 1, i + {SPAN_TOKENS}), ' ')))) AS h
+      FROM t WHERE LEN(toks) >= {SPAN_TOKENS}),
+    g AS (SELECT h, COUNT(*) AS cnt,
+                 MIN(doc_id * 1000000 + pos) AS first_key
+          FROM w GROUP BY h),
+    nonfirst AS (
+      SELECT w.doc_id, w.pos FROM w JOIN g USING (h)
+      WHERE g.cnt > 1 AND w.doc_id * 1000000 + w.pos <> g.first_key),
+    cover AS (
+      SELECT DISTINCT doc_id, UNNEST(range(pos, pos + {SPAN_TOKENS})) AS tp
+      FROM nonfirst),
+    toktab AS (
+      SELECT doc_id, UNNEST(range(LEN(toks))) AS tp,
+             UNNEST(toks) AS tok
+      FROM t),
+    kept AS (
+      SELECT k.doc_id, k.tp, k.tok
+      FROM toktab k LEFT JOIN cover c
+        ON k.doc_id = c.doc_id AND k.tp = c.tp
+      WHERE c.doc_id IS NULL)
+    SELECT t.doc_id,
+           CAST(LEN(t.toks) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(kc.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(kc.cleaned_md5, md5('')) AS cleaned_md5
+    FROM t LEFT JOIN (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             md5(string_agg(tok, ' ' ORDER BY tp)) AS cleaned_md5
+      FROM kept GROUP BY doc_id) kc USING (doc_id)
+    """,
+    doc="ExactSubstr span REMOVAL — the rewrite half of what "
+    "dedup_substring_spans scores: every duplicated 15-token window "
+    "keeps exactly one canonical occurrence (corpus-wide first, i.e. "
+    "min (doc_id, pos) per window hash) and the tokens covered by every "
+    "OTHER occurrence are dropped from their documents; emitted as "
+    "per-doc kept-token counts plus an md5 of the cleaned token sequence "
+    "(the actual corpus-rewrite deliverable, hash-verified end to end). "
+    "Plan: window hashing map-side, one aggregate per window hash "
+    "carrying (count, first-occurrence key) — 24 bytes of state per "
+    "hash — one join back, a coverage explode that is at most k x the "
+    "non-first dup windows, and a positional anti-join. Shuffles carry "
+    "hashes and (doc_id, position) pairs; the only stage that touches "
+    "token STRINGS again is the final per-doc re-assembly, partitioned "
+    "by doc_id. The 1e6 position-packing constant bounds docs to 1M "
+    "tokens — a documented contract, not a silent truncation.",
+)
+def dedup_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = SPAN_TOKENS
+    base = load_fanned(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    wins = F.expr(
+        f"transform(sequence(0, size(toks) - {k}), "
+        f"i -> struct(i AS pos, md5(concat_ws(' ', slice(toks, i + 1, {k}))) AS h))"
+    )
+    w = (
+        base.where(F.size("toks") >= k)
+        .select("doc_id", F.explode(wins).alias("w"))
+        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    )
+    g = w.groupBy("h").agg(
+        F.count("*").alias("cnt"),
+        F.min(F.col("doc_id") * 1000000 + F.col("pos")).alias("first_key"),
+    )
+    nonfirst = (
+        w.join(g, "h")
+        .where(
+            (F.col("cnt") > 1)
+            & (F.col("doc_id") * 1000000 + F.col("pos") != F.col("first_key"))
+        )
+        .select("doc_id", "pos")
+    )
+    cover = nonfirst.select(
+        "doc_id", F.explode(F.expr(f"sequence(pos, pos + {k} - 1)")).alias("tp")
+    ).distinct()
+    toktab = base.select(
+        "doc_id", F.posexplode("toks").alias("tp", "tok")
+    )
+    kept = toktab.join(cover, ["doc_id", "tp"], "left_anti")
+    kc = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(tp, tok))), s -> s.tok)"
+                    ),
+                )
+            ).alias("cleaned_md5"),
+        )
+    )
+    return (
+        base.select("doc_id", F.size("toks").cast("bigint").alias("n_tokens"))
+        .join(kc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("cleaned_md5", F.md5(F.lit(""))).alias("cleaned_md5"),
+        )
+    )

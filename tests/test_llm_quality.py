@@ -517,3 +517,32 @@ def test_quantile_sketch_error_bound(spark):
     for q, v in est.items():
         true_rank = li.where(F.col("l_extendedprice") <= v).count() / n
         assert abs(true_rank - q) <= 1 / 64 + 0.005, (q, v, true_rank)
+
+
+def test_substring_remove_drops_exact_dup_copies(spark):
+    """Removal ground truth: in an exact-duplicate text group, every copy
+    except the corpus-first (min doc_id) consists entirely of non-first
+    windows, so ALL its tokens must be removed (n_kept = 0); and removal
+    never grows a document."""
+    out = SPECS["dedup_substring_remove"].fn(spark, SF_DIR).cache()
+    assert out.where(F.col("n_kept") > F.col("n_tokens")).count() == 0
+
+    docs = load_table(spark, SF_DIR, "documents")
+    k = dedup.SPAN_TOKENS
+    groups = (
+        docs.groupBy("text")
+        .agg(F.count("*").alias("c"), F.min("doc_id").alias("first_id"),
+             F.collect_list("doc_id").alias("ids"))
+        .where(F.col("c") > 1)
+    )
+    copies = groups.select(
+        F.explode("ids").alias("doc_id"), "first_id"
+    ).where(F.col("doc_id") != F.col("first_id"))
+    bad = (
+        out.join(copies, "doc_id")
+        .where(F.col("n_tokens") >= k)
+        .where(F.col("n_kept") != 0)
+    )
+    assert bad.count() == 0
+    assert out.where(F.col("n_kept") < F.col("n_tokens")).count() > 0
+    out.unpersist()
