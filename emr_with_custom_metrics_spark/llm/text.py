@@ -1103,3 +1103,151 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_merged"
         ),
     )
+
+
+@register(
+    "retrieval_rrf_hybrid",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+    ), doclen AS (
+        SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+    ), stats AS (
+        SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM doclen
+    ), q AS (
+        SELECT DISTINCT UNNEST(list_slice(string_split(text, ' '), 1, 8)) AS term
+        FROM documents WHERE doc_id = 1
+    ), tf AS (
+        SELECT t.doc_id, t.term, COUNT(*) AS f
+        FROM tok t JOIN q ON t.term = q.term
+        GROUP BY t.doc_id, t.term
+    ), df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS nd FROM tf GROUP BY term
+    ), scored AS (
+        SELECT tf.doc_id,
+               SUM(
+                 LN((s.n_docs - df.nd + 0.5) / (df.nd + 0.5) + 1.0)
+                 * (tf.f * 2.2)
+                 / (tf.f + 1.2 * (1.0 - 0.75 + 0.75 * doclen.dl / s.avgdl))
+               ) AS score
+        FROM tf
+        JOIN df ON tf.term = df.term
+        JOIN doclen ON tf.doc_id = doclen.doc_id
+        CROSS JOIN stats s
+        GROUP BY tf.doc_id
+    ), lex AS (
+        SELECT doc_id, rn AS lex_rank
+        FROM (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+              FROM scored)
+        WHERE rn <= 15
+    ), e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qv AS (SELECT v FROM e WHERE vec_id = 1),
+    sem AS (
+        SELECT vec_id AS doc_id, rn AS sem_rank
+        FROM (SELECT e.vec_id,
+                     ROW_NUMBER() OVER (
+                       ORDER BY ROUND(list_cosine_similarity(e.v, qv.v), 6) DESC,
+                                e.vec_id) AS rn
+              FROM e, qv WHERE e.vec_id <> 1)
+        WHERE rn <= 15
+    ), fused AS (
+        SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+               lex.lex_rank, sem.sem_rank,
+               COALESCE(1.0 / (60 + lex.lex_rank), 0.0)
+             + COALESCE(1.0 / (60 + sem.sem_rank), 0.0) AS rrf
+        FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    )
+    SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(sem_rank AS BIGINT) AS sem_rank,
+           ROUND(rrf, 6) AS rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+    doc="Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. "
+    "2009, k=60): the lexical ranking (text_bm25_retrieval's exact "
+    "Okapi formulation, query = first 8 terms of doc 1) and the semantic "
+    "ranking (exact cosine vs embedding 1) are each cut at top-15, then "
+    "fused by 1/(60+rank) — the standard way RAG stacks combine keyword "
+    "and vector search without score calibration. Fully hash-oracled: "
+    "RRF consumes integer RANKS, not raw scores, so the fused values are "
+    "exact rationals both engines compute identically (the rank "
+    "derivations themselves round at 6 dp with doc-id tie-breaks). Scale "
+    "shape: both rankings end in top-k (per-partition heaps), the fusion "
+    "is a 15x15 outer join on ids — driver-free and independent of "
+    "corpus size.",
+)
+def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from emr_with_custom_metrics_spark.functions.vector import cosine
+
+    d = load_fanned(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    doclen = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = doclen.agg(
+        F.count("*").alias("n_docs"), F.avg(F.col("dl").cast("double")).alias("avgdl")
+    )
+    q = (
+        d.where(F.col("doc_id") == 1)
+        .select(F.explode(F.slice(F.split("text", " "), 1, 8)).alias("term"))
+        .distinct()
+    )
+    tf = (
+        tok.join(F.broadcast(q), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("f"))
+    )
+    df_ = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("nd"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log(
+                    (F.col("n_docs") - F.col("nd") + 0.5) / (F.col("nd") + 0.5) + 1.0
+                )
+                * (F.col("f") * 2.2)
+                / (
+                    F.col("f")
+                    + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("score")
+        )
+    )
+    lex = (
+        scored.withColumn(
+            "lex_rank",
+            F.row_number().over(Window.orderBy(F.col("score").desc(), "doc_id")),
+        )
+        .where(F.col("lex_rank") <= 15)
+        .select("doc_id", "lex_rank")
+    )
+    e = load_fanned(spark, sf_dir, "embeddings")
+    qv = e.where(F.col("vec_id") == 1).select(F.col("embedding").alias("qvec"))
+    sem = (
+        e.where(F.col("vec_id") != 1)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("c"),
+        )
+        .withColumn(
+            "sem_rank",
+            F.row_number().over(Window.orderBy(F.col("c").desc(), "doc_id")),
+        )
+        .where(F.col("sem_rank") <= 15)
+        .select("doc_id", "sem_rank")
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        F.col("lex_rank").cast("bigint").alias("lex_rank"),
+        F.col("sem_rank").cast("bigint").alias("sem_rank"),
+        (
+            F.coalesce(1.0 / (60 + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("sem_rank")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return fused.select(
+        "doc_id", "lex_rank", "sem_rank", F.round("rrf", 6).alias("rrf")
+    ).orderBy(F.col("rrf").desc(), "doc_id").limit(10)
