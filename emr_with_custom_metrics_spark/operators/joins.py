@@ -583,3 +583,102 @@ def sql_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20 deterministic half-open account-balance bands [lo, lo+500) derived
+    from the lowest-keyed suppliers (bands may overlap — interval semantics,
+    not a partition)."""
+    s = load_table(spark, sf_dir, "supplier")
+    return s.where(F.col("s_suppkey") <= 20).select(
+        F.col("s_suppkey").alias("band_id"),
+        F.col("s_acctbal").alias("lo"),
+        (F.col("s_acctbal") + 500.0).alias("hi"),
+    )
+
+
+@register(
+    "join_range_banded",
+    oracle="""
+    WITH bands AS (
+      SELECT s_suppkey AS band_id, s_acctbal AS lo, s_acctbal + 500.0 AS hi
+      FROM supplier WHERE s_suppkey <= 20)
+    SELECT band_id, COUNT(c_custkey) AS n_in_band,
+           COALESCE(CAST(SUM(CAST(c_mktsegment = 'BUILDING' AS INT)) AS BIGINT),
+                    0) AS n_building
+    FROM bands LEFT JOIN customer
+      ON c_acctbal >= lo AND c_acctbal < hi
+    GROUP BY band_id
+    """,
+    doc="PURE interval join (NO equi key) made shuffle-joinable by "
+    "BANDING: the naive form 'customer.acctbal BETWEEN band.lo AND "
+    "band.hi' has no equi conjunct, so Spark can only plan "
+    "BroadcastNestedLoopJoin — every probe row against every band, the "
+    "plan that dies first at 100 TB (or OOMs when neither side fits in "
+    "a broadcast). The rewrite quantizes the domain into width-500 "
+    "buckets: each band explodes to the buckets it overlaps (ceil(span/"
+    "width)+1 rows — bounded because band width is bounded), each "
+    "customer row computes ONE bucket, the join becomes an equi-join on "
+    "the bucket key (shuffle- or broadcast-hash-joinable, AQE-skew-"
+    "splittable), and the exact [lo, hi) predicate re-checks inside. "
+    "FLOOR-before-CAST on both engines (the round-2 double->int gotcha). "
+    "test_plan_properties asserts the nested-loop operator is GONE from "
+    "this plan and present in the naive twin; equality of the two plans "
+    "is asserted over the full result.",
+)
+def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = _range_bands(spark, sf_dir)
+    width = 500.0
+    expanded = bands.select(
+        "band_id",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / width).cast("bigint"),
+                F.floor(F.col("hi") / width).cast("bigint"),
+            )
+        ).alias("bucket"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / width).cast("bigint").alias("bucket"),
+    )
+    hits = expanded.join(c, "bucket").where(
+        (F.col("c_acctbal") >= F.col("lo")) & (F.col("c_acctbal") < F.col("hi"))
+    )
+    return (
+        bands.join(hits.select("band_id", "c_custkey", "c_mktsegment"), "band_id", "left")
+        .groupBy("band_id")
+        .agg(
+            F.count("c_custkey").alias("n_in_band"),
+            F.coalesce(
+                F.sum((F.col("c_mktsegment") == "BUILDING").cast("int")).cast("bigint"),
+                F.lit(0),
+            ).alias("n_building"),
+        )
+    )
+
+
+def join_range_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unbanded twin (BroadcastNestedLoopJoin) — kept unregistered as
+    the plan-comparison baseline for tests; never the production path."""
+    bands = _range_bands(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        bands.join(
+            c,
+            (F.col("c_acctbal") >= F.col("lo")) & (F.col("c_acctbal") < F.col("hi")),
+            "left",
+        )
+        .groupBy("band_id")
+        .agg(
+            F.count("c_custkey").alias("n_in_band"),
+            F.coalesce(
+                F.sum((F.col("c_mktsegment") == "BUILDING").cast("int")).cast("bigint"),
+                F.lit(0),
+            ).alias("n_building"),
+        )
+    )

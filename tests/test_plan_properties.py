@@ -399,3 +399,23 @@ def test_aqe_splits_planted_skew(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_range_banding_removes_nested_loop_join(spark):
+    """The pure interval join's scale story, checked mechanically: the
+    naive no-equi-key twin plans a BroadcastNestedLoopJoin; the banded
+    rewrite must plan a HASH- or SORT-MERGE-joinable equi-join on the
+    bucket key (no nested loop anywhere) AND return the identical result."""
+    from emr_with_custom_metrics_spark.operators.joins import join_range_naive
+
+    banded = SPECS["join_range_banded"].fn(spark, SF_DIR)
+    naive = join_range_naive(spark, SF_DIR)
+    assert "BroadcastNestedLoopJoin" in formatted_plan(naive)
+    bp = formatted_plan(banded)
+    assert "BroadcastNestedLoopJoin" not in bp
+    assert ("BroadcastHashJoin" in bp) or ("SortMergeJoin" in bp) or (
+        "ShuffledHashJoin" in bp
+    )
+    b = {r["band_id"]: (r["n_in_band"], r["n_building"]) for r in banded.collect()}
+    n = {r["band_id"]: (r["n_in_band"], r["n_building"]) for r in naive.collect()}
+    assert b == n
