@@ -124,6 +124,21 @@ HEADLINE = [
     "similarity_hard_negatives",
     "snapshot_diff",
     "multimodal_decode_mpeg1_l3",
+    # round 6, continuation wave 6
+    "dedup_substring_spans",
+    "dedup_substring_remove",
+    "multimodal_decode_flac",
+    "graph_shortest_paths",
+    "timeseries_holt_winters",
+    "formats_binaryfile_scan",
+    "cogroup_asof_pandas",
+    "text_bpe_encode",
+    "multimodal_image_resize",
+    "multimodal_audio_resample",
+    "similarity_mmr_rerank",
+    "sketch_quantile_mergeable",
+    "retrieval_rrf_hybrid",
+    "join_range_banded",
 ]
 
 

@@ -1008,3 +1008,53 @@ def corpus_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("neg_doc_id"),
         )
     )
+
+
+@register(
+    "corpus_curriculum_interleave",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS src_rank
+      FROM documents)
+    SELECT doc_id, source, CAST(src_rank AS BIGINT) AS src_rank,
+           CAST(ROW_NUMBER() OVER (ORDER BY src_rank, source, doc_id)
+                AS BIGINT) AS curriculum_pos
+    FROM ranked
+    """,
+    doc="Curriculum ordering with source interleave: rank documents "
+    "inside each source by a quality proxy (n_chars, ties to doc_id), "
+    "then emit the GLOBAL training order that round-robins across "
+    "sources at equal rank — the deterministic data-ordering step a "
+    "curriculum-trained run wants (best of every source first, no "
+    "source monopolizing a training window). Two window passes: one "
+    "partitioned by source (shuffles by source), one global ordering "
+    "whose key is (rank, source) — at 100 TB the global row_number is "
+    "the scale boundary, and the documented fix is range-partitioning "
+    "on (src_rank, source) + per-partition offsets (the same two-level "
+    "trick the packing ops use); the SEMANTICS (the output permutation) "
+    "stay exactly as oracled here.",
+)
+def corpus_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    ranked = d.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+        )
+        .alias("src_rank"),
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        F.col("src_rank").cast("bigint").alias("src_rank"),
+        F.row_number()
+        .over(Window.orderBy("src_rank", "source", "doc_id"))
+        .cast("bigint")
+        .alias("curriculum_pos"),
+    )

@@ -361,3 +361,68 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY o_orderpriority
         """
     )
+
+
+@register(
+    "attribution_linear_touch",
+    oracle="""
+    WITH p AS (SELECT user_id, event_id AS purchase_id, ts, value
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, event_id AS click_id, ts
+          FROM events WHERE event_type = 'click'),
+    touches AS (
+      SELECT p.purchase_id, p.user_id, p.value, c.click_id
+      FROM p JOIN c ON p.user_id = c.user_id
+       AND c.ts >= p.ts - INTERVAL 2 HOUR AND c.ts < p.ts),
+    credits AS (
+      SELECT user_id, click_id,
+             value / (COUNT(*) OVER (PARTITION BY purchase_id)) AS credit
+      FROM touches)
+    SELECT user_id,
+           CAST(COUNT(DISTINCT click_id) AS BIGINT) AS n_credited_clicks,
+           ROUND(SUM(credit), 4) AS attributed_value
+    FROM credits
+    GROUP BY user_id
+    """,
+    doc="Linear multi-touch attribution: each purchase's value is split "
+    "equally across the user's clicks in the 2 h before it, then rolled "
+    "up per user — the marketing-analytics sibling of the interval join "
+    "(join_interval_time counts touches; this distributes value over "
+    "them). One interval join keyed on user_id (equi component bounds "
+    "fan-out), one count-window keyed by purchase (state = one "
+    "purchase's touch set), one aggregate. SUM of value/n terms where "
+    "value is a 2-dec double and n a small int: both engines divide "
+    "identical doubles by identical ints, and per-user sums add in the "
+    "same (single-group, sorted-aggregate... no — order-insensitive "
+    "hash-agg) order; ROUND(...,4) over a <=dozens-term sum keeps the "
+    "hash stable (measured exact at sf0.01 and sf0.1).",
+)
+def attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"), "value",
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    touches = p.join(
+        c,
+        (p.user_id == c.c_user)
+        & (c.c_ts >= p.p_ts - F.expr("INTERVAL 2 HOURS"))
+        & (c.c_ts < p.p_ts),
+    ).select("purchase_id", "user_id", "value", "click_id")
+    credits = touches.select(
+        "user_id",
+        "click_id",
+        (F.col("value") / F.count("*").over(Window.partitionBy("purchase_id"))).alias(
+            "credit"
+        ),
+    )
+    return credits.groupBy("user_id").agg(
+        F.count_distinct("click_id").cast("bigint").alias("n_credited_clicks"),
+        F.round(F.sum("credit"), 4).alias("attributed_value"),
+    )
