@@ -134,6 +134,9 @@ def test_no_driver_side_collect_in_query_modules():
             # round's pair counts AND the token-count output — same
             # per-iteration lineage truncation as the graph fixpoints
             "llm/text.py",
+            # MMR greedy loop: the selected set re-enters every later
+            # iteration's join AND the final projection
+            "llm/similarity.py",
         },
     }
     offenders = []
