@@ -384,3 +384,59 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int")
         ).cast("bigint").alias("n_unchanged"),
     )
+
+
+@register(
+    "dq_k_anonymity",
+    oracle="""
+    WITH qi AS (
+      SELECT user_id,
+             event_type,
+             CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) % 7 AS dow,
+             CAST(FLOOR(value / 25) AS BIGINT) AS value_band
+      FROM events),
+    groups AS (
+      SELECT event_type, dow, value_band,
+             COUNT(*) AS n_rows,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM qi GROUP BY 1, 2, 3)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(COUNT(*) FILTER (WHERE n_users < 5) AS BIGINT)
+               AS n_classes_below_k,
+           CAST(SUM(n_rows) FILTER (WHERE n_users < 5) AS BIGINT)
+               AS n_rows_at_risk,
+           CAST(MIN(n_users) AS BIGINT) AS min_class_users
+    FROM groups
+    """,
+    doc="k-anonymity screen (k=5) — the privacy gate a corpus release "
+    "runs before publishing event data: rows are bucketed by their "
+    "quasi-identifier tuple (event type, day-of-week, value band) and "
+    "every equivalence class with fewer than k distinct users is "
+    "flagged, with the total row count at re-identification risk. One "
+    "hash-aggregate over the QI tuple (map-side partial), one 4-scalar "
+    "rollup; the QI cardinality, not the data size, bounds the second "
+    "stage. FLOOR-before-CAST on both engines for the value band (the "
+    "round-2 double->int gotcha), and the FILTER clause keeps both "
+    "conditional aggregates one-pass.",
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    qi = ev.select(
+        "user_id",
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 86400).cast("bigint") % 7).alias("dow"),
+        F.floor(F.col("value") / 25).cast("bigint").alias("value_band"),
+    )
+    groups = qi.groupBy("event_type", "dow", "value_band").agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+    below = F.col("n_users") < 5
+    return groups.agg(
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.count_if(below).cast("bigint").alias("n_classes_below_k"),
+        F.coalesce(F.sum(F.when(below, F.col("n_rows"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_rows_at_risk"),
+        F.min("n_users").cast("bigint").alias("min_class_users"),
+    )

@@ -209,3 +209,44 @@ def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """
     )
+
+
+@register(
+    "window_rolling_median",
+    oracle="""
+    SELECT event_id, event_type,
+           ROUND(MEDIAN(value) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN 10 PRECEDING AND CURRENT ROW), 2) AS rolling_median
+    FROM events
+    """,
+    doc="Exact rolling median over an 11-row sliding frame per metric — "
+    "the robust smoother (median filters shrug off the spikes an EWMA "
+    "chases). Spark has no MEDIAN window function, so the frame is "
+    "materialized as collect_list over the ROWS window, sorted, and the "
+    "exact middle element(s) picked — odd frames take the center, the "
+    "10 warm-up rows average the two middles, matching the SQL MEDIAN "
+    "definition DuckDB applies. Frame state is 11 doubles per row — "
+    "constant — so the window shuffles once by metric and streams; at "
+    "100 TB the partition-by key (event_type, or (type, day) if one "
+    "metric dominates) is the only skew dial. Averaging two identical-"
+    "provenance doubles is exact, so ROUND(...,2) hashes stably.",
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, 0)
+    )
+    frame = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(frame)
+    mid_hi = F.element_at(frame, (n / 2 + 1).cast("int"))
+    mid_lo = F.element_at(frame, ((n + 1) / 2).cast("int"))
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round((mid_lo + mid_hi) / 2.0, 2).alias("rolling_median"),
+    )
