@@ -475,3 +475,87 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     return dist.select("node", F.col("cost").cast("bigint").alias("cost"))
+
+
+@register(
+    "graph_adamic_adar",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    edges AS ({_BFS_EDGES_SQL}),
+    dir_edges AS (
+      SELECT a_id AS node, b_id AS nbr FROM edges
+      UNION ALL SELECT b_id, a_id FROM edges),
+    deg AS (SELECT nbr AS z, COUNT(*) AS d FROM dir_edges GROUP BY nbr),
+    wedge AS (
+      SELECT x.node AS a, y.node AS b, x.nbr AS z
+      FROM dir_edges x JOIN dir_edges y
+        ON x.nbr = y.nbr AND x.node < y.node),
+    terms AS (
+      SELECT a, b, list(1.0 / LN(CAST(d AS DOUBLE)) ORDER BY z) AS ws
+      FROM wedge JOIN deg USING (z)
+      WHERE d >= 2
+      GROUP BY a, b),
+    scored AS (
+      SELECT a, b, CAST(len(ws) AS BIGINT) AS n_common,
+             ROUND(list_reduce(ws, (acc, x) -> acc + x), 6) AS adamic_adar
+      FROM terms)
+    SELECT a AS a_id, b AS b_id, n_common, adamic_adar
+    FROM scored
+    ORDER BY adamic_adar DESC, a_id, b_id LIMIT 25
+    """,
+    doc="Adamic-Adar link prediction over the cosine>=0.3 similarity "
+    "graph: for each node pair, sum 1/ln(deg(z)) over common neighbors "
+    "z — the classic 'who should be connected' score (rarer mutual "
+    "friends weigh more), here predicting which documents' embeddings "
+    "SHOULD be near-duplicates. Graph op #6, and the float-sum parity "
+    "pattern matters: per-pair terms are collected IN z-ORDER and "
+    "folded sequentially on BOTH engines (hash-aggregate summation "
+    "order is engine-dependent; an unordered SUM of 1/ln terms can "
+    "differ in the last ulp and flip a 6 dp hash). Plan: one degree "
+    "aggregate, one wedge self-join on the shared-neighbor key (the "
+    "triangle count's compact-forward shape; hub skew goes to AQE), "
+    "one ordered-fold aggregate per pair, top-25.",
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emr_with_custom_metrics_spark.llm.dedup import embedding_cosine_pairs
+
+    pairs = (
+        embedding_cosine_pairs(spark, sf_dir, threshold=0.3)
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=False)
+    )
+    dir_edges = pairs.select(
+        F.col("a_id").alias("node"), F.col("b_id").alias("nbr")
+    ).unionByName(pairs.select(F.col("b_id").alias("node"), F.col("a_id").alias("nbr")))
+    deg = dir_edges.groupBy(F.col("nbr").alias("z")).agg(F.count("*").alias("d"))
+    x = dir_edges.alias("x")
+    y = dir_edges.alias("y")
+    wedge = x.join(
+        y,
+        (F.col("x.nbr") == F.col("y.nbr")) & (F.col("x.node") < F.col("y.node")),
+    ).select(
+        F.col("x.node").alias("a"), F.col("y.node").alias("b"), F.col("x.nbr").alias("z")
+    )
+    terms = (
+        wedge.join(deg, "z")
+        .where(F.col("d") >= 2)
+        .select("a", "b", "z", (1.0 / F.log(F.col("d").cast("double"))).alias("t"))
+        .groupBy("a", "b")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(z, t))), s -> s.t)").alias(
+                "ws"
+            )
+        )
+    )
+    scored = terms.select(
+        F.col("a").alias("a_id"),
+        F.col("b").alias("b_id"),
+        F.size("ws").cast("bigint").alias("n_common"),
+        F.round(
+            F.expr(
+                "aggregate(slice(ws, 2, size(ws) - 1), ws[0], (acc, x) -> acc + x)"
+            ),
+            6,
+        ).alias("adamic_adar"),
+    )
+    return scored.orderBy(F.col("adamic_adar").desc(), "a_id", "b_id").limit(25)

@@ -821,3 +821,50 @@ def timeseries_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(st.getField("b"), 6).alias("trend"),
         F.round(st.getField("l") + st.getField("b"), 6).alias("forecast_next"),
     )
+
+
+@register(
+    "stream_late_event_audit",
+    oracle="""
+    WITH arr AS (
+      SELECT event_id, event_type, ts,
+             MAX(ts) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS max_seen
+      FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (
+             WHERE epoch(max_seen) - epoch(ts) > 600) AS BIGINT) AS n_late,
+           CAST(MAX(CAST(FLOOR(epoch(max_seen) - epoch(ts)) AS BIGINT))
+                AS BIGINT) AS max_lateness_s
+    FROM arr GROUP BY event_type
+    """,
+    doc="Watermark LATE-DATA AUDIT — the batch query you run before "
+    "choosing a streaming watermark: replay the stream in arrival order "
+    "(event_id is the ingest sequence for this feed), track the running "
+    "max event time (exactly Spark's watermark basis), and count how "
+    "many events would arrive later than a 10-minute watermark — i.e. "
+    "be DROPPED by withWatermark('ts', '10 minutes') — per metric, plus "
+    "the worst observed lateness. One global running-max window (the "
+    "arrival-order scan is inherently a single sequence; at 100 TB the "
+    "audit runs per ingest-partition, where arrival order is actually "
+    "defined, making the window key the partition id), one aggregate.",
+)
+def stream_late_event_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    arr = ev.select(
+        "event_type",
+        "ts",
+        F.max("ts")
+        .over(Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("max_seen"),
+    )
+    late_s = F.unix_timestamp("max_seen") - F.unix_timestamp("ts")
+    return arr.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.count_if(late_s > 600).cast("bigint").alias("n_late"),
+        F.max(late_s).cast("bigint").alias("max_lateness_s"),
+    )
