@@ -100,3 +100,102 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+@register(
+    "events_cusum_drift",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type,
+               ROUND(AVG(value), 6) AS m,
+               ROUND(STDDEV_POP(value), 6) AS sd
+        FROM events GROUP BY event_type
+    ), s AS (
+        SELECT e.event_type,
+               CAST(FLOOR(epoch(e.ts) / 86400) AS BIGINT) AS day,
+               list((e.value - st.m) / st.sd ORDER BY e.ts, e.event_id) AS zs
+        FROM events e JOIN stats st USING (event_type)
+        GROUP BY 1, 2
+    ), folded AS (
+        SELECT event_type, day, len(zs) AS n,
+               list_reduce(
+                 list_transform(zs, z -> [
+                   CAST(z AS DOUBLE),
+                   GREATEST(z - 0.5, 0.0),
+                   GREATEST(z - 0.5, 0.0),
+                   CASE WHEN GREATEST(z - 0.5, 0.0) > 3.0
+                        THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END]),
+                 (acc, x) -> [
+                   x[1],
+                   GREATEST(acc[2] + x[1] - 0.5, 0.0),
+                   GREATEST(acc[3], GREATEST(acc[2] + x[1] - 0.5, 0.0)),
+                   acc[4] + CASE WHEN GREATEST(acc[2] + x[1] - 0.5, 0.0) > 3.0
+                                 THEN 1.0 ELSE 0.0 END]) AS st
+        FROM s
+    )
+    SELECT event_type, day,
+           CAST(n AS BIGINT) AS n_points,
+           ROUND(st[2], 6) AS cusum_final,
+           ROUND(st[3], 6) AS cusum_max,
+           CAST(st[4] AS BIGINT) AS n_exceed
+    FROM folded
+    """,
+    doc="One-sided CUSUM drift detection per (metric, day) — the change-"
+    "point screen that catches slow upward drifts the z-score outlier "
+    "battery misses: s_t = max(0, s_{t-1} + z_t - 0.5) with alarms at "
+    "s > 3 (Page 1954). The third sequential state machine in the "
+    "ordered-fold family (EWMA: 1 state; Holt: 2; here: running sum + "
+    "running max + alarm count). Cross-engine parity recipe, composed "
+    "from this repo's earlier findings: standardization inputs (mean, "
+    "stddev_pop) are ROUNDED AT 6 DP before the fold so both engines "
+    "fold identical doubles despite hash-agg summation-order drift; the "
+    "DuckDB accumulator is a DOUBLE[4] LIST, never a struct (the r6 "
+    "struct-mutation gotcha from timeseries_holt_winters); each element "
+    "carries its raw z because the clipped init state loses it. Group "
+    "state stays day-bounded.",
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("m"),
+        F.round(F.stddev_pop("value"), 6).alias("sd"),
+    )
+    s = (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+            F.struct("ts", "event_id", ((F.col("value") - F.col("m")) / F.col("sd")).alias("z")).alias("pt"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.array_sort(F.collect_list("pt")).alias("pts"))
+    )
+    st = F.expr(
+        """
+        aggregate(
+          transform(pts, p -> named_struct(
+            'z', p.z,
+            's', greatest(p.z - 0.5, CAST(0.0 AS DOUBLE)),
+            'mx', greatest(p.z - 0.5, CAST(0.0 AS DOUBLE)),
+            'nx', CASE WHEN greatest(p.z - 0.5, CAST(0.0 AS DOUBLE)) > 3.0
+                       THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)),
+          CAST(NULL AS struct<z: double, s: double, mx: double, nx: double>),
+          (acc, x) -> CASE WHEN acc IS NULL THEN x
+            ELSE named_struct(
+              'z', x.z,
+              's', greatest(acc.s + x.z - 0.5, CAST(0.0 AS DOUBLE)),
+              'mx', greatest(acc.mx,
+                             greatest(acc.s + x.z - 0.5, CAST(0.0 AS DOUBLE))),
+              'nx', acc.nx + CASE WHEN greatest(acc.s + x.z - 0.5,
+                                               CAST(0.0 AS DOUBLE)) > 3.0
+                                  THEN 1.0 ELSE 0.0 END) END)
+        """
+    )
+    return s.select(
+        "event_type",
+        "day",
+        F.size("pts").cast("bigint").alias("n_points"),
+        F.round(st.getField("s"), 6).alias("cusum_final"),
+        F.round(st.getField("mx"), 6).alias("cusum_max"),
+        st.getField("nx").cast("bigint").alias("n_exceed"),
+    )
