@@ -2381,3 +2381,97 @@ def _audio_resample_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.Dat
 def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_fanned(spark, sf_dir, "documents").select("doc_id")
     return d.mapInPandas(_audio_resample_batch, schema=AUDIO_RESAMPLE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Metadata tier: EXIF parse + GPS redaction (llm/exif.py)
+# ---------------------------------------------------------------------------
+EXIF_SCHEMA = (
+    "doc_id bigint, orientation int, had_gps boolean, gps_lat_deg int, "
+    "app1_bytes int, bytes_removed int, mean_byte_after int"
+)
+
+
+def _exif_redact_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    import pandas as pd
+
+    from emr_with_custom_metrics_spark.llm.exif import (
+        build_exif_app1,
+        insert_app1,
+        parse_exif,
+        strip_exif,
+    )
+    from emr_with_custom_metrics_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    def run(d: int) -> dict:
+        fill = (d % 128) * 2  # even fill: DC-only blocks quantize losslessly
+        w, h = 8 + (d % 3) * 8, 8 + (d % 2) * 8
+        orientation = 1 + d % 8
+        gps = ((d % 90, d % 60, d % 60), (d % 180, (d + 7) % 60, 0)) if d % 3 == 0 else None
+        tagged = insert_app1(encode_jpeg(w, h, fill), build_exif_app1(orientation, gps))
+        meta = parse_exif(tagged)
+        clean, removed = strip_exif(tagged)
+        if parse_exif(clean)["orientation"] is not None:
+            raise ValueError("redaction left EXIF behind")
+        decoded = decode_jpeg(clean)
+        return {
+            "orientation": meta["orientation"],
+            "had_gps": meta["gps"] is not None,
+            "gps_lat_deg": meta["gps"][0][0] if meta["gps"] else None,
+            "app1_bytes": meta["app1_bytes"],
+            "bytes_removed": removed,
+            "mean_byte_after": int(round(decoded["mean_byte"])),
+        }
+
+    for pdf in batches:
+        metas = pdf["doc_id"].map(lambda d: run(int(d)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "orientation": metas.map(lambda m: m["orientation"]).astype("int32"),
+                "had_gps": metas.map(lambda m: m["had_gps"]),
+                "gps_lat_deg": pd.array(
+                    [m["gps_lat_deg"] for m in metas], dtype="Int32"
+                ),
+                "app1_bytes": metas.map(lambda m: m["app1_bytes"]).astype("int32"),
+                "bytes_removed": metas.map(lambda m: m["bytes_removed"]).astype("int32"),
+                "mean_byte_after": metas.map(lambda m: m["mean_byte_after"]).astype(
+                    "int32"
+                ),
+            }
+        )
+
+
+@register(
+    "multimodal_exif_redact",
+    # Segment sizes are structural constants of the builder's layout
+    # (36 bytes without GPS; +12-byte pointer entry +102-byte GPS IFD and
+    # value area = 150 with), so the oracle predicts every column in
+    # closed form while the Spark side earns them through real byte-level
+    # build -> marker-walk parse -> strip -> full T.81 re-decode (the even
+    # fill makes the post-strip mean exactly the fill value — any strip
+    # bug that touches entropy data breaks it).
+    oracle="""
+    SELECT doc_id,
+           CAST(1 + doc_id % 8 AS INT) AS orientation,
+           (doc_id % 3 = 0) AS had_gps,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 90 END AS INT)
+               AS gps_lat_deg,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 150 ELSE 36 END AS INT)
+               AS app1_bytes,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 150 ELSE 36 END AS INT)
+               AS bytes_removed,
+           CAST((doc_id % 128) * 2 AS INT) AS mean_byte_after
+    FROM documents
+    """,
+    doc="EXIF metadata tier: build a real APP1/TIFF-IFD segment "
+    "(orientation + GPS rationals) into a real JPEG, parse it back "
+    "(endian dispatch, IFD walk, rational reassembly), then REDACT — "
+    "strip the Exif segment and prove via full re-decode that entropy "
+    "data survived byte-exact. GPS coordinates are PII: this is the "
+    "image-side sibling of text_pii_scrub and the release-gate "
+    "companion of dq_k_anonymity. Arrow-batched map stage, no shuffle.",
+)
+def multimodal_exif_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fanned(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_exif_redact_batch, schema=EXIF_SCHEMA)

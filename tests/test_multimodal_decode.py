@@ -605,3 +605,54 @@ def test_jpeg_successive_approximation_equals_baseline():
         decode_jpeg(encode_jpeg(28, 24, imgc, successive=True))["mean_byte"]
         == decode_jpeg(encode_jpeg(28, 24, imgc))["mean_byte"]
     )
+
+
+def test_exif_malformed_raises_valueerror_not_indexerror():
+    """Truncated/corrupt EXIF must fail as a DATA error (ValueError) — the
+    r5-ADVICE GIF lesson applied at birth: no unchecked indexing."""
+    import pytest
+
+    from emr_with_custom_metrics_spark.llm.exif import (
+        build_exif_app1,
+        insert_app1,
+        parse_exif,
+        strip_exif,
+    )
+    from emr_with_custom_metrics_spark.llm.jpeg import encode_jpeg
+
+    tagged = insert_app1(
+        encode_jpeg(8, 8, 100), build_exif_app1(3, ((1, 2, 3), (4, 5, 6)))
+    )
+    for cut in (4, 10, 20, 40, len(tagged) // 2):
+        chopped = tagged[:cut]
+        with pytest.raises(ValueError):
+            parse_exif(chopped)
+            strip_exif(chopped)
+    # corrupt the TIFF magic: parse must reject, strip must still work
+    # (strip only needs the segment framing, not the TIFF payload)
+    bad = bytearray(tagged)
+    bad[2 + 4 + 6] ^= 0xFF  # first TIFF byte inside APP1
+    with pytest.raises(ValueError):
+        parse_exif(bytes(bad))
+
+
+def test_exif_roundtrip_and_strip_identity():
+    """parse(build) is the identity on (orientation, gps); strip returns
+    the pre-tag byte stream exactly."""
+    from emr_with_custom_metrics_spark.llm.exif import (
+        build_exif_app1,
+        insert_app1,
+        parse_exif,
+        strip_exif,
+    )
+    from emr_with_custom_metrics_spark.llm.jpeg import encode_jpeg
+
+    base = encode_jpeg(16, 8, 42)
+    for orientation in (1, 8):
+        for gps in (None, ((89, 59, 58), (179, 0, 1))):
+            tagged = insert_app1(base, build_exif_app1(orientation, gps))
+            p = parse_exif(tagged)
+            assert p["orientation"] == orientation
+            assert p["gps"] == gps
+            clean, removed = strip_exif(tagged)
+            assert clean == base and removed == len(tagged) - len(base)
