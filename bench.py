@@ -139,6 +139,14 @@ HEADLINE = [
     "sketch_quantile_mergeable",
     "retrieval_rrf_hybrid",
     "join_range_banded",
+    "attribution_linear_touch",
+    "window_rolling_median",
+    "dq_k_anonymity",
+    "stream_late_event_audit",
+    "graph_adamic_adar",
+    "events_cusum_drift",
+    "multimodal_exif_redact",
+    "corpus_curriculum_interleave",
 ]
 
 

@@ -2475,3 +2475,99 @@ def _exif_redact_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFr
 def multimodal_exif_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_fanned(spark, sf_dir, "documents").select("doc_id")
     return d.mapInPandas(_exif_redact_batch, schema=EXIF_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video analysis tier: scene-cut detection over the inter-frame codec
+# ---------------------------------------------------------------------------
+SCENE_SCHEMA = (
+    "doc_id bigint, n_frames int, n_cuts int, first_cut_frame int, "
+    "total_sum bigint"
+)
+
+
+def detect_scene_cuts(frame_sums: list, n_pixels: int, threshold: float = 30.0) -> list:
+    """Frame indices whose mean-luma jump vs the previous frame exceeds
+    the threshold — the classic hard-cut detector over decoded frames."""
+    cuts = []
+    for t in range(1, len(frame_sums)):
+        if abs(frame_sums[t] - frame_sums[t - 1]) / n_pixels > threshold:
+            cuts.append(t)
+    return cuts
+
+
+def _scene_detect_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    import numpy as np
+    import pandas as pd
+
+    from emr_with_custom_metrics_spark.llm.avi import (
+        decode_avi_rle,
+        encode_avi_rle_delta,
+    )
+
+    def run(d: int) -> dict:
+        n = 12 + d % 5
+        frames = np.empty((n, 16, 16), dtype=np.uint8)
+        for t in range(n):
+            fill = 40 + 60 * (t // 4)  # scene change every 4 frames
+            frames[t] = fill
+            p = t % 4  # small moving block: motion, not a cut
+            frames[t, 4 * p : 4 * p + 4, 4 * p : 4 * p + 4] = fill + 10
+        meta = decode_avi_rle(encode_avi_rle_delta(frames))
+        cuts = detect_scene_cuts(meta["frame_sums"], 16 * 16)
+        return {
+            "n_frames": meta["n_frames"],
+            "n_cuts": len(cuts),
+            "first_cut_frame": cuts[0] if cuts else -1,
+            "total_sum": int(sum(meta["frame_sums"])),
+        }
+
+    for pdf in batches:
+        metas = pdf["doc_id"].map(lambda d: run(int(d)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_frames": metas.map(lambda m: m["n_frames"]).astype("int32"),
+                "n_cuts": metas.map(lambda m: m["n_cuts"]).astype("int32"),
+                "first_cut_frame": metas.map(lambda m: m["first_cut_frame"]).astype(
+                    "int32"
+                ),
+                "total_sum": metas.map(lambda m: m["total_sum"]).astype("int64"),
+            }
+        )
+
+
+@register(
+    "multimodal_video_scene_detect",
+    # Scene structure is planted (cut every 4 frames, 60-luma jump; the
+    # within-scene moving block shifts pixels but not the frame SUM, so
+    # motion never false-positives), making every output closed-form —
+    # while the Spark side re-derives it through RLE-delta encode, the
+    # persistent-canvas inter-frame decode, and the detector itself.
+    oracle="""
+    WITH p AS (SELECT doc_id, 12 + doc_id % 5 AS n FROM documents),
+    s AS (
+      SELECT doc_id, n,
+             list_sum(list_transform(range(n),
+               t -> 256 * (40 + 60 * (t // 4)) + 160)) AS total_sum
+      FROM p)
+    SELECT doc_id,
+           CAST(n AS INT) AS n_frames,
+           CAST((n - 1) // 4 AS INT) AS n_cuts,
+           CAST(4 AS INT) AS first_cut_frame,
+           CAST(total_sum AS BIGINT) AS total_sum
+    FROM s
+    """,
+    doc="Video SCENE-CUT detection — the analysis tier above the "
+    "inter-frame codec: decode an RLE-delta AVI through the persistent-"
+    "canvas replay, then flag frames whose mean-luma jump exceeds a "
+    "threshold (hard-cut detection, the shot-segmentation step a video "
+    "corpus runs before frame sampling so training clips don't straddle "
+    "shots). Planted scenes make it exactly oracle-checkable, including "
+    "the motion/cut distinction: the moving block changes pixels but "
+    "not frame sums, so ONLY true scene changes fire. Arrow-batched map "
+    "stage, no shuffle.",
+)
+def multimodal_video_scene_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fanned(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_scene_detect_batch, schema=SCENE_SCHEMA)
