@@ -222,50 +222,87 @@ _HEAVY = frozenset(
 )
 
 
-# Thin-API unverified queries deliberately ordered LAST among the
-# unverified (round-6 continuation): with 59 never-verified entries and a
-# ~50-row observed driver budget, nine queries will miss their
-# CORRECTNESS_r06 row no matter what — so choose them. These nine are the
-# syntax-surface demos whose row-level behavior is shared with families
-# that have years of green rows (aggregates, windows, formats, SQL entry
-# points); every flagship operator (BPE, motion video, LPA, BFS, PCA,
-# IVF+PQ, recall report) and every r5-VERDICT-mandated re-verify stays
-# inside the budget. They lead the order NEXT round.
+# With 83 never-verified entries against the ~50-row observed driver
+# budget, ~33 queries will miss their CORRECTNESS_r06 row no matter what —
+# so choose WHICH, explicitly. _DRIVER_PRIORITY is the ordered head of the
+# driver walk: the three r5-VERDICT-mandated re-verifies first (the r5 ERR
+# fix and the two rows-only→oracled upgrades), then every never-verified
+# FLAGSHIP (codec tier, graph tier, tokenizer train/apply, ANN composition,
+# span dedup, retrieval, scale-pattern joins), then the strongest
+# real-operator tail to fill the budget. Everything else unverified
+# follows in registration order; the thin syntax/API demos (families with
+# years of green rows) are deferred to the back of the unverified block
+# and lead in round 7.
+_DRIVER_PRIORITY = (
+    # -- r5-VERDICT-mandated re-verifies ------------------------------------
+    "multimodal_feature_extract", "cooldown_suppression", "sample_deterministic",
+    # -- codec / multimodal tier (never driver-verified) --------------------
+    "multimodal_decode_mpeg1", "multimodal_decode_mpeg1_l2",
+    "multimodal_decode_mpeg1_l3", "multimodal_decode_jpeg_arithmetic",
+    "multimodal_decode_avi_rle_delta", "multimodal_decode_video_motion",
+    "multimodal_decode_flac", "multimodal_exif_redact",
+    "multimodal_video_scene_detect", "multimodal_image_resize",
+    "multimodal_audio_resample", "multimodal_audio_spectral",
+    "multimodal_phash_dedup", "multimodal_audio_fingerprint",
+    # -- graph tier ---------------------------------------------------------
+    "graph_triangle_count", "graph_label_propagation", "graph_bfs_levels",
+    "graph_shortest_paths", "graph_clustering_coefficient", "graph_adamic_adar",
+    # -- tokenizer / span dedup / retrieval ---------------------------------
+    "text_bpe_train_merges", "text_bpe_encode",
+    "dedup_substring_spans", "dedup_substring_remove", "dedup_paragraph_chunks",
+    "decontaminate_bloom_prefilter", "text_gopher_rules",
+    "text_bm25_retrieval", "retrieval_rrf_hybrid", "text_cooccurrence_pmi",
+    # -- similarity / embeddings --------------------------------------------
+    "similarity_ivfpq_topk", "similarity_recall_report", "similarity_mmr_rerank",
+    "similarity_hard_negatives", "embedding_pca_project",
+    # -- scale patterns / sketches (r5-VERDICT items 5+6 among them) --------
+    "join_skew_salted", "parquet_dpp_prune", "join_range_banded",
+    "sketch_quantile_mergeable", "sketch_countmin_heavy_hitters",
+    "sketch_distinct_hll_kmv",
+    # -- strongest real-operator tail to fill the ~50 budget ----------------
+    "cdc_merge_upsert", "dq_profile_columns", "dq_constraint_checks",
+    "ivm_incremental_agg", "cogroup_asof_pandas", "events_cusum_drift",
+)
+_PRIORITY_RANK = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
+
 _DRIVER_DEFER = frozenset(
     {
         "sql_parameterized", "sql_collation_lcase", "transpose_priority_metrics",
         "scalar_xml_funcs", "window_ignore_nulls", "json_parse_modes",
         "agg_filter_clause", "sql_lateral_topn", "formats_xml_roundtrip",
-        # + one more when Layer III joined (the formats family has six
-        # long-green rows; the null-pattern here is low-risk to defer)
-        "formats_parquet_schema_evolution",
+        "formats_parquet_schema_evolution", "sql_pipe_syntax",
+        "sql_recursive_cte_hierarchy", "sql_join_hints", "agg_hll_sketch_union",
+        "mapinarrow_token_stats", "udtf_dynamic_schema",
+        "bucketed_join_no_shuffle", "maintenance_compact_small_files",
+        "snapshot_diff", "session_windows_dynamic_gap",
+        "timeseries_delta_of_delta",
     }
 )
 
 
 def _driver_order(specs: dict[str, "QuerySpec"]) -> list[str]:
-    """Driver-facing ordering, round 6: unverified/changed queries lead
-    unconditionally — oracled-cheap first (bank the most hash-green rows
-    under the ~50-query cap), then oracled-heavy, then the deferred
-    thin-API set (_DRIVER_DEFER, see above), then the rows-only checks,
-    then the already-verified tail for re-verification.
-
-    Within each tier, registration order (stable) is kept.
+    """Driver-facing ordering, round 6 continuation: the explicit
+    _DRIVER_PRIORITY head leads (VERDICT-mandated re-verifies + flagship
+    tiers, in list order), then the remaining unverified oracled queries
+    (registration order), then the deferred thin-API set, then unverified
+    rows-only checks, then the already-verified tail for re-verification.
     """
     names = list(specs)
     idx = {n: i for i, n in enumerate(names)}
 
     def key(n: str) -> tuple[int, int]:
+        if n in _PRIORITY_RANK and n not in _DRIVER_VERIFIED:
+            return (0, _PRIORITY_RANK[n])
         if n in _DRIVER_VERIFIED:
-            tier = 4
+            tier = 5
         elif specs[n].oracle is None:
-            tier = 3
+            tier = 4
         elif n in _DRIVER_DEFER:
-            tier = 2
+            tier = 3
         elif n in _HEAVY:
-            tier = 1
+            tier = 2
         else:
-            tier = 0
+            tier = 1
         return (tier, idx[n])
 
     return sorted(names, key=key)
