@@ -121,17 +121,18 @@ def _cogroup_asof(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame"
         )
     p = left.sort_values("purchase_id")
     p_ts = p["ts"].values.astype("datetime64[us]").astype("int64")
-    c = right.sort_values(["ts", "click_id"])
-    c_ts = c["ts"].values.astype("datetime64[us]").astype("int64")
+    c = right.sort_values(["c_ts", "click_id"])
+    c_ts = c["c_ts"].values.astype("datetime64[us]").astype("int64")
     idx = np.searchsorted(c_ts, p_ts, side="right") - 1
     matched = idx >= 0
-    click_id = pd.array(
-        [int(c["click_id"].iloc[i]) if ok else None for i, ok in zip(idx, matched)],
-        dtype="Int64",
-    )
-    click_value = np.array(
-        [float(c["value"].iloc[i]) if ok else np.nan for i, ok in zip(idx, matched)]
-    )
+    # Vectorized gather (a per-row .iloc comprehension here measured as the
+    # dominant cost of the whole query at bench scale).
+    cid_vals = c["click_id"].to_numpy(dtype="int64", na_value=0)
+    cval_vals = c["c_value"].to_numpy(dtype="float64")
+    safe = np.where(matched, idx, 0)
+    click_id = pd.array(cid_vals[safe], dtype="Int64")
+    click_id[~matched] = None
+    click_value = np.where(matched, cval_vals[safe], np.nan)
     return pd.DataFrame(
         {
             "user_id": p["user_id"].values,
@@ -179,10 +180,20 @@ def cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "user_id", F.col("event_id").alias("purchase_id"), "ts"
     )
+    # Every right-side column is ALIAS-RENAMED (fresh attribute ids):
+    # both cogroup branches derive from the same events scan, and Spark's
+    # column pruning under a downstream narrow projection (e.g. .count())
+    # mis-prunes FlatMapCoGroupsInPandas children whose attributes are
+    # shared across branches — the worker then receives frames missing
+    # columns. Distinct exprIds per branch sidestep it (regression test:
+    # test_cogroup_asof_survives_count_pruning).
     clicks = ev.where(F.col("event_type") == "click").select(
-        "user_id", F.col("event_id").alias("click_id"), "ts", "value"
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
     )
-    return purchases.groupBy("user_id").cogroup(clicks.groupBy("user_id")).applyInPandas(
+    return purchases.groupBy("user_id").cogroup(clicks.groupBy("c_user")).applyInPandas(
         _cogroup_asof,
         schema="user_id bigint, purchase_id bigint, purchase_epoch bigint, "
         "click_id bigint, click_value double",

@@ -65,3 +65,17 @@ def test_asof_picks_greatest_earlier_not_first(spark):
     )
     out = asof_join(left, right, "k", "ts", ["rv"]).collect()
     assert out[0]["rv"] == "r11"
+
+
+def test_cogroup_asof_survives_count_pruning(spark):
+    """Regression: both cogroup branches derive from ONE events scan; with
+    shared attribute ids, column pruning under .count() strips the pandas
+    worker's input columns (KeyError in the UDF). The operator alias-renames
+    the right branch, so a bare count() must succeed and agree with the
+    materialized row count."""
+    from emr_with_custom_metrics_spark.registry import all_specs
+    from tests.conftest import SF_DIR
+
+    fn = all_specs()["cogroup_asof_pandas"].fn
+    df = fn(spark, SF_DIR)
+    assert df.count() == len(fn(spark, SF_DIR).toPandas())
