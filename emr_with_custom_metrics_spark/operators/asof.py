@@ -171,7 +171,12 @@ def _cogroup_asof(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame"
     "per-key logic (feature backfill, interleaved replay) that no join "
     "expresses directly. Scale shape: one co-partitioning shuffle of both "
     "sides by key, Arrow-batched per-key frames, no driver involvement; "
-    "per-key state is bounded by a user's history. Tie-break contract "
+    "per-key state is bounded by a user's history. Measured trade "
+    "(SCALING.md): each tiny group pays a ~2-3 ms pandas-dispatch "
+    "envelope, so for CHEAP per-key logic the union-window as-of "
+    "(asof_purchase_last_click: 0.65 s vs 6.0 s here at sf0.1) is the "
+    "production path — cogroup earns its keep when per-key work is "
+    "substantial. Tie-break contract "
     "(simultaneous clicks -> highest click_id) is pinned identically in "
     "the numpy side (sort + side='right') and the oracle's window order.",
 )
