@@ -157,6 +157,16 @@ def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> np.ndarray:
     return np.frombuffer(bytes(out), dtype=np.uint8)
 
 
+def _interlace_order(height: int) -> np.ndarray:
+    """GIF 4-pass interlace row schedule (87a Appendix E): rows 0,8,16...,
+    then 4,12..., then 2,6,10..., then the odd rows — the order the pixel
+    stream carries interlaced images in."""
+    return np.concatenate(
+        [np.arange(start, height, step) for start, step in
+         ((0, 8), (4, 8), (2, 4), (1, 2))]
+    )
+
+
 def _sub_blocks(payload: bytes) -> bytes:
     """Wrap raw bytes into GIF's ≤255-byte length-prefixed sub-blocks."""
     out = bytearray()
@@ -168,7 +178,7 @@ def _sub_blocks(payload: bytes) -> bytes:
     return bytes(out)
 
 
-def encode_gif(width: int, height: int, pixels) -> bytes:
+def encode_gif(width: int, height: int, pixels, *, interlaced: bool = False) -> bytes:
     """GIF87a encoder: grayscale palette (256 entries, palette[i] = i,i,i),
     real LZW. ``pixels`` is a flat fill value, an (h, w) uint8 array, or an
     (n, h, w) uint8 array — n > 1 writes a multi-image stream (one image
@@ -186,14 +196,16 @@ def encode_gif(width: int, height: int, pixels) -> bytes:
     gct = bytes(v for i in range(256) for v in (i, i, i))
     min_code_size = 8
     body = bytearray()
+    iflags = 0x40 if interlaced else 0
     for frame in frames:
-        body += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+        body += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, iflags)
         body.append(min_code_size)
-        body += _sub_blocks(_lzw_encode(frame.reshape(-1), min_code_size))
+        data = frame[_interlace_order(height)] if interlaced else frame
+        body += _sub_blocks(_lzw_encode(data.reshape(-1), min_code_size))
     return header + lsd + gct + bytes(body) + b"\x3b"
 
 
-def decode_gif(payload: bytes) -> dict:
+def decode_gif(payload: bytes, *, return_pixels: bool = False) -> dict:
     """Decode a GIF87a/89a stream (module docstring scope), walking EVERY
     image block — a multi-image stream is GIF's animation layout.
 
@@ -222,6 +234,7 @@ def decode_gif(payload: bytes) -> dict:
         gct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
         pos += 3 * n
     frames: list[tuple[int, int, float]] = []  # (w, h, mean)
+    pixel_frames: list[np.ndarray] = []
     while pos < len(payload):
         block = payload[pos]
         if block == 0x3B:  # trailer
@@ -239,8 +252,7 @@ def decode_gif(payload: bytes) -> dict:
         _need(pos + 10)
         _, _, _, w, h, iflags = struct.unpack_from("<BHHHHB", payload, pos)
         pos += 10
-        if iflags & 0x40:
-            raise NotImplementedError("interlaced GIF unsupported")
+        interlaced = bool(iflags & 0x40)
         if iflags & 0x80:
             raise NotImplementedError("local color table unsupported")
         if gct is None:
@@ -260,11 +272,18 @@ def decode_gif(payload: bytes) -> dict:
         indices = _lzw_decode(bytes(lzw), min_code_size, w * h)
         if int(indices.max(initial=0)) >= len(gct):
             raise ValueError("pixel index beyond color table")
+        if interlaced:
+            # The stream carries rows in 4-pass order; scatter them back.
+            img = np.empty((h, w), dtype=np.uint8)
+            img[_interlace_order(h)] = indices.reshape(h, w)
+            indices = img.reshape(-1)
         frames.append((int(w), int(h), float(gct[indices].mean())))
+        if return_pixels:
+            pixel_frames.append(indices.reshape(h, w))
     if not frames:
         raise ValueError("GIF contains no image data")
     w, h, _ = frames[0]
-    return {
+    meta = {
         "format": "gif",
         "width": w,
         "height": h,
@@ -273,3 +292,6 @@ def decode_gif(payload: bytes) -> dict:
         "frame_means": [m for _, _, m in frames],
         "mean_byte": float(np.mean([m for _, _, m in frames])),
     }
+    if return_pixels:
+        meta["pixels"] = pixel_frames
+    return meta

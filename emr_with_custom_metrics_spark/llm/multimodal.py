@@ -2571,3 +2571,88 @@ def _scene_detect_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataF
 def multimodal_video_scene_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_fanned(spark, sf_dir, "documents").select("doc_id")
     return d.mapInPandas(_scene_detect_batch, schema=SCENE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# GIF interlace tier
+# ---------------------------------------------------------------------------
+GIF_INTERLACED_SCHEMA = (
+    "doc_id bigint, width int, height int, interlaced boolean, "
+    "row_checksum bigint"
+)
+
+
+def _gif_interlaced_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    import numpy as np
+    import pandas as pd
+
+    from emr_with_custom_metrics_spark.llm.gif import decode_gif, encode_gif
+
+    def run(d: int) -> dict:
+        w = 6 + d % 7
+        h = 5 + d % 11
+        base = d % 100
+        r = np.arange(h)[:, None]
+        c = np.arange(w)[None, :]
+        px = ((base + 3 * r + c) % 256).astype(np.uint8)
+        interlaced = d % 2 == 0
+        meta = decode_gif(encode_gif(w, h, px, interlaced=interlaced), return_pixels=True)
+        out = meta["pixels"][0].astype(np.int64)
+        # Row-weighted checksum: sum over pixels of value * (row + 1) —
+        # permutation-SENSITIVE, unlike a mean, so any 4-pass schedule bug
+        # in either direction breaks the hash.
+        checksum = int((out * (np.arange(h)[:, None] + 1)).sum())
+        return {
+            "width": meta["width"],
+            "height": meta["height"],
+            "interlaced": interlaced,
+            "row_checksum": checksum,
+        }
+
+    for pdf in batches:
+        metas = pdf["doc_id"].map(lambda d: run(int(d)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": metas.map(lambda m: m["width"]).astype("int32"),
+                "height": metas.map(lambda m: m["height"]).astype("int32"),
+                "interlaced": metas.map(lambda m: m["interlaced"]),
+                "row_checksum": metas.map(lambda m: m["row_checksum"]).astype("int64"),
+            }
+        )
+
+
+@register(
+    "multimodal_decode_gif_interlaced",
+    # The oracle recomputes the ROW-WEIGHTED checksum of the original
+    # gradient in SQL (value * (row+1) summed) — a statistic that is
+    # permutation-sensitive in exactly the dimension GIF's 4-pass
+    # interlace permutes, so a decoder that forgot (or double-applied)
+    # the row scatter hash-mismatches immediately. Half the payloads are
+    # non-interlaced as the in-query control group.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, 6 + doc_id % 7 AS w, 5 + doc_id % 11 AS h,
+             doc_id % 100 AS base, doc_id % 2 = 0 AS interlaced
+      FROM documents),
+    s AS (
+      SELECT doc_id, w, h, interlaced,
+             list_sum(list_transform(range(h), r ->
+               (r + 1) * list_sum(list_transform(range(w),
+                 c -> (base + 3 * r + c) % 256)))) AS row_checksum
+      FROM p)
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           interlaced, CAST(row_checksum AS BIGINT) AS row_checksum
+    FROM s
+    """,
+    doc="Interlaced GIF decode (the 87a Appendix-E 4-pass row schedule — "
+    "previously an honest NotImplementedError at llm/gif.py): encode "
+    "gradient frames alternately interlaced and sequential, decode "
+    "through the real LZW + row-scatter path, and emit a row-weighted "
+    "checksum the oracle recomputes in closed form. Closes the last "
+    "in-scope GIF feature; local color tables remain the documented "
+    "boundary. Arrow-batched map stage, no shuffle.",
+)
+def multimodal_decode_gif_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fanned(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_gif_interlaced_batch, schema=GIF_INTERLACED_SCHEMA)

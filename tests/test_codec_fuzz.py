@@ -735,3 +735,20 @@ def test_flac_unsupported_features_fall_to_stub():
     enc[8 + 12] |= 0x02  # channels-1: 0 -> 1 (stereo)
     with pytest.raises(NotImplementedError, match="multi-channel"):
         decode_flac(bytes(enc))
+
+
+@settings(max_examples=20, deadline=None)
+@given(img=st.integers(0, 10_000))
+def test_gif_interlace_roundtrip_exact_pixels(img):
+    """Interlaced encode -> decode must reproduce the EXACT pixel array
+    (mean-based checks are permutation-blind; only per-pixel equality
+    catches a wrong 4-pass row schedule)."""
+    from emr_with_custom_metrics_spark.llm.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(img)
+    h = int(rng.integers(1, 40))
+    w = int(rng.integers(1, 20))
+    px = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    for inter in (False, True):
+        meta = decode_gif(encode_gif(w, h, px, interlaced=inter), return_pixels=True)
+        assert np.array_equal(meta["pixels"][0], px), (h, w, inter)
