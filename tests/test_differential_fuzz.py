@@ -597,3 +597,120 @@ def test_geo_grid_join_complete_on_random_points(spark, seed):
         .where(F.col("d2") <= CELL_DEG * CELL_DEG).select("aid", "bid").collect()
     }
     assert grid == brute
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(seed=st.integers(0, 2**31 - 1))
+def test_substring_spans_match_bruteforce(spark, seed):
+    """The windowed-hash span dedup (dedup_substring_spans' pipeline) vs a
+    direct Python brute force on random small corpora with planted shared
+    phrases — an independent third implementation pinning the window,
+    duplicate, and interval-merge semantics (k=3 to make collisions
+    likely at toy scale)."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    k = 3
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(8)]
+    phrase = [rng.choice(vocab) for _ in range(4)]
+    docs = []
+    for i in range(rng.randint(3, 8)):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(k, 15))]
+        if rng.random() < 0.6:  # plant the shared phrase in most docs
+            p = rng.randint(0, len(toks))
+            toks = toks[:p] + phrase + toks[p:]
+        docs.append((i, toks))
+
+    # brute force: window multiset, dup windows, merged coverage per doc
+    from collections import Counter
+
+    cnt = Counter()
+    for _, toks in docs:
+        for s in range(len(toks) - k + 1):
+            cnt[tuple(toks[s : s + k])] += 1
+    want = {}
+    for i, toks in docs:
+        pos = [s for s in range(len(toks) - k + 1)
+               if cnt[tuple(toks[s : s + k])] > 1]
+        spans, covered = 0, 0
+        prev_end = None
+        for s in pos:
+            if prev_end is None or s > prev_end + 1:
+                spans += 1
+                covered += k
+                prev_end = s + k - 1
+            else:
+                covered += (s + k - 1) - prev_end
+                prev_end = s + k - 1
+        want[i] = (len(toks), spans, covered)
+
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs], "doc_id long, text string"
+    )
+    toks = F.split("text", " ")
+    wins = F.expr(
+        f"transform(sequence(0, size(split(text, ' ')) - {k}), "
+        f"i -> struct(i AS pos, md5(concat_ws(' ', slice(split(text, ' '), i + 1, {k}))) AS h))"
+    )
+    w = (
+        df.where(F.size(toks) >= k)
+        .select("doc_id", F.explode(wins).alias("w"))
+        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    )
+    dup = (
+        w.withColumn("cnt", F.count("*").over(Window.partitionBy("h")))
+        .where(F.col("cnt") > 1)
+        .select("doc_id", "pos")
+    )
+    by_doc = Window.partitionBy("doc_id").orderBy("pos")
+    lag_pos = F.lag("pos").over(by_doc)
+    sp = dup.withColumn(
+        "brk", F.when(lag_pos.isNull() | (F.col("pos") > lag_pos + k), 1).otherwise(0)
+    ).withColumn("grp", F.sum("brk").over(by_doc))
+    spans = sp.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("s"), (F.max("pos") + k - 1).alias("e")
+    )
+    got_rows = (
+        spans.groupBy("doc_id")
+        .agg(F.count("*").alias("n_spans"),
+             F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"))
+        .collect()
+    )
+    got = {r["doc_id"]: (r["n_spans"], r["dup_tokens"]) for r in got_rows}
+    for i, (n_toks, spans_want, covered_want) in want.items():
+        assert got.get(i, (0, 0)) == (spans_want, covered_want), (
+            seed, i, docs[i], got.get(i), (spans_want, covered_want))
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(seed=st.integers(0, 2**31 - 1))
+def test_rolling_median_matches_pandas(spark, seed):
+    """The sorted-frame rolling median (window_rolling_median's kernel) vs
+    pandas rolling(11, min_periods=1).median() on random series."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 80))
+    vals = rng.uniform(-50, 50, n).round(3).tolist()
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v double")
+    w = Window.orderBy("i").rowsBetween(-10, 0)
+    frame = F.array_sort(F.collect_list("v").over(w))
+    sz = F.size(frame)
+    mid_hi = F.element_at(frame, (sz / 2 + 1).cast("int"))
+    mid_lo = F.element_at(frame, ((sz + 1) / 2).cast("int"))
+    got = [
+        r["m"]
+        for r in df.select("i", ((mid_lo + mid_hi) / 2.0).alias("m"))
+        .orderBy("i")
+        .collect()
+    ]
+    want = pd.Series(vals).rolling(11, min_periods=1).median().tolist()
+    assert np.allclose(got, want), (seed, n)
