@@ -16,9 +16,10 @@ Scope, honestly stated:
 * ``decode_gif`` — GIF87a/89a streams with a global color table, every
   image block walked (frame count + per-frame means exposed for the
   frame-sampling operator); 89a extension blocks (graphics control,
-  comment, application) are skipped per spec. Interlaced images and
-  local color tables raise ``NotImplementedError`` and fall to the stub
-  tier; corrupt LZW streams raise ``ValueError``.
+  comment, application) are skipped per spec. Interlaced images decode
+  through the Appendix-E 4-pass row scatter (round-6 wave 6), and local
+  color tables override the global table per image; corrupt LZW streams
+  raise ``ValueError``.
 
 Because GIF is LOSSLESS, the whole-pipeline check is stronger than
 JPEG's even-fill contract: ``decode(encode(img))`` must reproduce the
@@ -178,7 +179,14 @@ def _sub_blocks(payload: bytes) -> bytes:
     return bytes(out)
 
 
-def encode_gif(width: int, height: int, pixels, *, interlaced: bool = False) -> bytes:
+def encode_gif(
+    width: int,
+    height: int,
+    pixels,
+    *,
+    interlaced: bool = False,
+    local_palettes: "list[np.ndarray] | None" = None,
+) -> bytes:
     """GIF87a encoder: grayscale palette (256 entries, palette[i] = i,i,i),
     real LZW. ``pixels`` is a flat fill value, an (h, w) uint8 array, or an
     (n, h, w) uint8 array — n > 1 writes a multi-image stream (one image
@@ -196,9 +204,18 @@ def encode_gif(width: int, height: int, pixels, *, interlaced: bool = False) -> 
     gct = bytes(v for i in range(256) for v in (i, i, i))
     min_code_size = 8
     body = bytearray()
-    iflags = 0x40 if interlaced else 0
-    for frame in frames:
+    base_flags = 0x40 if interlaced else 0
+    for fi, frame in enumerate(frames):
+        iflags = base_flags
+        lct = b""
+        if local_palettes is not None and local_palettes[fi] is not None:
+            pal = np.asarray(local_palettes[fi], dtype=np.uint8)
+            if pal.shape != (256, 3):
+                raise ValueError("local palette must be (256, 3)")
+            iflags |= 0x80 | 0x07  # LCT present, 256 entries
+            lct = pal.tobytes()
         body += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, iflags)
+        body += lct
         body.append(min_code_size)
         data = frame[_interlace_order(height)] if interlaced else frame
         body += _sub_blocks(_lzw_encode(data.reshape(-1), min_code_size))
@@ -253,9 +270,14 @@ def decode_gif(payload: bytes, *, return_pixels: bool = False) -> dict:
         _, _, _, w, h, iflags = struct.unpack_from("<BHHHHB", payload, pos)
         pos += 10
         interlaced = bool(iflags & 0x40)
+        ct = gct
         if iflags & 0x80:
-            raise NotImplementedError("local color table unsupported")
-        if gct is None:
+            # Local color table: overrides the global table for THIS image.
+            n = 2 << (iflags & 0x07)
+            _need(pos + 3 * n)
+            ct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if ct is None:
             raise ValueError("GIF image without any color table")
         _need(pos + 1)
         min_code_size = payload[pos]
@@ -270,14 +292,14 @@ def decode_gif(payload: bytes, *, return_pixels: bool = False) -> dict:
             _need(pos + 1)
         pos += 1  # the sub-block terminator
         indices = _lzw_decode(bytes(lzw), min_code_size, w * h)
-        if int(indices.max(initial=0)) >= len(gct):
+        if int(indices.max(initial=0)) >= len(ct):
             raise ValueError("pixel index beyond color table")
         if interlaced:
             # The stream carries rows in 4-pass order; scatter them back.
             img = np.empty((h, w), dtype=np.uint8)
             img[_interlace_order(h)] = indices.reshape(h, w)
             indices = img.reshape(-1)
-        frames.append((int(w), int(h), float(gct[indices].mean())))
+        frames.append((int(w), int(h), float(ct[indices].mean())))
         if return_pixels:
             pixel_frames.append(indices.reshape(h, w))
     if not frames:

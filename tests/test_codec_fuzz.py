@@ -752,3 +752,25 @@ def test_gif_interlace_roundtrip_exact_pixels(img):
     for inter in (False, True):
         meta = decode_gif(encode_gif(w, h, px, interlaced=inter), return_pixels=True)
         assert np.array_equal(meta["pixels"][0], px), (h, w, inter)
+
+
+@settings(max_examples=15, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_gif_local_color_table_overrides_global(seed):
+    """Frames with a local color table must map through IT (non-identity
+    inverse palette), while LCT-less frames in the same stream keep the
+    global grayscale table — exact per-frame means prove which table was
+    used."""
+    from emr_with_custom_metrics_spark.llm.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    n, h, w = 3, int(rng.integers(1, 12)), int(rng.integers(1, 10))
+    idx = rng.integers(0, 256, (n, h, w)).astype(np.uint8)
+    inv = np.stack([255 - np.arange(256)] * 3, axis=1).astype(np.uint8)
+    meta = decode_gif(
+        encode_gif(w, h, idx, local_palettes=[inv, None, inv]), return_pixels=True
+    )
+    for f in range(n):
+        assert np.array_equal(meta["pixels"][f], idx[f])
+        table = inv if f != 1 else np.stack([np.arange(256)] * 3, axis=1)
+        assert abs(meta["frame_means"][f] - table[idx[f]].mean()) < 1e-9
