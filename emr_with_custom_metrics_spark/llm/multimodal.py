@@ -184,6 +184,85 @@ def _paeth_vec(left, up, upleft):
     ).astype(np.uint8)
 
 
+ADAM7 = (  # (x0, y0, xstep, ystep) per pass, PNG spec §8.2
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_filter_rows(raw: "np.ndarray", bpp: int) -> bytes:  # noqa: F821
+    """Filter a (rows, stride) byte image, rotating through ALL FIVE filter
+    types (row r uses r % 5) — each (sub)image starts with a zero prior
+    row, which is exactly how Adam7 treats every pass independently."""
+    import numpy as np
+
+    rows, stride = raw.shape
+
+    def shifted(a):
+        out = np.zeros(stride, dtype=np.uint8)
+        out[bpp:] = a[:-bpp]
+        return out
+
+    body = bytearray()
+    prior = np.zeros(stride, dtype=np.uint8)
+    for r in range(rows):
+        row, ftype = raw[r], r % 5
+        left, upleft = shifted(row), shifted(prior)
+        if ftype == 0:
+            filt = row
+        elif ftype == 1:  # Sub
+            filt = row - left
+        elif ftype == 2:  # Up
+            filt = row - prior
+        elif ftype == 3:  # Average (floor of the int sum, not uint8 wrap)
+            filt = row - ((left.astype(np.uint16) + prior) // 2).astype(np.uint8)
+        else:  # Paeth
+            filt = row - _paeth_vec(left, prior, upleft)
+        body.append(ftype)
+        body.extend(filt.tobytes())
+        prior = row
+    return bytes(body)
+
+
+def _png_unfilter_rows(lines: "np.ndarray", bpp: int) -> "np.ndarray":  # noqa: F821
+    """Reverse per-scanline filters over a (rows, 1 + stride) array (filter
+    byte + data per row); zero prior row, per the spec / per Adam7 pass."""
+    import numpy as np
+
+    rows = lines.shape[0]
+    stride = lines.shape[1] - 1
+    recon = np.zeros((rows, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for r in range(rows):
+        ftype, row = int(lines[r, 0]), lines[r, 1:]
+        if ftype == 0:
+            cur = row.copy()
+        elif ftype == 2:  # Up: no left dependency → vectorized
+            cur = row + prior
+        elif ftype == 1:  # Sub: per-channel prefix sum mod 256
+            cur = (
+                row.reshape(-1, bpp).astype(np.uint32).cumsum(axis=0).astype(np.uint8)
+            ).reshape(stride)
+        elif ftype in (3, 4):  # Average/Paeth: genuinely sequential in x
+            cur = np.zeros(stride, dtype=np.uint8)
+            for i in range(stride):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                up = int(prior[i])
+                if ftype == 3:
+                    pred = (left + up) // 2
+                else:
+                    ul = int(prior[i - bpp]) if i >= bpp else 0
+                    pz = left + up - ul
+                    pa, pb, pc = abs(pz - left), abs(pz - up), abs(pz - ul)
+                    pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                cur[i] = (int(row[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        recon[r] = cur
+        prior = cur
+    return recon
+
+
 def encode_png(
     width: int,
     height: int,
@@ -191,6 +270,7 @@ def encode_png(
     *,
     pixels: "np.ndarray | None" = None,  # noqa: F821
     palette: "np.ndarray | None" = None,  # noqa: F821
+    interlace: bool = False,
 ) -> bytes:
     """Build a real non-interlaced 8-bit RGB PNG: signature, IHDR, one
     zlib-compressed IDAT, IEND — all CRCs genuine. Scanlines rotate through
@@ -229,31 +309,23 @@ def encode_png(
     else:
         raw = np.full((height, stride), fill, dtype=np.uint8)
 
-    def shifted(a):  # byte at x - bpp, 0 before the first pixel
-        out = np.zeros(stride, dtype=np.uint8)
-        out[bpp:] = a[:-bpp]
-        return out
-
-    body = bytearray()
-    prior = np.zeros(stride, dtype=np.uint8)
-    for r in range(height):
-        row, ftype = raw[r], r % 5
-        left, upleft = shifted(row), shifted(prior)
-        if ftype == 0:
-            filt = row
-        elif ftype == 1:  # Sub
-            filt = row - left
-        elif ftype == 2:  # Up
-            filt = row - prior
-        elif ftype == 3:  # Average (floor of the int sum, not uint8 wrap)
-            filt = row - ((left.astype(np.uint16) + prior) // 2).astype(np.uint8)
-        else:  # Paeth
-            filt = row - _paeth_vec(left, prior, upleft)
-        body.append(ftype)
-        body.extend(filt.tobytes())
-        prior = row
+    img = raw.reshape(height, width, bpp)
+    if interlace:
+        body = bytearray()
+        for x0, y0, xs, ys in ADAM7:
+            sub = img[y0::ys, x0::xs]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            body += _png_filter_rows(
+                sub.reshape(sub.shape[0], sub.shape[1] * bpp), bpp
+            )
+        body = bytes(body)
+    else:
+        body = _png_filter_rows(raw, bpp)
     color_type = 3 if palette is not None else 2
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0
+    )
     chunks = PNG_SIG + _png_chunk(b"IHDR", ihdr)
     if palette is not None:
         pal = np.asarray(palette, dtype=np.uint8)
@@ -270,10 +342,10 @@ def encode_png(
 def decode_png(payload: bytes, *, return_pixels: bool = False) -> dict:
     """REAL PNG decode: verify the signature, walk the chunk stream
     validating every CRC, parse IHDR, inflate the concatenated IDAT data,
-    and reverse the per-scanline filter (types 0-4). Supports
-    non-interlaced 8-bit grayscale/RGB/RGBA — the shape every training-
-    corpus thumbnail pipeline actually emits; 16-bit/interlaced/palette
-    images raise NotImplementedError and fall to the stub tier."""
+    and reverse the per-scanline filter (types 0-4). Supports 8-bit
+    grayscale/RGB/palette/RGBA, sequential AND Adam7-interlaced (seven
+    independently filtered sub-images scattered back, round-6 wave 6);
+    16-bit images raise NotImplementedError and fall to the stub tier."""
     import struct
     import zlib
 
@@ -295,11 +367,11 @@ def decode_png(payload: bytes, *, return_pixels: bool = False) -> dict:
             w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
             if comp != 0 or filt != 0:
                 raise ValueError("unknown PNG compression/filter method")
-            if depth != 8 or color not in _PNG_CHANNELS or interlace != 0:
+            if depth != 8 or color not in _PNG_CHANNELS or interlace > 1:
                 raise NotImplementedError(
-                    "only non-interlaced 8-bit gray/RGB/palette/RGBA PNG decodes here"
+                    "only 8-bit gray/RGB/palette/RGBA PNG decodes here"
                 )
-            ihdr = (w, h, color)
+            ihdr = (w, h, color, interlace)
         elif ctype == b"PLTE":
             if length % 3 or length > 768:
                 raise ValueError("bad PLTE length")
@@ -311,44 +383,39 @@ def decode_png(payload: bytes, *, return_pixels: bool = False) -> dict:
         pos += 12 + length
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
-    w, h, color = ihdr
+    w, h, color, interlace = ihdr
     if color == 3 and palette is None:
         raise ValueError("palette PNG missing PLTE")
     bpp = _PNG_CHANNELS[color]
     stride = w * bpp
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG scanline length mismatch")
-    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    recon = np.zeros((h, stride), dtype=np.uint8)
-    prior = np.zeros(stride, dtype=np.uint8)
-    for r in range(h):
-        ftype, row = int(lines[r, 0]), lines[r, 1:]
-        if ftype == 0:
-            cur = row.copy()
-        elif ftype == 2:  # Up: no left dependency → vectorized
-            cur = row + prior
-        elif ftype == 1:  # Sub: per-channel prefix sum mod 256
-            cur = (
-                row.reshape(w, bpp).astype(np.uint32).cumsum(axis=0).astype(np.uint8)
-            ).reshape(stride)
-        elif ftype in (3, 4):  # Average/Paeth: genuinely sequential in x
-            cur = np.zeros(stride, dtype=np.uint8)
-            for i in range(stride):
-                left = int(cur[i - bpp]) if i >= bpp else 0
-                up = int(prior[i])
-                if ftype == 3:
-                    pred = (left + up) // 2
-                else:
-                    ul = int(prior[i - bpp]) if i >= bpp else 0
-                    p = left + up - ul
-                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
-                    pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
-                cur[i] = (int(row[i]) + pred) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter type {ftype}")
-        recon[r] = cur
-        prior = cur
+    if interlace:
+        # Adam7: seven independently-filtered sub-images, scattered back.
+        img = np.zeros((h, w, bpp), dtype=np.uint8)
+        pos2 = 0
+        for x0, y0, xs, ys in ADAM7:
+            pw = (w - x0 + xs - 1) // xs
+            ph = (h - y0 + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = pw * bpp
+            need = ph * (pstride + 1)
+            if pos2 + need > len(raw):
+                raise ValueError("PNG interlace pass truncated")
+            plines = np.frombuffer(
+                raw[pos2 : pos2 + need], dtype=np.uint8
+            ).reshape(ph, pstride + 1)
+            pos2 += need
+            sub = _png_unfilter_rows(plines, bpp).reshape(ph, pw, bpp)
+            img[y0::ys, x0::xs] = sub
+        if pos2 != len(raw):
+            raise ValueError("PNG interlace data length mismatch")
+        recon = img.reshape(h, stride)
+    else:
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG scanline length mismatch")
+        lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+        recon = _png_unfilter_rows(lines, bpp)
     if color == 3:
         # Palette lookup AFTER filter reversal (filters operate on index
         # bytes per the spec); stats and pixels are over the mapped RGB.
@@ -2774,3 +2841,84 @@ def _png_palette_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFr
 def multimodal_decode_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_fanned(spark, sf_dir, "documents").select("doc_id")
     return d.mapInPandas(_png_palette_batch, schema=PNG_PALETTE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Adam7-interlaced PNG tier
+# ---------------------------------------------------------------------------
+PNG_ADAM7_SCHEMA = (
+    "doc_id bigint, width int, height int, interlaced boolean, "
+    "row_checksum bigint"
+)
+
+
+def _png_adam7_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    import numpy as np
+    import pandas as pd
+
+    def run(d: int) -> dict:
+        w = 5 + d % 9
+        h = 4 + d % 13
+        base = d % 150
+        r = np.arange(h)[:, None]
+        c = np.arange(w)[None, :]
+        px = ((base + 7 * r + c) % 256).astype(np.uint8)
+        interlaced = d % 2 == 0
+        meta = decode_png(
+            encode_png(w, h, 0, pixels=px, interlace=interlaced), return_pixels=True
+        )
+        out = meta["pixels"][:, :, 0].astype(np.int64)
+        checksum = int((out * (np.arange(h)[:, None] + 1)).sum())
+        return {
+            "width": meta["width"],
+            "height": meta["height"],
+            "interlaced": interlaced,
+            "row_checksum": checksum,
+        }
+
+    for pdf in batches:
+        metas = pdf["doc_id"].map(lambda d: run(int(d)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": metas.map(lambda m: m["width"]).astype("int32"),
+                "height": metas.map(lambda m: m["height"]).astype("int32"),
+                "interlaced": metas.map(lambda m: m["interlaced"]),
+                "row_checksum": metas.map(lambda m: m["row_checksum"]).astype("int64"),
+            }
+        )
+
+
+@register(
+    "multimodal_decode_png_adam7",
+    # Same permutation-sensitive contract as the GIF interlace query: the
+    # row-weighted checksum of the gradient is recomputed in SQL; Adam7
+    # permutes pixels in BOTH dimensions, so any pass-geometry or scatter
+    # bug (or a filter leak across pass boundaries) breaks the hash. Half
+    # the payloads are sequential as the in-query control group.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, 5 + doc_id % 9 AS w, 4 + doc_id % 13 AS h,
+             doc_id % 150 AS base, doc_id % 2 = 0 AS interlaced
+      FROM documents),
+    s AS (
+      SELECT doc_id, w, h, interlaced,
+             list_sum(list_transform(range(h), r ->
+               (r + 1) * list_sum(list_transform(range(w),
+                 c -> (base + 7 * r + c) % 256)))) AS row_checksum
+      FROM p)
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           interlaced, CAST(row_checksum AS BIGINT) AS row_checksum
+    FROM s
+    """,
+    doc="Adam7-interlaced PNG decode (spec §8.2 — previously behind the "
+    "NotImplementedError boundary): seven independently filtered "
+    "sub-images, each through the full five-filter reversal, scattered "
+    "back by pass geometry; encoder writes real interlaced streams. "
+    "Together with the palette tier this completes 8-bit PNG (both "
+    "interlace methods x gray/RGB/palette/RGBA); 16-bit stays out of "
+    "scope. Arrow-batched map stage, no shuffle.",
+)
+def multimodal_decode_png_adam7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fanned(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_png_adam7_batch, schema=PNG_ADAM7_SCHEMA)

@@ -774,3 +774,26 @@ def test_gif_local_color_table_overrides_global(seed):
         assert np.array_equal(meta["pixels"][f], idx[f])
         table = inv if f != 1 else np.stack([np.arange(256)] * 3, axis=1)
         assert abs(meta["frame_means"][f] - table[idx[f]].mean()) < 1e-9
+
+
+@settings(max_examples=20, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_png_adam7_roundtrip_exact_pixels(seed):
+    """Adam7 encode -> decode reproduces the exact pixel array for random
+    content and dimensions (incl. dims smaller than the 8x8 pass grid,
+    where several passes are empty), and composes with the palette path."""
+    from emr_with_custom_metrics_spark.llm.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    h = int(rng.integers(1, 30))
+    w = int(rng.integers(1, 30))
+    px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    m = decode_png(encode_png(w, h, 0, pixels=px, interlace=True), return_pixels=True)
+    assert np.array_equal(m["pixels"], px), (h, w)
+    pal = np.stack([(np.arange(256) * 7) % 256] * 3, axis=1).astype(np.uint8)
+    idx = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    m2 = decode_png(
+        encode_png(w, h, 0, pixels=idx, palette=pal, interlace=True),
+        return_pixels=True,
+    )
+    assert np.array_equal(m2["pixels"], pal[idx]), (h, w)

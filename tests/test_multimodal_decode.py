@@ -126,20 +126,25 @@ def test_png_rejects_corruption_and_unsupported():
     with pytest.raises(ValueError, match="CRC"):
         decode_png(bytes(png))
 
-    png = bytearray(encode_png(5, 4, 10))
-    png[8 + 8 + 12] = 1  # IHDR interlace byte (Adam7) → unsupported tier
-    # recompute nothing: CRC now fails first, which is also correct — so
-    # instead build a fresh IHDR with a valid CRC to reach the tier check
+    # Adam7 decodes for real since round-6 wave 6; an IHDR CLAIMING
+    # interlace over a sequential body must fail as a DATA error, and an
+    # out-of-spec interlace method (2) stays on the unsupported tier.
     import struct
     import zlib
 
-    ihdr = struct.pack(">IIBBBBB", 5, 4, 8, 2, 0, 0, 1)
-    chunk = struct.pack(">I", 13) + b"IHDR" + ihdr + struct.pack(
-        ">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
-    )
-    patched = bytes(png[:8]) + chunk + bytes(png[8 + 25 :])
+    png = bytearray(encode_png(5, 4, 10))
+
+    def patched_ihdr(method):
+        ihdr = struct.pack(">IIBBBBB", 5, 4, 8, 2, 0, 0, method)
+        chunk = struct.pack(">I", 13) + b"IHDR" + ihdr + struct.pack(
+            ">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
+        )
+        return bytes(png[:8]) + chunk + bytes(png[8 + 25 :])
+
+    with pytest.raises(ValueError):
+        decode_png(patched_ihdr(1))
     with pytest.raises(NotImplementedError):
-        decode_png(patched)
+        decode_png(patched_ihdr(2))
 
     with pytest.raises(ValueError):
         decode_png(b"\x89PNG\r\n\x1a\njunk")
