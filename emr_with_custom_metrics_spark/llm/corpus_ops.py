@@ -1058,3 +1058,102 @@ def corpus_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("curriculum_pos"),
     )
+
+
+@register(
+    "e2e_span_dedup_pipeline",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    w AS (
+      SELECT doc_id,
+             UNNEST(range(LEN(toks) - 15 + 1)) AS pos,
+             UNNEST(list_transform(range(LEN(toks) - 15 + 1),
+               i -> md5(array_to_string(
+                      list_slice(toks, i + 1, i + 15), ' ')))) AS h
+      FROM t WHERE LEN(toks) >= 15),
+    g AS (SELECT h, COUNT(*) AS cnt,
+                 MIN(doc_id * 1000000 + pos) AS first_key
+          FROM w GROUP BY h),
+    nonfirst AS (
+      SELECT w.doc_id, w.pos FROM w JOIN g USING (h)
+      WHERE g.cnt > 1 AND w.doc_id * 1000000 + w.pos <> g.first_key),
+    cover AS (
+      SELECT doc_id, COUNT(DISTINCT tp) AS n_covered
+      FROM (SELECT doc_id, UNNEST(range(pos, pos + 15)) AS tp FROM nonfirst)
+      GROUP BY doc_id),
+    kept AS (
+      SELECT t.doc_id,
+             CAST(LEN(t.toks) - COALESCE(c.n_covered, 0) AS BIGINT) AS n_kept
+      FROM t LEFT JOIN cover c USING (doc_id)),
+    surviving AS (
+      SELECT d.source, d.doc_id, k.n_kept
+      FROM documents d JOIN kept k USING (doc_id)
+      WHERE k.n_kept >= 15),
+    spans AS (
+      SELECT source, doc_id, n_kept,
+             CAST(SUM(n_kept) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_kept
+                  AS BIGINT) AS tok_start,
+             CAST(SUM(n_kept) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS tok_end
+      FROM surviving),
+    chunked AS (
+      SELECT source, doc_id, tok_start, tok_end,
+             UNNEST(generate_series(tok_start // 256, (tok_end - 1) // 256))
+                 AS chunk_id
+      FROM spans WHERE tok_end > tok_start)
+    SELECT source, chunk_id, COUNT(*) AS n_docs,
+           CAST(SUM(LEAST(tok_end, (chunk_id + 1) * 256)
+               - GREATEST(tok_start, chunk_id * 256)) AS BIGINT) AS chunk_tokens
+    FROM chunked GROUP BY source, chunk_id
+    """,
+    doc="END-TO-END span-dedup pipeline: the ExactSubstr REWRITE "
+    "(dedup_substring_remove's canonical-occurrence token removal) feeds "
+    "a length screen (docs shrunk below 15 kept tokens drop — the "
+    "near-empty shells left after boilerplate removal) and the "
+    "concat-and-chunk packer re-packs the CLEANED token counts into "
+    "256-token training chunks per source. Proves the corpus REWRITE "
+    "composes with downstream assembly as one oracled DAG — the "
+    "deliverable a span-dedup stage actually hands to tokenization. "
+    "Plan: the removal's hash aggregate + coverage anti-join feed a "
+    "per-source window; shuffles carry counts and hashes, never text.",
+)
+def e2e_span_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from emr_with_custom_metrics_spark.llm.dedup import dedup_substring_remove
+
+    budget = 256
+    removed = dedup_substring_remove(spark, sf_dir).select("doc_id", "n_kept")
+    src = load_table(spark, sf_dir, "documents").select("source", "doc_id")
+    surviving = removed.join(src, "doc_id").where(F.col("n_kept") >= 15)
+    win = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    spans = surviving.select(
+        "source",
+        "doc_id",
+        (F.sum("n_kept").over(win) - F.col("n_kept")).alias("tok_start"),
+        F.sum("n_kept").over(win).alias("tok_end"),
+    ).where(F.col("tok_end") > F.col("tok_start"))
+    chunked = spans.select(
+        "source",
+        "tok_start",
+        "tok_end",
+        F.explode(
+            F.sequence(
+                F.expr(f"tok_start div {budget}"),
+                F.expr(f"(tok_end - 1) div {budget}"),
+            )
+        ).alias("chunk_id"),
+    )
+    return chunked.groupBy("source", "chunk_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.least(F.col("tok_end"), (F.col("chunk_id") + 1) * budget)
+            - F.greatest(F.col("tok_start"), F.col("chunk_id") * budget)
+        )
+        .cast("bigint")
+        .alias("chunk_tokens"),
+    )
