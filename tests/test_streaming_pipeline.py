@@ -620,3 +620,84 @@ def test_chained_stateful_aggregations_match_batch(spark, ordered_events_dir):
         (r["w2"]["start"], r["event_type"]): r["max_n"] for r in batch.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_foreachbatch_cdc_merge_matches_batch(spark, tmp_path):
+    """Streaming CDC: change batches (upserts + tombstone deletes) arrive
+    as a file stream one file per micro-batch; foreachBatch applies each
+    through the ParquetRewriteTarget MERGE. The final state table must
+    equal applying the union of all changes at once with last-writer-wins
+    per key — i.e. incremental maintenance converges to the batch answer
+    (order matters: a later batch re-inserts a key an earlier batch
+    deleted, and a later update overwrites an earlier one)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from emr_with_custom_metrics_spark.plans.merge import ParquetRewriteTarget
+
+    state_dir = str(tmp_path / "state")
+    changes_dir = tmp_path / "changes"
+    changes_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    base = spark.createDataFrame(
+        [(k, f"name{k}", float(k)) for k in range(10)], "k long, name string, bal double"
+    )
+    base.write.mode("overwrite").parquet(state_dir)
+
+    schema = "k long, op string, bal double"
+    batches = [
+        [(1, "U", 100.0), (2, "D", None), (11, "I", 11.0)],
+        [(2, "I", 222.0), (1, "U", 111.0), (3, "D", None)],
+        [(11, "U", 999.0), (4, "D", None), (12, "I", 12.0)],
+    ]
+    # Write ordered files; zero-pad so the file stream picks them up in
+    # lexicographic (= batch) order with maxFilesPerTrigger=1.
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(changes_dir / f"b{i:03d}"))
+
+    target = ParquetRewriteTarget(spark, state_dir)
+
+    def apply_batch(df, _bid):
+        changes = df.cache()
+        dels = changes.where(F.col("op") == "D").select("k")
+        ups = changes.where(F.col("op") != "D").select(
+            "k", F.concat(F.lit("name"), F.col("k")).alias("name"), "bal"
+        )
+        keys = changes.select("k").distinct()
+        kept = target.read().join(keys, "k", "left_anti")
+        merged = kept.unionByName(ups.join(dels, "k", "left_anti"))
+        merged.persist().count()
+        merged.write.mode("overwrite").parquet(state_dir)
+        merged.unpersist()
+        changes.unpersist()
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(changes_dir))
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    time.sleep(0.2)
+
+    got = {
+        r["k"]: (r["name"], r["bal"])
+        for r in spark.read.parquet(state_dir).collect()
+    }
+    # batch ground truth: fold the batches in order
+    want = {k: (f"name{k}", float(k)) for k in range(10)}
+    for rows in batches:
+        for k, op, bal in rows:
+            if op == "D":
+                want.pop(k, None)
+            else:
+                want[k] = (f"name{k}", bal)
+    assert got == want, (sorted(got.items()), sorted(want.items()))
