@@ -271,6 +271,7 @@ def encode_png(
     pixels: "np.ndarray | None" = None,  # noqa: F821
     palette: "np.ndarray | None" = None,  # noqa: F821
     interlace: bool = False,
+    depth16: bool = False,
 ) -> bytes:
     """Build a real non-interlaced 8-bit RGB PNG: signature, IHDR, one
     zlib-compressed IDAT, IEND — all CRCs genuine. Scanlines rotate through
@@ -288,11 +289,26 @@ def encode_png(
     if palette is not None:
         # Color type 3: ``pixels`` are (h, w) PALETTE INDICES; filters run
         # over index bytes per the spec, PLTE carries the colors.
+        if depth16:
+            raise ValueError("16-bit palette PNG is out of spec")
         bpp = 1
+    elif depth16:
+        bpp = 6  # RGB, 2 bytes per sample
     else:
         bpp = 3
     stride = width * bpp
-    if palette is not None:
+    if depth16:
+        px = np.asarray(pixels, dtype=np.uint16)
+        if px.ndim == 2:
+            px = np.repeat(px[:, :, None], 3, axis=2)
+        if px.shape != (height, width, 3):
+            raise ValueError("pixels shape does not match width/height")
+        raw = (
+            np.stack([(px >> 8).astype(np.uint8), (px & 0xFF).astype(np.uint8)], axis=3)
+            .reshape(height, stride)
+            .copy()
+        )
+    elif palette is not None:
         px = np.asarray(pixels, dtype=np.uint8)
         if px.shape != (height, width):
             raise ValueError("palette pixels must be (h, w) indices")
@@ -324,7 +340,8 @@ def encode_png(
         body = _png_filter_rows(raw, bpp)
     color_type = 3 if palette is not None else 2
     ihdr = struct.pack(
-        ">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0
+        ">IIBBBBB", width, height, 16 if depth16 else 8, color_type, 0, 0,
+        1 if interlace else 0,
     )
     chunks = PNG_SIG + _png_chunk(b"IHDR", ihdr)
     if palette is not None:
@@ -367,11 +384,16 @@ def decode_png(payload: bytes, *, return_pixels: bool = False) -> dict:
             w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
             if comp != 0 or filt != 0:
                 raise ValueError("unknown PNG compression/filter method")
-            if depth != 8 or color not in _PNG_CHANNELS or interlace > 1:
+            if (
+                color not in _PNG_CHANNELS
+                or interlace > 1
+                or depth not in (8, 16)
+                or (depth == 16 and color == 3)  # 16-bit palette is out of spec
+            ):
                 raise NotImplementedError(
-                    "only 8-bit gray/RGB/palette/RGBA PNG decodes here"
+                    "only 8/16-bit gray/RGB/palette/RGBA PNG decodes here"
                 )
-            ihdr = (w, h, color, interlace)
+            ihdr = (w, h, color, interlace, depth)
         elif ctype == b"PLTE":
             if length % 3 or length > 768:
                 raise ValueError("bad PLTE length")
@@ -383,10 +405,12 @@ def decode_png(payload: bytes, *, return_pixels: bool = False) -> dict:
         pos += 12 + length
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
-    w, h, color, interlace = ihdr
+    w, h, color, interlace, depth = ihdr
     if color == 3 and palette is None:
         raise ValueError("palette PNG missing PLTE")
-    bpp = _PNG_CHANNELS[color]
+    # Filters operate on BYTES with the pixel-width offset: at 16 bits the
+    # "corresponding byte of the pixel to the left" is 2*channels back.
+    bpp = _PNG_CHANNELS[color] * (depth // 8)
     stride = w * bpp
     raw = zlib.decompress(bytes(idat))
     if interlace:
@@ -416,6 +440,23 @@ def decode_png(payload: bytes, *, return_pixels: bool = False) -> dict:
             raise ValueError("PNG scanline length mismatch")
         lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
         recon = _png_unfilter_rows(lines, bpp)
+    if depth == 16:
+        # Big-endian sample pairs -> uint16; stats/pixels in sample domain.
+        nch = _PNG_CHANNELS[color]
+        samples = (
+            recon.reshape(h, w, nch, 2).astype(np.uint16)
+        )
+        wide = (samples[..., 0] << 8) | samples[..., 1]
+        meta = {
+            "format": "png",
+            "width": w,
+            "height": h,
+            "n_pixels": w * h,
+            "mean_byte": float(wide.mean() / 257.0),  # 16-bit -> 8-bit scale
+        }
+        if return_pixels:
+            meta["pixels"] = wide  # (h, w, channels) uint16
+        return meta
     if color == 3:
         # Palette lookup AFTER filter reversal (filters operate on index
         # bytes per the spec); stats and pixels are over the mapped RGB.

@@ -797,3 +797,23 @@ def test_png_adam7_roundtrip_exact_pixels(seed):
         return_pixels=True,
     )
     assert np.array_equal(m2["pixels"], pal[idx]), (h, w)
+
+
+@settings(max_examples=20, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_png_16bit_roundtrip_exact(seed):
+    """16-bit RGB PNG roundtrips bit-exact in both interlace modes — the
+    filter byte-offset (6 bytes/pixel) and the big-endian sample split
+    are the two things a depth-16 implementation can get wrong."""
+    from emr_with_custom_metrics_spark.llm.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    h = int(rng.integers(1, 20))
+    w = int(rng.integers(1, 20))
+    px = rng.integers(0, 65536, (h, w, 3)).astype(np.uint16)
+    for inter in (False, True):
+        m = decode_png(
+            encode_png(w, h, 0, pixels=px, depth16=True, interlace=inter),
+            return_pixels=True,
+        )
+        assert np.array_equal(m["pixels"], px), (h, w, inter)
