@@ -1251,3 +1251,100 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.select(
         "doc_id", "lex_rank", "sem_rank", F.round("rrf", 6).alias("rrf")
     ).orderBy(F.col("rrf").desc(), "doc_id").limit(10)
+
+
+@register(
+    "text_distribution_drift",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id % 2 AS half, UNNEST(string_split(text, ' ')) AS tok
+        FROM documents
+    ), counts AS (
+        SELECT tok,
+               COUNT(*) FILTER (WHERE half = 0) AS a,
+               COUNT(*) FILTER (WHERE half = 1) AS b
+        FROM tok GROUP BY tok
+    ), tot AS (
+        SELECT CAST(SUM(a) AS BIGINT) AS ta, CAST(SUM(b) AS BIGINT) AS tb,
+               COUNT(*) AS v
+        FROM counts
+    ), probs AS (
+        -- add-one smoothing over the UNION vocabulary on both sides
+        SELECT tok,
+               (a + 1.0) / (ta + v) AS pa,
+               (b + 1.0) / (tb + v) AS pb
+        FROM counts CROSS JOIN tot
+    ), terms AS (
+        SELECT list(pa * LN(pa / pb) ORDER BY tok) AS kl_ab_terms,
+               list(pb * LN(pb / pa) ORDER BY tok) AS kl_ba_terms,
+               list(0.5 * pa * LN(pa / ((pa + pb) / 2))
+                  + 0.5 * pb * LN(pb / ((pa + pb) / 2)) ORDER BY tok)
+                   AS jsd_terms
+        FROM probs
+    )
+    SELECT CAST((SELECT v FROM tot) AS BIGINT) AS vocab,
+           ROUND(list_reduce(kl_ab_terms, (acc, x) -> acc + x), 6) AS kl_ab,
+           ROUND(list_reduce(kl_ba_terms, (acc, x) -> acc + x), 6) AS kl_ba,
+           ROUND(list_reduce(jsd_terms, (acc, x) -> acc + x), 6) AS jsd
+    FROM terms
+    """,
+    doc="Corpus DISTRIBUTION DRIFT: token unigram distributions of two "
+    "corpus halves (doc_id parity — stands in for yesterday's snapshot "
+    "vs today's) compared by KL divergence both ways plus the symmetric "
+    "bounded Jensen-Shannon divergence, with add-one smoothing over the "
+    "union vocabulary — the monitoring statistic that catches a source "
+    "mix shifting under a training pipeline. Float-sum parity recipe: "
+    "per-token terms are collected IN TOKEN ORDER and folded "
+    "sequentially on both engines (the Adamic-Adar lesson — hash-agg "
+    "sums of log terms are addition-order-unstable at the last ulp). "
+    "Plan: one explode + (token, half) aggregate, a 2-scalar broadcast, "
+    "one ordered-fold aggregate over the vocab — at 100 TB the vocab "
+    "table is the only wide state and it partitions by token.",
+)
+def text_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fanned(spark, sf_dir, "documents")
+    tok = d.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    counts = tok.groupBy("tok").agg(
+        F.count_if(F.col("half") == 0).alias("a"),
+        F.count_if(F.col("half") == 1).alias("b"),
+    )
+    tot = counts.agg(
+        F.sum("a").cast("bigint").alias("ta"),
+        F.sum("b").cast("bigint").alias("tb"),
+        F.count("*").alias("v"),
+    )
+    probs = counts.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        ((F.col("a") + 1.0) / (F.col("ta") + F.col("v"))).alias("pa"),
+        ((F.col("b") + 1.0) / (F.col("tb") + F.col("v"))).alias("pb"),
+        "v",
+    )
+    terms = probs.select(
+        "v",
+        F.struct(
+            "tok",
+            (F.col("pa") * F.log(F.col("pa") / F.col("pb"))).alias("t_ab"),
+            (F.col("pb") * F.log(F.col("pb") / F.col("pa"))).alias("t_ba"),
+            (
+                0.5 * F.col("pa") * F.log(F.col("pa") / ((F.col("pa") + F.col("pb")) / 2))
+                + 0.5 * F.col("pb") * F.log(F.col("pb") / ((F.col("pa") + F.col("pb")) / 2))
+            ).alias("t_js"),
+        ).alias("s"),
+    )
+    folded = terms.groupBy("v").agg(
+        F.array_sort(F.collect_list("s")).alias("ss")
+    )
+    def fold(field: str):
+        return F.expr(
+            f"aggregate(slice(transform(ss, x -> x.{field}), 2, size(ss) - 1), "
+            f"transform(ss, x -> x.{field})[0], (acc, x) -> acc + x)"
+        )
+    return folded.select(
+        F.col("v").cast("bigint").alias("vocab"),
+        F.round(fold("t_ab"), 6).alias("kl_ab"),
+        F.round(fold("t_ba"), 6).alias("kl_ba"),
+        F.round(fold("t_js"), 6).alias("jsd"),
+    )
