@@ -147,6 +147,12 @@ HEADLINE = [
     "events_cusum_drift",
     "multimodal_exif_redact",
     "corpus_curriculum_interleave",
+    "multimodal_video_scene_detect",
+    "multimodal_decode_gif_interlaced",
+    "multimodal_decode_png_palette",
+    "multimodal_decode_png_adam7",
+    "e2e_span_dedup_pipeline",
+    "text_distribution_drift",
 ]
 
 
