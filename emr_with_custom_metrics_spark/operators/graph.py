@@ -559,3 +559,90 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("adamic_adar"),
     )
     return scored.orderBy(F.col("adamic_adar").desc(), "a_id", "b_id").limit(25)
+
+
+_KCORE_ROUNDS = 4
+_KCORE_K = 3
+
+
+def _kcore_oracle(rounds: int, k: int) -> str:
+    """Chained-CTE replay of synchronous k-core peeling (the LPA/BPE
+    generated-template pattern): each round recomputes degrees over the
+    surviving edge set and drops every node below k WITH its incident
+    edges — all integer, so the whole fixpoint prefix hash-verifies."""
+    head = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    edges0 AS ({_BFS_EDGES_SQL})"""
+    blocks = [head]
+    for i in range(rounds):
+        j = i + 1
+        blocks.append(f""",
+    deg{i} AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT a_id AS node FROM edges{i}
+        UNION ALL SELECT b_id FROM edges{i}) GROUP BY node),
+    keep{i} AS MATERIALIZED (SELECT node FROM deg{i} WHERE d >= {k}),
+    edges{j} AS MATERIALIZED (
+      SELECT a_id, b_id FROM edges{i}
+      WHERE a_id IN (SELECT node FROM keep{i})
+        AND b_id IN (SELECT node FROM keep{i}))""")
+    return "".join(blocks) + f"""
+    SELECT node, CAST(d AS BIGINT) AS degree FROM (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT a_id AS node FROM edges{rounds}
+        UNION ALL SELECT b_id FROM edges{rounds}) GROUP BY node)
+    """
+
+
+@register(
+    "graph_kcore_peel",
+    oracle=_kcore_oracle(_KCORE_ROUNDS, _KCORE_K),
+    doc="k-core peeling (k=3, 4 synchronous rounds) over the cosine>=0.3 "
+    "similarity graph: each round removes every node whose surviving "
+    "degree is below k together with its incident edges — the classic "
+    "densest-substructure screen (a 3-core of near-duplicate documents "
+    "is a boilerplate FAMILY, a stronger signal than any single pair). "
+    "Graph op #7, and like LPA the SYNCHRONOUS bounded-round variant is "
+    "chosen precisely because it is deterministic, so the whole "
+    "iterative computation hash-verifies against a chained-CTE replay "
+    "(asynchronous peel-to-convergence is the production variant; the "
+    "round-bounded prefix is what a verifiable test needs). Per round: "
+    "one degree aggregate + two semi-joins on the keep-set, shuffling "
+    "(node, id) pairs only; edge table lineage-truncated per round.",
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emr_with_custom_metrics_spark.llm.dedup import embedding_cosine_pairs
+
+    edges = (
+        embedding_cosine_pairs(spark, sf_dir, threshold=0.3)
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(_KCORE_ROUNDS):
+        deg = (
+            edges.select(F.col("a_id").alias("node"))
+            .unionByName(edges.select(F.col("b_id").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.where(F.col("d") >= _KCORE_K).select("node")
+        # The keep-set is bare node ids — broadcast both semi-join probes
+        # (16 tiny exchanges under the no-AQE small-SF profile otherwise;
+        # at a scale where the id set outgrows broadcast, drop the hint
+        # and let the shuffle semi-join run — the loop shape is unchanged).
+        edges = (
+            edges.join(
+                F.broadcast(keep.withColumnRenamed("node", "a_id")), "a_id", "left_semi"
+            )
+            .join(
+                F.broadcast(keep.withColumnRenamed("node", "b_id")), "b_id", "left_semi"
+            )
+            .select("a_id", "b_id")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        edges.select(F.col("a_id").alias("node"))
+        .unionByName(edges.select(F.col("b_id").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
