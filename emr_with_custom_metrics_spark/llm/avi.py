@@ -319,3 +319,137 @@ def decode_avi_rle(payload: bytes) -> dict:
         "frame_sums": frame_sums,
         "mean_byte": float(np.mean(frame_sums) / (width * height)),
     }
+
+
+# ---------------------------------------------------------------------------
+# Muxed audio+video AVI: two interleaved streams in one container
+# ---------------------------------------------------------------------------
+def encode_avi_av(
+    width: int,
+    height: int,
+    jpeg_frames: list[bytes],
+    pcm: np.ndarray,
+    sample_rate: int,
+    fps: int = 25,
+) -> bytes:
+    """AVI with TWO streams — 'vids'/MJPG and 'auds'/PCM16 — audio sliced
+    into one '01wb' chunk per frame period and interleaved after each
+    '00dc' chunk (the layout real muxers emit so players can stream)."""
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    usec = 1_000_000 // fps
+    n_frames = len(jpeg_frames)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        usec, 0, 0, 0x10, n_frames, 0, 2, 0, width, height, 0, 0, 0, 0,
+    )
+    strh_v = b"vids" + b"MJPG" + struct.pack(
+        "<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n_frames, 0, 0, 0, 0
+    )
+    strf_v = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0x47504A4D, 0, 0, 0, 0, 0
+    )
+    pcm = np.asarray(pcm, dtype="<i2")
+    strh_a = b"auds" + b"\x00\x00\x00\x00" + struct.pack(
+        "<IHHIIIIIIIII", 0, 0, 0, 0, 1, sample_rate, 0, len(pcm), 0, 0, 0, 0
+    )
+    # WAVEFORMATEX: PCM tag 1, mono, 16-bit
+    strf_a = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh_v) + chunk(b"strf", strf_v))
+        + lst(b"strl", chunk(b"strh", strh_a) + chunk(b"strf", strf_a)),
+    )
+    # interleave: after each video frame, the audio for that frame period
+    per = -(-len(pcm) // n_frames) if n_frames else len(pcm)
+    movi = bytearray()
+    for i, f in enumerate(jpeg_frames):
+        movi += chunk(b"00dc", f)
+        seg = pcm[i * per : (i + 1) * per]
+        if len(seg):
+            movi += chunk(b"01wb", seg.tobytes())
+    riff_body = b"AVI " + hdrl + lst(b"movi", bytes(movi))
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi_av(payload: bytes) -> dict:
+    """Decode a muxed A/V AVI: RIFF walk collects BOTH streams ('00dc'
+    frames through the full T.81 decode, '01wb' chunks reassembled into
+    the PCM track), cross-checks per-stream headers, and reports the A/V
+    duration skew — the sync property a corpus pipeline validates before
+    trusting frame/audio alignment."""
+    from emr_with_custom_metrics_spark.llm.jpeg import decode_jpeg
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    (declared,) = struct.unpack_from("<I", payload, 4)
+    if declared + 8 != len(payload):
+        raise ValueError("AVI size field mismatch")
+
+    state = {
+        "width": 0, "height": 0, "fps": 0, "sample_rate": 0,
+        "n_streams": 0, "stream_types": [],
+    }
+    frames: list[dict] = []
+    pcm_parts: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        pos = start
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            body_start = pos + 8
+            body_end = body_start + size
+            if body_end > end:
+                raise ValueError("AVI chunk overruns container")
+            if cid == b"LIST":
+                walk(body_start + 4, body_end)
+            elif cid == b"avih":
+                fields = struct.unpack_from("<IIIIIIIIII", payload, body_start)
+                state["fps"] = 1_000_000 // fields[0] if fields[0] else 0
+                state["n_streams"] = fields[6]
+                state["width"], state["height"] = fields[8], fields[9]
+            elif cid == b"strh":
+                state["stream_types"].append(payload[body_start : body_start + 4])
+            elif cid == b"strf" and state["stream_types"][-1:] == [b"auds"]:
+                tag, n_ch, rate, _, _, bits = struct.unpack_from(
+                    "<HHIIHH", payload, body_start
+                )
+                if tag != 1 or n_ch != 1 or bits != 16:
+                    raise NotImplementedError("only mono PCM16 audio tracks")
+                state["sample_rate"] = rate
+            elif cid == b"00dc":
+                frames.append(decode_jpeg(payload[body_start:body_end]))
+            elif cid == b"01wb":
+                pcm_parts.append(payload[body_start:body_end])
+            pos = body_end + (size & 1)
+
+    walk(12, len(payload))
+    if not frames or not pcm_parts:
+        raise ValueError("AVI missing a video or audio stream")
+    if state["n_streams"] != 2:
+        raise ValueError("header stream count mismatch")
+    pcm = np.frombuffer(b"".join(pcm_parts), dtype="<i2").astype(np.int64)
+    video_us = len(frames) * 1_000_000 // state["fps"]
+    audio_us = len(pcm) * 1_000_000 // state["sample_rate"]
+    return {
+        "format": "avi-av",
+        "width": state["width"],
+        "height": state["height"],
+        "n_frames": len(frames),
+        "n_samples": len(pcm),
+        "sample_rate": state["sample_rate"],
+        "fps": state["fps"],
+        "video_us": video_us,
+        "audio_us": audio_us,
+        "sync_skew_us": abs(video_us - audio_us),
+        "sample_sum": int(pcm.sum()),
+        "mean_frame_byte": float(np.mean([f["mean_byte"] for f in frames])),
+    }

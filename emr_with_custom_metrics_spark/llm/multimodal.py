@@ -2963,3 +2963,105 @@ def _png_adam7_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFram
 def multimodal_decode_png_adam7(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_fanned(spark, sf_dir, "documents").select("doc_id")
     return d.mapInPandas(_png_adam7_batch, schema=PNG_ADAM7_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Muxed audio+video tier
+# ---------------------------------------------------------------------------
+AV_MUX_SCHEMA = (
+    "doc_id bigint, n_frames int, n_samples bigint, fps int, sample_rate int, "
+    "sync_skew_us bigint, sample_sum bigint, mean_frame_byte int"
+)
+
+
+def _av_mux_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    import numpy as np
+    import pandas as pd
+
+    from emr_with_custom_metrics_spark.llm.avi import decode_avi_av, encode_avi_av
+    from emr_with_custom_metrics_spark.llm.jpeg import encode_jpeg
+
+    def run(d: int) -> dict:
+        fps = 25
+        rate = (44100, 48000, 32000)[d % 3]
+        n_frames = 3 + d % 4
+        fill = (d % 128) * 2
+        frames = [encode_jpeg(16, 8, fill) for _ in range(n_frames)]
+        per = rate // fps
+        n = n_frames * per
+        a = 2 + d % 5
+        pcm = ((a * np.arange(n, dtype=np.int64)) % 1501).astype(np.int16)
+        meta = decode_avi_av(encode_avi_av(16, 8, frames, pcm, rate, fps=fps))
+        return {
+            "n_frames": meta["n_frames"],
+            "n_samples": meta["n_samples"],
+            "fps": meta["fps"],
+            "sample_rate": meta["sample_rate"],
+            "sync_skew_us": meta["sync_skew_us"],
+            "sample_sum": meta["sample_sum"],
+            "mean_frame_byte": int(round(meta["mean_frame_byte"])),
+        }
+
+    for pdf in batches:
+        metas = pdf["doc_id"].map(lambda d: run(int(d)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_frames": metas.map(lambda m: m["n_frames"]).astype("int32"),
+                "n_samples": metas.map(lambda m: m["n_samples"]).astype("int64"),
+                "fps": metas.map(lambda m: m["fps"]).astype("int32"),
+                "sample_rate": metas.map(lambda m: m["sample_rate"]).astype("int32"),
+                "sync_skew_us": metas.map(lambda m: m["sync_skew_us"]).astype("int64"),
+                "sample_sum": metas.map(lambda m: m["sample_sum"]).astype("int64"),
+                "mean_frame_byte": metas.map(lambda m: m["mean_frame_byte"]).astype(
+                    "int32"
+                ),
+            }
+        )
+
+
+@register(
+    "multimodal_av_mux",
+    # Audio length is sliced to exactly fps-aligned frame periods, so the
+    # A/V skew must come out ZERO — and the oracle recomputes the PCM ramp
+    # sum via list ops while Spark earns it through the two-stream RIFF
+    # walk (header/stream cross-checks, per-frame T.81 decode, '01wb'
+    # reassembly). Any interleave, slicing, or stream-dispatch bug breaks
+    # sample_sum or the skew.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                              ELSE 32000 END) AS rate,
+             3 + doc_id % 4 AS n_frames,
+             (doc_id % 128) * 2 AS fill,
+             2 + doc_id % 5 AS a
+      FROM documents),
+    s AS (
+      SELECT doc_id, rate, n_frames, fill,
+             n_frames * (rate // 25) AS n,
+             list_sum(list_transform(range(n_frames * (rate // 25)),
+                      t -> (a * t) % 1501)) AS sample_sum
+      FROM p)
+    SELECT doc_id,
+           CAST(n_frames AS INT) AS n_frames,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(25 AS INT) AS fps,
+           CAST(rate AS INT) AS sample_rate,
+           CAST(0 AS BIGINT) AS sync_skew_us,
+           CAST(sample_sum AS BIGINT) AS sample_sum,
+           CAST(fill AS INT) AS mean_frame_byte
+    FROM s
+    """,
+    doc="Muxed AUDIO+VIDEO container — the layout real corpus video "
+    "actually arrives in: one AVI with interleaved 'vids'/MJPG and "
+    "'auds'/PCM16 streams, audio sliced per frame period. The decoder "
+    "walks both streams (per-frame T.81 decode + PCM reassembly), "
+    "cross-checks the two-stream header, and reports the A/V duration "
+    "skew — the sync validation step before trusting frame/audio "
+    "alignment for multimodal training pairs. Arrow-batched map stage, "
+    "no shuffle.",
+)
+def multimodal_av_mux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fanned(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_av_mux_batch, schema=AV_MUX_SCHEMA)
