@@ -694,3 +694,90 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return selected.select(
         "rank", "vec_id", "label", "rel", "max_sim", F.round("score", 6).alias("score")
     )
+
+
+@register(
+    "similarity_matryoshka_recall",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
+    full_rank AS (
+      SELECT vec_id, ROW_NUMBER() OVER (
+        ORDER BY ROUND(list_cosine_similarity(e.v, q.qv), 6) DESC, vec_id) AS rn
+      FROM e, q WHERE vec_id <> {QUERY_VEC_ID}),
+    dims AS (SELECT UNNEST([16, 32, 64]) AS d),
+    trunc_rank AS (
+      SELECT dims.d, e.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY dims.d
+               ORDER BY ROUND(list_cosine_similarity(
+                 list_slice(e.v, 1, dims.d), list_slice(q.qv, 1, dims.d)), 6)
+                 DESC, e.vec_id) AS rn
+      FROM e, q, dims WHERE e.vec_id <> {QUERY_VEC_ID})
+    SELECT t.d AS dims,
+           CAST(COUNT(*) FILTER (WHERE f.rn <= {TOP_K}) AS BIGINT) AS n_hits,
+           ROUND(COUNT(*) FILTER (WHERE f.rn <= {TOP_K}) / {TOP_K}.0, 4)
+               AS recall_at_k
+    FROM trunc_rank t JOIN full_rank f USING (vec_id)
+    WHERE t.rn <= {TOP_K}
+    GROUP BY t.d
+    """,
+    doc="Matryoshka-style truncation evaluation: rank the corpus by "
+    "cosine over the FIRST d dimensions (d = 16/32/64) and measure "
+    "recall@10 of each truncated ranking against the full-width exact "
+    "top-10 — the storage/quality dial modern embedding models expose "
+    "(truncate-and-renormalize retrieval). Everything is deterministic "
+    "(6 dp-rounded scores, id tie-breaks), so the whole evaluation "
+    "hash-verifies — same contract as similarity_recall_report. d = 64 "
+    "is the built-in sanity row (recall 1.0 by construction). Plan: one "
+    "broadcast of the query vector, a 3-way dimension fan-out of "
+    "prefix-cosine rankings (map-side slice, per-partition top-k), one "
+    "join against the exact ranking.",
+)
+def similarity_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_fanned(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qv"))
+    base = e.where(F.col("vec_id") != QUERY_VEC_ID).crossJoin(F.broadcast(q))
+    full_rank = base.select(
+        "vec_id",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.round(cosine(F.col("embedding"), F.col("qv")), 6).desc(), "vec_id"
+            )
+        )
+        .alias("full_rn"),
+    )
+    dims = spark.createDataFrame([(16,), (32,), (64,)], "d int")
+    trunc = (
+        base.crossJoin(F.broadcast(dims))
+        .select(
+            "vec_id",
+            "d",
+            F.round(
+                cosine(
+                    F.slice(F.col("embedding").cast("array<double>"), 1, F.col("d")),
+                    F.slice(F.col("qv").cast("array<double>"), 1, F.col("d")),
+                ),
+                6,
+            ).alias("c"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("d").orderBy(F.col("c").desc(), "vec_id")
+            ),
+        )
+        .where(F.col("rn") <= TOP_K)
+    )
+    return (
+        trunc.join(full_rank, "vec_id")
+        .groupBy(F.col("d").alias("dims"))
+        .agg(
+            F.count_if(F.col("full_rn") <= TOP_K).cast("bigint").alias("n_hits"),
+            F.round(F.count_if(F.col("full_rn") <= TOP_K) / float(TOP_K), 4).alias(
+                "recall_at_k"
+            ),
+        )
+    )

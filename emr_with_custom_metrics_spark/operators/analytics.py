@@ -426,3 +426,127 @@ def attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("click_id").cast("bigint").alias("n_credited_clicks"),
         F.round(F.sum("credit"), 4).alias("attributed_value"),
     )
+
+
+@register(
+    "basket_part_lift",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n_orders AS (
+      SELECT COUNT(DISTINCT l_orderkey) AS n FROM items
+    ), part_freq AS (
+      SELECT l_partkey, COUNT(*) AS f FROM items GROUP BY l_partkey
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS together
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, CAST(together AS BIGINT) AS together,
+           ROUND(CAST(together AS DOUBLE) * n
+                 / (fa.f * CAST(fb.f AS DOUBLE)), 6) AS lift
+    FROM pairs
+    JOIN part_freq fa ON part_a = fa.l_partkey
+    JOIN part_freq fb ON part_b = fb.l_partkey
+    CROSS JOIN n_orders
+    WHERE together >= 3
+    ORDER BY lift DESC, part_a, part_b LIMIT 20
+    """,
+    doc="Market-basket pair lift over order contents: parts co-purchased "
+    "in the same order, scored by lift = P(a,b)/(P(a)P(b)) — the "
+    "association-rule screen (documents' PMI sibling, on the retail "
+    "schema). Plan: distinct (order, part) items, a self-join keyed on "
+    "the ORDER (per-basket fan-out is bounded by basket size — at "
+    "100 TB the hazard is a mega-basket, handled by a basket-size cap "
+    "filter before the join), two broadcast frequency joins, a 1-row "
+    "order-count broadcast, support threshold, top-20 by (lift, ids). "
+    "Integer counts + one division rounded at 6 dp hash exactly.",
+)
+def basket_part_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.agg(F.count_distinct("l_orderkey").alias("n"))
+    part_freq = items.groupBy("l_partkey").agg(F.count("*").alias("f"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count("*").alias("together"))
+        .where(F.col("together") >= 3)
+    )
+    fa = part_freq.select(F.col("l_partkey").alias("part_a"), F.col("f").alias("fa"))
+    fb = part_freq.select(F.col("l_partkey").alias("part_b"), F.col("f").alias("fb"))
+    return (
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("together").cast("bigint").alias("together"),
+            F.round(
+                F.col("together").cast("double") * F.col("n")
+                / (F.col("fa") * F.col("fb").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@register(
+    "user_activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day
+      FROM events
+    ), isl AS (
+      SELECT user_id, day,
+             day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                 AS grp
+      FROM days
+    ), streaks AS (
+      SELECT user_id, COUNT(*) AS len FROM isl GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(SUM(len) AS BIGINT) AS active_days
+    FROM streaks GROUP BY user_id
+    """,
+    doc="Longest consecutive-day activity streak per user — the classic "
+    "gaps-and-islands via the day-minus-row_number trick (consecutive "
+    "days share a constant difference, so the difference IS the island "
+    "key — one window, no self-join). Retention analytics' engagement "
+    "sibling: one distinct, one window by user, two aggregates; per-user "
+    "window state is that user's active-day list, bounded by the "
+    "calendar.",
+)
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day")
+    ).distinct()
+    isl = days.withColumn(
+        "grp",
+        F.col("day")
+        - F.row_number().over(Window.partitionBy("user_id").orderBy("day")),
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(F.count("*").alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.count("*").cast("bigint").alias("n_streaks"),
+        F.sum("len").cast("bigint").alias("active_days"),
+    )
