@@ -33,7 +33,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from emr_with_custom_metrics_spark.catalog import load_fanned
+from emr_with_custom_metrics_spark.catalog import load_fanned, load_table
 from emr_with_custom_metrics_spark.registry import register
 
 DECODED_SCHEMA = "doc_id bigint, n_bytes bigint, width int, height int, n_frames int"
@@ -3065,3 +3065,161 @@ def _av_mux_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]
 def multimodal_av_mux(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_fanned(spark, sf_dir, "documents").select("doc_id")
     return d.mapInPandas(_av_mux_batch, schema=AV_MUX_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Corpus ingestion: WARC archives (llm/warc.py)
+# ---------------------------------------------------------------------------
+WARC_SCHEMA = (
+    "doc_id bigint, n_records int, n_members int, target_uri string, "
+    "payload_chars bigint, payload_md5 string"
+)
+
+
+def _warc_ingest_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    import hashlib
+
+    import pandas as pd
+
+    from emr_with_custom_metrics_spark.llm.warc import (
+        parse_warc,
+        split_gzip_members,
+        write_warc_gz,
+        write_warc_record,
+    )
+
+    def run(doc_id: int, text: str) -> dict:
+        date = "2026-08-14T00:00:00Z"
+        uri = f"http://corpus/doc/{doc_id}"
+        recs = [
+            write_warc_record("warcinfo", f"<urn:uuid:info-{doc_id}>", date,
+                              b"software: emr-with-custom-metrics-spark"),
+            write_warc_record("response", f"<urn:uuid:resp-{doc_id}>", date,
+                              text.encode(), {"WARC-Target-URI": uri}),
+            write_warc_record("metadata", f"<urn:uuid:meta-{doc_id}>", date,
+                              f"chars: {len(text)}".encode()),
+        ]
+        members = split_gzip_members(write_warc_gz(recs))
+        parsed = [r for m in members for r in parse_warc(m)]
+        resp = [r for r in parsed if r["headers"]["warc-type"] == "response"]
+        if len(resp) != 1:
+            raise ValueError("expected exactly one response record")
+        payload = resp[0]["payload"]
+        return {
+            "n_records": len(parsed),
+            "n_members": len(members),
+            "target_uri": resp[0]["headers"]["warc-target-uri"],
+            "payload_chars": len(payload),
+            "payload_md5": hashlib.md5(payload).hexdigest(),
+        }
+
+    for pdf in batches:
+        metas = [run(int(d), t) for d, t in zip(pdf["doc_id"], pdf["text"])]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_records": pd.Series([m["n_records"] for m in metas], dtype="int32"),
+                "n_members": pd.Series([m["n_members"] for m in metas], dtype="int32"),
+                "target_uri": [m["target_uri"] for m in metas],
+                "payload_chars": pd.Series(
+                    [m["payload_chars"] for m in metas], dtype="int64"
+                ),
+                "payload_md5": [m["payload_md5"] for m in metas],
+            }
+        )
+
+
+@register(
+    "corpus_warc_ingest",
+    # The response payload IS the document text, so the oracle predicts
+    # the extracted uri/length/md5 straight from the documents table —
+    # while the Spark side earns them through gzip-member splitting
+    # (unused_data walking), the full record-grammar parse, and
+    # type-dispatched payload extraction. Any framing, header, or
+    # member-boundary bug breaks the md5.
+    oracle="""
+    SELECT doc_id,
+           CAST(3 AS INT) AS n_records,
+           CAST(3 AS INT) AS n_members,
+           'http://corpus/doc/' || CAST(doc_id AS STRING) AS target_uri,
+           CAST(LENGTH(text) AS BIGINT) AS payload_chars,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+    doc="WARC ingestion (ISO 28500 — the CommonCrawl container): each "
+    "document round-trips through a 3-record archive (warcinfo + "
+    "response + metadata) gzipped ONE MEMBER PER RECORD (the splittable "
+    "layout that lets a cluster fan archive shards out to executors "
+    "without decompressing whole files), then the pipeline splits "
+    "members via zlib unused_data, walks the record grammar, and "
+    "extracts the response payload + WARC-Target-URI. This is stage "
+    "ZERO of a web-corpus pipeline — upstream of every text op in "
+    "llm/text.py. Arrow-batched map stage, no shuffle.",
+)
+def corpus_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fanned(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(_warc_ingest_batch, schema=WARC_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Corpus ingestion: TAR archives (llm/archive.py)
+# ---------------------------------------------------------------------------
+TAR_SCHEMA = (
+    "source string, n_members bigint, total_chars bigint, checksum bigint"
+)
+
+
+def _tar_ingest_group(pdf: "pd.DataFrame") -> "pd.DataFrame":  # noqa: F821
+    import hashlib
+
+    import pandas as pd
+
+    from emr_with_custom_metrics_spark.llm.archive import parse_tar, write_tar
+
+    pdf = pdf.sort_values("doc_id")
+    members = [
+        (f"doc_{int(d)}.txt", t.encode())
+        for d, t in zip(pdf["doc_id"], pdf["text"])
+    ]
+    parsed = parse_tar(write_tar(members))
+    checksum = sum(
+        int(hashlib.md5(m["content"]).hexdigest()[:12], 16) for m in parsed
+    )
+    return pd.DataFrame(
+        {
+            "source": [pdf["source"].iloc[0]],
+            "n_members": [len(parsed)],
+            "total_chars": [sum(m["size"] for m in parsed)],
+            "checksum": [checksum],
+        }
+    )
+
+
+@register(
+    "corpus_tar_ingest",
+    # One tarball per SOURCE (its docs as members) built and re-walked at
+    # block level inside a grouped-map — checksum/length/count recomputed
+    # by the oracle straight from the documents table, so any header,
+    # padding, checksum, or member-boundary bug in the ustar
+    # implementation breaks the hash. The from-scratch reader/writer is
+    # additionally cross-validated against stdlib tarfile in BOTH
+    # directions in tests.
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT))
+                AS BIGINT) AS checksum
+    FROM documents GROUP BY source
+    """,
+    doc="TAR ingestion (POSIX ustar, from scratch — llm/archive.py): each "
+    "source's documents round-trip through a real tarball (512-byte "
+    "headers with VERIFIED checksums, octal fields, block padding, "
+    "end-of-archive framing) inside a grouped applyInPandas — curated "
+    "datasets arrive as tarballs, and this is their stage-zero walk, "
+    "next to corpus_warc_ingest's web-crawl shape. One shuffle by "
+    "source; per-group state is one source's archive.",
+)
+def corpus_tar_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    return d.groupBy("source").applyInPandas(_tar_ingest_group, schema=TAR_SCHEMA)

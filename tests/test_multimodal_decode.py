@@ -661,3 +661,53 @@ def test_exif_roundtrip_and_strip_identity():
             assert p["gps"] == gps
             clean, removed = strip_exif(tagged)
             assert clean == base and removed == len(tagged) - len(base)
+
+
+def test_tar_interop_with_stdlib_both_directions():
+    """The from-scratch ustar writer/reader against Python's tarfile:
+    stdlib reads our archives, we read stdlib's — spec conformance by
+    cross-validation, not just self-consistency."""
+    import io
+    import tarfile
+
+    from emr_with_custom_metrics_spark.llm.archive import parse_tar, write_tar
+
+    members = [("a.txt", b"hello"), ("nested/b.bin", bytes(range(256)) * 2), ("e", b"")]
+    arc = write_tar(members)
+    tf = tarfile.open(fileobj=io.BytesIO(arc))
+    assert [(m.name, tf.extractfile(m).read()) for m in tf.getmembers()] == members
+
+    buf = io.BytesIO()
+    w = tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT)
+    for name, content in members:
+        ti = tarfile.TarInfo(name)
+        ti.size, ti.mtime = len(content), 0
+        w.addfile(ti, io.BytesIO(content))
+    w.close()
+    assert [(m["name"], m["content"]) for m in parse_tar(buf.getvalue())] == members
+
+
+def test_tar_and_warc_corruption_raise_valueerror():
+    import pytest
+
+    from emr_with_custom_metrics_spark.llm.archive import parse_tar, write_tar
+    from emr_with_custom_metrics_spark.llm.warc import (
+        parse_warc,
+        split_gzip_members,
+        write_warc_gz,
+        write_warc_record,
+    )
+
+    arc = bytearray(write_tar([("x", b"data")]))
+    arc[30] ^= 1
+    with pytest.raises(ValueError, match="checksum"):
+        parse_tar(bytes(arc))
+    with pytest.raises(ValueError):
+        parse_tar(write_tar([("x", b"data")])[:600])  # truncated
+
+    rec = write_warc_record("response", "<id>", "2026-01-01T00:00:00Z", b"abc")
+    with pytest.raises(ValueError):
+        parse_warc(rec[:-2])
+    gz = bytearray(write_warc_gz([rec]))
+    with pytest.raises(ValueError):
+        split_gzip_members(bytes(gz[: len(gz) // 2]))
