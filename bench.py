@@ -153,6 +153,13 @@ HEADLINE = [
     "multimodal_decode_png_adam7",
     "e2e_span_dedup_pipeline",
     "text_distribution_drift",
+    "graph_kcore_peel",
+    "multimodal_av_mux",
+    "similarity_matryoshka_recall",
+    "basket_part_lift",
+    "user_activity_streaks",
+    "corpus_warc_ingest",
+    "corpus_tar_ingest",
 ]
 
 

@@ -247,6 +247,8 @@ _DRIVER_PRIORITY = (
     # -- graph tier ---------------------------------------------------------
     "graph_triangle_count", "graph_label_propagation", "graph_bfs_levels",
     "graph_shortest_paths", "graph_clustering_coefficient", "graph_adamic_adar",
+    # -- corpus ingestion (stage zero: the archive formats corpora ship in)
+    "corpus_warc_ingest", "corpus_tar_ingest",
     # -- tokenizer / span dedup / retrieval ---------------------------------
     "text_bpe_train_merges", "text_bpe_encode",
     "dedup_substring_spans", "dedup_substring_remove", "dedup_paragraph_chunks",
@@ -259,7 +261,10 @@ _DRIVER_PRIORITY = (
     "join_skew_salted", "parquet_dpp_prune", "join_range_banded",
     "sketch_quantile_mergeable", "sketch_countmin_heavy_hitters",
     "sketch_distinct_hll_kmv",
-    # -- strongest real-operator tail to fill the ~50 budget ----------------
+    # -- muxed A/V container + late flagships -------------------------------
+    "multimodal_av_mux", "graph_kcore_peel", "similarity_matryoshka_recall",
+    # -- strongest real-operator tail to fill the ~50 budget (entries past
+    #    the observed cut verify in round 7, in this order) -----------------
     "cdc_merge_upsert", "dq_profile_columns", "dq_constraint_checks",
     "ivm_incremental_agg", "cogroup_asof_pandas", "events_cusum_drift",
 )
