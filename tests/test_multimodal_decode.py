@@ -359,8 +359,10 @@ def test_gif_lossless_roundtrip_any_image():
 
 
 def test_gif_extension_skipping_and_rejections():
-    """89a extension blocks are skipped per spec; interlace and local
-    color tables fall to the stub tier; corrupt streams raise."""
+    """89a extension blocks are skipped per spec; interlace decodes for
+    real since round-6 wave 6 (flipping the flag on a constant-fill
+    sequential stream permutes rows of identical values — mean
+    unchanged); corrupt streams raise."""
     import pytest
 
     from emr_with_custom_metrics_spark.llm.gif import decode_gif, encode_gif
@@ -373,8 +375,7 @@ def test_gif_extension_skipping_and_rejections():
     img_desc_flags = ins + 9  # last byte of the image descriptor
     interlaced = bytearray(p)
     interlaced[img_desc_flags] = 0x40
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        decode_gif(bytes(interlaced))
+    assert decode_gif(bytes(interlaced))["mean_byte"] == 100.0
 
     with pytest.raises(ValueError):
         decode_gif(b"GIF87a" + b"\x00" * 20)  # truncated garbage
