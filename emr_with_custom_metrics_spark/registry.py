@@ -361,4 +361,5 @@ def _ensure_loaded() -> None:
     import emr_with_custom_metrics_spark.llm.similarity  # noqa: F401
     import emr_with_custom_metrics_spark.llm.multimodal  # noqa: F401
     import emr_with_custom_metrics_spark.llm.html  # noqa: F401
+    import emr_with_custom_metrics_spark.llm.url  # noqa: F401
     _LOADED = True
