@@ -160,6 +160,8 @@ HEADLINE = [
     "user_activity_streaks",
     "corpus_warc_ingest",
     "corpus_tar_ingest",
+    # round 6, fourth batch
+    "multimodal_decode_flac_stereo",
 ]
 
 

@@ -2322,6 +2322,124 @@ def multimodal_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(_flac_roundtrip_batch, schema=FLAC_DECODED_SCHEMA)
 
 
+FLAC_STEREO_SCHEMA = (
+    "doc_id bigint, mode string, sample_rate int, n_channels int, "
+    "n_frames int, n_samples bigint, duration_us bigint, "
+    "left_sum bigint, right_sum bigint, left_min int, right_max int"
+)
+
+
+def _flac_stereo_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    import numpy as np
+    import pandas as pd
+
+    from emr_with_custom_metrics_spark.llm.flac import (
+        STEREO_MODES,
+        decode_flac,
+        encode_flac_stereo,
+    )
+
+    def roundtrip(d: int) -> dict:
+        fs = (44100, 48000, 32000)[d % 3]
+        n = 1200 + (d % 4) * 900
+        a = 3 + d % 5
+        b = d % 997
+        t = np.arange(n, dtype=np.int64)
+        left = ((a * t + b) % 4001 - 2000).astype(np.int16)
+        right = (left.astype(np.int64) + (t % 7) - 3).astype(np.int16)
+        mode = STEREO_MODES[d % 4]
+        meta = decode_flac(encode_flac_stereo(left, right, fs, mode))
+        ls = meta["samples"][:, 0].astype(np.int64)
+        rs = meta["samples"][:, 1].astype(np.int64)
+        return {
+            "mode": meta["mode"],
+            "sample_rate": meta["sample_rate"],
+            "n_channels": meta["n_channels"],
+            "n_frames": meta["n_frames"],
+            "n_samples": meta["n_samples"],
+            "duration_us": meta["duration_us"],
+            "left_sum": int(ls.sum()),
+            "right_sum": int(rs.sum()),
+            "left_min": int(ls.min()),
+            "right_max": int(rs.max()),
+        }
+
+    for pdf in batches:
+        metas = pdf["doc_id"].map(lambda d: roundtrip(int(d)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "mode": metas.map(lambda m: m["mode"]),
+                "sample_rate": metas.map(lambda m: m["sample_rate"]).astype("int32"),
+                "n_channels": metas.map(lambda m: m["n_channels"]).astype("int32"),
+                "n_frames": metas.map(lambda m: m["n_frames"]).astype("int32"),
+                "n_samples": metas.map(lambda m: m["n_samples"]).astype("int64"),
+                "duration_us": metas.map(lambda m: m["duration_us"]).astype("int64"),
+                "left_sum": metas.map(lambda m: m["left_sum"]).astype("int64"),
+                "right_sum": metas.map(lambda m: m["right_sum"]).astype("int64"),
+                "left_min": metas.map(lambda m: m["left_min"]).astype("int32"),
+                "right_max": metas.map(lambda m: m["right_max"]).astype("int32"),
+            }
+        )
+
+
+@register(
+    "multimodal_decode_flac_stereo",
+    # The mode column is read back from the FRAME HEADERS the decoder
+    # parsed (not echoed from the input), so a wrong channel-assignment
+    # code breaks the string column; the per-channel sums hold the whole
+    # stereo-decorrelation algebra (side = L-R at 17 bits, mid/side parity
+    # identity) to bit-exact reconstruction. The LPC subframe path is
+    # exercised by the side channel's period-7 structure (fixed predictors
+    # can't model it; the encoder's cost pick routes it to LPC — asserted
+    # in tests/test_codec_fuzz.py, not here, since codec choice is
+    # encoder-internal).
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                              ELSE 32000 END) AS fs,
+             1200 + (doc_id % 4) * 900 AS n,
+             3 + doc_id % 5 AS a,
+             doc_id % 997 AS b,
+             (CASE doc_id % 4 WHEN 0 THEN 'independent' WHEN 1 THEN 'left_side'
+                              WHEN 2 THEN 'right_side' ELSE 'mid_side' END) AS mode
+      FROM documents),
+    s AS (
+      SELECT doc_id, mode, fs, n,
+             list_transform(range(n), t -> (a * t + b) % 4001 - 2000) AS ls,
+             list_transform(range(n), t -> (a * t + b) % 4001 - 2000 + (t % 7) - 3) AS rs
+      FROM p)
+    SELECT doc_id, mode,
+           CAST(fs AS INT) AS sample_rate,
+           CAST(2 AS INT) AS n_channels,
+           CAST(CEIL(n / 4096.0) AS INT) AS n_frames,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(n * 1000000 // fs AS BIGINT) AS duration_us,
+           CAST(list_sum(ls) AS BIGINT) AS left_sum,
+           CAST(list_sum(rs) AS BIGINT) AS right_sum,
+           CAST(list_min(ls) AS INT) AS left_min,
+           CAST(list_max(rs) AS INT) AS right_max
+    FROM s
+    """,
+    doc="STEREO lossless audio decode end-to-end: synthesize a correlated "
+    "int16 stereo pair per doc (ramp left; right = left + small periodic "
+    "delta — the shape stereo decorrelation exists for), encode as "
+    "spec-conformant FLAC under the doc-selected channel assignment "
+    "(independent / left-side / right-side / mid-side, cycling by doc_id "
+    "so all four decode paths run corpus-wide), decode through the full "
+    "container+CRC+MD5 path and aggregate per-channel stats. Completes "
+    "the FLAC tier begun in wave 6: LPC subframes (Levinson-Durbin "
+    "quantized per spec) and all stereo assignments are now real; only "
+    ">2 channels, non-16-bit depths, wasted bits, and Rice escapes still "
+    "fall to the stub tier. Arrow-batched mapInPandas, embarrassingly "
+    "parallel — no shuffle at 100 TB.",
+)
+def multimodal_decode_flac_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fanned(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_flac_stereo_batch, schema=FLAC_STEREO_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Image resize tier: decode -> box-average downsample -> stats
 # ---------------------------------------------------------------------------

@@ -267,6 +267,8 @@ _DRIVER_PRIORITY = (
     #    the observed cut verify in round 7, in this order) -----------------
     "cdc_merge_upsert", "dq_profile_columns", "dq_constraint_checks",
     "ivm_incremental_agg", "cogroup_asof_pandas", "events_cusum_drift",
+    # -- round-6 fourth batch (past the ~50 cut this round; lead round 7) --
+    "multimodal_decode_flac_stereo",
 )
 _PRIORITY_RANK = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
 

@@ -720,21 +720,100 @@ def test_flac_corruption_is_detected(seed, cut):
 
 
 def test_flac_unsupported_features_fall_to_stub():
-    """Foreign conformant features (stereo STREAMINFO, LPC subframe type)
-    raise NotImplementedError — the multimodal dispatch stub contract —
-    not a mis-decode."""
+    """Foreign conformant features beyond the subset (>2 channels) raise
+    NotImplementedError — the multimodal dispatch stub contract — not a
+    mis-decode. (Stereo and LPC graduated from this list in round 6.)"""
     import pytest
 
     from emr_with_custom_metrics_spark.llm.flac import decode_flac, encode_flac
 
     sig = np.arange(100, dtype=np.int16)
     enc = bytearray(encode_flac(sig, 44100))
-    # STREAMINFO channels field: byte 8+4+12 = offset 24 bits 9-11 of byte…
-    # channels-1 sits in bits [100:103] of STREAMINFO → byte 12 of the
-    # 34-byte block (stream offset 8 + 12), bits 4-6 (mask 0x0E).
-    enc[8 + 12] |= 0x02  # channels-1: 0 -> 1 (stereo)
+    # STREAMINFO channels field: channels-1 sits in bits [100:103] of
+    # STREAMINFO → byte 12 of the 34-byte block (stream offset 8 + 12),
+    # bits 4-6 (mask 0x0E).
+    enc[8 + 12] |= 0x04  # channels-1: 0 -> 2 (3 channels)
     with pytest.raises(NotImplementedError, match="multi-channel"):
         decode_flac(bytes(enc))
+
+
+# ---------------------------------------------------------------------------
+# FLAC round-6 additions: LPC subframes + stereo decorrelation
+# ---------------------------------------------------------------------------
+@settings(max_examples=30, deadline=None)
+@given(
+    seed=st.integers(0, 100_000),
+    n=st.integers(1, 700),
+    mode=st.sampled_from(["independent", "left_side", "right_side", "mid_side", "auto"]),
+)
+def test_flac_stereo_roundtrip_all_modes(seed, n, mode):
+    """Every channel assignment must reconstruct both channels bit-exactly
+    on arbitrary int16 content — including full-range values where the
+    17-bit side channel and the mid/side parity identity are actually
+    exercised."""
+    from emr_with_custom_metrics_spark.llm.flac import decode_flac, encode_flac_stereo
+
+    rng = np.random.default_rng(seed)
+    left = rng.integers(-32768, 32768, n).astype(np.int16)
+    right = rng.integers(-32768, 32768, n).astype(np.int16)
+    meta = decode_flac(encode_flac_stereo(left, right, 44100, mode))
+    assert meta["n_channels"] == 2
+    assert np.array_equal(meta["samples"][:, 0], left)
+    assert np.array_equal(meta["samples"][:, 1], right)
+    if mode != "auto":
+        assert meta["mode"] == mode
+
+
+def test_flac_lpc_engages_and_stereo_decorrelation_compresses():
+    """The LPC path must actually WIN on strongly autocorrelated content
+    (else the subframe chooser silently degenerates to FIXED and the LPC
+    decode path goes untested), and a correlated stereo pair must encode
+    smaller under side-channel coding than under independent L/R."""
+    from emr_with_custom_metrics_spark.llm.flac import (
+        decode_flac,
+        encode_flac,
+        encode_flac_stereo,
+    )
+
+    # Period-7 content: an order-8 LPC fit captures x[t] ~= x[t-7] exactly,
+    # while FIXED (order <= 4 differencing) sees a large sawtooth residual —
+    # LPC must win the cost comparison here or the chooser is broken.
+    saw = ((np.arange(9000) % 7) * 800 - 2400).astype(np.int16)
+    meta = decode_flac(encode_flac(saw, 44100))
+    assert np.array_equal(meta["samples"], saw)
+    assert meta["subframe_types"].get("lpc", 0) > 0
+
+    n = 9000
+    left = ((3 * np.arange(n) + 5) % 4001 - 2000).astype(np.int16)
+    right = (left + (np.arange(n) % 7) - 3).astype(np.int16)
+    sizes = {
+        m: len(encode_flac_stereo(left, right, 48000, m))
+        for m in ("independent", "left_side", "auto")
+    }
+    assert sizes["left_side"] < sizes["independent"]
+    # auto must pick something at least as small as the best forced mode
+    assert sizes["auto"] <= sizes["left_side"]
+
+
+@settings(max_examples=20, deadline=None)
+@given(seed=st.integers(0, 10_000), cut=st.floats(0.3, 0.99))
+def test_flac_stereo_corruption_is_detected(seed, cut):
+    """Byte flips in stereo/LPC frames must raise or still decode exactly
+    (MD5 backstop) — never return wrong samples."""
+    from emr_with_custom_metrics_spark.llm.flac import decode_flac, encode_flac_stereo
+
+    rng = np.random.default_rng(seed)
+    left = rng.integers(-3000, 3000, 700).astype(np.int16)
+    right = (left + rng.integers(-5, 6, 700)).astype(np.int16)
+    enc = bytearray(encode_flac_stereo(left, right, 44100, "auto"))
+    pos = 4 + 4 + 34 + int((len(enc) - 42) * cut)
+    enc[min(pos, len(enc) - 1)] ^= 0x55
+    try:
+        meta = decode_flac(bytes(enc))
+        assert np.array_equal(meta["samples"][:, 0], left)
+        assert np.array_equal(meta["samples"][:, 1], right)
+    except (ValueError, NotImplementedError):
+        pass
 
 
 @settings(max_examples=20, deadline=None)
