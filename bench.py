@@ -162,6 +162,9 @@ HEADLINE = [
     "corpus_tar_ingest",
     # round 6, fourth batch
     "multimodal_decode_flac_stereo",
+    "dedup_semantic_clusters",
+    "corpus_importance_resample",
+    "retrieval_ndcg_eval",
 ]
 
 

@@ -1157,3 +1157,145 @@ def e2e_span_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("chunk_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-shaped importance resampling (Xie et al. 2023, NeurIPS)
+# ---------------------------------------------------------------------------
+_DSIR_BUCKETS = 256
+_DSIR_KEEP = 125
+
+
+def _md5_nibble(expr: str, i: int) -> str:
+    """SQL fragment (valid in both engines): i-th hex nibble of md5(expr)
+    as 0..15 — the repo's cross-engine hash-randomness primitive."""
+    return f"(instr('{_HEX}', substr(md5({expr}), {i}, 1)) - 1)"
+
+
+@register(
+    "corpus_importance_resample",
+    # Float discipline: the per-bucket log-ratio is rounded to an exact
+    # 1e-6-scaled BIGINT before the per-doc SUM, so the sum is integer
+    # arithmetic — immune to cross-engine float-add ordering no matter how
+    # many tokens a doc has. The Gumbel key is then two LN calls on
+    # identical doubles.
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+    tb AS (
+      SELECT doc_id,
+             {_md5_nibble('term', 1)} * 16 + {_md5_nibble('term', 2)} AS b
+      FROM tok),
+    tgt AS (
+      SELECT b, COUNT(*) AS c FROM tb JOIN documents USING (doc_id)
+      WHERE lang = 'en' GROUP BY b),
+    raw AS (SELECT b, COUNT(*) AS c FROM tb GROUP BY b),
+    tots AS (
+      SELECT (SELECT SUM(c) FROM tgt) AS nt, (SELECT SUM(c) FROM raw) AS nr),
+    lr AS (
+      SELECT raw.b,
+             CAST(ROUND((LN((COALESCE(tgt.c, 0) + 1.0) / (nt + {_DSIR_BUCKETS}.0))
+                       - LN((raw.c + 1.0) / (nr + {_DSIR_BUCKETS}.0))) * 1000000)
+                  AS BIGINT) AS w6
+      FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tots),
+    perdoc AS (
+      SELECT tb.doc_id, SUM(w6) AS sw6 FROM tb JOIN lr USING (b)
+      GROUP BY tb.doc_id),
+    keyed AS (
+      SELECT d.doc_id, d.lang, perdoc.sw6 / 1000000.0 AS logw,
+             ({_md5_nibble('CAST(d.doc_id AS VARCHAR)', 1)} * 1048576.0
+            + {_md5_nibble('CAST(d.doc_id AS VARCHAR)', 2)} * 65536.0
+            + {_md5_nibble('CAST(d.doc_id AS VARCHAR)', 3)} * 4096.0
+            + {_md5_nibble('CAST(d.doc_id AS VARCHAR)', 4)} * 256.0
+            + {_md5_nibble('CAST(d.doc_id AS VARCHAR)', 5)} * 16.0
+            + {_md5_nibble('CAST(d.doc_id AS VARCHAR)', 6)} + 0.5) / 16777216.0 AS u
+      FROM documents d JOIN perdoc USING (doc_id)),
+    scored AS (
+      SELECT doc_id, lang,
+             ROUND(logw, 6) AS log_importance,
+             ROUND(logw - LN(-LN(u)), 6) AS sel_key
+      FROM keyed)
+    SELECT doc_id, lang, log_importance, sel_key,
+           (ROW_NUMBER() OVER (ORDER BY sel_key DESC, doc_id) <= {_DSIR_KEEP})
+             AS selected
+    FROM scored
+    """,
+    doc="Data Selection via Importance Resampling, DSIR-shaped (Xie et "
+    "al. 2023): estimate hashed-unigram bag-of-words LMs for a TARGET "
+    "domain (lang='en' here) and the RAW corpus — 256 md5 buckets with "
+    "add-one smoothing — score every document by its summed "
+    "log-importance ratio, and resample by Gumbel-top-k (the "
+    "without-replacement sampler the importance weights call for), with "
+    "the Gumbel noise derived from md5(doc_id) so the draw is "
+    "deterministic, partitioning-independent, and exactly "
+    "SQL-oracle-able. Plan at 100 TB: the bucket LMs are two 256-row "
+    "aggregates (broadcast), scoring is one explode + broadcast-join + "
+    "integer sum per doc, selection is one top-k — linear, one shuffle. "
+    "The per-bucket log-ratio quantizes to 1e-6-scaled integers before "
+    "summing, making per-doc scores exact integers (no float-order "
+    "hazard at any document length).",
+)
+def corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_fanned(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tb = tok.select(
+        "doc_id",
+        F.expr(
+            f"{_md5_nibble('term', 1)} * 16 + {_md5_nibble('term', 2)}"
+        ).alias("b"),
+    )
+    tgt = (
+        tb.join(d.where(F.col("lang") == "en").select("doc_id"), "doc_id")
+        .groupBy("b")
+        .agg(F.count("*").alias("ct"))
+    )
+    raw = tb.groupBy("b").agg(F.count("*").alias("cr"))
+    tots = raw.agg(F.sum("cr").alias("nr")).crossJoin(
+        F.broadcast(tgt.agg(F.sum("ct").alias("nt")))
+    )
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                        / (F.col("nt") + float(_DSIR_BUCKETS))
+                    )
+                    - F.log((F.col("cr") + 1.0) / (F.col("nr") + float(_DSIR_BUCKETS)))
+                )
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("w6"),
+        )
+    )
+    perdoc = (
+        tb.join(F.broadcast(lr), "b").groupBy("doc_id").agg(F.sum("w6").alias("sw6"))
+    )
+    did = "CAST(doc_id AS STRING)"  # Spark parser needs STRING, not VARCHAR
+    u = F.expr(
+        f"({_md5_nibble(did, 1)} * 1048576.0 + {_md5_nibble(did, 2)} * 65536.0"
+        f" + {_md5_nibble(did, 3)} * 4096.0 + {_md5_nibble(did, 4)} * 256.0"
+        f" + {_md5_nibble(did, 5)} * 16.0 + {_md5_nibble(did, 6)} + 0.5) / 16777216.0"
+    )
+    logw = F.col("sw6") / 1_000_000.0
+    scored = (
+        d.select("doc_id", "lang")
+        .join(perdoc, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.round(logw, 6).alias("log_importance"),
+            F.round(logw - F.log(-F.log(u)), 6).alias("sel_key"),
+        )
+    )
+    return scored.withColumn(
+        "selected",
+        F.row_number().over(Window.orderBy(F.col("sel_key").desc(), "doc_id"))
+        <= _DSIR_KEEP,
+    )

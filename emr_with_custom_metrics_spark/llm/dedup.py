@@ -1345,3 +1345,86 @@ def dedup_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("cleaned_md5", F.md5(F.lit(""))).alias("cleaned_md5"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-shaped: cluster, then prune within clusters)
+# ---------------------------------------------------------------------------
+_SEMDEDUP_EPS = 0.4
+
+_SEMDEDUP_SCHEMA = (
+    "vec_id bigint, label int, is_kept boolean, dup_of bigint, dup_cos double"
+)
+
+
+def _semdedup_cluster_kernel(pdf):
+    """Per-cluster semantic prune: one GEMM over the cluster's vectors,
+    then the closed-form keep rule — a vector is dropped iff it has an
+    eps-neighbor with a smaller vec_id in the SAME cluster (dup_of = the
+    smallest such id). Sorting by id first makes argmax-over-the-strict-
+    lower-triangle exactly that smallest qualifying neighbor."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    n = len(ids)
+    m = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = np.round(m @ m.T, 6)
+    qual = (sims >= _SEMDEDUP_EPS) & np.tril(np.ones((n, n), dtype=bool), -1)
+    has = qual.any(axis=1)
+    first = np.where(has, qual.argmax(axis=1), 0)
+    return pd.DataFrame(
+        {
+            "vec_id": ids,
+            "label": pdf["label"].astype("int32"),
+            "is_kept": ~has,
+            "dup_of": pd.array(
+                [int(ids[f]) if h else None for h, f in zip(has, first)],
+                dtype="Int64",
+            ),
+            "dup_cos": np.where(has, sims[np.arange(n), first], np.nan),
+        }
+    )
+
+
+@register(
+    "dedup_semantic_clusters",
+    # Keep rule is closed-form (exists a smaller-id eps-neighbor in the
+    # cluster), so the whole SemDeDup decision — including WHICH neighbor
+    # (the smallest id) and its 6dp cosine — hashes against SQL.
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             ROUND(list_cosine_similarity(a.v, b.v), 6) AS cs
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4),
+    drops AS (SELECT b_id, MIN(a_id) AS dup_of FROM q GROUP BY b_id)
+    SELECT e.vec_id, CAST(e.label AS INT) AS label,
+           (d.b_id IS NULL) AS is_kept,
+           d.dup_of,
+           (SELECT q.cs FROM q WHERE q.a_id = d.dup_of AND q.b_id = d.b_id) AS dup_cos
+    FROM e LEFT JOIN drops d ON e.vec_id = d.b_id
+    """,
+    doc="Semantic dedup, SemDeDup-shaped (Abbas et al. 2023): coarse-"
+    "cluster the corpus, then prune near-duplicates WITHIN clusters only "
+    "— the property that makes embedding dedup tractable at 100 TB "
+    "(pair generation is N^2/C per cluster, not N^2, and each cluster "
+    "prunes independently with no cross-cluster shuffle). Clusters here "
+    "are the deterministic label groups (the same coarse-quantization "
+    "trick similarity_ivf_topk uses, so the decision is exactly "
+    "SQL-oracle-able; at scale the labels would come from "
+    "kmeans_embeddings). Each cluster is one applyInPandas group doing "
+    "a single normalized GEMM; oversized clusters would sub-block "
+    "exactly like embedding_cosine_pairs' pack/block-pair path. The "
+    "keep rule is the keep-first convention of the dedup_* family made "
+    "closed-form: drop iff an eps-neighbor with a smaller vec_id exists "
+    "in the cluster, recording that neighbor and its cosine.",
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_fanned(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    return e.groupBy("label").applyInPandas(
+        _semdedup_cluster_kernel, schema=_SEMDEDUP_SCHEMA
+    )

@@ -1254,6 +1254,234 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "retrieval_ndcg_eval",
+    # The graded relevance is the exact-cosine top-10 (rel = 11 - rank),
+    # so every DCG term is a rational over LOG2 of small integers; terms
+    # quantize to 1e-6-scaled BIGINTs before summing (the DSIR float
+    # discipline), making dcg/idcg exact integers and ndcg a ratio of
+    # identical doubles in both engines.
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+    ), doclen AS (
+        SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+    ), stats AS (
+        SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM doclen
+    ), q AS (
+        SELECT DISTINCT UNNEST(list_slice(string_split(text, ' '), 1, 8)) AS term
+        FROM documents WHERE doc_id = 1
+    ), tf AS (
+        SELECT t.doc_id, t.term, COUNT(*) AS f
+        FROM tok t JOIN q ON t.term = q.term
+        GROUP BY t.doc_id, t.term
+    ), df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS nd FROM tf GROUP BY term
+    ), scored AS (
+        SELECT tf.doc_id,
+               SUM(
+                 LN((s.n_docs - df.nd + 0.5) / (df.nd + 0.5) + 1.0)
+                 * (tf.f * 2.2)
+                 / (tf.f + 1.2 * (1.0 - 0.75 + 0.75 * doclen.dl / s.avgdl))
+               ) AS score
+        FROM tf
+        JOIN df ON tf.term = df.term
+        JOIN doclen ON tf.doc_id = doclen.doc_id
+        CROSS JOIN stats s
+        GROUP BY tf.doc_id
+    ), lex AS (
+        SELECT doc_id, rn AS lex_rank
+        FROM (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+              FROM scored)
+        WHERE rn <= 15
+    ), e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qv AS (SELECT v FROM e WHERE vec_id = 1),
+    sem AS (
+        SELECT vec_id AS doc_id, rn AS sem_rank
+        FROM (SELECT e.vec_id,
+                     ROW_NUMBER() OVER (
+                       ORDER BY ROUND(list_cosine_similarity(e.v, qv.v), 6) DESC,
+                                e.vec_id) AS rn
+              FROM e, qv WHERE e.vec_id <> 1)
+        WHERE rn <= 15
+    ), fused AS (
+        SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+               COALESCE(1.0 / (60 + lex.lex_rank), 0.0)
+             + COALESCE(1.0 / (60 + sem.sem_rank), 0.0) AS rrf
+        FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    ), rrfcut AS (
+        SELECT doc_id, rn AS rnk
+        FROM (SELECT doc_id,
+                     ROW_NUMBER() OVER (ORDER BY ROUND(rrf, 6) DESC, doc_id) AS rn
+              FROM fused)
+        WHERE rn <= 10
+    ), rel AS (
+        SELECT doc_id, 11 - sem_rank AS rel FROM sem WHERE sem_rank <= 10
+    ), sysranks AS (
+        SELECT 'bm25' AS system, doc_id, lex_rank AS rnk FROM lex
+        WHERE lex_rank <= 10
+        UNION ALL
+        SELECT 'cosine', doc_id, sem_rank FROM sem WHERE sem_rank <= 10
+        UNION ALL
+        SELECT 'rrf', doc_id, rnk FROM rrfcut
+    ), dcg AS (
+        SELECT s.system,
+               COUNT(rel.doc_id) AS n_hits,
+               SUM(CAST(ROUND(COALESCE(rel.rel, 0) / LOG2(s.rnk + 1.0) * 1000000)
+                        AS BIGINT)) AS dcg6
+        FROM sysranks s LEFT JOIN rel USING (doc_id)
+        GROUP BY s.system
+    ), ideal AS (
+        SELECT SUM(CAST(ROUND((11 - i) / LOG2(i + 1.0) * 1000000) AS BIGINT))
+               AS idcg6
+        FROM (SELECT UNNEST(range(1, 11)) AS i)
+    )
+    SELECT system, CAST(n_hits AS BIGINT) AS n_hits,
+           ROUND(dcg6 / 1000000.0, 6) AS dcg,
+           ROUND(idcg6 / 1000000.0, 6) AS idcg,
+           ROUND(CAST(dcg6 AS DOUBLE) / idcg6, 6) AS ndcg
+    FROM dcg CROSS JOIN ideal
+    """,
+    doc="Retrieval EVALUATION as a first-class query: nDCG@10 of the "
+    "lexical (BM25) ranking and the RRF hybrid, graded against the "
+    "exact-cosine top-10 as relevance (rel = 11 - rank; the 'cosine' row "
+    "is the self-check that must score 1.0). Completes the retrieval "
+    "tier's measurement story the way similarity_recall_report does for "
+    "ANN: recall@k for nearest-neighbor methods, nDCG for rankers. "
+    "Scale shape: every input is an existing top-k (per-partition "
+    "heaps); the eval itself touches 30 rows — cost is the two "
+    "rankings, which are linear scans.",
+)
+def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from emr_with_custom_metrics_spark.functions.vector import cosine
+
+    d = load_fanned(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    doclen = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = doclen.agg(
+        F.count("*").alias("n_docs"), F.avg(F.col("dl").cast("double")).alias("avgdl")
+    )
+    q = (
+        d.where(F.col("doc_id") == 1)
+        .select(F.explode(F.slice(F.split("text", " "), 1, 8)).alias("term"))
+        .distinct()
+    )
+    tf = (
+        tok.join(F.broadcast(q), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("f"))
+    )
+    df_ = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("nd"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log(
+                    (F.col("n_docs") - F.col("nd") + 0.5) / (F.col("nd") + 0.5) + 1.0
+                )
+                * (F.col("f") * 2.2)
+                / (
+                    F.col("f")
+                    + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("score")
+        )
+    )
+    lex = (
+        scored.withColumn(
+            "lex_rank",
+            F.row_number().over(Window.orderBy(F.col("score").desc(), "doc_id")),
+        )
+        .where(F.col("lex_rank") <= 15)
+        .select("doc_id", "lex_rank")
+    )
+    e = load_fanned(spark, sf_dir, "embeddings")
+    qv = e.where(F.col("vec_id") == 1).select(F.col("embedding").alias("qvec"))
+    sem = (
+        e.where(F.col("vec_id") != 1)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("c"),
+        )
+        .withColumn(
+            "sem_rank",
+            F.row_number().over(Window.orderBy(F.col("c").desc(), "doc_id")),
+        )
+        .where(F.col("sem_rank") <= 15)
+        .select("doc_id", "sem_rank")
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(1.0 / (60 + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("sem_rank")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    rrfcut = (
+        fused.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.round(F.col("rrf"), 6).desc(), "doc_id")
+            ),
+        )
+        .where(F.col("rnk") <= 10)
+        .select("doc_id", "rnk")
+    )
+    rel = sem.where(F.col("sem_rank") <= 10).select(
+        "doc_id", (11 - F.col("sem_rank")).alias("rel")
+    )
+    sysranks = (
+        lex.where(F.col("lex_rank") <= 10)
+        .select(F.lit("bm25").alias("system"), "doc_id", F.col("lex_rank").alias("rnk"))
+        .unionAll(
+            sem.where(F.col("sem_rank") <= 10).select(
+                F.lit("cosine").alias("system"),
+                "doc_id",
+                F.col("sem_rank").alias("rnk"),
+            )
+        )
+        .unionAll(
+            rrfcut.select(F.lit("rrf").alias("system"), "doc_id", "rnk")
+        )
+    )
+    dcg = (
+        sysranks.join(rel, "doc_id", "left")
+        .groupBy("system")
+        .agg(
+            F.count("rel").alias("n_hits"),
+            F.sum(
+                F.round(
+                    F.coalesce(F.col("rel"), F.lit(0))
+                    / F.log2(F.col("rnk") + 1.0)
+                    * 1_000_000
+                ).cast("bigint")
+            ).alias("dcg6"),
+        )
+    )
+    ideal = (
+        spark.range(1, 11)
+        .select(
+            F.sum(
+                F.round((11 - F.col("id")) / F.log2(F.col("id") + 1.0) * 1_000_000)
+                .cast("bigint")
+            ).alias("idcg6")
+        )
+    )
+    return dcg.crossJoin(F.broadcast(ideal)).select(
+        "system",
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+        F.round(F.col("dcg6") / 1_000_000.0, 6).alias("dcg"),
+        F.round(F.col("idcg6") / 1_000_000.0, 6).alias("idcg"),
+        F.round(F.col("dcg6").cast("double") / F.col("idcg6"), 6).alias("ndcg"),
+    )
+
+
+@register(
     "text_distribution_drift",
     oracle="""
     WITH tok AS (

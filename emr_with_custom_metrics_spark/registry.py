@@ -268,7 +268,8 @@ _DRIVER_PRIORITY = (
     "cdc_merge_upsert", "dq_profile_columns", "dq_constraint_checks",
     "ivm_incremental_agg", "cogroup_asof_pandas", "events_cusum_drift",
     # -- round-6 fourth batch (past the ~50 cut this round; lead round 7) --
-    "multimodal_decode_flac_stereo",
+    "multimodal_decode_flac_stereo", "dedup_semantic_clusters",
+    "corpus_importance_resample", "retrieval_ndcg_eval",
 )
 _PRIORITY_RANK = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
 
