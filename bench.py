@@ -165,6 +165,7 @@ HEADLINE = [
     "dedup_semantic_clusters",
     "corpus_importance_resample",
     "retrieval_ndcg_eval",
+    "maintenance_zorder_layout",
 ]
 
 

@@ -524,3 +524,159 @@ def formats_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering layout + data-skipping measurement
+# ---------------------------------------------------------------------------
+def _interleave_sql(zx: str, zy: str, bits: int, shift_fn) -> str:
+    """Bit-interleave SQL: x bits at even positions, y bits at odd. The
+    ``shift_fn`` renders a right-shift for the target dialect (Spark SQL
+    has shiftright(); DuckDB has the >> operator)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({shift_fn(zx, i)}) & 1) * {1 << (2 * i)}")
+        terms.append(f"(({shift_fn(zy, i)}) & 1) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+_Z_SPARK = _interleave_sql("zx", "zy", 8, lambda c, i: f"shiftright({c}, {i})")
+_Z_DUCK = _interleave_sql("zx", "zy", 8, lambda c, i: f"({c} >> {i})")
+
+
+@register(
+    "maintenance_zorder_layout",
+    # Pruning unit = partition directory (value-addressed, so the layout
+    # is closed-form); the scanned-unit decision uses the DATA min/max
+    # within each unit — exactly what parquet row-group / file skipping
+    # evaluates — recomputed here by the oracle from the same arithmetic.
+    oracle=f"""
+    WITH b AS (
+      SELECT MIN(o_custkey) AS minc, MAX(o_custkey) AS maxc,
+             MIN(o_orderdate) AS mind, MAX(o_orderdate) AS maxd
+      FROM orders),
+    s AS (
+      SELECT o_totalprice,
+             ((o_custkey - minc) * 255) // (maxc - minc) AS zx,
+             (DATE_DIFF('day', mind, o_orderdate) * 255)
+               // DATE_DIFF('day', mind, maxd) AS zy
+      FROM orders CROSS JOIN b),
+    z AS (
+      SELECT o_totalprice, zx, zy,
+             ({_Z_DUCK}) // 4096 AS zfile,
+             zy // 16 AS lfile
+      FROM s),
+    zparts AS (
+      SELECT zfile, MIN(zx) AS x0, MAX(zx) AS x1, MIN(zy) AS y0, MAX(zy) AS y1
+      FROM z GROUP BY zfile),
+    lparts AS (
+      SELECT lfile, MIN(zx) AS x0, MAX(zx) AS x1, MIN(zy) AS y0, MAX(zy) AS y1
+      FROM z GROUP BY lfile),
+    hit AS (
+      SELECT COUNT(*) AS rows_matched,
+             ROUND(SUM(o_totalprice), 2) AS revenue_matched
+      FROM z WHERE zx BETWEEN 64 AND 127 AND zy BETWEEN 128 AND 191)
+    SELECT
+      (SELECT COUNT(*) FROM z) AS n_rows,
+      (SELECT COUNT(*) FROM zparts) AS n_units_zorder,
+      (SELECT COUNT(*) FROM zparts
+        WHERE x1 >= 64 AND x0 <= 127 AND y1 >= 128 AND y0 <= 191)
+        AS scanned_zorder,
+      (SELECT COUNT(*) FROM lparts) AS n_units_linear,
+      (SELECT COUNT(*) FROM lparts
+        WHERE x1 >= 64 AND x0 <= 127 AND y1 >= 128 AND y0 <= 191)
+        AS scanned_linear,
+      (SELECT rows_matched FROM hit) AS rows_matched,
+      (SELECT revenue_matched FROM hit) AS revenue_matched
+    """,
+    doc="Z-ORDER data layout — the multi-dimensional data-skipping "
+    "pattern (Delta OPTIMIZE ZORDER BY / Hudi clustering): orders are "
+    "laid out by the Morton interleave of (customer, order-day) scaled "
+    "to 8 bits each, written as a REAL partitioned parquet layout (16 "
+    "value-addressed units = the top 4 interleaved bits, a 4x4 grid "
+    "over both dimensions), and a 2-D box predicate (1/4 of each "
+    "dimension) is evaluated against each unit's DATA min/max — the "
+    "exact decision parquet file/row-group skipping makes. The same "
+    "box is measured against a single-dimension (date-sorted) layout: "
+    "z-order must scan FEWER units because linear layouts cannot prune "
+    "the second dimension (asserted in tests/test_plan_properties.py). "
+    "At 100 TB this is the table-maintenance operator that makes "
+    "min/max skipping effective for multi-dimensional workloads; the "
+    "scaling/interleave arithmetic is pure integer math, so layout AND "
+    "skipping decisions are exactly SQL-oracle-able.",
+)
+def maintenance_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    b = o.agg(
+        F.min("o_custkey").alias("minc"),
+        F.max("o_custkey").alias("maxc"),
+        F.min("o_orderdate").alias("mind"),
+        F.max("o_orderdate").alias("maxd"),
+    )
+    s = o.crossJoin(F.broadcast(b)).select(
+        "o_totalprice",
+        F.expr("((o_custkey - minc) * 255) div (maxc - minc)").alias("zx"),
+        F.expr(
+            "(datediff(o_orderdate, mind) * 255) div datediff(maxd, mind)"
+        ).alias("zy"),
+    )
+    z = s.select(
+        "o_totalprice",
+        "zx",
+        "zy",
+        F.expr(f"({_Z_SPARK}) div 4096").alias("zfile"),
+        F.expr("zy div 16").alias("lfile"),
+    )
+    tmp = tempfile.mkdtemp(prefix="zorder_")
+    z.write.partitionBy("zfile").mode("overwrite").parquet(f"{tmp}/zorder")
+    z.write.partitionBy("lfile").mode("overwrite").parquet(f"{tmp}/linear")
+    zread = spark.read.parquet(f"{tmp}/zorder")
+    lread = spark.read.parquet(f"{tmp}/linear")
+
+    def unit_stats(df: DataFrame, unit: str) -> DataFrame:
+        return df.groupBy(unit).agg(
+            F.min("zx").alias("x0"),
+            F.max("zx").alias("x1"),
+            F.min("zy").alias("y0"),
+            F.max("zy").alias("y1"),
+        )
+
+    overlap = (
+        (F.col("x1") >= 64)
+        & (F.col("x0") <= 127)
+        & (F.col("y1") >= 128)
+        & (F.col("y0") <= 191)
+    )
+    zstats = unit_stats(zread, "zfile").agg(
+        F.count("*").alias("n_units_zorder"),
+        F.sum(overlap.cast("long")).alias("scanned_zorder"),
+    )
+    lstats = unit_stats(lread, "lfile").agg(
+        F.count("*").alias("n_units_linear"),
+        F.sum(overlap.cast("long")).alias("scanned_linear"),
+    )
+    hit = zread.where(
+        F.col("zx").between(64, 127) & F.col("zy").between(128, 191)
+    ).agg(
+        F.count("*").alias("rows_matched"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue_matched"),
+    )
+    total = zread.agg(F.count("*").alias("n_rows"))
+    return (
+        total.crossJoin(zstats)
+        .crossJoin(lstats)
+        .crossJoin(hit)
+        .select(
+            "n_rows",
+            "n_units_zorder",
+            "scanned_zorder",
+            "n_units_linear",
+            "scanned_linear",
+            "rows_matched",
+            "revenue_matched",
+        )
+    )

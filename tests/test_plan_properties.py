@@ -422,3 +422,15 @@ def test_range_banding_removes_nested_loop_join(spark):
     b = {r["band_id"]: (r["n_in_band"], r["n_building"]) for r in banded.collect()}
     n = {r["band_id"]: (r["n_in_band"], r["n_building"]) for r in naive.collect()}
     assert b == n
+
+
+def test_zorder_layout_prunes_more_than_linear(spark):
+    """maintenance_zorder_layout's whole reason to exist, checked on the
+    REAL written layouts: the 2-D box predicate must touch strictly fewer
+    min/max-pruned units under the Morton layout than under the
+    single-dimension layout (which cannot prune the customer dimension),
+    while total units and matched rows agree with full-scan truth."""
+    row = SPECS["maintenance_zorder_layout"].fn(spark, SF_DIR).collect()[0]
+    assert row["n_units_zorder"] == row["n_units_linear"] == 16
+    assert row["scanned_zorder"] < row["scanned_linear"]
+    assert 0 < row["rows_matched"] < row["n_rows"]
