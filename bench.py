@@ -166,6 +166,7 @@ HEADLINE = [
     "corpus_importance_resample",
     "retrieval_ndcg_eval",
     "maintenance_zorder_layout",
+    "text_quality_classifier",
 ]
 
 

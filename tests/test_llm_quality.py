@@ -546,3 +546,20 @@ def test_substring_remove_drops_exact_dup_copies(spark):
     assert bad.count() == 0
     assert out.where(F.col("n_kept") < F.col("n_tokens")).count() > 0
     out.unpersist()
+
+
+def test_quality_classifier_learns_the_target_rule(spark):
+    """The in-engine LR training must genuinely LEARN: train accuracy must
+    clearly beat the majority class (a classifier frozen at the class
+    prior — the failure mode of a broken gradient — scores exactly the
+    majority rate), and scores must rank positives above negatives."""
+    rows = SPECS["text_quality_classifier"].fn(spark, SF_DIR).collect()
+    n = len(rows)
+    pos = sum(r["y"] for r in rows)
+    majority = max(pos, n - pos) / n
+    acc = sum(r["correct"] for r in rows) / n
+    assert acc >= 0.9, f"accuracy {acc:.3f}"
+    assert acc > majority + 0.2, f"accuracy {acc:.3f} vs majority {majority:.3f}"
+    mean_p_pos = sum(r["p"] for r in rows if r["y"] == 1) / pos
+    mean_p_neg = sum(r["p"] for r in rows if r["y"] == 0) / (n - pos)
+    assert mean_p_pos > mean_p_neg + 0.3
