@@ -137,6 +137,11 @@ def test_no_driver_side_collect_in_query_modules():
             # MMR greedy loop: the selected set re-enters every later
             # iteration's join AND the final projection
             "llm/similarity.py",
+            # LR training: the feature matrix is scanned by all 40 GD
+            # rounds AND the final scoring pass — one materialization,
+            # MLlib's cache-before-iterate shape (the per-round driver
+            # traffic is the 129-long model, never data)
+            "llm/classifier.py",
         },
     }
     offenders = []
