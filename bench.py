@@ -167,6 +167,7 @@ HEADLINE = [
     "retrieval_ndcg_eval",
     "maintenance_zorder_layout",
     "text_quality_classifier",
+    "corpus_pdf_ingest",
 ]
 
 

@@ -270,7 +270,7 @@ _DRIVER_PRIORITY = (
     # -- round-6 fourth batch (past the ~50 cut this round; lead round 7) --
     "multimodal_decode_flac_stereo", "dedup_semantic_clusters",
     "corpus_importance_resample", "retrieval_ndcg_eval",
-    "maintenance_zorder_layout", "text_quality_classifier",
+    "maintenance_zorder_layout", "text_quality_classifier", "corpus_pdf_ingest",
 )
 _PRIORITY_RANK = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
 
@@ -367,4 +367,5 @@ def _ensure_loaded() -> None:
     import emr_with_custom_metrics_spark.llm.html  # noqa: F401
     import emr_with_custom_metrics_spark.llm.url  # noqa: F401
     import emr_with_custom_metrics_spark.llm.classifier  # noqa: F401
+    import emr_with_custom_metrics_spark.llm.pdf  # noqa: F401
     _LOADED = True

@@ -896,3 +896,63 @@ def test_png_16bit_roundtrip_exact(seed):
             return_pixels=True,
         )
         assert np.array_equal(m["pixels"], px), (h, w, inter)
+
+
+# ---------------------------------------------------------------------------
+# PDF 1.4 subset writer/extractor (llm/pdf.py)
+# ---------------------------------------------------------------------------
+@settings(max_examples=40, deadline=None)
+@given(
+    pages=st.lists(
+        st.text(
+            # latin-1-safe printable range incl. the three escape chars
+            st.characters(min_codepoint=0x20, max_codepoint=0xFF),
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_pdf_roundtrip_recovers_exact_page_text(pages):
+    from emr_with_custom_metrics_spark.llm.pdf import encode_pdf, extract_pdf_text
+
+    meta = extract_pdf_text(encode_pdf(pages))
+    assert meta["n_pages"] == len(pages)
+    assert meta["pages"] == pages
+
+
+@settings(max_examples=30, deadline=None)
+@given(seed=st.integers(0, 10_000), frac=st.floats(0.05, 0.98))
+def test_pdf_corruption_raises_never_misreads(seed, frac):
+    """A byte flip anywhere must either still extract the exact text
+    (flip landed in slack like the binary comment line) or raise — the
+    verified xref offsets, /Length framing, and zlib checksums are the
+    integrity surface."""
+    import numpy as np
+
+    from emr_with_custom_metrics_spark.llm.pdf import encode_pdf, extract_pdf_text
+
+    rng = np.random.default_rng(seed)
+    pages = ["alpha beta (gamma)", "delta \\ epsilon", "zeta"]
+    pdf = bytearray(encode_pdf(pages))
+    pos = int(len(pdf) * frac)
+    pdf[pos] ^= 0x41
+    try:
+        meta = extract_pdf_text(bytes(pdf))
+        assert meta["pages"] == pages
+    except (ValueError, NotImplementedError, KeyError):
+        pass
+
+
+def test_pdf_foreign_features_fall_to_stub():
+    import pytest
+
+    from emr_with_custom_metrics_spark.llm.pdf import encode_pdf, extract_pdf_text
+
+    pdf = encode_pdf(["one", "two"])
+    with pytest.raises(NotImplementedError, match="filter"):
+        extract_pdf_text(pdf.replace(b"/FlateDecode", b"/LZWDecode__", 1))
+    with pytest.raises(NotImplementedError, match="encrypted"):
+        extract_pdf_text(pdf.replace(b"/Size", b"/Encrypt 9 0 R /Size", 1))
+    with pytest.raises(ValueError):
+        extract_pdf_text(b"%PDF-1.4\nnot really")
