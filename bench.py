@@ -168,6 +168,7 @@ HEADLINE = [
     "maintenance_zorder_layout",
     "text_quality_classifier",
     "corpus_pdf_ingest",
+    "corpus_zip_ingest",
 ]
 
 

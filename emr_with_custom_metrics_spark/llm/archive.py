@@ -105,3 +105,120 @@ def parse_tar(archive: bytes) -> list[dict]:
     if not members:
         raise ValueError("empty TAR archive")
     return members
+
+
+# ---------------------------------------------------------------------------
+# ZIP archives (APPNOTE.TXT subset) — stdlib struct + zlib only
+# ---------------------------------------------------------------------------
+# The fourth stage-zero corpus format (WARC, TAR, PDF, ZIP): dataset drops
+# very often arrive zipped. Implemented at record level, not via the
+# ``zipfile`` module: local file headers, central directory, end-of-
+# central-directory record, STORED and DEFLATE members (raw deflate via
+# zlib wbits=-15), CRC-32 and size verification on read. Encryption,
+# zip64, spanned archives, and other compression methods raise
+# NotImplementedError; structural damage raises ValueError. The pair is
+# cross-validated against stdlib zipfile in BOTH directions in tests.
+import struct as _struct
+import zlib as _zlib
+
+_LFH = 0x04034B50
+_CDH = 0x02014B50
+_EOCD = 0x06054B50
+
+
+def write_zip(members: list[tuple[str, bytes]], alternate: bool = True) -> bytes:
+    """Build a ZIP of regular members. With ``alternate`` (default), even
+    member indices DEFLATE and odd ones are STORED, so a corpus-wide walk
+    exercises both decode paths."""
+    out = bytearray()
+    central = bytearray()
+    for i, (name, content) in enumerate(members):
+        nb = name.encode()
+        crc = _zlib.crc32(content) & 0xFFFFFFFF
+        if alternate and i % 2 == 0:
+            method = 8
+            comp = _zlib.compressobj(6, _zlib.DEFLATED, -15)
+            data = comp.compress(content) + comp.flush()
+        else:
+            method = 0
+            data = content
+        off = len(out)
+        hdr = _struct.pack(
+            "<IHHHHHIIIHH", _LFH, 20, 0, method, 0, 0,
+            crc, len(data), len(content), len(nb), 0,
+        )
+        out += hdr + nb + data
+        central += _struct.pack(
+            "<IHHHHHHIIIHHHHHII", _CDH, 20, 20, 0, method, 0, 0,
+            crc, len(data), len(content), len(nb), 0, 0, 0, 0, 0, off,
+        ) + nb
+    cd_off = len(out)
+    out += central
+    out += _struct.pack(
+        "<IHHHHIIH", _EOCD, 0, 0, len(members), len(members),
+        len(central), cd_off, 0,
+    )
+    return bytes(out)
+
+
+def parse_zip(archive: bytes) -> list[dict]:
+    """Walk a ZIP via its central directory; returns one dict per member
+    with name/method/size/content, all integrity checks enforced."""
+    # EOCD: scan backwards through the trailing 64 KiB + 22 bytes.
+    window = archive[-(65536 + 22):]
+    at = window.rfind(_struct.pack("<I", _EOCD))
+    if at < 0:
+        raise ValueError("missing end-of-central-directory record")
+    eocd = window[at:]
+    if len(eocd) < 22:
+        raise ValueError("truncated EOCD")
+    (_, disk, cd_disk, n_here, n_total, cd_size, cd_off, _clen) = _struct.unpack(
+        "<IHHHHIIH", eocd[:22]
+    )
+    if disk or cd_disk:
+        raise NotImplementedError("spanned/multi-disk ZIP unsupported")
+    if n_total == 0xFFFF or cd_off == 0xFFFFFFFF:
+        raise NotImplementedError("zip64 unsupported")
+    if cd_off + cd_size > len(archive):
+        raise ValueError("central directory extends past EOF")
+    members = []
+    pos = cd_off
+    for _ in range(n_total):
+        if _struct.unpack_from("<I", archive, pos)[0] != _CDH:
+            raise ValueError("bad central-directory signature")
+        (
+            _, _vmade, _vneed, flags, method, _t, _d, crc, csize, usize,
+            nlen, elen, clen, _dsk, _iattr, _eattr, lho,
+        ) = _struct.unpack_from("<IHHHHHHIIIHHHHHII", archive, pos)
+        name = archive[pos + 46 : pos + 46 + nlen].decode()
+        pos += 46 + nlen + elen + clen
+        if flags & 0x1:
+            raise NotImplementedError("encrypted ZIP member unsupported")
+        if method not in (0, 8):
+            raise NotImplementedError(f"compression method {method} unsupported")
+        if _struct.unpack_from("<I", archive, lho)[0] != _LFH:
+            raise ValueError("central directory points at a non-local-header")
+        lnlen, lelen = _struct.unpack_from("<HH", archive, lho + 26)
+        lname = archive[lho + 30 : lho + 30 + lnlen]
+        if lname.decode() != name:
+            raise ValueError("local/central name mismatch")
+        data_at = lho + 30 + lnlen + lelen
+        data = archive[data_at : data_at + csize]
+        if len(data) != csize:
+            raise ValueError("member data truncated")
+        if method == 8:
+            try:
+                dec = _zlib.decompressobj(-15)
+                content = dec.decompress(data) + dec.flush()
+            except _zlib.error as exc:
+                raise ValueError(f"bad deflate stream: {exc}") from exc
+        else:
+            content = data
+        if len(content) != usize:
+            raise ValueError("uncompressed size mismatch")
+        if (_zlib.crc32(content) & 0xFFFFFFFF) != crc:
+            raise ValueError("CRC-32 mismatch")
+        members.append(
+            {"name": name, "method": method, "size": usize, "content": content}
+        )
+    return members

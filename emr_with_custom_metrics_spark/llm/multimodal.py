@@ -3341,3 +3341,71 @@ def _tar_ingest_group(pdf: "pd.DataFrame") -> "pd.DataFrame":  # noqa: F821
 def corpus_tar_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("source", "doc_id", "text")
     return d.groupBy("source").applyInPandas(_tar_ingest_group, schema=TAR_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Corpus ingestion: ZIP archives (llm/archive.py)
+# ---------------------------------------------------------------------------
+ZIP_SCHEMA = (
+    "source string, n_members bigint, n_deflated bigint, "
+    "total_chars bigint, checksum bigint"
+)
+
+
+def _zip_ingest_group(pdf: "pd.DataFrame") -> "pd.DataFrame":  # noqa: F821
+    import hashlib
+
+    import pandas as pd
+
+    from emr_with_custom_metrics_spark.llm.archive import parse_zip, write_zip
+
+    pdf = pdf.sort_values("doc_id")
+    members = [
+        (f"doc_{int(d)}.txt", t.encode())
+        for d, t in zip(pdf["doc_id"], pdf["text"])
+    ]
+    parsed = parse_zip(write_zip(members))
+    checksum = sum(
+        int(hashlib.md5(m["content"]).hexdigest()[:12], 16) for m in parsed
+    )
+    return pd.DataFrame(
+        {
+            "source": [pdf["source"].iloc[0]],
+            "n_members": [len(parsed)],
+            "n_deflated": [sum(1 for m in parsed if m["method"] == 8)],
+            "total_chars": [sum(m["size"] for m in parsed)],
+            "checksum": [checksum],
+        }
+    )
+
+
+@register(
+    "corpus_zip_ingest",
+    # Same closed-form shape as corpus_tar_ingest plus n_deflated: the
+    # writer alternates DEFLATE/STORED by member index, so ceil(n/2)
+    # members take the inflate path — the oracle pins that split, and
+    # checksum/total_chars pin the recovered bytes. Any local-vs-central
+    # disagreement, CRC slip, or inflate framing bug breaks the hash.
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(CEIL(COUNT(*) / 2.0) AS BIGINT) AS n_deflated,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT))
+                AS BIGINT) AS checksum
+    FROM documents GROUP BY source
+    """,
+    doc="ZIP ingestion (APPNOTE subset, from scratch — llm/archive.py): "
+    "each source's documents round-trip through a real ZIP (local file "
+    "headers, central directory, EOCD; DEFLATE and STORED members "
+    "alternating so both decode paths run corpus-wide; CRC-32 and size "
+    "verified per member, local/central name agreement enforced) inside "
+    "a grouped applyInPandas. Completes the stage-zero archive family: "
+    "WARC (crawls), TAR (curated tarballs), PDF (documents), ZIP "
+    "(dataset drops). Encrypted members, zip64, and foreign compression "
+    "methods fall honestly to the stub tier; cross-validated against "
+    "stdlib zipfile in both directions in tests. One shuffle by source.",
+)
+def corpus_zip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    return d.groupBy("source").applyInPandas(_zip_ingest_group, schema=ZIP_SCHEMA)

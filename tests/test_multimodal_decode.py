@@ -712,3 +712,54 @@ def test_tar_and_warc_corruption_raise_valueerror():
     gz = bytearray(write_warc_gz([rec]))
     with pytest.raises(ValueError):
         split_gzip_members(bytes(gz[: len(gz) // 2]))
+
+
+def test_zip_interop_with_stdlib_both_directions():
+    """The from-scratch ZIP pair must interoperate with stdlib zipfile in
+    BOTH directions (we read theirs, they read ours) — the same
+    cross-validation contract as the TAR tier."""
+    import io
+    import zipfile
+
+    from emr_with_custom_metrics_spark.llm.archive import parse_zip, write_zip
+
+    members = [
+        ("a.txt", b"hello world"),
+        ("nested/path.bin", bytes(range(256)) * 11),
+        ("empty", b""),
+        ("big.txt", b"spark " * 5000),
+    ]
+    ours = write_zip(members)
+    zf = zipfile.ZipFile(io.BytesIO(ours))
+    assert [(i.filename, zf.read(i.filename)) for i in zf.infolist()] == members
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as out:
+        for n, c in members:
+            out.writestr(n, c)
+    assert [(m["name"], m["content"]) for m in parse_zip(buf.getvalue())] == members
+
+
+def test_zip_corruption_and_foreign_features_raise():
+    import struct
+
+    import pytest
+
+    from emr_with_custom_metrics_spark.llm.archive import parse_zip, write_zip
+
+    z = bytearray(write_zip([("a", b"abcdef" * 100), ("b", b"xyz")]))
+    # flip a payload byte: CRC-32 or inflate must catch it
+    z2 = bytearray(z)
+    z2[40] ^= 0x5A
+    with pytest.raises(ValueError):
+        parse_zip(bytes(z2))
+    # encrypted flag on the central entry
+    z3 = bytes(z)
+    cd = z3.rfind(struct.pack("<I", 0x02014B50))
+    z4 = bytearray(z3)
+    z4[cd + 8] |= 0x01
+    with pytest.raises(NotImplementedError, match="encrypted"):
+        parse_zip(bytes(z4))
+    # truncated EOCD
+    with pytest.raises(ValueError):
+        parse_zip(z3[:-10])
