@@ -169,6 +169,7 @@ HEADLINE = [
     "text_quality_classifier",
     "corpus_pdf_ingest",
     "corpus_zip_ingest",
+    "corpus_jsonl_gz_ingest",
 ]
 
 

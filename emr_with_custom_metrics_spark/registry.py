@@ -270,7 +270,7 @@ _DRIVER_PRIORITY = (
     # -- round-6 fourth batch (past the ~50 cut this round; lead round 7) --
     "multimodal_decode_flac_stereo", "dedup_semantic_clusters",
     "corpus_importance_resample", "retrieval_ndcg_eval",
-    "maintenance_zorder_layout", "text_quality_classifier", "corpus_pdf_ingest", "corpus_zip_ingest",
+    "maintenance_zorder_layout", "text_quality_classifier", "corpus_pdf_ingest", "corpus_zip_ingest", "corpus_jsonl_gz_ingest",
 )
 _PRIORITY_RANK = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
 

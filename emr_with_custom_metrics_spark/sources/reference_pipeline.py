@@ -680,3 +680,62 @@ def maintenance_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_matched",
         )
     )
+
+
+@register(
+    "corpus_jsonl_gz_ingest",
+    # Layout-independent per-source aggregate (same contract as
+    # formats_binaryfile_scan): count, chars, and an md5-derived content
+    # checksum survive any writer parallelism; all_gz pins that every
+    # physical file actually went through the gzip codec.
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
+           CAST(SUM(CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT))
+                AS BIGINT) AS checksum,
+           TRUE AS all_gz
+    FROM documents GROUP BY source
+    """,
+    doc="Gzipped JSON-Lines ingestion — THE interchange format LLM "
+    "corpora actually ship in (one JSON object per line, .jsonl.gz "
+    "shards): documents round-trip through a real compressed JSONL "
+    "layout (distributed write with the gzip codec, schema-pinned read "
+    "back), and the per-source aggregate md5-checksums the recovered "
+    "text so any serialization/escaping/codec bug breaks the hash; "
+    "all_gz verifies from _metadata.file_path that every shard really "
+    "is a .gz file. Scale note: gzip shards are NOT splittable — one "
+    "shard = one task — so shard count must track cluster parallelism "
+    "at write time; the write here repartitions by source for exactly "
+    "that reason (the sharding dial, demonstrated).",
+)
+def corpus_jsonl_gz_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    tmp = tempfile.mkdtemp(prefix="jsonl_gz_")
+    path = f"{tmp}/docs_jsonl"
+    d.repartition("source").write.mode("overwrite").option(
+        "compression", "gzip"
+    ).json(path)
+    back = spark.read.schema(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING"
+    ).json(path)
+    return back.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("sum_chars"),
+        F.sum(F.conv(F.substring(F.md5("text"), 1, 12), 16, 10).cast("bigint"))
+        .cast("bigint")
+        .alias("checksum"),
+        (
+            F.count_distinct(
+                F.when(
+                    F.col("_metadata.file_path").endswith(".gz"),
+                    F.col("_metadata.file_path"),
+                )
+            )
+            == F.count_distinct(F.col("_metadata.file_path"))
+        ).alias("all_gz"),
+    )
