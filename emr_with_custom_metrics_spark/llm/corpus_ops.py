@@ -1239,40 +1239,36 @@ def corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load_fanned(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    tb = tok.select(
+    # lang rides through the explode so target and raw bucket counts come
+    # out of ONE corpus pass (conditional aggregation) — a separate tgt
+    # join/aggregate was a third full token explode in the physical plan.
+    tb = d.select(
         "doc_id",
+        (F.col("lang") == "en").alias("is_tgt"),
+        F.explode(F.split("text", " ")).alias("term"),
+    ).select(
+        "doc_id",
+        "is_tgt",
         F.expr(
             f"{_md5_nibble('term', 1)} * 16 + {_md5_nibble('term', 2)}"
         ).alias("b"),
     )
-    tgt = (
-        tb.join(d.where(F.col("lang") == "en").select("doc_id"), "doc_id")
-        .groupBy("b")
-        .agg(F.count("*").alias("ct"))
+    counts = tb.groupBy("b").agg(
+        F.count("*").alias("cr"),
+        F.sum(F.col("is_tgt").cast("long")).alias("ct"),
     )
-    raw = tb.groupBy("b").agg(F.count("*").alias("cr"))
-    tots = raw.agg(F.sum("cr").alias("nr")).crossJoin(
-        F.broadcast(tgt.agg(F.sum("ct").alias("nt")))
-    )
-    lr = (
-        raw.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(tots))
-        .select(
-            "b",
-            F.round(
-                (
-                    F.log(
-                        (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
-                        / (F.col("nt") + float(_DSIR_BUCKETS))
-                    )
-                    - F.log((F.col("cr") + 1.0) / (F.col("nr") + float(_DSIR_BUCKETS)))
-                )
-                * 1_000_000
+    tots = counts.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
+    lr = counts.crossJoin(F.broadcast(tots)).select(
+        "b",
+        F.round(
+            (
+                F.log((F.col("ct") + 1.0) / (F.col("nt") + float(_DSIR_BUCKETS)))
+                - F.log((F.col("cr") + 1.0) / (F.col("nr") + float(_DSIR_BUCKETS)))
             )
-            .cast("bigint")
-            .alias("w6"),
+            * 1_000_000
         )
+        .cast("bigint")
+        .alias("w6"),
     )
     perdoc = (
         tb.join(F.broadcast(lr), "b").groupBy("doc_id").agg(F.sum("w6").alias("sw6"))
