@@ -8,11 +8,12 @@ and recover page text, from scratch:
 
 * **Writer**: header, catalog -> pages tree -> page objects, one content
   stream per page (``BT /F1 12 Tf 72 720 Td (..) Tj ET``), literal
-  strings with ``\\( \\) \\\\`` escaping, FlateDecode-compressed streams
-  on even pages and raw streams on odd pages (so BOTH decode paths are
-  exercised corpus-wide), a correct ``xref`` table with byte offsets,
-  and the ``trailer``/``startxref`` epilogue. Output opens in standard
-  viewers.
+  strings with ``\\( \\) \\\\`` escaping, every content stream
+  FlateDecode-compressed (zlib's adler-32 then covers the content
+  bytes, which is what makes the "corruption raises, never misreads"
+  contract hold end-to-end — a raw stream body would be an unprotected
+  region), a correct ``xref`` table with byte offsets, and the
+  ``trailer``/``startxref`` epilogue. Output opens in standard viewers.
 * **Extractor**: COS-level parse — xref table walk (with /Prev chains),
   trailer ``/Root``, page-tree recursion through ``/Kids`` (any depth),
   per-page ``/Contents`` (single ref or array), stream recovery by the
@@ -20,8 +21,15 @@ and recover page text, from scratch:
   tokenizer that recovers show-text arguments: literal strings for
   ``Tj``, ``'``, ``\"`` and array elements for ``TJ``, honoring
   parenthesis nesting, the three escape classes, and 1-3-digit octal
-  escapes. Integrity: xref offsets are VERIFIED against the actual
-  object positions, and /Length against the stream body.
+  escapes. Integrity surface: xref offsets are VERIFIED against the
+  actual object positions, /Length against the stream body, stream
+  dictionaries against a key allowlist (a flipped ``/Filter`` key can
+  never demote a Flate stream to raw), zlib's adler-32 over every
+  content stream the writer emits, and the tokenizer REFUSES dangling
+  string operands or a nonempty content stream with zero show-text
+  operators (a dropped ``Tj`` cannot silently yield an empty page).
+  Raw (no-``/Filter``) streams are still READ for interop, but their
+  bodies are an unprotected region — the writer never emits them.
 
 Scope, honestly stated (raises ``NotImplementedError`` -> multimodal
 stub tier; corrupt structure raises ``ValueError``):
@@ -47,6 +55,12 @@ import zlib
 def _esc(s: str) -> bytes:
     out = []
     for ch in s:
+        if ord(ch) > 0xFF:
+            # Octal escapes address 0-255 only; beyond that is CID/CMap
+            # territory — out of the covered simple-font profile.
+            raise NotImplementedError(
+                f"non-latin-1 code point U+{ord(ch):04X} needs a CID font"
+            )
         if ch in "()\\":
             out.append("\\" + ch)
         else:
@@ -54,12 +68,22 @@ def _esc(s: str) -> bytes:
     return "".join(out).encode("latin-1")
 
 
+def _req(d: dict, key: bytes) -> object:
+    """Required-key lookup with the module's documented error surface:
+    corrupt structure raises ValueError, never a bare KeyError."""
+    if not isinstance(d, dict):
+        raise ValueError(f"expected dictionary holding {key.decode()}")
+    try:
+        return d[key]
+    except KeyError:
+        raise ValueError(f"missing {key.decode()} entry") from None
+
+
 def encode_pdf(pages: list[str]) -> bytes:
     """Write a well-formed PDF 1.4 with one text line per page string.
 
-    Even page indices compress their content stream with FlateDecode,
-    odd indices store it raw — every corpus-level decode therefore
-    exercises both filter paths.
+    Every content stream is FlateDecode-compressed so zlib's adler-32
+    covers the content bytes (the corruption-raises contract).
     """
     if not pages:
         raise ValueError("encode_pdf needs at least one page")
@@ -82,12 +106,9 @@ def encode_pdf(pages: list[str]) -> bytes:
             ).encode()
         )
         content = b"BT /F1 12 Tf 72 720 Td (" + _esc(text) + b") Tj ET"
-        if i % 2 == 0:
-            body = zlib.compress(content)
-            head = f"<< /Length {len(body)} /Filter /FlateDecode >>".encode()
-        else:
-            body = content
-            head = f"<< /Length {len(body)} >>".encode()
+        # Always Flate: zlib's adler-32 is the content-integrity layer.
+        body = zlib.compress(content)
+        head = f"<< /Length {len(body)} /Filter /FlateDecode >>".encode()
         objects.append(head + b"\nstream\n" + body + b"\nendstream")
 
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
@@ -249,15 +270,30 @@ class _Pdf:
             raise ValueError(f"unsupported object body for {num}")
         return m2.group(0), pos + m2.end()
 
+    # Keys a content-stream dictionary may legitimately carry in the
+    # covered profile. Anything else (including a corrupted "/Filtera")
+    # is structural damage — raise, never fall back to the raw path.
+    _STREAM_KEYS = frozenset(
+        (b"/Length", b"/Filter", b"/Type", b"/Subtype", b"/DecodeParms")
+    )
+
     def stream(self, num: int) -> bytes:
         d, pos = self.obj(num)
         if not isinstance(d, dict):
             raise ValueError(f"object {num} is not a stream")
+        unknown = set(d) - self._STREAM_KEYS
+        if unknown:
+            raise ValueError(
+                f"object {num}: unexpected stream dict keys {sorted(unknown)}"
+            )
         m = re.match(rb"\s*stream\r?\n", self.data[pos:])
         if not m:
             raise ValueError(f"object {num} has no stream body")
         start = pos + m.end()
-        length = int(d[b"/Length"])
+        try:
+            length = int(_req(d, b"/Length"))
+        except (TypeError, ValueError) as exc:
+            raise ValueError(f"object {num}: bad /Length: {exc}") from None
         body = self.data[start : start + length]
         if len(body) != length:
             raise ValueError("stream truncated vs /Length")
@@ -341,6 +377,10 @@ def _show_text_strings(content: bytes) -> list[bytes]:
             pos += m2.end() if m2 else 1
             continue
         pos += 1
+    if pending:
+        # A string operand was pushed but no show-text operator consumed
+        # it — a corrupted Tj/TJ token. Refuse rather than drop text.
+        raise ValueError("dangling string operands in content stream")
     return out
 
 
@@ -348,15 +388,28 @@ def extract_pdf_text(payload: bytes) -> dict:
     """Parse a PDF and recover its page text. Returns
     ``{n_pages, n_objects, pages: [str, ...], text}``."""
     pdf = _Pdf(payload)
-    root, _ = pdf.obj(_ref(pdf.trailer[b"/Root"]))
-    pages_obj, _ = pdf.obj(_ref(root[b"/Pages"]))
+    root, _ = pdf.obj(_ref(_req(pdf.trailer, b"/Root")))
+    if not isinstance(root, dict):
+        raise ValueError("/Root is not a dictionary")
+    pages_obj, _ = pdf.obj(_ref(_req(root, b"/Pages")))
+    if not isinstance(pages_obj, dict):
+        raise ValueError("/Pages is not a dictionary")
 
     page_refs: list[dict] = []
+    seen: set[int] = set()
 
     def walk(node: dict) -> None:
         if b"/Kids" in node:
             for kid in node[b"/Kids"]:
-                kd, _ = pdf.obj(_ref(kid))
+                num = _ref(kid)
+                if num in seen:
+                    # A flipped ref digit can redirect a kid at an
+                    # already-visited node — cycle or duplicate page.
+                    raise ValueError("page tree revisits object")
+                seen.add(num)
+                kd, _ = pdf.obj(num)
+                if not isinstance(kd, dict):
+                    raise ValueError("page tree kid is not a dictionary")
                 walk(kd)
         else:
             page_refs.append(node)
@@ -364,13 +417,30 @@ def extract_pdf_text(payload: bytes) -> dict:
     walk(pages_obj)
     if not page_refs:
         raise ValueError("PDF has no pages")
+    count = pages_obj.get(b"/Count")
+    if count is not None and int(count) != len(page_refs):
+        raise ValueError("/Count disagrees with page tree walk")
 
     pages_text: list[str] = []
+    content_seen: set[int] = set()
     for pg in page_refs:
-        contents = pg[b"/Contents"]
+        contents = _req(pg, b"/Contents")
         refs = contents if isinstance(contents, list) else [contents]
-        blob = b"".join(pdf.stream(_ref(r)) for r in refs)
+        nums = [_ref(r) for r in refs]
+        if any(n in content_seen for n in nums):
+            # Content-stream sharing is legal PDF in general, but in the
+            # covered profile each page owns its stream — a duplicate
+            # means a flipped ref digit redirected one page onto
+            # another's content. Refuse rather than misread.
+            raise ValueError("content stream referenced by multiple pages")
+        content_seen.update(nums)
+        blob = b"".join(pdf.stream(n) for n in nums)
         strings = _show_text_strings(blob)
+        if blob.strip() and not strings:
+            # A nonempty content stream that shows no text at all means
+            # the show-text operators were destroyed — refuse rather
+            # than misreport the page as empty.
+            raise ValueError("content stream yields no show-text operands")
         pages_text.append(b"".join(strings).decode("latin-1"))
     return {
         "n_pages": len(page_refs),
@@ -462,7 +532,8 @@ def _pdf_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.Data
     doc="PDF corpus ingestion — the third stage-zero archive format "
     "after WARC and TAR: every document is paginated (12 words/page), "
     "written as a REAL PDF 1.4 (catalog/pages-tree/page objects, "
-    "per-page content streams alternating FlateDecode and raw, literal-"
+    "per-page FlateDecode content streams — zlib adler-32 is the "
+    "content-integrity layer — literal-"
     "string escaping, verified xref offsets), then recovered through "
     "the from-scratch COS parser: xref walk, trailer /Root, page-tree "
     "recursion, /Length-framed stream extraction, zlib inflate, and a "

@@ -8,7 +8,7 @@ hand-picked examples miss."""
 from __future__ import annotations
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 
@@ -921,13 +921,24 @@ def test_pdf_roundtrip_recovers_exact_page_text(pages):
     assert meta["pages"] == pages
 
 
-@settings(max_examples=30, deadline=None)
-@given(seed=st.integers(0, 10_000), frac=st.floats(0.05, 0.98))
-def test_pdf_corruption_raises_never_misreads(seed, frac):
-    """A byte flip anywhere must either still extract the exact text
-    (flip landed in slack like the binary comment line) or raise — the
-    verified xref offsets, /Length framing, and zlib checksums are the
-    integrity surface."""
+@settings(max_examples=60, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    frac=st.floats(0.05, 0.98),
+    xor=st.integers(1, 255),
+)
+@example(seed=0, frac=0.3046875, xor=0x41)  # r6: flip lands in '/Filter' key
+def test_pdf_corruption_raises_never_misreads(seed, frac, xor):
+    """A byte flip anywhere (ANY xor value — digit-to-digit ref flips
+    included, which redirect one page onto another's content stream)
+    must either still extract the exact text (flip landed in slack like
+    the binary comment line) or raise — the verified xref offsets,
+    /Length framing, stream-dict key allowlist, zlib adler-32 over every
+    content stream, the page-tree cycle / /Count / content-distinctness
+    checks, and the tokenizer's dangling-operand / zero-show-text
+    refusals are the integrity surface. KeyError is deliberately NOT
+    tolerated: corrupt structure must surface as ValueError (r6 ADVICE,
+    llm/pdf.py _req)."""
     import numpy as np
 
     from emr_with_custom_metrics_spark.llm.pdf import encode_pdf, extract_pdf_text
@@ -936,12 +947,65 @@ def test_pdf_corruption_raises_never_misreads(seed, frac):
     pages = ["alpha beta (gamma)", "delta \\ epsilon", "zeta"]
     pdf = bytearray(encode_pdf(pages))
     pos = int(len(pdf) * frac)
-    pdf[pos] ^= 0x41
+    pdf[pos] ^= xor
     try:
         meta = extract_pdf_text(bytes(pdf))
         assert meta["pages"] == pages
-    except (ValueError, NotImplementedError, KeyError):
+    except (ValueError, NotImplementedError):
         pass
+
+
+def test_pdf_non_latin1_text_falls_to_stub_tier():
+    """Octal escapes cover 0-255 only; beyond that is CID-font territory
+    and must raise NotImplementedError (stub tier), never
+    UnicodeEncodeError inside a mapInPandas batch (r6 ADVICE)."""
+    import pytest
+
+    from emr_with_custom_metrics_spark.llm.pdf import encode_pdf
+
+    with pytest.raises(NotImplementedError, match="CID"):
+        encode_pdf(["café ok", "€ price"])  # € is U+20AC
+
+
+def test_pdf_raw_stream_interop_read():
+    """The writer now always emits FlateDecode, but raw (no /Filter)
+    streams are legal PDF and the reader keeps that path for interop —
+    with the documented caveat that raw bodies are unprotected."""
+    import re
+    import zlib
+
+    from emr_with_custom_metrics_spark.llm.pdf import encode_pdf, extract_pdf_text
+
+    pdf = encode_pdf(["hello raw"])
+    # Demote the single content stream to raw: inflate the body and
+    # rewrite the dict, then fix the xref/startxref offsets by
+    # re-deriving them (the writer's own layout rules).
+    m = re.search(
+        rb"<< /Length (\d+) /Filter /FlateDecode >>\nstream\n", pdf, re.S
+    )
+    assert m
+    length = int(m.group(1))
+    body = pdf[m.end() : m.end() + length]
+    content = zlib.decompress(body)
+    head_new = f"<< /Length {len(content)} >>".encode()
+    rebuilt = (
+        pdf[: m.start()] + head_new + b"\nstream\n" + content
+        + pdf[m.end() + length :]
+    )
+    # Offsets after the edited object shift; rebuild xref numbers.
+    delta = len(rebuilt) - len(pdf)
+    xref_at = rebuilt.rindex(b"xref\n")
+    sx = rebuilt.rindex(b"startxref\n")
+    old_sx = int(re.match(rb"startxref\n(\d+)", rebuilt[sx:]).group(1))
+    rebuilt = (
+        rebuilt[:sx]
+        + b"startxref\n" + str(old_sx + delta).encode()
+        + b"\n%%EOF\n"
+    )
+    # The only object after the content stream is none (it's last before
+    # xref), so per-object offsets are unchanged; only startxref moved.
+    meta = extract_pdf_text(bytes(rebuilt))
+    assert meta["pages"] == ["hello raw"]
 
 
 def test_pdf_foreign_features_fall_to_stub():
