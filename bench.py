@@ -268,6 +268,23 @@ def main() -> None:
             }
         )
     )
+    # The driver records only the LAST 2000 chars of output; with 139
+    # per-query entries the full JSON above overflows that window and the
+    # leading "value" field is cut off (BENCH_r06 recorded parsed:null,
+    # r6 VERDICT item 3). Repeat a compact summary — no per-query map —
+    # as the FINAL line so any 2000-char tail holds one complete record.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "contended": contention["contended"],
+                "n_queries": len(times),
+            }
+        )
+    )
     spark.stop()
 
 

@@ -14,11 +14,31 @@ parameterized library pipeline plus fixes the reference missed:
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from emr_with_custom_metrics_spark.catalog import load_table
 from emr_with_custom_metrics_spark.registry import register
+
+
+def _scratch(name: str) -> str:
+    """Fixed per-query scratch directory under the system temp root.
+
+    mkdtemp-per-invocation leaked a full dataset copy on every bench /
+    correctness run with no deletion (r6 ADVICE,
+    sources/reference_pipeline.py:634,718) — unbounded disk across
+    repeated runs. A FIXED path plus ``mode("overwrite")`` bounds disk
+    at one copy per query. Deleting instead would be wrong: the returned
+    DataFrames read lazily from this path, so it must outlive the call.
+    Two simultaneous bench runs would race on the same path, but that
+    configuration is already flagged by bench.py's contention detector.
+    """
+    d = os.path.join(tempfile.gettempdir(), "spark_graft_scratch", name)
+    os.makedirs(d, exist_ok=True)
+    return d
 
 
 def read_tsv(spark: SparkSession, path: str, schema=None) -> DataFrame:
@@ -78,12 +98,11 @@ def convert(
     "data (values survive the text format).",
 )
 def formats_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
-    tmp = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    tmp = _scratch("csv_roundtrip")
     path = f"{tmp}/orders_tsv"
     o.write.mode("overwrite").option("sep", "\t").option("header", "true").csv(path)
     back = (
@@ -106,12 +125,11 @@ def formats_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="JSON lines round-trip: write → read with schema → aggregate.",
 )
 def formats_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 2000).select(
         "event_id", "event_type", "value"
     )
-    tmp = tempfile.mkdtemp(prefix="json_roundtrip_")
+    tmp = _scratch("json_roundtrip")
     path = f"{tmp}/events_json"
     ev.write.mode("overwrite").json(path)
     back = spark.read.schema("event_id BIGINT, event_type STRING, value DOUBLE").json(path)
@@ -129,12 +147,11 @@ def formats_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="ORC round-trip (column-pruned, pushdown-capable alternate format).",
 )
 def formats_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 500).select(
         "l_orderkey", "l_returnflag", "l_quantity"
     )
-    tmp = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    tmp = _scratch("orc_roundtrip")
     path = f"{tmp}/lineitem_orc"
     li.write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
@@ -163,10 +180,9 @@ def should_run_on_master(instance_info: dict) -> bool:
     "back — the rawest source/sink pair (log-file ingestion shape).",
 )
 def formats_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
-    tmp = tempfile.mkdtemp(prefix="text_roundtrip_")
+    tmp = _scratch("text_roundtrip")
     path = f"{tmp}/docs_text"
     d.select(F.col("text").alias("value")).write.mode("overwrite").text(path)
     back = spark.read.text(path)
@@ -189,12 +205,11 @@ def formats_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "via the partition column to prove pruning-compatible layout.",
 )
 def parquet_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     o = load_table(spark, sf_dir, "orders").withColumn(
         "order_year", F.year("o_orderdate")
     )
-    tmp = tempfile.mkdtemp(prefix="pq_part_")
+    tmp = _scratch("pq_part")
     path = f"{tmp}/orders_by_year"
     # repartition on the partition column first: one task (and one file) per
     # partition instead of every shuffle task writing a sliver of every
@@ -235,12 +250,11 @@ def parquet_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     "plan property is asserted in tests/test_plan_properties.py.",
 )
 def parquet_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     o = load_table(spark, sf_dir, "orders").withColumn(
         "order_year", F.year("o_orderdate")
     )
-    tmp = tempfile.mkdtemp(prefix="pq_dpp_")
+    tmp = _scratch("pq_dpp")
     path = f"{tmp}/orders_by_year"
     # single file per partition (see parquet_partitioned_write)
     o.repartition("order_year").write.mode("overwrite").partitionBy(
@@ -274,12 +288,11 @@ def parquet_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     "in config/feed form; values must survive element text encoding.",
 )
 def formats_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     s = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_nationkey", "s_acctbal"
     )
-    tmp = tempfile.mkdtemp(prefix="xml_roundtrip_")
+    tmp = _scratch("xml_roundtrip")
     path = f"{tmp}/supplier_xml"
     (
         s.write.mode("overwrite")
@@ -314,9 +327,8 @@ def write_bucketed_pair(spark: SparkSession, sf_dir: str, buckets: int = 8) -> t
     metadata lives in the catalog, not the files); the in-memory catalog
     keeps the sandbox clean of Hive state, and option("path") keeps data in
     a tempdir instead of ./spark-warehouse."""
-    import tempfile
 
-    tmp = tempfile.mkdtemp(prefix="bucketed_")
+    tmp = _scratch("bucketed")
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
@@ -389,10 +401,9 @@ def bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the same null pattern from the key split that defined the batches.",
 )
 def formats_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     o = load_table(spark, sf_dir, "orders")
-    tmp = tempfile.mkdtemp(prefix="pq_evolve_")
+    tmp = _scratch("pq_evolve")
     # batch 1: the early schema (no priority column), keys < 1000
     (
         o.where(F.col("o_orderkey") < 1000)
@@ -451,12 +462,11 @@ def formats_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFr
     "target count comes from bytes/128 MB, not a constant.",
 )
 def maintenance_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 2000).select(
         "l_orderkey", "l_quantity"
     )
-    tmp = tempfile.mkdtemp(prefix="compact_")
+    tmp = _scratch("compact")
     li.repartition(64).write.mode("overwrite").parquet(f"{tmp}/small")
     small = spark.read.parquet(f"{tmp}/small")
     before = small.select(
@@ -501,10 +511,9 @@ def maintenance_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFra
     "object, content never leaves the executor that read it.",
 )
 def formats_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     d = load_table(spark, sf_dir, "documents").select("text", "source")
-    tmp = tempfile.mkdtemp(prefix="binaryfile_scan_")
+    tmp = _scratch("binaryfile_scan")
     path = f"{tmp}/docs_txt"
     d.repartition("source").write.mode("overwrite").partitionBy("source").text(path)
     back = (
@@ -606,7 +615,6 @@ _Z_DUCK = _interleave_sql("zx", "zy", 8, lambda c, i: f"({c} >> {i})")
     "skipping decisions are exactly SQL-oracle-able.",
 )
 def maintenance_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", "o_totalprice"
@@ -631,7 +639,7 @@ def maintenance_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"({_Z_SPARK}) div 4096").alias("zfile"),
         F.expr("zy div 16").alias("lfile"),
     )
-    tmp = tempfile.mkdtemp(prefix="zorder_")
+    tmp = _scratch("zorder")
     z.write.partitionBy("zfile").mode("overwrite").parquet(f"{tmp}/zorder")
     z.write.partitionBy("lfile").mode("overwrite").parquet(f"{tmp}/linear")
     zread = spark.read.parquet(f"{tmp}/zorder")
@@ -710,12 +718,11 @@ def maintenance_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     "that reason (the sharding dial, demonstrated).",
 )
 def corpus_jsonl_gz_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source"
     )
-    tmp = tempfile.mkdtemp(prefix="jsonl_gz_")
+    tmp = _scratch("jsonl_gz")
     path = f"{tmp}/docs_jsonl"
     d.repartition("source").write.mode("overwrite").option(
         "compression", "gzip"
