@@ -170,6 +170,8 @@ HEADLINE = [
     "corpus_pdf_ingest",
     "corpus_zip_ingest",
     "corpus_jsonl_gz_ingest",
+    # round 7
+    "corpus_e2e_archive_pipeline",
 ]
 
 

@@ -208,10 +208,10 @@ def test_connected_components_warns_when_unconverged(spark):
 
 
 def test_kmeans_partitions_all_vectors_and_is_deterministic(spark):
-    """kmeans_embeddings is rows-only: hold it to the partition invariant
-    (cluster sizes sum to N, ≤ k clusters, positive inertia) and to
-    determinism — two runs from the same deterministic seeds must agree
-    exactly (no rand() anywhere in the pipeline)."""
+    """kmeans_embeddings is hash-oracled since round 7, but the oracle only
+    proves engine agreement — ALSO hold it to the semantic partition
+    invariant (cluster sizes sum to N, ≤ k clusters, positive inertia)
+    and to determinism across runs (no rand() anywhere in the pipeline)."""
     out = SPECS["kmeans_embeddings"].fn(spark, SF_DIR).collect()
     n_vectors = load_table(spark, SF_DIR, "embeddings").count()
     assert sum(r["n_points"] for r in out) == n_vectors
