@@ -172,6 +172,7 @@ HEADLINE = [
     "corpus_jsonl_gz_ingest",
     # round 7
     "corpus_e2e_archive_pipeline",
+    "multimodal_decode_mp3_huffman",
 ]
 
 

@@ -37,10 +37,18 @@ Scope, honestly stated:
 * **Layer II** (round 6, second half of this module): 1152-sample
   frames, up-to-three scalefactors per subband with 2-bit scfsi
   selection, grouped base-L codes for 3/5/9-level subbands — the pieces
-  that make Layer II a distinct codec. Layer III (Huffman spectral
-  data, bit reservoir) remains honestly stubbed — the header says which
-  layer, and each decoder names foreign layers in its
-  ``NotImplementedError``.
+  that make Layer II a distinct codec.
+* **Layer III** (round 6 "shaped" tier + round 7 entropy tier): the
+  hybrid filterbank / power-law quantization / scalefactor bands, and —
+  in ``encode_mp3_huffman``/``decode_mp3_huffman`` — the real 17-byte
+  mono side-info grammar, three-region Huffman spectral coding with
+  linbits escapes and sign bits, the inner and outer rate loops, and
+  the BIT RESERVOIR (Table B.2 bitrates, 9-bit main_data_begin
+  back-pointers, ancillary stuffing on reservoir overflow). The one
+  substitution: engine-derived canonical Huffman tables instead of a
+  from-memory Table B.7 transcription (see the entropy-tier banner);
+  private_bit=1 remains the signature, so true ISO streams fall to the
+  stub tier rather than decode through wrong tables.
 
 Reference parity note: the reference system (tmusabbir/
 emr-with-custom-metrics) ships no media decode at all — this tier
@@ -732,6 +740,582 @@ def decode_mpeg1_layer3(payload: bytes) -> dict:
         "n_frames": n_frames,
         "n_samples": n_samples,
         "duration_us": n_samples * 1_000_000 // sample_rate,
+        "rms": float(np.sqrt(np.mean(y * y))),
+        "samples": y,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Layer III entropy layer: variable-length Huffman spectral coding + the
+# bit reservoir (round 7 — r6 VERDICT item 6)
+# ---------------------------------------------------------------------------
+# What this adds over the Layer III-shaped tier above — every STRUCTURAL
+# mechanism of ISO 11172-3 §2.4.1.7/§2.4.2.7 Layer III, for real:
+#   * the real 17-byte mono side-info grammar: main_data_begin(9),
+#     private_bits(5), scfsi(4), then per granule part2_3_length(12),
+#     big_values(9), global_gain(8), scalefac_compress(4),
+#     window_switching(1), 3x table_select(5), region0_count(4),
+#     region1_count(3), preflag(1), scalefac_scale(1),
+#     count1table_select(1) — 59 bits/granule, 136 total;
+#   * the BIT RESERVOIR: frames carry a standard bitrate index (Table
+#     B.2's Layer III column — 32..320 kbps, frame length
+#     144*bitrate/fs), each frame's variable-length main data flows into
+#     the shared slot pool and is located by the 9-bit main_data_begin
+#     back-pointer (≤ 511 bytes), exactly the §2.4.2.7 mechanism;
+#   * THREE-REGION spectral coding over the 576 frequency-ordered lines:
+#     big_values pairs (x, y) with the value-15 linbits escape, count1
+#     quadruples of |v| ≤ 1 with per-nonzero sign bits, implicit rzero
+#     tail; region0/region1 boundaries counted in scalefactor bands;
+#   * real scalefactor transmission: 21 formula-derived bands over the
+#     576 lines, slen1 bits for bands 0-10 / slen2 for 11-20 selected by
+#     the 16-entry scalefac_compress table, applied as 2^(sf/2) gain;
+#   * nonuniform |x|^(3/4) quantization against the global_gain step
+#     2^((gg-210)/4);
+#   * part2_3_length is VERIFIED on decode (consumed bits must match).
+#
+# The one substitution, honestly stated: the Huffman CODE TABLES are
+# engine-derived canonical codes (deterministic weight model below), not
+# a transcription of Table B.7's printed codewords — B.7 is tabulated
+# data with no generating formula, and shipping a from-memory
+# transcription risks exactly the silent-misdecode failure this module's
+# contract forbids. The private_bit=1 signature therefore STAYS the
+# boundary: streams from this encoder decode bit-exactly; true ISO
+# streams (private_bit=0) raise NotImplementedError and fall to the stub
+# tier rather than decode through wrong tables. Everything else —
+# framing, side info, reservoir, regions, escapes, signs, requantization
+# — follows the ISO layout.
+
+_L3_BITRATES = {  # index -> kbps (ISO 11172-3 Table B.2, Layer III column)
+    1: 32, 2: 40, 3: 48, 4: 56, 5: 64, 6: 80, 7: 96, 8: 112,
+    9: 128, 10: 160, 11: 192, 12: 224, 13: 256, 14: 320,
+}
+# 21 formula-derived scalefactor bands over the 576 lines, edges forced
+# EVEN: region boundaries are counted in bands, big_values in pairs, and
+# (as in the real per-rate tables, whose long-block widths are all even)
+# an even edge guarantees no region boundary ever splits a pair.
+def _even_band_edges(n_bands: int, n_lines: int) -> np.ndarray:
+    raw = _l3_band_edges(n_bands, n_lines)
+    edges = [0]
+    for v in raw[1:]:
+        e = int(v) - (int(v) % 2)
+        edges.append(max(e, edges[-1] + 2))
+    edges[-1] = n_lines
+    return np.array(edges, dtype=np.int64)
+
+
+_L3_SFB = _even_band_edges(21, 576)
+# scalefac_compress -> (slen1, slen2): bands 0-10 get slen1 bits,
+# 11-20 get slen2 (the Layer III long-block split).
+_SLEN = (
+    (0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
+    (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3), (4, 2), (4, 3),
+)
+_L3_CODE_MAX = 8191 + 15  # linbits-13 escape ceiling
+
+
+def _canonical_codes(weights: dict) -> dict:
+    """Deterministic canonical Huffman: build lengths by heapq (ties
+    broken by symbol order), then assign canonical codes sorted by
+    (length, symbol). Returns {sym: (code, length)}."""
+    import heapq
+
+    syms = sorted(weights)
+    if len(syms) == 1:
+        return {syms[0]: (0, 1)}
+    heap = [(weights[s], i, (s,)) for i, s in enumerate(syms)]
+    heapq.heapify(heap)
+    depth = {s: 0 for s in syms}
+    tick = len(syms)
+    while len(heap) > 1:
+        wa, _, ga = heapq.heappop(heap)
+        wb, _, gb = heapq.heappop(heap)
+        for s in ga + gb:
+            depth[s] += 1
+        heapq.heappush(heap, (wa + wb, tick, ga + gb))
+        tick += 1
+    code = 0
+    prev_len = 0
+    out = {}
+    for s in sorted(syms, key=lambda s: (depth[s], s)):
+        code <<= depth[s] - prev_len
+        prev_len = depth[s]
+        out[s] = (code, depth[s])
+        code += 1
+    return out
+
+
+def _build_l3_tables():
+    """Three big-values pair tables (linbits 0 / 4 / 13) and the count1
+    quadruple table, all canonical over a deterministic geometric weight
+    model (small magnitudes frequent). The decoder rebuilds the same
+    tables — the constants below ARE the table definition."""
+    pair_w = {
+        (x, y): 1 + (33 - x - y) ** 3 for x in range(16) for y in range(16)
+    }
+    quad_w = {
+        (v, w, x, y): 1 + (5 - v - w - x - y) ** 4
+        for v in range(2) for w in range(2) for x in range(2) for y in range(2)
+    }
+    pair = _canonical_codes(pair_w)
+    quad = _canonical_codes(quad_w)
+    return pair, quad
+
+
+_L3_PAIR_CODES, _L3_QUAD_CODES = _build_l3_tables()
+_L3_PAIR_DECODE = {v: k for k, v in _L3_PAIR_CODES.items()}
+_L3_QUAD_DECODE = {v: k for k, v in _L3_QUAD_CODES.items()}
+_L3_PAIR_MAXLEN = max(n for _, n in _L3_PAIR_CODES.values())
+_L3_QUAD_MAXLEN = max(n for _, n in _L3_QUAD_CODES.values())
+# table_select index -> linbits (same pair codes, wider escapes; a real
+# stream's table_select picks one of 32 B.7 tables — here it picks the
+# escape width, which is the semantic that matters for the layout).
+_L3_TABLE_LINBITS = {1: 0, 2: 4, 3: 13}
+
+
+class _CountingWriter(_BitWriter):
+    """Tracks total bits written (part2_3_length is exact bits)."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.total_bits = 0
+
+    def write(self, value: int, n: int) -> None:  # noqa: D102
+        super().write(value, n)
+        self.total_bits += n
+
+
+def _huff_read(r: _BitReader, table: dict, maxlen: int):
+    code, n = 0, 0
+    while n < maxlen:
+        code = (code << 1) | r.read(1)
+        n += 1
+        sym = table.get((code, n))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in Layer III main data")
+
+
+def _l3_encode_granule(w: _CountingWriter, q: np.ndarray, signs: np.ndarray,
+                       sf: np.ndarray, slen1: int, slen2: int) -> dict:
+    """Write one granule's part2 (scalefactors) + part3 (Huffman data);
+    returns the side-info fields the caller must transmit."""
+    start_bits = w.total_bits
+    for b in range(11):
+        if slen1:
+            w.write(int(sf[b]), slen1)
+    for b in range(11, 21):
+        if slen2:
+            w.write(int(sf[b]), slen2)
+
+    nz = np.flatnonzero(q)
+    iend = int(nz[-1]) + 1 if nz.size else 0
+    # count1 region start: first index from which all |values| <= 1,
+    # rounded UP to even (big_values region is whole pairs)
+    c = iend
+    while c > 0 and q[c - 1] <= 1:
+        c -= 1
+    big_end = c + (c & 1)
+    n_quads = max(0, -(-(iend - big_end) // 4)) if iend > big_end else 0
+    big_values = big_end // 2
+
+    # region boundaries in scalefactor bands (real Layer III semantics)
+    region0_count, region1_count = 6, 6
+    r0_end = min(int(_L3_SFB[region0_count + 1]), big_end)
+    r1_end = min(int(_L3_SFB[region0_count + region1_count + 2]), big_end)
+    table_select = []
+    for lo, hi in ((0, r0_end), (r0_end, r1_end), (r1_end, big_end)):
+        mx = int(q[lo:hi].max(initial=0))
+        if mx <= 15:
+            table_select.append(1)
+        elif mx <= 30:
+            table_select.append(2)
+        else:
+            table_select.append(3)
+    for (lo, hi), tsel in zip(((0, r0_end), (r0_end, r1_end), (r1_end, big_end)),
+                              table_select):
+        linbits = _L3_TABLE_LINBITS[tsel]
+        for i in range(lo, hi, 2):
+            a, b = int(q[i]), int(q[i + 1])
+            x, y = min(a, 15), min(b, 15)
+            code, n = _L3_PAIR_CODES[(x, y)]
+            w.write(code, n)
+            if x == 15 and linbits:
+                w.write(a - 15, linbits)
+            if a:
+                w.write(int(signs[i]), 1)
+            if y == 15 and linbits:
+                w.write(b - 15, linbits)
+            if b:
+                w.write(int(signs[i + 1]), 1)
+    for k in range(n_quads):
+        i = big_end + 4 * k
+        vals = [int(q[i + j]) if i + j < 576 else 0 for j in range(4)]
+        code, n = _L3_QUAD_CODES[tuple(vals)]
+        w.write(code, n)
+        for j in range(4):
+            if vals[j]:
+                w.write(int(signs[i + j]), 1)
+    return {
+        "part2_3_length": w.total_bits - start_bits,
+        "big_values": big_values,
+        "table_select": table_select,
+        "region0_count": region0_count,
+        "region1_count": region1_count,
+        "n_quads": n_quads,
+    }
+
+
+def encode_mp3_huffman(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Layer III with the real entropy layer: hybrid filterbank ->
+    per-granule global_gain / scalefactor-band gains -> power-law
+    quantization -> three-region Huffman coding -> bit-reservoir frame
+    assembly at the smallest adequate Table B.2 bitrate."""
+    if sample_rate not in _RATE_INDEX:
+        raise ValueError(f"sample rate {sample_rate} not an MPEG-1 rate")
+    n_frames = len(samples) // L3_FRAME_SAMPLES
+    if n_frames == 0:
+        raise ValueError("input shorter than one 1152-sample frame")
+    x = np.asarray(samples, dtype=np.float64)[: n_frames * L3_FRAME_SAMPLES]
+    S = mdct_analysis(x)
+    lines3 = np.stack(
+        [_mdct18_analysis(S[:, sb]) for sb in range(N_SUBBANDS)], axis=1
+    )  # (granules, 32, 18)
+    n_gr = 2 * n_frames
+    X = lines3.reshape(n_gr, 576)  # frequency order: subband-major
+
+    band_of = np.searchsorted(_L3_SFB, np.arange(576), side="right") - 1
+
+    def encode_frames(gg_bias: int) -> tuple[list[bytes], list[dict]]:
+        frames_md: list[bytes] = []
+        frames_side: list[dict] = []
+        for f in range(n_frames):
+            w = _CountingWriter()
+            gr_fields = []
+            for g in (2 * f, 2 * f + 1):
+                xg = X[g]
+                gmax = float(np.abs(xg).max())
+                # Scalefactors: lift each quiet band HALF-way (in log2)
+                # toward the granule peak — finer steps for quiet bands
+                # without flattening the magnitude distribution the
+                # entropy coder feeds on (full lift made every line big
+                # and blew the 4095-bit granule budget).
+                sf = np.zeros(21, dtype=np.int64)
+                if gmax > 0.0:
+                    for b in range(21):
+                        seg = np.abs(xg[_L3_SFB[b]:_L3_SFB[b + 1]])
+                        pk = float(seg.max(initial=0.0))
+                        if pk > 0.0:
+                            sf[b] = int(np.clip(np.floor(np.log2(gmax / pk)), 0, 15))
+                sf[11:] = np.minimum(sf[11:], 7)  # slen2 <= 3
+                n1 = int(sf[:11].max(initial=0)).bit_length()
+                n2 = int(sf[11:].max(initial=0)).bit_length()
+                sc_comp = next(
+                    i for i, (s1, s2) in enumerate(_SLEN) if s1 >= n1 and s2 >= n2
+                )
+                slen1, slen2 = _SLEN[sc_comp]
+                amp = np.exp2(sf[band_of] / 2.0)
+                xs = xg * amp
+                smax = float(np.abs(xs).max())
+                if smax > 0.0:
+                    gg = int(np.clip(
+                        np.ceil(210 + 4 * np.log2(smax / 25000.0)) + gg_bias,
+                        0, 255,
+                    ))
+                else:
+                    gg = 210
+                signs = (xs < 0).astype(np.int64)
+                # THE INNER RATE LOOP (ISO 11172-3 §C.1.5.4.4.2, "rate
+                # adjustment"): if the granule overruns part2_3_length's
+                # 12-bit ceiling, coarsen the quantizer by one 2^1 step
+                # (global_gain += 4) and re-encode until it fits.
+                while True:
+                    step = 2.0 ** ((gg - 210) / 4.0)
+                    q = np.rint((np.abs(xs) / step) ** 0.75).astype(np.int64)
+                    if int(q.max(initial=0)) > _L3_CODE_MAX:
+                        gg = min(gg + 4, 255)
+                        continue
+                    gw = _CountingWriter()
+                    fields = _l3_encode_granule(gw, q, signs, sf, slen1, slen2)
+                    if fields["part2_3_length"] <= 4095 or gg >= 255:
+                        break
+                    gg = min(gg + 4, 255)
+                if fields["part2_3_length"] > 4095:
+                    raise ValueError("granule exceeds part2_3_length even at gg=255")
+                # splice the granule's bits into the frame's main data
+                for byte in gw.buf:
+                    w.write(byte, 8)
+                if gw.nbits:
+                    w.write(gw.acc, gw.nbits)
+                fields.update(global_gain=gg, scalefac_compress=sc_comp)
+                gr_fields.append(fields)
+            w.byte_align()
+            frames_md.append(bytes(w.buf))
+            frames_side.append({"granules": gr_fields})
+        return frames_md, frames_side
+
+    def try_layout(md_lens: list[int]):
+        """Smallest Table B.2 bitrate whose constant frame length fits the
+        data with every main_data_begin back-pointer <= 511 bytes. Main
+        data need not be contiguous: when the reservoir would overflow
+        511 bytes, the placement leaves a gap (ancillary stuffing bytes a
+        decoder skips via the pointer — the real reservoir-overflow
+        mechanism). Returns (bitrate_index, slot, per-frame positions)."""
+        for bi in sorted(_L3_BITRATES):
+            frame_bytes = 144_000 * _L3_BITRATES[bi] // sample_rate
+            slot = frame_bytes - 21  # header(4) + mono side info(17)
+            if slot <= 0:
+                continue
+            pos = []
+            cursor = 0
+            ok = True
+            for f in range(n_frames):
+                p = max(cursor, f * slot - 511)  # cap the back-pointer
+                if p > f * slot or p + md_lens[f] > (f + 1) * slot:
+                    ok = False  # data would start in the future / arrive late
+                    break
+                pos.append(p)
+                cursor = p + md_lens[f]
+            if ok:
+                return bi, slot, pos
+        return None
+
+    # THE OUTER RATE LOOP (§C.1.5.4.4.1 shape): if even 320 kbps cannot
+    # hold the stream, coarsen every quantizer by 2 bits and re-encode.
+    layout = None
+    for attempt in range(8):
+        frames_md, frames_side = encode_frames(gg_bias=8 * attempt)
+        layout = try_layout([len(m) for m in frames_md])
+        if layout is not None:
+            break
+    if layout is None:
+        raise ValueError("main data does not fit any Layer III bitrate")
+    bi, slot, pos = layout
+    pool = bytearray(n_frames * slot)
+    for f, md in enumerate(frames_md):
+        pool[pos[f] : pos[f] + len(md)] = md
+
+    out = bytearray()
+    for f in range(n_frames):
+        w = _BitWriter()
+        w.write(0xFFF, 12)
+        w.write(1, 1)              # ID: MPEG-1
+        w.write(0b01, 2)           # Layer III
+        w.write(1, 1)              # no CRC
+        w.write(bi, 4)             # Table B.2 bitrate index
+        w.write(_RATE_INDEX[sample_rate], 2)
+        w.write(0, 1)              # padding
+        w.write(1, 1)              # private_bit=1: engine-table signature
+        w.write(0b11, 2)           # mono
+        w.write(0, 2 + 1 + 1 + 2)  # mode_ext/copyright/original/emphasis
+        # side info
+        w.write(f * slot - pos[f], 9)  # main_data_begin
+        w.write(0, 5)              # private_bits
+        w.write(0, 4)              # scfsi: no sharing
+        for gfields in frames_side[f]["granules"]:
+            w.write(gfields["part2_3_length"], 12)
+            w.write(gfields["big_values"], 9)
+            w.write(gfields["global_gain"], 8)
+            w.write(gfields["scalefac_compress"], 4)
+            w.write(0, 1)          # window_switching_flag: long blocks
+            for t in gfields["table_select"]:
+                w.write(t, 5)
+            w.write(gfields["region0_count"], 4)
+            w.write(gfields["region1_count"], 3)
+            w.write(0, 1)          # preflag
+            w.write(0, 1)          # scalefac_scale
+            w.write(0, 1)          # count1table_select: Huffman quad table
+        w.byte_align()
+        assert len(w.buf) == 21
+        out += w.buf
+        out += pool[f * slot : (f + 1) * slot]
+    return bytes(out)
+
+
+def decode_mp3_huffman(payload: bytes) -> dict:
+    """Decode a Layer III stream written by ``encode_mp3_huffman``:
+    header walk at Table B.2 frame lengths, side-info parse, bit-
+    reservoir reconstruction via main_data_begin, three-region Huffman
+    decode (with part2_3_length verification), requantization, and the
+    hybrid synthesis filterbank. Error contract: corrupt structure
+    raises ValueError; foreign features (other layers, MPEG-2, CRC,
+    stereo, free format, private_bit=0 true-ISO streams, window
+    switching) raise NotImplementedError -> stub tier."""
+    if len(payload) < 25:
+        raise ValueError("truncated MPEG audio payload")
+    sides: list[dict] = []
+    pool = bytearray()
+    sample_rate = None
+    slot = None
+    pos = 0
+    while pos < len(payload):
+        r = _BitReader(payload, pos)
+        if r.read(12) != 0xFFF:
+            raise ValueError("bad MPEG syncword")
+        if r.read(1) != 1:
+            raise NotImplementedError("MPEG-2 (ID=0) unsupported")
+        layer_code = r.read(2)
+        if layer_code != 0b01:
+            name = {0b10: "Layer II", 0b11: "Layer I"}.get(layer_code, "reserved layer")
+            raise NotImplementedError(f"{name} stream in the Layer III decoder")
+        if r.read(1) != 1:
+            raise NotImplementedError("CRC-protected frames unsupported")
+        bi = r.read(4)
+        if bi == 0:
+            raise NotImplementedError(
+                "free-format Layer III belongs to the shaped tier "
+                "(decode_mpeg1_layer3)"
+            )
+        if bi == 15:
+            raise ValueError("forbidden bitrate index 15")
+        rate_index = r.read(2)
+        if rate_index not in SAMPLE_RATES:
+            raise ValueError("reserved sampling-frequency index")
+        rate = SAMPLE_RATES[rate_index]
+        sample_rate = sample_rate or rate
+        if rate != sample_rate:
+            raise ValueError("sampling frequency changes mid-stream")
+        if r.read(1) != 0:
+            raise NotImplementedError("padded frames unsupported")
+        if r.read(1) != 1:
+            raise NotImplementedError(
+                "true ISO Layer III stream (private_bit=0): Table B.7 "
+                "codewords not transcribed — engine-table streams only"
+            )
+        if r.read(2) != 0b11:
+            raise NotImplementedError("stereo modes unsupported")
+        r.read(2 + 1 + 1 + 2)
+        frame_bytes = 144_000 * _L3_BITRATES[bi] // rate
+        this_slot = frame_bytes - 21
+        if slot is None:
+            slot = this_slot
+        elif this_slot != slot:
+            raise ValueError("bitrate changes mid-stream")
+        if pos + frame_bytes > len(payload):
+            raise ValueError("truncated Layer III frame")
+        side = {"main_data_begin": r.read(9)}
+        r.read(5)  # private_bits
+        if r.read(4) != 0:
+            raise NotImplementedError("scfsi scalefactor sharing unsupported")
+        grs = []
+        for _ in range(2):
+            g = {
+                "part2_3_length": r.read(12),
+                "big_values": r.read(9),
+                "global_gain": r.read(8),
+                "scalefac_compress": r.read(4),
+            }
+            if r.read(1) != 0:
+                raise NotImplementedError("window switching unsupported")
+            g["table_select"] = [r.read(5) for _ in range(3)]
+            g["region0_count"] = r.read(4)
+            g["region1_count"] = r.read(3)
+            if r.read(1) != 0:
+                raise NotImplementedError("preflag unsupported")
+            if r.read(1) != 0:
+                raise NotImplementedError("scalefac_scale=1 unsupported")
+            if r.read(1) != 0:
+                raise NotImplementedError("count1 table B unsupported")
+            if g["big_values"] > 288:
+                raise ValueError("big_values exceeds 288 pairs")
+            grs.append(g)
+        side["granules"] = grs
+        sides.append(side)
+        pool += payload[pos + 21 : pos + frame_bytes]
+        pos += frame_bytes
+    if not sides:
+        raise ValueError("no MPEG frames in payload")
+
+    band_of = np.searchsorted(_L3_SFB, np.arange(576), side="right") - 1
+    granule_lines: list[np.ndarray] = []
+    for f, side in enumerate(sides):
+        start = f * slot - side["main_data_begin"]
+        if start < 0:
+            raise ValueError("main_data_begin reaches before the stream start")
+        r = _BitReader(bytes(pool), start)
+        for g in side["granules"]:
+            bits0 = r.bytepos * 8 + r.bitpos
+            sc_comp = g["scalefac_compress"]
+            slen1, slen2 = _SLEN[sc_comp]
+            sf = np.zeros(21, dtype=np.int64)
+            for b in range(11):
+                if slen1:
+                    sf[b] = r.read(slen1)
+            for b in range(11, 21):
+                if slen2:
+                    sf[b] = r.read(slen2)
+            q = np.zeros(576, dtype=np.int64)
+            signs = np.zeros(576, dtype=np.int64)
+            big_end = 2 * g["big_values"]
+            if big_end > 576:
+                raise ValueError("big_values region exceeds 576 lines")
+            r0c, r1c = g["region0_count"], g["region1_count"]
+            if r0c + r1c + 2 >= len(_L3_SFB):
+                raise ValueError("region counts exceed the band table")
+            r0_end = min(int(_L3_SFB[r0c + 1]), big_end)
+            r1_end = min(int(_L3_SFB[r0c + r1c + 2]), big_end)
+            for (lo, hi), tsel in zip(
+                ((0, r0_end), (r0_end, r1_end), (r1_end, big_end)),
+                g["table_select"],
+            ):
+                if tsel not in _L3_TABLE_LINBITS:
+                    raise ValueError(f"unknown table_select {tsel}")
+                linbits = _L3_TABLE_LINBITS[tsel]
+                for i in range(lo, hi, 2):
+                    x, y = _huff_read(r, _L3_PAIR_DECODE, _L3_PAIR_MAXLEN)
+                    a, b = x, y
+                    if x == 15 and linbits:
+                        a = 15 + r.read(linbits)
+                    if a:
+                        signs[i] = r.read(1)
+                    if y == 15 and linbits:
+                        b = 15 + r.read(linbits)
+                    if b:
+                        signs[i + 1] = r.read(1)
+                    q[i], q[i + 1] = a, b
+            # count1 region: quadruples until part2_3_length is consumed
+            i = big_end
+            while (r.bytepos * 8 + r.bitpos) - bits0 < g["part2_3_length"]:
+                if i >= 576:
+                    raise ValueError("count1 region exceeds 576 lines")
+                vals = _huff_read(r, _L3_QUAD_DECODE, _L3_QUAD_MAXLEN)
+                for j, v in enumerate(vals):
+                    if i + j >= 576:
+                        # the final quad may straddle the 576 boundary;
+                        # its out-of-range slots must be silent
+                        if v:
+                            raise ValueError("nonzero count1 value beyond line 576")
+                        continue
+                    q[i + j] = v
+                    if v:
+                        signs[i + j] = r.read(1)
+                i += 4
+            consumed = (r.bytepos * 8 + r.bitpos) - bits0
+            if consumed != g["part2_3_length"]:
+                raise ValueError(
+                    f"granule consumed {consumed} bits, side info says "
+                    f"{g['part2_3_length']}"
+                )
+            step = 2.0 ** ((g["global_gain"] - 210) / 4.0)
+            amp = np.exp2(sf[band_of] / 2.0)
+            mag = q.astype(np.float64) ** (4.0 / 3.0) * step / amp
+            granule_lines.append(np.where(signs == 1, -mag, mag))
+
+    lines = np.stack(granule_lines).reshape(-1, N_SUBBANDS, _L3_LINES)
+    S = np.stack(
+        [_mdct18_synthesis(lines[:, sb, :]) for sb in range(N_SUBBANDS)], axis=1
+    )
+    y = mdct_synthesis(S)
+    n_frames = len(sides)
+    n_samples = n_frames * L3_FRAME_SAMPLES
+    return {
+        "codec": "mpeg1-layer3-huffman",
+        "layer": 3,
+        "sample_rate": sample_rate,
+        "n_channels": 1,
+        "n_frames": n_frames,
+        "n_samples": n_samples,
+        "duration_us": n_samples * 1_000_000 // sample_rate,
+        "bitrate_kbps": None,
         "rms": float(np.sqrt(np.mean(y * y))),
         "samples": y,
     }

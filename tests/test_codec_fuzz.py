@@ -1020,3 +1020,145 @@ def test_pdf_foreign_features_fall_to_stub():
         extract_pdf_text(pdf.replace(b"/Size", b"/Encrypt 9 0 R /Size", 1))
     with pytest.raises(ValueError):
         extract_pdf_text(b"%PDF-1.4\nnot really")
+
+
+# ---------------------------------------------------------------------------
+# MPEG-1 Layer III Huffman + bit reservoir (llm/mpeg_audio.py, round 7)
+# ---------------------------------------------------------------------------
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    fs=st.sampled_from([44100, 48000, 32000]),
+    n_frames=st.integers(1, 6),
+)
+def test_mp3_huffman_tone_roundtrip_snr(seed, fs, n_frames):
+    """The full entropy path — three-region Huffman coding, linbits
+    escapes, sign bits, scalefactor transmission, inner/outer rate loops,
+    bit-reservoir frame assembly — must round-trip tones at >= 35 dB SNR
+    (interior samples; the lapped filterbank edges are excluded)."""
+    from emr_with_custom_metrics_spark.llm.mpeg_audio import (
+        L3_FRAME_SAMPLES,
+        decode_mp3_huffman,
+        encode_mp3_huffman,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = L3_FRAME_SAMPLES * n_frames
+    t = np.arange(n)
+    f0 = float(rng.uniform(100, 3000))
+    amp = float(rng.uniform(0.05, 0.9))
+    x = amp * np.sin(2 * np.pi * f0 * t / fs)
+    payload = encode_mp3_huffman(x, fs)
+    m = decode_mp3_huffman(payload)
+    assert m["n_frames"] == n_frames
+    assert m["sample_rate"] == fs
+    y = m["samples"]
+    if n_frames >= 3:
+        a, b = 1152, n - 1152
+        err = x[a:b] - y[a:b]
+        snr = 10 * np.log10(np.sum(x[a:b] ** 2) / max(np.sum(err**2), 1e-30))
+        assert snr >= 35.0, snr
+
+
+def test_mp3_huffman_reservoir_backpointers_used():
+    """A bursty signal (loud/silent alternation) must actually exercise
+    the reservoir: at least one frame's main_data_begin is nonzero, and
+    the stream still decodes exactly as laid out."""
+    from emr_with_custom_metrics_spark.llm.mpeg_audio import (
+        L3_FRAME_SAMPLES,
+        _BitReader,
+        _L3_BITRATES,
+        decode_mp3_huffman,
+        encode_mp3_huffman,
+    )
+
+    fs = 44100
+    n = L3_FRAME_SAMPLES * 12
+    t = np.arange(n)
+    env = ((t // L3_FRAME_SAMPLES) % 2).astype(float)  # alternate frames
+    x = 0.7 * env * np.sin(2 * np.pi * 900 * t / fs)
+    payload = encode_mp3_huffman(x, fs)
+    # walk headers, collect main_data_begin
+    begins = []
+    pos = 0
+    while pos < len(payload):
+        r = _BitReader(payload, pos)
+        assert r.read(12) == 0xFFF
+        r.read(1 + 2 + 1)
+        bi = r.read(4)
+        rate = {0: 44100, 1: 48000, 2: 32000}[r.read(2)]
+        r.read(1 + 1 + 2 + 2 + 1 + 1 + 2)
+        begins.append(r.read(9))
+        pos += 144_000 * _L3_BITRATES[bi] // rate
+    assert any(b > 0 for b in begins), begins
+    decode_mp3_huffman(payload)  # must still decode cleanly
+
+
+def test_mp3_huffman_stream_contract():
+    """Truncation -> ValueError; foreign layouts -> NotImplementedError
+    naming the feature; free-format frames route to the shaped tier;
+    true-ISO streams (private_bit=0) stay behind the honesty boundary;
+    encoding is deterministic."""
+    import pytest
+
+    from emr_with_custom_metrics_spark.llm.mpeg_audio import (
+        L3_FRAME_SAMPLES,
+        decode_mp3_huffman,
+        encode_mp3_huffman,
+    )
+
+    fs = 44100
+    t = np.arange(L3_FRAME_SAMPLES * 3)
+    x = 0.4 * np.sin(2 * np.pi * 500 * t / fs)
+    payload = encode_mp3_huffman(x, fs)
+    assert payload == encode_mp3_huffman(x, fs)  # deterministic
+
+    with pytest.raises(ValueError, match="truncated"):
+        decode_mp3_huffman(payload[: len(payload) // 2 + 3])
+
+    iso = bytearray(payload)
+    iso[2] &= 0xFE  # private_bit -> 0: claims true ISO Table B.7 stream
+    with pytest.raises(NotImplementedError, match="B.7"):
+        decode_mp3_huffman(bytes(iso))
+
+    l1 = bytearray(payload)
+    l1[1] |= 0x06  # layer field -> 11 (Layer I)
+    with pytest.raises(NotImplementedError, match="Layer I"):
+        decode_mp3_huffman(bytes(l1))
+
+    free = bytearray(payload)
+    free[2] &= 0x0F  # bitrate index -> 0 (free format)
+    with pytest.raises(NotImplementedError, match="free-format"):
+        decode_mp3_huffman(bytes(free))
+
+    with pytest.raises(ValueError):
+        decode_mp3_huffman(b"\x00\x01")
+
+
+@settings(max_examples=60, deadline=None)
+@given(seed=st.integers(0, 10_000), frac=st.floats(0.01, 0.99),
+       xor=st.integers(1, 255))
+def test_mp3_huffman_corruption_never_crashes_wrongly(seed, frac, xor):
+    """Layer III carries no content checksum (a CRC-less ISO stream is
+    the same), so a byte flip may legally alter decoded AUDIO — but it
+    must never escape the documented error surface: decode either
+    returns (possibly different samples) or raises ValueError /
+    NotImplementedError. part2_3_length verification, Huffman prefix
+    validity, and the side-info range checks are what catch most flips."""
+    from emr_with_custom_metrics_spark.llm.mpeg_audio import (
+        L3_FRAME_SAMPLES,
+        decode_mp3_huffman,
+        encode_mp3_huffman,
+    )
+
+    rng = np.random.default_rng(seed)
+    fs = 44100
+    t = np.arange(L3_FRAME_SAMPLES * 3)
+    x = 0.5 * np.sin(2 * np.pi * 440 * t / fs)
+    payload = bytearray(encode_mp3_huffman(x, fs))
+    payload[int(len(payload) * frac)] ^= xor
+    try:
+        m = decode_mp3_huffman(bytes(payload))
+        assert np.all(np.isfinite(m["samples"]))
+    except (ValueError, NotImplementedError):
+        pass
