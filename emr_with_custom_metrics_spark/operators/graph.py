@@ -26,6 +26,7 @@ def pagerank(
     edges: DataFrame,
     iters: int = 5,
     damping: float = 0.85,
+    round_digits: int | None = None,
 ) -> DataFrame:
     """PageRank on (node), (src, dst) frames. Undirected callers pass both
     edge directions. Dangling mass is not redistributed (ranks then sum to
@@ -68,31 +69,98 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
+        new_rank = (
+            F.lit(1.0 - damping) / F.col("__n")
+            + F.lit(damping) * F.coalesce("c", F.lit(0.0))
+        )
+        if round_digits is not None:
+            # Canonicalize the per-iteration state: the contribution SUM's
+            # addition order differs between engines (and between runs at
+            # different parallelism) at ~1e-16 relative; rounding each
+            # round's ranks washes that out so an oracle can replay the
+            # identical trajectory (the kmeans/PCA float discipline).
+            new_rank = F.round(new_rank, round_digits)
         ranks = (
             nodes_p.join(contribs, "node", "left")
             .crossJoin(F.broadcast(n))
-            .select(
-                "node",
-                (
-                    F.lit(1.0 - damping) / F.col("__n")
-                    + F.lit(damping) * F.coalesce("c", F.lit(0.0))
-                ).alias("rank"),
-            )
+            .select("node", new_rank.alias("rank"))
             .localCheckpoint(eager=False)
         )
     return ranks
 
 
+_PR_ITERS = 5
+
+
+def _pagerank_oracle(iters: int = _PR_ITERS) -> str:
+    """Chained-CTE replay of the identical PageRank trajectory: the same
+    3-gram-Jaccard ≥ 0.3 edges (inverted-index form, integer counts,
+    filter on the 6-dp-rounded score exactly like the engine), then one
+    CTE pair per iteration with the per-round ROUND(·, 9) that makes the
+    float state engine-canonical."""
+    parts = ["""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE LEN(string_split(text, ' ')) >= 3),
+    docs AS (
+      SELECT doc_id,
+             list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                            for i in range(1, LEN(toks) - 1)]) AS sh
+      FROM w),
+    sizes AS (SELECT doc_id, LEN(sh) AS n FROM docs),
+    tok AS (SELECT doc_id, UNNEST(sh) AS s FROM docs),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS c
+      FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT a_id, b_id
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = a_id
+      JOIN sizes sb ON sb.doc_id = b_id
+      WHERE ROUND(c::DOUBLE / (sa.n + sb.n - c), 6) >= 0.3),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION ALL SELECT b_id, a_id FROM pairs),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n FROM documents),
+    r0 AS (SELECT doc_id AS node, 1.0 / n AS rank FROM documents, nn)"""]
+    for it in range(1, iters + 1):
+        parts.append(f""",
+    c{it} AS (
+      SELECT e.dst AS node, SUM(r.rank / d.deg) AS c
+      FROM edges e
+      JOIN r{it - 1} r ON e.src = r.node
+      JOIN deg d ON d.src = e.src
+      GROUP BY e.dst),
+    r{it} AS (
+      SELECT b.node,
+             ROUND(0.15 / nn.n + 0.85 * COALESCE(c.c, 0.0), 9) AS rank
+      FROM (SELECT doc_id AS node FROM documents) b
+      CROSS JOIN nn
+      LEFT JOIN c{it} c ON c.node = b.node)""")
+    parts.append(f"""
+    SELECT node AS doc_id, rank FROM r{iters}""")
+    return "".join(parts)
+
+
 @register(
     "pagerank_similarity_graph",
-    oracle=None,  # iterative float fixpoint — held to invariant tests
-    # (positivity, mass conservation, determinism, hub-over-isolate order)
-    # in tests/test_llm_quality.py
+    # Upgraded rows-only → hash-oracled in round 7: with the per-iteration
+    # ROUND(·, 9) state canonicalization (the kmeans/PCA float
+    # discipline), the 5-round trajectory is a deterministic function of
+    # the corpus and DuckDB replays it exactly — teleport floor, dangling
+    # mass, degree division, and all. The semantic invariants (positivity,
+    # mass conservation, hub-over-isolate ordering) stay pinned in
+    # tests/test_llm_quality.py.
+    oracle=_pagerank_oracle(),
     doc="PageRank (5 iterations, d=0.85) over the 3-gram-Jaccard ≥0.3 "
     "similarity graph: ranks canonical documents inside duplicate "
     "neighborhoods. Edges come from the same inverted-index jaccard join "
     "as dedup; both directions are emitted for the undirected graph. "
-    "Per-iteration cost is one aggregate shuffle keyed by node.",
+    "Per-iteration cost is one aggregate shuffle keyed by node; the "
+    "per-round ROUND(·, 9) that buys exact oracle replay costs nothing "
+    "at scale (it rides the existing rank-refresh projection).",
 )
 def pagerank_similarity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emr_with_custom_metrics_spark.llm.dedup import _shingle_sets, jaccard_pairs
@@ -103,8 +171,8 @@ def pagerank_similarity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a_id").alias("src"), F.col("b_id").alias("dst")
     ).unionByName(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
     nodes = d.select(F.col("doc_id").alias("node"))
-    ranks = pagerank(nodes, edges)
-    return ranks.select(F.col("node").alias("doc_id"), F.round("rank", 8).alias("rank"))
+    ranks = pagerank(nodes, edges, iters=_PR_ITERS, round_digits=9)
+    return ranks.select(F.col("node").alias("doc_id"), "rank")
 
 
 @register(
