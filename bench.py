@@ -174,6 +174,7 @@ HEADLINE = [
     "corpus_e2e_archive_pipeline",
     "multimodal_decode_mp3_huffman",
     "corpus_pdf15_ingest",
+    "corpus_zip64_ingest",
 ]
 
 

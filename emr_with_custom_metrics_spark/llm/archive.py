@@ -114,24 +114,43 @@ def parse_tar(archive: bytes) -> list[dict]:
 # very often arrive zipped. Implemented at record level, not via the
 # ``zipfile`` module: local file headers, central directory, end-of-
 # central-directory record, STORED and DEFLATE members (raw deflate via
-# zlib wbits=-15), CRC-32 and size verification on read. Encryption,
-# zip64, spanned archives, and other compression methods raise
-# NotImplementedError; structural damage raises ValueError. The pair is
-# cross-validated against stdlib zipfile in BOTH directions in tests.
+# zlib wbits=-15), CRC-32 and size verification on read. ZIP64 (round 7,
+# closing the r6 "what's missing" item): the 0x0001 extended-information
+# extra field on local and central headers, the ZIP64 end-of-central-
+# directory record + locator, and 0xFFFFFFFF/0xFFFF sentinel handling on
+# read — a >4 GiB dataset drop (or one with >65535 members) parses the
+# same way a small one does. Encryption, spanned archives, and other
+# compression methods raise NotImplementedError; structural damage
+# raises ValueError. The pair is cross-validated against stdlib zipfile
+# in BOTH directions in tests (including stdlib-written force_zip64
+# archives).
 import struct as _struct
 import zlib as _zlib
 
 _LFH = 0x04034B50
 _CDH = 0x02014B50
 _EOCD = 0x06054B50
+_EOCD64 = 0x06064B50
+_EOCD64_LOC = 0x07064B50
+_MAX32 = 0xFFFFFFFF
+_MAX16 = 0xFFFF
 
 
-def write_zip(members: list[tuple[str, bytes]], alternate: bool = True) -> bytes:
+def write_zip(
+    members: list[tuple[str, bytes]],
+    alternate: bool = True,
+    zip64: bool = False,
+) -> bytes:
     """Build a ZIP of regular members. With ``alternate`` (default), even
     member indices DEFLATE and odd ones are STORED, so a corpus-wide walk
-    exercises both decode paths."""
+    exercises both decode paths. With ``zip64``, every member carries the
+    0x0001 extended-information extra field (8-byte sizes + offset behind
+    0xFFFFFFFF sentinels) and the archive ends with the ZIP64 EOCD record
+    + locator — the layout a >4 GiB archive is forced into, writable here
+    at any size so the reader path is testable."""
     out = bytearray()
     central = bytearray()
+    version = 45 if zip64 else 20
     for i, (name, content) in enumerate(members):
         nb = name.encode()
         crc = _zlib.crc32(content) & 0xFFFFFFFF
@@ -143,22 +162,81 @@ def write_zip(members: list[tuple[str, bytes]], alternate: bool = True) -> bytes
             method = 0
             data = content
         off = len(out)
-        hdr = _struct.pack(
-            "<IHHHHHIIIHH", _LFH, 20, 0, method, 0, 0,
-            crc, len(data), len(content), len(nb), 0,
-        )
-        out += hdr + nb + data
-        central += _struct.pack(
-            "<IHHHHHHIIIHHHHHII", _CDH, 20, 20, 0, method, 0, 0,
-            crc, len(data), len(content), len(nb), 0, 0, 0, 0, 0, off,
-        ) + nb
+        if zip64:
+            lextra = _struct.pack("<HHQQ", 1, 16, len(content), len(data))
+            hdr = _struct.pack(
+                "<IHHHHHIIIHH", _LFH, version, 0, method, 0, 0,
+                crc, _MAX32, _MAX32, len(nb), len(lextra),
+            )
+            out += hdr + nb + lextra + data
+            cextra = _struct.pack(
+                "<HHQQQ", 1, 24, len(content), len(data), off
+            )
+            central += _struct.pack(
+                "<IHHHHHHIIIHHHHHII", _CDH, version, version, 0, method,
+                0, 0, crc, _MAX32, _MAX32, len(nb), len(cextra), 0, 0, 0,
+                0, _MAX32,
+            ) + nb + cextra
+        else:
+            hdr = _struct.pack(
+                "<IHHHHHIIIHH", _LFH, version, 0, method, 0, 0,
+                crc, len(data), len(content), len(nb), 0,
+            )
+            out += hdr + nb + data
+            central += _struct.pack(
+                "<IHHHHHHIIIHHHHHII", _CDH, version, version, 0, method,
+                0, 0, crc, len(data), len(content), len(nb), 0, 0, 0, 0,
+                0, off,
+            ) + nb
     cd_off = len(out)
     out += central
-    out += _struct.pack(
-        "<IHHHHIIH", _EOCD, 0, 0, len(members), len(members),
-        len(central), cd_off, 0,
-    )
+    if zip64:
+        eocd64_at = len(out)
+        out += _struct.pack(
+            "<IQHHIIQQQQ", _EOCD64, 44, version, version, 0, 0,
+            len(members), len(members), len(central), cd_off,
+        )
+        out += _struct.pack("<IIQI", _EOCD64_LOC, 0, eocd64_at, 1)
+        out += _struct.pack(
+            "<IHHHHIIH", _EOCD, 0, 0, _MAX16, _MAX16,
+            len(central), _MAX32, 0,
+        )
+    else:
+        out += _struct.pack(
+            "<IHHHHIIH", _EOCD, 0, 0, len(members), len(members),
+            len(central), cd_off, 0,
+        )
     return bytes(out)
+
+
+def _zip64_extra(extra: bytes, needed: list[int]) -> list[int]:
+    """Pull the 0x0001 extended-information values: APPNOTE order is
+    (usize, csize, header offset, disk) and only the fields whose 32-bit
+    slots are maxed appear. ``needed`` holds the 32-bit values; maxed
+    slots are replaced in order from the extra field."""
+    pos = 0
+    fields: list[int] = []
+    while pos + 4 <= len(extra):
+        tag, ln = _struct.unpack_from("<HH", extra, pos)
+        pos += 4
+        if pos + ln > len(extra):
+            raise ValueError("extra field extends past its buffer")
+        if tag == 1:
+            if ln % 8:
+                raise ValueError("zip64 extra field length not a multiple of 8")
+            fields = list(_struct.unpack_from(f"<{ln // 8}Q", extra, pos))
+        pos += ln
+    out = []
+    it = iter(fields)
+    for v in needed:
+        if v == _MAX32 or v == _MAX16:
+            try:
+                out.append(next(it))
+            except StopIteration:
+                raise ValueError("zip64 extra field missing a needed value") from None
+        else:
+            out.append(v)
+    return out
 
 
 def parse_zip(archive: bytes) -> list[dict]:
@@ -177,13 +255,32 @@ def parse_zip(archive: bytes) -> list[dict]:
     )
     if disk or cd_disk:
         raise NotImplementedError("spanned/multi-disk ZIP unsupported")
-    if n_total == 0xFFFF or cd_off == 0xFFFFFFFF:
-        raise NotImplementedError("zip64 unsupported")
+    if n_total == _MAX16 or cd_off == _MAX32 or cd_size == _MAX32:
+        # ZIP64: the locator sits immediately before the EOCD and points
+        # at the ZIP64 EOCD record, which carries the real 8-byte values.
+        eocd_at = len(archive) - len(window) + at
+        loc_at = eocd_at - 20
+        if loc_at < 0 or _struct.unpack_from("<I", archive, loc_at)[0] != _EOCD64_LOC:
+            raise ValueError("zip64 sentinel without an EOCD64 locator")
+        _, loc_disk, eocd64_at, n_disks = _struct.unpack_from("<IIQI", archive, loc_at)
+        if loc_disk or n_disks != 1:
+            raise NotImplementedError("spanned/multi-disk ZIP unsupported")
+        if eocd64_at + 56 > len(archive):
+            raise ValueError("EOCD64 offset beyond EOF")
+        (sig64, _sz, _vm, _vn, d1, d2, _n_here64, n_total64, cd_size64,
+         cd_off64) = _struct.unpack_from("<IQHHIIQQQQ", archive, eocd64_at)
+        if sig64 != _EOCD64:
+            raise ValueError("EOCD64 locator points at a non-EOCD64 record")
+        if d1 or d2:
+            raise NotImplementedError("spanned/multi-disk ZIP unsupported")
+        n_total, cd_size, cd_off = n_total64, cd_size64, cd_off64
     if cd_off + cd_size > len(archive):
         raise ValueError("central directory extends past EOF")
     members = []
     pos = cd_off
     for _ in range(n_total):
+        if pos + 46 > len(archive):
+            raise ValueError("central entry beyond EOF")
         if _struct.unpack_from("<I", archive, pos)[0] != _CDH:
             raise ValueError("bad central-directory signature")
         (
@@ -191,11 +288,16 @@ def parse_zip(archive: bytes) -> list[dict]:
             nlen, elen, clen, _dsk, _iattr, _eattr, lho,
         ) = _struct.unpack_from("<IHHHHHHIIIHHHHHII", archive, pos)
         name = archive[pos + 46 : pos + 46 + nlen].decode()
+        extra = archive[pos + 46 + nlen : pos + 46 + nlen + elen]
         pos += 46 + nlen + elen + clen
         if flags & 0x1:
             raise NotImplementedError("encrypted ZIP member unsupported")
         if method not in (0, 8):
             raise NotImplementedError(f"compression method {method} unsupported")
+        if usize == _MAX32 or csize == _MAX32 or lho == _MAX32:
+            usize, csize, lho = _zip64_extra(extra, [usize, csize, lho])
+        if lho + 30 > len(archive):
+            raise ValueError("local header beyond EOF")
         if _struct.unpack_from("<I", archive, lho)[0] != _LFH:
             raise ValueError("central directory points at a non-local-header")
         lnlen, lelen = _struct.unpack_from("<HH", archive, lho + 26)

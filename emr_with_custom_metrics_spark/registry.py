@@ -280,7 +280,7 @@ _DRIVER_PRIORITY = (
     "pagerank_similarity_graph",
     # -- new round-7 queries (inserted as built) ----------------------------
     "multimodal_decode_mp3_huffman", "corpus_e2e_archive_pipeline",
-    "corpus_pdf15_ingest",
+    "corpus_pdf15_ingest", "corpus_zip64_ingest",
     "multimodal_decode_png_palette", "multimodal_decode_png_adam7",
     "multimodal_decode_gif_interlaced",
     # -- never-verified tier-1 oracled (registration order) -----------------

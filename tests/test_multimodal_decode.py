@@ -763,3 +763,57 @@ def test_zip_corruption_and_foreign_features_raise():
     # truncated EOCD
     with pytest.raises(ValueError):
         parse_zip(z3[:-10])
+
+
+def test_zip64_interop_with_stdlib_both_directions():
+    """ZIP64 (round 7): our forced-zip64 archives read back through
+    stdlib zipfile, and stdlib's force_zip64 output (0x0001 extra fields,
+    EOCD64 + locator) reads back through our sentinel-aware parser."""
+    import io
+    import zipfile
+
+    from emr_with_custom_metrics_spark.llm.archive import parse_zip, write_zip
+
+    members = [
+        ("a.txt", b"hello world" * 100),
+        ("nested/path.bin", bytes(range(256)) * 11),
+        ("empty", b""),
+    ]
+    ours = write_zip(members, zip64=True)
+    assert [(m["name"], m["content"]) for m in parse_zip(ours)] == members
+    zf = zipfile.ZipFile(io.BytesIO(ours))
+    assert [(i.filename, zf.read(i.filename)) for i in zf.infolist()] == members
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED, allowZip64=True) as out:
+        for n, c in members:
+            with out.open(zipfile.ZipInfo(n), "w", force_zip64=True) as f:
+                f.write(c)
+    assert [(m["name"], m["content"]) for m in parse_zip(buf.getvalue())] == members
+
+
+def test_zip64_corruption_raises():
+    """Byte flips in a ZIP64 archive must surface as ValueError /
+    NotImplementedError (CRC-32, size checks, sentinel/locator
+    validation), never escape as struct.error or misread content."""
+    import numpy as np
+
+    from emr_with_custom_metrics_spark.llm.archive import parse_zip, write_zip
+
+    members = [("a", b"abcdef" * 50), ("b", b"xyz"), ("c", b"qq" * 99)]
+    base = bytearray(write_zip(members, zip64=True))
+    rng = np.random.default_rng(9)
+    bad = 0
+    for _ in range(4000):
+        z = bytearray(base)
+        pos = int(rng.integers(0, len(z)))
+        z[pos] ^= int(rng.integers(1, 256))
+        try:
+            got = parse_zip(bytes(z))
+            if [(m["name"], m["content"]) for m in got] != members:
+                bad += 1
+        except (ValueError, NotImplementedError):
+            pass
+        except Exception:
+            bad += 1
+    assert bad == 0
