@@ -175,6 +175,7 @@ HEADLINE = [
     "multimodal_decode_mp3_huffman",
     "corpus_pdf15_ingest",
     "corpus_zip64_ingest",
+    "stream_stream_interval_join",
 ]
 
 

@@ -868,3 +868,113 @@ def stream_late_event_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(late_s > 600).cast("bigint").alias("n_late"),
         F.max(late_s).cast("bigint").alias("max_lateness_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream joins (round 7): the one core Structured Streaming join
+# capability the registry didn't yet cover.
+# ---------------------------------------------------------------------------
+_SSJ_INTERVAL_S = 4 * 3600  # purchase within 4 hours of the view
+
+
+def view_purchase_pairs(events: DataFrame, join_type: str = "inner") -> DataFrame:
+    """Shared batch/streaming stream-stream join formulation: the view
+    stream joins the purchase stream on user with a time-range condition
+    (purchase within 4 h of the view). In streaming BOTH sides carry
+    watermarks and the range condition bounds the join state — Spark
+    evicts buffered views once their join window passes the watermark;
+    unmatched left-outer rows emit exactly then. ``withWatermark`` is a
+    no-op in batch, so one function body serves both modes (the
+    stream_enrich_dim duality pattern)."""
+    v = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            # watermarks require TIMESTAMP (not NTZ); session tz is
+            # pinned UTC by the registry wrapper and the test session
+            F.col("ts").cast("timestamp").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "4 hours")
+    )
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").cast("timestamp").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "4 hours")
+    )
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {_SSJ_INTERVAL_S} SECONDS"))
+    )
+    joined = v.join(p, cond, join_type)
+    return joined.select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        ((F.unix_micros("p_ts") - F.unix_micros("v_ts")) / F.lit(1_000_000))
+        .cast("bigint")
+        .alias("delay_s"),
+    )
+
+
+@register(
+    "stream_stream_interval_join",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, event_id AS view_id, ts AS v_ts
+      FROM events WHERE event_type = 'view'),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase')
+    SELECT v.user_id, v.view_id, p.purchase_id,
+           CAST((epoch_us(p.p_ts) - epoch_us(v.v_ts)) // 1000000 AS BIGINT)
+               AS delay_s
+    FROM v JOIN p ON v.user_id = p.user_id
+     AND p.p_ts >= v.v_ts
+     AND p.p_ts <= v.v_ts + INTERVAL {_SSJ_INTERVAL_S} SECONDS
+    """,
+    doc="Stream-stream INNER interval join: views x purchases per user "
+    "with the purchase inside a 4 h window after the view — attribution "
+    "pairing as a genuine two-stream join, not an as-of lookup. In "
+    "streaming both sides are watermarked and the time-range condition "
+    "is what BOUNDS the join state (without it the buffers grow "
+    "forever); at 100 TB each side shuffles once on user_id and state "
+    "eviction tracks the watermark. "
+    "tests/test_streaming_pipeline.py runs this exact builder through "
+    "readStream/availableNow and asserts row-set equality with batch.",
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return view_purchase_pairs(load_table(spark, sf_dir, "events"), "inner")
+
+
+@register(
+    "stream_stream_outer_join",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, event_id AS view_id, ts AS v_ts
+      FROM events WHERE event_type = 'view'),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase')
+    SELECT v.user_id, v.view_id, p.purchase_id,
+           CAST((epoch_us(p.p_ts) - epoch_us(v.v_ts)) // 1000000 AS BIGINT)
+               AS delay_s
+    FROM v LEFT JOIN p ON v.user_id = p.user_id
+     AND p.p_ts >= v.v_ts
+     AND p.p_ts <= v.v_ts + INTERVAL {_SSJ_INTERVAL_S} SECONDS
+    """,
+    doc="Stream-stream LEFT OUTER interval join: every view appears; "
+    "unconverted views carry NULL purchase columns. The semantics only "
+    "exist BECAUSE of the watermark: streaming can emit a null-padded "
+    "row only once the view's 4 h join window has passed the watermark "
+    "(no later purchase can arrive) — the batch form is the final "
+    "fixpoint of that process. Funnel-drop analysis as a join, with "
+    "state bounded exactly like the inner form.",
+)
+def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return view_purchase_pairs(load_table(spark, sf_dir, "events"), "leftOuter")

@@ -701,3 +701,91 @@ def test_streaming_foreachbatch_cdc_merge_matches_batch(spark, tmp_path):
             else:
                 want[k] = (f"name{k}", bal)
     assert got == want, (sorted(got.items()), sorted(want.items()))
+
+
+def test_stream_stream_interval_join_matches_batch(spark, ordered_events_dir):
+    """The view_purchase_pairs builder runs as a REAL two-stream join
+    (both sides readStream, watermarked, time-range state bound) and its
+    availableNow output equals the batch inner join exactly — inner
+    stream-stream joins emit rows as matches arrive, so nothing is
+    withheld at end-of-input."""
+    import tempfile as tf
+
+    from emr_with_custom_metrics_spark.streaming.metrics import view_purchase_pairs
+
+    schema = spark.read.parquet(ordered_events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ordered_events_dir)
+    )
+    out_dir = tf.mkdtemp(prefix="ssj_out_")
+    ckpt = tf.mkdtemp(prefix="ssj_ckpt_")
+    q = (
+        view_purchase_pairs(stream, "inner")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(420), "stream-stream join did not finish"
+
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(out_dir)
+        .select("user_id", "view_id", "purchase_id", "delay_s")
+        .collect()
+    }
+    batch = {
+        tuple(r)
+        for r in view_purchase_pairs(spark.read.parquet(ordered_events_dir), "inner")
+        .collect()
+    }
+    assert got == batch
+    assert len(got) > 0
+
+
+def test_stream_stream_outer_join_finalized_subset(spark, ordered_events_dir):
+    """LEFT OUTER stream-stream join semantics: matched rows equal the
+    batch join's matched rows; null-padded rows appear only for views
+    whose join window closed under the final watermark — a SUBSET of the
+    batch unmatched set, never an extra or a contradiction."""
+    import tempfile as tf
+
+    from emr_with_custom_metrics_spark.streaming.metrics import view_purchase_pairs
+
+    schema = spark.read.parquet(ordered_events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ordered_events_dir)
+    )
+    out_dir = tf.mkdtemp(prefix="ssjo_out_")
+    ckpt = tf.mkdtemp(prefix="ssjo_ckpt_")
+    q = (
+        view_purchase_pairs(stream, "leftOuter")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(420), "outer stream-stream join did not finish"
+
+    got = spark.read.parquet(out_dir)
+    batch = view_purchase_pairs(spark.read.parquet(ordered_events_dir), "leftOuter")
+    got_matched = {
+        tuple(r) for r in got.where(F.col("purchase_id").isNotNull()).collect()
+    }
+    batch_matched = {
+        tuple(r) for r in batch.where(F.col("purchase_id").isNotNull()).collect()
+    }
+    assert got_matched == batch_matched
+    got_null_views = {
+        r["view_id"] for r in got.where(F.col("purchase_id").isNull()).collect()
+    }
+    batch_null_views = {
+        r["view_id"] for r in batch.where(F.col("purchase_id").isNull()).collect()
+    }
+    assert got_null_views <= batch_null_views
