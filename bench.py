@@ -176,6 +176,7 @@ HEADLINE = [
     "corpus_pdf15_ingest",
     "corpus_zip64_ingest",
     "stream_stream_interval_join",
+    "text_suffix_array",
 ]
 
 

@@ -1576,3 +1576,84 @@ def text_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(fold("t_ba"), 6).alias("kl_ba"),
         F.round(fold("t_js"), 6).alias("jsd"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed suffix array via prefix doubling (round 7)
+# ---------------------------------------------------------------------------
+_SA_ROUNDS = 7  # 2^7 = 128 >= max tokens/doc in the corpus slice
+_SA_DOCS = 100
+
+
+@register(
+    "text_suffix_array",
+    # Brute-force oracle: DuckDB materializes every suffix as a
+    # ' '-joined string and sorts it — O(n²) characters, fine at the
+    # 100-doc slice. Joining with ' ' preserves token-sequence order
+    # because 0x20 sorts below every token character, so shorter-prefix
+    # suffixes land first exactly like the rank comparison does. The
+    # Spark side must reach the identical permutation through 7 rounds
+    # of integer rank doubling — any slip in the shift join, the
+    # missing-position sentinel, or a rank collision breaks the hash.
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE doc_id < {_SA_DOCS}),
+    s AS (
+      SELECT doc_id,
+             UNNEST(range(LEN(toks))) AS pos,
+             UNNEST(list_transform(range(LEN(toks)),
+               i -> array_to_string(list_slice(toks, i + 1, LEN(toks)), ' ')))
+               AS suf
+      FROM t)
+    SELECT doc_id,
+           CAST(pos AS BIGINT) AS pos,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY suf) AS INT)
+               AS sa_rank
+    FROM s
+    """,
+    doc="Suffix ARRAY construction by prefix doubling (Manber-Myers): "
+    "round k re-ranks every suffix by the pair (rank of its first 2^k "
+    "tokens, rank of the next 2^k) — one shift self-join plus one "
+    "dense_rank per round, log(max doc length) rounds total, integers "
+    "throughout. The suffix array is the index behind ExactSubstr "
+    "dedup, longest-repeated-substring mining, and BWT; Spark has no "
+    "such operator. Scale shape: ranks are per-document (partition-"
+    "parallel across the corpus — millions of docs rank independently); "
+    "each round shuffles (doc, pos, rank) triples only, never text. "
+    "The same doubling over a GLOBAL token stream swaps the per-doc "
+    "window for a range-partitioned sort per round — identical round "
+    "count. The oracle sorts materialized suffix strings (quadratic, "
+    "viable only at test scale), so engine and oracle agree through "
+    "entirely different algorithms — strong evidence both are right.",
+)
+def text_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_fanned(spark, sf_dir, "documents").where(F.col("doc_id") < _SA_DOCS)
+    toks = d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    w0 = Window.partitionBy("doc_id").orderBy("tok")
+    r = toks.select(
+        "doc_id", "pos", F.dense_rank().over(w0).alias("r")
+    ).localCheckpoint(eager=False)
+    for k in range(_SA_ROUNDS):
+        off = 1 << k
+        shifted = r.select(
+            "doc_id", (F.col("pos") - off).alias("pos"), F.col("r").alias("r2")
+        )
+        j = (
+            r.join(shifted, ["doc_id", "pos"], "left")
+            # missing continuation = shorter suffix = smallest (rank 0)
+            .fillna({"r2": 0})
+        )
+        wk = Window.partitionBy("doc_id").orderBy("r", "r2")
+        r = j.select(
+            "doc_id", "pos", F.dense_rank().over(wk).alias("r")
+        ).localCheckpoint(eager=False)
+    return r.select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("r").cast("int").alias("sa_rank"),
+    )
