@@ -162,16 +162,42 @@ def _kmeans_sql(dialect: str) -> str:
         SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) AS cid,
                {tx}({seq}, d -> {emb('d + 1')}) AS centroid
         FROM embeddings ORDER BY vec_id LIMIT {_KM_K})"""]
+    # Per-vector argmin, dialect-split on PLAN SHAPE only (same (d2, cid)
+    # lexicographic tie-break): Spark aggregates min(struct(d2, cid)) —
+    # partial-aggregable map-side, no per-vector window sort (measured
+    # 3.10 → ~2 s at sf0.1 vs the ROW_NUMBER form); DuckDB keeps
+    # ROW_NUMBER, its natural argmin.
+    if dialect == "spark":
+        asn = lambda src: (  # noqa: E731
+            f"SELECT vec_id, first(embedding) AS embedding, "
+            f"min(named_struct('d2', d2, 'cid', cid)).cid AS cid "
+            f"FROM {src} GROUP BY vec_id"
+        )
+        afin = lambda src: (  # noqa: E731
+            f"SELECT vec_id, s.cid AS cid, s.d2 AS d2 FROM ("
+            f"SELECT vec_id, min(named_struct('d2', d2, 'cid', cid)) AS s "
+            f"FROM {src} GROUP BY vec_id)"
+        )
+    else:
+        asn = lambda src: (  # noqa: E731
+            f"SELECT vec_id, embedding, cid FROM ("
+            f"SELECT vec_id, embedding, cid, "
+            f"ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn "
+            f"FROM {src}) WHERE rn = 1"
+        )
+        afin = lambda src: (  # noqa: E731
+            f"SELECT vec_id, cid, d2 FROM ("
+            f"SELECT vec_id, cid, d2, "
+            f"ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn "
+            f"FROM {src}) WHERE rn = 1"
+        )
+
     for it in range(_KM_ITERS):
         parts.append(f""",
     a{it} AS (
         SELECT vec_id, embedding, cid, {d2('centroid')} AS d2
         FROM embeddings, c{it}),
-    asn{it} AS (
-        SELECT vec_id, embedding, cid FROM (
-            SELECT vec_id, embedding, cid,
-                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-            FROM a{it}) WHERE rn = 1),
+    asn{it} AS ({asn(f'a{it}')}),
     mean{it} AS (
         SELECT cid, i, ROUND(AVG({emb('i + 1')}), 6) AS mu
         FROM asn{it}, {rng} r GROUP BY cid, i),
@@ -182,13 +208,12 @@ def _kmeans_sql(dialect: str) -> str:
         LEFT JOIN mean{it} m ON m.cid = c.cid AND m.i = r.i),
     c{it + 1} AS (
         SELECT cid, {collect} AS centroid FROM cm{it} GROUP BY cid)""")
+    final_src = (
+        f"(SELECT vec_id, embedding, cid, {d2('centroid')} AS d2 "
+        f"FROM embeddings, c{_KM_ITERS})"
+    )
     parts.append(f""",
-    afin AS (
-        SELECT vec_id, cid, d2 FROM (
-            SELECT vec_id, cid, d2,
-                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-            FROM (SELECT vec_id, embedding, cid, {d2('centroid')} AS d2
-                  FROM embeddings, c{_KM_ITERS})) WHERE rn = 1)
+    afin AS ({afin(final_src)})
     SELECT cid, COUNT(*) AS n_points, ROUND(SUM(d2), 4) AS inertia
     FROM afin GROUP BY cid""")
     return "".join(parts)
