@@ -177,6 +177,7 @@ HEADLINE = [
     "corpus_zip64_ingest",
     "stream_stream_interval_join",
     "text_suffix_array",
+    "text_longest_repeat",
 ]
 
 

@@ -1628,6 +1628,18 @@ _SA_DOCS = 100
     "entirely different algorithms — strong evidence both are right.",
 )
 def text_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r, _levels = _suffix_ranks(spark, sf_dir)
+    return r.select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("r").cast("int").alias("sa_rank"),
+    )
+
+
+def _suffix_ranks(spark: SparkSession, sf_dir: str):
+    """Prefix-doubling rank tables: returns (final ranks, per-level rank
+    DataFrames) — levels[k] holds the rank of each suffix's first 2^k
+    tokens, the sparse index that answers lcp(a, b) in O(log n) lookups."""
     from pyspark.sql import Window
 
     d = load_fanned(spark, sf_dir, "documents").where(F.col("doc_id") < _SA_DOCS)
@@ -1638,6 +1650,7 @@ def text_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = toks.select(
         "doc_id", "pos", F.dense_rank().over(w0).alias("r")
     ).localCheckpoint(eager=False)
+    levels = [r]  # levels[k]: rank of the first 2^k tokens
     for k in range(_SA_ROUNDS):
         off = 1 << k
         shifted = r.select(
@@ -1652,8 +1665,94 @@ def text_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         r = j.select(
             "doc_id", "pos", F.dense_rank().over(wk).alias("r")
         ).localCheckpoint(eager=False)
-    return r.select(
+        levels.append(r)
+    return r, levels
+
+
+@register(
+    "text_longest_repeat",
+    # Oracle: per doc, sort the materialized suffix strings and take the
+    # max common TOKEN prefix of ADJACENT suffixes (the classic property:
+    # the longest repeat is always realized by SA-adjacent suffixes).
+    # The Spark side must reach the same number through the sparse rank
+    # tables instead — descending-level rank equality tests, never a
+    # token comparison.
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE doc_id < {_SA_DOCS}),
+    s AS (
+      SELECT doc_id, LEN(toks) AS n,
+             UNNEST(range(LEN(toks))) AS pos,
+             UNNEST(list_transform(range(LEN(toks)),
+               i -> list_slice(toks, i + 1, LEN(toks)))) AS suf
+      FROM t),
+    ordered AS (
+      SELECT doc_id, suf,
+             LAG(suf) OVER (PARTITION BY doc_id
+                            ORDER BY array_to_string(suf, ' ')) AS prev
+      FROM s),
+    lcps AS (
+      SELECT doc_id,
+             COALESCE(
+               list_min(list_transform(
+                 range(LEAST(LEN(suf), LEN(prev))),
+                 i -> CASE WHEN suf[i + 1] <> prev[i + 1] THEN i END)),
+               LEAST(LEN(suf), LEN(prev))) AS lcp
+      FROM ordered WHERE prev IS NOT NULL)
+    SELECT doc_id, CAST(MAX(lcp) AS BIGINT) AS max_repeat_tokens
+    FROM lcps GROUP BY doc_id
+    """,
+    doc="Longest repeated token run per document, answered from the "
+    "prefix-doubling rank tables: adjacent suffix-array neighbors are "
+    "probed level-by-level (k = 6..0) — if their rank-2^k values agree "
+    "at the current advanced positions, the common prefix extends by "
+    "2^k — the classic O(log n) sparse-table LCP, as 7 equi-joins on "
+    "(doc, pos) keys. Repeated-run length is THE ExactSubstr dedup "
+    "signal and a memorization-risk metric. The oracle brute-force "
+    "sorts suffix strings and takes adjacent token-prefix overlaps — "
+    "again two different algorithms, one answer. Scale shape: "
+    "everything is (doc, pos, rank) joins; per-doc windows are "
+    "partition-parallel across the corpus.",
+)
+def text_longest_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    final, levels = _suffix_ranks(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("r")
+    pairs = final.select(
         "doc_id",
-        F.col("pos").cast("bigint").alias("pos"),
-        F.col("r").cast("int").alias("sa_rank"),
+        F.col("pos").alias("pos_b"),
+        F.lag("pos").over(w).alias("pos_a"),
+    ).where(F.col("pos_a").isNotNull())
+    # descending-level sparse-table LCP: acc advances by 2^k whenever the
+    # two suffixes' rank-2^k values agree at their advanced positions
+    cur = pairs.select("doc_id", "pos_a", "pos_b", F.lit(0).alias("acc"))
+    for k in range(_SA_ROUNDS - 1, -1, -1):
+        lv = levels[k]
+        ra = lv.select(
+            "doc_id", F.col("pos").alias("qa"), F.col("r").alias("ra")
+        )
+        rb = lv.select(
+            "doc_id", F.col("pos").alias("qb"), F.col("r").alias("rb")
+        )
+        cur = (
+            cur.withColumn("qa", F.col("pos_a") + F.col("acc"))
+            .withColumn("qb", F.col("pos_b") + F.col("acc"))
+            .join(ra, ["doc_id", "qa"], "left")
+            .join(rb, ["doc_id", "qb"], "left")
+            .select(
+                "doc_id", "pos_a", "pos_b",
+                F.when(
+                    F.col("ra").isNotNull()
+                    & F.col("rb").isNotNull()
+                    & (F.col("ra") == F.col("rb")),
+                    F.col("acc") + (1 << k),
+                )
+                .otherwise(F.col("acc"))
+                .alias("acc"),
+            )
+        )
+    return cur.groupBy("doc_id").agg(
+        F.max("acc").cast("bigint").alias("max_repeat_tokens")
     )

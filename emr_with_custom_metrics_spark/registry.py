@@ -282,7 +282,7 @@ _DRIVER_PRIORITY = (
     "multimodal_decode_mp3_huffman", "corpus_e2e_archive_pipeline",
     "corpus_pdf15_ingest", "corpus_zip64_ingest",
     "stream_stream_interval_join", "stream_stream_outer_join",
-    "text_suffix_array",
+    "text_suffix_array", "text_longest_repeat",
     "multimodal_decode_png_palette", "multimodal_decode_png_adam7",
     "multimodal_decode_gif_interlaced",
     # -- never-verified tier-1 oracled (registration order) -----------------
