@@ -178,6 +178,8 @@ HEADLINE = [
     "stream_stream_interval_join",
     "text_suffix_array",
     "text_longest_repeat",
+    "text_unigram_lm_train",
+    "text_unigram_lm_score",
 ]
 
 

@@ -283,6 +283,7 @@ _DRIVER_PRIORITY = (
     "corpus_pdf15_ingest", "corpus_zip64_ingest",
     "stream_stream_interval_join", "stream_stream_outer_join",
     "text_suffix_array", "text_longest_repeat",
+    "text_unigram_lm_train", "text_unigram_lm_score",
     "multimodal_decode_png_palette", "multimodal_decode_png_adam7",
     "multimodal_decode_gif_interlaced",
     # -- never-verified tier-1 oracled (registration order) -----------------
@@ -402,4 +403,5 @@ def _ensure_loaded() -> None:
     import emr_with_custom_metrics_spark.llm.url  # noqa: F401
     import emr_with_custom_metrics_spark.llm.classifier  # noqa: F401
     import emr_with_custom_metrics_spark.llm.pdf  # noqa: F401
+    import emr_with_custom_metrics_spark.llm.unigram  # noqa: F401
     _LOADED = True

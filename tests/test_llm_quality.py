@@ -563,3 +563,46 @@ def test_quality_classifier_learns_the_target_rule(spark):
     mean_p_pos = sum(r["p"] for r in rows if r["y"] == 1) / pos
     mean_p_neg = sum(r["p"] for r in rows if r["y"] == 0) / (n - pos)
     assert mean_p_pos > mean_p_neg + 0.3
+
+
+def test_unigram_lm_one_statement_equals_staged(spark):
+    """The spark dialect of _unigram_sql (single WITH-chain, kept for
+    this differential check) must produce exactly the staged runtime's
+    vocabulary — proving the temp-view/checkpoint staging changed the
+    execution policy, not the math."""
+    from emr_with_custom_metrics_spark.catalog import register_views
+    from emr_with_custom_metrics_spark.llm.unigram import _unigram_sql
+
+    register_views(spark, SF_DIR, ("documents",))
+    one = sorted(
+        tuple(r) for r in spark.sql(_unigram_sql("spark", "train")).collect()
+    )
+    staged = sorted(
+        tuple(r)
+        for r in SPECS["text_unigram_lm_train"].fn(spark, SF_DIR).collect()
+    )
+    assert one == staged
+
+
+def test_unigram_lm_vocabulary_properties(spark):
+    """Semantic pins beyond oracle agreement: every corpus character
+    survives as a single-char piece (words stay segmentable), log-probs
+    are a proper distribution's logs (all negative, finite), and the
+    score query's Viterbi log-prob is negative for every doc."""
+    import math
+
+    vocab = SPECS["text_unigram_lm_train"].fn(spark, SF_DIR).collect()
+    pieces = {r["piece"] for r in vocab}
+    assert all(len(p) >= 1 for p in pieces)
+    chars = {
+        c
+        for (w,) in load_table(spark, SF_DIR, "documents")
+        .selectExpr("explode(split(text, ' ')) AS w")
+        .distinct()
+        .collect()
+        for c in w
+    }
+    assert chars <= pieces, chars - pieces
+    assert all(r["lp"] < 0 and math.isfinite(r["lp"]) for r in vocab)
+    scores = SPECS["text_unigram_lm_score"].fn(spark, SF_DIR).collect()
+    assert scores and all(r["viterbi_logprob"] < 0 for r in scores)
