@@ -180,6 +180,8 @@ HEADLINE = [
     "text_longest_repeat",
     "text_unigram_lm_train",
     "text_unigram_lm_score",
+    "timeseries_ar2_forecast",
+    "dq_benford_screen",
 ]
 
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from emr_with_custom_metrics_spark.catalog import load_table
+from emr_with_custom_metrics_spark.catalog import load_table, register_views
 from emr_with_custom_metrics_spark.registry import register
 
 SCALE_OUT_THRESHOLD = 25.0  # avg <= 25 → scale out (+5) — instance-group-config.json:49
@@ -978,3 +978,115 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view_purchase_pairs(load_table(spark, sf_dir, "events"), "leftOuter")
+
+
+# ---------------------------------------------------------------------------
+# AR(2) autoregression + Benford screen (round 7)
+# ---------------------------------------------------------------------------
+_AR2_ORACLE = """
+    WITH s AS (
+        SELECT event_type,
+               CAST(FLOOR(epoch(ts) / 300) AS BIGINT) AS bucket,
+               ROUND(AVG(value), 6) AS x
+        FROM events GROUP BY 1, 2),
+    lagged AS (
+        SELECT event_type, bucket, x,
+               LAG(x, 1) OVER (PARTITION BY event_type ORDER BY bucket) AS x1,
+               LAG(x, 2) OVER (PARTITION BY event_type ORDER BY bucket) AS x2
+        FROM s),
+    m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               ROUND(SUM(x1), 6) AS s1, ROUND(SUM(x2), 6) AS s2,
+               ROUND(SUM(y), 6) AS sy,
+               ROUND(SUM(x1 * x1), 6) AS s11, ROUND(SUM(x1 * x2), 6) AS s12,
+               ROUND(SUM(x2 * x2), 6) AS s22,
+               ROUND(SUM(x1 * y), 6) AS s1y, ROUND(SUM(x2 * y), 6) AS s2y
+        FROM (SELECT event_type, x AS y, x1, x2 FROM lagged
+              WHERE x1 IS NOT NULL AND x2 IS NOT NULL) t
+        GROUP BY event_type),
+    solved AS (
+        SELECT event_type, n, sy, s1, s2, s1y, s2y, s11, s12, s22,
+               (n * (s11 * s22 - s12 * s12)
+                - s1 * (s1 * s22 - s12 * s2)
+                + s2 * (s1 * s12 - s11 * s2)) AS det
+        FROM m),
+    coefs AS (
+        SELECT event_type,
+               ROUND((sy * (s11 * s22 - s12 * s12)
+                      - s1 * (s1y * s22 - s12 * s2y)
+                      + s2 * (s1y * s12 - s11 * s2y)) / det, 6) AS a,
+               ROUND((n * (s1y * s22 - s12 * s2y)
+                      - sy * (s1 * s22 - s12 * s2)
+                      + s2 * (s1 * s2y - s1y * s2)) / det, 6) AS b,
+               ROUND((n * (s11 * s2y - s1y * s12)
+                      - s1 * (s1 * s2y - s1y * s2)
+                      + sy * (s1 * s12 - s11 * s2)) / det, 6) AS c
+        FROM solved WHERE det <> 0),
+    tail2 AS (
+        SELECT event_type, x, rn FROM (
+            SELECT event_type, x,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY bucket DESC) AS rn
+            FROM s) t WHERE rn <= 2)
+    SELECT c.event_type, c.a, c.b, c.c,
+           ROUND(c.a + c.b * lastv.x + c.c * prevv.x, 4) AS forecast_next
+    FROM coefs c
+    JOIN tail2 lastv ON lastv.event_type = c.event_type AND lastv.rn = 1
+    JOIN tail2 prevv ON prevv.event_type = c.event_type AND prevv.rn = 2
+"""
+
+
+@register(
+    "timeseries_ar2_forecast",
+    oracle=_AR2_ORACLE,
+    doc="AR(2) autoregression per metric: x_t = a + b*x_{t-1} + c*x_{t-2} "
+    "fit by ordinary least squares over the 5-minute bucket series — the "
+    "3x3 normal equations solved in closed form (Cramer's rule) from "
+    "NINE moment aggregates, then a one-step forecast from the last two "
+    "buckets. Float discipline: the bucket series and every moment are "
+    "ROUND(·, 6) before the scalar solve, so both engines divide "
+    "identical determinants (the covariance argument). Scale shape: one "
+    "window pass for the lags, one aggregate for the moments — model-"
+    "sized state per metric, rows never leave their metric's partition.",
+)
+def timeseries_ar2_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_AR2_ORACLE
+                     .replace("epoch(ts)", "unix_micros(CAST(ts AS TIMESTAMP)) / 1000000.0")
+                     )
+
+
+_BENFORD_ORACLE = """
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS STRING), 1, 1)
+                    AS INT) AS digit
+        FROM orders WHERE o_totalprice >= 1),
+    obs AS (
+        SELECT digit, COUNT(*) AS cnt FROM d GROUP BY digit),
+    tot AS (SELECT SUM(cnt) AS n FROM obs)
+    SELECT o.digit,
+           o.cnt,
+           ROUND(CAST(o.cnt AS DOUBLE) / CAST(t.n AS DOUBLE), 6) AS observed_p,
+           ROUND(LN(1.0 + 1.0 / o.digit) / LN(10.0), 6) AS benford_p,
+           ROUND((CAST(o.cnt AS DOUBLE) / CAST(t.n AS DOUBLE) - LN(1.0 + 1.0 / o.digit) / LN(10.0))
+                 * (CAST(o.cnt AS DOUBLE) / CAST(t.n AS DOUBLE) - LN(1.0 + 1.0 / o.digit) / LN(10.0))
+                 / (LN(1.0 + 1.0 / o.digit) / LN(10.0)), 6) AS chi2_term
+    FROM obs o, tot t
+"""
+
+
+@register(
+    "dq_benford_screen",
+    oracle=_BENFORD_ORACLE,
+    doc="Benford first-digit screen on order totals — the classic "
+    "fabricated-data / unit-mixing detector for financial columns: "
+    "observed first-digit shares vs log10(1 + 1/d) with per-digit "
+    "chi-square terms. One scan, one 9-row aggregate; the integer-count "
+    "ratios and a shared LN make both engines' floats identical. "
+    "(Synthetic uniform-ish prices deliberately FAIL Benford — the "
+    "screen's point is the deviation measurement, not conformance.)",
+)
+def dq_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_BENFORD_ORACLE)
