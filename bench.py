@@ -182,6 +182,8 @@ HEADLINE = [
     "text_unigram_lm_score",
     "timeseries_ar2_forecast",
     "dq_benford_screen",
+    "events_transition_matrix",
+    "survival_kaplan_meier",
 ]
 
 

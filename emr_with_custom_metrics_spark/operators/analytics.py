@@ -550,3 +550,137 @@ def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_streaks"),
         F.sum("len").cast("bigint").alias("active_days"),
     )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events),
+    trans AS (
+        SELECT event_type AS src, nxt AS dst, COUNT(*) AS cnt
+        FROM seq WHERE nxt IS NOT NULL GROUP BY event_type, nxt),
+    outdeg AS (SELECT src, SUM(cnt) AS tot FROM trans GROUP BY src)
+    SELECT t.src, t.dst, t.cnt,
+           ROUND(CAST(t.cnt AS DOUBLE) / CAST(o.tot AS DOUBLE), 6) AS p
+    FROM trans t JOIN outdeg o ON o.src = t.src
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "journeys: LEAD over (user, time) gives consecutive event pairs "
+    "(tie-broken by event_id), then transition counts and row-normalized "
+    "probabilities — the user-journey model behind next-action "
+    "prediction and funnel-leak localization. One window pass "
+    "partitioned by user (events stay in their user's partition), one "
+    "25-cell aggregate; integer-count ratios make the probabilities "
+    "engine-exact.",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).where(F.col("nxt").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+    ).agg(F.count("*").alias("cnt"))
+    outdeg = trans.groupBy("src").agg(F.sum("cnt").alias("tot"))
+    return trans.join(outdeg, "src").select(
+        "src", "dst", "cnt",
+        F.round(F.col("cnt").cast("double") / F.col("tot").cast("double"), 6).alias("p"),
+    )
+
+
+@register(
+    "survival_kaplan_meier",
+    # Product-limit estimator as an ORDERED fold: survival multipliers
+    # (1 - d/n) are rounded to 6 dp first (integer-derived, identical in
+    # both engines), then multiplied in day order — same IEEE sequence
+    # both sides, so the survival curve hash-verifies exactly.
+    oracle="""
+    WITH life AS (
+        SELECT user_id,
+               CAST(FLOOR((epoch(MAX(ts)) - epoch(MIN(ts))) / 86400) AS BIGINT)
+                   AS days,
+               CAST(MAX(ts) < (SELECT MAX(ts) - INTERVAL 7 DAY FROM events)
+                   AS INT) AS churned
+        FROM events GROUP BY user_id),
+    risk AS (
+        SELECT days AS t,
+               SUM(churned) AS d,
+               (SELECT COUNT(*) FROM life l2 WHERE l2.days >= l1.days) AS n
+        FROM life l1 GROUP BY days),
+    mult AS (
+        SELECT t, d, n,
+               ROUND(1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE), 6) AS m
+        FROM risk),
+    curve AS (
+        SELECT t1.t, t1.d, t1.n,
+               list_reduce(
+                 list_prepend(CAST(1.0 AS DOUBLE),
+                              (SELECT list(m ORDER BY t) FROM mult t2
+                               WHERE t2.t <= t1.t)),
+                 (acc, x) -> acc * x) AS surv
+        FROM mult t1)
+    SELECT t AS day, CAST(d AS BIGINT) AS churned,
+           CAST(n AS BIGINT) AS at_risk,
+           ROUND(surv, 6) AS survival
+    FROM curve
+    """,
+    doc="Kaplan-Meier product-limit survival curve over user lifetimes "
+    "(days between first and last event; users still active in the "
+    "final week are right-CENSORED — they leave the risk set without a "
+    "churn event, the defining subtlety of survival analysis). "
+    "S(t) = prod over t_i <= t of (1 - d_i/n_i) as an ordered fold of "
+    "6dp-rounded multipliers — engine-exact. Risk-set counts via a "
+    "cumulative window; state is one row per distinct lifetime day.",
+)
+def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    life = ev.groupBy("user_id").agg(
+        F.floor((F.max(ts_us) - F.min(ts_us)) / F.lit(86400_000_000)).alias("days"),
+        F.max(ts_us).alias("last_us"),
+    )
+    horizon = ev.agg(
+        (F.max(ts_us) - F.lit(7 * 86400_000_000)).alias("cutoff")
+    )
+    life = life.crossJoin(F.broadcast(horizon)).select(
+        "days", (F.col("last_us") < F.col("cutoff")).cast("int").alias("churned")
+    )
+    total = life.count  # noqa: B023  (unused; kept lazy)
+    risk = life.groupBy(F.col("days").alias("t")).agg(
+        F.sum("churned").alias("d"), F.count("*").alias("g")
+    )
+    w_at_risk = (
+        Window.orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    mult = risk.select(
+        "t", "d",
+        F.sum("g").over(w_at_risk).alias("n"),
+    ).select(
+        "t", "d", "n",
+        F.round(F.lit(1.0) - F.col("d").cast("double") / F.col("n").cast("double"), 6).alias("m"),
+    )
+    w_curve = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    curve = mult.select(
+        "t", "d", "n",
+        F.aggregate(
+            F.collect_list(F.struct("t", "m")).over(w_curve),
+            F.lit(1.0),
+            lambda acc, s: acc * s["m"],
+        ).alias("surv"),
+    )
+    return curve.select(
+        F.col("t").alias("day"),
+        F.col("d").cast("bigint").alias("churned"),
+        F.col("n").cast("bigint").alias("at_risk"),
+        F.round("surv", 6).alias("survival"),
+    )
