@@ -184,6 +184,7 @@ HEADLINE = [
     "dq_benford_screen",
     "events_transition_matrix",
     "survival_kaplan_meier",
+    "multimodal_decode_tiff",
 ]
 
 

@@ -3546,3 +3546,81 @@ def corpus_zip64_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("source").applyInPandas(
         _make_zip_ingest_group(zip64=True), schema=ZIP_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Image: baseline TIFF (llm/tiff.py)
+# ---------------------------------------------------------------------------
+TIFF_SCHEMA = (
+    "doc_id bigint, fmt string, width int, height int, n_pixels bigint, "
+    "compression string, mean_byte double"
+)
+
+
+def _tiff_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    import numpy as np
+    import pandas as pd
+
+    from emr_with_custom_metrics_spark.llm.tiff import decode_tiff, encode_tiff
+
+    def one(d: int) -> dict:
+        w, h = d % 14 + 1, d % 19 + 1  # h up to 19 -> multi-strip (8 rows/strip)
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        img = ((d + 3 * xx + yy) % 256).astype(np.uint8)
+        return decode_tiff(encode_tiff(w, h, img, packbits=(d % 2 == 0)))
+
+    for pdf in batches:
+        metas = pdf["doc_id"].map(lambda d: one(int(d)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "fmt": metas.map(lambda m: m["format"]),
+                "width": metas.map(lambda m: m["width"]).astype("int32"),
+                "height": metas.map(lambda m: m["height"]).astype("int32"),
+                "n_pixels": metas.map(lambda m: m["n_pixels"]).astype("int64"),
+                "compression": metas.map(lambda m: m["compression"]),
+                "mean_byte": metas.map(lambda m: round(m["mean_byte"], 4)),
+            }
+        )
+
+
+@register(
+    "multimodal_decode_tiff",
+    # TIFF is lossless: the decoded mean equals the synthetic gradient's
+    # mean exactly, recomputed cell-by-cell by the oracle — any slip in
+    # the IFD walk, the inline-vs-offset value rule, strip reassembly,
+    # or PackBits run/literal framing shifts the hash. Even doc_ids take
+    # the PackBits path, odd ones uncompressed; heights up to 19 force
+    # the multi-strip layout (8 rows/strip) with value-area offset and
+    # count arrays.
+    oracle="""
+    SELECT doc_id,
+           'tiff' AS fmt,
+           CAST(doc_id % 14 + 1 AS INTEGER) AS width,
+           CAST(doc_id % 19 + 1 AS INTEGER) AS height,
+           CAST((doc_id % 14 + 1) * (doc_id % 19 + 1) AS BIGINT) AS n_pixels,
+           CASE WHEN doc_id % 2 = 0 THEN 'packbits' ELSE 'none' END
+               AS compression,
+           ROUND((SELECT AVG(CAST((doc_id + 3 * x.i + y.j) % 256 AS DOUBLE))
+                  FROM range(14) x(i), range(19) y(j)
+                  WHERE x.i < doc_id % 14 + 1 AND y.j < doc_id % 19 + 1), 4)
+               AS mean_byte
+    FROM documents WHERE doc_id < 400
+    """,
+    doc="Baseline TIFF 6.0 decode (llm/tiff.py — the scanned-document / "
+    "scientific-imaging format): II/MM endianness dispatch, IFD walk "
+    "with the 4-byte inline-vs-offset value rule, MULTI-STRIP "
+    "reassembly (8 rows/strip, StripByteCounts verified), and PackBits "
+    "RLE both directions from scratch — alternating with uncompressed "
+    "strips corpus-wide so both paths run. LZW/JPEG compression, "
+    "non-8-bit depths, RGB, tiles, and multi-page files fall honestly "
+    "to the stub tier. Lossless, so the gradient oracle is exact. "
+    "Arrow-batched mapInPandas, no shuffle.",
+)
+def multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_fanned(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 400)
+    )
+    return d.mapInPandas(_tiff_roundtrip_batch, schema=TIFF_SCHEMA)

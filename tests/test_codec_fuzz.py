@@ -1245,3 +1245,77 @@ def test_pdf15_png_predictor_all_filter_types():
         prev = row
     got = _png_unpredict(bytes(enc), cols)
     assert got == raw.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Baseline TIFF (llm/tiff.py, round 7)
+# ---------------------------------------------------------------------------
+@settings(max_examples=60, deadline=None)
+@given(gray_images(max_side=40), st.booleans())
+def test_tiff_roundtrip_is_lossless(img, packbits):
+    """TIFF guarantees bit-exact pixels through both compression paths,
+    whatever run/literal structure PackBits produces (incl. the
+    2-byte-step record-cap overshoot found while building — a literal
+    record must never exceed 128 bytes)."""
+    from emr_with_custom_metrics_spark.llm.tiff import decode_tiff, encode_tiff
+
+    w, h, a = img
+    m = decode_tiff(encode_tiff(w, h, a, packbits=packbits))
+    assert (m["width"], m["height"]) == (w, h)
+    assert np.array_equal(m["pixels"], a)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(0, 255), min_size=0, max_size=600),
+    st.integers(0, 3),
+)
+def test_tiff_packbits_pair_inverse(symbols, modulus):
+    """PackBits encode/decode are inverse for any byte stream — runs,
+    literals, 128-byte record boundaries, and the degenerate 2-runs that
+    sit between."""
+    from emr_with_custom_metrics_spark.llm.tiff import (
+        packbits_decode,
+        packbits_encode,
+    )
+
+    vals = [s % (modulus + 1) if modulus else s for s in symbols]
+    data = bytes(vals)
+    assert packbits_decode(packbits_encode(data), len(data)) == data
+
+
+def test_tiff_corruption_and_foreign_features():
+    """Byte flips surface as ValueError/NotImplementedError (or decode —
+    TIFF carries no checksum, like the real format); foreign features
+    raise NotImplementedError naming the gap; MM (big-endian) headers
+    parse."""
+    import struct
+
+    import pytest
+
+    from emr_with_custom_metrics_spark.llm.tiff import decode_tiff, encode_tiff
+
+    img = ((np.arange(16)[:, None] + np.arange(12)[None, :]) % 256).astype(np.uint8)
+    payload = encode_tiff(12, 16, img, packbits=True)
+
+    rng = np.random.default_rng(1)
+    for _ in range(2000):
+        p = bytearray(payload)
+        p[int(rng.integers(0, len(p)))] ^= int(rng.integers(1, 256))
+        try:
+            decode_tiff(bytes(p))
+        except (ValueError, NotImplementedError):
+            pass
+
+    # compression field -> LZW (5): honesty raise. The field is a SHORT in
+    # the 259 entry's inline value.
+    at = payload.index(struct.pack("<HHI", 259, 3, 1))
+    lzw = bytearray(payload)
+    lzw[at + 8 : at + 10] = struct.pack("<H", 5)
+    with pytest.raises(NotImplementedError, match="compression 5"):
+        decode_tiff(bytes(lzw))
+
+    with pytest.raises(ValueError):
+        decode_tiff(b"XX\x00\x00")
+    with pytest.raises(ValueError):
+        decode_tiff(payload[:20])
