@@ -382,6 +382,68 @@ def _pca_sql(dialect: str) -> str:
     "d=64: 2080 co-moments, same plan.",
 )
 def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged execution (round 7): the one-statement 120-CTE chain spent
+    ~6 s at sf0.1 almost entirely in ANALYSIS (Spark re-resolves the
+    whole chain; DuckDB materializes CTEs so the oracle keeps the single
+    statement). Identical math, chunked: the covariance matrix and the
+    iterate vector live behind localCheckpoints, and the 60 power
+    iterations run as 6 statements of 10 rounds each. The differential
+    test pins the one-statement spark form equal."""
+    from emr_with_custom_metrics_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("embeddings",))
+    fold = lambda terms: f"aggregate({terms}, CAST(0.0 AS DOUBLE), (a, x) -> a + x)"  # noqa: E731
+    mv_terms = "transform(sequence(0, 7), j -> element_at(m, i * 8 + j + 1) * element_at(v, j + 1))"
+    mv = f"transform(sequence(0, 7), i -> {fold(mv_terms)})"
+    sq = "transform(v, x -> x * x)"
+    state = spark.sql("""
+        WITH pairs AS (
+            SELECT a.i AS i, b.i AS j
+            FROM (SELECT explode(sequence(0, 7)) AS i) a,
+                 (SELECT explode(sequence(0, 7)) AS i) b
+            WHERE a.i <= b.i
+        ), cov AS (
+            SELECT i, j,
+                   ROUND(COVAR_SAMP(CAST(element_at(embedding, i + 1) AS DOUBLE),
+                                    CAST(element_at(embedding, j + 1) AS DOUBLE)),
+                         6) AS cov
+            FROM embeddings, pairs GROUP BY i, j
+        ), covfull AS (
+            SELECT i * 8 + j AS k, cov FROM cov
+            UNION ALL
+            SELECT j * 8 + i, cov FROM cov WHERE i < j
+        )
+        SELECT (SELECT transform(sort_array(collect_list(struct(k, cov))),
+                                 s -> s.cov) FROM covfull) AS m,
+               transform(sequence(0, 7),
+                         z -> CASE WHEN z = 0 THEN CAST(1.0 AS DOUBLE)
+                                   ELSE CAST(0.0 AS DOUBLE) END) AS v
+    """).localCheckpoint(eager=False)
+    chunk = 10
+    for start in range(0, _PCA_ITERS, chunk):
+        state.createOrReplaceTempView("pca_state")
+        parts = ["WITH w0 AS (SELECT m, v FROM pca_state)"]
+        for it in range(chunk):
+            parts.append(f""",
+            mv{it} AS (SELECT m, {mv} AS v FROM w{it}),
+            w{it + 1} AS (SELECT m, transform(v, y -> y / sqrt({fold(sq)})) AS v
+                          FROM mv{it})""")
+        parts.append(f" SELECT m, v FROM w{chunk}")
+        state = spark.sql("".join(parts)).localCheckpoint(eager=False)
+    state.createOrReplaceTempView("pca_state")
+    proj_terms = ("transform(sequence(0, 7), "
+                  "d -> CAST(element_at(embedding, d + 1) AS DOUBLE) "
+                  "* element_at(v, d + 1))")
+    return spark.sql(f"""
+        SELECT vec_id, ROUND({fold(proj_terms)}, 6) AS pc1
+        FROM embeddings, pca_state
+    """)
+
+
+def _pca_project_one_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The original single-statement spark form — kept for the
+    differential test that proves the staged runner computes the same
+    trajectory."""
     from emr_with_custom_metrics_spark.catalog import register_views
 
     register_views(spark, sf_dir, ("embeddings",))

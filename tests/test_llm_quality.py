@@ -606,3 +606,18 @@ def test_unigram_lm_vocabulary_properties(spark):
     assert all(r["lp"] < 0 and math.isfinite(r["lp"]) for r in vocab)
     scores = SPECS["text_unigram_lm_score"].fn(spark, SF_DIR).collect()
     assert scores and all(r["viterbi_logprob"] < 0 for r in scores)
+
+
+def test_pca_staged_equals_one_statement(spark):
+    """The staged PCA runner (checkpointed covariance + 6 chunks of 10
+    power iterations) must reproduce the original one-statement chain
+    exactly — execution policy changed, math didn't."""
+    from emr_with_custom_metrics_spark.llm.embeddings import (
+        _pca_project_one_statement,
+    )
+
+    staged = sorted(
+        tuple(r) for r in SPECS["embedding_pca_project"].fn(spark, SF_DIR).collect()
+    )
+    one = sorted(tuple(r) for r in _pca_project_one_statement(spark, SF_DIR).collect())
+    assert staged == one
