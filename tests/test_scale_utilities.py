@@ -416,3 +416,36 @@ def test_transform_with_state_matches_apply_in_pandas(spark):
     for k, (n, s) in truth.items():
         assert final[k][0] == n
         assert abs(final[k][1] - s) < 1e-6 * max(1.0, abs(s))
+
+
+def test_execution_metrics_harvest_and_publish(spark):
+    """The executed-plan harvest must agree with ground truth the test can
+    compute independently: the scan's numOutputRows equals the table's
+    row count, a groupBy moves >0 shuffle bytes, the AQE walk reaches the
+    post-reoptimization tree (coalesced partitions observed under the
+    default-on AQE), and the summary bridges onto the M5 metric-point
+    publishing seam."""
+    from emr_with_custom_metrics_spark.plans.exec_metrics import (
+        collect_execution_metrics,
+        to_query_metric_points,
+    )
+    from emr_with_custom_metrics_spark.sources.metrics_source import (
+        MetricPointSink,
+    )
+
+    orders = load_table(spark, SF_DIR, "orders")
+    n = orders.count()
+    df = orders.groupBy("o_orderpriority").agg(F.count("*").alias("cnt"))
+    got = collect_execution_metrics(df)
+    s = got["summary"]
+    assert s["rows_scanned"] == n, s
+    assert s.get("shuffle_bytes_written", 0) > 0
+    assert s.get("files_read", 0) >= 1
+    assert s["output_rows"] == 5
+    node_names = {x["node"] for x in got["nodes"]}
+    assert any(nm.endswith("QueryStage") for nm in node_names), node_names
+
+    sink = MetricPointSink()
+    sink.publish(to_query_metric_points("orders_by_priority", got, "2026-08-14T00:00:00Z"))
+    assert {p["metric"] for p in sink.points} >= {"rows_scanned", "output_rows"}
+    assert all(p["namespace"] == "SparkGraft/QueryExecution" for p in sink.points)
