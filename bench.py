@@ -185,6 +185,7 @@ HEADLINE = [
     "events_transition_matrix",
     "survival_kaplan_meier",
     "multimodal_decode_tiff",
+    "text_bwt",
 ]
 
 

@@ -1756,3 +1756,98 @@ def text_longest_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.groupBy("doc_id").agg(
         F.max("acc").cast("bigint").alias("max_repeat_tokens")
     )
+
+
+@register(
+    "text_bwt",
+    # Oracle: per doc, string-sort the materialized ROTATIONS (BWT is
+    # defined over cyclic rotations; with per-doc token streams and no
+    # sentinel, rotation order is the canonical definition) and take the
+    # last token of each — md5 of the joined BWT sequence plus the
+    # adjacent-equal run census (the clustering BWT exists to create).
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE doc_id < {_SA_DOCS}),
+    rot AS (
+      SELECT doc_id, LEN(toks) AS n,
+             UNNEST(range(LEN(toks))) AS pos,
+             UNNEST(list_transform(range(LEN(toks)),
+               i -> array_to_string(
+                      list_slice(toks, i + 1, LEN(toks))
+                      || list_slice(toks, 1, i), ' '))) AS rotation
+      FROM t),
+    ordered AS (
+      SELECT doc_id, n,
+             string_split(rotation, ' ')[n] AS bwt_tok,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY rotation, pos) AS rk
+      FROM rot),
+    runs AS (
+      SELECT doc_id, n, bwt_tok, rk,
+             LAG(bwt_tok) OVER (PARTITION BY doc_id ORDER BY rk) AS prev
+      FROM ordered)
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_tokens,
+           md5(string_agg(bwt_tok, ' ' ORDER BY rk)) AS bwt_md5,
+           CAST(SUM(CASE WHEN bwt_tok = prev THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_run_joins
+    FROM runs GROUP BY doc_id
+    """,
+    doc="Burrows-Wheeler transform per document over token streams: sort "
+    "all cyclic rotations, emit each rotation's LAST token — the "
+    "permutation that clusters equal context-sharing tokens (n_run_joins "
+    "counts adjacent equal pairs, the compressibility BWT buys bzip2-"
+    "family coders). Spark sorts rotations as bounded token arrays "
+    "(array comparison = rotation order), per-doc partition-parallel; "
+    "the md5 of the full BWT sequence pins the exact permutation "
+    "including the pos tie-break. Completes the suffix-array family: "
+    "SA (prefix doubling), LCP (sparse table), BWT (rotation sort).",
+)
+def text_bwt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_fanned(spark, sf_dir, "documents").where(F.col("doc_id") < _SA_DOCS)
+    w = tokens(F.col("text"))
+    toks = d.select("doc_id", w.alias("toks"), F.size(w).alias("n"))
+    rot = toks.select(
+        "doc_id", "n", "toks",
+        F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("pos"),
+    ).select(
+        "doc_id", "n", "pos",
+        F.concat(
+            F.slice(F.col("toks"), F.col("pos") + 1, F.col("n") - F.col("pos")),
+            F.slice(F.col("toks"), 1, F.col("pos")),
+        ).alias("rotation"),
+    )
+    # array<string> comparison is lexicographic per element — BUT the
+    # oracle compares ' '-joined STRINGS, which differ from element-wise
+    # order when one token is a prefix of another ("ab" vs "a c"): the
+    # string form compares 'b' against ' '. Join here too so both sides
+    # sort the identical key.
+    ordered = rot.select(
+        "doc_id", "n", "pos",
+        F.element_at("rotation", F.col("n")).alias("bwt_tok"),
+        F.concat_ws(" ", "rotation").alias("rk_str"),
+    )
+    wnd = Window.partitionBy("doc_id").orderBy("rk_str", "pos")
+    seq = ordered.select(
+        "doc_id", "n", "bwt_tok",
+        F.row_number().over(wnd).alias("rk"),
+        F.lag("bwt_tok").over(wnd).alias("prev"),
+    )
+    return seq.groupBy("doc_id").agg(
+        F.max("n").cast("bigint").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rk", "bwt_tok"))),
+                    lambda s: s["bwt_tok"],
+                ),
+            )
+        ).alias("bwt_md5"),
+        F.sum(
+            F.when(F.col("bwt_tok") == F.col("prev"), 1).otherwise(0)
+        ).cast("bigint").alias("n_run_joins"),
+    )

@@ -621,3 +621,45 @@ def test_pca_staged_equals_one_statement(spark):
     )
     one = sorted(tuple(r) for r in _pca_project_one_statement(spark, SF_DIR).collect())
     assert staged == one
+
+
+def test_bwt_is_invertible(spark):
+    """The rotation-sort BWT the query computes is information-preserving:
+    recompute it in pure Python for sample docs, invert via LF-mapping
+    (stable-sort the BWT column to recover the first column, follow the
+    permutation from the primary index), and recover the exact token
+    stream."""
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .where(F.col("doc_id") < 10)
+        .select("doc_id", "text")
+        .collect()
+    )
+    assert docs
+    for r in docs:
+        toks = r["text"].split(" ")
+        n = len(toks)
+        rots = sorted(range(n), key=lambda i: (toks[i:] + toks[:i], i))
+        bwt = [toks[(i - 1) % n] for i in rots]
+        primary = rots.index(0)
+        # LF-mapping: stable sort positions of the BWT column
+        order = sorted(range(n), key=lambda k: (bwt[k], k))
+        # first column char at row k is bwt[order[k]]; LF[k] maps row k
+        # to the row whose rotation is one step earlier
+        lf = [0] * n
+        for rank, k in enumerate(order):
+            lf[k] = rank
+        out = []
+        row = primary
+        for _ in range(n):
+            row = lf[row]
+            out.append(bwt[row])
+        # walking LF from the primary row yields the text REVERSED from
+        # the end: reconstruct forward
+        rec = []
+        row = primary
+        for _ in range(n):
+            rec.append(bwt[row])
+            row = lf[row]
+        rec = rec[::-1]
+        assert rec == toks, (r["doc_id"], rec[:5], toks[:5])
