@@ -186,6 +186,7 @@ HEADLINE = [
     "survival_kaplan_meier",
     "multimodal_decode_tiff",
     "text_bwt",
+    "formats_avro_roundtrip",
 ]
 
 

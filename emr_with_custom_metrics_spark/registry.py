@@ -286,7 +286,7 @@ _DRIVER_PRIORITY = (
     "text_unigram_lm_train", "text_unigram_lm_score",
     "timeseries_ar2_forecast", "dq_benford_screen",
     "events_transition_matrix", "survival_kaplan_meier",
-    "multimodal_decode_tiff", "text_bwt",
+    "multimodal_decode_tiff", "text_bwt", "formats_avro_roundtrip",
     "multimodal_decode_png_palette", "multimodal_decode_png_adam7",
     "multimodal_decode_gif_interlaced",
     # -- never-verified tier-1 oracled (registration order) -----------------
@@ -395,6 +395,7 @@ def _ensure_loaded() -> None:
     import emr_with_custom_metrics_spark.functions.collections  # noqa: F401
     import emr_with_custom_metrics_spark.functions.vector  # noqa: F401
     import emr_with_custom_metrics_spark.sources.reference_pipeline  # noqa: F401
+    import emr_with_custom_metrics_spark.sources.avro_ocf  # noqa: F401
     import emr_with_custom_metrics_spark.streaming.metrics  # noqa: F401
     import emr_with_custom_metrics_spark.llm.text  # noqa: F401
     import emr_with_custom_metrics_spark.llm.dedup  # noqa: F401

@@ -1319,3 +1319,95 @@ def test_tiff_corruption_and_foreign_features():
         decode_tiff(b"XX\x00\x00")
     with pytest.raises(ValueError):
         decode_tiff(payload[:20])
+
+
+# ---------------------------------------------------------------------------
+# Avro OCF (sources/avro_ocf.py, round 7)
+# ---------------------------------------------------------------------------
+@settings(max_examples=50, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n=st.integers(0, 350),
+    codec=st.sampled_from(["null", "deflate"]),
+)
+def test_avro_ocf_roundtrip_exact(seed, n, codec):
+    """Any record stream round-trips exactly through the OCF — zigzag
+    varints at both signs and all widths, [null, T] unions, multi-block
+    layout, both codecs."""
+    from emr_with_custom_metrics_spark.sources.avro_ocf import (
+        read_avro,
+        write_avro,
+    )
+
+    rng = np.random.default_rng(seed)
+    schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "f", "type": "double"},
+            {"name": "s", "type": "string"},
+            {"name": "b", "type": "boolean"},
+            {"name": "o", "type": ["null", "long"]},
+        ],
+    }
+    recs = [
+        {
+            "k": int(rng.integers(-(2**62), 2**62)),
+            "f": float(rng.normal()),
+            "s": "x" * int(rng.integers(0, 40)) + str(int(rng.integers(0, 9))),
+            "b": bool(rng.integers(0, 2)),
+            "o": None if rng.integers(0, 2) else int(rng.integers(-1000, 1000)),
+        }
+        for _ in range(n)
+    ]
+    got = read_avro(write_avro(schema, recs, codec=codec))
+    assert got["records"] == recs
+    assert got["codec"] == codec
+    assert got["n_blocks"] == -(-n // 100)
+
+
+def test_avro_ocf_corruption_and_foreign_features():
+    """Byte flips must surface as ValueError/NotImplementedError (sync
+    verification, length bounds, varint caps, deflate adler) or decode
+    to the exact records — never a wrong exception or a silent
+    mis-decode of the deflate file (adler-32 covers its blocks)."""
+    import pytest
+
+    from emr_with_custom_metrics_spark.sources.avro_ocf import (
+        read_avro,
+        write_avro,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [{"name": "k", "type": "long"},
+                   {"name": "s", "type": "string"}],
+    }
+    recs = [{"k": i, "s": f"v{i}"} for i in range(150)]
+    rng = np.random.default_rng(5)
+    for codec in ("null", "deflate"):
+        base = bytearray(write_avro(schema, recs, codec=codec))
+        bad = 0
+        for _ in range(4000):
+            p = bytearray(base)
+            p[int(rng.integers(0, len(p)))] ^= int(rng.integers(1, 256))
+            try:
+                read_avro(bytes(p))
+            except (ValueError, NotImplementedError):
+                pass
+            except Exception:
+                bad += 1
+        assert bad == 0, codec
+
+    with pytest.raises(NotImplementedError, match="codec"):
+        read_avro(write_avro(schema, recs).replace(b"null", b"lzma", 1))
+    with pytest.raises(ValueError):
+        read_avro(b"NotAvro")
+    with pytest.raises(NotImplementedError, match="type"):
+        write_avro(
+            {"type": "record", "name": "R",
+             "fields": [{"name": "a", "type": "float"}]},
+            [{"a": 1.0}],
+        )
