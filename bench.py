@@ -187,6 +187,7 @@ HEADLINE = [
     "multimodal_decode_tiff",
     "text_bwt",
     "formats_avro_roundtrip",
+    "window_running_distinct",
 ]
 
 

@@ -250,3 +250,63 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round((mid_lo + mid_hi) / 2.0, 2).alias("rolling_median"),
     )
+
+
+@register(
+    "window_running_distinct",
+    oracle="""
+    WITH marked AS (
+        SELECT event_type, ts, event_id, user_id,
+               CASE WHEN ROW_NUMBER() OVER (PARTITION BY event_type, user_id
+                                            ORDER BY ts, event_id) = 1
+                    THEN 1 ELSE 0 END AS first_seen
+        FROM events),
+    daily AS (
+        SELECT event_type,
+               CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+               SUM(first_seen) AS new_users,
+               COUNT(*) AS n_events
+        FROM marked GROUP BY 1, 2)
+    SELECT event_type, day,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS running_distinct_users
+    FROM daily
+    """,
+    doc="RUNNING DISTINCT count — the window aggregate SQL engines "
+    "refuse (COUNT(DISTINCT) OVER a running frame): decomposed into "
+    "first-occurrence marking (rank 1 per (group, user) in event-time "
+    "order, tie-broken by event_id) + a daily rollup + a cumulative sum "
+    "of new-user marks. Two shuffles total — (group, user) then "
+    "(group, day) — each carrying marks, never re-scanning history; the "
+    "naive per-frame DISTINCT is quadratic in the window length. The "
+    "daily new/cumulative split is the growth-accounting shape every "
+    "activation dashboard needs.",
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    first = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86400_000_000))
+        .cast("bigint")
+        .alias("day"),
+        F.when(F.row_number().over(first) == 1, 1).otherwise(0).alias("first_seen"),
+    )
+    daily = marked.groupBy("event_type", "day").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum("first_seen").cast("bigint").alias("new_users"),
+    )
+    cum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "event_type", "day", "n_events", "new_users",
+        F.sum("new_users").over(cum).cast("bigint").alias("running_distinct_users"),
+    )

@@ -287,6 +287,7 @@ _DRIVER_PRIORITY = (
     "timeseries_ar2_forecast", "dq_benford_screen",
     "events_transition_matrix", "survival_kaplan_meier",
     "multimodal_decode_tiff", "text_bwt", "formats_avro_roundtrip",
+    "window_running_distinct",
     "multimodal_decode_png_palette", "multimodal_decode_png_adam7",
     "multimodal_decode_gif_interlaced",
     # -- never-verified tier-1 oracled (registration order) -----------------
