@@ -124,6 +124,9 @@ def test_no_driver_side_collect_in_query_modules():
             "plans/inspect.py",
             "streaming/pipeline.py",
             "sources/metrics_source.py",
+            # the harvested action IS the module's purpose: it executes
+            # the DataFrame once to fill the plan's metric accumulators
+            "plans/exec_metrics.py",
         },
         ".toPandas(": set(),
         ".localCheckpoint(": {

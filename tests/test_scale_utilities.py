@@ -433,10 +433,18 @@ def test_execution_metrics_harvest_and_publish(spark):
         MetricPointSink,
     )
 
-    orders = load_table(spark, SF_DIR, "orders")
-    n = orders.count()
-    df = orders.groupBy("o_orderpriority").agg(F.count("*").alias("cnt"))
-    got = collect_execution_metrics(df)
+    # the registry's small-SF tuning disables AQE session-wide after any
+    # registered query runs at sf<=0.01 — pin it back on so the walk can
+    # prove it reaches materialized QueryStage subtrees
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try:
+        orders = load_table(spark, SF_DIR, "orders")
+        n = orders.count()
+        df = orders.groupBy("o_orderpriority").agg(F.count("*").alias("cnt"))
+        got = collect_execution_metrics(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
     s = got["summary"]
     assert s["rows_scanned"] == n, s
     assert s.get("shuffle_bytes_written", 0) > 0
