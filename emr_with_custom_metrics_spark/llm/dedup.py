@@ -1038,34 +1038,114 @@ def simhash(token_sets: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
 
 @register(
     "dedup_simhash",
-    oracle=None,  # fingerprint depends on xxhash64 — not reproducible in SQL
+    # Upgraded rows-only → hash-oracled in round 7: the registered query
+    # votes on md5 bits (the cross-engine hash primitive) instead of
+    # xxhash64, so the fingerprint — and therefore the candidate bands,
+    # the pairs, and every hamming distance — is a deterministic function
+    # of the corpus that DuckDB replays bit-for-bit. The numpy splitmix64
+    # kernel (`simhash`) remains the measured fast path and keeps its
+    # planted-pair/band-occupancy quality gates.
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS t
+      FROM documents),
+    bits AS (
+      SELECT doc_id, g.b AS b,
+             ((CAST('0x' || substr(md5(t), CAST(g.b // 4 AS INT) + 1, 1)
+                    AS INT) >> CAST(g.b % 4 AS INT)) & 1) AS bit
+      FROM tok, RANGE(0, 64) g(b)),
+    votes AS (
+      SELECT doc_id, b,
+             CASE WHEN SUM(2 * bit - 1) >= 0 THEN 1 ELSE 0 END AS fpbit
+      FROM bits GROUP BY doc_id, b),
+    slices AS (
+      SELECT doc_id, b // 16 AS slice_id,
+             CAST(SUM(fpbit << CAST(b % 16 AS INT)) AS BIGINT) AS slice_val
+      FROM votes GROUP BY doc_id, b // 16),
+    fp AS (
+      SELECT doc_id,
+             MAX(CASE WHEN slice_id = 0 THEN slice_val END) AS s0,
+             MAX(CASE WHEN slice_id = 1 THEN slice_val END) AS s1,
+             MAX(CASE WHEN slice_id = 2 THEN slice_val END) AS s2,
+             MAX(CASE WHEN slice_id = 3 THEN slice_val END) AS s3
+      FROM slices GROUP BY doc_id),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+      FROM slices x JOIN slices y
+        ON x.slice_id = y.slice_id AND x.slice_val = y.slice_val
+       AND x.doc_id < y.doc_id)
+    SELECT c.a_id, c.b_id,
+           CAST(bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1))
+              + bit_count(xor(a.s2, b.s2)) + bit_count(xor(a.s3, b.s3))
+              AS INT) AS hamming
+    FROM cand c
+    JOIN fp a ON a.doc_id = c.a_id
+    JOIN fp b ON b.doc_id = c.b_id
+    WHERE bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1))
+        + bit_count(xor(a.s2, b.s2)) + bit_count(xor(a.s3, b.s3))
+        <= {HAMMING_THRESHOLD}
+    """,
     doc="SimHash near-dup pairs within Hamming distance ≤3, candidates via "
     "16-bit band join on the fingerprint (4 slices of the 64-bit hash; "
-    "Hamming ≤3 guarantees ≥1 exact slice by pigeonhole).",
+    "Hamming ≤3 guarantees ≥1 exact slice by pigeonhole). Round 7: the "
+    "registered query votes on md5 bits — one md5 per distinct token, "
+    "64 bit-votes exploded BEFORE a map-side-combinable sum, ties "
+    "resolved >=0 — so the whole answer hash-verifies against a DuckDB "
+    "replay; fingerprints live as 4x16-bit slices (no 64-bit sign "
+    "hazards anywhere).",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    docs = _token_sets(d.repartition(d.sparkSession.sparkContext.defaultParallelism))
-    fps = simhash(docs)
-    mask = (1 << SIMHASH_SLICE_BITS) - 1
-    slices = fps.select(
+    n = d.sparkSession.sparkContext.defaultParallelism
+    tok = (
+        d.repartition(n)
+        .select("doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("t"))
+    )
+    # ONE aggregation, no explode: 64 static bit-sum expressions over the
+    # token rows (bit b of md5 = bit (b%4) of hex nibble b//4), plus the
+    # token count — vote_b = 2*sum_b - n, fpbit = vote >= 0. The earlier
+    # 64-way explode form was measured 8x slower at sf0.1; this shape is
+    # one map-side-combinable groupBy with literal-shift expressions.
+    nibs = F.expr(
+        "transform(sequence(0, 15), "
+        "k -> CAST(conv(substring(md5(t), k + 1, 1), 16, 10) AS INT))"
+    )
+    agg = tok.select("doc_id", nibs.alias("nibs")).groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        *[
+            F.expr(
+                f"SUM(shiftright(element_at(nibs, {b // 4 + 1}), {b % 4}) % 2)"
+            ).alias(f"c{b}")
+            for b in range(64)
+        ],
+    )
+
+    def slice_val(sl: int):
+        terms = [
+            F.when(2 * F.col(f"c{b}") - F.col("n") >= 0, 1 << (b % 16)).otherwise(0)
+            for b in range(16 * sl, 16 * sl + 16)
+        ]
+        out = terms[0]
+        for t_ in terms[1:]:
+            out = out + t_
+        return out.cast("bigint").alias(f"s{sl}")
+
+    fp = agg.select("doc_id", *[slice_val(sl) for sl in range(4)])
+    slices = fp.select(
         "doc_id",
-        "simhash",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(s).alias("slice_id"),
-                        F.shiftright("simhash", s * SIMHASH_SLICE_BITS)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("slice_val"),
+                        F.lit(sl).alias("slice_id"),
+                        F.col(f"s{sl}").alias("slice_val"),
                     )
-                    for s in range(SIMHASH_SLICES)
+                    for sl in range(4)
                 ]
             )
         ).alias("sl"),
-    ).select("doc_id", "simhash", "sl.slice_id", "sl.slice_val")
-    pairs = (
+    ).select("doc_id", "sl.slice_id", "sl.slice_val")
+    cand = (
         slices.alias("x")
         .join(
             slices.alias("y"),
@@ -1073,17 +1153,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("x.slice_val") == F.col("y.slice_val"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
-        .select(
-            F.col("x.doc_id").alias("a_id"),
-            F.col("y.doc_id").alias("b_id"),
-            F.col("x.simhash").alias("a_hash"),
-            F.col("y.simhash").alias("b_hash"),
-        )
+        .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
         .distinct()
     )
-    hamming = F.bit_count(F.col("a_hash").bitwiseXOR(F.col("b_hash")))
-    return pairs.select("a_id", "b_id", hamming.cast("int").alias("hamming")).where(
-        F.col("hamming") <= HAMMING_THRESHOLD
+    a = fp.select(
+        F.col("doc_id").alias("a_id"),
+        *[F.col(f"s{s}").alias(f"a{s}") for s in range(4)],
+    )
+    b = fp.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(f"s{s}").alias(f"b{s}") for s in range(4)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{s}").bitwiseXOR(F.col(f"b{s}"))) for s in range(4)
+    )
+    return (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .select("a_id", "b_id", hamming.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= HAMMING_THRESHOLD)
     )
 
 
