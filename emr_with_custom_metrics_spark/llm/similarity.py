@@ -185,18 +185,117 @@ def hyperplane_signatures(
     )
 
 
+_LSH_SIGN = (
+    "2 * (CAST('0x' || substr(md5('lsh|' || CAST(k.k // 8 AS VARCHAR) || '|' "
+    "|| CAST(k.k % 8 AS VARCHAR) || '|' || CAST(d.d AS VARCHAR)), 1, 1) "
+    "AS INT) & 1) - 1"
+)
+
+
 @register(
     "similarity_ann_lsh",
-    oracle=None,  # bucketing is approximate → rows-only check
+    # Upgraded rows-only → hash-oracled in round 7 (the LAST seeded-
+    # projection query): the registered variant derives its hyperplanes
+    # from md5 bits as RADEMACHER (±1) signs — the standard sign-LSH
+    # family, no gaussians, no transcendentals — over vectors quantized
+    # to exact 1e-6-scaled BIGINTs, so every projection is INTEGER
+    # arithmetic (order-free partial aggregation) and the bucket bits,
+    # candidate pairs, and 6-dp re-rank cosines all replay in DuckDB.
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (
+      SELECT vec_id,
+             list_transform(v, x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS qv
+      FROM e),
+    planes AS (
+      SELECT d.d AS d, k.k AS k,
+             """ + _LSH_SIGN + """ AS sign
+      FROM RANGE(0, 64) d(d), RANGE(0, 128) k(k)),
+    dots AS (
+      SELECT q.vec_id, p.k, SUM(q.qv[p.d + 1] * p.sign) AS dot
+      FROM q, planes p GROUP BY q.vec_id, p.k),
+    buckets AS (
+      SELECT vec_id, k // 8 AS table_id,
+             CAST(SUM(CASE WHEN dot > 0
+                           THEN 1 << CAST(k % 8 AS INT) ELSE 0 END) AS BIGINT)
+                 AS bucket
+      FROM dots GROUP BY vec_id, k // 8),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+      FROM buckets x JOIN buckets y
+        ON x.table_id = y.table_id AND x.bucket = y.bucket
+       AND x.vec_id < y.vec_id)
+    SELECT c.a_id, c.b_id,
+           ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+    FROM cand c
+    JOIN e ea ON ea.vec_id = c.a_id
+    JOIN e eb ON eb.vec_id = c.b_id
+    WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= 0.4
+    """,
     doc="Multi-table random-hyperplane LSH near-neighbor join (16 tables × "
     "8 planes), exact-cosine re-ranked at ≥0.4. Candidate count ∝ bucket "
     "occupancy per table — the 100 TB near-duplicate pair-generation path "
     "(high-recall for near-identical vectors; moderate-cos top-k is IVF's "
-    "job).",
+    "job). Round 7: the registered query projects onto md5-derived "
+    "Rademacher (±1) hyperplanes over 1e-6-quantized integer vectors — "
+    "one broadcast 64-row sign table, 128 integer SUM expressions in one "
+    "map-side-combinable aggregation — making the whole answer "
+    "hash-verifiable; the gaussian numpy GEMM (hyperplane_signatures) "
+    "stays as the measured fast path with its planted-near-dup gates.",
 )
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_fanned(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    sigs = hyperplane_signatures(e).select("vec_id", "table_id", "bucket")
+    q = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+        ).alias("qv"),
+    )
+    qd = q.select("vec_id", F.posexplode("qv").alias("d", "qval"))
+    planes = spark.range(64).select(
+        F.col("id").cast("int").alias("d"),
+        F.expr(
+            "transform(sequence(0, 127), k -> "
+            "2 * (CAST(conv(substring(md5(concat('lsh|', "
+            "CAST(k div 8 AS STRING), '|', CAST(k % 8 AS STRING), '|', "
+            "CAST(id AS STRING))), 1, 1), 16, 10) AS INT) % 2) - 1)"
+        ).alias("signs"),
+    )
+    dots = (
+        qd.join(F.broadcast(planes), "d")
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.expr(f"SUM(qval * element_at(signs, {k + 1}))").alias(f"dot{k}")
+                for k in range(128)
+            ]
+        )
+    )
+
+    def bucket(t: int):
+        terms = [
+            F.when(F.col(f"dot{8 * t + p}") > 0, 1 << p).otherwise(0)
+            for p in range(8)
+        ]
+        out = terms[0]
+        for x in terms[1:]:
+            out = out + x
+        return out.cast("bigint")
+
+    sigs = dots.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table_id"), bucket(t).alias("bucket")
+                    )
+                    for t in range(LSH_TABLES)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.table_id", "s.bucket")
     # Candidate ids first — the multi-table dedup shuffles 16-byte id pairs,
     # not embedding payloads; vectors re-attach after the distinct.
     cands = (

@@ -196,13 +196,12 @@ _DRIVER_VERIFIED = frozenset(
         "dedup_ngram_jaccard_prefix", "dedup_clusters", "dedup_keep_canonical",
         "dedup_embedding_cosine", "decontaminate_against_eval",
         # dedup_minhash_lsh / kmeans_embeddings / dedup_incremental_batch /
-        # pagerank_similarity_graph / dedup_simhash removed from this r5
-        # block in round 7:
+        # pagerank_similarity_graph / dedup_simhash / similarity_ann_lsh
+        # removed from this r5 block in round 7:
         # their r5 rows were rows-only-by-design, and the round-7 oracle
         # upgrades (r6 VERDICT item 5) change the verified contract — they
         # re-verify via the round-7 priority head.
         "knn_self_join_exact", "similarity_ivf_topk",
-        "similarity_ann_lsh",
         # --- round 6 (CORRECTNESS_r06.json, 50 rows, all hash-green —
         # exactly the first 50 entries of the round-6 _DRIVER_PRIORITY
         # head; the r6 verdict confirmed the driver walk matched).
@@ -277,7 +276,7 @@ _DRIVER_PRIORITY = (
     # -- r6-VERDICT item 5: rows-only→hash-oracled upgrades (answers are
     #    now pinned by SQL oracles; need fresh rows under the new contract)
     "dedup_minhash_lsh", "kmeans_embeddings", "dedup_incremental_batch",
-    "pagerank_similarity_graph", "dedup_simhash",
+    "pagerank_similarity_graph", "dedup_simhash", "similarity_ann_lsh",
     # -- new round-7 queries (inserted as built) ----------------------------
     "multimodal_decode_mp3_huffman", "corpus_e2e_archive_pipeline",
     "corpus_pdf15_ingest", "corpus_zip64_ingest",
