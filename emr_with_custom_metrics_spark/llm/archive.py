@@ -229,7 +229,11 @@ def _zip64_extra(extra: bytes, needed: list[int]) -> list[int]:
     out = []
     it = iter(fields)
     for v in needed:
-        if v == _MAX32 or v == _MAX16:
+        # Only 0xFFFFFFFF marks a deferred 32-bit slot (usize/csize/offset);
+        # 0xFFFF is the sentinel for the 16-bit disk field only, which this
+        # helper is never asked for — a 32-bit value legitimately equal to
+        # 65535 must NOT consume an extra-field slot (APPNOTE 4.5.3).
+        if v == _MAX32:
             try:
                 out.append(next(it))
             except StopIteration:

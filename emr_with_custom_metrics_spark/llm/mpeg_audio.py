@@ -1032,6 +1032,16 @@ def encode_mp3_huffman(samples: np.ndarray, sample_rate: int) -> bytes:
                     step = 2.0 ** ((gg - 210) / 4.0)
                     q = np.rint((np.abs(xs) / step) ** 0.75).astype(np.int64)
                     if int(q.max(initial=0)) > _L3_CODE_MAX:
+                        if gg >= 255:
+                            # gg can no longer coarsen: without this raise
+                            # the loop spins forever on extreme amplitudes
+                            # (e.g. accidentally int-scaled PCM, |xs|~4e8);
+                            # mirror the part2_3_length overflow raise below
+                            raise ValueError(
+                                "sample magnitude exceeds the linbits-13 "
+                                "quantizer ceiling even at global_gain=255 "
+                                "(input PCM out of range?)"
+                            )
                         gg = min(gg + 4, 255)
                         continue
                     gw = _CountingWriter()

@@ -1646,6 +1646,22 @@ def _suffix_ranks(spark: SparkSession, sf_dir: str):
     toks = d.select(
         "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
     )
+    # _SA_ROUNDS doubling rounds fully order 2**_SA_ROUNDS-token docs; a
+    # longer doc would leave dense_rank TIES after the last round and the
+    # result would silently diverge from the oracle (ADVICE r7). Guard it
+    # in-plan: assert_true raises at execution time if the corpus ever
+    # grows past the round budget — a loud failure instead of an opaque
+    # hash mismatch. (A filter can't be pruned away, unlike a dead column.)
+    wdoc = Window.partitionBy("doc_id")
+    toks = toks.withColumn("n_tok", F.count("*").over(wdoc)).where(
+        F.assert_true(
+            F.col("n_tok") <= F.lit(1 << _SA_ROUNDS),
+            F.lit(
+                f"text_suffix_array: doc exceeds {1 << _SA_ROUNDS} tokens; "
+                f"raise _SA_ROUNDS (prefix doubling needs ceil(log2(len)))"
+            ),
+        ).isNull()
+    ).drop("n_tok")
     w0 = Window.partitionBy("doc_id").orderBy("tok")
     r = toks.select(
         "doc_id", "pos", F.dense_rank().over(w0).alias("r")
