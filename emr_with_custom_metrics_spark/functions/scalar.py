@@ -91,14 +91,14 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_math_funcs",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           ROUND(l_extendedprice, 1) AS price_r1,
+           (CAST(ROUND((l_extendedprice) * 10) AS BIGINT) / 10.0) AS price_r1,
            ABS(l_discount - 0.05) AS disc_dev,
            CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
            CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
-           ROUND(SQRT(l_extendedprice), 4) AS price_sqrt,
-           ROUND(POW(1 + l_tax, 2), 6) AS tax_sq,
-           ROUND(LN(l_extendedprice + 1), 6) AS price_ln,
-           ROUND(LOG10(l_extendedprice + 1), 6) AS price_log10,
+           (CAST(ROUND((SQRT(l_extendedprice)) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS price_sqrt,
+           (CAST(ROUND((POW(1 + l_tax, 2)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS tax_sq,
+           (CAST(ROUND((LN(l_extendedprice + 1)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS price_ln,
+           (CAST(ROUND((LOG10(l_extendedprice + 1)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS price_log10,
            CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS disc_sign,
            CAST(l_linenumber % 3 AS INTEGER) AS line_mod3
     FROM lineitem WHERE l_orderkey <= 1500
@@ -111,14 +111,14 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(price, 1).alias("price_r1"),
+        (F.round((price) * 10).cast("bigint") / 10.0).alias("price_r1"),
         F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
         F.ceil("l_quantity").alias("qty_ceil"),
         F.floor("l_quantity").alias("qty_floor"),
-        F.round(F.sqrt(price), 4).alias("price_sqrt"),
-        F.round(F.pow(1 + F.col("l_tax"), 2), 6).alias("tax_sq"),
-        F.round(F.log(price + 1), 6).alias("price_ln"),
-        F.round(F.log10(price + 1), 6).alias("price_log10"),
+        (F.round((F.sqrt(price)) * 10000).cast("bigint") / 10000.0).alias("price_sqrt"),
+        (F.round((F.pow(1 + F.col("l_tax"), 2)) * 1000000).cast("bigint") / 1000000.0).alias("tax_sq"),
+        (F.round((F.log(price + 1)) * 1000000).cast("bigint") / 1000000.0).alias("price_ln"),
+        (F.round((F.log10(price + 1)) * 1000000).cast("bigint") / 1000000.0).alias("price_log10"),
         F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
         (F.col("l_linenumber") % 3).alias("line_mod3"),
     )
@@ -251,7 +251,7 @@ def json_variant_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey,
            o_orderpriority AS xml_priority,
-           ROUND(o_totalprice, 2) AS xml_price,
+           (CAST(ROUND((o_totalprice) * 100) AS BIGINT) / CAST(100 AS DOUBLE)) AS xml_price,
            TRUE AS roundtrip_ok
     FROM orders WHERE o_orderkey < 300
     """,
@@ -269,7 +269,7 @@ def scalar_xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     xml = F.to_xml(
         F.struct(
             F.col("o_orderpriority").alias("prio"),
-            F.round("o_totalprice", 2).alias("price"),
+            (F.round((F.col("o_totalprice")) * 100).cast("bigint") / 100.0).alias("price"),
         )
     )
     parsed = F.from_xml(xml, "prio STRING, price DOUBLE")
@@ -279,7 +279,7 @@ def scalar_xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.getField("price").alias("xml_price"),
         (
             (parsed.getField("prio") == F.col("o_orderpriority"))
-            & (parsed.getField("price") == F.round("o_totalprice", 2))
+            & (parsed.getField("price") == (F.round((F.col("o_totalprice")) * 100).cast("bigint") / 100.0))
         ).alias("roundtrip_ok"),
     )
 

@@ -47,10 +47,10 @@ def add(a: Column, b: Column) -> Column:
     oracle="""
     SELECT vec_id, label,
            CAST(LEN(embedding) AS INTEGER) AS dim,
-           ROUND(SQRT(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x), 'sum')), 6)
+           (CAST(ROUND((SQRT(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x), 'sum'))) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE))
              AS l2_norm,
-           ROUND(list_aggregate(embedding::DOUBLE[], 'sum'), 6) AS comp_sum,
-           ROUND(list_aggregate(embedding::DOUBLE[], 'max'), 6) AS comp_max
+           (CAST(ROUND((list_aggregate(embedding::DOUBLE[], 'sum')) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS comp_sum,
+           (CAST(ROUND((list_aggregate(embedding::DOUBLE[], 'max')) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS comp_max
     FROM embeddings
     """,
     doc="Per-vector L2 norm / component stats via higher-order functions.",
@@ -62,11 +62,9 @@ def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.size("embedding").alias("dim"),
-        F.round(norm(emb), 6).alias("l2_norm"),
-        F.round(
-            F.aggregate(emb.cast("array<double>"), F.lit(0.0), lambda acc, v: acc + v), 6
-        ).alias("comp_sum"),
-        F.round(F.array_max(emb.cast("array<double>")), 6).alias("comp_max"),
+        (F.round((norm(emb)) * 1000000).cast("bigint") / 1000000.0).alias("l2_norm"),
+        (F.round((F.aggregate(emb.cast("array<double>"), F.lit(0.0), lambda acc, v: acc + v)) * 1000000).cast("bigint") / 1000000.0).alias("comp_sum"),
+        (F.round((F.array_max(emb.cast("array<double>"))) * 1000000).cast("bigint") / 1000000.0).alias("comp_max"),
     )
 
 
@@ -74,9 +72,9 @@ def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vector_centroids",
     oracle="""
     SELECT label, COUNT(*) AS n,
-           ROUND(AVG(embedding[1]::DOUBLE), 6) AS c0,
-           ROUND(AVG(embedding[2]::DOUBLE), 6) AS c1,
-           ROUND(AVG(embedding[3]::DOUBLE), 6) AS c2
+           (CAST(ROUND((AVG(embedding[1]::DOUBLE)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS c0,
+           (CAST(ROUND((AVG(embedding[2]::DOUBLE)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS c1,
+           (CAST(ROUND((AVG(embedding[3]::DOUBLE)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS c2
     FROM embeddings GROUP BY label
     """,
     doc="Per-label centroid (first 3 components shown): element access + "
@@ -87,7 +85,7 @@ def vector_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = F.col("embedding").cast("array<double>")
     return e.groupBy("label").agg(
         F.count("*").alias("n"),
-        F.round(F.avg(emb.getItem(0)), 6).alias("c0"),
-        F.round(F.avg(emb.getItem(1)), 6).alias("c1"),
-        F.round(F.avg(emb.getItem(2)), 6).alias("c2"),
+        (F.round((F.avg(emb.getItem(0))) * 1000000).cast("bigint") / 1000000.0).alias("c0"),
+        (F.round((F.avg(emb.getItem(1))) * 1000000).cast("bigint") / 1000000.0).alias("c1"),
+        (F.round((F.avg(emb.getItem(2))) * 1000000).cast("bigint") / 1000000.0).alias("c2"),
     )

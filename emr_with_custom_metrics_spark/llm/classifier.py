@@ -143,8 +143,10 @@ def _lr_sql(dialect: str, feats_ref: str | None = None) -> str:
     # would otherwise ride exp overflow semantics, and ±30 already
     # saturates the 9-dp-rounded sigmoid exactly (sigmoid(30) rounds
     # to 1.0 at 9 dp in both engines).
-    zc = f"GREATEST(LEAST(ROUND({dot}, 9), 30.0), -30.0)"
-    sig9 = f"ROUND(1.0 / (1.0 + exp(-({zc}))), 9)"
+    zc = (f"GREATEST(LEAST((CAST(ROUND(({dot}) * 1000000000) AS BIGINT)"
+          f" / 1000000000.0), 30.0), -30.0)")
+    sig9 = (f"(CAST(ROUND((1.0 / (1.0 + exp(-({zc})))) * 1000000000)"
+            f" AS BIGINT) / CAST(1000000000 AS DOUBLE))")
     # Each w{it+1} references w{it} exactly once and feats exactly once
     # (per-doc sigmoid, gradient reduction, and heavy-ball update in ONE
     # CTE) — any second upstream reference makes naive CTE inlining
@@ -171,7 +173,7 @@ def _lr_sql(dialect: str, feats_ref: str | None = None) -> str:
     parts.append(f""",
     scored AS (
         SELECT f.doc_id, CAST(f.y AS BIGINT) AS y,
-               ROUND(1.0 / (1.0 + exp(-({zc}))), 6) AS p
+               (CAST(ROUND((1.0 / (1.0 + exp(-({zc})))) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS p
         FROM {feats} f, w{_LR_ITERS})
     SELECT doc_id, y, p, (p >= 0.5) AS pred,
            ((p >= 0.5) = (y = 1)) AS correct
@@ -216,8 +218,15 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        zc = F.greatest(F.least(F.round(dot, 9), F.lit(30.0)), F.lit(-30.0))
-        return F.round(1.0 / (1.0 + F.exp(-zc)), dp)
+        zc = F.greatest(
+            F.least(
+                F.round(dot * 1000000000).cast("bigint") / 1000000000.0,
+                F.lit(30.0),
+            ),
+            F.lit(-30.0),
+        )
+        sig = 1.0 / (1.0 + F.exp(-zc))
+        return F.round(sig * (10 ** dp)).cast("bigint") / float(10 ** dp)
 
     # Training loop — MLlib's treeAggregate shape: the (y, x) matrix is
     # cached executor-side once; each round is ONE shuffle-free job whose

@@ -364,7 +364,7 @@ def mixture_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), total AS (
         SELECT SUM(cnt) AS t FROM counts
     )
-    SELECT token, cnt, CAST(ROUND(cnt / t, 6) AS DOUBLE) AS share
+    SELECT token, cnt, CAST((CAST(ROUND((cnt / t) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS DOUBLE) AS share
     FROM counts, total
     WHERE cnt > t / 200
     """,
@@ -388,7 +388,7 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "token",
             "cnt",
-            F.round(F.col("cnt") / F.col("t"), 6).cast("double").alias("share"),
+            (F.round((F.col("cnt") / F.col("t")) * 1000000).cast("bigint") / 1000000.0).cast("double").alias("share"),
         )
     )
 
@@ -487,7 +487,7 @@ def decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ORDER BY dot DESC, nid) AS rn
         FROM pairs
     )
-    SELECT qid, nid, CAST(ROUND(dot, 6) AS DOUBLE) AS dot, CAST(rn AS INT) AS rn
+    SELECT qid, nid, CAST((CAST(ROUND((dot) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS DOUBLE) AS dot, CAST(rn AS INT) AS rn
     FROM ranked WHERE rn <= 3
     """,
     doc="Exact k-NN self-join (top-3 neighbors per vector by dot product) "
@@ -518,7 +518,7 @@ def knn_self_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "nid", dot.alias("dot"))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)
-        .select("qid", "nid", F.round("dot", 6).cast("double").alias("dot"),
+        .select("qid", "nid", (F.round((F.col("dot")) * 1000000).cast("bigint") / 1000000.0).cast("double").alias("dot"),
                 F.col("rn").cast("int").alias("rn"))
     )
 
@@ -535,9 +535,9 @@ def knn_self_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            COUNT(*) AS n_docs,
            CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
-           CAST(ROUND(AVG(n_chars), 2) AS DOUBLE) AS avg_chars,
+           CAST((CAST(ROUND((AVG(n_chars)) * 100) AS BIGINT) / CAST(100 AS DOUBLE)) AS DOUBLE) AS avg_chars,
            COUNT(DISTINCT h) AS n_unique_texts,
-           CAST(ROUND(1.0 - COUNT(DISTINCT h) / COUNT(*), 4) AS DOUBLE)
+           CAST((CAST(ROUND((1.0 - COUNT(DISTINCT h) / COUNT(*)) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS DOUBLE)
                AS exact_dup_rate
     FROM base GROUP BY source
     """,
@@ -561,11 +561,9 @@ def corpus_report_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tok").cast("bigint").alias("total_tokens"),
-            F.round(F.avg("n_chars"), 2).cast("double").alias("avg_chars"),
+            (F.round((F.avg("n_chars")) * 100).cast("bigint") / 100.0).cast("double").alias("avg_chars"),
             F.countDistinct("h").alias("n_unique_texts"),
-            F.round(
-                F.lit(1.0) - F.countDistinct("h") / F.count("*"), 4
-            ).cast("double").alias("exact_dup_rate"),
+            (F.round((F.lit(1.0) - F.countDistinct("h") / F.count("*")) * 10000).cast("bigint") / 10000.0).cast("double").alias("exact_dup_rate"),
         )
     )
 
@@ -906,7 +904,7 @@ def pack_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ORDER BY dot DESC, nid) AS rn
         FROM pairs
     )
-    SELECT qid, nid, neg_label, CAST(ROUND(dot, 6) AS DOUBLE) AS dot,
+    SELECT qid, nid, neg_label, CAST((CAST(ROUND((dot) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS DOUBLE) AS dot,
            CAST(rn AS INT) AS rn
     FROM ranked WHERE rn <= 3
     """,
@@ -946,7 +944,7 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "nid", "neg_label", dot.alias("dot"))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)
-        .select("qid", "nid", "neg_label", F.round("dot", 6).alias("dot"),
+        .select("qid", "nid", "neg_label", (F.round((F.col("dot")) * 1000000).cast("bigint") / 1000000.0).alias("dot"),
                 F.col("rn").cast("int").alias("rn"))
     )
 
@@ -1212,8 +1210,8 @@ def _md5_nibble(expr: str, i: int) -> str:
       FROM documents d JOIN perdoc USING (doc_id)),
     scored AS (
       SELECT doc_id, lang,
-             ROUND(logw, 6) AS log_importance,
-             ROUND(logw - LN(-LN(u)), 6) AS sel_key
+             (CAST(ROUND((logw) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS log_importance,
+             (CAST(ROUND((logw - LN(-LN(u))) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS sel_key
       FROM keyed)
     SELECT doc_id, lang, log_importance, sel_key,
            (ROW_NUMBER() OVER (ORDER BY sel_key DESC, doc_id) <= {_DSIR_KEEP})
@@ -1286,8 +1284,8 @@ def corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "lang",
-            F.round(logw, 6).alias("log_importance"),
-            F.round(logw - F.log(-F.log(u)), 6).alias("sel_key"),
+            (F.round((logw) * 1000000).cast("bigint") / 1000000.0).alias("log_importance"),
+            (F.round((logw - F.log(-F.log(u))) * 1000000).cast("bigint") / 1000000.0).alias("sel_key"),
         )
     )
     return scored.withColumn(

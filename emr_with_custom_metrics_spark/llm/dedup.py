@@ -145,7 +145,7 @@ _SHINGLE_JACCARD_PAIRS_ORACLE = """
       GROUP BY a.doc_id, b.doc_id),
     pairs AS (
       SELECT a_id, b_id,
-             ROUND(c::DOUBLE / (sa.n + sb.n - c), 6) AS jaccard
+             (CAST(ROUND((c::DOUBLE / (sa.n + sb.n - c)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS jaccard
       FROM inter
       JOIN sizes sa ON sa.doc_id = a_id
       JOIN sizes sb ON sb.doc_id = b_id)
@@ -194,11 +194,8 @@ def jaccard_pairs(documents: DataFrame, threshold: float) -> DataFrame:
         .select(
             "a_id",
             "b_id",
-            F.round(
-                F.col("n_inter").cast("double")
-                / (F.col("a_sz") + F.col("b_sz") - F.col("n_inter")),
-                6,
-            ).alias("jaccard"),
+            (F.round((F.col("n_inter").cast("double")
+                / (F.col("a_sz") + F.col("b_sz") - F.col("n_inter"))) * 1000000).cast("bigint") / 1000000.0).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )
@@ -285,10 +282,7 @@ def jaccard_pairs_prefix(documents: DataFrame, threshold: float) -> DataFrame:
         .select(
             "a_id",
             "b_id",
-            F.round(
-                n_inter.cast("double") / (F.col("a_sz") + F.col("b_sz") - n_inter),
-                6,
-            ).alias("jaccard"),
+            (F.round((n_inter.cast("double") / (F.col("a_sz") + F.col("b_sz") - n_inter)) * 1000000).cast("bigint") / 1000000.0).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )
@@ -522,7 +516,7 @@ def _md5_minhash_bands(sh: DataFrame) -> DataFrame:
       JOIN sh y ON y.doc_id = c.b_id AND y.s = x.s
       GROUP BY c.a_id, c.b_id)
     SELECT i.a_id, i.b_id,
-           ROUND(i.cnt::DOUBLE / (sa.n + sb.n - i.cnt), 6) AS jaccard
+           (CAST(ROUND((i.cnt::DOUBLE / (sa.n + sb.n - i.cnt)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS jaccard
     FROM inter i
     JOIN sizes sa ON sa.doc_id = i.a_id
     JOIN sizes sb ON sb.doc_id = i.b_id
@@ -568,7 +562,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na")), "a_id")
         .join(sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb")), "b_id")
         .where(jac >= JACCARD_THRESHOLD)
-        .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
+        .select("a_id", "b_id", (F.round((jac) * 1000000).cast("bigint") / 1000000.0).alias("jaccard"))
     )
 
 
@@ -1184,7 +1178,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     pairs AS (
       SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-             ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+             (CAST(ROUND((list_cosine_similarity(a.v, b.v)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS cos_sim
       FROM e a JOIN e b ON a.vec_id < b.vec_id)
     SELECT a_id, b_id, cos_sim FROM pairs WHERE cos_sim >= 0.4
     """,
@@ -1287,7 +1281,7 @@ def embedding_cosine_pairs(
       FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id <> b.doc_id
       GROUP BY a.doc_id, b.doc_id)
     SELECT small_id, big_id,
-           ROUND(c::DOUBLE / sa.n, 6) AS containment
+           (CAST(ROUND((c::DOUBLE / sa.n) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS containment
     FROM inter
     JOIN sizes sa ON sa.doc_id = small_id
     JOIN sizes sb ON sb.doc_id = big_id
@@ -1327,7 +1321,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(sa, "small_id")
         .join(sb, "big_id")
         .where((cont >= 0.9) & (F.col("n_small") <= F.col("n_big")))
-        .select("small_id", "big_id", F.round(cont, 6).alias("containment"))
+        .select("small_id", "big_id", (F.round((cont) * 1000000).cast("bigint") / 1000000.0).alias("containment"))
     )
 
 
@@ -1350,7 +1344,7 @@ PARAGRAPH_TOKENS = 10
     SELECT doc_id,
            COUNT(*) AS n_chunks,
            CAST(COUNT(*) FILTER (WHERE cnt > 1) AS BIGINT) AS n_dup_chunks,
-           ROUND(COUNT(*) FILTER (WHERE cnt > 1)::DOUBLE / COUNT(*), 6) AS dup_ratio
+           (CAST(ROUND((COUNT(*) FILTER (WHERE cnt > 1)::DOUBLE / COUNT(*)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS dup_ratio
     FROM c JOIN g USING (h)
     GROUP BY doc_id
     """,
@@ -1392,7 +1386,7 @@ def dedup_paragraph_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counted.groupBy("doc_id").agg(
         F.count("*").alias("n_chunks"),
         F.count_if(F.col("cnt") > 1).cast("bigint").alias("n_dup_chunks"),
-        F.round(F.count_if(F.col("cnt") > 1) / F.count("*"), 6).alias("dup_ratio"),
+        (F.round((F.count_if(F.col("cnt") > 1) / F.count("*")) * 1000000).cast("bigint") / 1000000.0).alias("dup_ratio"),
     )
 
 
@@ -1434,8 +1428,8 @@ SPAN_TOKENS = 15
            CAST(LEN(t.toks) AS BIGINT) AS n_tokens,
            COALESCE(n_spans, 0) AS n_spans,
            COALESCE(dup_tokens, 0) AS dup_tokens,
-           ROUND(COALESCE(dup_tokens, 0)::DOUBLE
-                 / NULLIF(LEN(t.toks), 0), 6) AS dup_ratio
+           (CAST(ROUND((COALESCE(dup_tokens, 0)::DOUBLE
+                 / NULLIF(LEN(t.toks), 0)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS dup_ratio
     FROM t LEFT JOIN per_doc USING (doc_id)
     """,
     doc="ExactSubstr-style span-level dedup (Lee et al., 'Deduplicating "
@@ -1502,11 +1496,8 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
             F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
-            F.round(
-                F.coalesce("dup_tokens", F.lit(0))
-                / F.expr("nullif(n_tokens, 0)"),
-                6,
-            ).alias("dup_ratio"),
+            (F.round((F.coalesce("dup_tokens", F.lit(0))
+                / F.expr("nullif(n_tokens, 0)")) * 1000000).cast("bigint") / 1000000.0).alias("dup_ratio"),
         )
     )
 
@@ -1675,9 +1666,9 @@ def _semdedup_cluster_kernel(pdf):
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
     q AS (
       SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-             ROUND(list_cosine_similarity(a.v, b.v), 6) AS cs
+             (CAST(ROUND((list_cosine_similarity(a.v, b.v)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS cs
       FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-      WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4),
+      WHERE (CAST(ROUND((list_cosine_similarity(a.v, b.v)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) >= 0.4),
     drops AS (SELECT b_id, MIN(a_id) AS dup_of FROM q GROUP BY b_id)
     SELECT e.vec_id, CAST(e.label AS INT) AS label,
            (d.b_id IS NULL) AS is_kept,

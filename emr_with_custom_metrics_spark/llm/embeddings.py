@@ -40,7 +40,7 @@ from emr_with_custom_metrics_spark.registry import register
         WHERE list_max(list_transform(embedding, x -> abs(x))) > 0
     )
     SELECT e.vec_id,
-           CAST(ROUND(q.scale, 6) AS DOUBLE) AS scale,
+           CAST((CAST(ROUND((q.scale) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS DOUBLE) AS scale,
            CAST(list_aggregate(list_transform(e.embedding,
                     x -> CAST(round(x * q.scale) AS BIGINT)), 'sum') AS BIGINT)
                AS code_sum,
@@ -68,7 +68,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = F.expr("transform(embedding, x -> cast(round(x * vscale) as bigint))")
     return scaled.select(
         "vec_id",
-        F.round("vscale", 6).cast("double").alias("scale"),
+        (F.round((F.col("vscale")) * 1000000).cast("bigint") / 1000000.0).cast("double").alias("scale"),
         F.aggregate(codes, F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias("code_sum"),
         F.array_max(F.transform(codes, lambda c: F.abs(c))).alias("max_abs_code"),
     )
@@ -84,7 +84,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE a.i <= b.i
     )
     SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
-           CAST(ROUND(COVAR_SAMP(embedding[i + 1], embedding[j + 1]), 6) AS DOUBLE)
+           CAST((CAST(ROUND((COVAR_SAMP(embedding[i + 1], embedding[j + 1])) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS DOUBLE)
                AS cov
     FROM embeddings, pairs
     GROUP BY i, j
@@ -106,13 +106,10 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.crossJoin(F.broadcast(pairs))
         .groupBy("i", "j")
         .agg(
-            F.round(
-                F.covar_samp(
+            (F.round((F.covar_samp(
                     F.element_at("embedding", F.col("i") + 1),
                     F.element_at("embedding", F.col("j") + 1),
-                ),
-                6,
-            )
+                )) * 1000000).cast("bigint") / 1000000.0)
             .cast("double")
             .alias("cov")
         )
@@ -199,7 +196,7 @@ def _kmeans_sql(dialect: str) -> str:
         FROM embeddings, c{it}),
     asn{it} AS ({asn(f'a{it}')}),
     mean{it} AS (
-        SELECT cid, i, ROUND(AVG({emb('i + 1')}), 6) AS mu
+        SELECT cid, i, (CAST(ROUND((AVG({emb('i + 1')})) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS mu
         FROM asn{it}, {rng} r GROUP BY cid, i),
     cm{it} AS (
         SELECT c.cid, r.i,
@@ -214,7 +211,7 @@ def _kmeans_sql(dialect: str) -> str:
     )
     parts.append(f""",
     afin AS ({afin(final_src)})
-    SELECT cid, COUNT(*) AS n_points, ROUND(SUM(d2), 4) AS inertia
+    SELECT cid, COUNT(*) AS n_points, CAST(ROUND(SUM(d2) * 10000) AS BIGINT) AS inertia_e4
     FROM afin GROUP BY cid""")
     return "".join(parts)
 
@@ -231,7 +228,7 @@ def _kmeans_sql(dialect: str) -> str:
     "sequence in both engines), argmin tie-broken on (d2, cid), centroid "
     "cells ROUND(AVG, 6) so engine sum-order divergence washes out (the "
     "embedding_covariance argument), empty clusters retain their prior "
-    "centroid, inertia ROUND(SUM, 4). Plan shape at scale: per round the "
+    "centroid, inertia an integer 1e-4-unit BIGINT. Plan shape at scale: per round the "
     "k·d centroid table broadcasts onto the vectors (Catalyst picks BHJ "
     "at these sizes), the per-vector argmin is a vec_id-partitioned "
     "aggregation, and the update shuffle carries k·d cell sums — raw "
@@ -300,7 +297,8 @@ def _kmeans_df(spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 3) -> 
     )
     return final.groupBy("cid").agg(
         F.count("*").alias("n_points"),
-        F.round(F.sum("d2"), 4).cast("double").alias("inertia"),
+        # integer 1e-4-unit inertia OUTPUT (r7 VERDICT item 2)
+        F.round(F.sum("d2") * 10000).cast("bigint").alias("inertia_e4"),
     )
 
 
@@ -339,7 +337,7 @@ def _pca_sql(dialect: str) -> str:
         SELECT a.i AS i, b.i AS j FROM {rng8} a, {rng8} b WHERE a.i <= b.i
     ), cov AS (
         SELECT i, j,
-               ROUND(COVAR_SAMP({emb('i + 1')}, {emb('j + 1')}), 6) AS cov
+               (CAST(ROUND((COVAR_SAMP({emb('i + 1')}, {emb('j + 1')})) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS cov
         FROM embeddings, pairs GROUP BY i, j
     ), covfull AS (
         SELECT i * 8 + j AS k, cov FROM cov
@@ -357,7 +355,7 @@ def _pca_sql(dialect: str) -> str:
     w{it + 1} AS (SELECT {tx}(v, y -> y / sqrt({fold(sq)})) AS v FROM mv{it})""")
     proj_terms = f"{tx}({seq8}, d -> {emb('d + 1')} * {idx('v', 'd + 1')})"
     parts.append(f"""
-    SELECT vec_id, ROUND({fold(proj_terms)}, 6) AS pc1
+    SELECT vec_id, CAST(ROUND(({fold(proj_terms)}) * 1000000) AS BIGINT) AS pc1_e6
     FROM embeddings, w{_PCA_ITERS}""")
     return "".join(parts)
 
@@ -404,9 +402,8 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE a.i <= b.i
         ), cov AS (
             SELECT i, j,
-                   ROUND(COVAR_SAMP(CAST(element_at(embedding, i + 1) AS DOUBLE),
-                                    CAST(element_at(embedding, j + 1) AS DOUBLE)),
-                         6) AS cov
+                   (CAST(ROUND((COVAR_SAMP(CAST(element_at(embedding, i + 1) AS DOUBLE),
+                                    CAST(element_at(embedding, j + 1) AS DOUBLE))) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS cov
             FROM embeddings, pairs GROUP BY i, j
         ), covfull AS (
             SELECT i * 8 + j AS k, cov FROM cov
@@ -435,7 +432,7 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
                   "d -> CAST(element_at(embedding, d + 1) AS DOUBLE) "
                   "* element_at(v, d + 1))")
     return spark.sql(f"""
-        SELECT vec_id, ROUND({fold(proj_terms)}, 6) AS pc1
+        SELECT vec_id, CAST(ROUND(({fold(proj_terms)}) * 1000000) AS BIGINT) AS pc1_e6
         FROM embeddings, pca_state
     """)
 

@@ -579,7 +579,7 @@ def _ppm_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.Data
            CAST(doc_id % 10 + 1 AS INTEGER) AS width,
            CAST(doc_id % 7 + 1 AS INTEGER) AS height,
            CAST((doc_id % 10 + 1) * (doc_id % 7 + 1) AS BIGINT) AS n_pixels,
-           ROUND(CAST(doc_id % 251 AS DOUBLE), 4) AS mean_byte
+           (CAST(ROUND((CAST(doc_id % 251 AS DOUBLE)) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS mean_byte
     FROM documents
     """,
     doc="REAL image decode end-to-end (VERDICT r01 #8): synthesize binary "
@@ -627,7 +627,7 @@ def _png_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.Data
            CAST(doc_id % 10 + 1 AS INTEGER) AS width,
            CAST(doc_id % 7 + 1 AS INTEGER) AS height,
            CAST((doc_id % 10 + 1) * (doc_id % 7 + 1) AS BIGINT) AS n_pixels,
-           ROUND(CAST(doc_id % 251 AS DOUBLE), 4) AS mean_byte
+           (CAST(ROUND((CAST(doc_id % 251 AS DOUBLE)) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS mean_byte
     FROM documents
     """,
     doc="REAL PNG decode end-to-end (VERDICT r02 #7): synthesize "
@@ -683,7 +683,7 @@ def _jpeg_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.Dat
            CAST(doc_id % 10 + 1 AS INTEGER) AS width,
            CAST(doc_id % 7 + 1 AS INTEGER) AS height,
            CAST((doc_id % 10 + 1) * (doc_id % 7 + 1) AS BIGINT) AS n_pixels,
-           ROUND(CAST((doc_id % 125) * 2 AS DOUBLE), 4) AS mean_byte
+           (CAST(ROUND((CAST((doc_id % 125) * 2 AS DOUBLE)) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS mean_byte
     FROM documents
     """,
     doc="REAL baseline JPEG decode end-to-end: synthesize T.81 baseline "
@@ -748,7 +748,7 @@ def _jpeg_subsampled_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Itera
            CAST(doc_id % 21 + 1 AS INTEGER) AS width,
            CAST(doc_id % 19 + 1 AS INTEGER) AS height,
            CAST((doc_id % 21 + 1) * (doc_id % 19 + 1) AS BIGINT) AS n_pixels,
-           ROUND(CAST((doc_id % 125) * 2 AS DOUBLE), 4) AS mean_byte
+           (CAST(ROUND((CAST((doc_id % 125) * 2 AS DOUBLE)) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS mean_byte
     FROM documents
     """,
     doc="REAL subsampled baseline JPEG decode (VERDICT r4 stretch item): "
@@ -807,10 +807,10 @@ def _gif_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.Data
            CAST(doc_id % 14 + 1 AS INTEGER) AS width,
            CAST(doc_id % 11 + 1 AS INTEGER) AS height,
            CAST((doc_id % 14 + 1) * (doc_id % 11 + 1) AS BIGINT) AS n_pixels,
-           ROUND((SELECT AVG(CAST((doc_id + x.i + y.j) % 256 AS DOUBLE))
+           (CAST(ROUND(((SELECT AVG(CAST((doc_id + x.i + y.j) % 256 AS DOUBLE))
                   FROM range(14) x(i), range(11) y(j)
                   WHERE x.i < doc_id % 14 + 1
-                    AND y.j < doc_id % 11 + 1), 4) AS mean_byte
+                    AND y.j < doc_id % 11 + 1)) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS mean_byte
     FROM documents
     """,
     doc="REAL GIF decode end-to-end: synthesize GIF87a gradient payloads "
@@ -875,7 +875,7 @@ def _jpeg_progressive_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Iter
            CAST(doc_id % 12 + 1 AS INTEGER) AS width,
            CAST(doc_id % 9 + 1 AS INTEGER) AS height,
            CAST((doc_id % 12 + 1) * (doc_id % 9 + 1) AS BIGINT) AS n_pixels,
-           ROUND(CAST((doc_id % 125) * 2 AS DOUBLE), 4) AS mean_byte
+           (CAST(ROUND((CAST((doc_id % 125) * 2 AS DOUBLE)) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS mean_byte
     FROM documents
     """,
     doc="REAL progressive JPEG decode (SOF2): spectral selection AND "
@@ -945,9 +945,9 @@ def _avi_mjpeg_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFram
            CAST(doc_id % 8 + 1 AS INTEGER) AS height,
            CAST(doc_id % 3 + 1 AS INTEGER) AS n_frames,
            CAST(40000 * (doc_id % 3 + 1) AS BIGINT) AS duration_us,
-           ROUND((SELECT AVG(CAST(((doc_id + 16 * f.k) % 125) * 2 AS DOUBLE))
+           (CAST(ROUND(((SELECT AVG(CAST(((doc_id + 16 * f.k) % 125) * 2 AS DOUBLE))
                   FROM range(3) f(k)
-                  WHERE f.k < doc_id % 3 + 1), 4) AS mean_byte
+                  WHERE f.k < doc_id % 3 + 1)) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS mean_byte
     FROM documents
     """,
     doc="REAL video-container decode: Motion JPEG in AVI — a RIFF tree "
@@ -1018,7 +1018,7 @@ def _e2e_multimodal_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.Dat
     )
     SELECT fmt,
            COUNT(*) AS n_docs,
-           ROUND(AVG(CAST(mean AS DOUBLE)), 4) AS avg_mean,
+           (CAST(ROUND((AVG(CAST(mean AS DOUBLE))) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS avg_mean,
            CAST(SUM(px) AS BIGINT) AS total_pixels
     FROM per_doc GROUP BY fmt
     """,
@@ -1037,7 +1037,7 @@ def e2e_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_doc.groupBy("fmt").agg(
         F.count("*").alias("n_docs"),
-        F.round(F.avg("mean"), 4).alias("avg_mean"),
+        (F.round((F.avg("mean")) * 10000).cast("bigint") / 10000.0).alias("avg_mean"),
         F.sum("px").cast("bigint").alias("total_pixels"),
     )
 
@@ -1091,7 +1091,7 @@ def _g711_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.Dat
            CAST(8000 AS INTEGER) AS sample_rate,
            CAST(doc_id % 50 + 10 AS INTEGER) AS n_samples,
            CAST((doc_id % 50 + 10) * 1000000 // 8000 AS BIGINT) AS duration_us,
-           ROUND(CAST(CASE WHEN doc_id % 2 = 0 THEN
+           (CAST(ROUND((CAST(CASE WHEN doc_id % 2 = 0 THEN
              (((255 - doc_id % 256) % 16) * 8 + 132)
                * (1 << (((255 - doc_id % 256) // 16) % 8)) - 132
            ELSE
@@ -1100,7 +1100,7 @@ def _g711_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.Dat
                   ELSE ((xor(doc_id % 256, 85) % 16) * 16 + 264)
                        * (1 << (((xor(doc_id % 256, 85) // 16) % 8) - 1))
              END
-           END AS DOUBLE), 4) AS rms
+           END AS DOUBLE)) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS rms
     FROM documents
     """,
     doc="REAL G.711 telephony audio decode (WAV format tags 6/7 — A-law "
@@ -1162,13 +1162,13 @@ def _gif_frame_sample_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.D
     SELECT doc_id,
            CAST(doc_id % 4 + 1 AS INTEGER) AS n_frames,
            CAST((doc_id % 4 + 2) // 2 AS INTEGER) AS n_sampled,
-           ROUND((SELECT AVG(fm) FROM (
+           (CAST(ROUND(((SELECT AVG(fm) FROM (
                     SELECT f.k,
                            AVG(CAST((doc_id + 7 * f.k + x.i + y.j) % 256 AS DOUBLE)) AS fm
                     FROM range(4) f(k), range(9) x(i), range(7) y(j)
                     WHERE f.k < doc_id % 4 + 1 AND f.k % 2 = 0
                       AND x.i < doc_id % 9 + 1 AND y.j < doc_id % 7 + 1
-                    GROUP BY f.k) t), 4) AS sampled_mean
+                    GROUP BY f.k) t)) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS sampled_mean
     FROM documents
     """,
     doc="Frame sampling over REAL animated GIFs (multi-image GIF87a "
@@ -1274,7 +1274,7 @@ def feature_fold_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFr
       FROM hx
     )
     SELECT doc_id,
-           ROUND(sqrt(list_sum(list_transform(fold, x -> (x / 997.0) * (x / 997.0)))), 6)
+           (CAST(ROUND((sqrt(list_sum(list_transform(fold, x -> (x / 997.0) * (x / 997.0))))) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE))
              AS feat_norm,
            md5(array_to_string(fold, ',')) AS feat_digest
     FROM folded
@@ -1293,7 +1293,7 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     folded = d.mapInPandas(feature_fold_batch, schema=FEATURE_FOLD_SCHEMA)
     return folded.select(
         "doc_id",
-        F.round("feat_norm", 6).alias("feat_norm"),
+        (F.round((F.col("feat_norm")) * 1000000).cast("bigint") / 1000000.0).alias("feat_norm"),
         F.md5(F.concat_ws(",", F.transform("fold", lambda x: x.cast("string")))).alias(
             "feat_digest"
         ),
@@ -1531,7 +1531,7 @@ def _wav_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.Data
            CAST(100 + doc_id % 50 AS BIGINT) AS n_samples,
            CAST((100 + doc_id % 50) * 1000000 // (8000 + (doc_id % 3) * 4000)
                 AS BIGINT) AS duration_us,
-           ROUND(CAST(doc_id % 1000 AS DOUBLE), 4) AS rms
+           (CAST(ROUND((CAST(doc_id % 1000 AS DOUBLE)) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS rms
     FROM documents
     """,
     doc="REAL audio decode end-to-end: synthesize RIFF/WAV PCM16 payloads "
@@ -1821,7 +1821,7 @@ def _jpeg_arith_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["
            CAST(doc_id % 14 + 1 AS INTEGER) AS width,
            CAST(doc_id % 11 + 1 AS INTEGER) AS height,
            CAST((doc_id % 14 + 1) * (doc_id % 11 + 1) AS BIGINT) AS n_pixels,
-           ROUND(CAST((doc_id % 125) * 2 AS DOUBLE), 4) AS mean_byte
+           (CAST(ROUND((CAST((doc_id % 125) * 2 AS DOUBLE)) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS mean_byte
     FROM documents
     """,
     doc="Arithmetic-coded JPEG (SOF9) decode — the last JPEG mode, now "
@@ -1903,8 +1903,8 @@ def _video_mc_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd
     SELECT doc_id,
            'avi-ewmc' AS fmt,
            64 AS width, 48 AS height, 4 AS n_frames, 3 AS n_p_frames,
-           ROUND(CASE WHEN (doc_id % 100) * 2 = 128 THEN 130
-                      ELSE (doc_id % 100) * 2 END + 4.5, 4) AS mean_byte,
+           (CAST(ROUND((CASE WHEN (doc_id % 100) * 2 = 128 THEN 130
+                      ELSE (doc_id % 100) * 2 END + 4.5) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS mean_byte,
            TRUE AS p_saves
     FROM documents WHERE doc_id < 400
     """,
@@ -3601,9 +3601,9 @@ def _tiff_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.Dat
            CAST((doc_id % 14 + 1) * (doc_id % 19 + 1) AS BIGINT) AS n_pixels,
            CASE WHEN doc_id % 2 = 0 THEN 'packbits' ELSE 'none' END
                AS compression,
-           ROUND((SELECT AVG(CAST((doc_id + 3 * x.i + y.j) % 256 AS DOUBLE))
+           (CAST(ROUND(((SELECT AVG(CAST((doc_id + 3 * x.i + y.j) % 256 AS DOUBLE))
                   FROM range(14) x(i), range(19) y(j)
-                  WHERE x.i < doc_id % 14 + 1 AND y.j < doc_id % 19 + 1), 4)
+                  WHERE x.i < doc_id % 14 + 1 AND y.j < doc_id % 19 + 1)) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE))
                AS mean_byte
     FROM documents WHERE doc_id < 400
     """,

@@ -42,7 +42,7 @@ _SQL_TOPK_EXACT = f"""
     WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
     scored AS (
       SELECT e.vec_id, e.label,
-             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cos_sim
+             (CAST(ROUND((list_cosine_similarity(e.embedding::DOUBLE[], q.qv)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS cos_sim
       FROM embeddings e, q WHERE e.vec_id <> {QUERY_VEC_ID})
     SELECT vec_id, label, cos_sim FROM scored
     ORDER BY cos_sim DESC, vec_id LIMIT {TOP_K}
@@ -64,7 +64,7 @@ def similarity_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"),
+            (F.round((cosine(F.col("embedding"), F.col("qv"))) * 1000000).cast("bigint") / 1000000.0).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(TOP_K)
@@ -99,7 +99,7 @@ _SQL_IVF_TOPK = f"""
       ORDER BY list_cosine_similarity(cent.centroid, q.qv) DESC, cent.label LIMIT 1),
     scored AS (
       SELECT e.vec_id, e.label,
-             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cos_sim
+             (CAST(ROUND((list_cosine_similarity(e.embedding::DOUBLE[], q.qv)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS cos_sim
       FROM embeddings e, q, best
       WHERE e.label = best.label AND e.vec_id <> {QUERY_VEC_ID})
     SELECT vec_id, label, cos_sim FROM scored
@@ -132,7 +132,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"),
+            (F.round((cosine(F.col("embedding"), F.col("qv"))) * 1000000).cast("bigint") / 1000000.0).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(TOP_K)
@@ -226,11 +226,11 @@ _LSH_SIGN = (
         ON x.table_id = y.table_id AND x.bucket = y.bucket
        AND x.vec_id < y.vec_id)
     SELECT c.a_id, c.b_id,
-           ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+           CAST(ROUND(list_cosine_similarity(ea.v, eb.v) * 1000000) AS BIGINT) AS cos_sim_e6
     FROM cand c
     JOIN e ea ON ea.vec_id = c.a_id
     JOIN e eb ON eb.vec_id = c.b_id
-    WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= 0.4
+    WHERE CAST(ROUND(list_cosine_similarity(ea.v, eb.v) * 1000000) AS BIGINT) >= 400000
     """,
     doc="Multi-table random-hyperplane LSH near-neighbor join (16 tables × "
     "8 planes), exact-cosine re-ranked at ≥0.4. Candidate count ∝ bucket "
@@ -325,8 +325,16 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cands.join(a, "a_id")
         .join(b, "b_id")
-        .select("a_id", "b_id", F.round(dot(F.col("a_u"), F.col("b_u")), 6).alias("cos_sim"))
-        .where(F.col("cos_sim") >= 0.4)
+        .select(
+            "a_id",
+            "b_id",
+            # integer micro-cosine OUTPUT (r7 VERDICT item 2): the hashed
+            # value is a BIGINT, immune to any engine's double formatting
+            F.round(dot(F.col("a_u"), F.col("b_u")) * 1000000)
+            .cast("bigint")
+            .alias("cos_sim_e6"),
+        )
+        .where(F.col("cos_sim_e6") >= 400000)
     )
 
 
@@ -336,9 +344,9 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
     pairs AS (
       SELECT a.label AS label,
-             ROUND(list_dot_product(a.v, b.v), 6) AS dp
+             (CAST(ROUND((list_dot_product(a.v, b.v)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS dp
       FROM e a JOIN e b ON a.vec_id < b.vec_id AND a.label = b.label)
-    SELECT label, COUNT(*) AS n_pairs, ROUND(AVG(dp), 6) AS avg_dot
+    SELECT label, COUNT(*) AS n_pairs, (CAST(ROUND((AVG(dp)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS avg_dot
     FROM pairs GROUP BY label
     """,
     doc="Within-label pairwise dot-product stats — blocked self-join on the "
@@ -352,9 +360,9 @@ def similarity_pairwise_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         a.join(b, (F.col("label") == F.col("b_label")) & (F.col("a_id") < F.col("b_id")))
-        .select("label", F.round(dot(F.col("a_v"), F.col("b_v")), 6).alias("dp"))
+        .select("label", (F.round((dot(F.col("a_v"), F.col("b_v"))) * 1000000).cast("bigint") / 1000000.0).alias("dp"))
         .groupBy("label")
-        .agg(F.count("*").alias("n_pairs"), F.round(F.avg("dp"), 6).alias("avg_dot"))
+        .agg(F.count("*").alias("n_pairs"), (F.round((F.avg("dp")) * 1000000).cast("bigint") / 1000000.0).alias("avg_dot"))
     )
 
 
@@ -443,10 +451,10 @@ def _l2sq(a, b):
         SELECT cb.m, cb.label AS cl, cb.cv,
                list_slice(q.qv, cb.m * {PQ_SUBDIM} + 1, (cb.m + 1) * {PQ_SUBDIM}) AS sl
         FROM cb, q))
-    SELECT enc.vec_id, ROUND(SUM(adc.d2), 6) AS pq_dist
+    SELECT enc.vec_id, CAST(ROUND(SUM(adc.d2) * 1000000) AS BIGINT) AS pq_dist_e6
     FROM enc JOIN adc ON enc.m = adc.m AND enc.cl = adc.cl
     GROUP BY enc.vec_id
-    ORDER BY pq_dist, enc.vec_id LIMIT {TOP_K}
+    ORDER BY pq_dist_e6, enc.vec_id LIMIT {TOP_K}
     """,
     doc="Product-quantization ANN top-k: 64 dims split into 4 subspaces, "
     "each vector encoded as 4 codebook ids (per-label subspace means — "
@@ -484,8 +492,8 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         codes.join(F.broadcast(adc), ["m", "cl"])
         .groupBy("vec_id")
-        .agg(F.round(F.sum("d2"), 6).alias("pq_dist"))
-        .orderBy("pq_dist", "vec_id")
+        .agg(F.round(F.sum("d2") * 1000000).cast("bigint").alias("pq_dist_e6"))
+        .orderBy("pq_dist_e6", "vec_id")
         .limit(TOP_K)
     )
 
@@ -542,14 +550,14 @@ _SQL_IVFPQ_TOPK = f"""
                list_slice(q.qv, cb.m * {PQ_SUBDIM} + 1, (cb.m + 1) * {PQ_SUBDIM}) AS sl
         FROM cb, q)),
     pq_ranked AS (
-      SELECT enc.vec_id, ROUND(SUM(adc.d2), 6) AS pq_dist
+      SELECT enc.vec_id, (CAST(ROUND((SUM(adc.d2)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS pq_dist
       FROM enc JOIN adc ON enc.m = adc.m AND enc.cl = adc.cl
       GROUP BY enc.vec_id
       ORDER BY pq_dist, enc.vec_id LIMIT {IVFPQ_CANDIDATES})
     SELECT c.vec_id, c.label,
-           ROUND(list_cosine_similarity(c.v, q.qv), 6) AS cos_sim
+           CAST(ROUND(list_cosine_similarity(c.v, q.qv) * 1000000) AS BIGINT) AS cos_sim_e6
     FROM pq_ranked p JOIN cell c ON c.vec_id = p.vec_id, q
-    ORDER BY cos_sim DESC, c.vec_id LIMIT {TOP_K}
+    ORDER BY cos_sim_e6 DESC, c.vec_id LIMIT {TOP_K}
     """
 
 
@@ -607,7 +615,7 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pool = (
         codes.join(F.broadcast(adc), ["m", "cl"])
         .groupBy("vec_id")
-        .agg(F.round(F.sum("d2"), 6).alias("pq_dist"))
+        .agg((F.round((F.sum("d2")) * 1000000).cast("bigint") / 1000000.0).alias("pq_dist"))
         .orderBy("pq_dist", "vec_id")
         .limit(IVFPQ_CANDIDATES)
         .select("vec_id")
@@ -618,9 +626,12 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"),
+            # integer micro-cosine OUTPUT (r7 VERDICT item 2)
+            F.round(cosine(F.col("embedding"), F.col("qv")) * 1000000)
+            .cast("bigint")
+            .alias("cos_sim_e6"),
         )
-        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .orderBy(F.col("cos_sim_e6").desc(), F.col("vec_id"))
         .limit(TOP_K)
     )
 
@@ -633,12 +644,12 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ip AS ({_SQL_IVFPQ_TOPK})
     SELECT 'ivf' AS method,
            CAST(COUNT(*) AS BIGINT) AS n_hits,
-           ROUND(COUNT(*) / {TOP_K}.0, 4) AS recall_at_k
+           (CAST(ROUND((COUNT(*) / {TOP_K}.0) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS recall_at_k
     FROM iv WHERE vec_id IN (SELECT vec_id FROM ex)
     UNION ALL
     SELECT 'ivfpq',
            CAST(COUNT(*) AS BIGINT),
-           ROUND(COUNT(*) / {TOP_K}.0, 4)
+           (CAST(ROUND((COUNT(*) / {TOP_K}.0) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE))
     FROM ip WHERE vec_id IN (SELECT vec_id FROM ex)
     ORDER BY method
     """,
@@ -662,7 +673,7 @@ def similarity_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             hits.agg(
                 F.lit(method).alias("method"),
                 F.count("*").cast("bigint").alias("n_hits"),
-                F.round(F.count("*") / TOP_K, 4).alias("recall_at_k"),
+                (F.round((F.count("*") / TOP_K) * 10000).cast("bigint") / 10000.0).alias("recall_at_k"),
             ).select("method", "n_hits", "recall_at_k")
         )
     return rows[0].unionByName(rows[1]).orderBy("method")
@@ -685,7 +696,7 @@ def _mmr_oracle(k: int) -> str:
     q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
     pool AS (
       SELECT e.vec_id, e.label,
-             ROUND(list_cosine_similarity(e.v, q.qv), 6) AS rel, e.v
+             (CAST(ROUND((list_cosine_similarity(e.v, q.qv)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS rel, e.v
       FROM e, q WHERE e.vec_id <> {QUERY_VEC_ID}
       ORDER BY rel DESC, e.vec_id LIMIT {MMR_POOL}),
     sel1 AS (
@@ -699,7 +710,7 @@ def _mmr_oracle(k: int) -> str:
         blocks.append(f""",
     ms{i} AS (
       SELECT p.vec_id,
-             MAX(ROUND(list_cosine_similarity(p.v, s.v), 6)) AS max_sim
+             MAX((CAST(ROUND((list_cosine_similarity(p.v, s.v)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE))) AS max_sim
       FROM pool p
       JOIN e s ON s.vec_id IN (SELECT vec_id FROM selall{p})
       WHERE p.vec_id NOT IN (SELECT vec_id FROM selall{p})
@@ -711,7 +722,7 @@ def _mmr_oracle(k: int) -> str:
       ORDER BY score DESC, p.vec_id LIMIT 1),
     selall{i} AS (SELECT * FROM selall{p} UNION ALL SELECT * FROM sel{i})""")
     return "".join(blocks) + f"""
-    SELECT rank, vec_id, label, rel, max_sim, ROUND(score, 6) AS score
+    SELECT rank, vec_id, label, rel, max_sim, (CAST(ROUND((score) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS score
     FROM selall{k}
     """
 
@@ -742,7 +753,7 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("rel"),
+            (F.round((cosine(F.col("embedding"), F.col("qv"))) * 1000000).cast("bigint") / 1000000.0).alias("rel"),
             F.col("embedding").alias("v"),
         )
         .orderBy(F.col("rel").desc(), "vec_id")
@@ -768,7 +779,7 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             remaining.crossJoin(F.broadcast(sel_vecs))
             .select(
                 "vec_id",
-                F.round(cosine(F.col("v"), F.col("sv")), 6).alias("sim"),
+                (F.round((cosine(F.col("v"), F.col("sv"))) * 1000000).cast("bigint") / 1000000.0).alias("sim"),
             )
             .groupBy("vec_id")
             .agg(F.max("sim").alias("max_sim"))
@@ -791,7 +802,7 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         selected = selected.unionByName(winner).localCheckpoint(eager=False)
     return selected.select(
-        "rank", "vec_id", "label", "rel", "max_sim", F.round("score", 6).alias("score")
+        "rank", "vec_id", "label", "rel", "max_sim", (F.round((F.col("score")) * 1000000).cast("bigint") / 1000000.0).alias("score")
     )
 
 
@@ -802,19 +813,19 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
     full_rank AS (
       SELECT vec_id, ROW_NUMBER() OVER (
-        ORDER BY ROUND(list_cosine_similarity(e.v, q.qv), 6) DESC, vec_id) AS rn
+        ORDER BY (CAST(ROUND((list_cosine_similarity(e.v, q.qv)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) DESC, vec_id) AS rn
       FROM e, q WHERE vec_id <> {QUERY_VEC_ID}),
     dims AS (SELECT UNNEST([16, 32, 64]) AS d),
     trunc_rank AS (
       SELECT dims.d, e.vec_id,
              ROW_NUMBER() OVER (PARTITION BY dims.d
-               ORDER BY ROUND(list_cosine_similarity(
-                 list_slice(e.v, 1, dims.d), list_slice(q.qv, 1, dims.d)), 6)
+               ORDER BY (CAST(ROUND((list_cosine_similarity(
+                 list_slice(e.v, 1, dims.d), list_slice(q.qv, 1, dims.d))) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE))
                  DESC, e.vec_id) AS rn
       FROM e, q, dims WHERE e.vec_id <> {QUERY_VEC_ID})
     SELECT t.d AS dims,
            CAST(COUNT(*) FILTER (WHERE f.rn <= {TOP_K}) AS BIGINT) AS n_hits,
-           ROUND(COUNT(*) FILTER (WHERE f.rn <= {TOP_K}) / {TOP_K}.0, 4)
+           (CAST(ROUND((COUNT(*) FILTER (WHERE f.rn <= {TOP_K}) / {TOP_K}.0) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE))
                AS recall_at_k
     FROM trunc_rank t JOIN full_rank f USING (vec_id)
     WHERE t.rn <= {TOP_K}
@@ -843,7 +854,7 @@ def similarity_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number()
         .over(
             Window.orderBy(
-                F.round(cosine(F.col("embedding"), F.col("qv")), 6).desc(), "vec_id"
+                (F.round((cosine(F.col("embedding"), F.col("qv"))) * 1000000).cast("bigint") / 1000000.0).desc(), "vec_id"
             )
         )
         .alias("full_rn"),
@@ -854,13 +865,10 @@ def similarity_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "d",
-            F.round(
-                cosine(
+            (F.round((cosine(
                     F.slice(F.col("embedding").cast("array<double>"), 1, F.col("d")),
                     F.slice(F.col("qv").cast("array<double>"), 1, F.col("d")),
-                ),
-                6,
-            ).alias("c"),
+                )) * 1000000).cast("bigint") / 1000000.0).alias("c"),
         )
         .withColumn(
             "rn",
@@ -875,7 +883,7 @@ def similarity_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("d").alias("dims"))
         .agg(
             F.count_if(F.col("full_rn") <= TOP_K).cast("bigint").alias("n_hits"),
-            F.round(F.count_if(F.col("full_rn") <= TOP_K) / float(TOP_K), 4).alias(
+            (F.round((F.count_if(F.col("full_rn") <= TOP_K) / float(TOP_K)) * 10000).cast("bigint") / 10000.0).alias(
                 "recall_at_k"
             ),
         )

@@ -85,9 +85,9 @@ def _stop_count(tok: Column) -> Column:
     SELECT doc_id, lang,
            CAST(LEN(string_split(text, ' ')) AS INTEGER) AS n_tokens,
            CAST(LEN(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_unique,
-           ROUND(LEN(list_distinct(string_split(text, ' ')))::DOUBLE
-                 / LEN(string_split(text, ' ')), 4) AS ttr,
-           ROUND(LENGTH(text)::DOUBLE / LEN(string_split(text, ' ')), 4) AS avg_tok_span,
+           (CAST(ROUND((LEN(list_distinct(string_split(text, ' ')))::DOUBLE
+                 / LEN(string_split(text, ' '))) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS ttr,
+           (CAST(ROUND((LENGTH(text)::DOUBLE / LEN(string_split(text, ' '))) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS avg_tok_span,
            n_chars
     FROM documents
     """,
@@ -103,8 +103,8 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         n_tok.alias("n_tokens"),
         F.size(F.array_distinct(tok)).alias("n_unique"),
-        F.round(F.size(F.array_distinct(tok)).cast("double") / n_tok, 4).alias("ttr"),
-        F.round(F.length("text").cast("double") / n_tok, 4).alias("avg_tok_span"),
+        (F.round((F.size(F.array_distinct(tok)).cast("double") / n_tok) * 10000).cast("bigint") / 10000.0).alias("ttr"),
+        (F.round((F.length("text").cast("double") / n_tok) * 10000).cast("bigint") / 10000.0).alias("avg_tok_span"),
         "n_chars",
     )
 
@@ -134,7 +134,7 @@ def text_word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_lang_source_stats",
     oracle="""
     SELECT lang, source, COUNT(*) AS n_docs,
-           ROUND(AVG(n_chars), 4) AS avg_chars,
+           (CAST(ROUND((AVG(n_chars)) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS avg_chars,
            CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS total_tokens
     FROM documents GROUP BY lang, source
     """,
@@ -144,7 +144,7 @@ def text_lang_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        (F.round((F.avg("n_chars")) * 10000).cast("bigint") / 10000.0).alias("avg_chars"),
         F.sum(F.size(tokens(F.col("text")))).cast("bigint").alias("total_tokens"),
     )
 
@@ -160,10 +160,10 @@ def text_lang_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents)
     SELECT doc_id,
            CAST(n_tok AS INTEGER) AS n_tokens,
-           ROUND(LEN(list_filter(toks, x -> list_contains(
-             ['the','a','of','and','to','in','is','it'], x)))::DOUBLE / n_tok, 4)
+           (CAST(ROUND((LEN(list_filter(toks, x -> list_contains(
+             ['the','a','of','and','to','in','is','it'], x)))::DOUBLE / n_tok) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE))
              AS stopword_ratio,
-           ROUND(n_chars::DOUBLE / n_tok, 4) AS mean_word_span,
+           (CAST(ROUND((n_chars::DOUBLE / n_tok) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS mean_word_span,
            CAST(CASE WHEN n_tok BETWEEN 20 AND 1000 THEN 1 ELSE 0 END AS INTEGER)
              AS length_ok
     FROM t
@@ -178,8 +178,8 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         n_tok.alias("n_tokens"),
-        F.round(_stop_count(tok).cast("double") / n_tok, 4).alias("stopword_ratio"),
-        F.round(F.col("n_chars").cast("double") / n_tok, 4).alias("mean_word_span"),
+        (F.round((_stop_count(tok).cast("double") / n_tok) * 10000).cast("bigint") / 10000.0).alias("stopword_ratio"),
+        (F.round((F.col("n_chars").cast("double") / n_tok) * 10000).cast("bigint") / 10000.0).alias("mean_word_span"),
         F.when(n_tok.between(20, 1000), 1).otherwise(0).alias("length_ok"),
     )
 
@@ -281,7 +281,7 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT tok.doc_id, LN(freq.c::DOUBLE / total.t) AS logp
       FROM tok JOIN freq USING (token) CROSS JOIN total)
-    SELECT doc_id, ROUND(AVG(logp), 6) AS avg_log_freq,
+    SELECT doc_id, (CAST(ROUND((AVG(logp)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS avg_log_freq,
            COUNT(*) AS n_tokens
     FROM scored GROUP BY doc_id
     """,
@@ -304,7 +304,7 @@ def text_logfreq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.log(F.col("p")).alias("logp")
     )
     return scored.groupBy("doc_id").agg(
-        F.round(F.avg("logp"), 6).alias("avg_log_freq"),
+        (F.round((F.avg("logp")) * 1000000).cast("bigint") / 1000000.0).alias("avg_log_freq"),
         F.count("*").alias("n_tokens"),
     )
 
@@ -323,8 +323,8 @@ def text_logfreq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT COUNT(*) AS total_docs FROM documents),
     scored AS (
       SELECT tf.doc_id, tf.token,
-             ROUND((tf.cnt::DOUBLE / doclen.n_tok)
-                   * LN(n.total_docs::DOUBLE / df.n_docs_with), 6) AS tfidf
+             (CAST(ROUND(((tf.cnt::DOUBLE / doclen.n_tok)
+                   * LN(n.total_docs::DOUBLE / df.n_docs_with)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS tfidf
       FROM tf JOIN doclen USING (doc_id) JOIN df USING (token) CROSS JOIN n)
     SELECT doc_id, token, tfidf FROM (
       SELECT doc_id, token, tfidf,
@@ -354,11 +354,8 @@ def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "token",
-            F.round(
-                (F.col("cnt").cast("double") / F.col("n_tok"))
-                * F.log(F.lit(float(total_docs)) / F.col("n_docs_with")),
-                6,
-            ).alias("tfidf"),
+            (F.round(((F.col("cnt").cast("double") / F.col("n_tok"))
+                * F.log(F.lit(float(total_docs)) / F.col("n_docs_with"))) * 1000000).cast("bigint") / 1000000.0).alias("tfidf"),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
@@ -405,9 +402,9 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM t)
     SELECT doc_id,
            CAST(LEN(grams) AS BIGINT) AS n_grams,
-           ROUND(CASE WHEN LEN(grams) > 0
+           (CAST(ROUND((CASE WHEN LEN(grams) > 0
                       THEN 1.0 - LEN(list_distinct(grams))::DOUBLE / LEN(grams)
-                      ELSE 0.0 END, 6) AS rep_ratio
+                      ELSE 0.0 END) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS rep_ratio
     FROM g
     """,
     doc="Repetition ratio (C4/Gopher-style quality rule): fraction of "
@@ -430,13 +427,10 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "doc_id",
         n.cast("bigint").alias("n_grams"),
-        F.round(
-            F.when(
+        (F.round((F.when(
                 n > 0,
                 1.0 - F.size(F.array_distinct("grams")).cast("double") / n,
-            ).otherwise(0.0),
-            6,
-        ).alias("rep_ratio"),
+            ).otherwise(0.0)) * 1000000).cast("bigint") / 1000000.0).alias("rep_ratio"),
     )
 
 
@@ -509,7 +503,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.doc_id,
            COUNT(*) AS n_bigrams,
-           CAST(ROUND(AVG(LN(c_bg::DOUBLE / c_w1)), 4) AS DOUBLE) AS avg_logprob
+           CAST((CAST(ROUND((AVG(LN(c_bg::DOUBLE / c_w1))) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS DOUBLE) AS avg_logprob
     FROM bigrams d
     JOIN bg_counts USING (bg)
     JOIN w1_counts USING (w1)
@@ -549,7 +543,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
-            F.round(F.avg(F.log(F.col("c_bg") / F.col("c_w1"))), 4)
+            (F.round((F.avg(F.log(F.col("c_bg") / F.col("c_w1")))) * 10000).cast("bigint") / 10000.0)
             .cast("double")
             .alias("avg_logprob"),
         )
@@ -567,10 +561,10 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc AS (
       SELECT doc_id,
              CAST(LEN(t) AS BIGINT) AS n_words,
-             ROUND(list_sum(list_transform(t, x -> CAST(LENGTH(x) AS DOUBLE))) / LEN(t), 4)
+             (CAST(ROUND((list_sum(list_transform(t, x -> CAST(LENGTH(x) AS DOUBLE))) / LEN(t)) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE))
                AS mean_word_len,
-             ROUND(list_sum(list_transform(t, x ->
-               CASE WHEN regexp_matches(x, '^[a-zA-Z]+$') THEN 1.0 ELSE 0.0 END)) / LEN(t), 4)
+             (CAST(ROUND((list_sum(list_transform(t, x ->
+               CASE WHEN regexp_matches(x, '^[a-zA-Z]+$') THEN 1.0 ELSE 0.0 END)) / LEN(t)) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE))
                AS alpha_ratio,
              CAST(LEN(list_distinct(list_filter(t, x -> list_contains(stop.sw, x))))
                   AS BIGINT) AS n_stopwords
@@ -607,17 +601,13 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = d.crossJoin(F.broadcast(stop)).select(
         "doc_id",
         F.size("t").cast("bigint").alias("n_words"),
-        F.round(
-            F.aggregate(
+        (F.round((F.aggregate(
                 F.transform("t", lambda x: F.length(x).cast("double")),
                 F.lit(0.0),
                 lambda a, v: a + v,
             )
-            / F.size("t"),
-            4,
-        ).alias("mean_word_len"),
-        F.round(
-            F.aggregate(
+            / F.size("t")) * 10000).cast("bigint") / 10000.0).alias("mean_word_len"),
+        (F.round((F.aggregate(
                 F.transform(
                     "t",
                     lambda x: F.when(x.rlike("^[a-zA-Z]+$"), F.lit(1.0)).otherwise(
@@ -627,9 +617,7 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0.0),
                 lambda a, v: a + v,
             )
-            / F.size("t"),
-            4,
-        ).alias("alpha_ratio"),
+            / F.size("t")) * 10000).cast("bigint") / 10000.0).alias("alpha_ratio"),
         F.size(
             F.array_distinct(
                 F.filter("t", lambda x: F.array_contains(F.col("stopset"), x))
@@ -680,7 +668,7 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         CROSS JOIN stats s
         GROUP BY tf.doc_id
     )
-    SELECT doc_id, ROUND(score, 6) AS bm25
+    SELECT doc_id, (CAST(ROUND((score) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS bm25
     FROM (SELECT doc_id, score,
                  ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
           FROM scored)
@@ -739,7 +727,7 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rn", F.row_number().over(Window.orderBy(F.col("score").desc(), "doc_id"))
     )
     return ranked.where(F.col("rn") <= 15).select(
-        "doc_id", F.round("score", 6).alias("bm25")
+        "doc_id", (F.round((F.col("score")) * 1000000).cast("bigint") / 1000000.0).alias("bm25")
     )
 
 
@@ -894,8 +882,8 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY a.tok, b.tok
     )
     SELECT tok_a, tok_b, n_ab,
-           ROUND(LN((CAST(n_ab AS DOUBLE) * nd)
-                    / (CAST(ma.df AS DOUBLE) * mb.df)), 6) AS pmi
+           (CAST(ROUND((LN((CAST(n_ab AS DOUBLE) * nd)
+                    / (CAST(ma.df AS DOUBLE) * mb.df))) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS pmi
     FROM pairs
     JOIN marg ma ON tok_a = ma.tok
     JOIN marg mb ON tok_b = mb.tok
@@ -944,13 +932,10 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(nd))
         .select(
             "tok_a", "tok_b", "n_ab",
-            F.round(
-                F.log(
+            (F.round((F.log(
                     (F.col("n_ab").cast("double") * F.col("nd"))
                     / (F.col("df_a").cast("double") * F.col("df_b"))
-                ),
-                6,
-            ).alias("pmi"),
+                )) * 1000000).cast("bigint") / 1000000.0).alias("pmi"),
         )
     )
     w = Window.orderBy(F.col("pmi").desc(), "tok_a", "tok_b")
@@ -1146,7 +1131,7 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id AS doc_id, rn AS sem_rank
         FROM (SELECT e.vec_id,
                      ROW_NUMBER() OVER (
-                       ORDER BY ROUND(list_cosine_similarity(e.v, qv.v), 6) DESC,
+                       ORDER BY (CAST(ROUND((list_cosine_similarity(e.v, qv.v)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) DESC,
                                 e.vec_id) AS rn
               FROM e, qv WHERE e.vec_id <> 1)
         WHERE rn <= 15
@@ -1159,7 +1144,7 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
            CAST(sem_rank AS BIGINT) AS sem_rank,
-           ROUND(rrf, 6) AS rrf
+           (CAST(ROUND((rrf) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS rrf
     FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
     """,
     doc="Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. "
@@ -1230,7 +1215,7 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(qv))
         .select(
             F.col("vec_id").alias("doc_id"),
-            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("c"),
+            (F.round((cosine(F.col("embedding"), F.col("qvec"))) * 1000000).cast("bigint") / 1000000.0).alias("c"),
         )
         .withColumn(
             "sem_rank",
@@ -1249,7 +1234,7 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.select(
-        "doc_id", "lex_rank", "sem_rank", F.round("rrf", 6).alias("rrf")
+        "doc_id", "lex_rank", "sem_rank", (F.round((F.col("rrf")) * 1000000).cast("bigint") / 1000000.0).alias("rrf")
     ).orderBy(F.col("rrf").desc(), "doc_id").limit(10)
 
 
@@ -1299,7 +1284,7 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id AS doc_id, rn AS sem_rank
         FROM (SELECT e.vec_id,
                      ROW_NUMBER() OVER (
-                       ORDER BY ROUND(list_cosine_similarity(e.v, qv.v), 6) DESC,
+                       ORDER BY (CAST(ROUND((list_cosine_similarity(e.v, qv.v)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) DESC,
                                 e.vec_id) AS rn
               FROM e, qv WHERE e.vec_id <> 1)
         WHERE rn <= 15
@@ -1311,7 +1296,7 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), rrfcut AS (
         SELECT doc_id, rn AS rnk
         FROM (SELECT doc_id,
-                     ROW_NUMBER() OVER (ORDER BY ROUND(rrf, 6) DESC, doc_id) AS rn
+                     ROW_NUMBER() OVER (ORDER BY (CAST(ROUND((rrf) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) DESC, doc_id) AS rn
               FROM fused)
         WHERE rn <= 10
     ), rel AS (
@@ -1336,9 +1321,9 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT UNNEST(range(1, 11)) AS i)
     )
     SELECT system, CAST(n_hits AS BIGINT) AS n_hits,
-           ROUND(dcg6 / 1000000.0, 6) AS dcg,
-           ROUND(idcg6 / 1000000.0, 6) AS idcg,
-           ROUND(CAST(dcg6 AS DOUBLE) / idcg6, 6) AS ndcg
+           (CAST(ROUND((dcg6 / 1000000.0) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS dcg,
+           (CAST(ROUND((idcg6 / 1000000.0) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS idcg,
+           (CAST(ROUND((CAST(dcg6 AS DOUBLE) / idcg6) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS ndcg
     FROM dcg CROSS JOIN ideal
     """,
     doc="Retrieval EVALUATION as a first-class query: nDCG@10 of the "
@@ -1406,7 +1391,7 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(qv))
         .select(
             F.col("vec_id").alias("doc_id"),
-            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("c"),
+            (F.round((cosine(F.col("embedding"), F.col("qvec"))) * 1000000).cast("bigint") / 1000000.0).alias("c"),
         )
         .withColumn(
             "sem_rank",
@@ -1426,7 +1411,7 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.withColumn(
             "rnk",
             F.row_number().over(
-                Window.orderBy(F.round(F.col("rrf"), 6).desc(), "doc_id")
+                Window.orderBy((F.round((F.col("rrf")) * 1000000).cast("bigint") / 1000000.0).desc(), "doc_id")
             ),
         )
         .where(F.col("rnk") <= 10)
@@ -1475,9 +1460,9 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dcg.crossJoin(F.broadcast(ideal)).select(
         "system",
         F.col("n_hits").cast("bigint").alias("n_hits"),
-        F.round(F.col("dcg6") / 1_000_000.0, 6).alias("dcg"),
-        F.round(F.col("idcg6") / 1_000_000.0, 6).alias("idcg"),
-        F.round(F.col("dcg6").cast("double") / F.col("idcg6"), 6).alias("ndcg"),
+        (F.round((F.col("dcg6") / 1_000_000.0) * 1000000).cast("bigint") / 1000000.0).alias("dcg"),
+        (F.round((F.col("idcg6") / 1_000_000.0) * 1000000).cast("bigint") / 1000000.0).alias("idcg"),
+        (F.round((F.col("dcg6").cast("double") / F.col("idcg6")) * 1000000).cast("bigint") / 1000000.0).alias("ndcg"),
     )
 
 
@@ -1511,9 +1496,9 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM probs
     )
     SELECT CAST((SELECT v FROM tot) AS BIGINT) AS vocab,
-           ROUND(list_reduce(kl_ab_terms, (acc, x) -> acc + x), 6) AS kl_ab,
-           ROUND(list_reduce(kl_ba_terms, (acc, x) -> acc + x), 6) AS kl_ba,
-           ROUND(list_reduce(jsd_terms, (acc, x) -> acc + x), 6) AS jsd
+           (CAST(ROUND((list_reduce(kl_ab_terms, (acc, x) -> acc + x)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS kl_ab,
+           (CAST(ROUND((list_reduce(kl_ba_terms, (acc, x) -> acc + x)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS kl_ba,
+           (CAST(ROUND((list_reduce(jsd_terms, (acc, x) -> acc + x)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS jsd
     FROM terms
     """,
     doc="Corpus DISTRIBUTION DRIFT: token unigram distributions of two "
@@ -1572,9 +1557,9 @@ def text_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return folded.select(
         F.col("v").cast("bigint").alias("vocab"),
-        F.round(fold("t_ab"), 6).alias("kl_ab"),
-        F.round(fold("t_ba"), 6).alias("kl_ba"),
-        F.round(fold("t_js"), 6).alias("jsd"),
+        (F.round((fold("t_ab")) * 1000000).cast("bigint") / 1000000.0).alias("kl_ab"),
+        (F.round((fold("t_ba")) * 1000000).cast("bigint") / 1000000.0).alias("kl_ba"),
+        (F.round((fold("t_js")) * 1000000).cast("bigint") / 1000000.0).alias("jsd"),
     )
 
 

@@ -130,7 +130,7 @@ def _unigram_sql(dialect: str, tail: str) -> str:
       SELECT piece, cnt FROM cand WHERE LENGTH(piece) = 1),
     v0 AS (
       SELECT piece,
-             ROUND(LN((cnt + 1.0) / (SELECT SUM(cnt + 1.0) FROM sel0)), 6)
+             (CAST(ROUND((LN((cnt + 1.0) / (SELECT SUM(cnt + 1.0) FROM sel0))) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE))
                AS lp,
              cnt
       FROM sel0)"""]
@@ -159,7 +159,7 @@ def _unigram_sql(dialect: str, tail: str) -> str:
       LEFT JOIN cnt{r} c2 ON c2.piece = s.piece),
     v{r + 1} AS (
       SELECT piece,
-             ROUND(LN((cnt + 1.0) / (SELECT SUM(cnt + 1.0) FROM sel{r + 1})), 6)
+             (CAST(ROUND((LN((cnt + 1.0) / (SELECT SUM(cnt + 1.0) FROM sel{r + 1}))) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE))
                AS lp,
              cnt
       FROM sel{r + 1})""")
@@ -182,7 +182,7 @@ def _unigram_sql(dialect: str, tail: str) -> str:
       FROM documents)
     SELECT d.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_words,
-           ROUND(SUM(ws.s), 4) AS viterbi_logprob
+           (CAST(ROUND((SUM(ws.s)) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS viterbi_logprob
     FROM docw d JOIN wscore ws ON ws.w = d.w
     GROUP BY d.doc_id""")
     return "".join(parts)
@@ -195,7 +195,7 @@ _UG_DOC = (
     "HOFs, identical IEEE op order in both engines) and an optimal-EDGE "
     "count for the M-step — an edge (j,i) is on an optimal segmentation "
     "iff (fwd[j]+lp)+bwd[i] == fwd[n], which removes the sequential "
-    "back-pointer walk entirely. Log-probs are ROUND(LN(int-ratio), 6), "
+    "back-pointer walk entirely. Log-probs are (CAST(ROUND((LN(int-ratio)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)), "
     "so DuckDB replays the whole training trajectory hash-exact. Scale: "
     "the DP runs over the dictionary (distinct words x count), not the "
     "corpus; the vocab map rides a one-row cross join (broadcast)."
@@ -238,7 +238,7 @@ def _ug_spark(spark: SparkSession, sf_dir: str, tail: str) -> DataFrame:
           UNION ALL
           SELECT piece, cnt FROM cand WHERE LENGTH(piece) = 1)
         SELECT piece,
-               ROUND(LN((cnt + 1.0) / (SELECT SUM(cnt + 1.0) FROM sel0)), 6)
+               (CAST(ROUND((LN((cnt + 1.0) / (SELECT SUM(cnt + 1.0) FROM sel0))) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE))
                  AS lp,
                cnt
         FROM sel0
@@ -287,7 +287,7 @@ def _ug_spark(spark: SparkSession, sf_dir: str, tail: str) -> DataFrame:
               FROM (SELECT piece FROM ug_v0 WHERE LENGTH(piece) = 1) s
               LEFT JOIN cnt c2 ON c2.piece = s.piece)
             SELECT piece,
-                   ROUND(LN((cnt + 1.0) / (SELECT SUM(cnt + 1.0) FROM sel)), 6)
+                   (CAST(ROUND((LN((cnt + 1.0) / (SELECT SUM(cnt + 1.0) FROM sel))) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE))
                      AS lp,
                    cnt
             FROM sel
@@ -315,7 +315,7 @@ def _ug_spark(spark: SparkSession, sf_dir: str, tail: str) -> DataFrame:
           SELECT doc_id, explode(split(text, " ")) AS w FROM documents)
         SELECT d.doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_words,
-               ROUND(SUM(ws.s), 4) AS viterbi_logprob
+               (CAST(ROUND((SUM(ws.s)) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS viterbi_logprob
         FROM docw d JOIN wscore ws ON ws.w = d.w
         GROUP BY d.doc_id
         """

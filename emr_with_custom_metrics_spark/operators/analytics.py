@@ -28,7 +28,7 @@ from emr_with_custom_metrics_spark.registry import register
            o_orderdate AS valid_from,
            LEAD(o_orderdate) OVER w AS valid_to,
            (LEAD(o_orderdate) OVER w IS NULL) AS is_current,
-           CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS order_price
+           CAST((CAST(ROUND((o_totalprice) * 100) AS BIGINT) / CAST(100 AS DOUBLE)) AS DOUBLE) AS order_price
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
@@ -48,7 +48,7 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").alias("valid_from"),
         F.lead("o_orderdate").over(w).alias("valid_to"),
         F.lead("o_orderdate").over(w).isNull().alias("is_current"),
-        F.round("o_totalprice", 2).cast("double").alias("order_price"),
+        (F.round((F.col("o_totalprice")) * 100).cast("bigint") / 100.0).cast("double").alias("order_price"),
     )
 
 
@@ -330,7 +330,7 @@ def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
                 FILTER (WHERE o_totalprice > 100000) AS DOUBLE) AS big_rev,
-           ROUND(AVG(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 4)
+           (CAST(ROUND((AVG(o_totalprice) FILTER (WHERE o_orderstatus = 'O')) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE))
              AS avg_open,
            COUNT(DISTINCT o_custkey) FILTER (WHERE o_orderstatus <> 'P')
              AS n_custs_nonpending
@@ -354,7 +354,7 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
                     FILTER (WHERE o_totalprice > 100000) AS DOUBLE) AS big_rev,
-               ROUND(AVG(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 4)
+               (CAST(ROUND((AVG(o_totalprice) FILTER (WHERE o_orderstatus = 'O')) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE))
                  AS avg_open,
                COUNT(DISTINCT o_custkey) FILTER (WHERE o_orderstatus <> 'P')
                  AS n_custs_nonpending
@@ -380,7 +380,7 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM touches)
     SELECT user_id,
            CAST(COUNT(DISTINCT click_id) AS BIGINT) AS n_credited_clicks,
-           ROUND(SUM(credit), 4) AS attributed_value
+           (CAST(ROUND((SUM(credit)) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS attributed_value
     FROM credits
     GROUP BY user_id
     """,
@@ -424,7 +424,7 @@ def attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return credits.groupBy("user_id").agg(
         F.count_distinct("click_id").cast("bigint").alias("n_credited_clicks"),
-        F.round(F.sum("credit"), 4).alias("attributed_value"),
+        (F.round((F.sum("credit")) * 10000).cast("bigint") / 10000.0).alias("attributed_value"),
     )
 
 
@@ -444,8 +444,8 @@ def attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT part_a, part_b, CAST(together AS BIGINT) AS together,
-           ROUND(CAST(together AS DOUBLE) * n
-                 / (fa.f * CAST(fb.f AS DOUBLE)), 6) AS lift
+           (CAST(ROUND((CAST(together AS DOUBLE) * n
+                 / (fa.f * CAST(fb.f AS DOUBLE))) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS lift
     FROM pairs
     JOIN part_freq fa ON part_a = fa.l_partkey
     JOIN part_freq fb ON part_b = fb.l_partkey
@@ -492,11 +492,8 @@ def basket_part_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "part_a",
             "part_b",
             F.col("together").cast("bigint").alias("together"),
-            F.round(
-                F.col("together").cast("double") * F.col("n")
-                / (F.col("fa") * F.col("fb").cast("double")),
-                6,
-            ).alias("lift"),
+            (F.round((F.col("together").cast("double") * F.col("n")
+                / (F.col("fa") * F.col("fb").cast("double"))) * 1000000).cast("bigint") / 1000000.0).alias("lift"),
         )
         .orderBy(F.col("lift").desc(), "part_a", "part_b")
         .limit(20)
@@ -565,7 +562,7 @@ def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM seq WHERE nxt IS NOT NULL GROUP BY event_type, nxt),
     outdeg AS (SELECT src, SUM(cnt) AS tot FROM trans GROUP BY src)
     SELECT t.src, t.dst, t.cnt,
-           ROUND(CAST(t.cnt AS DOUBLE) / CAST(o.tot AS DOUBLE), 6) AS p
+           (CAST(ROUND((CAST(t.cnt AS DOUBLE) / CAST(o.tot AS DOUBLE)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS p
     FROM trans t JOIN outdeg o ON o.src = t.src
     """,
     doc="First-order Markov transition matrix over per-user event "
@@ -591,7 +588,7 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     outdeg = trans.groupBy("src").agg(F.sum("cnt").alias("tot"))
     return trans.join(outdeg, "src").select(
         "src", "dst", "cnt",
-        F.round(F.col("cnt").cast("double") / F.col("tot").cast("double"), 6).alias("p"),
+        (F.round((F.col("cnt").cast("double") / F.col("tot").cast("double")) * 1000000).cast("bigint") / 1000000.0).alias("p"),
     )
 
 
@@ -616,7 +613,7 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM life l1 GROUP BY days),
     mult AS (
         SELECT t, d, n,
-               ROUND(1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE), 6) AS m
+               (CAST(ROUND((1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS m
         FROM risk),
     curve AS (
         SELECT t1.t, t1.d, t1.n,
@@ -628,7 +625,7 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM mult t1)
     SELECT t AS day, CAST(d AS BIGINT) AS churned,
            CAST(n AS BIGINT) AS at_risk,
-           ROUND(surv, 6) AS survival
+           CAST(ROUND(surv * 1000000) AS BIGINT) AS survival_e6
     FROM curve
     """,
     doc="Kaplan-Meier product-limit survival curve over user lifetimes "
@@ -667,7 +664,7 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("g").over(w_at_risk).alias("n"),
     ).select(
         "t", "d", "n",
-        F.round(F.lit(1.0) - F.col("d").cast("double") / F.col("n").cast("double"), 6).alias("m"),
+        (F.round((F.lit(1.0) - F.col("d").cast("double") / F.col("n").cast("double")) * 1000000).cast("bigint") / 1000000.0).alias("m"),
     )
     w_curve = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     curve = mult.select(
@@ -682,5 +679,6 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").alias("day"),
         F.col("d").cast("bigint").alias("churned"),
         F.col("n").cast("bigint").alias("at_risk"),
-        F.round("surv", 6).alias("survival"),
+        # integer micro-probability OUTPUT (r7 VERDICT item 2)
+        F.round(F.col("surv") * 1000000).cast("bigint").alias("survival_e6"),
     )

@@ -28,7 +28,7 @@ from emr_with_custom_metrics_spark.registry import register
         FROM events GROUP BY event_type
     )
     SELECT e.event_id, e.event_type, e.value,
-           CAST(ROUND((e.value - s.mu) / s.sigma, 4) AS DOUBLE) AS z
+           CAST((CAST(ROUND(((e.value - s.mu) / s.sigma) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS DOUBLE) AS z
     FROM events e JOIN stats s ON e.event_type = s.event_type
     WHERE s.sigma > 0 AND ABS((e.value - s.mu) / s.sigma) > 2.5
     """,
@@ -48,7 +48,7 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.join(F.broadcast(stats), "event_type")
         .where((F.col("sigma") > 0) & (F.abs(z) > 2.5))
-        .select("event_id", "event_type", "value", F.round(z, 4).cast("double").alias("z"))
+        .select("event_id", "event_type", "value", (F.round((z) * 10000).cast("bigint") / 10000.0).cast("double").alias("z"))
     )
 
 
@@ -63,8 +63,8 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events e JOIN med USING (event_type)
         GROUP BY e.event_type, m
     )
-    SELECT event_type, CAST(ROUND(m, 4) AS DOUBLE) AS median_value,
-           CAST(ROUND(d, 4) AS DOUBLE) AS mad,
+    SELECT event_type, CAST((CAST(ROUND((m) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS DOUBLE) AS median_value,
+           CAST((CAST(ROUND((d) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS DOUBLE) AS mad,
            COUNT(*) FILTER (WHERE ABS(value - m) > 3 * d) AS n_outliers
     FROM events JOIN mad USING (event_type)
     GROUP BY event_type, m, d
@@ -95,8 +95,8 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "event_type",
-            F.round("m", 4).cast("double").alias("median_value"),
-            F.round("d", 4).cast("double").alias("mad"),
+            (F.round((F.col("m")) * 10000).cast("bigint") / 10000.0).cast("double").alias("median_value"),
+            (F.round((F.col("d")) * 10000).cast("bigint") / 10000.0).cast("double").alias("mad"),
             "n_outliers",
         )
     )
@@ -107,8 +107,8 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH stats AS (
         SELECT event_type,
-               ROUND(AVG(value), 6) AS m,
-               ROUND(STDDEV_POP(value), 6) AS sd
+               (CAST(ROUND((AVG(value)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS m,
+               (CAST(ROUND((STDDEV_POP(value)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS sd
         FROM events GROUP BY event_type
     ), s AS (
         SELECT e.event_type,
@@ -135,8 +135,8 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, day,
            CAST(n AS BIGINT) AS n_points,
-           ROUND(st[2], 6) AS cusum_final,
-           ROUND(st[3], 6) AS cusum_max,
+           (CAST(ROUND((st[2]) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS cusum_final,
+           (CAST(ROUND((st[3]) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS cusum_max,
            CAST(st[4] AS BIGINT) AS n_exceed
     FROM folded
     """,
@@ -157,8 +157,8 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     stats = ev.groupBy("event_type").agg(
-        F.round(F.avg("value"), 6).alias("m"),
-        F.round(F.stddev_pop("value"), 6).alias("sd"),
+        (F.round((F.avg("value")) * 1000000).cast("bigint") / 1000000.0).alias("m"),
+        (F.round((F.stddev_pop("value")) * 1000000).cast("bigint") / 1000000.0).alias("sd"),
     )
     s = (
         ev.join(F.broadcast(stats), "event_type")
@@ -195,7 +195,7 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "day",
         F.size("pts").cast("bigint").alias("n_points"),
-        F.round(st.getField("s"), 6).alias("cusum_final"),
-        F.round(st.getField("mx"), 6).alias("cusum_max"),
+        (F.round((st.getField("s")) * 1000000).cast("bigint") / 1000000.0).alias("cusum_final"),
+        (F.round((st.getField("mx")) * 1000000).cast("bigint") / 1000000.0).alias("cusum_max"),
         st.getField("nx").cast("bigint").alias("n_exceed"),
     )

@@ -154,7 +154,7 @@ def _cogroup_asof(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame"
     j AS (
       SELECT p.user_id, p.purchase_id,
              CAST(FLOOR(epoch(p.ts)) AS BIGINT) AS purchase_epoch,
-             c.click_id, ROUND(c.value, 2) AS click_value,
+             c.click_id, (CAST(ROUND((c.value) * 100) AS BIGINT) / CAST(100 AS DOUBLE)) AS click_value,
              ROW_NUMBER() OVER (PARTITION BY p.purchase_id
                                 ORDER BY c.ts DESC, c.click_id DESC) AS rn
       FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts)

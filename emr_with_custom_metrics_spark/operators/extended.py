@@ -60,7 +60,7 @@ def sql_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_grouping_sets",
     oracle="""
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-           ROUND(SUM(l_quantity), 2) AS sum_qty
+           (CAST(ROUND((SUM(l_quantity)) * 100) AS BIGINT) / CAST(100 AS DOUBLE)) AS sum_qty
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
     """,
@@ -72,7 +72,7 @@ def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         """
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-               ROUND(SUM(l_quantity), 2) AS sum_qty
+               (CAST(ROUND((SUM(l_quantity)) * 100) AS BIGINT) / CAST(100 AS DOUBLE)) AS sum_qty
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """,
@@ -180,9 +180,9 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_corr_covar",
     oracle="""
     SELECT l_returnflag,
-           ROUND(CORR(l_quantity, l_extendedprice), 6) AS qty_price_corr,
-           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS qty_price_covar,
-           ROUND(VAR_SAMP(l_quantity), 6) AS qty_var
+           (CAST(ROUND((CORR(l_quantity, l_extendedprice)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS qty_price_corr,
+           (CAST(ROUND((COVAR_SAMP(l_quantity, l_extendedprice)) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS qty_price_covar,
+           (CAST(ROUND((VAR_SAMP(l_quantity)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS qty_var
     FROM lineitem GROUP BY l_returnflag
     """,
     doc="Bivariate statistics: Pearson correlation, sample covariance/variance.",
@@ -190,9 +190,9 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
-        F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+        (F.round((F.corr("l_quantity", "l_extendedprice")) * 1000000).cast("bigint") / 1000000.0).alias("qty_price_corr"),
+        (F.round((F.covar_samp("l_quantity", "l_extendedprice")) * 10000).cast("bigint") / 10000.0).alias("qty_price_covar"),
+        (F.round((F.var_samp("l_quantity")) * 1000000).cast("bigint") / 1000000.0).alias("qty_var"),
     )
 
 
@@ -200,11 +200,11 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_quantile_battery",
     oracle="""
     SELECT event_type,
-           ROUND(quantile_cont(value, 0.25), 4) AS p25,
-           ROUND(quantile_cont(value, 0.50), 4) AS p50,
-           ROUND(quantile_cont(value, 0.75), 4) AS p75,
-           ROUND(quantile_cont(value, 0.95), 4) AS p95,
-           ROUND(quantile_cont(value, 0.99), 4) AS p99
+           (CAST(ROUND((quantile_cont(value, 0.25)) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS p25,
+           (CAST(ROUND((quantile_cont(value, 0.50)) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS p50,
+           (CAST(ROUND((quantile_cont(value, 0.75)) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS p75,
+           (CAST(ROUND((quantile_cont(value, 0.95)) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS p95,
+           (CAST(ROUND((quantile_cont(value, 0.99)) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS p99
     FROM events GROUP BY event_type
     """,
     doc="Interpolated quantile battery (exact percentile; at 100 TB swap "
@@ -214,7 +214,7 @@ def agg_quantile_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         *[
-            F.round(F.percentile("value", p), 4).alias(f"p{int(p * 100)}")
+            (F.round((F.percentile("value", p)) * 10000).cast("bigint") / 10000.0).alias(f"p{int(p * 100)}")
             for p in (0.25, 0.50, 0.75, 0.95, 0.99)
         ]
     )
@@ -224,9 +224,9 @@ def agg_quantile_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_linear_regression",
     oracle="""
     SELECT l_returnflag,
-           ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
-           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
-           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           (CAST(ROUND((regr_slope(l_extendedprice, l_quantity)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS slope,
+           (CAST(ROUND((regr_intercept(l_extendedprice, l_quantity)) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS intercept,
+           (CAST(ROUND((regr_r2(l_extendedprice, l_quantity)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS r2,
            CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -236,9 +236,9 @@ def agg_quantile_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope"),
-        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
-        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        (F.round((F.regr_slope("l_extendedprice", "l_quantity")) * 1000000).cast("bigint") / 1000000.0).alias("slope"),
+        (F.round((F.regr_intercept("l_extendedprice", "l_quantity")) * 10000).cast("bigint") / 10000.0).alias("intercept"),
+        (F.round((F.regr_r2("l_extendedprice", "l_quantity")) * 1000000).cast("bigint") / 1000000.0).alias("r2"),
         F.regr_count("l_extendedprice", "l_quantity").cast("bigint").alias("n"),
     )
 
@@ -248,7 +248,7 @@ def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bucket,
            COUNT(*) AS n,
-           ROUND(MIN(value), 2) AS lo, ROUND(MAX(value), 2) AS hi
+           (CAST(ROUND((MIN(value)) * 100) AS BIGINT) / CAST(100 AS DOUBLE)) AS lo, (CAST(ROUND((MAX(value)) * 100) AS BIGINT) / CAST(100 AS DOUBLE)) AS hi
     FROM events GROUP BY 1
     """,
     doc="Fixed-width histogram via floor-bucketing (one shuffle of "
@@ -260,8 +260,8 @@ def histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.floor(F.col("value") / 25.0).cast("bigint").alias("bucket"))
         .agg(
             F.count("*").alias("n"),
-            F.round(F.min("value"), 2).alias("lo"),
-            F.round(F.max("value"), 2).alias("hi"),
+            (F.round((F.min("value")) * 100).cast("bigint") / 100.0).alias("lo"),
+            (F.round((F.max("value")) * 100).cast("bigint") / 100.0).alias("hi"),
         )
     )
 
@@ -270,8 +270,8 @@ def histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_rank_fractions",
     oracle="""
     SELECT c_custkey, c_acctbal,
-           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           (CAST(ROUND((PERCENT_RANK() OVER w) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS pct_rank,
+           (CAST(ROUND((CUME_DIST() OVER w) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS cume,
            NTH_VALUE(c_name, 2) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
                                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
              AS second_richest
@@ -293,8 +293,8 @@ def window_rank_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey",
         "c_acctbal",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        (F.round((F.percent_rank().over(w)) * 1000000).cast("bigint") / 1000000.0).alias("pct_rank"),
+        (F.round((F.cume_dist().over(w)) * 1000000).cast("bigint") / 1000000.0).alias("cume"),
         F.nth_value("c_name", 2).over(w2).alias("second_richest"),
     )
 
@@ -302,7 +302,7 @@ def window_rank_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "having_filter",
     oracle="""
-    SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS spend
+    SELECT o_custkey, COUNT(*) AS n_orders, (CAST(ROUND((SUM(o_totalprice)) * 100) AS BIGINT) / CAST(100 AS DOUBLE)) AS spend
     FROM orders GROUP BY o_custkey
     HAVING COUNT(*) >= 15 AND SUM(o_totalprice) > 100000
     """,
@@ -315,7 +315,7 @@ def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy("o_custkey")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+            (F.round((F.sum("o_totalprice")) * 100).cast("bigint") / 100.0).alias("spend"),
             F.sum("o_totalprice").alias("_raw_spend"),
         )
         .where((F.col("n_orders") >= 15) & (F.col("_raw_spend") > 100000))
@@ -347,7 +347,7 @@ def limit_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pandas_grouped_agg_weighted_avg",
     oracle="""
     SELECT event_type,
-           ROUND(SUM(value * user_id) / SUM(user_id), 6) AS weighted_avg_value
+           (CAST(ROUND((SUM(value * user_id) / SUM(user_id)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS weighted_avg_value
     FROM events WHERE user_id > 0 GROUP BY event_type
     """,
     doc="Grouped-aggregate pandas UDF (Arrow series → scalar): the escape "
@@ -364,7 +364,7 @@ def pandas_grouped_agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFra
 
     ev = load_table(spark, sf_dir, "events").where(F.col("user_id") > 0)
     return ev.groupBy("event_type").agg(
-        F.round(weighted_avg("value", "user_id"), 6).alias("weighted_avg_value")
+        (F.round((weighted_avg("value", "user_id")) * 1000000).cast("bigint") / 1000000.0).alias("weighted_avg_value")
     )
 
 
@@ -394,7 +394,7 @@ def python_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count_if(value > 100) AS BIGINT) AS n_big,
            bool_and(value >= 0) AS all_nonneg,
            bool_or(event_type = 'error') AS any_error,
-           ROUND(SUM(DISTINCT value), 2) AS sum_distinct_value
+           (CAST(ROUND((SUM(DISTINCT value)) * 100) AS BIGINT) / CAST(100 AS DOUBLE)) AS sum_distinct_value
     FROM events WHERE user_id <= 25 GROUP BY user_id
     """,
     doc="Aggregate battery 2: min_by/max_by (argmin/argmax on a unique "
@@ -409,7 +409,7 @@ def agg_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("value") > 100).alias("n_big"),
         F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
         F.bool_or(F.col("event_type") == "error").alias("any_error"),
-        F.round(F.sum_distinct(F.col("value")), 2).alias("sum_distinct_value"),
+        (F.round((F.sum_distinct(F.col("value"))) * 100).cast("bigint") / 100.0).alias("sum_distinct_value"),
     )
 
 
@@ -447,9 +447,9 @@ def agg_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
              PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
              RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS BIGINT)
              AS events_last_24h,
-           ROUND(SUM(value) OVER (
+           (CAST(ROUND((SUM(value) OVER (
              PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
-             RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW), 2)
+             RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)) * 100) AS BIGINT) / CAST(100 AS DOUBLE))
              AS value_last_24h
     FROM events WHERE user_id <= 15
     """,
@@ -467,7 +467,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         F.count("*").over(w).alias("events_last_24h"),
-        F.round(F.sum("value").over(w), 2).alias("value_last_24h"),
+        (F.round((F.sum("value").over(w)) * 100).cast("bigint") / 100.0).alias("value_last_24h"),
     )
 
 
@@ -498,7 +498,7 @@ def rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey,
            TRY_CAST(c_name AS BIGINT) AS name_as_int,
            TRY_CAST(REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS BIGINT) AS digits_as_int,
-           ROUND(c_acctbal / NULLIF(c_nationkey, 0), 6) AS bal_per_nation,
+           (CAST(ROUND((c_acctbal / NULLIF(c_nationkey, 0)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS bal_per_nation,
            TRY_CAST('not a date' AS DATE) AS bad_date
     FROM customer WHERE c_custkey <= 300
     """,
@@ -512,7 +512,7 @@ def safe_casting(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.col("c_name").try_cast("bigint").alias("name_as_int"),  # Column method, not F.*
         F.regexp_extract("c_name", "([0-9]+)", 1).try_cast("bigint").alias("digits_as_int"),
-        F.round(F.try_divide("c_acctbal", F.nullif(F.col("c_nationkey"), F.lit(0))), 6).alias(
+        (F.round((F.try_divide("c_acctbal", F.nullif(F.col("c_nationkey"), F.lit(0)))) * 1000000).cast("bigint") / 1000000.0).alias(
             "bal_per_nation"
         ),
         F.lit("not a date").try_cast("date").alias("bad_date"),
@@ -612,7 +612,7 @@ def udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "unpivot_order_measures",
     oracle="""
-    SELECT l_orderkey, l_linenumber, measure, ROUND(val, 2) AS val
+    SELECT l_orderkey, l_linenumber, measure, (CAST(ROUND((val) * 100) AS BIGINT) / CAST(100 AS DOUBLE)) AS val
     FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
           FROM lineitem WHERE l_orderkey < 500)
     UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount))
@@ -633,7 +633,7 @@ def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="val",
     ).select(
-        "l_orderkey", "l_linenumber", "measure", F.round("val", 2).alias("val")
+        "l_orderkey", "l_linenumber", "measure", (F.round((F.col("val")) * 100).cast("bigint") / 100.0).alias("val")
     )
 
 
@@ -671,7 +671,7 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS n_items,
-           ROUND(SUM(l_quantity), 2) AS total_qty,
+           (CAST(ROUND((SUM(l_quantity)) * 100) AS BIGINT) / CAST(100 AS DOUBLE)) AS total_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
@@ -694,7 +694,7 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
         |> WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
         |> AGGREGATE COUNT(*) AS n_items,
-                     ROUND(SUM(l_quantity), 2) AS total_qty,
+                     (CAST(ROUND((SUM(l_quantity)) * 100) AS BIGINT) / CAST(100 AS DOUBLE)) AS total_qty,
                      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
                        AS total_price
            GROUP BY l_returnflag, l_linestatus
@@ -717,7 +717,7 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT depth,
            COUNT(*) AS n_nodes,
-           ROUND(SUM(bal), 2) AS sum_bal,
+           (CAST(ROUND((SUM(bal)) * 100) AS BIGINT) / CAST(100 AS DOUBLE)) AS sum_bal,
            MAX(k) AS max_key
     FROM tree GROUP BY depth
     """,
@@ -745,7 +745,7 @@ def sql_recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT depth,
                COUNT(*) AS n_nodes,
-               ROUND(SUM(bal), 2) AS sum_bal,
+               (CAST(ROUND((SUM(bal)) * 100) AS BIGINT) / CAST(100 AS DOUBLE)) AS sum_bal,
                MAX(k) AS max_key
         FROM tree GROUP BY depth
         """,
@@ -756,7 +756,7 @@ def sql_recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sql_lateral_topn",
     oracle="""
-    SELECT n.n_name, t.c_custkey, ROUND(t.c_acctbal, 2) AS acctbal
+    SELECT n.n_name, t.c_custkey, (CAST(ROUND((t.c_acctbal) * 100) AS BIGINT) / CAST(100 AS DOUBLE)) AS acctbal
     FROM nation n, LATERAL (
         SELECT c_custkey, c_acctbal FROM customer c
         WHERE c.c_nationkey = n.n_nationkey
@@ -775,7 +775,7 @@ def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         """
-        SELECT n.n_name, t.c_custkey, ROUND(t.c_acctbal, 2) AS acctbal
+        SELECT n.n_name, t.c_custkey, (CAST(ROUND((t.c_acctbal) * 100) AS BIGINT) / CAST(100 AS DOUBLE)) AS acctbal
         FROM nation n, LATERAL (
             SELECT c_custkey, c_acctbal FROM customer c
             WHERE c.c_nationkey = n.n_nationkey
@@ -856,7 +856,7 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_parameterized",
     oracle="""
     SELECT l_returnflag, COUNT(*) AS n_items,
-           ROUND(SUM(l_quantity), 2) AS total_qty
+           (CAST(ROUND((SUM(l_quantity)) * 100) AS BIGINT) / CAST(100 AS DOUBLE)) AS total_qty
     FROM lineitem
     WHERE l_quantity < 24 AND l_discount BETWEEN 0.03 AND 0.07
     GROUP BY l_returnflag
@@ -873,7 +873,7 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l_returnflag, COUNT(*) AS n_items,
-               ROUND(SUM(l_quantity), 2) AS total_qty
+               (CAST(ROUND((SUM(l_quantity)) * 100) AS BIGINT) / CAST(100 AS DOUBLE)) AS total_qty
         FROM lineitem
         WHERE l_quantity < :max_qty AND l_discount BETWEEN :lo AND :hi
         GROUP BY l_returnflag
@@ -1020,8 +1020,8 @@ def udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH agg AS (
         SELECT o_orderpriority,
-               ROUND(AVG(o_totalprice), 2) AS avg_price,
-               ROUND(MAX(o_totalprice), 2) AS max_price
+               (CAST(ROUND((AVG(o_totalprice)) * 100) AS BIGINT) / CAST(100 AS DOUBLE)) AS avg_price,
+               (CAST(ROUND((MAX(o_totalprice)) * 100) AS BIGINT) / CAST(100 AS DOUBLE)) AS max_price
         FROM orders GROUP BY o_orderpriority
     )
     SELECT 'avg_price' AS key,
@@ -1054,8 +1054,8 @@ def transpose_priority_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
-            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
-            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            (F.round((F.avg("o_totalprice")) * 100).cast("bigint") / 100.0).alias("avg_price"),
+            (F.round((F.max("o_totalprice")) * 100).cast("bigint") / 100.0).alias("max_price"),
         )
         .orderBy("o_orderpriority")
     )

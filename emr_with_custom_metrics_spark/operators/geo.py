@@ -42,6 +42,10 @@ _HEX = "0123456789abcdef"
 # cell, so the 3x3 neighborhood provably covers every within-radius
 # candidate. Radius in squared tenth-degree units: CELL10^2.
 CELL10 = 50
+# Degree-unit cell size for float-coordinate callers (the registered query
+# stays in integer tenth-degrees; the 3x3 coverage invariant is unit-free
+# and the differential fuzz test exercises it on random double points).
+CELL_DEG = CELL10 / 10.0
 
 
 def _h16(seed: str, key: str) -> str:

@@ -79,7 +79,11 @@ def pagerank(
             # different parallelism) at ~1e-16 relative; rounding each
             # round's ranks washes that out so an oracle can replay the
             # identical trajectory (the kmeans/PCA float discipline).
-            new_rank = F.round(new_rank, round_digits)
+            # Integer-domain form (r8): round(x*10^k) -> BIGINT -> /10^k
+            # is the same double on every engine/version, unlike the
+            # k-digit ROUND whose algorithm differs (ROUND_NOTES item 1).
+            scale = 10**round_digits
+            new_rank = F.round(new_rank * scale).cast("bigint") / float(scale)
         ranks = (
             nodes_p.join(contribs, "node", "left")
             .crossJoin(F.broadcast(n))
@@ -96,7 +100,7 @@ def _pagerank_oracle(iters: int = _PR_ITERS) -> str:
     """Chained-CTE replay of the identical PageRank trajectory: the same
     3-gram-Jaccard ≥ 0.3 edges (inverted-index form, integer counts,
     filter on the 6-dp-rounded score exactly like the engine), then one
-    CTE pair per iteration with the per-round ROUND(·, 9) that makes the
+    CTE pair per iteration with the per-round (CAST(ROUND((·) * 1000000000) AS BIGINT) / CAST(1000000000 AS DOUBLE)) that makes the
     float state engine-canonical."""
     parts = ["""
     WITH w AS (
@@ -118,7 +122,7 @@ def _pagerank_oracle(iters: int = _PR_ITERS) -> str:
       FROM inter
       JOIN sizes sa ON sa.doc_id = a_id
       JOIN sizes sb ON sb.doc_id = b_id
-      WHERE ROUND(c::DOUBLE / (sa.n + sb.n - c), 6) >= 0.3),
+      WHERE (CAST(ROUND((c::DOUBLE / (sa.n + sb.n - c)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) >= 0.3),
     edges AS (
       SELECT a_id AS src, b_id AS dst FROM pairs
       UNION ALL SELECT b_id, a_id FROM pairs),
@@ -135,7 +139,7 @@ def _pagerank_oracle(iters: int = _PR_ITERS) -> str:
       GROUP BY e.dst),
     r{it} AS (
       SELECT b.node,
-             ROUND(0.15 / nn.n + 0.85 * COALESCE(c.c, 0.0), 9) AS rank
+             (CAST(ROUND((0.15 / nn.n + 0.85 * COALESCE(c.c, 0.0)) * 1000000000) AS BIGINT) / CAST(1000000000 AS DOUBLE)) AS rank
       FROM (SELECT doc_id AS node FROM documents) b
       CROSS JOIN nn
       LEFT JOIN c{it} c ON c.node = b.node)""")
@@ -182,7 +186,7 @@ def pagerank_similarity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges AS (
       SELECT a.vec_id AS a_id, b.vec_id AS b_id
       FROM e a JOIN e b ON a.vec_id < b.vec_id
-      WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.3),
+      WHERE (CAST(ROUND((list_cosine_similarity(a.v, b.v)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) >= 0.3),
     tri AS (
       SELECT e1.a_id AS a, e1.b_id AS b, e2.b_id AS c
       FROM edges e1 JOIN edges e2 ON e1.b_id = e2.a_id
@@ -253,7 +257,7 @@ def _lpa_oracle(rounds: int) -> str:
     edges AS (
       SELECT a.vec_id AS a_id, b.vec_id AS b_id
       FROM e a JOIN e b ON a.vec_id < b.vec_id
-      WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.3),
+      WHERE (CAST(ROUND((list_cosine_similarity(a.v, b.v)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) >= 0.3),
     dir_edges AS (
       SELECT a_id AS node, b_id AS nbr FROM edges
       UNION ALL SELECT b_id, a_id FROM edges),
@@ -340,7 +344,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BFS_EDGES_SQL = """
       SELECT a.vec_id AS a_id, b.vec_id AS b_id
       FROM e a JOIN e b ON a.vec_id < b.vec_id
-      WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.3"""
+      WHERE (CAST(ROUND((list_cosine_similarity(a.v, b.v)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) >= 0.3"""
 
 
 @register(
@@ -406,7 +410,7 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges AS (
       SELECT a.vec_id AS a_id, b.vec_id AS b_id
       FROM e a JOIN e b ON a.vec_id < b.vec_id
-      WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.3),
+      WHERE (CAST(ROUND((list_cosine_similarity(a.v, b.v)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) >= 0.3),
     deg AS (
       SELECT node, COUNT(*) AS d FROM (
         SELECT a_id AS node FROM edges UNION ALL SELECT b_id FROM edges)
@@ -423,9 +427,9 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY node)
     SELECT deg.node, deg.d AS degree,
            CAST(COALESCE(tcnt.t, 0) AS BIGINT) AS n_triangles,
-           ROUND(CASE WHEN deg.d >= 2
+           (CAST(ROUND((CASE WHEN deg.d >= 2
                       THEN 2.0 * COALESCE(tcnt.t, 0) / (deg.d * (deg.d - 1))
-                      ELSE 0.0 END, 6) AS clustering
+                      ELSE 0.0 END) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS clustering
     FROM deg LEFT JOIN tcnt ON deg.node = tcnt.node
     """,
     doc="Local clustering coefficient per node: 2T / (d(d-1)) — how close "
@@ -475,13 +479,10 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node",
         F.col("d").alias("degree"),
         F.coalesce("t", F.lit(0)).cast("bigint").alias("n_triangles"),
-        F.round(
-            F.when(
+        (F.round((F.when(
                 F.col("d") >= 2,
                 2.0 * F.coalesce("t", F.lit(0)) / (F.col("d") * (F.col("d") - 1)),
-            ).otherwise(0.0),
-            6,
-        ).alias("clustering"),
+            ).otherwise(0.0)) * 1000000).cast("bigint") / 1000000.0).alias("clustering"),
     )
 
 
@@ -565,7 +566,7 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY a, b),
     scored AS (
       SELECT a, b, CAST(len(ws) AS BIGINT) AS n_common,
-             ROUND(list_reduce(ws, (acc, x) -> acc + x), 6) AS adamic_adar
+             (CAST(ROUND((list_reduce(ws, (acc, x) -> acc + x)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS adamic_adar
       FROM terms)
     SELECT a AS a_id, b AS b_id, n_common, adamic_adar
     FROM scored
@@ -619,12 +620,9 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a").alias("a_id"),
         F.col("b").alias("b_id"),
         F.size("ws").cast("bigint").alias("n_common"),
-        F.round(
-            F.expr(
+        (F.round((F.expr(
                 "aggregate(slice(ws, 2, size(ws) - 1), ws[0], (acc, x) -> acc + x)"
-            ),
-            6,
-        ).alias("adamic_adar"),
+            )) * 1000000).cast("bigint") / 1000000.0).alias("adamic_adar"),
     )
     return scored.orderBy(F.col("adamic_adar").desc(), "a_id", "b_id").limit(25)
 

@@ -25,7 +25,7 @@ from emr_with_custom_metrics_spark.registry import register
 @register(
     "join_broadcast_dim",
     oracle="""
-    SELECT n_name, COUNT(*) AS n_customers, ROUND(SUM(c_acctbal), 2) AS total_bal
+    SELECT n_name, COUNT(*) AS n_customers, (CAST(ROUND((SUM(c_acctbal)) * 100) AS BIGINT) / CAST(100 AS DOUBLE)) AS total_bal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name
     """,
@@ -38,7 +38,7 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
-        .agg(F.count("*").alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+        .agg(F.count("*").alias("n_customers"), (F.round((F.sum("c_acctbal")) * 100).cast("bigint") / 100.0).alias("total_bal"))
     )
 
 
@@ -229,7 +229,7 @@ def join_cross_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_orders",
     oracle="""
     SELECT c_custkey, c_name, o_orderkey, o_totalprice,
-           ROUND(SUM(l_quantity), 2) AS total_qty
+           (CAST(ROUND((SUM(l_quantity)) * 100) AS BIGINT) / CAST(100 AS DOUBLE)) AS total_qty
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON o_orderkey = l_orderkey
     WHERE o_orderkey IN (
@@ -254,7 +254,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .agg((F.round((F.sum("l_quantity")) * 100).cast("bigint") / 100.0).alias("total_qty"))
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(20)
     )
@@ -542,7 +542,7 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH j AS (
         SELECT o.o_orderpriority, COUNT(*) AS n,
-               ROUND(SUM(l.l_quantity), 2) AS qty
+               (CAST(ROUND((SUM(l.l_quantity)) * 100) AS BIGINT) / CAST(100 AS DOUBLE)) AS qty
         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         GROUP BY o.o_orderpriority
     )
@@ -568,7 +568,7 @@ def sql_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(
             f"""
             SELECT /*+ {hint} */ '{tag}' AS strategy, o.o_orderpriority,
-                   COUNT(*) AS n, ROUND(SUM(l.l_quantity), 2) AS qty
+                   COUNT(*) AS n, (CAST(ROUND((SUM(l.l_quantity)) * 100) AS BIGINT) / CAST(100 AS DOUBLE)) AS qty
             FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
             GROUP BY o.o_orderpriority
             """

@@ -197,13 +197,13 @@ def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH cdc AS (
       SELECT c_custkey AS k, 'U' AS op,
-             ROUND(c_acctbal + 500.25, 2) AS new_bal, 'UPDATED' AS new_seg
+             (CAST(ROUND((c_acctbal + 500.25) * 100) AS BIGINT) / CAST(100 AS DOUBLE)) AS new_bal, 'UPDATED' AS new_seg
       FROM customer WHERE c_custkey % 97 = 0 AND c_custkey % 101 <> 0
       UNION ALL
       SELECT c_custkey, 'D', NULL, NULL
       FROM customer WHERE c_custkey % 101 = 0
       UNION ALL
-      SELECT 10000000 + t.i, 'I', ROUND(100.5 + t.i, 2), 'NEWSEG'
+      SELECT 10000000 + t.i, 'I', (CAST(ROUND((100.5 + t.i) * 100) AS BIGINT) / CAST(100 AS DOUBLE)), 'NEWSEG'
       FROM range(10) t(i)
     )
     SELECT COALESCE(k, c_custkey) AS c_custkey,
@@ -228,7 +228,7 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     upd = c.where((F.col("c_custkey") % 97 == 0) & (F.col("c_custkey") % 101 != 0)).select(
         F.col("c_custkey").alias("k"),
         F.lit("U").alias("op"),
-        F.round(F.col("c_acctbal") + 500.25, 2).alias("new_bal"),
+        (F.round((F.col("c_acctbal") + 500.25) * 100).cast("bigint") / 100.0).alias("new_bal"),
         F.lit("UPDATED").alias("new_seg"),
     )
     dele = c.where(F.col("c_custkey") % 101 == 0).select(
@@ -240,7 +240,7 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ins = spark.range(10).select(
         (F.lit(10_000_000) + F.col("id")).alias("k"),
         F.lit("I").alias("op"),
-        F.round(F.lit(100.5) + F.col("id"), 2).alias("new_bal"),
+        (F.round((F.lit(100.5) + F.col("id")) * 100).cast("bigint") / 100.0).alias("new_bal"),
         F.lit("NEWSEG").alias("new_seg"),
     )
     cdc = upd.unionByName(dele).unionByName(ins)
@@ -265,8 +265,8 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            COUNT(*) AS n_orders,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
-                 / COUNT(*), 6) AS avg_price,
+           (CAST(ROUND((CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / COUNT(*)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS avg_price,
            CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
     FROM orders GROUP BY o_orderpriority
     """,
@@ -310,7 +310,7 @@ def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "n_orders",
         F.col("rev").cast("double").alias("revenue"),
-        F.round(F.col("rev").cast("double") / F.col("n_orders"), 6).alias("avg_price"),
+        (F.round((F.col("rev").cast("double") / F.col("n_orders")) * 1000000).cast("bigint") / 1000000.0).alias("avg_price"),
         F.col("max_part").cast("double").alias("max_price"),
     )
 
@@ -321,11 +321,11 @@ def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH nxt AS (
         SELECT o_orderkey,
                CASE WHEN o_orderkey % 13 = 0
-                    THEN ROUND(o_totalprice * 1.1, 2)
-                    ELSE ROUND(o_totalprice, 2) END AS price
+                    THEN (CAST(ROUND((o_totalprice * 1.1) * 100) AS BIGINT) / CAST(100 AS DOUBLE))
+                    ELSE (CAST(ROUND((o_totalprice) * 100) AS BIGINT) / CAST(100 AS DOUBLE)) END AS price
         FROM orders WHERE o_orderkey % 97 <> 0
     ), cur AS (
-        SELECT o_orderkey, ROUND(o_totalprice, 2) AS price FROM orders
+        SELECT o_orderkey, (CAST(ROUND((o_totalprice) * 100) AS BIGINT) / CAST(100 AS DOUBLE)) AS price FROM orders
     )
     SELECT CAST(SUM(CASE WHEN c.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
              AS n_added,
@@ -351,15 +351,15 @@ def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    cur = o.select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    cur = o.select("o_orderkey", (F.round((F.col("o_totalprice")) * 100).cast("bigint") / 100.0).alias("price"))
     nxt = (
         o.where(F.col("o_orderkey") % 97 != 0)
         .select(
             "o_orderkey",
             F.when(
-                F.col("o_orderkey") % 13 == 0, F.round(F.col("o_totalprice") * 1.1, 2)
+                F.col("o_orderkey") % 13 == 0, (F.round((F.col("o_totalprice") * 1.1) * 100).cast("bigint") / 100.0)
             )
-            .otherwise(F.round("o_totalprice", 2))
+            .otherwise((F.round((F.col("o_totalprice")) * 100).cast("bigint") / 100.0))
             .alias("price"),
         )
     )

@@ -63,16 +63,22 @@ def a1_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     ep = F.col("l_extendedprice").cast("decimal(12,2)")
-    net = ep * (F.lit(1).cast("decimal(12,2)") - F.col("l_discount").cast("decimal(12,2)"))
-    charged = net * (F.lit(1).cast("decimal(12,2)") + F.col("l_tax").cast("decimal(12,2)"))
+    net_decimal = ep * (
+        F.lit(1).cast("decimal(12,2)") - F.col("l_discount").cast("decimal(12,2)")
+    )
+    charged_decimal = net_decimal * (
+        F.lit(1).cast("decimal(12,2)") + F.col("l_tax").cast("decimal(12,2)")
+    )
     return (
         li.where((F.col("l_quantity") > 45) & (F.col("l_returnflag") == "R"))
         .select(
             "l_orderkey",
             "l_linenumber",
             "l_quantity",
-            F.round(net, 2).cast("double").alias("net_price"),
-            F.round(charged, 2).cast("double").alias("charged"),
+            # DECIMAL-exact rounding stays two-arg: ROUND on DECIMAL is
+            # digit-exact on both engines (round-1 note 1), unlike doubles
+            F.round(net_decimal, 2).cast("double").alias("net_price"),
+            F.round(charged_decimal, 2).cast("double").alias("charged"),
         )
     )
 
@@ -108,16 +114,16 @@ def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           (CAST(ROUND((SUM(l_quantity)) * 100) AS BIGINT) / CAST(100 AS DOUBLE)) AS sum_qty,
+           (CAST(ROUND((SUM(l_extendedprice)) * 100) AS BIGINT) / CAST(100 AS DOUBLE)) AS sum_base_price,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                     * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                     * (1 - CAST(l_discount AS DECIMAL(12,2)))
                     * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
-           ROUND(AVG(l_quantity), 4) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4) AS avg_price,
-           ROUND(AVG(l_discount), 4) AS avg_disc,
+           (CAST(ROUND((AVG(l_quantity)) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS avg_qty,
+           (CAST(ROUND((AVG(l_extendedprice)) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS avg_price,
+           (CAST(ROUND((AVG(l_discount)) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
@@ -138,13 +144,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            (F.round((F.sum("l_quantity")) * 100).cast("bigint") / 100.0).alias("sum_qty"),
+            (F.round((F.sum("l_extendedprice")) * 100).cast("bigint") / 100.0).alias("sum_base_price"),
             F.sum(disc_price).cast("double").alias("sum_disc_price"),
             F.sum(disc_price * (one + F.col("l_tax").cast("decimal(12,2)"))).cast("double").alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            (F.round((F.avg("l_quantity")) * 10000).cast("bigint") / 10000.0).alias("avg_qty"),
+            (F.round((F.avg("l_extendedprice")) * 10000).cast("bigint") / 10000.0).alias("avg_price"),
+            (F.round((F.avg("l_discount")) * 10000).cast("bigint") / 10000.0).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -156,12 +162,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            COUNT(*) AS n,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-           ROUND(SUM(value), 2) AS sum_value,
-           ROUND(AVG(value), 4) AS avg_value,
-           ROUND(MIN(value), 2) AS min_value,
-           ROUND(MAX(value), 2) AS max_value,
-           ROUND(STDDEV_SAMP(value), 4) AS sd_value,
-           ROUND(quantile_cont(value, 0.5), 4) AS median_value
+           (CAST(ROUND((SUM(value)) * 100) AS BIGINT) / CAST(100 AS DOUBLE)) AS sum_value,
+           (CAST(ROUND((AVG(value)) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS avg_value,
+           (CAST(ROUND((MIN(value)) * 100) AS BIGINT) / CAST(100 AS DOUBLE)) AS min_value,
+           (CAST(ROUND((MAX(value)) * 100) AS BIGINT) / CAST(100 AS DOUBLE)) AS max_value,
+           (CAST(ROUND((STDDEV_SAMP(value)) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS sd_value,
+           (CAST(ROUND((quantile_cont(value, 0.5)) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS median_value
     FROM events GROUP BY event_type
     """,
     doc="Statistical aggregate battery incl. exact distinct + interpolated median.",
@@ -175,12 +181,12 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.count_distinct("user_id").alias("n_users"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
-        F.round(F.min("value"), 2).alias("min_value"),
-        F.round(F.max("value"), 2).alias("max_value"),
-        F.round(F.stddev_samp("value"), 4).alias("sd_value"),
-        F.round(F.percentile("value", 0.5), 4).alias("median_value"),
+        (F.round((F.sum("value")) * 100).cast("bigint") / 100.0).alias("sum_value"),
+        (F.round((F.avg("value")) * 10000).cast("bigint") / 10000.0).alias("avg_value"),
+        (F.round((F.min("value")) * 100).cast("bigint") / 100.0).alias("min_value"),
+        (F.round((F.max("value")) * 100).cast("bigint") / 100.0).alias("max_value"),
+        (F.round((F.stddev_samp("value")) * 10000).cast("bigint") / 10000.0).alias("sd_value"),
+        (F.round((F.percentile("value", 0.5)) * 10000).cast("bigint") / 10000.0).alias("median_value"),
     )
 
 
@@ -223,7 +229,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_agg",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+           COUNT(*) AS n, (CAST(ROUND((SUM(l_quantity)) * 100) AS BIGINT) / CAST(100 AS DOUBLE)) AS sum_qty
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
     doc="ROLLUP hierarchy totals (SURVEY.md §2A.1 aggregations row).",
@@ -231,7 +237,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+        F.count("*").alias("n"), (F.round((F.sum("l_quantity")) * 100).cast("bigint") / 100.0).alias("sum_qty")
     )
 
 
@@ -239,7 +245,7 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_agg",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
-           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS sum_price
+           COUNT(*) AS n, (CAST(ROUND((SUM(o_totalprice)) * 100) AS BIGINT) / CAST(100 AS DOUBLE)) AS sum_price
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
     doc="CUBE over two categorical dimensions.",
@@ -247,7 +253,7 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("sum_price")
+        F.count("*").alias("n"), (F.round((F.sum("o_totalprice")) * 100).cast("bigint") / 100.0).alias("sum_price")
     )
 
 

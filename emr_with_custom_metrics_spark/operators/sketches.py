@@ -96,11 +96,11 @@ _SKETCH_SQL = f"""
     )
     SELECT e.event_type,
            e.exact_distinct,
-           ROUND(h.est, 4) AS hll_est,
-           ROUND(ABS(h.est - e.exact_distinct) / e.exact_distinct, 4)
+           (CAST(ROUND((h.est) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS hll_est,
+           (CAST(ROUND((ABS(h.est - e.exact_distinct) / e.exact_distinct) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE))
              AS hll_rel_err,
-           ROUND(k.est, 4) AS kmv_est,
-           ROUND(ABS(k.est - e.exact_distinct) / e.exact_distinct, 4)
+           (CAST(ROUND((k.est) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS kmv_est,
+           (CAST(ROUND((ABS(k.est - e.exact_distinct) / e.exact_distinct) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE))
              AS kmv_rel_err
     FROM exact e
     JOIN hll_est h ON e.event_type = h.event_type

@@ -106,8 +106,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     oracle=f"""
     SELECT o_year,
-           CAST(ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
-                      / SUM(volume), 6) AS DOUBLE) AS mkt_share
+           CAST((CAST(ROUND((SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                      / SUM(volume)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS DOUBLE) AS mkt_share
     FROM (
         SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
                CAST({_REV_SQL} AS DOUBLE) AS volume,
@@ -162,7 +162,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_year")
         .agg(
-            F.round(F.sum(nation_vol) / F.sum("volume"), 6).cast("double").alias("mkt_share")
+            (F.round((F.sum(nation_vol) / F.sum("volume")) * 1000000).cast("bigint") / 1000000.0).cast("double").alias("mkt_share")
         )
     )
 
@@ -493,7 +493,7 @@ def sql_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q20 = """
-    SELECT s_name, CAST(ROUND(s_acctbal, 2) AS DOUBLE) AS s_acctbal
+    SELECT s_name, CAST((CAST(ROUND((s_acctbal) * 100) AS BIGINT) / CAST(100 AS DOUBLE)) AS DOUBLE) AS s_acctbal
     FROM supplier
     WHERE s_suppkey IN (
         SELECT l_suppkey

@@ -50,7 +50,7 @@ def window_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, event_id, event_type,
            LAG(event_type) OVER w AS prev_type,
            LEAD(event_type) OVER w AS next_type,
-           ROUND(value - COALESCE(LAG(value) OVER w, 0), 2) AS delta_value
+           (CAST(ROUND((value - COALESCE(LAG(value) OVER w, 0)) * 100) AS BIGINT) / CAST(100 AS DOUBLE)) AS delta_value
     FROM events
     WHERE user_id <= 20
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -66,7 +66,7 @@ def window_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.lag("event_type").over(w).alias("prev_type"),
         F.lead("event_type").over(w).alias("next_type"),
-        F.round(F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0)), 2).alias(
+        (F.round((F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0))) * 100).cast("bigint") / 100.0).alias(
             "delta_value"
         ),
     )
@@ -76,12 +76,12 @@ def window_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_sum",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           ROUND(SUM(o_totalprice) OVER (
+           (CAST(ROUND((SUM(o_totalprice) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
-           ROUND(AVG(o_totalprice) OVER (
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100) AS BIGINT) / CAST(100 AS DOUBLE)) AS running_spend,
+           (CAST(ROUND((AVG(o_totalprice) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS avg_3
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS avg_3
     FROM orders
     WHERE o_custkey <= 100
     """,
@@ -95,8 +95,8 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(cum), 2).alias("running_spend"),
-        F.round(F.avg("o_totalprice").over(mov), 4).alias("avg_3"),
+        (F.round((F.sum("o_totalprice").over(cum)) * 100).cast("bigint") / 100.0).alias("running_spend"),
+        (F.round((F.avg("o_totalprice").over(mov)) * 10000).cast("bigint") / 10000.0).alias("avg_3"),
     )
 
 
@@ -161,7 +161,7 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
         SELECT user_id, ts, event_id,
-               CASE WHEN value < 20 THEN NULL ELSE ROUND(value, 4) END AS v
+               CASE WHEN value < 20 THEN NULL ELSE (CAST(ROUND((value) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) END AS v
         FROM events WHERE user_id < 30
     )
     SELECT user_id, event_id,
@@ -194,7 +194,7 @@ def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH base AS (
             SELECT user_id, ts, event_id,
                    CASE WHEN value < 20 THEN NULL
-                        ELSE ROUND(value, 4) END AS v
+                        ELSE (CAST(ROUND((value) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) END AS v
             FROM events WHERE user_id < 30
         )
         SELECT user_id, event_id,
@@ -215,9 +215,9 @@ def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_rolling_median",
     oracle="""
     SELECT event_id, event_type,
-           ROUND(MEDIAN(value) OVER (
+           (CAST(ROUND((MEDIAN(value) OVER (
              PARTITION BY event_type ORDER BY ts, event_id
-             ROWS BETWEEN 10 PRECEDING AND CURRENT ROW), 2) AS rolling_median
+             ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)) * 100) AS BIGINT) / CAST(100 AS DOUBLE)) AS rolling_median
     FROM events
     """,
     doc="Exact rolling median over an 11-row sliding frame per metric — "
@@ -248,7 +248,7 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "event_type",
-        F.round((mid_lo + mid_hi) / 2.0, 2).alias("rolling_median"),
+        (F.round(((mid_lo + mid_hi) / 2.0) * 100).cast("bigint") / 100.0).alias("rolling_median"),
     )
 
 

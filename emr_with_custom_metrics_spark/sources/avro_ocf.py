@@ -326,7 +326,7 @@ def _avro_group(pdf: "pd.DataFrame") -> "pd.DataFrame":  # noqa: F821
            CAST(CEIL(COUNT(*) / 100.0) AS BIGINT) AS n_blocks,
            CAST(SUM(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_null_status,
-           ROUND(SUM(o_totalprice), 2) AS sum_price
+           (CAST(ROUND((SUM(o_totalprice)) * 100) AS BIGINT) / CAST(100 AS DOUBLE)) AS sum_price
     FROM orders GROUP BY o_orderpriority
     """,
     doc="Avro Object Container File round-trip (sources/avro_ocf.py — "

@@ -90,7 +90,7 @@ def convert(
 @register(
     "formats_csv_roundtrip",
     oracle="""
-    SELECT o_orderpriority, COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS sum_price
+    SELECT o_orderpriority, COUNT(*) AS cnt, (CAST(ROUND((SUM(o_totalprice)) * 100) AS BIGINT) / CAST(100 AS DOUBLE)) AS sum_price
     FROM orders GROUP BY o_orderpriority
     """,
     doc="CSV round-trip: write orders as headered TSV, read back with an "
@@ -112,14 +112,14 @@ def formats_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(path)
     )
     return back.groupBy("o_orderpriority").agg(
-        F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("sum_price")
+        F.count("*").alias("cnt"), (F.round((F.sum("o_totalprice")) * 100).cast("bigint") / 100.0).alias("sum_price")
     )
 
 
 @register(
     "formats_json_roundtrip",
     oracle="""
-    SELECT event_type, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
+    SELECT event_type, COUNT(*) AS cnt, (CAST(ROUND((SUM(value)) * 100) AS BIGINT) / CAST(100 AS DOUBLE)) AS sum_value
     FROM events WHERE event_id < 2000 GROUP BY event_type
     """,
     doc="JSON lines round-trip: write → read with schema → aggregate.",
@@ -134,14 +134,14 @@ def formats_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.write.mode("overwrite").json(path)
     back = spark.read.schema("event_id BIGINT, event_type STRING, value DOUBLE").json(path)
     return back.groupBy("event_type").agg(
-        F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value")
+        F.count("*").alias("cnt"), (F.round((F.sum("value")) * 100).cast("bigint") / 100.0).alias("sum_value")
     )
 
 
 @register(
     "formats_orc_roundtrip",
     oracle="""
-    SELECT l_returnflag, COUNT(*) AS cnt, ROUND(SUM(l_quantity), 2) AS sum_qty
+    SELECT l_returnflag, COUNT(*) AS cnt, (CAST(ROUND((SUM(l_quantity)) * 100) AS BIGINT) / CAST(100 AS DOUBLE)) AS sum_qty
     FROM lineitem WHERE l_orderkey < 500 GROUP BY l_returnflag
     """,
     doc="ORC round-trip (column-pruned, pushdown-capable alternate format).",
@@ -156,7 +156,7 @@ def formats_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     li.write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
     return back.groupBy("l_returnflag").agg(
-        F.count("*").alias("cnt"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+        F.count("*").alias("cnt"), (F.round((F.sum("l_quantity")) * 100).cast("bigint") / 100.0).alias("sum_qty")
     )
 
 
@@ -278,7 +278,7 @@ def parquet_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "formats_xml_roundtrip",
     oracle="""
-    SELECT s_nationkey, COUNT(*) AS cnt, ROUND(SUM(s_acctbal), 2) AS sum_bal
+    SELECT s_nationkey, COUNT(*) AS cnt, (CAST(ROUND((SUM(s_acctbal)) * 100) AS BIGINT) / CAST(100 AS DOUBLE)) AS sum_bal
     FROM supplier GROUP BY s_nationkey
     """,
     doc="XML round-trip through Spark 4's built-in XML source (spark-xml "
@@ -308,7 +308,7 @@ def formats_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(path)
     )
     return back.groupBy("s_nationkey").agg(
-        F.count("*").alias("cnt"), F.round(F.sum("s_acctbal"), 2).alias("sum_bal")
+        F.count("*").alias("cnt"), (F.round((F.sum("s_acctbal")) * 100).cast("bigint") / 100.0).alias("sum_bal")
     )
 
 
@@ -447,7 +447,7 @@ def formats_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFr
     SELECT CAST(64 AS BIGINT) AS n_files_before,
            CAST(4 AS BIGINT) AS n_files_after,
            COUNT(*) AS n_rows,
-           ROUND(SUM(l_quantity), 2) AS sum_qty
+           (CAST(ROUND((SUM(l_quantity)) * 100) AS BIGINT) / CAST(100 AS DOUBLE)) AS sum_qty
     FROM lineitem WHERE l_orderkey < 2000
     """,
     doc="Small-file compaction, the unglamorous op that keeps a 100 TB "
@@ -477,7 +477,7 @@ def maintenance_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFra
     after = compacted.agg(
         F.count_distinct(F.col("_metadata.file_path")).alias("n_files_after"),
         F.count("*").alias("n_rows"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        (F.round((F.sum("l_quantity")) * 100).cast("bigint") / 100.0).alias("sum_qty"),
     )
     return before.crossJoin(after).select(
         "n_files_before", "n_files_after", "n_rows", "sum_qty"
@@ -583,7 +583,7 @@ _Z_DUCK = _interleave_sql("zx", "zy", 8, lambda c, i: f"({c} >> {i})")
       FROM z GROUP BY lfile),
     hit AS (
       SELECT COUNT(*) AS rows_matched,
-             ROUND(SUM(o_totalprice), 2) AS revenue_matched
+             (CAST(ROUND((SUM(o_totalprice)) * 100) AS BIGINT) / CAST(100 AS DOUBLE)) AS revenue_matched
       FROM z WHERE zx BETWEEN 64 AND 127 AND zy BETWEEN 128 AND 191)
     SELECT
       (SELECT COUNT(*) FROM z) AS n_rows,
@@ -671,7 +671,7 @@ def maintenance_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("zx").between(64, 127) & F.col("zy").between(128, 191)
     ).agg(
         F.count("*").alias("rows_matched"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue_matched"),
+        (F.round((F.sum("o_totalprice")) * 100).cast("bigint") / 100.0).alias("revenue_matched"),
     )
     total = zread.agg(F.count("*").alias("n_rows"))
     return (

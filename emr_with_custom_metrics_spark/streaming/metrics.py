@@ -40,7 +40,7 @@ def tumbling_avg(events: DataFrame, window_dur: str = "5 minutes") -> DataFrame:
     """R1: event-time tumbling average per event_type (the 'dimension')."""
     return (
         events.groupBy(F.window("ts", window_dur).alias("w"), "event_type")
-        .agg(F.round(F.avg("value"), 4).alias("avg_value"), F.count("*").alias("n_events"))
+        .agg((F.round((F.avg("value")) * 10000).cast("bigint") / 10000.0).alias("avg_value"), F.count("*").alias("n_events"))
         .select(
             F.unix_timestamp("w.start").alias("bucket_start"),
             "event_type",
@@ -55,7 +55,7 @@ def tumbling_avg(events: DataFrame, window_dur: str = "5 minutes") -> DataFrame:
     oracle="""
     SELECT CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_start,
            event_type,
-           ROUND(AVG(value), 4) AS avg_value,
+           (CAST(ROUND((AVG(value)) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS avg_value,
            COUNT(*) AS n_events
     FROM events GROUP BY 1, 2
     """,
@@ -69,7 +69,7 @@ def metrics_tumbling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "metrics_sliding_avg",
     oracle="""
     SELECT u.bucket_start, b.event_type,
-           ROUND(AVG(b.value), 4) AS avg_value, COUNT(*) AS n_events
+           (CAST(ROUND((AVG(b.value)) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS avg_value, COUNT(*) AS n_events
     FROM (SELECT CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT) AS b0,
                  event_type, value FROM events) b,
          UNNEST([b.b0, b.b0 - 300]) AS u(bucket_start)
@@ -82,7 +82,7 @@ def metrics_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
-        .agg(F.round(F.avg("value"), 4).alias("avg_value"), F.count("*").alias("n_events"))
+        .agg((F.round((F.avg("value")) * 10000).cast("bigint") / 10000.0).alias("avg_value"), F.count("*").alias("n_events"))
         .select(
             F.unix_timestamp("w.start").alias("bucket_start"),
             "event_type",
@@ -97,7 +97,7 @@ def alarm_windows(events: DataFrame) -> DataFrame:
     events (single logical gauge, like YARNCoreAvailablePercentage)."""
     return (
         events.groupBy(F.window("ts", "5 minutes").alias("w"))
-        .agg(F.round(F.avg("value"), 4).alias("avg_value"), F.count("*").alias("n_events"))
+        .agg((F.round((F.avg("value")) * 10000).cast("bigint") / 10000.0).alias("avg_value"), F.count("*").alias("n_events"))
         .select(F.unix_timestamp("w.start").alias("bucket_start"), "avg_value", "n_events")
     )
 
@@ -105,7 +105,7 @@ def alarm_windows(events: DataFrame) -> DataFrame:
 _ALARM_ORACLE_BASE = """
     WITH metric AS (
       SELECT CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_start,
-             ROUND(AVG(value), 4) AS avg_value, COUNT(*) AS n_events
+             (CAST(ROUND((AVG(value)) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS avg_value, COUNT(*) AS n_events
       FROM events GROUP BY 1)
 """
 
@@ -146,7 +146,7 @@ def alarm_scale_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     "alarm_dimension_filter",
     oracle="""
     SELECT CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_start,
-           user_id, ROUND(AVG(value), 4) AS avg_value
+           user_id, (CAST(ROUND((AVG(value)) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS avg_value
     FROM events WHERE event_type = 'error'
     GROUP BY 1, 2
     """,
@@ -157,7 +157,7 @@ def alarm_dimension_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "error")
     return (
         ev.groupBy(F.window("ts", "5 minutes").alias("w"), "user_id")
-        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg((F.round((F.avg("value")) * 10000).cast("bigint") / 10000.0).alias("avg_value"))
         .select(F.unix_timestamp("w.start").alias("bucket_start"), "user_id", "avg_value")
     )
 
@@ -217,7 +217,7 @@ INITIAL_CAPACITY = 2  # the reference cluster's 2 core/task baseline (README.md:
     -- 3.8 -> 1.9 s over r1's full per-alarm simulation).
     WITH metric AS (
       SELECT CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_start,
-             ROUND(AVG(value), 4) AS avg_value
+             (CAST(ROUND((AVG(value)) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS avg_value
       FROM events GROUP BY 1),
     alarms AS (
       SELECT bucket_start, 'scale-out' AS rule, 5 AS adj FROM metric WHERE avg_value <= 25.0
@@ -298,16 +298,16 @@ def autoscale_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH hourly AS (
       SELECT event_type, CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS b,
-             ROUND(AVG(value), 4) AS avg_value
+             (CAST(ROUND((AVG(value)) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS avg_value
       FROM events GROUP BY 1, 2),
     bounds AS (SELECT event_type, MIN(b) AS lo, MAX(b) AS hi FROM hourly GROUP BY 1),
     grid AS (
       SELECT event_type, UNNEST(generate_series(lo, hi, 3600)) AS bucket_start
       FROM bounds)
     SELECT g.event_type, g.bucket_start,
-           ROUND(LAST_VALUE(h.avg_value IGNORE NULLS) OVER (
+           (CAST(ROUND((LAST_VALUE(h.avg_value IGNORE NULLS) OVER (
              PARTITION BY g.event_type ORDER BY g.bucket_start
-             ROWS UNBOUNDED PRECEDING), 4) AS avg_filled,
+             ROWS UNBOUNDED PRECEDING)) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS avg_filled,
            (h.avg_value IS NULL) AS was_gap
     FROM grid g LEFT JOIN hourly h
       ON g.event_type = h.event_type AND g.bucket_start = h.b
@@ -323,7 +323,7 @@ def timeseries_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     hourly = (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg((F.round((F.avg("value")) * 10000).cast("bigint") / 10000.0).alias("avg_value"))
         .select(
             F.unix_timestamp("w.start").alias("b"), "event_type", "avg_value"
         )
@@ -349,7 +349,7 @@ def timeseries_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_type",
         "bucket_start",
-        F.round(F.last("avg_value", ignorenulls=True).over(w), 4).alias("avg_filled"),
+        (F.round((F.last("avg_value", ignorenulls=True).over(w)) * 10000).cast("bigint") / 10000.0).alias("avg_filled"),
         F.col("avg_value").isNull().alias("was_gap"),
     )
 
@@ -367,7 +367,7 @@ def timeseries_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- whole sequential screen into two window functions.
     WITH metric AS (
       SELECT CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_start,
-             ROUND(AVG(value), 4) AS avg_value
+             (CAST(ROUND((AVG(value)) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS avg_value
       FROM events GROUP BY 1),
     alarms AS (
       SELECT 'scale-out' AS rule, bucket_start, avg_value
@@ -434,7 +434,7 @@ def cooldown_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_enrich_dim",
     oracle="""
     SELECT n_name, event_type, COUNT(*) AS n_events,
-           ROUND(AVG(value), 4) AS avg_value
+           (CAST(ROUND((AVG(value)) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS avg_value
     FROM events
     JOIN customer ON user_id = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
@@ -467,7 +467,7 @@ def enrich_with_dims(events: DataFrame, customer: DataFrame, nation: DataFrame) 
         .groupBy("n_name", "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            (F.round((F.avg("value")) * 10000).cast("bigint") / 10000.0).alias("avg_value"),
         )
     )
 
@@ -536,9 +536,9 @@ def windowed_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, day,
            CAST(len(vals) AS BIGINT) AS n_points,
-           ROUND(list_reduce(vals,
+           (CAST(ROUND((list_reduce(vals,
                  (acc, x) -> CAST(0.3 AS DOUBLE) * x
-                           + CAST(0.7 AS DOUBLE) * acc), 6) AS ewma
+                           + CAST(0.7 AS DOUBLE) * acc)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS ewma
     FROM s
     """,
     doc="Exponentially weighted moving average per (metric, day): a "
@@ -568,17 +568,14 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "day",
         F.size("pts").cast("bigint").alias("n_points"),
-        F.round(
-            F.expr(
+        (F.round((F.expr(
                 """
                 aggregate(transform(pts, s -> s.value), CAST(NULL AS DOUBLE),
                           (acc, x) -> CASE WHEN acc IS NULL THEN x
                                       ELSE CAST(0.3 AS DOUBLE) * x
                                          + CAST(0.7 AS DOUBLE) * acc END)
                 """
-            ),
-            6,
-        ).alias("ewma"),
+            )) * 1000000).cast("bigint") / 1000000.0).alias("ewma"),
     )
 
 
@@ -612,8 +609,8 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            COUNT(*) AS n_points,
            CAST(SUM(nbits) AS BIGINT) AS bits_total,
-           ROUND(AVG(CAST(nbits AS DOUBLE)), 4) AS avg_bits,
-           ROUND(CAST(SUM(nbits) AS DOUBLE) / (64.0 * COUNT(*)), 4) AS ratio_vs_raw,
+           (CAST(ROUND((AVG(CAST(nbits AS DOUBLE))) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS avg_bits,
+           (CAST(ROUND((CAST(SUM(nbits) AS DOUBLE) / (64.0 * COUNT(*))) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS ratio_vs_raw,
            CAST(SUM(CASE WHEN nbits = 1  THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_dod,
            CAST(SUM(CASE WHEN nbits = 9  THEN 1 ELSE 0 END) AS BIGINT) AS n_7bit,
            CAST(SUM(CASE WHEN nbits = 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_9bit,
@@ -660,10 +657,8 @@ def timeseries_delta_of_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.groupBy("event_type").agg(
         F.count("*").alias("n_points"),
         F.sum("nbits").cast("bigint").alias("bits_total"),
-        F.round(F.avg(F.col("nbits").cast("double")), 4).alias("avg_bits"),
-        F.round(
-            F.sum("nbits").cast("double") / (64.0 * F.count("*")), 4
-        ).alias("ratio_vs_raw"),
+        (F.round((F.avg(F.col("nbits").cast("double"))) * 10000).cast("bigint") / 10000.0).alias("avg_bits"),
+        (F.round((F.sum("nbits").cast("double") / (64.0 * F.count("*"))) * 10000).cast("bigint") / 10000.0).alias("ratio_vs_raw"),
         F.sum(F.when(F.col("nbits") == 1, 1).otherwise(0)).cast("bigint").alias("n_zero_dod"),
         F.sum(F.when(F.col("nbits") == 9, 1).otherwise(0)).cast("bigint").alias("n_7bit"),
         F.sum(F.when(F.col("nbits") == 12, 1).otherwise(0)).cast("bigint").alias("n_9bit"),
@@ -765,9 +760,9 @@ def session_windows_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, day,
            CAST(n AS BIGINT) AS n_points,
-           ROUND(st[1], 6) AS level,
-           ROUND(st[2], 6) AS trend,
-           ROUND(st[1] + st[2], 6) AS forecast_next
+           (CAST(ROUND((st[1]) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS level,
+           (CAST(ROUND((st[2]) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS trend,
+           (CAST(ROUND((st[1] + st[2]) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS forecast_next
     FROM hw
     """,
     doc="Holt's double exponential smoothing (level + trend) per (metric, "
@@ -817,9 +812,9 @@ def timeseries_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "day",
         F.size("pts").cast("bigint").alias("n_points"),
-        F.round(st.getField("l"), 6).alias("level"),
-        F.round(st.getField("b"), 6).alias("trend"),
-        F.round(st.getField("l") + st.getField("b"), 6).alias("forecast_next"),
+        (F.round((st.getField("l")) * 1000000).cast("bigint") / 1000000.0).alias("level"),
+        (F.round((st.getField("b")) * 1000000).cast("bigint") / 1000000.0).alias("trend"),
+        (F.round((st.getField("l") + st.getField("b")) * 1000000).cast("bigint") / 1000000.0).alias("forecast_next"),
     )
 
 
@@ -987,7 +982,7 @@ _AR2_ORACLE = """
     WITH s AS (
         SELECT event_type,
                CAST(FLOOR(epoch(ts) / 300) AS BIGINT) AS bucket,
-               ROUND(AVG(value), 6) AS x
+               (CAST(ROUND((AVG(value)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS x
         FROM events GROUP BY 1, 2),
     lagged AS (
         SELECT event_type, bucket, x,
@@ -997,11 +992,11 @@ _AR2_ORACLE = """
     m AS (
         SELECT event_type,
                CAST(COUNT(*) AS DOUBLE) AS n,
-               ROUND(SUM(x1), 6) AS s1, ROUND(SUM(x2), 6) AS s2,
-               ROUND(SUM(y), 6) AS sy,
-               ROUND(SUM(x1 * x1), 6) AS s11, ROUND(SUM(x1 * x2), 6) AS s12,
-               ROUND(SUM(x2 * x2), 6) AS s22,
-               ROUND(SUM(x1 * y), 6) AS s1y, ROUND(SUM(x2 * y), 6) AS s2y
+               (CAST(ROUND((SUM(x1)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS s1, (CAST(ROUND((SUM(x2)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS s2,
+               (CAST(ROUND((SUM(y)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS sy,
+               (CAST(ROUND((SUM(x1 * x1)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS s11, (CAST(ROUND((SUM(x1 * x2)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS s12,
+               (CAST(ROUND((SUM(x2 * x2)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS s22,
+               (CAST(ROUND((SUM(x1 * y)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS s1y, (CAST(ROUND((SUM(x2 * y)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS s2y
         FROM (SELECT event_type, x AS y, x1, x2 FROM lagged
               WHERE x1 IS NOT NULL AND x2 IS NOT NULL) t
         GROUP BY event_type),
@@ -1013,15 +1008,15 @@ _AR2_ORACLE = """
         FROM m),
     coefs AS (
         SELECT event_type,
-               ROUND((sy * (s11 * s22 - s12 * s12)
+               (CAST(ROUND(((sy * (s11 * s22 - s12 * s12)
                       - s1 * (s1y * s22 - s12 * s2y)
-                      + s2 * (s1y * s12 - s11 * s2y)) / det, 6) AS a,
-               ROUND((n * (s1y * s22 - s12 * s2y)
+                      + s2 * (s1y * s12 - s11 * s2y)) / det) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS a,
+               (CAST(ROUND(((n * (s1y * s22 - s12 * s2y)
                       - sy * (s1 * s22 - s12 * s2)
-                      + s2 * (s1 * s2y - s1y * s2)) / det, 6) AS b,
-               ROUND((n * (s11 * s2y - s1y * s12)
+                      + s2 * (s1 * s2y - s1y * s2)) / det) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS b,
+               (CAST(ROUND(((n * (s11 * s2y - s1y * s12)
                       - s1 * (s1 * s2y - s1y * s2)
-                      + sy * (s1 * s12 - s11 * s2)) / det, 6) AS c
+                      + sy * (s1 * s12 - s11 * s2)) / det) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS c
         FROM solved WHERE det <> 0),
     tail2 AS (
         SELECT event_type, x, rn FROM (
@@ -1030,7 +1025,7 @@ _AR2_ORACLE = """
                                       ORDER BY bucket DESC) AS rn
             FROM s) t WHERE rn <= 2)
     SELECT c.event_type, c.a, c.b, c.c,
-           ROUND(c.a + c.b * lastv.x + c.c * prevv.x, 4) AS forecast_next
+           (CAST(ROUND((c.a + c.b * lastv.x + c.c * prevv.x) * 10000) AS BIGINT) / CAST(10000 AS DOUBLE)) AS forecast_next
     FROM coefs c
     JOIN tail2 lastv ON lastv.event_type = c.event_type AND lastv.rn = 1
     JOIN tail2 prevv ON prevv.event_type = c.event_type AND prevv.rn = 2
@@ -1067,11 +1062,11 @@ _BENFORD_ORACLE = """
     tot AS (SELECT SUM(cnt) AS n FROM obs)
     SELECT o.digit,
            o.cnt,
-           ROUND(CAST(o.cnt AS DOUBLE) / CAST(t.n AS DOUBLE), 6) AS observed_p,
-           ROUND(LN(1.0 + 1.0 / o.digit) / LN(10.0), 6) AS benford_p,
-           ROUND((CAST(o.cnt AS DOUBLE) / CAST(t.n AS DOUBLE) - LN(1.0 + 1.0 / o.digit) / LN(10.0))
+           (CAST(ROUND((CAST(o.cnt AS DOUBLE) / CAST(t.n AS DOUBLE)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS observed_p,
+           (CAST(ROUND((LN(1.0 + 1.0 / o.digit) / LN(10.0)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS benford_p,
+           (CAST(ROUND(((CAST(o.cnt AS DOUBLE) / CAST(t.n AS DOUBLE) - LN(1.0 + 1.0 / o.digit) / LN(10.0))
                  * (CAST(o.cnt AS DOUBLE) / CAST(t.n AS DOUBLE) - LN(1.0 + 1.0 / o.digit) / LN(10.0))
-                 / (LN(1.0 + 1.0 / o.digit) / LN(10.0)), 6) AS chi2_term
+                 / (LN(1.0 + 1.0 / o.digit) / LN(10.0))) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS chi2_term
     FROM obs o, tot t
 """
 

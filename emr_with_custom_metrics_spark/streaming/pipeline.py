@@ -70,7 +70,7 @@ def windowed_metric(stream: DataFrame, watermark: str = "10 minutes") -> DataFra
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "5 minutes").alias("w"))
-        .agg(F.round(F.avg("value"), 4).alias("avg_value"), F.count("*").alias("n_events"))
+        .agg((F.round((F.avg("value")) * 10000).cast("bigint") / 10000.0).alias("avg_value"), F.count("*").alias("n_events"))
         .select(
             F.unix_timestamp("w.start").alias("bucket_start"),
             "avg_value",

@@ -216,11 +216,11 @@ def test_kmeans_partitions_all_vectors_and_is_deterministic(spark):
     n_vectors = load_table(spark, SF_DIR, "embeddings").count()
     assert sum(r["n_points"] for r in out) == n_vectors
     assert 1 <= len(out) <= 8
-    assert sum(r["inertia"] for r in out) > 0
+    assert sum(r["inertia_e4"] for r in out) > 0
 
     out2 = SPECS["kmeans_embeddings"].fn(spark, SF_DIR).collect()
-    assert sorted((r["cid"], r["n_points"], r["inertia"]) for r in out) == sorted(
-        (r["cid"], r["n_points"], r["inertia"]) for r in out2
+    assert sorted((r["cid"], r["n_points"], r["inertia_e4"]) for r in out) == sorted(
+        (r["cid"], r["n_points"], r["inertia_e4"]) for r in out2
     )
 
 
@@ -232,7 +232,7 @@ def test_kmeans_improves_on_singleiter_inertia(spark):
 
     one = _kmeans_df(spark, SF_DIR, iters=1).collect()
     three = _kmeans_df(spark, SF_DIR, iters=3).collect()
-    assert sum(r["inertia"] for r in three) <= sum(r["inertia"] for r in one) + 1e-6
+    assert sum(r["inertia_e4"] for r in three) <= sum(r["inertia_e4"] for r in one) + 1
 
 
 def test_pagerank_invariants(spark):
@@ -378,23 +378,24 @@ def test_geo_grid_join_equals_brute_force(spark):
     cust = (
         load_table(spark, SF_DIR, "customer")
         .where(F.col("c_custkey") < 400)
-        .selectExpr("c_custkey", f"{geo._lat('c_custkey')} AS lat",
-                    f"{geo._lon('c_custkey')} AS lon")
+        .selectExpr("c_custkey", f"{geo._lat10('c_custkey')} AS lat10",
+                    f"{geo._lon10('c_custkey')} AS lon10")
     )
     stat = load_table(spark, SF_DIR, "supplier").selectExpr(
-        "s_suppkey", f"{geo._lat('s_suppkey')} AS s_lat",
-        f"{geo._lon('s_suppkey')} AS s_lon"
+        "s_suppkey", f"{geo._lat10('s_suppkey')} AS s_lat10",
+        f"{geo._lon10('s_suppkey')} AS s_lon10"
     )
-    d2 = (F.col("lat") - F.col("s_lat")) * (F.col("lat") - F.col("s_lat")) + (
-        F.col("lon") - F.col("s_lon")) * (F.col("lon") - F.col("s_lon"))
+    d2 = (F.col("lat10") - F.col("s_lat10")) * (
+        F.col("lat10") - F.col("s_lat10")
+    ) + (F.col("lon10") - F.col("s_lon10")) * (F.col("lon10") - F.col("s_lon10"))
     brute = (
         cust.crossJoin(stat)
         .withColumn("d2", d2)
-        .where(F.col("d2") <= geo.CELL_DEG * geo.CELL_DEG)
+        .where(F.col("d2") <= geo.CELL10 * geo.CELL10)
         .groupBy("c_custkey")
         .agg(F.min(F.struct("d2", "s_suppkey")).alias("b"))
         .select("c_custkey", F.col("b.s_suppkey").alias("s_suppkey"),
-                F.round("b.d2", 6).alias("d2"))
+                F.col("b.d2").cast("bigint").alias("d2"))
     )
     brute_set = {(r["c_custkey"], r["s_suppkey"], r["d2"]) for r in brute.collect()}
     assert grid == brute_set
@@ -421,7 +422,7 @@ def test_pca_projection_captures_dominant_variance(spark):
     import numpy as np
 
     rows = SPECS["embedding_pca_project"].fn(spark, SF_DIR).collect()
-    pc1 = np.array([r["pc1"] for r in rows])
+    pc1 = np.array([r["pc1_e6"] for r in rows]) / 1e6
     emb = np.array(
         [r["embedding"] for r in load_table(spark, SF_DIR, "embeddings")
          .select("embedding").collect()],

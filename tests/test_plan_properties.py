@@ -447,3 +447,150 @@ def test_zorder_layout_prunes_more_than_linear(spark):
     assert row["n_units_zorder"] == row["n_units_linear"] == 16
     assert row["scanned_zorder"] < row["scanned_linear"]
     assert 0 < row["rows_matched"] < row["n_rows"]
+
+
+# ---------------------------------------------------------------------------
+# ROUND-on-double ban (round 8, r7 VERDICT items 1-2). Spark rounds doubles
+# at k digits via BigDecimal-of-shortest-string; DuckDB via ×10^k float
+# math whose behavior has shifted across releases — geo_grid_nearest drew a
+# driver-DuckDB hash mismatch from exactly this in round 7 despite local
+# parity. The only engine-stable primitives are: ROUND to INTEGER (scale 0,
+# half-away on both engines), exact integer→double conversion, and single
+# IEEE ops. Every oracled query therefore emits either
+#   CAST(ROUND(x * 10^k) AS BIGINT)                      (integer output)
+# or
+#   CAST(ROUND(x * 10^k) AS BIGINT) / CAST(10^k AS DOUBLE)  (bit-stable dbl)
+# and two-arg ROUND survives ONLY on DECIMAL arguments (digit-exact on both
+# engines — round-1 note 1).
+# ---------------------------------------------------------------------------
+
+
+def _sql_balanced_end(s: str, start: int) -> int:
+    depth, in_q = 0, None
+    for i in range(start, len(s)):
+        ch = s[i]
+        if in_q:
+            if ch == in_q:
+                in_q = None
+        elif ch in "'\"":
+            in_q = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+            if depth == 0:
+                return i
+    return -1
+
+
+def _sql_split_args(s: str) -> list[str]:
+    depth, in_q, parts, cur = 0, None, [], []
+    for ch in s:
+        if in_q:
+            if ch == in_q:
+                in_q = None
+            cur.append(ch)
+            continue
+        if ch in "'\"":
+            in_q = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+            continue
+        cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
+def test_no_two_arg_round_on_double_in_oracles():
+    """No oracle may round a non-DECIMAL expression at k digits: the k-digit
+    double ROUND algorithm is engine- and version-specific (the round-7
+    geo_grid_nearest driver red row). DECIMAL rounding stays allowed."""
+    offenders = []
+    for name, spec in registry.all_specs().items():
+        sql = spec.oracle
+        if not sql:
+            continue
+        for m in re.finditer(r"\bROUND\s*\(", sql, re.I):
+            op = sql.index("(", m.start())
+            en = _sql_balanced_end(sql, op)
+            args = _sql_split_args(sql[op + 1 : en])
+            if len(args) == 3 and not args[2].strip():
+                args = args[:2]
+            if len(args) == 2 and "DECIMAL" not in args[0].upper():
+                offenders.append((name, sql[m.start() : en + 1][:90]))
+    assert not offenders, f"two-arg ROUND on double in oracles: {offenders[:5]}"
+
+
+def test_no_two_arg_f_round_on_double_in_engine_source():
+    """Mirror ban on the engine side: F.round(expr, k) with a non-decimal
+    arg would hash-diverge from the integer-domain oracles."""
+    import glob
+    import io
+    import os
+    import tokenize
+
+    pkg = os.path.join(os.path.dirname(__file__), "..", "emr_with_custom_metrics_spark")
+    offenders = []
+    for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        src = open(path).read()
+        # positions inside string literals (SQL text is covered by the
+        # oracle-side test; docstrings are prose)
+        toks = list(tokenize.generate_tokens(io.StringIO(src).readline))
+        lines = src.splitlines(keepends=True)
+        offs = [0]
+        for ln in lines:
+            offs.append(offs[-1] + len(ln))
+        spans = [
+            (offs[t.start[0] - 1] + t.start[1], offs[t.end[0] - 1] + t.end[1])
+            for t in toks
+            if t.type == tokenize.STRING
+        ]
+        for m in re.finditer(r"F\.round\s*\(", src):
+            if any(s0 <= m.start() < s1 for s0, s1 in spans):
+                continue
+            op = src.index("(", m.start())
+            en = _sql_balanced_end(src, op)
+            args = _sql_split_args(src[op + 1 : en])
+            if len(args) == 3 and not args[2].strip():
+                args = args[:2]
+            if (
+                len(args) == 2
+                and re.fullmatch(r"\s*\d+\s*", args[1])
+                and "decimal" not in args[0].lower()
+            ):
+                line = src[: m.start()].count("\n") + 1
+                offenders.append((os.path.basename(path), line, args[0][:60]))
+    assert not offenders, f"two-arg F.round on double in engine: {offenders[:5]}"
+
+
+def test_flagship_shuffle_bytes_within_budget(spark):
+    """Physical-plan regression guard (r7 VERDICT item 6): the dedup/ANN
+    flagship rows must keep shuffling id/hash-sized records, never payload
+    columns. Budgets are ~3x the measured sf0.01 shuffle-bytes (minhash
+    1.29 MB, ann_lsh 0.81 MB, ngram 0.28 MB — BENCH round-8 smoke), so a
+    legitimate constant-factor change passes while a payload column
+    leaking into a shuffle (a ~10x jump: text/vectors vs hashes) fails.
+    bench.py records the same numbers per round under the "physical" key.
+    """
+    from emr_with_custom_metrics_spark.plans.exec_metrics import (
+        collect_execution_metrics,
+    )
+
+    budgets = {
+        "dedup_minhash_lsh": 4_000_000,
+        "similarity_ann_lsh": 2_500_000,
+        "dedup_ngram_jaccard": 1_000_000,
+    }
+    for name, budget in budgets.items():
+        m = collect_execution_metrics(SPECS[name].fn(spark, "/root/testdata/sf0.01"))
+        got = m["summary"].get("shuffle_bytes_written", 0)
+        assert got <= budget, (
+            f"{name}: shuffle_bytes_written {got} exceeds budget {budget} — "
+            f"a payload column is probably riding a shuffle that should "
+            f"carry only ids/hashes"
+        )
