@@ -252,17 +252,61 @@ def filter_rlike(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-language sampling fractions for the stratified cut; thresholds are
+# round(p * 16^6) over the first 6 md5 hex nibbles of the doc key, so
+# membership is a pure function of row identity — the same property
+# sample_deterministic documents, now per-stratum.
+_STRATA_FRACTIONS = {"en": 0.2, "de": 0.5, "fr": 0.8, "es": 0.5, "zh": 1.0}
+_STRATA_THRESHOLDS = {
+    lang: round(p * 16**6) for lang, p in _STRATA_FRACTIONS.items()
+}
+_STRATA_CASE_SQL = (
+    "CASE lang "
+    + " ".join(
+        f"WHEN '{lang}' THEN {thr}" for lang, thr in _STRATA_THRESHOLDS.items()
+    )
+    + " ELSE 0 END"
+)
+
+
 @register(
     "sample_stratified",
-    oracle=None,  # seeded per-stratum Bernoulli → rows-only
-    doc="Stratified sampling (sampleBy): per-class fractions with a fixed "
-    "seed — how a balanced dev corpus is cut from skewed 100 TB class "
-    "distributions without a shuffle.",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE CAST(('0x' || substr(md5('strat|' || doc_id::VARCHAR), 1, 6))
+               AS INTEGER) < {_STRATA_CASE_SQL}
+    """,
+    doc="Stratified sampling with per-class fractions — how a balanced dev "
+    "corpus is cut from skewed 100 TB class distributions without a "
+    "shuffle. Deterministic hash-threshold form (r7 VERDICT item 4): "
+    "md5(key) < round(p*16^6) per stratum is statistically a per-class "
+    "Bernoulli(p) but membership is a pure function of row identity, so "
+    "it survives repartitioning, backfills, and engine changes — and is "
+    "exactly SQL-expressible, closing the last rows-only registry entry. "
+    "The seeded-RNG variant remains as sample_stratified_bernoulli for "
+    "pipelines that want fresh draws per seed.",
 )
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    fractions = {"en": 0.2, "de": 0.5, "fr": 0.8, "es": 0.5, "zh": 1.0}
-    return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit("strat|"), F.col("doc_id").cast("string"))), 1, 6),
+        16,
+        10,
+    ).cast("bigint")
+    thr = F.lit(0)
+    for lang, t in _STRATA_THRESHOLDS.items():
+        thr = F.when(F.col("lang") == lang, F.lit(t)).otherwise(thr)
+    return d.where(bucket < thr).select("doc_id", "lang")
+
+
+def sample_stratified_bernoulli(
+    df: DataFrame, fractions: dict[str, float] | None = None, seed: int = 42
+) -> DataFrame:
+    """Library variant: Spark's native seeded per-stratum Bernoulli
+    (``sampleBy``). Partitioning-dependent (same seed, different layout,
+    different rows), so it is NOT oracle-replayable — use the registered
+    hash-threshold form when reproducibility across engines matters."""
+    return df.sampleBy("lang", fractions or _STRATA_FRACTIONS, seed=seed)
 
 
 # ~10% of the 24-bit space of the first 6 md5 hex nibbles (0.1 * 16^6).
