@@ -158,7 +158,7 @@ _DRIVER_VERIFIED = frozenset(
         "hof_battery",
         # --- rounds 3+4 (CORRECTNESS_r03.json == CORRECTNESS_r04.json, 50
         # rows: 49 hash-green + sample_stratified rows-only-by-design) ---
-        "q12_priority_shipping", "bitmap_weekly_retention", "sample_stratified",
+        "q12_priority_shipping", "bitmap_weekly_retention",
         "vector_norms", "vector_centroids", "formats_csv_roundtrip",
         "parquet_partitioned_write", "metrics_tumbling_avg",
         "metrics_sliding_avg", "alarm_scale_out", "alarm_scale_in",
@@ -188,7 +188,7 @@ _DRIVER_VERIFIED = frozenset(
         "json_battery2", "json_to_json", "filter_rlike", "null_handling_funcs",
         "formats_json_roundtrip", "formats_orc_roundtrip",
         "formats_text_roundtrip", "dedup_levenshtein_multipass",
-        "similarity_pq_topk", "multimodal_decode_jpeg_subsampled",
+        "multimodal_decode_jpeg_subsampled",
         "multimodal_decode_gif", "multimodal_decode_jpeg_progressive",
         "multimodal_decode_avi_mjpeg", "e2e_multimodal_pipeline",
         "multimodal_decode_wav_g711", "multimodal_gif_frame_sample",
@@ -225,13 +225,38 @@ _DRIVER_VERIFIED = frozenset(
         "text_bpe_encode", "dedup_substring_spans", "dedup_substring_remove",
         "dedup_paragraph_chunks", "decontaminate_bloom_prefilter",
         "text_gopher_rules", "text_bm25_retrieval", "retrieval_rrf_hybrid",
-        "text_cooccurrence_pmi", "similarity_ivfpq_topk",
+        "text_cooccurrence_pmi",
         "similarity_recall_report", "similarity_mmr_rerank",
-        "similarity_hard_negatives", "embedding_pca_project",
+        "similarity_hard_negatives",
         "join_skew_salted", "parquet_dpp_prune", "join_range_banded",
         "sketch_quantile_mergeable", "sketch_countmin_heavy_hitters",
         "sketch_distinct_hll_kmv", "multimodal_av_mux", "graph_kcore_peel",
         "similarity_matryoshka_recall", "cdc_merge_upsert",
+        # --- round 7 (CORRECTNESS_r07.json, 49 green of 50; the red
+        #     geo_grid_nearest plus the round-8 output-changed queries
+        #     [similarity_ann_lsh, kmeans_embeddings, survival_kaplan_meier]
+        #     are deliberately left out so they re-verify first) ---
+        "dq_profile_columns", "dq_constraint_checks", "ivm_incremental_agg",
+        "cogroup_asof_pandas", "events_cusum_drift",
+        "multimodal_decode_flac_stereo", "dedup_semantic_clusters",
+        "corpus_importance_resample", "retrieval_ndcg_eval",
+        "maintenance_zorder_layout", "text_quality_classifier",
+        "corpus_pdf_ingest", "corpus_zip_ingest", "corpus_jsonl_gz_ingest",
+        "dedup_minhash_lsh", "dedup_incremental_batch",
+        "pagerank_similarity_graph", "dedup_simhash",
+        "multimodal_decode_mp3_huffman", "corpus_e2e_archive_pipeline",
+        "corpus_pdf15_ingest", "corpus_zip64_ingest",
+        "stream_stream_interval_join", "stream_stream_outer_join",
+        "text_suffix_array", "text_longest_repeat",
+        "text_unigram_lm_train", "text_unigram_lm_score",
+        "timeseries_ar2_forecast", "dq_benford_screen",
+        "events_transition_matrix", "multimodal_decode_tiff", "text_bwt",
+        "formats_avro_roundtrip", "window_running_distinct",
+        "multimodal_decode_png_palette", "multimodal_decode_png_adam7",
+        "multimodal_decode_gif_interlaced", "window_rolling_median",
+        "scd2_asof_lookup", "attribution_linear_touch", "basket_part_lift",
+        "user_activity_streaks", "dq_k_anonymity", "formats_binaryfile_scan",
+        "timeseries_ewma",
     }
 )
 
@@ -255,60 +280,37 @@ _HEAVY = frozenset(
 )
 
 
-# Round 7: 56 never-verified entries remain against the ~50-row driver
-# budget, PLUS this round's answer-changing upgrades (rows-only→oracled)
-# and new queries need fresh rows — so again choose WHICH rows to spend,
-# explicitly. Order: (1) the 14 entries that led r6's tail but missed the
-# 50-row cut (this puts the repaired PDF codec under the driver's oracle
-# early), (2) the two r6-VERDICT-item-5 oracle upgrades, (3) new round-7
-# queries (inserted as built), (4) the remaining 21 never-verified tier-1
-# oracled queries in registration order, (5) the most substantive half of
-# the deferred thin-API set. The ~12 thinnest syntax demos named at the
-# list's end are the explicit round-8 slip.
+# Round 8: for the first time the whole backlog fits the ~50-row budget.
+# Head order: (1) geo_grid_nearest — the round-7 red row, now pure integer
+# domain (r7 VERDICT item 1); (2) the seven queries whose ANSWERS changed
+# this round (sample_stratified's new deterministic hash-threshold form,
+# r7 VERDICT item 4, and the six integer-output upgrades of item 2) — all
+# were removed from _DRIVER_VERIFIED so they rank here; (3) the nine
+# never-verified tier-1 queries; (4) all 21 previously deferred thin-API
+# demos — after this round, zero registry entries remain driver-unverified.
 _DRIVER_PRIORITY = (
-    # -- r6 priority-tail that missed the 50-row cut ------------------------
-    "dq_profile_columns", "dq_constraint_checks", "ivm_incremental_agg",
-    "cogroup_asof_pandas", "events_cusum_drift",
-    "multimodal_decode_flac_stereo", "dedup_semantic_clusters",
-    "corpus_importance_resample", "retrieval_ndcg_eval",
-    "maintenance_zorder_layout", "text_quality_classifier",
-    "corpus_pdf_ingest", "corpus_zip_ingest", "corpus_jsonl_gz_ingest",
-    # -- r6-VERDICT item 5: rows-only→hash-oracled upgrades (answers are
-    #    now pinned by SQL oracles; need fresh rows under the new contract)
-    "dedup_minhash_lsh", "kmeans_embeddings", "dedup_incremental_batch",
-    "pagerank_similarity_graph", "dedup_simhash", "similarity_ann_lsh",
-    # -- new round-7 queries (inserted as built) ----------------------------
-    "multimodal_decode_mp3_huffman", "corpus_e2e_archive_pipeline",
-    "corpus_pdf15_ingest", "corpus_zip64_ingest",
-    "stream_stream_interval_join", "stream_stream_outer_join",
-    "text_suffix_array", "text_longest_repeat",
-    "text_unigram_lm_train", "text_unigram_lm_score",
-    "timeseries_ar2_forecast", "dq_benford_screen",
-    "events_transition_matrix", "survival_kaplan_meier",
-    "multimodal_decode_tiff", "text_bwt", "formats_avro_roundtrip",
-    "window_running_distinct",
-    "multimodal_decode_png_palette", "multimodal_decode_png_adam7",
-    "multimodal_decode_gif_interlaced",
-    # -- never-verified tier-1 oracled (registration order) -----------------
-    "window_rolling_median", "scd2_asof_lookup", "attribution_linear_touch",
-    "basket_part_lift", "user_activity_streaks", "dq_k_anonymity",
-    "geo_grid_nearest", "formats_binaryfile_scan", "timeseries_ewma",
+    # -- (1) the round-7 red row, rebuilt in integer domain ------------------
+    "geo_grid_nearest",
+    # -- (2) round-8 answer-changing upgrades (need rows under the new
+    #    contract: integer outputs / deterministic stratified sampling) -----
+    "sample_stratified", "similarity_ann_lsh", "similarity_pq_topk",
+    "similarity_ivfpq_topk", "kmeans_embeddings", "survival_kaplan_meier",
+    "embedding_pca_project",
+    # -- (3) never-verified tier-1 ------------------------------------------
     "timeseries_holt_winters", "stream_late_event_audit",
     "text_distribution_drift", "pack_chunks_overlap",
     "corpus_negative_samples", "corpus_curriculum_interleave",
     "e2e_span_dedup_pipeline", "text_html_extract", "dedup_url_canonical",
-    # -- substantive half of the deferred set -------------------------------
+    # -- (4) the full deferred thin-API set (the declared r7 slip) ----------
     "bucketed_join_no_shuffle", "agg_hll_sketch_union",
     "sql_recursive_cte_hierarchy", "mapinarrow_token_stats",
     "udtf_dynamic_schema", "session_windows_dynamic_gap",
     "maintenance_compact_small_files", "formats_parquet_schema_evolution",
-    "timeseries_delta_of_delta",
-    # -- explicit round-8 slip (thinnest syntax/API demos): sql_pipe_syntax,
-    #    sql_parameterized, sql_collation_lcase, sql_join_hints,
-    #    sql_lateral_topn, json_parse_modes, scalar_xml_funcs,
-    #    window_ignore_nulls, agg_filter_clause, snapshot_diff,
-    #    transpose_priority_metrics, formats_xml_roundtrip — they follow in
-    #    _driver_order's defer tier if the budget stretches.
+    "timeseries_delta_of_delta", "sql_pipe_syntax", "sql_parameterized",
+    "sql_collation_lcase", "sql_join_hints", "sql_lateral_topn",
+    "json_parse_modes", "scalar_xml_funcs", "window_ignore_nulls",
+    "agg_filter_clause", "snapshot_diff", "transpose_priority_metrics",
+    "formats_xml_roundtrip",
 )
 _PRIORITY_RANK = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
 
