@@ -190,6 +190,18 @@ HEADLINE = [
     "window_running_distinct",
 ]
 
+# Shuffle-heavy flagship rows whose executed-plan accumulators ride along
+# in the bench record (r7 VERDICT item 6). Kept small: each row pays one
+# extra untimed collect.
+PHYSICAL_TRACKED = [
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "similarity_ann_lsh",
+    "kmeans_embeddings",
+    "pagerank_similarity_graph",
+]
+
 
 def _contention_check() -> dict:
     """Detect conditions known to inflate bench numbers before Spark starts:
@@ -272,6 +284,35 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
 
+    # Physical metrics for the shuffle-heavy flagship rows (r7 VERDICT
+    # item 6): harvest post-AQE executed-plan accumulators so the record
+    # shows WHAT the time bought — shuffle bytes and scanned rows are the
+    # signals that catch a silent plan regression (a payload column
+    # leaking into a shuffle) that wall time alone hides. Runs OUTSIDE the
+    # timed loop; the accumulators need an action on the same DataFrame,
+    # so each tracked query pays one extra collect.
+    from emr_with_custom_metrics_spark.plans.exec_metrics import (
+        collect_execution_metrics,
+    )
+
+    physical: dict[str, dict] = {}
+    for name in PHYSICAL_TRACKED:
+        try:
+            m = collect_execution_metrics(specs[name].fn(spark, sf_dir))
+            physical[name] = {
+                k: int(v)
+                for k, v in m["summary"].items()
+                if k
+                in (
+                    "rows_scanned",
+                    "shuffle_bytes_written",
+                    "shuffle_records_written",
+                    "peak_memory_bytes",
+                )
+            }
+        except Exception as exc:  # noqa: BLE001 — metrics must never fail the bench
+            physical[name] = {"error": repr(exc)[:120]}
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -280,6 +321,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "physical": physical,
                 "sf": sf,
                 "contended": contention["contended"],
                 "contention_check": contention,
