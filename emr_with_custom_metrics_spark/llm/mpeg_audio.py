@@ -50,6 +50,23 @@ Scope, honestly stated:
   private_bit=1 remains the signature, so true ISO streams fall to the
   stub tier rather than decode through wrong tables.
 
+SCOPE DECISION (round 8, explicit): the Table B.7 substitution is
+PERMANENT for this environment, not deferred debt. The 34 spectral
+Huffman tables are arbitrary published constants (ISO 11172-3 Annex B);
+with no network access there is no way to obtain them here, and a
+from-memory transcription cannot be verified — a self-round-trip would
+pass even with wrong tables (encoder and decoder would share the error),
+and a true conformance check needs a third-party-encoded fixture this
+sandbox cannot fetch. Shipping unverifiable constants as "ISO" would be
+exactly the silent-misread failure mode this repo's codecs are built to
+refuse. Every OTHER Layer III mechanism (side info, regions, linbits,
+sign bits, rate loops, bit reservoir, scalefactors, filterbank) is the
+real spec logic and transfers unchanged once the table data is dropped
+in — the integration point is one table dict, documented at the
+entropy-tier banner. The same reasoning scopes out AAC (ISO 13818-7: an
+entirely separate codec — window grouping, TNS, its own twelve
+codebooks — with the same unverifiable-constants problem).
+
 Reference parity note: the reference system (tmusabbir/
 emr-with-custom-metrics) ships no media decode at all — this tier
 belongs to the mandated §2B multimodal extension surface.

@@ -47,6 +47,24 @@ stub tier; corrupt structure raises ``ValueError``):
   fonts (CMap-mapped text) are out of scope — simple fonts with
   byte-range literal strings are the covered profile.
 
+SCOPE DECISION (round 8, explicit — these are permanent boundaries for
+this tier, not deferred debt):
+
+* **Encrypted PDFs**: /Encrypt means RC4/AES key derivation from the
+  standard security handler (ISO 32000-1 §7.6) — crypto plumbing, not
+  document structure, and a corpus pipeline should surface encrypted
+  inputs to an operator decision rather than silently decrypt with the
+  empty user password. Share-of-corpus: web-crawl PDF sets are
+  overwhelmingly unencrypted (encryption blocks the indexing the
+  publisher wants); the raise routes the rare exceptions to the stub
+  tier with an exact reason string.
+* **CID/composite fonts**: real CJK text extraction needs the embedded
+  CMap + font program to map 2-byte codes to Unicode — a font-format
+  project of its own. The latin-1 simple-font profile covers the
+  writer's own output and the western-script majority of born-digital
+  PDFs; non-latin-1 raises with the code point named, so corpus stats
+  can COUNT the affected share rather than ingest mojibake.
+
 Reference parity note: the reference system (tmusabbir/
 emr-with-custom-metrics) has no document ingestion at all
 (scripts/spark_converter.py:25-31 reads TSV); this tier belongs to the
