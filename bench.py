@@ -188,6 +188,10 @@ HEADLINE = [
     "text_bwt",
     "formats_avro_roundtrip",
     "window_running_distinct",
+    # round 8
+    "text_kneserney_bigram",
+    "graph_hits_scores",
+    "text_wordpiece_encode",
 ]
 
 # Shuffle-heavy flagship rows whose executed-plan accumulators ride along

@@ -1852,3 +1852,305 @@ def text_bwt(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("bwt_tok") == F.col("prev"), 1).otherwise(0)
         ).cast("bigint").alias("n_run_joins"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney smoothed bigram LM (round 8)
+# ---------------------------------------------------------------------------
+_KN_DISCOUNT = 0.75  # dyadic: exact in binary, so c - D and D*n are exact
+
+
+@register(
+    "text_kneserney_bigram",
+    # Float discipline (the round-8 integer-domain rules): D = 0.75 is
+    # dyadic so c12 - D and D * n1p are EXACT doubles; Pcont = n2/T and
+    # the final /c1 are single IEEE divisions; the multiplication order
+    # ((D * n1p) * (n2 / T)) is written identically on both sides. Each
+    # bigram's log-prob quantizes to BIGINT micro-nats BEFORE the per-doc
+    # sum, so the reduction is an integer sum — aggregation-order-free —
+    # and the only cross-engine exposure is libm-vs-duckdb LN at 1 ulp,
+    # which the 1e-6 quantization absorbs except on measure-zero
+    # boundaries (the precedent: text_bigram_logprob, seven rounds green).
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ), bigrams AS (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+               UNNEST(list_transform(range(1, len(toks)), i -> toks[i + 1])) AS w2
+        FROM tok
+    ), c12 AS (
+        SELECT w1, w2, COUNT(*) AS c12 FROM bigrams GROUP BY w1, w2
+    ), c1 AS (
+        SELECT w1, COUNT(*) AS c1, COUNT(DISTINCT w2) AS n1p
+        FROM bigrams GROUP BY w1
+    ), cont AS (
+        SELECT w2, COUNT(DISTINCT w1) AS n2 FROM bigrams GROUP BY w2
+    ), types AS (
+        SELECT COUNT(*) AS t FROM c12
+    ), scored AS (
+        SELECT b.doc_id,
+               CAST(ROUND(LN(
+                   (GREATEST(c12 - {_KN_DISCOUNT}, 0.0)
+                    + ({_KN_DISCOUNT} * n1p) * (n2 / CAST(t AS DOUBLE)))
+                   / c1) * 1000000) AS BIGINT) AS lp_e6
+        FROM bigrams b
+        JOIN c12 USING (w1, w2)
+        JOIN c1 USING (w1)
+        JOIN cont USING (w2)
+        CROSS JOIN types
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(lp_e6) AS BIGINT) AS sum_lp_e6,
+           CAST(ROUND(CAST(SUM(lp_e6) AS BIGINT) / CAST(COUNT(*) AS DOUBLE))
+                AS BIGINT) AS avg_lp_e6
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Interpolated Kneser-Ney bigram scoring — the production form of "
+    "the perplexity quality filter (KenLM's smoothing): "
+    "P(w2|w1) = (max(c12-D,0) + D*N1+(w1,.)*Pcont(w2)) / c(w1) with "
+    "absolute discount D=0.75 and the continuation distribution "
+    "Pcont(w2) = N1+(.,w2)/|bigram types| — the fix for raw-ML bigram "
+    "models overweighting words that only ever follow one context "
+    "('Francisco' scores high after 'San' but KN's continuation count "
+    "knows it never follows anything else). Model = three count tables "
+    "(vocabulary-sized, broadcastable; at 100 TB they stay MB while "
+    "scoring is a map-side join pass). Per-bigram log-probs quantize to "
+    "integer micro-nats before the per-doc reduction, so the sum is "
+    "aggregation-order-free and the whole pipeline hash-verifies.",
+)
+def text_kneserney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_fanned(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .where(F.size("toks") >= 2)
+    )
+    bigrams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.w1", "e.w2")
+    c12 = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = bigrams.groupBy("w1").agg(
+        F.count("*").alias("c1"), F.count_distinct("w2").alias("n1p")
+    )
+    cont = bigrams.groupBy("w2").agg(F.count_distinct("w1").alias("n2"))
+    types = c12.agg(F.count("*").alias("t"))
+    p = (
+        F.greatest(F.col("c12") - F.lit(_KN_DISCOUNT), F.lit(0.0))
+        + (F.lit(_KN_DISCOUNT) * F.col("n1p"))
+        * (F.col("n2") / F.col("t").cast("double"))
+    ) / F.col("c1")
+    scored = (
+        bigrams.join(F.broadcast(c12), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "doc_id",
+            F.round(F.log(p) * 1000000).cast("bigint").alias("lp_e6"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("lp_e6").alias("sum_lp_e6"),
+        F.round(F.sum("lp_e6") / F.count("*").cast("double"))
+        .cast("bigint")
+        .alias("avg_lp_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece tokenizer: vocab build + greedy longest-match encode (round 8)
+# ---------------------------------------------------------------------------
+_WP_MAXLEN = 4  # longest vocab entry; greedy tries 4..1
+_WP_TOPK = 64  # multi-char vocab budget (single chars always included)
+_WP_STEPS = 8  # >= max tokens/word = max word length (corpus max is 8)
+
+
+def _wp_oracle() -> str:
+    """DuckDB replay of the identical vocab + greedy encode. Everything is
+    string/integer domain — no floats anywhere, so hash parity is pure
+    logic equality. Step CTEs s{i} are MATERIALIZED: each step's union
+    (finished rows + advanced rows) references the previous state twice,
+    and unmarked that doubles the inlined expansion per step (the
+    graph_hits_scores / classifier lesson)."""
+    head = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    words AS MATERIALIZED (
+      SELECT doc_id, UNNEST(range(LEN(toks))) AS pos, UNNEST(toks) AS w
+      FROM t),
+    wcnt AS MATERIALIZED (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+    grams AS MATERIALIZED (
+      SELECT CASE WHEN st = 1 THEN 0 ELSE 1 END AS form,
+             substr(w, st, n) AS gram, n AS l, SUM(c) AS cnt
+      FROM wcnt
+      CROSS JOIN (SELECT UNNEST(range(1, {_WP_MAXLEN} + 1)) AS n)
+      CROSS JOIN LATERAL (SELECT UNNEST(range(1, LENGTH(w) - n + 2)) AS st)
+      WHERE LENGTH(w) >= n
+      GROUP BY 1, 2, 3),
+    vocab AS MATERIALIZED (
+      SELECT form, gram, l FROM (
+        SELECT form, gram, l,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, form, gram) AS rk
+        FROM grams WHERE l >= 2) WHERE rk <= {_WP_TOPK}
+      UNION ALL
+      SELECT form, gram, l FROM grams WHERE l = 1),
+    s0 AS MATERIALIZED (
+      SELECT w, CAST(1 AS BIGINT) AS cur, '' AS toks, CAST(0 AS BIGINT) AS n_tok
+      FROM wcnt)"""
+    steps = []
+    for i in range(1, _WP_STEPS + 1):
+        steps.append(f""",
+    m{i} AS MATERIALIZED (
+      SELECT s.w, s.cur, s.toks, s.n_tok, v.gram, v.l,
+             ROW_NUMBER() OVER (PARTITION BY s.w ORDER BY v.l DESC) AS rk
+      FROM s{i - 1} s
+      JOIN vocab v
+        ON v.form = CASE WHEN s.cur = 1 THEN 0 ELSE 1 END
+       AND v.gram = substr(s.w, CAST(s.cur AS INT), CAST(v.l AS INT))
+      WHERE s.cur <= LENGTH(s.w)),
+    s{i} AS MATERIALIZED (
+      SELECT w, cur, toks, n_tok FROM s{i - 1} WHERE cur > LENGTH(w)
+      UNION ALL
+      SELECT w, cur + l AS cur,
+             toks || ' ' || CASE WHEN cur = 1 THEN gram ELSE '##' || gram END
+                 AS toks,
+             n_tok + 1 AS n_tok
+      FROM m{i} WHERE rk = 1)""")
+    tail = f"""
+    SELECT d.doc_id,
+           COUNT(*) AS n_words,
+           CAST(SUM(enc.n_tok) AS BIGINT) AS n_wp_tokens,
+           md5(string_agg(ltrim(enc.toks), ' ' ORDER BY d.pos)) AS wp_md5
+    FROM words d JOIN s{_WP_STEPS} enc ON enc.w = d.w
+    GROUP BY d.doc_id"""
+    return head + "".join(steps) + tail
+
+
+@register(
+    "text_wordpiece_encode",
+    oracle=_wp_oracle(),
+    doc="WordPiece tokenization (the BERT family) — vocab DERIVED from the "
+    "corpus and applied by greedy longest-match-first, completing the "
+    "tokenizer triptych beside BPE (merge-rule replay) and unigram-LM "
+    "(Viterbi): vocab = every observed single character in word-initial "
+    "and '##'-continuation form (so encoding its own corpus never hits "
+    "[UNK]) plus the top-64 occurrence-weighted character n-grams "
+    "(2..4), ties broken (count DESC, form, gram); encode walks each "
+    "word left to right taking the LONGEST vocab match at the cursor "
+    "(4..1), continuation matches emitting '##'-prefixed pieces. Scale "
+    "shape: the encode loop runs over DISTINCT words (vocabulary-sized "
+    "state — the unigram-LM trick), the vocab broadcasts, and documents "
+    "join the encoded word table by word. Entirely string/integer "
+    "domain: no floats anywhere in train OR apply, so the whole "
+    "pipeline is trivially engine-exact.",
+)
+def text_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fanned(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    wcnt = words.groupBy("w").agg(F.count("*").alias("c"))
+    grams = (
+        wcnt.select(
+            "w",
+            "c",
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(1, {_WP_MAXLEN}), "
+                    "n -> transform(sequence(1, greatest(length(w) - n + 1, 0)), "
+                    "st -> struct(n AS n, st AS st))))"
+                )
+            ).alias("g"),
+        )
+        .select(
+            F.when(F.col("g.st") == 1, 0).otherwise(1).alias("form"),
+            F.expr("substr(w, g.st, g.n)").alias("gram"),
+            F.col("g.n").cast("long").alias("l"),
+            F.col("c"),
+        )
+        .groupBy("form", "gram", "l")
+        .agg(F.sum("c").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    multi = (
+        grams.where(F.col("l") >= 2)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), "form", "gram")
+            ),
+        )
+        .where(F.col("rk") <= _WP_TOPK)
+        .select("form", "gram", "l")
+    )
+    vocab = multi.unionByName(
+        grams.where(F.col("l") == 1).select("form", "gram", "l")
+    ).localCheckpoint(eager=False)
+
+    state = wcnt.select(
+        "w",
+        F.lit(1).cast("bigint").alias("cur"),
+        F.lit("").alias("toks"),
+        F.lit(0).cast("bigint").alias("n_tok"),
+    )
+    for _ in range(_WP_STEPS):
+        active = state.where(F.col("cur") <= F.length("w"))
+        done = state.where(F.col("cur") > F.length("w"))
+        m = active.join(
+            F.broadcast(vocab),
+            (
+                F.col("form")
+                == F.when(F.col("cur") == 1, 0).otherwise(1)
+            )
+            & (
+                F.col("gram")
+                == F.expr("substr(w, CAST(cur AS INT), CAST(l AS INT))")
+            ),
+        ).withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("w").orderBy(F.col("l").desc())
+            ),
+        )
+        advanced = m.where(F.col("rk") == 1).select(
+            "w",
+            (F.col("cur") + F.col("l")).alias("cur"),
+            F.concat(
+                F.col("toks"),
+                F.lit(" "),
+                F.when(F.col("cur") == 1, F.col("gram")).otherwise(
+                    F.concat(F.lit("##"), F.col("gram"))
+                ),
+            ).alias("toks"),
+            (F.col("n_tok") + 1).alias("n_tok"),
+        )
+        state = done.unionByName(advanced).localCheckpoint(eager=False)
+
+    return (
+        words.join(state.select("w", "toks", "n_tok"), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_tok").cast("bigint").alias("n_wp_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", F.ltrim("toks").alias("t")))
+                        ),
+                        lambda s: s["t"],
+                    ),
+                )
+            ).alias("wp_md5"),
+        )
+    )

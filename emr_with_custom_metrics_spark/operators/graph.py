@@ -712,3 +712,149 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").cast("bigint").alias("degree"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (round 8)
+# ---------------------------------------------------------------------------
+_HITS_ITERS = 5
+
+
+def _hits_oracle(iters: int = _HITS_ITERS) -> str:
+    """Chained-CTE replay of HITS with fully INTEGER per-round state: both
+    score vectors live as BIGINT nano-units, so every neighborhood SUM is
+    an integer sum (aggregation-order-free — one step beyond pagerank's
+    rounded-double state) and the only float ops per round are the two
+    max-normalization divisions, each a single deterministic IEEE divide
+    followed by the scale-0 quantization. Multi-referenced CTEs are AS
+    MATERIALIZED: an{it} feeds both hsum{it} and r{it}, and naive inlining
+    doubles the expansion per round — 2^iters copies of the jaccard join
+    (the text_quality_classifier lesson; unmarked, DuckDB died on open
+    temp-file handles at 5 rounds)."""
+    parts = ["""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE LEN(string_split(text, ' ')) >= 3),
+    docs AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                            for i in range(1, LEN(toks) - 1)]) AS sh
+      FROM w),
+    sizes AS MATERIALIZED (SELECT doc_id, LEN(sh) AS n FROM docs),
+    tok AS MATERIALIZED (SELECT doc_id, UNNEST(sh) AS s FROM docs),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS c
+      FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    edges AS MATERIALIZED (
+      SELECT a_id AS src, b_id AS dst
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = a_id
+      JOIN sizes sb ON sb.doc_id = b_id
+      WHERE (CAST(ROUND((c::DOUBLE / (sa.n + sb.n - c)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) >= 0.3),
+    allnodes AS MATERIALIZED (SELECT doc_id AS node FROM documents),
+    r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS a9,
+                  CAST(1000000000 AS BIGINT) AS h9
+           FROM allnodes)"""]
+    for it in range(1, iters + 1):
+        parts.append(f""",
+    asum{it} AS MATERIALIZED (
+      SELECT e.dst AS node, CAST(SUM(r.h9) AS BIGINT) AS s
+      FROM edges e JOIN r{it - 1} r ON e.src = r.node GROUP BY e.dst),
+    amax{it} AS (SELECT MAX(s) AS m FROM asum{it}),
+    an{it} AS MATERIALIZED (
+      SELECT b.node,
+             CAST(ROUND((COALESCE(a.s, 0) / CAST(m AS DOUBLE))
+                        * 1000000000) AS BIGINT) AS a9
+      FROM allnodes b CROSS JOIN amax{it}
+      LEFT JOIN asum{it} a ON a.node = b.node),
+    hsum{it} AS MATERIALIZED (
+      SELECT e.src AS node, CAST(SUM(a.a9) AS BIGINT) AS s
+      FROM edges e JOIN an{it} a ON e.dst = a.node GROUP BY e.src),
+    hmax{it} AS (SELECT MAX(s) AS m FROM hsum{it}),
+    hn{it} AS MATERIALIZED (
+      SELECT b.node,
+             CAST(ROUND((COALESCE(h.s, 0) / CAST(m AS DOUBLE))
+                        * 1000000000) AS BIGINT) AS h9
+      FROM allnodes b CROSS JOIN hmax{it}
+      LEFT JOIN hsum{it} h ON h.node = b.node),
+    r{it} AS (
+      SELECT an{it}.node, an{it}.a9, hn{it}.h9
+      FROM an{it} JOIN hn{it} ON an{it}.node = hn{it}.node)""")
+    parts.append(f"""
+    SELECT node AS doc_id, a9 AS authority_e9, h9 AS hub_e9 FROM r{iters}""")
+    return "".join(parts)
+
+
+@register(
+    "graph_hits_scores",
+    oracle=_hits_oracle(),
+    doc="HITS hubs-and-authorities (5 iterations, max-normalized) over the "
+    "DIRECTED 3-gram-Jaccard >= 0.3 similarity graph (edges oriented "
+    "low->high doc_id): authorities are documents many earlier documents "
+    "resemble (canonical sources inside duplicate neighborhoods), hubs "
+    "are documents resembling many later ones (aggregator/boilerplate "
+    "pages) — the complementary centrality to pagerank's single score. "
+    "Scale shape matches pagerank: checkpointed edge table, TWO "
+    "aggregate shuffles per iteration (authority then hub refresh), "
+    "state is 24 bytes per node. Exactness one step past pagerank: the "
+    "per-round state is BIGINT nano-units, so neighborhood sums are "
+    "INTEGER sums (aggregation-order-free on any engine at any "
+    "parallelism); only the two max-normalizations touch doubles, each "
+    "one deterministic IEEE divide + scale-0 round. Integer outputs "
+    "(r7 VERDICT item 2 discipline).",
+)
+def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emr_with_custom_metrics_spark.llm.dedup import _shingle_sets, jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    edges = (
+        jaccard_pairs(_shingle_sets(d), 0.3)
+        .select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = d.select(F.col("doc_id").alias("node")).localCheckpoint(eager=False)
+    state = nodes.select(
+        "node",
+        F.lit(1_000_000_000).cast("bigint").alias("a9"),
+        F.lit(1_000_000_000).cast("bigint").alias("h9"),
+    )
+
+    def _normalize(sums: DataFrame, col: str) -> DataFrame:
+        """(node, s) integer sums -> (node, <col>) max-normalized nano-units
+        over ALL nodes (missing node => 0)."""
+        mx = sums.agg(F.max("s").alias("m"))
+        return (
+            nodes.join(sums, "node", "left")
+            .crossJoin(F.broadcast(mx))
+            .select(
+                "node",
+                F.round(
+                    (F.coalesce(F.col("s"), F.lit(0)) / F.col("m").cast("double"))
+                    * 1_000_000_000
+                )
+                .cast("bigint")
+                .alias(col),
+            )
+        )
+
+    for _ in range(_HITS_ITERS):
+        asum = (
+            edges.join(state.select(F.col("node").alias("src"), "h9"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h9").alias("s"))
+        )
+        an = _normalize(asum, "a9")
+        hsum = (
+            edges.join(an.select(F.col("node").alias("dst"), "a9"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a9").alias("s"))
+        )
+        hn = _normalize(hsum, "h9")
+        state = an.join(hn, "node").localCheckpoint(eager=False)
+
+    return state.select(
+        F.col("node").alias("doc_id"),
+        F.col("a9").alias("authority_e9"),
+        F.col("h9").alias("hub_e9"),
+    )

@@ -311,6 +311,8 @@ _DRIVER_PRIORITY = (
     "json_parse_modes", "scalar_xml_funcs", "window_ignore_nulls",
     "agg_filter_clause", "snapshot_diff", "transpose_priority_metrics",
     "formats_xml_roundtrip",
+    # -- (5) new round-8 operators ------------------------------------------
+    "text_kneserney_bigram", "graph_hits_scores", "text_wordpiece_encode",
 )
 _PRIORITY_RANK = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
 

