@@ -192,6 +192,7 @@ HEADLINE = [
     "text_kneserney_bigram",
     "graph_hits_scores",
     "text_wordpiece_encode",
+    "dedup_cdc_chunks",
 ]
 
 # Shuffle-heavy flagship rows whose executed-plan accumulators ride along

@@ -1696,3 +1696,152 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("label").applyInPandas(
         _semdedup_cluster_kernel, schema=_SEMDEDUP_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking dedup (round 8)
+# ---------------------------------------------------------------------------
+_CDC_K = 3  # rolling-window width (tokens) for the boundary hash
+_CDC_MOD = 4  # boundary when hash % MOD == 0 -> expected chunk ~4 tokens
+_CDC_HEX = "0123456789abcdef"
+
+
+def _cdc_hash12(expr: str) -> str:
+    """First three md5 nibbles of a seeded key -> 0..4095; template valid
+    in both Spark SQL and DuckDB (the count-min _cm_col_expr scheme)."""
+    k = f"md5(concat('cdc|', {expr}))"
+    return (
+        f"((instr('{_CDC_HEX}', substring({k}, 1, 1)) - 1) * 256"
+        f" + (instr('{_CDC_HEX}', substring({k}, 2, 1)) - 1) * 16"
+        f" + (instr('{_CDC_HEX}', substring({k}, 3, 1)) - 1))"
+    )
+
+
+@register(
+    "dedup_cdc_chunks",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    pos AS MATERIALIZED (
+      SELECT doc_id, UNNEST(range(1, LEN(toks) + 1)) AS pos,
+             UNNEST(toks) AS tok,
+             LEN(toks) AS n
+      FROM t),
+    win AS MATERIALIZED (
+      SELECT a.doc_id, a.pos, a.tok, a.n,
+             CASE WHEN a.pos >= {_CDC_K}
+                  AND ({_cdc_hash12("w1 || ' ' || w2 || ' ' || tok")})
+                      % {_CDC_MOD} = 0
+                  THEN 1 ELSE 0 END AS cut
+      FROM (SELECT doc_id, pos, tok, n,
+                   LAG(tok, 2) OVER w AS w1, LAG(tok, 1) OVER w AS w2
+            FROM pos
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) a),
+    cidx AS MATERIALIZED (
+      SELECT doc_id, pos, tok, n,
+             SUM(cut) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - cut AS cidx
+      FROM win),
+    chunks AS MATERIALIZED (
+      SELECT doc_id, cidx, MAX(n) AS n,
+             COUNT(*) AS c_toks,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS chash
+      FROM cidx GROUP BY doc_id, cidx),
+    occ AS MATERIALIZED (
+      SELECT chash, COUNT(*) AS n_occ FROM chunks GROUP BY chash)
+    SELECT c.doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(COUNT(*) FILTER (WHERE o.n_occ > 1) AS BIGINT) AS n_dup_chunks,
+           CAST(ROUND((CAST(COALESCE(SUM(c.c_toks) FILTER (WHERE o.n_occ > 1), 0)
+                        AS DOUBLE) / MAX(c.n)) * 1000000) AS BIGINT)
+               AS dup_token_ratio_e6
+    FROM chunks c JOIN occ o USING (chash)
+    GROUP BY c.doc_id
+    """,
+    doc="Content-defined chunking dedup (the LBFS/rsync/restic technique "
+    "applied to text): chunk boundaries fall where a rolling 3-token "
+    "hash hits 0 mod 4, so boundaries are a function of CONTENT, not "
+    "position — insert one sentence and only the chunks around the edit "
+    "change, while fixed-size chunking would shift-break every later "
+    "chunk. Duplicated chunks are then exact hash matches corpus-wide "
+    "(no pair join at all: one groupBy on the chunk hash), catching "
+    "shifted shared regions that paragraph/fixed-window dedup misses. "
+    "Scale shape: two window passes per doc partition + one "
+    "vocabulary-sized hash aggregate; nothing quadratic, chunk hashes "
+    "are the only shuffled payload. All integer/string domain except "
+    "one final ratio (single IEEE divide, then scale-0 round).",
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_fanned(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "tok"),
+        F.size(F.split("text", " ")).alias("n"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok", "n")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    win = pos.select(
+        "doc_id",
+        "pos",
+        "tok",
+        "n",
+        F.lag("tok", 2).over(w).alias("w1"),
+        F.lag("tok", 1).over(w).alias("w2"),
+    ).select(
+        "doc_id",
+        "pos",
+        "tok",
+        "n",
+        F.when(
+            (F.col("pos") >= _CDC_K)
+            & (
+                F.expr(_cdc_hash12("w1 || ' ' || w2 || ' ' || tok"))
+                % _CDC_MOD
+                == 0
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("cut"),
+    )
+    cum = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cidx = win.select(
+        "doc_id",
+        "pos",
+        "tok",
+        "n",
+        (F.sum("cut").over(cum) - F.col("cut")).alias("cidx"),
+    )
+    chunks = cidx.groupBy("doc_id", "cidx").agg(
+        F.max("n").alias("n"),
+        F.count("*").alias("c_toks"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            )
+        ).alias("chash"),
+    )
+    occ = chunks.groupBy("chash").agg(F.count("*").alias("n_occ"))
+    joined = chunks.join(occ, "chash")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.count_if(F.col("n_occ") > 1).cast("bigint").alias("n_dup_chunks"),
+        F.round(
+            (
+                F.coalesce(
+                    F.sum(F.when(F.col("n_occ") > 1, F.col("c_toks"))), F.lit(0)
+                ).cast("double")
+                / F.max("n")
+            )
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("dup_token_ratio_e6"),
+    )

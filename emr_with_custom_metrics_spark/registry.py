@@ -313,6 +313,7 @@ _DRIVER_PRIORITY = (
     "formats_xml_roundtrip",
     # -- (5) new round-8 operators ------------------------------------------
     "text_kneserney_bigram", "graph_hits_scores", "text_wordpiece_encode",
+    "dedup_cdc_chunks",
 )
 _PRIORITY_RANK = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
 

@@ -766,3 +766,51 @@ def test_wordpiece_roundtrip_and_greedy(spark):
     # n-grams the corpus must compress below the all-single-char ceiling
     assert total_pieces < total_chars * 0.8, (total_pieces, total_chars)
     assert _WP_MAXLEN >= 2
+
+
+def test_cdc_chunks_shift_robustness(spark):
+    """The defining CDC property: prepending tokens to a document must not
+    change chunk boundaries far from the edit — unlike fixed-size
+    chunking, where an insert shifts every later boundary. Build two
+    small docs sharing a long tail, chunk both with the registered
+    logic's parameters, and require the shared-tail chunks to coincide."""
+    import hashlib
+
+    from emr_with_custom_metrics_spark.llm.dedup import _CDC_K, _CDC_MOD
+
+    def chunks(tokens):
+        out, cur = [], []
+        for i, tok in enumerate(tokens):
+            cur.append(tok)
+            if i + 1 >= _CDC_K:
+                window = " ".join(tokens[i - _CDC_K + 1 : i + 1])
+                h = hashlib.md5(f"cdc|{window}".encode()).hexdigest()
+                if int(h[:3], 16) % _CDC_MOD == 0:
+                    out.append(" ".join(cur))
+                    cur = []
+        if cur:
+            out.append(" ".join(cur))
+        return out
+
+    tail = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8
+    a = ("prefix one two three " + tail).split()
+    b = ("completely different longer prefix words here " + tail).split()
+    ca, cb = chunks(a), chunks(b)
+    shared = set(ca) & set(cb)
+    # the long shared tail must produce identical chunks in both docs
+    # (all boundaries inside the tail depend only on tail content)
+    assert len(shared) >= 3, (ca, cb)
+    # and the registered query agrees with this reference chunker on the
+    # real corpus for one doc: n_chunks matches
+    row = (
+        SPECS["dedup_cdc_chunks"].fn(spark, SF_DIR)
+        .where(F.col("doc_id") == 0)
+        .collect()[0]
+    )
+    text = (
+        load_table(spark, SF_DIR, "documents")
+        .where(F.col("doc_id") == 0)
+        .collect()[0]["text"]
+    )
+    assert row["n_chunks"] == len(chunks(text.split()))
+    assert 0 <= row["dup_token_ratio_e6"] <= 1_000_000
