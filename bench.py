@@ -193,6 +193,11 @@ HEADLINE = [
     "graph_hits_scores",
     "text_wordpiece_encode",
     "dedup_cdc_chunks",
+    "stats_ab_ttest",
+    "stats_chi2_independence",
+    "timeseries_seasonal_decompose",
+    "sketch_theta_overlap",
+    "embedding_random_projection",
 ]
 
 # Shuffle-heavy flagship rows whose executed-plan accumulators ride along

@@ -455,3 +455,99 @@ def _pca_project_one_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (64 -> 16 dims) with a measured
+# distortion report
+# ---------------------------------------------------------------------------
+# The dimensionality-reduction stage that precedes ANN indexing at scale:
+# project onto k=16 md5-derived Rademacher (+/-1) hyperplanes — the same
+# deterministic sign family similarity_ann_lsh established (E[(r.x)^2] =
+# ||x||^2 for Rademacher r, so the sum over 16 planes estimates 16x the
+# squared distance) — over vectors quantized to exact 1e-6 BIGINTs, making
+# every projection and every distance an exact integer. The registered
+# query grades the transform: for all pairs of a 40-vector slice it emits
+# projected-vs-original squared-distance distortion, whose mean should sit
+# near 1.0 (pinned in tests; JL says concentration tightens as k grows).
+
+_RP_DIMS = 64
+_RP_K = 16
+
+
+def _rp_sql(dialect: str) -> str:
+    if dialect == "spark":
+        planes = """
+        SELECT d.id AS d, k.id AS k,
+               2 * (CAST(conv(substring(md5(concat('rp|',
+                   CAST(k.id AS STRING), '|', CAST(d.id AS STRING))), 1, 1),
+                   16, 10) AS INT) % 2) - 1 AS sign
+        FROM range(0, 64) d CROSS JOIN range(0, 16) k"""
+        qv = ("transform(embedding, x -> "
+              "CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+        idx = "q.qv[p.d]"  # Spark [] is 0-based
+        pv = ("transform(array_sort(collect_list(struct(k, dot))), "
+              "s -> s.dot)")
+        pair_d2 = ("aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+                   "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    else:
+        planes = """
+        SELECT d.d AS d, k.k AS k,
+               2 * (CAST('0x' || substr(md5('rp|' || CAST(k.k AS VARCHAR)
+                   || '|' || CAST(d.d AS VARCHAR)), 1, 1) AS INT) & 1) - 1
+                   AS sign
+        FROM RANGE(0, 64) d(d), RANGE(0, 16) k(k)"""
+        qv = ("list_transform(embedding::DOUBLE[], "
+              "x -> CAST(ROUND(x * 1000000) AS BIGINT))")
+        idx = "q.qv[p.d + 1]"  # DuckDB [] is 1-based
+        pv = "list(dot ORDER BY k)"
+        pair_d2 = ("CAST(list_sum(list_transform(range(1, len({a}) + 1), "
+                   "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)")
+    return f"""
+    WITH q AS (
+        SELECT vec_id, {qv} AS qv FROM embeddings WHERE vec_id < 40
+    ), planes AS ({planes}
+    ), dots AS (
+        SELECT q.vec_id, p.k, CAST(SUM({idx} * p.sign) AS BIGINT) AS dot
+        FROM q CROSS JOIN planes p GROUP BY q.vec_id, p.k
+    ), pv AS (
+        SELECT vec_id, {pv} AS pv FROM dots GROUP BY vec_id
+    ), pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               {pair_d2.format(a="a.qv", b="b.qv")} AS orig_d2
+        FROM q a JOIN q b ON a.vec_id < b.vec_id
+    ), proj AS (
+        SELECT x.a_id, x.b_id, x.orig_d2,
+               {pair_d2.format(a="pa.pv", b="pb.pv")} AS proj_d2
+        FROM pairs x
+        JOIN pv pa ON pa.vec_id = x.a_id
+        JOIN pv pb ON pb.vec_id = x.b_id
+        WHERE x.orig_d2 > 0
+    )
+    SELECT a_id, b_id, orig_d2, proj_d2,
+           CAST(ROUND(CAST(proj_d2 AS DOUBLE) / (16 * orig_d2) * 1000000)
+               AS BIGINT) AS distortion_e6
+    FROM proj
+    """
+
+
+@register(
+    "embedding_random_projection",
+    oracle=_rp_sql("duck"),
+    doc="Johnson-Lindenstrauss random projection 64 -> 16 dims via "
+    "md5-derived Rademacher (+/-1) hyperplanes over 1e-6-quantized "
+    "integer vectors (the similarity_ann_lsh sign family — no gaussians, "
+    "no transcendentals, exact integer projections on both engines), "
+    "graded by its own distortion report: for every pair of a 40-vector "
+    "slice, projected squared distance over 16x original squared "
+    "distance, which JL concentrates around 1. At 100 TB the transform "
+    "is one broadcast 1024-row sign table and a map-side integer "
+    "aggregation per vector — 4x less vector payload into every "
+    "downstream shuffle; the all-pairs grading slice is the labeled "
+    "demo (production grades on a sample exactly like this one).",
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emr_with_custom_metrics_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("embeddings",))
+    return spark.sql(_rp_sql("spark"))

@@ -191,3 +191,151 @@ _QSKETCH_SQL = f"""
 def sketch_quantile_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("lineitem",))
     return spark.sql(_QSKETCH_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Theta-sketch set overlap (KMV intersection/union between two corpora)
+# ---------------------------------------------------------------------------
+# The fourth classic sketch operation: SET ALGEBRA on sketches. Two document
+# halves (deterministic md5 split of doc_id — the train/eval contamination
+# question) are each summarized as the k=64 smallest hash values of their
+# 3-gram shingle sets; theta = min of the two kth-smallest hashes; matching
+# retained hashes below theta estimate the overlap, the distinct union of
+# retained hashes below theta estimates the union (Dasgupta et al., the
+# Datasketches theta framework). Everything is exact integer arithmetic up
+# to the two final ×2^32/theta divisions, so both engines replay the answer
+# bit-for-bit. Only the shingle generator differs between dialects
+# (sequence/element_at vs range/list indexing); the hash, sketch, and
+# estimate text is byte-identical.
+
+_TH_K = _md5key("th", "shingle")
+_TH_H32 = (
+    f"(CAST({_nib(_TH_K, 1)} AS BIGINT) * 268435456 + {_nib(_TH_K, 2)} * 16777216"
+    f" + {_nib(_TH_K, 3)} * 1048576 + {_nib(_TH_K, 4)} * 65536"
+    f" + {_nib(_TH_K, 5)} * 4096 + {_nib(_TH_K, 6)} * 256"
+    f" + {_nib(_TH_K, 7)} * 16 + {_nib(_TH_K, 8)})"
+)
+
+_THETA_HALF = (
+    "CASE WHEN (instr('0123456789abcdef', substring(md5(concat('theta|', "
+    "CAST(doc_id AS STRING))), 1, 1)) - 1) < 8 THEN 'train' ELSE 'eval' END"
+)
+
+# Everything downstream of the per-half distinct shingle sets — shared
+# verbatim by both dialects.
+_THETA_TAIL = f"""
+    , hashed AS (
+        SELECT half, {_TH_H32} AS h FROM ds
+    ), dh AS (
+        SELECT DISTINCT half, h FROM hashed
+    ), ska AS (
+        SELECT h FROM dh WHERE half = 'train' ORDER BY h LIMIT 64
+    ), skb AS (
+        SELECT h FROM dh WHERE half = 'eval' ORDER BY h LIMIT 64
+    ), th AS (
+        SELECT LEAST(
+            CASE WHEN (SELECT CAST(COUNT(*) AS BIGINT) FROM dh
+                       WHERE half = 'train') < 64
+                 THEN CAST(4294967296 AS BIGINT)
+                 ELSE (SELECT MAX(h) FROM ska) END,
+            CASE WHEN (SELECT CAST(COUNT(*) AS BIGINT) FROM dh
+                       WHERE half = 'eval') < 64
+                 THEN CAST(4294967296 AS BIGINT)
+                 ELSE (SELECT MAX(h) FROM skb) END) AS theta
+    ), m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS matches
+        FROM ska a JOIN skb b ON a.h = b.h CROSS JOIN th
+        WHERE a.h < th.theta
+    ), ub AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS union_below
+        FROM (SELECT DISTINCT h FROM
+              (SELECT h FROM ska UNION ALL SELECT h FROM skb) z) u
+        CROSS JOIN th WHERE u.h < th.theta
+    ), nh AS (
+        SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM ds
+             WHERE half = 'train') AS n_train,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM ds
+             WHERE half = 'eval') AS n_eval,
+            (SELECT CAST(COUNT(*) AS BIGINT)
+             FROM (SELECT shingle FROM ds WHERE half = 'train') a
+             JOIN (SELECT shingle FROM ds WHERE half = 'eval') b
+               ON a.shingle = b.shingle) AS exact_overlap,
+            (SELECT CAST(COUNT(DISTINCT shingle) AS BIGINT) FROM ds)
+                AS exact_union
+    ), est AS (
+        SELECT nh.n_train, nh.n_eval, nh.exact_overlap, nh.exact_union,
+               th.theta, m.matches, ub.union_below,
+               CAST(ROUND(m.matches * CAST(4294967296 AS DOUBLE) / th.theta)
+                   AS BIGINT) AS est_overlap,
+               CAST(ROUND(ub.union_below * CAST(4294967296 AS DOUBLE)
+                          / th.theta) AS BIGINT) AS est_union,
+               CASE WHEN ub.union_below = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(ROUND(CAST(m.matches AS DOUBLE)
+                              / ub.union_below * 1000000) AS BIGINT) END
+                   AS est_jaccard_e6
+        FROM nh CROSS JOIN th CROSS JOIN m CROSS JOIN ub
+    )
+    SELECT n_train, n_eval, exact_overlap, exact_union, theta, matches,
+           union_below, est_overlap, est_union, est_jaccard_e6,
+           ABS(est_union - exact_union) * 100 <= 65 * exact_union
+               AS within_bounds
+    FROM est
+"""
+
+_THETA_SPARK = f"""
+    WITH docs AS (
+        SELECT doc_id, {_THETA_HALF} AS half, split(text, ' ') AS toks
+        FROM documents
+    ), sh AS (
+        SELECT half,
+               explode(transform(sequence(1, size(toks) - 2),
+                   i -> concat(element_at(toks, i), ' ',
+                               element_at(toks, i + 1), ' ',
+                               element_at(toks, i + 2)))) AS shingle
+        FROM docs WHERE size(toks) >= 3
+    ), ds AS (
+        SELECT DISTINCT half, shingle FROM sh
+    )
+{_THETA_TAIL}
+"""
+
+_THETA_DUCK = f"""
+    WITH docs AS (
+        SELECT doc_id, {_THETA_HALF} AS half,
+               string_split(text, ' ') AS toks
+        FROM documents
+    ), sh AS (
+        SELECT half,
+               UNNEST(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i + 1] || ' '
+                        || toks[i + 2])) AS shingle
+        FROM docs WHERE len(toks) >= 3
+    ), ds AS (
+        SELECT DISTINCT half, shingle FROM sh
+    )
+{_THETA_TAIL}
+"""
+
+
+@register(
+    "sketch_theta_overlap",
+    oracle=_THETA_DUCK,
+    doc="Theta-sketch set algebra — the contamination-rate estimator: the "
+    "corpus splits into train/eval halves by an md5 nibble of doc_id, "
+    "each half's 3-gram shingle set is sketched as its k=64 smallest "
+    "md5-derived 32-bit hash values, and theta = min(theta_A, theta_B) "
+    "scopes both sketches to a common sample of the hash space; matches "
+    "below theta estimate |A∩B|, distinct retained hashes below theta "
+    "estimate |A∪B| (the Datasketches theta framework). Exact "
+    "overlap/union computed alongside; within_bounds pins the union "
+    "estimate at 5x the k=64 rsd (~13%). The per-half k-smallest is "
+    "ORDER BY/LIMIT — Spark plans TakeOrdered (bounded per-partition "
+    "state, map-side partial top-k), so at 100 TB the shuffle carries "
+    "64 candidate hashes per partition, never the shingle sets; the "
+    "exact baseline pays the full distinct (it exists to grade the "
+    "sketch, and would be dropped in production).",
+)
+def sketch_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_THETA_SPARK)

@@ -313,7 +313,9 @@ _DRIVER_PRIORITY = (
     "formats_xml_roundtrip",
     # -- (5) new round-8 operators ------------------------------------------
     "text_kneserney_bigram", "graph_hits_scores", "text_wordpiece_encode",
-    "dedup_cdc_chunks",
+    "dedup_cdc_chunks", "stats_ab_ttest", "stats_chi2_independence",
+    "timeseries_seasonal_decompose", "sketch_theta_overlap",
+    "embedding_random_projection",
 )
 _PRIORITY_RANK = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
 
@@ -396,6 +398,7 @@ def _ensure_loaded() -> None:
     import emr_with_custom_metrics_spark.operators.quality  # noqa: F401
     import emr_with_custom_metrics_spark.operators.geo  # noqa: F401
     import emr_with_custom_metrics_spark.operators.sketches  # noqa: F401
+    import emr_with_custom_metrics_spark.operators.stats  # noqa: F401
     import emr_with_custom_metrics_spark.functions.scalar  # noqa: F401
     import emr_with_custom_metrics_spark.functions.collections  # noqa: F401
     import emr_with_custom_metrics_spark.functions.vector  # noqa: F401

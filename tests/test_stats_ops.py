@@ -1,0 +1,175 @@
+"""Independent ground truth for the round-8 statistics tier.
+
+Oracle parity (tests/test_oracle_parity.py) proves Spark == DuckDB; these
+tests prove both equal a THIRD implementation — plain pandas/numpy recompute
+from the parquet — so a shared template bug can't self-validate. Plus the
+statistical invariants each operator must satisfy regardless of data.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def _md5_nibble(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[0], 16)
+
+
+@pytest.fixture(scope="module")
+def events_pdf():
+    return pd.read_parquet(f"{SF_DIR}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_pdf():
+    return pd.read_parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_ab_ttest_matches_numpy(duck, events_pdf):
+    from emr_with_custom_metrics_spark.operators.stats import _TTEST_SQL
+
+    got = duck.sql(_TTEST_SQL).df().set_index("event_type")
+    ev = events_pdf.copy()
+    ev["arm"] = [
+        "A" if _md5_nibble(f"ab|{u}") < 8 else "B" for u in ev.user_id
+    ]
+    # replicate the engine's 1e-3 quantization so the variance agrees exactly
+    ev["vq"] = (ev.value * 1000).round() / 1000.0
+    for etype, g in ev.groupby("event_type"):
+        a = g[g.arm == "A"].vq.to_numpy()
+        b = g[g.arm == "B"].vq.to_numpy()
+        va, vb = a.var(ddof=1), b.var(ddof=1)
+        se2 = va / len(a) + vb / len(b)
+        t = (a.mean() - b.mean()) / math.sqrt(se2)
+        df = se2 * se2 / (
+            (va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1)
+        )
+        row = got.loc[etype]
+        assert row.n_a == len(a) and row.n_b == len(b)
+        assert abs(row.t_e6 / 1e6 - t) < 1e-4, (etype, row.t_e6 / 1e6, t)
+        assert abs(row.df_e3 / 1e3 - df) < 0.5
+        assert bool(row.significant) == (abs(t) > 1.96)
+
+
+def test_chi2_matches_pandas_crosstab(duck, docs_pdf):
+    from emr_with_custom_metrics_spark.operators.stats import _CHI2_SQL
+
+    got = duck.sql(_CHI2_SQL).df()
+    ct = pd.crosstab(docs_pdf.lang, docs_pdf.source)
+    n = ct.to_numpy().sum()
+    exp = np.outer(ct.sum(axis=1), ct.sum(axis=0)) / n
+    chi2 = ((ct.to_numpy() - exp) ** 2 / exp).sum()
+    assert len(got) == ct.shape[0] * ct.shape[1]
+    assert got.chi2_e9.nunique() == 1
+    # per-cell 1e-9 quantization: total drift bounded by #cells half-ulps
+    assert abs(got.chi2_e9.iloc[0] / 1e9 - chi2) < len(got) * 1e-9 + 1e-6
+    assert got.dof.iloc[0] == (ct.shape[0] - 1) * (ct.shape[1] - 1)
+    v = math.sqrt(chi2 / (n * min(ct.shape[0] - 1, ct.shape[1] - 1)))
+    assert abs(got.cramers_v_e6.iloc[0] / 1e6 - v) < 1e-4
+    # zero cells must be present with O=0 and E>0
+    zero = got[got.observed == 0]
+    assert (zero.exp_e6 > 0).all()
+
+
+def test_theta_overlap_matches_python_kmv(duck, docs_pdf):
+    from emr_with_custom_metrics_spark.operators.sketches import _THETA_DUCK
+
+    got = duck.sql(_THETA_DUCK).df().iloc[0]
+    halves: dict[str, set[str]] = {"train": set(), "eval": set()}
+    for _, r in docs_pdf.iterrows():
+        half = "train" if _md5_nibble(f"theta|{r.doc_id}") < 8 else "eval"
+        toks = r.text.split(" ")
+        for i in range(len(toks) - 2):
+            halves[half].add(" ".join(toks[i : i + 3]))
+    assert got.n_train == len(halves["train"])
+    assert got.n_eval == len(halves["eval"])
+    inter = halves["train"] & halves["eval"]
+    union = halves["train"] | halves["eval"]
+    assert got.exact_overlap == len(inter)
+    assert got.exact_union == len(union)
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(f"th|{s}".encode()).hexdigest()[:8], 16)
+
+    ska = sorted({h32(s) for s in halves["train"]})[:64]
+    skb = sorted({h32(s) for s in halves["eval"]})[:64]
+    theta = min(ska[-1] if len(ska) == 64 else 1 << 32,
+                skb[-1] if len(skb) == 64 else 1 << 32)
+    matches = len({h for h in ska if h < theta} & {h for h in skb if h < theta})
+    assert got.theta == theta and got.matches == matches
+    # the estimates must actually be good on this corpus (not just bounded)
+    assert abs(got.est_union - got.exact_union) < 0.35 * got.exact_union
+    assert abs(got.est_overlap - got.exact_overlap) < 0.5 * got.exact_overlap
+    assert bool(got.within_bounds)
+
+
+def test_seasonal_decompose_matches_pandas(duck, events_pdf):
+    from emr_with_custom_metrics_spark.operators.stats import _DECOMP_DUCK
+
+    got = duck.sql(_DECOMP_DUCK).df()
+    ev = events_pdf.copy()
+    # unit-safe epoch-hour (parquet ts may arrive as datetime64[us] or [ns])
+    ev["h"] = ((ev.ts - pd.Timestamp(0)) // pd.Timedelta(hours=1)).astype("int64")
+    hmin, hmax = ev.h.min(), ev.h.max()
+    spine = np.arange(hmin, hmax + 1)
+    for etype, g in ev.groupby("event_type"):
+        c = (
+            g.groupby("h").size().reindex(spine, fill_value=0).astype(float)
+        )
+        trend = c.rolling(24, center=True).mean().shift(-1)  # 11 back, 12 fwd
+        sub = got[got.event_type == etype].set_index("h").sort_index()
+        valid = trend.dropna()
+        assert len(sub) == len(valid)
+        np.testing.assert_allclose(
+            sub.trend_e6 / 1e6, valid.loc[sub.index], atol=1e-5
+        )
+        detr = (c - trend).dropna()
+        seasonal = detr.groupby(detr.index % 24).mean()
+        np.testing.assert_allclose(
+            sub.seasonal_e6 / 1e6,
+            seasonal.loc[sub.index % 24].to_numpy(),
+            atol=1e-5,
+        )
+        # the three components must re-assemble the observed counts
+        recon = sub.trend_e6 + sub.seasonal_e6 + sub.remainder_e6
+        np.testing.assert_allclose(recon / 1e6, sub.c, atol=2e-6)
+
+
+def test_random_projection_distortion_concentrates(duck):
+    from emr_with_custom_metrics_spark.llm.embeddings import _rp_sql
+
+    got = duck.sql(_rp_sql("duck")).df()
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    emb = emb[emb.vec_id < 40].set_index("vec_id")
+    q = {
+        i: np.round(np.asarray(v, dtype=np.float64) * 1e6).astype(np.int64)
+        for i, v in emb.embedding.items()
+    }
+    # independent recompute of one pair's orig_d2 + all signs
+    signs = np.array(
+        [
+            [
+                1 if int(hashlib.md5(f"rp|{k}|{d}".encode()).hexdigest()[0], 16) % 2
+                else -1
+                for d in range(64)
+            ]
+            for k in range(16)
+        ]
+    )
+    row = got.iloc[0]
+    a, b = q[row.a_id], q[row.b_id]
+    assert row.orig_d2 == int(((a - b) ** 2).sum())
+    pa, pb = signs @ a, signs @ b
+    assert row.proj_d2 == int(((pa - pb) ** 2).sum())
+    # JL: mean distortion near 1, k=16 keeps individual pairs within ~3x
+    mean_dist = got.distortion_e6.mean() / 1e6
+    assert 0.85 < mean_dist < 1.15
+    assert (got.distortion_e6 > 0).all()
+    assert got.distortion_e6.max() / 1e6 < 4.0
