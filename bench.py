@@ -198,6 +198,10 @@ HEADLINE = [
     "timeseries_seasonal_decompose",
     "sketch_theta_overlap",
     "embedding_random_projection",
+    "stats_mann_whitney",
+    "stats_cuped_variance_reduction",
+    "stats_bootstrap_ci",
+    "anomaly_seasonal_residual",
 ]
 
 # Shuffle-heavy flagship rows whose executed-plan accumulators ride along

@@ -264,3 +264,321 @@ _DECOMP_DUCK = (
 def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_DECOMP_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (the nonparametric complement of stats_ab_ttest)
+# ---------------------------------------------------------------------------
+# Midranks are computed DISTRIBUTIVELY: group by (metric, quantized value)
+# first, then one window pass over the DISTINCT value counts — the two-pass
+# distributed ranking that avoids sorting raw rows through a single
+# per-metric reducer (the naive RANK() OVER (PARTITION BY metric ORDER BY
+# value) plan). Doubled midranks (2*below + t + 1) keep every rank quantity
+# an exact integer; ties get the standard variance correction.
+
+_MWU_SQL = f"""
+    WITH base AS (
+        SELECT event_type,
+               {_ARM} AS arm,
+               CAST(ROUND(value * 1000) AS BIGINT) AS v_e3
+        FROM events
+    ), g AS (
+        SELECT event_type, v_e3,
+               COUNT(*) AS t,
+               CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ta
+        FROM base GROUP BY event_type, v_e3
+    ), w AS (
+        SELECT event_type, v_e3, t, ta,
+               CAST(SUM(t) OVER (PARTITION BY event_type ORDER BY v_e3
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) - t AS below
+        FROM g
+    ), s AS (
+        SELECT event_type,
+               CAST(SUM(ta) AS BIGINT) AS n_a,
+               CAST(SUM(t - ta) AS BIGINT) AS n_b,
+               CAST(SUM(ta * (2 * below + t + 1)) AS BIGINT) AS sum_a2,
+               CAST(SUM(t * t * t - t) AS BIGINT) AS tie_sum
+        FROM w GROUP BY event_type
+    ), u AS (
+        SELECT event_type, n_a, n_b,
+               sum_a2 - n_a * (n_a + 1) AS u2,
+               (CAST(n_a AS DOUBLE) * n_b / 12)
+                   * ((n_a + n_b + 1)
+                      - CAST(tie_sum AS DOUBLE)
+                        / ((n_a + n_b) * (n_a + n_b - 1))) AS var_u
+        FROM s
+    )
+    SELECT event_type, n_a, n_b, u2,
+           CAST(ROUND(((u2 - CAST(n_a AS DOUBLE) * n_b)
+                       / (2 * sqrt(var_u))) * 1000000) AS BIGINT) AS z_e6,
+           ABS((u2 - CAST(n_a AS DOUBLE) * n_b) / (2 * sqrt(var_u)))
+               > CAST(1.96 AS DOUBLE) AS significant
+    FROM u
+"""
+
+
+@register(
+    "stats_mann_whitney",
+    oracle=_MWU_SQL,
+    doc="Mann-Whitney U (Wilcoxon rank-sum) per metric on the same md5 "
+    "arms as stats_ab_ttest — the nonparametric pair: rank-based, so "
+    "heavy-tailed metrics can't fake significance through variance. "
+    "Doubled midranks (2*count_below + ties + 1) stay exact integers; "
+    "the normal approximation carries the standard tie correction "
+    "(continuity correction omitted at n≈1000, documented). Scale "
+    "posture: ranks come from grouping by (metric, value) THEN one "
+    "window over distinct-value counts — cardinality-of-support rows, "
+    "not raw rows, cross the final ordered pass.",
+)
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_MWU_SQL)
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction (experimentation platform tier 2)
+# ---------------------------------------------------------------------------
+
+_CUPED_SQL = """
+    WITH q AS (
+        SELECT user_id, event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS v_e2,
+               CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 0 ELSE 1 END
+                   AS is_post
+        FROM events
+    ), per_user AS (
+        SELECT event_type, user_id,
+               CAST(SUM(CASE WHEN is_post = 0 THEN v_e2 ELSE 0 END)
+                   AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN is_post = 1 THEN v_e2 ELSE 0 END)
+                   AS BIGINT) AS y
+        FROM q GROUP BY event_type, user_id
+    ), mom AS (
+        SELECT event_type,
+               COUNT(*) AS n_users,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM per_user GROUP BY event_type
+    ), stats AS (
+        SELECT event_type, n_users,
+               (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n_users)
+                   / (n_users - 1) AS var_x,
+               (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n_users)
+                   / (n_users - 1) AS var_y,
+               (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n_users)
+                   / (n_users - 1) AS cov_xy
+        FROM mom
+    )
+    SELECT event_type, n_users,
+           CAST(ROUND((cov_xy / var_x) * 1000000) AS BIGINT) AS theta_e6,
+           CAST(ROUND(var_y / CAST(10000 AS DOUBLE)) AS BIGINT) AS var_y_units,
+           CAST(ROUND((var_y - cov_xy * cov_xy / var_x)
+                      / CAST(10000 AS DOUBLE)) AS BIGINT) AS var_adj_units,
+           CAST(ROUND((cov_xy * cov_xy / (var_x * var_y)) * 1000000)
+               AS BIGINT) AS reduction_e6
+    FROM stats
+"""
+
+
+@register(
+    "stats_cuped_variance_reduction",
+    oracle=_CUPED_SQL,
+    doc="CUPED (controlled-experiment using pre-experiment data, Deng et "
+    "al. WSDM'13) — the standard experimentation-platform variance "
+    "reducer: each user's first-half-of-month metric is the covariate x "
+    "for their second-half outcome y; theta = cov(x,y)/var(x) and the "
+    "adjusted variance var(y) - cov²/var(x) come from one pass of exact "
+    "integer moments per (metric, user). The achieved reduction equals "
+    "corr(x,y)² by construction, emitted at 1e-6. Per-user sums quantize "
+    "at 1e-2 so the x² moment stays inside BIGINT through sf1 (the "
+    "magnitude audit is in the round-8 notes). One groupBy(user) + one "
+    "metric-sized reduce — the canonical 100 TB two-pass shape.",
+)
+def stats_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_CUPED_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence intervals (the bootstrap that scales)
+# ---------------------------------------------------------------------------
+# Classic resampling draws n-out-of-n WITH replacement — impossible to do
+# distributively without coordinating a global multinomial. The Poisson
+# bootstrap (each row enters each replica Poisson(1) times, independently)
+# is the standard scale-out approximation: weights are a pure per-(row,
+# replica) function, so the whole procedure is one explode + one
+# aggregation. Here the Poisson draw itself is md5-derived — a 32-bit
+# uniform compared against the precomputed Poisson(1) CDF thresholds
+# (scaled by 2^32, exact integer compares) — so both engines materialize
+# identical weights and the CI hash-verifies.
+
+_HEX = "0123456789abcdef"
+
+
+def _nib(key: str, i: int) -> str:
+    return f"(instr('{_HEX}', substring({key}, {i}, 1)) - 1)"
+
+
+def _h32(key: str) -> str:
+    return (
+        f"(CAST({_nib(key, 1)} AS BIGINT) * 268435456"
+        f" + {_nib(key, 2)} * 16777216 + {_nib(key, 3)} * 1048576"
+        f" + {_nib(key, 4)} * 65536 + {_nib(key, 5)} * 4096"
+        f" + {_nib(key, 6)} * 256 + {_nib(key, 7)} * 16 + {_nib(key, 8)})"
+    )
+
+
+# Poisson(1) CDF * 2^32, k = 0..6 (beyond 6: weight 7, p ~ 1e-5)
+_POIS_THRESH = (
+    1580030169, 3160060337, 3950075422, 4213413783,
+    4279248374, 4292415292, 4294609778,
+)
+_BOOT_KEY = "md5(concat('boot|', CAST(b AS STRING), '|', CAST(event_id AS STRING)))"
+_POIS_W = "CASE " + " ".join(
+    f"WHEN u32 < {t} THEN {k}" for k, t in enumerate(_POIS_THRESH)
+) + " ELSE 7 END"
+
+_BOOT_TAIL = f"""
+    , u AS (
+        SELECT event_type, b, v_e3, {_h32(_BOOT_KEY)} AS u32
+        FROM exploded
+    ), weighted AS (
+        SELECT event_type, b, v_e3, {_POIS_W} AS w FROM u
+    ), reps AS (
+        SELECT event_type, b,
+               CAST(SUM(w * v_e3) AS BIGINT) AS sw,
+               CAST(SUM(w) AS BIGINT) AS cw
+        FROM weighted GROUP BY event_type, b
+    ), means AS (
+        SELECT event_type, b,
+               CAST(sw AS DOUBLE) / cw / CAST(1000 AS DOUBLE) AS m
+        FROM reps
+    ), ranked AS (
+        SELECT event_type, m,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY m, b)
+                   AS rn
+        FROM means
+    ), point AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(v_e3) AS BIGINT) AS s1
+        FROM base GROUP BY event_type
+    ), ci AS (
+        SELECT lo.event_type,
+               lo.m AS lo_m, hi.m AS hi_m
+        FROM (SELECT event_type, m FROM ranked WHERE rn = 2) lo
+        JOIN (SELECT event_type, m FROM ranked WHERE rn = 31) hi
+          ON lo.event_type = hi.event_type
+    )
+    SELECT p.event_type, p.n,
+           CAST(ROUND((CAST(p.s1 AS DOUBLE) / p.n / CAST(1000 AS DOUBLE))
+                      * 1000000) AS BIGINT) AS point_mean_e6,
+           CAST(ROUND(c.lo_m * 1000000) AS BIGINT) AS ci_lo_e6,
+           CAST(ROUND(c.hi_m * 1000000) AS BIGINT) AS ci_hi_e6,
+           CAST(ROUND((c.hi_m - c.lo_m) * 1000000) AS BIGINT) AS width_e6,
+           (CAST(p.s1 AS DOUBLE) / p.n / CAST(1000 AS DOUBLE)) >= c.lo_m
+               AND (CAST(p.s1 AS DOUBLE) / p.n / CAST(1000 AS DOUBLE))
+                   <= c.hi_m AS point_in_ci
+    FROM point p JOIN ci c ON p.event_type = c.event_type
+"""
+
+_BOOT_SPARK = f"""
+    WITH base AS (
+        SELECT event_type, event_id,
+               CAST(ROUND(value * 1000) AS BIGINT) AS v_e3
+        FROM events
+    ), exploded AS (
+        SELECT base.event_type, base.event_id, base.v_e3, r.b
+        FROM base CROSS JOIN (SELECT explode(sequence(0, 31)) AS b) r
+    )
+{_BOOT_TAIL}
+"""
+
+_BOOT_DUCK = f"""
+    WITH base AS (
+        SELECT event_type, event_id,
+               CAST(ROUND(value * 1000) AS BIGINT) AS v_e3
+        FROM events
+    ), exploded AS (
+        SELECT base.event_type, base.event_id, base.v_e3, r.b
+        FROM base CROSS JOIN (SELECT UNNEST(range(0, 32)) AS b) r
+    )
+{_BOOT_TAIL}
+"""
+
+
+@register(
+    "stats_bootstrap_ci",
+    oracle=_BOOT_DUCK,
+    doc="Poisson-bootstrap 90%-ish confidence interval for each metric's "
+    "mean (B=32 replicas, percentile method at order statistics 2/31): "
+    "the bootstrap that actually runs at 100 TB — per-(row, replica) "
+    "Poisson(1) weights need no global coordination, so the plan is one "
+    "32-way explode + one map-side-combinable aggregation; replica "
+    "means are B-sized state per metric. Weights come from md5-derived "
+    "32-bit uniforms against exact integer CDF thresholds, so Spark and "
+    "DuckDB materialize byte-identical resamples and the CI itself "
+    "hash-verifies — a reproducible bootstrap, which seeded RNG engines "
+    "cannot give across systems.",
+)
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_BOOT_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-residual anomaly screen (composes the decomposition)
+# ---------------------------------------------------------------------------
+
+_ANOM_TAIL = """
+    , rstats AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(remainder_e6) AS BIGINT) AS sr,
+               CAST(SUM(remainder_e6 * remainder_e6) AS BIGINT) AS srr
+        FROM decomp GROUP BY event_type
+    ), z AS (
+        SELECT d.event_type, d.h, d.c, d.remainder_e6,
+               CAST(ROUND(((d.remainder_e6 - CAST(r.sr AS DOUBLE) / r.n)
+                    / sqrt((CAST(r.srr AS DOUBLE)
+                            - CAST(r.sr AS DOUBLE) * r.sr / r.n)
+                           / (r.n - 1))) * 1000000) AS BIGINT) AS z_e6
+        FROM decomp d JOIN rstats r ON d.event_type = r.event_type
+    ), top AS (
+        SELECT event_type, h, c, remainder_e6, z_e6,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                    ORDER BY ABS(z_e6) DESC, h) AS rn
+        FROM z
+    )
+    SELECT event_type, h, c, remainder_e6, z_e6
+    FROM top WHERE rn <= 10
+"""
+
+_ANOM_SPARK = (
+    "WITH decomp AS (" + _DECOMP_SPARK + ")" + _ANOM_TAIL
+)
+_ANOM_DUCK = (
+    "WITH decomp AS (" + _DECOMP_DUCK + ")" + _ANOM_TAIL
+)
+
+
+@register(
+    "anomaly_seasonal_residual",
+    oracle=_ANOM_DUCK,
+    doc="Deseasonalized anomaly screen — the operational payoff of "
+    "timeseries_seasonal_decompose: hours are scored by the z-score of "
+    "the decomposition REMAINDER (so a busy-hour peak that is pure "
+    "seasonality no longer trips the alarm that raw-count z-scores "
+    "[events_zscore_outliers] would fire), and the top-10 |z| hours per "
+    "metric are reported with deterministic tie-break. Residual moments "
+    "are exact integer sums of the already-quantized remainders; one "
+    "extra metric-sized reduce + a top-k window over the hourly density.",
+)
+def anomaly_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_ANOM_SPARK)

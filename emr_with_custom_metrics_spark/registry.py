@@ -315,7 +315,9 @@ _DRIVER_PRIORITY = (
     "text_kneserney_bigram", "graph_hits_scores", "text_wordpiece_encode",
     "dedup_cdc_chunks", "stats_ab_ttest", "stats_chi2_independence",
     "timeseries_seasonal_decompose", "sketch_theta_overlap",
-    "embedding_random_projection",
+    "embedding_random_projection", "stats_mann_whitney",
+    "stats_cuped_variance_reduction", "stats_bootstrap_ci",
+    "anomaly_seasonal_residual",
 )
 _PRIORITY_RANK = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
 

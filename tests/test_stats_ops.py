@@ -173,3 +173,108 @@ def test_random_projection_distortion_concentrates(duck):
     assert 0.85 < mean_dist < 1.15
     assert (got.distortion_e6 > 0).all()
     assert got.distortion_e6.max() / 1e6 < 4.0
+
+
+def test_mann_whitney_matches_pandas_ranks(duck, events_pdf):
+    from emr_with_custom_metrics_spark.operators.stats import _MWU_SQL
+
+    got = duck.sql(_MWU_SQL).df().set_index("event_type")
+    ev = events_pdf.copy()
+    ev["arm"] = ["A" if _md5_nibble(f"ab|{u}") < 8 else "B" for u in ev.user_id]
+    ev["vq"] = (ev.value * 1000).round()
+    for etype, g in ev.groupby("event_type"):
+        ranks = g.vq.rank(method="average")
+        a_mask = g.arm == "A"
+        na, nb = int(a_mask.sum()), int((~a_mask).sum())
+        n = na + nb
+        u = ranks[a_mask].sum() - na * (na + 1) / 2
+        ties = g.vq.value_counts()
+        tie_sum = float((ties**3 - ties).sum())
+        var_u = (na * nb / 12) * ((n + 1) - tie_sum / (n * (n - 1)))
+        z = (u - na * nb / 2) / math.sqrt(var_u)
+        row = got.loc[etype]
+        assert row.n_a == na and row.n_b == nb
+        assert row.u2 == int(round(2 * u))
+        assert abs(row.z_e6 / 1e6 - z) < 1e-4
+        assert bool(row.significant) == (abs(z) > 1.96)
+
+
+def test_cuped_matches_pandas(duck, events_pdf):
+    from emr_with_custom_metrics_spark.operators.stats import _CUPED_SQL
+
+    got = duck.sql(_CUPED_SQL).df().set_index("event_type")
+    ev = events_pdf.copy()
+    ev["vq"] = (ev.value * 100).round() / 100.0
+    ev["post"] = ev.ts.dt.day > 15
+    for etype, g in ev.groupby("event_type"):
+        pu = g.pivot_table(
+            index="user_id", columns="post", values="vq", aggfunc="sum"
+        ).fillna(0.0)
+        x, y = pu.get(False, 0.0), pu.get(True, 0.0)
+        cov = np.cov(x, y, ddof=1)
+        theta = cov[0, 1] / cov[0, 0]
+        reduction = cov[0, 1] ** 2 / (cov[0, 0] * cov[1, 1])
+        row = got.loc[etype]
+        assert row.n_users == len(pu)
+        assert abs(row.theta_e6 / 1e6 - theta) < 1e-4
+        assert abs(row.reduction_e6 / 1e6 - reduction) < 1e-4
+        # CUPED can only shrink variance
+        assert row.var_adj_units <= row.var_y_units
+
+
+def test_bootstrap_ci_matches_python_replay(duck, events_pdf):
+    from emr_with_custom_metrics_spark.operators.stats import (
+        _BOOT_DUCK,
+        _POIS_THRESH,
+    )
+
+    got = duck.sql(_BOOT_DUCK).df().set_index("event_type")
+    ev = events_pdf.copy()
+    ev["vq"] = (ev.value * 1000).round()
+
+    def weight(b: int, eid: int) -> int:
+        u32 = int(
+            hashlib.md5(f"boot|{b}|{eid}".encode()).hexdigest()[:8], 16
+        )
+        for k, t in enumerate(_POIS_THRESH):
+            if u32 < t:
+                return k
+        return 7
+
+    for etype, g in ev.groupby("event_type"):
+        eids = g.event_id.to_numpy()
+        vq = g.vq.to_numpy()
+        means = []
+        for b in range(32):
+            w = np.array([weight(b, e) for e in eids])
+            means.append((w * vq).sum() / w.sum() / 1000.0)
+        means.sort()
+        row = got.loc[etype]
+        assert abs(row.ci_lo_e6 / 1e6 - means[1]) < 2e-6   # rank 2 of 32
+        assert abs(row.ci_hi_e6 / 1e6 - means[30]) < 2e-6  # rank 31 of 32
+        assert bool(row.point_in_ci)
+        assert row.width_e6 > 0
+        # CI of the mean at n~2000 should be tight around the point
+        assert row.width_e6 / 1e6 < 0.2 * row.point_mean_e6 / 1e6
+
+
+def test_anomaly_residual_is_top10_of_decomposition(duck, events_pdf):
+    from emr_with_custom_metrics_spark.operators.stats import (
+        _ANOM_DUCK,
+        _DECOMP_DUCK,
+    )
+
+    got = duck.sql(_ANOM_DUCK).df()
+    dec = duck.sql(_DECOMP_DUCK).df()
+    for etype, g in dec.groupby("event_type"):
+        r = g.remainder_e6.astype(float)
+        z = (r - r.mean()) / r.std(ddof=1)
+        top = set(
+            g.assign(az=z.abs())
+            .sort_values(["az", "h"], ascending=[False, True])
+            .head(10)
+            .h
+        )
+        sub = got[got.event_type == etype]
+        assert len(sub) == 10
+        assert set(sub.h) == top
