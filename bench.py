@@ -202,6 +202,9 @@ HEADLINE = [
     "stats_cuped_variance_reduction",
     "stats_bootstrap_ci",
     "anomaly_seasonal_residual",
+    "text_rake_keywords",
+    "text_collocation_llr",
+    "stats_power_analysis",
 ]
 
 # Shuffle-heavy flagship rows whose executed-plan accumulators ride along

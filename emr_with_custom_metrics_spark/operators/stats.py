@@ -582,3 +582,55 @@ _ANOM_DUCK = (
 def anomaly_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_ANOM_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# Experiment power / sample-size calculator
+# ---------------------------------------------------------------------------
+
+_POWER_SQL = """
+    WITH base AS (
+        SELECT event_type, CAST(ROUND(value * 1000) AS BIGINT) AS v_e3
+        FROM events
+    ), mom AS (
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(v_e3) AS BIGINT) AS s1,
+               CAST(SUM(v_e3 * v_e3) AS BIGINT) AS s2
+        FROM base GROUP BY event_type
+    ), st AS (
+        SELECT event_type, n,
+               (CAST(s1 AS DOUBLE) / n) / CAST(1000 AS DOUBLE) AS mean_v,
+               ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))
+                   / CAST(1000000 AS DOUBLE) AS var_v
+        FROM st_src
+    )
+    SELECT event_type, n AS n_observed,
+           CAST(ROUND(mean_v * 1000000) AS BIGINT) AS mean_e6,
+           CAST(ROUND(var_v * 1000000) AS BIGINT) AS var_e6,
+           CAST(CEIL(2 * CAST(7.848886 AS DOUBLE) * var_v
+                / ((CAST(0.01 AS DOUBLE) * mean_v)
+                   * (CAST(0.01 AS DOUBLE) * mean_v))) AS BIGINT)
+               AS n_per_arm_mde1pct,
+           CAST(CEIL(2 * CAST(7.848886 AS DOUBLE) * var_v
+                / ((CAST(0.05 AS DOUBLE) * mean_v)
+                   * (CAST(0.05 AS DOUBLE) * mean_v))) AS BIGINT)
+               AS n_per_arm_mde5pct
+    FROM st
+""".replace("FROM st_src", "FROM mom")
+
+
+@register(
+    "stats_power_analysis",
+    oracle=_POWER_SQL,
+    doc="Experiment sizing from observed metric moments: per metric, the "
+    "required n per arm to detect a 1% / 5% relative lift at 80% power "
+    "and two-sided 5% significance — n = 2(z_.975+z_.80)^2 var / delta^2 "
+    "with (z_.975+z_.80)^2 = 7.848886 pinned as a literal. The "
+    "experimentation-platform planning companion to stats_ab_ttest "
+    "(which tests) and stats_cuped_variance_reduction (which shrinks the "
+    "var term in this very formula). One exact-integer moment "
+    "aggregation; output is metric-count-sized.",
+)
+def stats_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_POWER_SQL)

@@ -317,7 +317,8 @@ _DRIVER_PRIORITY = (
     "timeseries_seasonal_decompose", "sketch_theta_overlap",
     "embedding_random_projection", "stats_mann_whitney",
     "stats_cuped_variance_reduction", "stats_bootstrap_ci",
-    "anomaly_seasonal_residual",
+    "anomaly_seasonal_residual", "text_rake_keywords",
+    "text_collocation_llr", "stats_power_analysis",
 )
 _PRIORITY_RANK = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
 
@@ -418,4 +419,5 @@ def _ensure_loaded() -> None:
     import emr_with_custom_metrics_spark.llm.classifier  # noqa: F401
     import emr_with_custom_metrics_spark.llm.pdf  # noqa: F401
     import emr_with_custom_metrics_spark.llm.unigram  # noqa: F401
+    import emr_with_custom_metrics_spark.llm.keywords  # noqa: F401
     _LOADED = True

@@ -278,3 +278,108 @@ def test_anomaly_residual_is_top10_of_decomposition(duck, events_pdf):
         sub = got[got.event_type == etype]
         assert len(sub) == 10
         assert set(sub.h) == top
+
+
+def test_power_analysis_matches_numpy(duck, events_pdf):
+    from emr_with_custom_metrics_spark.operators.stats import _POWER_SQL
+
+    got = duck.sql(_POWER_SQL).df().set_index("event_type")
+    ev = events_pdf.copy()
+    ev["vq"] = (ev.value * 1000).round() / 1000.0
+    for etype, g in ev.groupby("event_type"):
+        m, v = g.vq.mean(), g.vq.var(ddof=1)
+        row = got.loc[etype]
+        assert row.n_observed == len(g)
+        for col, mde in (("n_per_arm_mde1pct", 0.01), ("n_per_arm_mde5pct", 0.05)):
+            expect = math.ceil(2 * 7.848886 * v / (mde * m) ** 2)
+            assert abs(row[col] - expect) <= 1, (etype, col)
+        # 5x the MDE needs ~1/25 the sample
+        assert abs(row.n_per_arm_mde1pct / row.n_per_arm_mde5pct - 25) < 0.1
+
+
+def test_rake_matches_python_reimplementation(duck, docs_pdf):
+    from emr_with_custom_metrics_spark.llm.keywords import _RAKE_DUCK
+
+    got = duck.sql(_RAKE_DUCK).df()
+    from collections import Counter, defaultdict
+
+    tok_counts = Counter(t for txt in docs_pdf.text for t in txt.split(" "))
+    stop = {
+        t
+        for t, _ in sorted(tok_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+    }
+    phrases = []
+    for txt in docs_pdf.text:
+        run: list[str] = []
+        for t in txt.split(" ") + ["\x00stop"]:
+            if t in stop or t == "\x00stop":
+                if run:
+                    phrases.append(tuple(run))
+                run = []
+            else:
+                run.append(t)
+    freq: Counter = Counter()
+    degree: Counter = Counter()
+    for p in phrases:
+        for w in p:
+            freq[w] += 1
+            degree[w] += len(p)
+    wscore = {w: round(degree[w] / freq[w] * 1e6) for w in freq}
+    best: defaultdict = defaultdict(lambda: (0, 0))
+    for p in phrases:
+        if not (2 <= len(p) <= 4):
+            continue
+        s = sum(wscore[w] for w in p)
+        cur = best[" ".join(p)]
+        best[" ".join(p)] = (max(cur[0], s), cur[1] + 1)
+    top = sorted(best.items(), key=lambda kv: (-kv[1][0], kv[0]))[:15]
+    assert list(got.phrase) == [p for p, _ in top]
+    assert list(got.score_e6) == [s for _, (s, _) in top]
+    assert list(got.n_occurrences) == [c for _, (_, c) in top]
+
+
+def test_collocation_llr_matches_python(duck, docs_pdf):
+    from emr_with_custom_metrics_spark.llm.keywords import _LLR_DUCK
+
+    got = duck.sql(_LLR_DUCK).df()
+    from collections import Counter
+
+    bg: Counter = Counter()
+    for txt in docs_pdf.text:
+        toks = txt.split(" ")
+        for i in range(len(toks) - 1):
+            bg[(toks[i], toks[i + 1])] += 1
+    n = sum(bg.values())
+    r = Counter()
+    c = Counter()
+    for (w1, w2), k in bg.items():
+        r[w1] += k
+        c[w2] += k
+
+    def llr(w1, w2):
+        k11 = bg[(w1, w2)]
+        k12 = r[w1] - k11
+        k21 = c[w2] - k11
+        k22 = n - r[w1] - c[w2] + k11
+
+        def term(k, row, col):
+            return 0.0 if k == 0 else k * math.log(k * n / (row * col))
+
+        return 2 * (
+            term(k11, r[w1], c[w2])
+            + term(k12, r[w1], n - c[w2])
+            + term(k21, n - r[w1], c[w2])
+            + term(k22, n - r[w1], n - c[w2])
+        )
+
+    for _, row in got.iterrows():
+        expect = llr(row.w1, row.w2)
+        assert abs(row.llr_e4 / 1e4 - expect) < 1e-3, (row.w1, row.w2)
+        assert row.llr_e4 >= 0
+    # the reported list must be the global top-20 by that same score
+    all_scores = sorted(
+        (round(llr(w1, w2) * 1e4), w1, w2) for (w1, w2) in bg
+    )
+    top20 = [(w1, w2) for s, w1, w2 in
+             sorted(all_scores, key=lambda t: (-t[0], t[1], t[2]))[:20]]
+    assert list(zip(got.w1, got.w2)) == top20
