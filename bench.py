@@ -205,6 +205,10 @@ HEADLINE = [
     "text_rake_keywords",
     "text_collocation_llr",
     "stats_power_analysis",
+    "timeseries_autocorrelation",
+    "text_zipf_fit",
+    "customer_rfm_segments",
+    "inventory_pareto_abc",
 ]
 
 # Shuffle-heavy flagship rows whose executed-plan accumulators ride along

@@ -227,3 +227,86 @@ _LLR_DUCK = (
 def text_collocation_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("documents",))
     return spark.sql(_LLR_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# Zipf law fit — corpus sanity diagnostic
+# ---------------------------------------------------------------------------
+# OLS of ln(freq) on ln(rank): natural corpora sit near slope -1; synthetic
+# or templated corpora (like this one) flatten toward 0 — which is exactly
+# what makes the fit a GENERATION-ARTIFACT detector in a data pipeline.
+# ln() outputs quantize to 1e-6 integers BEFORE the moment sums, so all five
+# OLS moments are exact integers and the slope/intercept/r2 are single
+# deterministic expressions over them.
+
+_ZIPF_TAIL = """
+    , freqs AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS f FROM words GROUP BY tok
+    ), ranked AS (
+        SELECT tok, f,
+               ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS r
+        FROM freqs
+    ), pts AS (
+        SELECT CAST(ROUND(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+               CAST(ROUND(ln(CAST(f AS DOUBLE)) * 1000000) AS BIGINT) AS y
+        FROM ranked
+    ), mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM pts
+    )
+    SELECT n AS n_words,
+           CAST(ROUND(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+                 * 1000000) AS BIGINT) AS slope_e6,
+           CAST(ROUND((((CAST(sy AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+                    * sx) / n) / CAST(1000000 AS DOUBLE)) * 1000000)
+               AS BIGINT) AS intercept_e6,
+           CAST(ROUND(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)))
+                 * 1000000) AS BIGINT) AS r2_e6
+    FROM mom
+"""
+
+_ZIPF_SPARK = (
+    """
+    WITH words AS (
+        SELECT explode(split(text, ' ')) AS tok FROM documents
+    )
+"""
+    + _ZIPF_TAIL
+)
+
+_ZIPF_DUCK = (
+    """
+    WITH words AS (
+        SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents
+    )
+"""
+    + _ZIPF_TAIL
+)
+
+
+@register(
+    "text_zipf_fit",
+    oracle=_ZIPF_DUCK,
+    doc="Zipf-law fit of the corpus frequency spectrum: OLS slope of "
+    "ln(freq) on ln(rank) plus intercept and r² — natural text sits near "
+    "slope -1, so the fit doubles as a generation-artifact detector for "
+    "templated/synthetic corpora (this corpus measures far shallower, "
+    "which is the point). The repo's transcendental-hazard rule applied: "
+    "each ln() quantizes to a 1e-6 integer BEFORE the moment sums, so "
+    "all five OLS moments are exact integers and slope/r² are fixed "
+    "expression DAGs over them. One token aggregation (vocabulary-sized "
+    "state), one ROW_NUMBER over the vocabulary, one scalar reduce.",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_ZIPF_SPARK)

@@ -682,3 +682,152 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         # integer micro-probability OUTPUT (r7 VERDICT item 2)
         F.round(F.col("surv") * 1000000).cast("bigint").alias("survival_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+_RFM_TAIL = """
+    , scored AS (
+        SELECT o_custkey, recency_days, frequency, monetary_c,
+               6 - NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+               NTILE(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+               NTILE(5) OVER (ORDER BY monetary_c, o_custkey) AS m_score
+        FROM cust
+    ), labeled AS (
+        SELECT *,
+               CASE
+                 WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                   THEN 'champions'
+                 WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk_loyal'
+                 WHEN r_score >= 4 AND f_score <= 2 THEN 'new_promising'
+                 WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+                 ELSE 'core'
+               END AS segment
+        FROM scored
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(frequency) AS BIGINT) AS total_orders,
+           CAST(SUM(monetary_c) AS BIGINT) AS total_monetary_c,
+           CAST(ROUND(CAST(SUM(monetary_c) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS avg_monetary_c,
+           CAST(MIN(r_score * 100 + f_score * 10 + m_score) AS BIGINT)
+               AS min_rfm,
+           CAST(MAX(r_score * 100 + f_score * 10 + m_score) AS BIGINT)
+               AS max_rfm
+    FROM labeled GROUP BY segment
+"""
+
+_RFM_SPARK = (
+    """
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(FLOOR((unix_timestamp(g.maxd) - unix_timestamp(MAX(o_orderdate)))
+                    / 86400) AS BIGINT) AS recency_days,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+                   AS monetary_c
+        FROM orders
+        CROSS JOIN (SELECT MAX(o_orderdate) AS maxd FROM orders) g
+        GROUP BY o_custkey, g.maxd
+    )
+"""
+    + _RFM_TAIL
+)
+
+_RFM_DUCK = (
+    """
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(FLOOR((epoch(g.maxd) - epoch(MAX(o_orderdate)))
+                    / 86400) AS BIGINT) AS recency_days,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+                   AS monetary_c
+        FROM orders
+        CROSS JOIN (SELECT MAX(o_orderdate) AS maxd FROM orders) g
+        GROUP BY o_custkey, g.maxd
+    )
+"""
+    + _RFM_TAIL
+)
+
+
+@register(
+    "customer_rfm_segments",
+    oracle=_RFM_DUCK,
+    doc="RFM segmentation: per-customer recency (days before the corpus "
+    "max order date), frequency, and exact-DECIMAL monetary cents, each "
+    "NTILE(5)-scored with deterministic customer-id tie-breaks, then "
+    "bucketed into the five classic actionability segments (champions / "
+    "at-risk-loyal / new-promising / hibernating / core). Monetary stays "
+    "in integer cents end to end (round-1 DECIMAL price rule). Scale "
+    "note: global NTILE is a single ordered pass over CUSTOMERS (already "
+    "three orders of magnitude smaller than orders); at extreme customer "
+    "counts the scores would come from approx-quantile thresholds "
+    "instead — the sketch_quantile_mergeable building block.",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emr_with_custom_metrics_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_RFM_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# Pareto / ABC inventory classification
+# ---------------------------------------------------------------------------
+
+_ABC_SQL = """
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(12,2)))) * 10000
+                   AS BIGINT) AS rev_e4
+        FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+        SELECT l_partkey, rev_e4,
+               CAST(SUM(rev_e4) OVER (ORDER BY rev_e4 DESC, l_partkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum,
+               CAST(SUM(rev_e4) OVER () AS BIGINT) AS tot,
+               ROW_NUMBER() OVER (ORDER BY rev_e4 DESC, l_partkey) AS rn
+        FROM rev
+    ), classed AS (
+        SELECT l_partkey, rev_e4, cum, tot, rn,
+               CASE WHEN cum * 10 <= tot * 7 THEN 'A'
+                    WHEN cum * 10 <= tot * 9 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM ranked
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev_e4) AS BIGINT) AS revenue_e4,
+           CAST(ROUND(CAST(SUM(rev_e4) AS DOUBLE) / MAX(tot) * 1000000)
+               AS BIGINT) AS share_e6,
+           CAST(MIN(rn) AS BIGINT) AS first_rank,
+           CAST(MAX(rn) AS BIGINT) AS last_rank
+    FROM classed GROUP BY abc_class
+"""
+
+
+@register(
+    "inventory_pareto_abc",
+    oracle=_ABC_SQL,
+    doc="Pareto / ABC classification of parts by net revenue: exact "
+    "DECIMAL revenue quantized to 1e-4 integers, a running-share window "
+    "ordered by revenue (deterministic part-id tie-break), and the "
+    "70/90% class boundaries evaluated as INTEGER cross-multiplications "
+    "(cum*10 <= tot*7) so classification never touches a float. One "
+    "shared Spark/DuckDB template. The ordered pass runs over PARTS "
+    "(the aggregate), not line items; at extreme part counts the "
+    "boundaries would come from a quantile sketch over part revenues, "
+    "same as the RFM note.",
+)
+def inventory_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emr_with_custom_metrics_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_ABC_SQL)

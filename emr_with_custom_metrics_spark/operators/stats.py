@@ -207,8 +207,10 @@ _DECOMP_CORE = """
       ON d.event_type = s.event_type AND d.h % 24 = s.hod
 """
 
-_DECOMP_SPARK = (
-    """
+# Dense per-(series, hour) spine — the ONLY dialect-specific fragment in
+# the decomposition family (Spark sequence() vs DuckDB generate_series);
+# shared by the decomposition, the residual anomaly screen, and the ACF.
+_SPINE_SPARK = """
     WITH hours AS (
         SELECT event_type,
                CAST(FLOOR(unix_timestamp(ts) / 3600) AS BIGINT) AS h
@@ -222,11 +224,8 @@ _DECOMP_SPARK = (
                     FROM bounds b) g
     )
 """
-    + _DECOMP_CORE
-)
 
-_DECOMP_DUCK = (
-    """
+_SPINE_DUCK = """
     WITH hours AS (
         SELECT event_type,
                CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS h
@@ -240,8 +239,9 @@ _DECOMP_DUCK = (
                     FROM bounds b) g
     )
 """
-    + _DECOMP_CORE
-)
+
+_DECOMP_SPARK = _SPINE_SPARK + _DECOMP_CORE
+_DECOMP_DUCK = _SPINE_DUCK + _DECOMP_CORE
 
 
 @register(
@@ -634,3 +634,76 @@ _POWER_SQL = """
 def stats_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_POWER_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function of the hourly event density
+# ---------------------------------------------------------------------------
+# Exact-integer trick: center through d_t = N*c_t - S (N hours, S total
+# events — both integers), so numerator and denominator of every ACF lag are
+# EXACT integer sums (the common N^2 factor cancels in the ratio). Lag pairs
+# come from an equi-join on (series, h + lag), not a 24-expression window —
+# at scale that is a co-partitioned shuffle on the hour key, and the lags
+# table is a 24-row broadcast.
+
+_ACF_CORE = """
+    , counts AS (
+        SELECT event_type, h, COUNT(*) AS cnt FROM hours GROUP BY event_type, h
+    ), dense AS (
+        SELECT s.event_type, s.h, COALESCE(c.cnt, CAST(0 AS BIGINT)) AS c
+        FROM spine s LEFT JOIN counts c
+          ON s.event_type = c.event_type AND s.h = c.h
+    ), tot AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS s
+        FROM dense GROUP BY event_type
+    ), d AS (
+        SELECT dn.event_type, dn.h, t.n * dn.c - t.s AS dv
+        FROM dense dn JOIN tot t ON dn.event_type = t.event_type
+    ), den AS (
+        SELECT event_type, CAST(SUM(dv * dv) AS BIGINT) AS den
+        FROM d GROUP BY event_type
+    ), num AS (
+        SELECT d1.event_type, l.lag,
+               CAST(SUM(d1.dv * d2.dv) AS BIGINT) AS num,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM d d1
+        CROSS JOIN lags l
+        JOIN d d2 ON d2.event_type = d1.event_type AND d2.h = d1.h + l.lag
+        GROUP BY d1.event_type, l.lag
+    )
+    SELECT n.event_type, n.lag, n.n_pairs,
+           CAST(ROUND((CAST(n.num AS DOUBLE) / dn.den) * 1000000) AS BIGINT)
+               AS acf_e6
+    FROM num n JOIN den dn ON n.event_type = dn.event_type
+"""
+
+_ACF_SPARK = (
+    _SPINE_SPARK
+    + ", lags AS (SELECT explode(sequence(1, 24)) AS lag)"
+    + _ACF_CORE
+)
+_ACF_DUCK = (
+    _SPINE_DUCK
+    + ", lags AS (SELECT UNNEST(generate_series(1, 24)) AS lag)"
+    + _ACF_CORE
+)
+
+
+@register(
+    "timeseries_autocorrelation",
+    oracle=_ACF_DUCK,
+    doc="ACF at lags 1-24h of each metric's hourly event density over the "
+    "dense spine — the diagnostic that picks the seasonal period "
+    "timeseries_seasonal_decompose assumes and the AR order "
+    "timeseries_ar2_forecast fits. Integer-exact end to end: centering "
+    "via d = N*c - S keeps both the lag products and the variance "
+    "denominator exact integer sums (the N² factor cancels in the "
+    "ratio); the single division per (metric, lag) quantizes to 1e-6. "
+    "Lag pairs are an equi-join on (series, h+lag) against a 24-row "
+    "broadcast lags table — no per-lag window scan.",
+)
+def timeseries_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_ACF_SPARK)

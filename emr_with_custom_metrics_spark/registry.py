@@ -319,6 +319,8 @@ _DRIVER_PRIORITY = (
     "stats_cuped_variance_reduction", "stats_bootstrap_ci",
     "anomaly_seasonal_residual", "text_rake_keywords",
     "text_collocation_llr", "stats_power_analysis",
+    "timeseries_autocorrelation", "text_zipf_fit",
+    "customer_rfm_segments", "inventory_pareto_abc",
 )
 _PRIORITY_RANK = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
 

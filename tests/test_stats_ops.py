@@ -383,3 +383,111 @@ def test_collocation_llr_matches_python(duck, docs_pdf):
     top20 = [(w1, w2) for s, w1, w2 in
              sorted(all_scores, key=lambda t: (-t[0], t[1], t[2]))[:20]]
     assert list(zip(got.w1, got.w2)) == top20
+
+
+def test_autocorrelation_matches_numpy(duck, events_pdf):
+    from emr_with_custom_metrics_spark.operators.stats import _ACF_DUCK
+
+    got = duck.sql(_ACF_DUCK).df()
+    ev = events_pdf.copy()
+    ev["h"] = ((ev.ts - pd.Timestamp(0)) // pd.Timedelta(hours=1)).astype("int64")
+    spine = np.arange(ev.h.min(), ev.h.max() + 1)
+    for etype, g in ev.groupby("event_type"):
+        c = g.groupby("h").size().reindex(spine, fill_value=0).to_numpy(float)
+        d = c - c.mean()
+        den = (d * d).sum()
+        sub = got[got.event_type == etype].set_index("lag").sort_index()
+        assert list(sub.index) == list(range(1, 25))
+        for lag in range(1, 25):
+            acf = (d[:-lag] * d[lag:]).sum() / den
+            assert abs(sub.loc[lag].acf_e6 / 1e6 - acf) < 1e-5, (etype, lag)
+            assert sub.loc[lag].n_pairs == len(c) - lag
+
+
+def test_zipf_fit_matches_numpy(duck, docs_pdf):
+    from emr_with_custom_metrics_spark.llm.keywords import _ZIPF_DUCK
+
+    got = duck.sql(_ZIPF_DUCK).df().iloc[0]
+    from collections import Counter
+
+    freq = Counter(t for txt in docs_pdf.text for t in txt.split(" "))
+    f = np.array(sorted(freq.values(), reverse=True), dtype=float)
+    x = np.log(np.arange(1, len(f) + 1))
+    y = np.log(f)
+    slope, intercept = np.polyfit(x, y, 1)
+    r2 = np.corrcoef(x, y)[0, 1] ** 2
+    assert got.n_words == len(f)
+    assert abs(got.slope_e6 / 1e6 - slope) < 1e-4
+    assert abs(got.intercept_e6 / 1e6 - intercept) < 1e-4
+    assert abs(got.r2_e6 / 1e6 - r2) < 1e-4
+    # synthetic corpus: far shallower than natural-language slope -1
+    assert got.slope_e6 / 1e6 > -0.5
+
+
+def _ntile(values: pd.Series, tiebreak: pd.Series, n: int = 5) -> pd.Series:
+    order = pd.DataFrame({"v": values, "t": tiebreak}).sort_values(["v", "t"])
+    cnt = len(order)
+    base, extra = divmod(cnt, n)
+    sizes = [base + (1 if i < extra else 0) for i in range(n)]
+    tiles = np.repeat(np.arange(1, n + 1), sizes)
+    return pd.Series(tiles, index=order.index).reindex(values.index)
+
+
+def test_rfm_segments_match_pandas(duck):
+    from emr_with_custom_metrics_spark.operators.analytics import _RFM_DUCK
+
+    got = duck.sql(_RFM_DUCK).df().set_index("segment")
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    maxd = orders.o_orderdate.max()
+    cust = orders.groupby("o_custkey").agg(
+        recency=("o_orderdate", lambda s: (maxd - s.max()).days),
+        frequency=("o_orderdate", "size"),
+        monetary=("o_totalprice", lambda s: int(round(s.round(2).sum() * 100))),
+    )
+    ids = pd.Series(cust.index, index=cust.index)
+    r = 6 - _ntile(cust.recency, ids)
+    f = _ntile(cust.frequency, ids)
+    m = _ntile(cust.monetary, ids)
+    seg = pd.Series("core", index=cust.index)
+    seg[(r >= 4) & (f >= 4) & (m >= 4)] = "champions"
+    seg[(r <= 2) & (f >= 4)] = "at_risk_loyal"
+    seg[(r >= 4) & (f <= 2)] = "new_promising"
+    seg[(r <= 2) & (f <= 2)] = "hibernating"
+    counts = seg.value_counts()
+    assert got.n_customers.sum() == len(cust)
+    for s_name, n in counts.items():
+        assert got.loc[s_name].n_customers == n, s_name
+    mon = cust.monetary.groupby(seg).sum()
+    for s_name, v in mon.items():
+        assert got.loc[s_name].total_monetary_c == v, s_name
+
+
+def test_pareto_abc_matches_pandas(duck):
+    from emr_with_custom_metrics_spark.operators.analytics import _ABC_SQL
+
+    got = duck.sql(_ABC_SQL).df().set_index("abc_class")
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    rev = (
+        (li.l_extendedprice.round(2) * (1 - li.l_discount.round(2)) * 10000)
+        .round()
+        .astype("int64")
+        .groupby(li.l_partkey)
+        .sum()
+    )
+    # deterministic part-id tie-break within equal revenues
+    df = rev.reset_index()
+    df.columns = ["part", "rev"]
+    df = df.sort_values(["rev", "part"], ascending=[False, True])
+    cum = df.rev.cumsum()
+    tot = df.rev.sum()
+    cls = pd.Series("C", index=df.index)
+    cls[cum * 10 <= tot * 9] = "B"
+    cls[cum * 10 <= tot * 7] = "A"
+    counts = cls.value_counts()
+    for c in ("A", "B", "C"):
+        assert got.loc[c].n_parts == counts[c], c
+    assert got.revenue_e4.sum() == tot
+    # classes partition the rank space contiguously
+    assert got.loc["A"].first_rank == 1
+    assert got.loc["A"].last_rank + 1 == got.loc["B"].first_rank
+    assert got.loc["B"].last_rank + 1 == got.loc["C"].first_rank
