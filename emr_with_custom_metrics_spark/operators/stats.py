@@ -438,16 +438,23 @@ _POIS_THRESH = (
     1580030169, 3160060337, 3950075422, 4213413783,
     4279248374, 4292415292, 4294609778,
 )
-_BOOT_KEY = "md5(concat('boot|', CAST(b AS STRING), '|', CAST(event_id AS STRING)))"
 _POIS_W = "CASE " + " ".join(
     f"WHEN u32 < {t} THEN {k}" for k, t in enumerate(_POIS_THRESH)
 ) + " ELSE 7 END"
 
+# Hot-path lesson (A/B-measured at sf0.1): the nibble-by-nibble
+# instr/substring h32 costs more than the md5 itself on a 3.2M-row
+# explode, and a packed 4-replicas-per-digest variant measured SLOWER
+# still (computed substring offsets defeat constant folding, and the
+# digest string rides an extra join). The fast form is one md5 + ONE
+# 8-hex-char parse per (row, replica): Spark conv(hex,16,10), DuckDB
+# '0x…'::BIGINT — the round-7-documented cheap hex→int pair.
+_BOOT_KEY = (
+    "md5(concat('boot|', CAST(r.b AS STRING), '|', "
+    "CAST(base.event_id AS STRING)))"
+)
 _BOOT_TAIL = f"""
-    , u AS (
-        SELECT event_type, b, v_e3, {_h32(_BOOT_KEY)} AS u32
-        FROM exploded
-    ), weighted AS (
+    , weighted AS (
         SELECT event_type, b, v_e3, {_POIS_W} AS w FROM u
     ), reps AS (
         SELECT event_type, b,
@@ -492,8 +499,10 @@ _BOOT_SPARK = f"""
         SELECT event_type, event_id,
                CAST(ROUND(value * 1000) AS BIGINT) AS v_e3
         FROM events
-    ), exploded AS (
-        SELECT base.event_type, base.event_id, base.v_e3, r.b
+    ), u AS (
+        SELECT base.event_type, r.b, base.v_e3,
+               CAST(conv(substring({_BOOT_KEY}, 1, 8), 16, 10) AS BIGINT)
+                   AS u32
         FROM base CROSS JOIN (SELECT explode(sequence(0, 31)) AS b) r
     )
 {_BOOT_TAIL}
@@ -504,9 +513,10 @@ _BOOT_DUCK = f"""
         SELECT event_type, event_id,
                CAST(ROUND(value * 1000) AS BIGINT) AS v_e3
         FROM events
-    ), exploded AS (
-        SELECT base.event_type, base.event_id, base.v_e3, r.b
-        FROM base CROSS JOIN (SELECT UNNEST(range(0, 32)) AS b) r
+    ), u AS (
+        SELECT base.event_type, r.b, base.v_e3,
+               CAST('0x' || substring({_BOOT_KEY}, 1, 8) AS BIGINT) AS u32
+        FROM base CROSS JOIN (SELECT UNNEST(range(0, 32)) AS b) r(b)
     )
 {_BOOT_TAIL}
 """
@@ -524,7 +534,9 @@ _BOOT_DUCK = f"""
     "32-bit uniforms against exact integer CDF thresholds, so Spark and "
     "DuckDB materialize byte-identical resamples and the CI itself "
     "hash-verifies — a reproducible bootstrap, which seeded RNG engines "
-    "cannot give across systems.",
+    "cannot give across systems. The uniform is parsed from the digest "
+    "in ONE hex→int call per (row, replica) (conv / '0x'::BIGINT), the "
+    "A/B-measured fast path over nibble arithmetic.",
 )
 def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))
@@ -707,3 +719,223 @@ _ACF_DUCK = (
 def timeseries_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_ACF_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA (F test across all metrics' value distributions)
+# ---------------------------------------------------------------------------
+
+_ANOVA_SQL = """
+    WITH base AS (
+        SELECT event_type, CAST(ROUND(value * 1000) AS BIGINT) AS v_e3
+        FROM events
+    ), g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v_e3) AS BIGINT) AS s1,
+               CAST(SUM(v_e3 * v_e3) AS BIGINT) AS s2
+        FROM base GROUP BY event_type
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n) AS BIGINT) AS nn,
+               CAST(SUM(s1) AS BIGINT) AS ts1,
+               CAST(SUM(s2) AS BIGINT) AS ts2,
+               SUM(CAST(s1 AS DOUBLE) * s1 / n) AS sum_sq_means
+        FROM g
+    ), ss AS (
+        SELECT k, nn,
+               (sum_sq_means - CAST(ts1 AS DOUBLE) * ts1 / nn)
+                   / CAST(1000000 AS DOUBLE) AS ssb,
+               (CAST(ts2 AS DOUBLE) - sum_sq_means)
+                   / CAST(1000000 AS DOUBLE) AS ssw
+        FROM tot
+    )
+    SELECT k AS n_groups, nn AS n_total,
+           CAST(ROUND(ssb * 1000) AS BIGINT) AS ssb_e3,
+           CAST(ROUND(ssw * 1000) AS BIGINT) AS ssw_e3,
+           CAST(ROUND(((ssb / (k - 1)) / (ssw / (nn - k))) * 1000000)
+               AS BIGINT) AS f_e6,
+           CAST(ROUND((ssb / (ssb + ssw)) * 1000000) AS BIGINT) AS eta2_e6,
+           ((ssb / (k - 1)) / (ssw / (nn - k))) > CAST(2.37 AS DOUBLE)
+               AS significant
+    FROM ss
+"""
+
+
+@register(
+    "stats_anova_oneway",
+    oracle=_ANOVA_SQL,
+    doc="One-way ANOVA across the five metrics' value distributions — the "
+    "k-group generalization completing the testing family (Welch t = 2 "
+    "means, Mann-Whitney = 2 ranks, chi-square = categories, F = k "
+    "means): between/within sums of squares from one pass of exact "
+    "integer moments per group (the per-group Σx²/n term is the only "
+    "double, a fixed DAG over exact integers), F with its (k-1, N-k) "
+    "critical value at 5% pinned as a literal, eta² effect size. The "
+    "caveat an experimentation platform must document: plain ANOVA "
+    "assumes homoscedasticity — pair with Welch t for unequal-variance "
+    "pairs. One map-side-combinable aggregation; group-count-sized "
+    "state.",
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_ANOVA_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion z-test on user-level conversion
+# ---------------------------------------------------------------------------
+
+_PROP_SQL = f"""
+    WITH per_user AS (
+        SELECT user_id,
+               {_ARM} AS arm,
+               CAST(MAX(CASE WHEN event_type = 'purchase' AND value >= 150
+                             THEN 1 ELSE 0 END) AS BIGINT) AS converted
+        FROM events GROUP BY user_id
+    ), arms AS (
+        SELECT arm,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(converted) AS BIGINT) AS conv
+        FROM per_user GROUP BY arm
+    ), wide AS (
+        SELECT a.n AS n_a, a.conv AS conv_a, b.n AS n_b, b.conv AS conv_b
+        FROM arms a CROSS JOIN arms b
+        WHERE a.arm = 'A' AND b.arm = 'B'
+    ), calc AS (
+        SELECT n_a, conv_a, n_b, conv_b,
+               CAST(conv_a AS DOUBLE) / n_a AS p_a,
+               CAST(conv_b AS DOUBLE) / n_b AS p_b,
+               CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS p_pool
+        FROM wide
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           CAST(ROUND(p_a * 1000000) AS BIGINT) AS rate_a_e6,
+           CAST(ROUND(p_b * 1000000) AS BIGINT) AS rate_b_e6,
+           CAST(ROUND((p_a - p_b) * 1000000) AS BIGINT) AS lift_e6,
+           CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+                THEN CAST(0 AS BIGINT)
+                ELSE CAST(ROUND(((p_a - p_b)
+                     / sqrt(p_pool * (1 - p_pool)
+                            * (CAST(1 AS DOUBLE) / n_a
+                               + CAST(1 AS DOUBLE) / n_b)))
+                     * 1000000) AS BIGINT) END AS z_e6,
+           CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+                THEN FALSE
+                ELSE ABS((p_a - p_b)
+                     / sqrt(p_pool * (1 - p_pool)
+                            * (CAST(1 AS DOUBLE) / n_a
+                               + CAST(1 AS DOUBLE) / n_b)))
+                     > CAST(1.96 AS DOUBLE) END AS significant
+    FROM calc
+"""
+
+
+@register(
+    "stats_proportion_ztest",
+    oracle=_PROP_SQL,
+    doc="Two-proportion z-test on USER-level conversion (a high-value "
+    "purchase, value >= 150 — ~45% of users, chosen non-degenerate at "
+    "every SF) between the md5 arms — the binary-outcome member of the "
+    "testing family, and deliberately user-grained: testing per-event "
+    "rows would pseudo-replicate within users and overstate "
+    "significance. Pooled-variance z from exact integer user/conversion "
+    "counts; rates, absolute lift, and the 1.96 gate emitted. One "
+    "groupBy(user) + a 2-row reduce.",
+)
+def stats_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_PROP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end experiment readout: CUPED-adjusted Welch t per metric
+# ---------------------------------------------------------------------------
+
+_CUPED_TTEST_SQL = f"""
+    WITH q AS (
+        SELECT user_id, event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS v_e2,
+               CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 0 ELSE 1 END
+                   AS is_post
+        FROM events
+    ), per_user AS (
+        SELECT event_type, user_id,
+               {_ARM} AS arm,
+               CAST(SUM(CASE WHEN is_post = 0 THEN v_e2 ELSE 0 END)
+                   AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN is_post = 1 THEN v_e2 ELSE 0 END)
+                   AS BIGINT) AS y
+        FROM q GROUP BY event_type, user_id
+    ), pool AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS nu,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(y) AS BIGINT) AS sy
+        FROM per_user GROUP BY event_type
+    ), theta AS (
+        SELECT event_type, nu, sx,
+               (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / nu)
+                   / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / nu)
+                   AS th
+        FROM pool
+    ), adj AS (
+        SELECT p.event_type, p.arm, p.y,
+               CAST(ROUND(p.y - t.th * (p.x - CAST(t.sx AS DOUBLE) / t.nu))
+                   AS BIGINT) AS y_adj
+        FROM per_user p JOIN theta t ON p.event_type = t.event_type
+    ), arms AS (
+        SELECT event_type, arm,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS sy1,
+               CAST(SUM(y * y) AS BIGINT) AS sy2,
+               CAST(SUM(y_adj) AS BIGINT) AS sa1,
+               CAST(SUM(y_adj * y_adj) AS BIGINT) AS sa2
+        FROM adj GROUP BY event_type, arm
+    ), wide AS (
+        SELECT a.event_type,
+               a.n AS n_a, b.n AS n_b,
+               (CAST(a.sy2 AS DOUBLE) - CAST(a.sy1 AS DOUBLE) * a.sy1 / a.n)
+                   / (a.n - 1) AS vy_a,
+               (CAST(b.sy2 AS DOUBLE) - CAST(b.sy1 AS DOUBLE) * b.sy1 / b.n)
+                   / (b.n - 1) AS vy_b,
+               (CAST(a.sa2 AS DOUBLE) - CAST(a.sa1 AS DOUBLE) * a.sa1 / a.n)
+                   / (a.n - 1) AS va_a,
+               (CAST(b.sa2 AS DOUBLE) - CAST(b.sa1 AS DOUBLE) * b.sa1 / b.n)
+                   / (b.n - 1) AS va_b,
+               CAST(a.sy1 AS DOUBLE) / a.n - CAST(b.sy1 AS DOUBLE) / b.n
+                   AS dy,
+               CAST(a.sa1 AS DOUBLE) / a.n - CAST(b.sa1 AS DOUBLE) / b.n
+                   AS da
+        FROM arms a JOIN arms b ON a.event_type = b.event_type
+        WHERE a.arm = 'A' AND b.arm = 'B'
+    )
+    SELECT event_type, n_a, n_b,
+           CAST(ROUND((dy / sqrt(vy_a / n_a + vy_b / n_b)) * 1000000)
+               AS BIGINT) AS t_raw_e6,
+           CAST(ROUND((da / sqrt(va_a / n_a + va_b / n_b)) * 1000000)
+               AS BIGINT) AS t_adj_e6,
+           CAST(ROUND(((va_a + va_b) / (vy_a + vy_b)) * 1000000) AS BIGINT)
+               AS var_ratio_e6
+    FROM wide
+"""
+
+
+@register(
+    "e2e_ab_cuped_ttest",
+    oracle=_CUPED_TTEST_SQL,
+    doc="The end-to-end experiment readout a platform actually ships: "
+    "USER-level outcomes (no per-event pseudo-replication), pooled CUPED "
+    "theta from pre-period covariates, per-user adjusted outcomes "
+    "(quantized back to integer e2-units), and Welch t on BOTH the raw "
+    "and adjusted metric side by side with the achieved variance ratio. "
+    "Composes stats_ab_ttest + stats_cuped_variance_reduction into one "
+    "DAG: two user-grained aggregations and two metric-sized reduces, "
+    "all moments exact integers. On null data t_raw and t_adj both "
+    "hover near 0 while var_ratio < 1 shows the adjustment working.",
+)
+def e2e_ab_cuped_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_CUPED_TTEST_SQL)

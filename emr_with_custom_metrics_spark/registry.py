@@ -321,6 +321,7 @@ _DRIVER_PRIORITY = (
     "text_collocation_llr", "stats_power_analysis",
     "timeseries_autocorrelation", "text_zipf_fit",
     "customer_rfm_segments", "inventory_pareto_abc",
+    "stats_anova_oneway", "stats_proportion_ztest", "e2e_ab_cuped_ttest",
 )
 _PRIORITY_RANK = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
 

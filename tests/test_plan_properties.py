@@ -594,3 +594,39 @@ def test_flagship_shuffle_bytes_within_budget(spark):
             f"a payload column is probably riding a shuffle that should "
             f"carry only ids/hashes"
         )
+
+
+def test_theta_sketch_uses_take_ordered(spark):
+    """The per-half k-smallest in sketch_theta_overlap must plan as
+    TakeOrdered (bounded per-partition state, map-side partial top-k) —
+    a full per-half sort would be the 100 TB regression."""
+    plan = formatted_plan(SPECS["sketch_theta_overlap"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_acf_lag_join_is_not_cartesian(spark):
+    """timeseries_autocorrelation pairs lags via an equi-join on
+    (series, h + lag); only the 24-row lags table may ride a nested-loop
+    broadcast. A CartesianProduct over the density rows would explode at
+    scale."""
+    plan = formatted_plan(SPECS["timeseries_autocorrelation"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan[:2000]
+
+
+def test_random_projection_broadcasts_signs(spark):
+    """embedding_random_projection's 1024-row sign table must broadcast;
+    the vectors must never be the build side of a shuffle replicate."""
+    plan = formatted_plan(SPECS["embedding_random_projection"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "Broadcast" in plan, plan[:2000]
+
+
+def test_stats_templates_partial_aggregate(spark):
+    """The moment aggregations behind the t-test/ANOVA must keep map-side
+    partial aggregation (two HashAggregate phases around one Exchange) —
+    integer quantization exists exactly so partial merge is legal."""
+    for name in ("stats_ab_ttest", "stats_anova_oneway"):
+        df = SPECS[name].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert plan.count("HashAggregate") >= 2, (name, plan[:2000])

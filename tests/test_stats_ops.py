@@ -233,9 +233,8 @@ def test_bootstrap_ci_matches_python_replay(duck, events_pdf):
     ev["vq"] = (ev.value * 1000).round()
 
     def weight(b: int, eid: int) -> int:
-        u32 = int(
-            hashlib.md5(f"boot|{b}|{eid}".encode()).hexdigest()[:8], 16
-        )
+        digest = hashlib.md5(f"boot|{b}|{eid}".encode()).hexdigest()
+        u32 = int(digest[:8], 16)
         for k, t in enumerate(_POIS_THRESH):
             if u32 < t:
                 return k
@@ -491,3 +490,77 @@ def test_pareto_abc_matches_pandas(duck):
     assert got.loc["A"].first_rank == 1
     assert got.loc["A"].last_rank + 1 == got.loc["B"].first_rank
     assert got.loc["B"].last_rank + 1 == got.loc["C"].first_rank
+
+
+def test_anova_matches_numpy(duck, events_pdf):
+    from emr_with_custom_metrics_spark.operators.stats import _ANOVA_SQL
+
+    got = duck.sql(_ANOVA_SQL).df().iloc[0]
+    ev = events_pdf.copy()
+    ev["vq"] = (ev.value * 1000).round() / 1000.0
+    groups = [g.vq.to_numpy() for _, g in ev.groupby("event_type")]
+    grand = np.concatenate(groups).mean()
+    ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    k, n = len(groups), sum(len(g) for g in groups)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert got.n_groups == k and got.n_total == n
+    assert abs(got.ssb_e3 / 1e3 - ssb) < 0.5
+    assert abs(got.ssw_e3 / 1e3 - ssw) < 0.5
+    assert abs(got.f_e6 / 1e6 - f) < 1e-4
+    assert abs(got.eta2_e6 / 1e6 - ssb / (ssb + ssw)) < 1e-4
+    assert bool(got.significant) == (f > 2.37)
+
+
+def test_proportion_ztest_matches_numpy(duck, events_pdf):
+    from emr_with_custom_metrics_spark.operators.stats import _PROP_SQL
+
+    got = duck.sql(_PROP_SQL).df().iloc[0]
+    ev = events_pdf.copy()
+    conv = (
+        ((ev.event_type == "purchase") & (ev.value >= 150))
+        .groupby(ev.user_id)
+        .max()
+    )
+    arm = pd.Series(
+        ["A" if _md5_nibble(f"ab|{u}") < 8 else "B" for u in conv.index],
+        index=conv.index,
+    )
+    na, nb = (arm == "A").sum(), (arm == "B").sum()
+    ca, cb = conv[arm == "A"].sum(), conv[arm == "B"].sum()
+    pa, pb = ca / na, cb / nb
+    pp = (ca + cb) / (na + nb)
+    z = (pa - pb) / math.sqrt(pp * (1 - pp) * (1 / na + 1 / nb))
+    assert (got.n_a, got.conv_a, got.n_b, got.conv_b) == (na, ca, nb, cb)
+    assert abs(got.z_e6 / 1e6 - z) < 1e-4
+    # both rates must be non-degenerate at this SF for the test to mean much
+    assert 0 < ca < na and 0 < cb < nb
+
+
+def test_cuped_ttest_adjustment_reduces_variance(duck, events_pdf):
+    from emr_with_custom_metrics_spark.operators.stats import _CUPED_TTEST_SQL
+
+    got = duck.sql(_CUPED_TTEST_SQL).df()
+    assert len(got) == events_pdf.event_type.nunique()
+    # null data: neither raw nor adjusted t should scream
+    assert (got.t_raw_e6.abs() / 1e6 < 4).all()
+    assert (got.t_adj_e6.abs() / 1e6 < 4).all()
+    # the adjustment can only help on average; allow tiny per-metric slack
+    assert (got.var_ratio_e6 / 1e6 <= 1.02).all()
+    # independent recompute of the raw Welch t per metric at user grain
+    ev = events_pdf.copy()
+    ev["vq"] = (ev.value * 100).round()
+    ev["post"] = ev.ts.dt.day > 15
+    for etype, g in ev.groupby("event_type"):
+        y = g[g.post].groupby("user_id").vq.sum()
+        y = y.reindex(g.user_id.unique(), fill_value=0)
+        arm = pd.Series(
+            ["A" if _md5_nibble(f"ab|{u}") < 8 else "B" for u in y.index],
+            index=y.index,
+        )
+        a, b = y[arm == "A"].to_numpy(float), y[arm == "B"].to_numpy(float)
+        t = (a.mean() - b.mean()) / math.sqrt(
+            a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+        )
+        row = got[got.event_type == etype].iloc[0]
+        assert abs(row.t_raw_e6 / 1e6 - t) < 1e-4, etype
