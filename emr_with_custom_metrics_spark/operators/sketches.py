@@ -222,59 +222,62 @@ _THETA_HALF = (
 )
 
 # Everything downstream of the per-half distinct shingle sets — shared
-# verbatim by both dialects.
+# verbatim by both dialects. Structured so `ds` is derived exactly TWICE
+# (the exact presence-matrix pass and the sketch pass): Spark inlines
+# WITH-chains per reference, so the first draft's six scalar subqueries
+# each re-derived the full corpus scan (measured in the executed plan);
+# every statistic now folds out of one aggregation per pass, and the
+# sketch k-smallest is a WindowGroupLimit (rn <= 64 pushed into the
+# shuffle) instead of per-half TakeOrdered branches.
 _THETA_TAIL = f"""
-    , hashed AS (
+    , sp AS (
+        SELECT shingle,
+               MAX(CASE WHEN half = 'train' THEN 1 ELSE 0 END) AS in_a,
+               MAX(CASE WHEN half = 'eval' THEN 1 ELSE 0 END) AS in_b
+        FROM ds GROUP BY shingle
+    ), nh AS (
+        SELECT CAST(SUM(in_a) AS BIGINT) AS n_train,
+               CAST(SUM(in_b) AS BIGINT) AS n_eval,
+               CAST(SUM(in_a * in_b) AS BIGINT) AS exact_overlap,
+               CAST(COUNT(*) AS BIGINT) AS exact_union
+        FROM sp
+    ), hashed AS (
         SELECT half, {_TH_H32} AS h FROM ds
     ), dh AS (
         SELECT DISTINCT half, h FROM hashed
-    ), ska AS (
-        SELECT h FROM dh WHERE half = 'train' ORDER BY h LIMIT 64
-    ), skb AS (
-        SELECT h FROM dh WHERE half = 'eval' ORDER BY h LIMIT 64
-    ), th AS (
-        SELECT LEAST(
-            CASE WHEN (SELECT CAST(COUNT(*) AS BIGINT) FROM dh
-                       WHERE half = 'train') < 64
-                 THEN CAST(4294967296 AS BIGINT)
-                 ELSE (SELECT MAX(h) FROM ska) END,
-            CASE WHEN (SELECT CAST(COUNT(*) AS BIGINT) FROM dh
-                       WHERE half = 'eval') < 64
-                 THEN CAST(4294967296 AS BIGINT)
-                 ELSE (SELECT MAX(h) FROM skb) END) AS theta
-    ), m AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS matches
-        FROM ska a JOIN skb b ON a.h = b.h CROSS JOIN th
-        WHERE a.h < th.theta
-    ), ub AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS union_below
-        FROM (SELECT DISTINCT h FROM
-              (SELECT h FROM ska UNION ALL SELECT h FROM skb) z) u
-        CROSS JOIN th WHERE u.h < th.theta
-    ), nh AS (
-        SELECT
-            (SELECT CAST(COUNT(*) AS BIGINT) FROM ds
-             WHERE half = 'train') AS n_train,
-            (SELECT CAST(COUNT(*) AS BIGINT) FROM ds
-             WHERE half = 'eval') AS n_eval,
-            (SELECT CAST(COUNT(*) AS BIGINT)
-             FROM (SELECT shingle FROM ds WHERE half = 'train') a
-             JOIN (SELECT shingle FROM ds WHERE half = 'eval') b
-               ON a.shingle = b.shingle) AS exact_overlap,
-            (SELECT CAST(COUNT(DISTINCT shingle) AS BIGINT) FROM ds)
-                AS exact_union
+    ), ranked AS (
+        SELECT half, h,
+               ROW_NUMBER() OVER (PARTITION BY half ORDER BY h) AS rn
+        FROM dh
+    ), sk AS (
+        SELECT half, h,
+               CASE WHEN MAX(rn) OVER (PARTITION BY half) < 64
+                    THEN CAST(4294967296 AS BIGINT)
+                    ELSE CAST(MAX(h) OVER (PARTITION BY half) AS BIGINT)
+                    END AS theta_half
+        FROM ranked WHERE rn <= 64
+    ), sk2 AS (
+        SELECT half, h, CAST(MIN(theta_half) OVER () AS BIGINT) AS theta
+        FROM sk
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS union_below,
+               CAST(SUM(CASE WHEN nhalves = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS matches,
+               CAST(MAX(theta) AS BIGINT) AS theta
+        FROM (SELECT h, theta, COUNT(DISTINCT half) AS nhalves
+              FROM sk2 WHERE h < theta GROUP BY h, theta) per_h
     ), est AS (
         SELECT nh.n_train, nh.n_eval, nh.exact_overlap, nh.exact_union,
-               th.theta, m.matches, ub.union_below,
-               CAST(ROUND(m.matches * CAST(4294967296 AS DOUBLE) / th.theta)
+               a.theta, a.matches, a.union_below,
+               CAST(ROUND(a.matches * CAST(4294967296 AS DOUBLE) / a.theta)
                    AS BIGINT) AS est_overlap,
-               CAST(ROUND(ub.union_below * CAST(4294967296 AS DOUBLE)
-                          / th.theta) AS BIGINT) AS est_union,
-               CASE WHEN ub.union_below = 0 THEN CAST(0 AS BIGINT)
-                    ELSE CAST(ROUND(CAST(m.matches AS DOUBLE)
-                              / ub.union_below * 1000000) AS BIGINT) END
+               CAST(ROUND(a.union_below * CAST(4294967296 AS DOUBLE)
+                          / a.theta) AS BIGINT) AS est_union,
+               CASE WHEN a.union_below = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(ROUND(CAST(a.matches AS DOUBLE)
+                              / a.union_below * 1000000) AS BIGINT) END
                    AS est_jaccard_e6
-        FROM nh CROSS JOIN th CROSS JOIN m CROSS JOIN ub
+        FROM nh CROSS JOIN agg a
     )
     SELECT n_train, n_eval, exact_overlap, exact_union, theta, matches,
            union_below, est_overlap, est_union, est_jaccard_e6,
@@ -329,12 +332,13 @@ _THETA_DUCK = f"""
     "below theta estimate |A∩B|, distinct retained hashes below theta "
     "estimate |A∪B| (the Datasketches theta framework). Exact "
     "overlap/union computed alongside; within_bounds pins the union "
-    "estimate at 5x the k=64 rsd (~13%). The per-half k-smallest is "
-    "ORDER BY/LIMIT — Spark plans TakeOrdered (bounded per-partition "
-    "state, map-side partial top-k), so at 100 TB the shuffle carries "
-    "64 candidate hashes per partition, never the shingle sets; the "
-    "exact baseline pays the full distinct (it exists to grade the "
-    "sketch, and would be dropped in production).",
+    "estimate at 5x the k=64 rsd (~13%). The per-half k-smallest is a "
+    "rank-limit window — Spark pushes rn <= 64 into the shuffle as "
+    "WindowGroupLimit (bounded per-partition state), so at 100 TB the "
+    "shuffle carries candidate hashes, never shingle sets; all exact "
+    "baselines fold out of ONE presence-matrix aggregation (the first "
+    "draft's six scalar subqueries each re-derived the corpus scan — "
+    "Spark inlines WITH-chains per reference).",
 )
 def sketch_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("documents",))

@@ -596,12 +596,15 @@ def test_flagship_shuffle_bytes_within_budget(spark):
         )
 
 
-def test_theta_sketch_uses_take_ordered(spark):
-    """The per-half k-smallest in sketch_theta_overlap must plan as
-    TakeOrdered (bounded per-partition state, map-side partial top-k) —
-    a full per-half sort would be the 100 TB regression."""
+def test_theta_sketch_bounds_topk_state(spark):
+    """The per-half k-smallest in sketch_theta_overlap must plan with
+    bounded per-partition state — WindowGroupLimit (rank<=k pushed into
+    the shuffle) — and the corpus scan must appear at most twice (the
+    presence-matrix pass + the sketch pass); the first draft's scalar
+    subqueries re-derived it six times."""
     plan = formatted_plan(SPECS["sketch_theta_overlap"].fn(spark, SF_DIR))
-    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    assert plan.count("documents.parquet") <= 4, plan[:2000]
 
 
 def test_acf_lag_join_is_not_cartesian(spark):
