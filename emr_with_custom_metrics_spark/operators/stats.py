@@ -417,22 +417,6 @@ def stats_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFram
 # (scaled by 2^32, exact integer compares) — so both engines materialize
 # identical weights and the CI hash-verifies.
 
-_HEX = "0123456789abcdef"
-
-
-def _nib(key: str, i: int) -> str:
-    return f"(instr('{_HEX}', substring({key}, {i}, 1)) - 1)"
-
-
-def _h32(key: str) -> str:
-    return (
-        f"(CAST({_nib(key, 1)} AS BIGINT) * 268435456"
-        f" + {_nib(key, 2)} * 16777216 + {_nib(key, 3)} * 1048576"
-        f" + {_nib(key, 4)} * 65536 + {_nib(key, 5)} * 4096"
-        f" + {_nib(key, 6)} * 256 + {_nib(key, 7)} * 16 + {_nib(key, 8)})"
-    )
-
-
 # Poisson(1) CDF * 2^32, k = 0..6 (beyond 6: weight 7, p ~ 1e-5)
 _POIS_THRESH = (
     1580030169, 3160060337, 3950075422, 4213413783,
