@@ -831,3 +831,170 @@ def inventory_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("lineitem",))
     return spark.sql(_ABC_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Rolling active users (DAU / WAU / MAU + stickiness)
+# ---------------------------------------------------------------------------
+# The exact rolling-distinct problem, solved WITHOUT a windowed
+# COUNT(DISTINCT) (not partial-aggregable) and WITHOUT a day x trailing-window
+# self-join (w-fold row blowup): each user's active days merge into covered
+# INTERVALS ([a, a+w-1] unioned; gaps <= w-1 fuse), every interval becomes a
+# +1/-1 diff pair, and the rolling active count is the running sum of diffs
+# over the day spine — the sweep-line/difference-array trick. Shuffles carry
+# (user, day) distinct pairs and day-sized diff aggregates; the final cumsum
+# runs over the ~30-row spine.
+
+_AU_CORE = """
+    , ud AS (
+        SELECT DISTINCT user_id, day FROM activity
+    ), dau AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day
+    ), gaps7 AS (
+        SELECT user_id, day,
+               CASE WHEN day - LAG(day) OVER (PARTITION BY user_id
+                        ORDER BY day) <= 6 THEN 0 ELSE 1 END AS brk
+        FROM ud
+    ), isl7 AS (
+        SELECT user_id, day,
+               CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS isl
+        FROM gaps7
+    ), iv7 AS (
+        SELECT user_id, isl, MIN(day) AS s, MAX(day) + 7 AS e
+        FROM isl7 GROUP BY user_id, isl
+    ), diffs7 AS (
+        SELECT day, CAST(SUM(delta) AS BIGINT) AS delta FROM (
+            SELECT s AS day, 1 AS delta FROM iv7
+            UNION ALL SELECT e AS day, -1 FROM iv7
+        ) d GROUP BY day
+    ), gaps30 AS (
+        SELECT user_id, day,
+               CASE WHEN day - LAG(day) OVER (PARTITION BY user_id
+                        ORDER BY day) <= 29 THEN 0 ELSE 1 END AS brk
+        FROM ud
+    ), isl30 AS (
+        SELECT user_id, day,
+               CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS isl
+        FROM gaps30
+    ), iv30 AS (
+        SELECT user_id, isl, MIN(day) AS s, MAX(day) + 30 AS e
+        FROM isl30 GROUP BY user_id, isl
+    ), diffs30 AS (
+        SELECT day, CAST(SUM(delta) AS BIGINT) AS delta FROM (
+            SELECT s AS day, 1 AS delta FROM iv30
+            UNION ALL SELECT e AS day, -1 FROM iv30
+        ) d GROUP BY day
+    ), rolled AS (
+        SELECT sp.day,
+               COALESCE(d1.dau, CAST(0 AS BIGINT)) AS dau,
+               CAST(SUM(COALESCE(d7.delta, 0)) OVER (ORDER BY sp.day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS wau,
+               CAST(SUM(COALESCE(d30.delta, 0)) OVER (ORDER BY sp.day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS mau
+        FROM spine sp
+        LEFT JOIN dau d1 ON sp.day = d1.day
+        LEFT JOIN diffs7 d7 ON sp.day = d7.day
+        LEFT JOIN diffs30 d30 ON sp.day = d30.day
+    )
+    SELECT day, dau, wau, mau,
+           CAST(ROUND(CAST(dau AS DOUBLE) / mau * 1000000) AS BIGINT)
+               AS stickiness_e6
+    FROM rolled
+"""
+
+_AU_SPARK = (
+    """
+    WITH activity AS (
+        SELECT user_id,
+               CAST(FLOOR(unix_timestamp(ts) / 86400) AS BIGINT) AS day
+        FROM events
+    ), bounds AS (
+        SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM activity
+    ), spine AS (
+        SELECT explode(sequence(b.dmin, b.dmax)) AS day FROM bounds b
+    )
+"""
+    + _AU_CORE
+)
+
+_AU_DUCK = (
+    """
+    WITH activity AS (
+        SELECT user_id,
+               CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day
+        FROM events
+    ), bounds AS (
+        SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM activity
+    ), spine AS (
+        SELECT UNNEST(generate_series(b.dmin, b.dmax)) AS day FROM bounds b
+    )
+"""
+    + _AU_CORE
+)
+
+
+@register(
+    "events_active_users_rolling",
+    oracle=_AU_DUCK,
+    doc="Exact DAU / trailing-7-day WAU / trailing-30-day MAU and "
+    "DAU/MAU stickiness per day — the product-analytics headline "
+    "metrics — via the sweep-line difference-array decomposition: each "
+    "user's active days fuse into covered intervals (gap <= w-1 merges), "
+    "every interval emits a +1/-1 diff pair, and rolling actives are the "
+    "running sum of day-aggregated diffs over the dense day spine. No "
+    "windowed COUNT(DISTINCT) (not partial-aggregable) and no day x "
+    "window self-join (w-fold blowup): shuffles carry (user, day) pairs "
+    "and day-sized diffs; the cumsum runs over ~30 spine rows. "
+    "Cross-checked against a brute-force trailing-window recompute in "
+    "tests.",
+)
+def events_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emr_with_custom_metrics_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_AU_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# Top user journeys (3-step path mining)
+# ---------------------------------------------------------------------------
+
+_PATHS_SQL = """
+    WITH seq AS (
+        SELECT user_id, event_type AS e1,
+               LEAD(event_type, 1) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS e2,
+               LEAD(event_type, 2) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS e3
+        FROM events
+    ), paths AS (
+        SELECT concat(e1, '>', e2, '>', e3) AS path
+        FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM paths GROUP BY path
+    ORDER BY n_occurrences DESC, path LIMIT 10
+"""
+
+
+@register(
+    "events_path_topk",
+    oracle=_PATHS_SQL,
+    doc="Top-10 three-step user journeys (path mining, the Sankey-diagram "
+    "feed): two LEADs over each user's time-ordered stream (event_id "
+    "tie-break), path strings counted corpus-wide. One window pass "
+    "partitioned by user + one path-keyed aggregate — at 100 TB the "
+    "shuffle carries 125 distinct path keys with partial counts. One "
+    "shared Spark/DuckDB template.",
+)
+def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emr_with_custom_metrics_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_PATHS_SQL)

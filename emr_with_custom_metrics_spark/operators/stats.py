@@ -923,3 +923,47 @@ _CUPED_TTEST_SQL = f"""
 def e2e_ab_cuped_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_CUPED_TTEST_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Sample-ratio-mismatch (SRM) guardrail
+# ---------------------------------------------------------------------------
+
+_SRM_SQL = f"""
+    WITH per_user AS (
+        SELECT DISTINCT user_id, {_ARM} AS arm FROM events
+    ), counts AS (
+        SELECT
+            CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_a,
+            CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_b
+        FROM per_user
+    )
+    SELECT n_a, n_b,
+           CAST(ROUND(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                / (n_a + n_b) * 1000000) AS BIGINT) AS chi2_e6,
+           (n_a - n_b) * (n_a - n_b) * 1000000 > 3841459 * (n_a + n_b)
+               AS srm_detected
+    FROM counts
+"""
+
+
+@register(
+    "stats_srm_check",
+    oracle=_SRM_SQL,
+    doc="Sample-ratio-mismatch guardrail — the check every experimentation "
+    "platform runs BEFORE reading any test result: chi-square "
+    "goodness-of-fit of the observed arm sizes against the designed "
+    "50/50 split, which for two equal-expected cells collapses to "
+    "(n_a - n_b)^2 / n — an exact integer ratio, with the 1-df 5% "
+    "critical value (3.841459) applied as an integer "
+    "cross-multiplication so the flag never touches a float. An md5 "
+    "assignment function cannot actually fail this (that is the point "
+    "of deterministic bucketing); a triggered flag in production means "
+    "logging loss or assignment drift, not chance. One distinct + one "
+    "2-cell reduce.",
+)
+def stats_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_SRM_SQL)

@@ -322,6 +322,7 @@ _DRIVER_PRIORITY = (
     "timeseries_autocorrelation", "text_zipf_fit",
     "customer_rfm_segments", "inventory_pareto_abc",
     "stats_anova_oneway", "stats_proportion_ztest", "e2e_ab_cuped_ttest",
+    "events_active_users_rolling", "events_path_topk", "stats_srm_check",
 )
 _PRIORITY_RANK = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
 

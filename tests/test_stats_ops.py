@@ -564,3 +564,54 @@ def test_cuped_ttest_adjustment_reduces_variance(duck, events_pdf):
         )
         row = got[got.event_type == etype].iloc[0]
         assert abs(row.t_raw_e6 / 1e6 - t) < 1e-4, etype
+
+
+def test_active_users_rolling_matches_bruteforce(duck, events_pdf):
+    from emr_with_custom_metrics_spark.operators.analytics import _AU_DUCK
+
+    got = duck.sql(_AU_DUCK).df().set_index("day").sort_index()
+    ev = events_pdf.copy()
+    ev["day"] = ((ev.ts - pd.Timestamp(0)) // pd.Timedelta(days=1)).astype(
+        "int64"
+    )
+    pairs = ev[["user_id", "day"]].drop_duplicates()
+    days = np.arange(ev.day.min(), ev.day.max() + 1)
+    assert list(got.index) == list(days)
+    for d in days:
+        row = got.loc[d]
+        assert row.dau == pairs[pairs.day == d].user_id.nunique()
+        wau = pairs[(pairs.day >= d - 6) & (pairs.day <= d)].user_id.nunique()
+        mau = pairs[(pairs.day >= d - 29) & (pairs.day <= d)].user_id.nunique()
+        assert row.wau == wau, d
+        assert row.mau == mau, d
+        assert row.stickiness_e6 == round(row.dau / mau * 1e6)
+
+
+def test_path_topk_matches_pandas(duck, events_pdf):
+    from emr_with_custom_metrics_spark.operators.analytics import _PATHS_SQL
+
+    got = duck.sql(_PATHS_SQL).df()
+    ev = events_pdf.sort_values(["user_id", "ts", "event_id"])
+    g = ev.groupby("user_id").event_type
+    paths = (
+        ev.event_type + ">" + g.shift(-1) + ">" + g.shift(-2)
+    ).dropna()
+    counts = paths.value_counts()
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(got.path) == [p for p, _ in top]
+    assert list(got.n_occurrences) == [c for _, c in top]
+
+
+def test_srm_check_matches_recompute(duck, events_pdf):
+    from emr_with_custom_metrics_spark.operators.stats import _SRM_SQL
+
+    got = duck.sql(_SRM_SQL).df().iloc[0]
+    users = events_pdf.user_id.unique()
+    na = sum(1 for u in users if _md5_nibble(f"ab|{u}") < 8)
+    nb = len(users) - na
+    chi2 = (na - nb) ** 2 / (na + nb)
+    assert (got.n_a, got.n_b) == (na, nb)
+    assert abs(got.chi2_e6 / 1e6 - chi2) < 2e-6
+    assert bool(got.srm_detected) == (chi2 > 3.841459)
+    # deterministic md5 bucketing on this population must NOT trip SRM
+    assert not got.srm_detected
