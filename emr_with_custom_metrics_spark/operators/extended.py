@@ -1060,3 +1060,164 @@ def transpose_priority_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderpriority")
     )
     return agg.transpose()
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 SQL-defined functions + scripting (round 8 surface wave)
+# ---------------------------------------------------------------------------
+
+_SQL_UDF_ORACLE = """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2))), 2) * 100
+                AS BIGINT)) AS BIGINT) AS net_revenue_c
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register(
+    "sql_udf_scalar_function",
+    oracle=_SQL_UDF_ORACLE,
+    doc="SQL-defined scalar UDF (Spark 4: CREATE TEMPORARY FUNCTION ... "
+    "RETURNS ... RETURN <expr>): the net-price rule is declared ONCE as "
+    "a catalog function and reused by name — unlike a Python UDF the "
+    "body is a Catalyst expression, so it inlines into whole-stage "
+    "codegen with zero serialization boundary (the fast path the UDF "
+    "category doc warns python_udf_scalar is not). DECIMAL-exact price "
+    "math per the round-1 rule; the oracle inlines the same expression "
+    "(DuckDB macros can't be created inside the driver's single-"
+    "statement oracle, and the CONTRACT is the answer, not the DDL).",
+)
+def sql_udf_scalar_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("lineitem",))
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION net_price_c(p DOUBLE, d DOUBLE)
+        RETURNS BIGINT
+        RETURN CAST(ROUND(CAST(p AS DECIMAL(12,2))
+                    * (1 - CAST(d AS DECIMAL(12,2))), 2) * 100 AS BIGINT)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(net_price_c(l_extendedprice, l_discount)) AS BIGINT)
+                   AS net_revenue_c
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
+
+
+_SQL_TVF_ORACLE = """
+    SELECT o_orderstatus, o_orderkey, rnk FROM (
+        SELECT o_orderstatus, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM orders
+    ) r WHERE rnk <= 5
+"""
+
+
+@register(
+    "sql_udf_table_function",
+    oracle=_SQL_TVF_ORACLE,
+    doc="SQL-defined TABLE function (Spark 4: CREATE TEMPORARY FUNCTION "
+    "... RETURNS TABLE(...) RETURN <query>): a parameterized top-N-by-"
+    "status view invoked per status in the FROM clause — the catalog-"
+    "function twin of the LATERAL pattern (sql_lateral_topn), with the "
+    "parameter bound at call sites instead of correlated. Three calls "
+    "union to the same answer as one ranked window; deterministic "
+    "orderkey tie-break.",
+)
+def sql_udf_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders",))
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION top_orders(status STRING)
+        RETURNS TABLE(o_orderstatus STRING, o_orderkey BIGINT, rnk INT)
+        RETURN SELECT o_orderstatus, o_orderkey,
+                      CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC,
+                           o_orderkey) AS INT) AS rnk
+               FROM orders WHERE o_orderstatus = status
+               ORDER BY rnk LIMIT 5
+        """
+    )
+    return spark.sql(
+        """
+        SELECT * FROM top_orders('F')
+        UNION ALL SELECT * FROM top_orders('O')
+        UNION ALL SELECT * FROM top_orders('P')
+        """
+    )
+
+
+@register(
+    "sql_listagg_within_group",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus)
+               AS statuses,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="listagg(DISTINCT ... ) WITHIN GROUP (ORDER BY ...) — the ISO "
+    "ordered string aggregation added in Spark 4.0. The WITHIN GROUP "
+    "ordering is what makes the output deterministic and therefore "
+    "hash-verifiable (an unordered listagg would be partition-layout-"
+    "dependent — the same hazard collect_list has, solved the same "
+    "way agg_collect_ordered solves it). DuckDB spells the identical "
+    "semantics string_agg(DISTINCT ... ORDER BY ...).",
+)
+def sql_listagg_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               listagg(DISTINCT o_orderstatus, '|')
+                   WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "sql_scripting_block",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_large,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                AS BIGINT)) AS BIGINT) AS total_c
+    FROM orders
+    WHERE o_totalprice > (SELECT 1.5 * AVG(o_totalprice) FROM orders)
+    GROUP BY o_orderpriority
+    """,
+    doc="SQL scripting (Spark 4.0 BEGIN ... END): a DECLAREd session "
+    "variable captures the data-derived threshold (1.5x the mean order "
+    "value) and the final statement — whose result is the block's "
+    "result — filters with it. The procedural surface DBAs migrate "
+    "stored procedures onto; semantically identical to the scalar-"
+    "subquery form the oracle uses, which is the point: the script is "
+    "control flow, not new physics. Variable references compile to "
+    "literals at bind time, so the final query plan is an ordinary "
+    "filtered aggregate with full pushdown.",
+)
+def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE threshold DOUBLE;
+          SET threshold = (SELECT 1.5 * AVG(o_totalprice) FROM orders);
+          SELECT o_orderpriority,
+                 CAST(COUNT(*) AS BIGINT) AS n_large,
+                 CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                      AS BIGINT)) AS BIGINT) AS total_c
+          FROM orders
+          WHERE o_totalprice > threshold
+          GROUP BY o_orderpriority;
+        END
+        """
+    )

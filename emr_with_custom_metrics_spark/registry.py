@@ -323,6 +323,9 @@ _DRIVER_PRIORITY = (
     "customer_rfm_segments", "inventory_pareto_abc",
     "stats_anova_oneway", "stats_proportion_ztest", "e2e_ab_cuped_ttest",
     "events_active_users_rolling", "events_path_topk", "stats_srm_check",
+    # Spark-4 SQL surface demos — thin tier, deliberately last in the head
+    "sql_udf_scalar_function", "sql_udf_table_function",
+    "sql_listagg_within_group", "sql_scripting_block",
 )
 _PRIORITY_RANK = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
 

@@ -615,3 +615,18 @@ def test_srm_check_matches_recompute(duck, events_pdf):
     assert bool(got.srm_detected) == (chi2 > 3.841459)
     # deterministic md5 bucketing on this population must NOT trip SRM
     assert not got.srm_detected
+
+
+def test_sql_scripting_threshold_selects_rows(duck):
+    """Regression pin for the wave-7 gotcha: the scripting block's
+    data-derived threshold must actually select rows at this SF — a
+    zero-row hash match is a vacuous green (the first draft's 2x-mean
+    threshold sat above the data's maximum)."""
+    from emr_with_custom_metrics_spark.operators.extended import (
+        sql_scripting_block,  # noqa: F401 — import proves registration
+    )
+    from emr_with_custom_metrics_spark import registry
+
+    oracle = registry.all_specs()["sql_scripting_block"].oracle
+    got = duck.sql(oracle).df()
+    assert got.n_large.sum() > 0
