@@ -630,3 +630,19 @@ def test_sql_scripting_threshold_selects_rows(duck):
     oracle = registry.all_specs()["sql_scripting_block"].oracle
     got = duck.sql(oracle).df()
     assert got.n_large.sum() > 0
+
+
+def test_driver_priority_names_are_registered():
+    """A typo in _DRIVER_PRIORITY or _DRIVER_VERIFIED silently demotes a
+    query out of (or into) the driver's ~50-row verification budget —
+    make registry bookkeeping loud instead."""
+    from emr_with_custom_metrics_spark import registry
+
+    specs = registry.all_specs()
+    assert [n for n in registry._DRIVER_PRIORITY if n not in specs] == []
+    assert [n for n in registry._DRIVER_VERIFIED if n not in specs] == []
+    assert len(set(registry._DRIVER_PRIORITY)) == len(registry._DRIVER_PRIORITY)
+    # never-verified queries must all sit inside the explicit head
+    unverified = [n for n in specs if n not in registry._DRIVER_VERIFIED]
+    stray = [n for n in unverified if n not in registry._PRIORITY_RANK]
+    assert stray == [], stray
