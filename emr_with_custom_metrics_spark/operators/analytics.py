@@ -908,12 +908,17 @@ _AU_CORE = """
     FROM rolled
 """
 
+# Spark side reads the STAGED distinct-(user, day) temp view: the CORE
+# references the activity set from three consumers (dau + the two island
+# passes), and Spark inlines WITH-chains per reference — un-staged, the
+# events scan + distinct shuffle ran three times (observed in the plan).
+# The localCheckpoint truncates lineage so each reference re-reads the
+# materialized pairs instead. DuckDB materializes CTEs, so the oracle
+# keeps the single-statement form.
 _AU_SPARK = (
     """
     WITH activity AS (
-        SELECT user_id,
-               CAST(FLOOR(unix_timestamp(ts) / 86400) AS BIGINT) AS day
-        FROM events
+        SELECT user_id, day FROM au_user_days
     ), bounds AS (
         SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM activity
     ), spine AS (
@@ -955,9 +960,16 @@ _AU_DUCK = (
     "tests.",
 )
 def events_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from emr_with_custom_metrics_spark.catalog import register_views
-
-    register_views(spark, sf_dir, ("events",))
+    ev = load_table(spark, sf_dir, "events")
+    ud = (
+        ev.select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+        )
+        .distinct()
+        .localCheckpoint()  # 3 CORE consumers; see _AU_SPARK note
+    )
+    ud.createOrReplaceTempView("au_user_days")
     return spark.sql(_AU_SPARK)
 
 

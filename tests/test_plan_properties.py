@@ -150,6 +150,11 @@ def test_no_driver_side_collect_in_query_modules():
             # checkpointed behind a temp view — the staged-execution fix
             # measured 6-10 s -> <0.3 s exec (round-7 notes)
             "llm/unigram.py",
+            # Rolling-active-users: the distinct (user, day) set feeds
+            # THREE core consumers (dau + the 7/30-day island passes);
+            # un-staged, WITH-inlining re-ran the events scan + distinct
+            # shuffle per consumer
+            "operators/analytics.py",
         },
     }
     offenders = []
