@@ -34,8 +34,13 @@ from emr_with_custom_metrics_spark.registry import register
 # ---------------------------------------------------------------------------
 # RAKE
 # ---------------------------------------------------------------------------
-# Shared tail: everything after a (doc_id, pos, tok) token stream exists.
-_RAKE_TAIL = """
+# Shared head: from a (doc_id, pos, tok) token stream to flagged
+# segmented tokens. The token stream is referenced twice (stoplist +
+# flagging) — the linear map-side cost, accepted and bounded; everything
+# BELOW seg is staged on the Spark side because seg feeds both the
+# word-statistics pass and the phrase-text assembly (WITH-inlining would
+# re-run tokenize + window per consumer).
+_RAKE_SEG = """
     , stop AS (
         SELECT tok FROM (
             SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
@@ -50,7 +55,11 @@ _RAKE_TAIL = """
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS BIGINT) AS seg_id
         FROM flagged
-    ), phrase_words AS (
+    )
+"""
+
+_RAKE_TAIL = """
+    , phrase_words AS (
         SELECT doc_id, seg_id, pos, tok,
                COUNT(*) OVER (PARTITION BY doc_id, seg_id) AS phrase_len
         FROM seg WHERE is_stop = 0
@@ -85,7 +94,15 @@ _RAKE_TAIL = """
     FROM best ORDER BY score_e6 DESC, phrase LIMIT 15
 """
 
-_RAKE_SPARK = (
+_AGG_PHRASE_SPARK = """(
+        SELECT doc_id, seg_id,
+               concat_ws(' ', transform(array_sort(collect_list(
+                   struct(pos, tok))), s -> s.tok)) AS phrase
+        FROM (SELECT doc_id, seg_id, pos, tok FROM seg WHERE is_stop = 0) z
+        GROUP BY doc_id, seg_id
+    )"""
+
+_RAKE_HEAD_SPARK = (
     """
     WITH raw AS (
         SELECT doc_id, split(text, ' ') AS t FROM documents
@@ -94,16 +111,8 @@ _RAKE_SPARK = (
         FROM raw LATERAL VIEW posexplode(t) x AS pos, tok
     )
 """
-    + _RAKE_TAIL.replace(
-        "agg_phrase",
-        """(
-        SELECT doc_id, seg_id,
-               concat_ws(' ', transform(array_sort(collect_list(
-                   struct(pos, tok))), s -> s.tok)) AS phrase
-        FROM (SELECT doc_id, seg_id, pos, tok FROM seg WHERE is_stop = 0) z
-        GROUP BY doc_id, seg_id
-    )""",
-    )
+    + _RAKE_SEG
+    + "SELECT doc_id, pos, tok, is_stop, seg_id FROM seg"
 )
 
 _RAKE_DUCK = (
@@ -116,6 +125,7 @@ _RAKE_DUCK = (
              i -> {'pos': i, 'tok': t[i]})) AS x(u)
     )
 """
+    + _RAKE_SEG
     + _RAKE_TAIL.replace(
         "agg_phrase",
         """(
@@ -144,17 +154,20 @@ _RAKE_DUCK = (
 )
 def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("documents",))
-    return spark.sql(_RAKE_SPARK)
+    spark.sql(_RAKE_HEAD_SPARK).localCheckpoint().createOrReplaceTempView(
+        "st_rake_seg"
+    )
+    return spark.sql(
+        "WITH seg AS (SELECT * FROM st_rake_seg)"
+        + _RAKE_TAIL.replace("agg_phrase", _AGG_PHRASE_SPARK)
+    )
 
 
 # ---------------------------------------------------------------------------
 # Dunning log-likelihood ratio collocations
 # ---------------------------------------------------------------------------
-_LLR_TAIL = """
-    , bg AS (
-        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS k11
-        FROM bigrams GROUP BY w1, w2
-    ), r AS (
+_LLR_POST = """
+    , r AS (
         SELECT w1, CAST(SUM(k11) AS BIGINT) AS r1 FROM bg GROUP BY w1
     ), c AS (
         SELECT w2, CAST(SUM(k11) AS BIGINT) AS c1 FROM bg GROUP BY w2
@@ -181,8 +194,10 @@ _LLR_TAIL = """
     FROM llr ORDER BY llr_e4 DESC, w1, w2 LIMIT 20
 """
 
-_LLR_SPARK = (
-    """
+# Spark stages the bigram-count table: the marginals (r, c, n) and the
+# cells join all reference bg, and WITH-inlining would re-run the
+# tokenize + explode + aggregate chain per reference.
+_LLR_BG_SPARK = """
     WITH tok AS (
         SELECT doc_id, split(text, ' ') AS toks FROM documents
         WHERE size(split(text, ' ')) >= 2
@@ -192,9 +207,9 @@ _LLR_SPARK = (
                                element_at(toks, i + 1) AS w2))) AS b
         FROM tok
     ), bigrams2 AS (SELECT b.w1 AS w1, b.w2 AS w2 FROM bigrams)
+    SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS k11
+    FROM bigrams2 GROUP BY w1, w2
 """
-    + _LLR_TAIL.replace("FROM bigrams GROUP BY", "FROM bigrams2 GROUP BY")
-)
 
 _LLR_DUCK = (
     """
@@ -205,9 +220,13 @@ _LLR_DUCK = (
         SELECT UNNEST(list_transform(range(1, len(toks)),
                    i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS b
         FROM tok
-    ), bigrams2 AS (SELECT b.w1 AS w1, b.w2 AS w2 FROM bigrams)
+    ), bigrams2 AS (SELECT b.w1 AS w1, b.w2 AS w2 FROM bigrams
+    ), bg AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS k11
+        FROM bigrams2 GROUP BY w1, w2
+    )
 """
-    + _LLR_TAIL.replace("FROM bigrams GROUP BY", "FROM bigrams2 GROUP BY")
+    + _LLR_POST
 )
 
 
@@ -226,7 +245,10 @@ _LLR_DUCK = (
 )
 def text_collocation_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("documents",))
-    return spark.sql(_LLR_SPARK)
+    spark.sql(_LLR_BG_SPARK).localCheckpoint().createOrReplaceTempView(
+        "st_llr_bg"
+    )
+    return spark.sql("WITH bg AS (SELECT * FROM st_llr_bg)" + _LLR_POST)
 
 
 # ---------------------------------------------------------------------------

@@ -102,14 +102,17 @@ def stats_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_TTEST_SQL)
 
 
-_CHI2_SQL = """
-    WITH obs AS (
-        SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY lang, source
-    ), cells AS (
+# Everything derives from the 100-cell `obs` aggregate — the raw table is
+# scanned ONCE (the first draft's grid/dims subqueries each re-scanned
+# documents; SUM(o) over obs equals COUNT(*) over documents, and the
+# distinct category sets are obs's key columns). Spark stages obs behind
+# a localCheckpoint because the tail references it three times.
+_CHI2_TAIL = """
+    , cells AS (
         SELECT g.lang, g.source, COALESCE(o.o, CAST(0 AS BIGINT)) AS o
         FROM (SELECT l.lang, s.source
-              FROM (SELECT DISTINCT lang FROM documents) l
-              CROSS JOIN (SELECT DISTINCT source FROM documents) s) g
+              FROM (SELECT DISTINCT lang FROM obs) l
+              CROSS JOIN (SELECT DISTINCT source FROM obs) s) g
         LEFT JOIN obs o ON g.lang = o.lang AND g.source = o.source
     ), tot AS (
         SELECT c.lang, c.source, c.o,
@@ -130,8 +133,8 @@ _CHI2_SQL = """
     ), dims AS (
         SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) AS nr,
                CAST(COUNT(DISTINCT source) AS BIGINT) AS nc,
-               CAST(COUNT(*) AS BIGINT) AS n
-        FROM documents
+               CAST(SUM(o) AS BIGINT) AS n
+        FROM obs
     ), total AS (
         SELECT CAST(SUM(cell_chi_e9) AS BIGINT) AS chi2_e9 FROM q
     )
@@ -143,6 +146,11 @@ _CHI2_SQL = """
                AS BIGINT) AS cramers_v_e6
     FROM q CROSS JOIN total t CROSS JOIN dims d
 """
+
+_CHI2_OBS = (
+    "SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY lang, source"
+)
+_CHI2_SQL = f"WITH obs AS ({_CHI2_OBS})" + _CHI2_TAIL
 
 
 @register(
@@ -162,7 +170,8 @@ _CHI2_SQL = """
 )
 def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("documents",))
-    return spark.sql(_CHI2_SQL)
+    spark.sql(_CHI2_OBS).localCheckpoint().createOrReplaceTempView("st_chi_obs")
+    return spark.sql("WITH obs AS (SELECT * FROM st_chi_obs)" + _CHI2_TAIL)
 
 
 # ---------------------------------------------------------------------------
@@ -173,9 +182,7 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # generate_series — both produce the same BIGINT hour range).
 
 _DECOMP_CORE = """
-    , counts AS (
-        SELECT event_type, h, COUNT(*) AS cnt FROM hours GROUP BY event_type, h
-    ), dense AS (
+    , dense AS (
         SELECT s.event_type, s.h, COALESCE(c.cnt, CAST(0 AS BIGINT)) AS c
         FROM spine s LEFT JOIN counts c
           ON s.event_type = c.event_type AND s.h = c.h
@@ -207,41 +214,59 @@ _DECOMP_CORE = """
       ON d.event_type = s.event_type AND d.h % 24 = s.hod
 """
 
-# Dense per-(series, hour) spine — the ONLY dialect-specific fragment in
-# the decomposition family (Spark sequence() vs DuckDB generate_series);
-# shared by the decomposition, the residual anomaly screen, and the ACF.
-_SPINE_SPARK = """
-    WITH hours AS (
-        SELECT event_type,
-               CAST(FLOOR(unix_timestamp(ts) / 3600) AS BIGINT) AS h
-        FROM events
-    ), bounds AS (
-        SELECT MIN(h) AS hmin, MAX(h) AS hmax FROM hours
+# The decomposition family scans EVENTS exactly once: the first reduction
+# (per-(series, hour) counts) is computed up front and every other CTE —
+# bounds, the series list, the dense spine — derives from the counts,
+# never from the raw table. The Spark side additionally STAGES the counts
+# behind a localCheckpoint + temp view (`st_hour_counts`): the core
+# references counts three times and Spark inlines WITH-chains per
+# reference, so the un-staged plan re-ran the events scan per consumer
+# (the rolling-actives lesson). DuckDB materializes CTEs, so the oracle
+# keeps the single-statement form with the counts CTE first.
+_COUNTS_SPARK = """
+    SELECT event_type,
+           CAST(FLOOR(unix_timestamp(ts) / 3600) AS BIGINT) AS h,
+           COUNT(*) AS cnt
+    FROM events GROUP BY event_type, CAST(FLOOR(unix_timestamp(ts) / 3600) AS BIGINT)
+"""
+
+_SPINE_FROM_COUNTS_SPARK = """
+    WITH counts AS (
+        SELECT event_type, h, cnt FROM st_hour_counts
     ), spine AS (
         SELECT t.event_type, g.h
-        FROM (SELECT DISTINCT event_type FROM hours) t
+        FROM (SELECT DISTINCT event_type FROM counts) t
         CROSS JOIN (SELECT explode(sequence(b.hmin, b.hmax)) AS h
-                    FROM bounds b) g
+                    FROM (SELECT MIN(h) AS hmin, MAX(h) AS hmax
+                          FROM counts) b) g
     )
 """
 
-_SPINE_DUCK = """
-    WITH hours AS (
+_SPINE_FROM_COUNTS_DUCK = """
+    WITH counts AS (
         SELECT event_type,
-               CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS h
-        FROM events
-    ), bounds AS (
-        SELECT MIN(h) AS hmin, MAX(h) AS hmax FROM hours
+               CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS h,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
     ), spine AS (
         SELECT t.event_type, g.h
-        FROM (SELECT DISTINCT event_type FROM hours) t
+        FROM (SELECT DISTINCT event_type FROM counts) t
         CROSS JOIN (SELECT UNNEST(generate_series(b.hmin, b.hmax)) AS h
-                    FROM bounds b) g
+                    FROM (SELECT MIN(h) AS hmin, MAX(h) AS hmax
+                          FROM counts) b) g
     )
 """
 
-_DECOMP_SPARK = _SPINE_SPARK + _DECOMP_CORE
-_DECOMP_DUCK = _SPINE_DUCK + _DECOMP_CORE
+
+def _stage_hour_counts(spark: SparkSession, sf_dir: str) -> None:
+    register_views(spark, sf_dir, ("events",))
+    spark.sql(_COUNTS_SPARK).localCheckpoint().createOrReplaceTempView(
+        "st_hour_counts"
+    )
+
+
+_DECOMP_SPARK = _SPINE_FROM_COUNTS_SPARK + _DECOMP_CORE
+_DECOMP_DUCK = _SPINE_FROM_COUNTS_DUCK + _DECOMP_CORE
 
 
 @register(
@@ -262,7 +287,7 @@ _DECOMP_DUCK = _SPINE_DUCK + _DECOMP_CORE
     "rows — the pre-aggregated density, never events.",
 )
 def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir, ("events",))
+    _stage_hour_counts(spark, sf_dir)
     return spark.sql(_DECOMP_SPARK)
 
 
@@ -555,9 +580,6 @@ _ANOM_TAIL = """
     FROM top WHERE rn <= 10
 """
 
-_ANOM_SPARK = (
-    "WITH decomp AS (" + _DECOMP_SPARK + ")" + _ANOM_TAIL
-)
 _ANOM_DUCK = (
     "WITH decomp AS (" + _DECOMP_DUCK + ")" + _ANOM_TAIL
 )
@@ -576,8 +598,12 @@ _ANOM_DUCK = (
     "extra metric-sized reduce + a top-k window over the hourly density.",
 )
 def anomaly_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir, ("events",))
-    return spark.sql(_ANOM_SPARK)
+    # Stage the full decomposition once: _ANOM_TAIL references it from
+    # both the residual-moments reduce and the z projection, and the
+    # decomposition itself is the expensive subtree.
+    dec = timeseries_seasonal_decompose(spark, sf_dir).localCheckpoint()
+    dec.createOrReplaceTempView("st_decomp")
+    return spark.sql("WITH decomp AS (SELECT * FROM st_decomp)" + _ANOM_TAIL)
 
 
 # ---------------------------------------------------------------------------
@@ -643,9 +669,7 @@ def stats_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 # table is a 24-row broadcast.
 
 _ACF_CORE = """
-    , counts AS (
-        SELECT event_type, h, COUNT(*) AS cnt FROM hours GROUP BY event_type, h
-    ), dense AS (
+    , dense AS (
         SELECT s.event_type, s.h, COALESCE(c.cnt, CAST(0 AS BIGINT)) AS c
         FROM spine s LEFT JOIN counts c
           ON s.event_type = c.event_type AND s.h = c.h
@@ -676,12 +700,12 @@ _ACF_CORE = """
 """
 
 _ACF_SPARK = (
-    _SPINE_SPARK
+    _SPINE_FROM_COUNTS_SPARK
     + ", lags AS (SELECT explode(sequence(1, 24)) AS lag)"
     + _ACF_CORE
 )
 _ACF_DUCK = (
-    _SPINE_DUCK
+    _SPINE_FROM_COUNTS_DUCK
     + ", lags AS (SELECT UNNEST(generate_series(1, 24)) AS lag)"
     + _ACF_CORE
 )
@@ -701,7 +725,7 @@ _ACF_DUCK = (
     "broadcast lags table — no per-lag window scan.",
 )
 def timeseries_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir, ("events",))
+    _stage_hour_counts(spark, sf_dir)
     return spark.sql(_ACF_SPARK)
 
 
@@ -836,22 +860,28 @@ def stats_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # End-to-end experiment readout: CUPED-adjusted Welch t per metric
 # ---------------------------------------------------------------------------
 
-_CUPED_TTEST_SQL = f"""
+# The user-grain table feeds both the pooled-theta reduce and the
+# adjustment join; Spark stages it (WITH-inlining would re-run the events
+# scan + groupBy per reference), the DuckDB oracle keeps one statement.
+_CUPED_USER_SQL = f"""
     WITH q AS (
         SELECT user_id, event_type,
                CAST(ROUND(value * 100) AS BIGINT) AS v_e2,
                CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 0 ELSE 1 END
                    AS is_post
         FROM events
-    ), per_user AS (
-        SELECT event_type, user_id,
-               {_ARM} AS arm,
-               CAST(SUM(CASE WHEN is_post = 0 THEN v_e2 ELSE 0 END)
-                   AS BIGINT) AS x,
-               CAST(SUM(CASE WHEN is_post = 1 THEN v_e2 ELSE 0 END)
-                   AS BIGINT) AS y
-        FROM q GROUP BY event_type, user_id
-    ), pool AS (
+    )
+    SELECT event_type, user_id,
+           {_ARM} AS arm,
+           CAST(SUM(CASE WHEN is_post = 0 THEN v_e2 ELSE 0 END)
+               AS BIGINT) AS x,
+           CAST(SUM(CASE WHEN is_post = 1 THEN v_e2 ELSE 0 END)
+               AS BIGINT) AS y
+    FROM q GROUP BY event_type, user_id, {_ARM}
+"""
+
+_CUPED_TT_TAIL = """
+    , pool AS (
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS nu,
                CAST(SUM(x) AS BIGINT) AS sx,
@@ -906,6 +936,10 @@ _CUPED_TTEST_SQL = f"""
     FROM wide
 """
 
+_CUPED_TTEST_SQL = (
+    f"WITH per_user AS ({_CUPED_USER_SQL})" + _CUPED_TT_TAIL
+)
+
 
 @register(
     "e2e_ab_cuped_ttest",
@@ -922,7 +956,12 @@ _CUPED_TTEST_SQL = f"""
 )
 def e2e_ab_cuped_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))
-    return spark.sql(_CUPED_TTEST_SQL)
+    spark.sql(_CUPED_USER_SQL).localCheckpoint().createOrReplaceTempView(
+        "st_cuped_user"
+    )
+    return spark.sql(
+        "WITH per_user AS (SELECT * FROM st_cuped_user)" + _CUPED_TT_TAIL
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -155,6 +155,15 @@ def test_no_driver_side_collect_in_query_modules():
             # un-staged, WITH-inlining re-ran the events scan + distinct
             # shuffle per consumer
             "operators/analytics.py",
+            # Stats tier first-reduction staging (hour counts, chi2 obs,
+            # CUPED user grain, the decomposition feeding the anomaly
+            # screen): each aggregate is re-referenced by 2-3 tail CTEs,
+            # and un-staged plans re-ran the raw scan per reference —
+            # measured in the round-8 scan-count audit
+            "operators/stats.py",
+            # RAKE's segmented token stream and LLR's bigram counts:
+            # same first-reduction staging as the stats tier
+            "llm/keywords.py",
         },
     }
     offenders = []
@@ -638,3 +647,25 @@ def test_stats_templates_partial_aggregate(spark):
         df = SPECS[name].fn(spark, SF_DIR)
         plan = formatted_plan(df)
         assert plan.count("HashAggregate") >= 2, (name, plan[:2000])
+
+
+def test_staged_stats_tails_scan_raw_tables_zero_times(spark):
+    """Round-8 staging contract: these queries materialize their first
+    reduction (hour counts / chi2 cells / user grain / bigram counts /
+    segmented tokens) behind a localCheckpoint, so their FINAL plan must
+    contain ZERO raw parquet scans — Spark's per-reference WITH-inlining
+    otherwise re-ran the scan chain per consumer (measured: 3-4 scans)."""
+    staged = [
+        "timeseries_seasonal_decompose", "anomaly_seasonal_residual",
+        "timeseries_autocorrelation", "stats_chi2_independence",
+        "e2e_ab_cuped_ttest", "text_rake_keywords", "text_collocation_llr",
+        "events_active_users_rolling",
+    ]
+    for name in staged:
+        df = SPECS[name].fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        scans = sum(
+            plan.count(f"{t}.parquet")
+            for t in ("events", "documents", "orders", "lineitem")
+        )
+        assert scans == 0, (name, scans)
