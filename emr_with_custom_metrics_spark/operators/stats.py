@@ -1006,3 +1006,67 @@ _SRM_SQL = f"""
 def stats_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_SRM_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Effect sizes (the reporting companion to the significance tests)
+# ---------------------------------------------------------------------------
+
+_EFFECT_SQL = f"""
+    WITH base AS (
+        SELECT event_type,
+               {_ARM} AS arm,
+               CAST(ROUND(value * 1000) AS BIGINT) AS v_e3
+        FROM events
+    ), arms AS (
+        SELECT event_type, arm,
+               COUNT(*) AS n,
+               CAST(SUM(v_e3) AS BIGINT) AS s1,
+               CAST(SUM(v_e3 * v_e3) AS BIGINT) AS s2
+        FROM base GROUP BY event_type, arm
+    ), wide AS (
+        SELECT a.event_type,
+               a.n AS n_a, b.n AS n_b,
+               (CAST(a.s1 AS DOUBLE) / a.n - CAST(b.s1 AS DOUBLE) / b.n)
+                   / CAST(1000 AS DOUBLE) AS diff,
+               ((CAST(a.s2 AS DOUBLE) - CAST(a.s1 AS DOUBLE) * a.s1 / a.n)
+                   + (CAST(b.s2 AS DOUBLE)
+                      - CAST(b.s1 AS DOUBLE) * b.s1 / b.n))
+                   / (a.n + b.n - 2) / CAST(1000000 AS DOUBLE) AS pooled_var
+        FROM arms a JOIN arms b ON a.event_type = b.event_type
+        WHERE a.arm = 'A' AND b.arm = 'B'
+    )
+    SELECT event_type, n_a, n_b,
+           CAST(ROUND((diff / sqrt(pooled_var)) * 1000000) AS BIGINT)
+               AS cohens_d_e6,
+           CAST(ROUND(((diff / sqrt(pooled_var))
+                * (1 - CAST(3 AS DOUBLE) / (4 * (n_a + n_b) - 9)))
+                * 1000000) AS BIGINT) AS hedges_g_e6,
+           CASE WHEN ABS(diff / sqrt(pooled_var)) < CAST(0.2 AS DOUBLE)
+                     THEN 'negligible'
+                WHEN ABS(diff / sqrt(pooled_var)) < CAST(0.5 AS DOUBLE)
+                     THEN 'small'
+                WHEN ABS(diff / sqrt(pooled_var)) < CAST(0.8 AS DOUBLE)
+                     THEN 'medium'
+                ELSE 'large' END AS magnitude
+    FROM wide
+"""
+
+
+@register(
+    "stats_effect_sizes",
+    oracle=_EFFECT_SQL,
+    doc="Standardized effect sizes per metric on the md5 arms: Cohen's d "
+    "(mean difference over the pooled standard deviation) and the "
+    "small-sample-corrected Hedges' g (x 1 - 3/(4N-9)), with the "
+    "conventional negligible/small/medium/large banding — the number a "
+    "platform reports NEXT TO the p-value, because at large n a "
+    "significant test can describe a meaningless difference "
+    "(stats_power_analysis makes that duality concrete: 155k users per "
+    "arm detect a 1% lift this banding calls negligible). Same exact "
+    "integer-moment aggregation as stats_ab_ttest; one shared "
+    "Spark/DuckDB template.",
+)
+def stats_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_EFFECT_SQL)

@@ -326,6 +326,7 @@ _DRIVER_PRIORITY = (
     # Spark-4 SQL surface demos — thin tier, deliberately last in the head
     "sql_udf_scalar_function", "sql_udf_table_function",
     "sql_listagg_within_group", "sql_scripting_block",
+    "stats_effect_sizes",
 )
 _PRIORITY_RANK = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
 

@@ -646,3 +646,27 @@ def test_driver_priority_names_are_registered():
     unverified = [n for n in specs if n not in registry._DRIVER_VERIFIED]
     stray = [n for n in unverified if n not in registry._PRIORITY_RANK]
     assert stray == [], stray
+
+
+def test_effect_sizes_match_numpy(duck, events_pdf):
+    from emr_with_custom_metrics_spark.operators.stats import _EFFECT_SQL
+
+    got = duck.sql(_EFFECT_SQL).df().set_index("event_type")
+    ev = events_pdf.copy()
+    ev["arm"] = ["A" if _md5_nibble(f"ab|{u}") < 8 else "B" for u in ev.user_id]
+    ev["vq"] = (ev.value * 1000).round() / 1000.0
+    for etype, g in ev.groupby("event_type"):
+        a = g[g.arm == "A"].vq.to_numpy()
+        b = g[g.arm == "B"].vq.to_numpy()
+        na, nb = len(a), len(b)
+        pooled = (
+            ((a - a.mean()) ** 2).sum() + ((b - b.mean()) ** 2).sum()
+        ) / (na + nb - 2)
+        d = (a.mean() - b.mean()) / math.sqrt(pooled)
+        gcorr = d * (1 - 3 / (4 * (na + nb) - 9))
+        row = got.loc[etype]
+        assert abs(row.cohens_d_e6 / 1e6 - d) < 1e-4
+        assert abs(row.hedges_g_e6 / 1e6 - gcorr) < 1e-4
+        bands = [(0.2, "negligible"), (0.5, "small"), (0.8, "medium")]
+        mag = next((m for t, m in bands if abs(d) < t), "large")
+        assert row.magnitude == mag
