@@ -1111,7 +1111,7 @@ def sql_udf_scalar_function(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_TVF_ORACLE = """
-    SELECT o_orderstatus, o_orderkey, rnk FROM (
+    SELECT o_orderstatus, o_orderkey, CAST(rnk AS INTEGER) AS rnk FROM (
         SELECT o_orderstatus, o_orderkey,
                ROW_NUMBER() OVER (PARTITION BY o_orderstatus
                     ORDER BY o_totalprice DESC, o_orderkey) AS rnk

@@ -17,6 +17,12 @@ Cross-engine determinism recipe (the round-8 rounding discipline):
   templates are ONE SQL string run verbatim by both Spark and DuckDB
   (the sketches-module technique).
 - Outputs quantize back to BIGINT, so the driver hashes integers only.
+- Degenerate inputs (a 1-row arm, a zero-variance group) are guarded with
+  explicit CASE WHEN gates (0 / FALSE fallbacks) BEFORE any divide or sqrt:
+  Spark's x/0 yields NULL while DuckDB's IEEE float divide yields ±inf —
+  a cross-engine divergence (and DuckDB errors casting inf/NaN to BIGINT),
+  so an unguarded degenerate group would turn a rare-metric corpus into an
+  opaque red row. Guards mirror the stats_proportion_ztest precedent.
 
 Scale posture: the t-test and chi-square are single-pass aggregations whose
 post-shuffle state is arm/cell-count-sized (10 rows / 100 cells); the
@@ -62,7 +68,7 @@ _TTEST_SQL = f"""
                ((CAST(b.s2 AS DOUBLE) - CAST(b.s1 AS DOUBLE) * b.s1 / b.n)
                    / (b.n - 1)) / CAST(1000000 AS DOUBLE) AS var_b
         FROM arms a JOIN arms b ON a.event_type = b.event_type
-        WHERE a.arm = 'A' AND b.arm = 'B'
+        WHERE a.arm = 'A' AND b.arm = 'B' AND a.n > 1 AND b.n > 1
     ), welch AS (
         SELECT event_type, n_a, n_b, mean_a, mean_b, var_a, var_b,
                var_a / n_a + var_b / n_b AS se2
@@ -72,13 +78,20 @@ _TTEST_SQL = f"""
            CAST(ROUND(mean_a * 1000000) AS BIGINT) AS mean_a_e6,
            CAST(ROUND(mean_b * 1000000) AS BIGINT) AS mean_b_e6,
            CAST(ROUND((mean_a - mean_b) * 1000000) AS BIGINT) AS diff_e6,
-           CAST(ROUND(((mean_a - mean_b) / sqrt(se2)) * 1000000) AS BIGINT)
-               AS t_e6,
-           CAST(ROUND((se2 * se2 / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
-                       + (var_b / n_b) * (var_b / n_b) / (n_b - 1))) * 1000)
-               AS BIGINT) AS df_e3,
-           ABS((mean_a - mean_b) / sqrt(se2)) > CAST(1.96 AS DOUBLE)
-               AS significant
+           CASE WHEN se2 > 0
+                THEN CAST(ROUND(((mean_a - mean_b) / sqrt(se2)) * 1000000)
+                     AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS t_e6,
+           CASE WHEN se2 > 0
+                THEN CAST(ROUND((se2 * se2
+                       / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+                          + (var_b / n_b) * (var_b / n_b) / (n_b - 1)))
+                     * 1000) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS df_e3,
+           CASE WHEN se2 > 0
+                THEN ABS((mean_a - mean_b) / sqrt(se2))
+                     > CAST(1.96 AS DOUBLE)
+                ELSE FALSE END AS significant
     FROM welch
 """
 
@@ -329,17 +342,23 @@ _MWU_SQL = f"""
     ), u AS (
         SELECT event_type, n_a, n_b,
                sum_a2 - n_a * (n_a + 1) AS u2,
-               (CAST(n_a AS DOUBLE) * n_b / 12)
-                   * ((n_a + n_b + 1)
-                      - CAST(tie_sum AS DOUBLE)
-                        / ((n_a + n_b) * (n_a + n_b - 1))) AS var_u
+               CASE WHEN n_a + n_b > 1
+                    THEN (CAST(n_a AS DOUBLE) * n_b / 12)
+                         * ((n_a + n_b + 1)
+                            - CAST(tie_sum AS DOUBLE)
+                              / ((n_a + n_b) * (n_a + n_b - 1)))
+                    ELSE CAST(0 AS DOUBLE) END AS var_u
         FROM s
     )
     SELECT event_type, n_a, n_b, u2,
-           CAST(ROUND(((u2 - CAST(n_a AS DOUBLE) * n_b)
-                       / (2 * sqrt(var_u))) * 1000000) AS BIGINT) AS z_e6,
-           ABS((u2 - CAST(n_a AS DOUBLE) * n_b) / (2 * sqrt(var_u)))
-               > CAST(1.96 AS DOUBLE) AS significant
+           CASE WHEN var_u > 0
+                THEN CAST(ROUND(((u2 - CAST(n_a AS DOUBLE) * n_b)
+                       / (2 * sqrt(var_u))) * 1000000) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS z_e6,
+           CASE WHEN var_u > 0
+                THEN ABS((u2 - CAST(n_a AS DOUBLE) * n_b)
+                         / (2 * sqrt(var_u))) > CAST(1.96 AS DOUBLE)
+                ELSE FALSE END AS significant
     FROM u
 """
 
@@ -397,15 +416,22 @@ _CUPED_SQL = """
                    / (n_users - 1) AS var_y,
                (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n_users)
                    / (n_users - 1) AS cov_xy
-        FROM mom
+        FROM mom WHERE n_users > 1
     )
     SELECT event_type, n_users,
-           CAST(ROUND((cov_xy / var_x) * 1000000) AS BIGINT) AS theta_e6,
+           CASE WHEN var_x > 0
+                THEN CAST(ROUND((cov_xy / var_x) * 1000000) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS theta_e6,
            CAST(ROUND(var_y / CAST(10000 AS DOUBLE)) AS BIGINT) AS var_y_units,
-           CAST(ROUND((var_y - cov_xy * cov_xy / var_x)
-                      / CAST(10000 AS DOUBLE)) AS BIGINT) AS var_adj_units,
-           CAST(ROUND((cov_xy * cov_xy / (var_x * var_y)) * 1000000)
-               AS BIGINT) AS reduction_e6
+           CASE WHEN var_x > 0
+                THEN CAST(ROUND((var_y - cov_xy * cov_xy / var_x)
+                          / CAST(10000 AS DOUBLE)) AS BIGINT)
+                ELSE CAST(ROUND(var_y / CAST(10000 AS DOUBLE)) AS BIGINT)
+                END AS var_adj_units,
+           CASE WHEN var_x > 0 AND var_y > 0
+                THEN CAST(ROUND((cov_xy * cov_xy / (var_x * var_y)) * 1000000)
+                     AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS reduction_e6
     FROM stats
 """
 
@@ -565,10 +591,15 @@ _ANOM_TAIL = """
         FROM decomp GROUP BY event_type
     ), z AS (
         SELECT d.event_type, d.h, d.c, d.remainder_e6,
-               CAST(ROUND(((d.remainder_e6 - CAST(r.sr AS DOUBLE) / r.n)
-                    / sqrt((CAST(r.srr AS DOUBLE)
-                            - CAST(r.sr AS DOUBLE) * r.sr / r.n)
-                           / (r.n - 1))) * 1000000) AS BIGINT) AS z_e6
+               CASE WHEN r.n > 1
+                         AND (CAST(r.srr AS DOUBLE)
+                              - CAST(r.sr AS DOUBLE) * r.sr / r.n) > 0
+                    THEN CAST(ROUND(((d.remainder_e6
+                           - CAST(r.sr AS DOUBLE) / r.n)
+                         / sqrt((CAST(r.srr AS DOUBLE)
+                                 - CAST(r.sr AS DOUBLE) * r.sr / r.n)
+                                / (r.n - 1))) * 1000000) AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS z_e6
         FROM decomp d JOIN rstats r ON d.event_type = r.event_type
     ), top AS (
         SELECT event_type, h, c, remainder_e6, z_e6,
@@ -622,21 +653,26 @@ _POWER_SQL = """
     ), st AS (
         SELECT event_type, n,
                (CAST(s1 AS DOUBLE) / n) / CAST(1000 AS DOUBLE) AS mean_v,
-               ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))
-                   / CAST(1000000 AS DOUBLE) AS var_v
+               CASE WHEN n > 1
+                    THEN ((CAST(s2 AS DOUBLE)
+                           - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))
+                         / CAST(1000000 AS DOUBLE)
+                    ELSE CAST(0 AS DOUBLE) END AS var_v
         FROM st_src
     )
     SELECT event_type, n AS n_observed,
            CAST(ROUND(mean_v * 1000000) AS BIGINT) AS mean_e6,
            CAST(ROUND(var_v * 1000000) AS BIGINT) AS var_e6,
-           CAST(CEIL(2 * CAST(7.848886 AS DOUBLE) * var_v
-                / ((CAST(0.01 AS DOUBLE) * mean_v)
-                   * (CAST(0.01 AS DOUBLE) * mean_v))) AS BIGINT)
-               AS n_per_arm_mde1pct,
-           CAST(CEIL(2 * CAST(7.848886 AS DOUBLE) * var_v
-                / ((CAST(0.05 AS DOUBLE) * mean_v)
-                   * (CAST(0.05 AS DOUBLE) * mean_v))) AS BIGINT)
-               AS n_per_arm_mde5pct
+           CASE WHEN mean_v <> 0
+                THEN CAST(CEIL(2 * CAST(7.848886 AS DOUBLE) * var_v
+                     / ((CAST(0.01 AS DOUBLE) * mean_v)
+                        * (CAST(0.01 AS DOUBLE) * mean_v))) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS n_per_arm_mde1pct,
+           CASE WHEN mean_v <> 0
+                THEN CAST(CEIL(2 * CAST(7.848886 AS DOUBLE) * var_v
+                     / ((CAST(0.05 AS DOUBLE) * mean_v)
+                        * (CAST(0.05 AS DOUBLE) * mean_v))) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS n_per_arm_mde5pct
     FROM st
 """.replace("FROM st_src", "FROM mom")
 
@@ -741,14 +777,16 @@ _ANOVA_SQL = """
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(v_e3) AS BIGINT) AS s1,
-               CAST(SUM(v_e3 * v_e3) AS BIGINT) AS s2
+               CAST(SUM(v_e3 * v_e3) AS BIGINT) AS s2,
+               CAST(ROUND(CAST(SUM(v_e3) AS DOUBLE) * SUM(v_e3)
+                    / COUNT(*)) AS BIGINT) AS sqm_q
         FROM base GROUP BY event_type
     ), tot AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS k,
                CAST(SUM(n) AS BIGINT) AS nn,
                CAST(SUM(s1) AS BIGINT) AS ts1,
                CAST(SUM(s2) AS BIGINT) AS ts2,
-               SUM(CAST(s1 AS DOUBLE) * s1 / n) AS sum_sq_means
+               CAST(CAST(SUM(sqm_q) AS BIGINT) AS DOUBLE) AS sum_sq_means
         FROM g
     ), ss AS (
         SELECT k, nn,
@@ -778,7 +816,11 @@ _ANOVA_SQL = """
     "means, Mann-Whitney = 2 ranks, chi-square = categories, F = k "
     "means): between/within sums of squares from one pass of exact "
     "integer moments per group (the per-group Σx²/n term is the only "
-    "double, a fixed DAG over exact integers), F with its (k-1, N-k) "
+    "double, a fixed DAG over exact integers, quantized to BIGINT "
+    "BEFORE the cross-group sum — the chi² cell_chi_e9 pattern — so "
+    "the reduction is an exact integer sum, free of aggregation-order "
+    "ulp drift at any SF; the ≤0.5 e-6 quantization error is 3 "
+    "decades below the 1e-3 output quantum), F with its (k-1, N-k) "
     "critical value at 5% pinned as a literal, eta² effect size. The "
     "caveat an experimentation platform must document: plain ANOVA "
     "assumes homoscedasticity — pair with Welch t for unequal-variance "
@@ -891,9 +933,12 @@ _CUPED_TT_TAIL = """
         FROM per_user GROUP BY event_type
     ), theta AS (
         SELECT event_type, nu, sx,
-               (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / nu)
-                   / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / nu)
-                   AS th
+               CASE WHEN (CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * sx / nu) > 0
+                    THEN (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / nu)
+                         / (CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * sx / nu)
+                    ELSE CAST(0 AS DOUBLE) END AS th
         FROM pool
     ), adj AS (
         SELECT p.event_type, p.arm, p.y,
@@ -924,15 +969,21 @@ _CUPED_TT_TAIL = """
                CAST(a.sa1 AS DOUBLE) / a.n - CAST(b.sa1 AS DOUBLE) / b.n
                    AS da
         FROM arms a JOIN arms b ON a.event_type = b.event_type
-        WHERE a.arm = 'A' AND b.arm = 'B'
+        WHERE a.arm = 'A' AND b.arm = 'B' AND a.n > 1 AND b.n > 1
     )
     SELECT event_type, n_a, n_b,
-           CAST(ROUND((dy / sqrt(vy_a / n_a + vy_b / n_b)) * 1000000)
-               AS BIGINT) AS t_raw_e6,
-           CAST(ROUND((da / sqrt(va_a / n_a + va_b / n_b)) * 1000000)
-               AS BIGINT) AS t_adj_e6,
-           CAST(ROUND(((va_a + va_b) / (vy_a + vy_b)) * 1000000) AS BIGINT)
-               AS var_ratio_e6
+           CASE WHEN vy_a / n_a + vy_b / n_b > 0
+                THEN CAST(ROUND((dy / sqrt(vy_a / n_a + vy_b / n_b))
+                     * 1000000) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS t_raw_e6,
+           CASE WHEN va_a / n_a + va_b / n_b > 0
+                THEN CAST(ROUND((da / sqrt(va_a / n_a + va_b / n_b))
+                     * 1000000) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS t_adj_e6,
+           CASE WHEN vy_a + vy_b > 0
+                THEN CAST(ROUND(((va_a + va_b) / (vy_a + vy_b)) * 1000000)
+                     AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS var_ratio_e6
     FROM wide
 """
 
@@ -1034,15 +1085,20 @@ _EFFECT_SQL = f"""
                       - CAST(b.s1 AS DOUBLE) * b.s1 / b.n))
                    / (a.n + b.n - 2) / CAST(1000000 AS DOUBLE) AS pooled_var
         FROM arms a JOIN arms b ON a.event_type = b.event_type
-        WHERE a.arm = 'A' AND b.arm = 'B'
+        WHERE a.arm = 'A' AND b.arm = 'B' AND a.n + b.n > 2
     )
     SELECT event_type, n_a, n_b,
-           CAST(ROUND((diff / sqrt(pooled_var)) * 1000000) AS BIGINT)
-               AS cohens_d_e6,
-           CAST(ROUND(((diff / sqrt(pooled_var))
-                * (1 - CAST(3 AS DOUBLE) / (4 * (n_a + n_b) - 9)))
-                * 1000000) AS BIGINT) AS hedges_g_e6,
-           CASE WHEN ABS(diff / sqrt(pooled_var)) < CAST(0.2 AS DOUBLE)
+           CASE WHEN pooled_var > 0
+                THEN CAST(ROUND((diff / sqrt(pooled_var)) * 1000000)
+                     AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS cohens_d_e6,
+           CASE WHEN pooled_var > 0
+                THEN CAST(ROUND(((diff / sqrt(pooled_var))
+                     * (1 - CAST(3 AS DOUBLE) / (4 * (n_a + n_b) - 9)))
+                     * 1000000) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS hedges_g_e6,
+           CASE WHEN pooled_var <= 0 THEN 'undefined'
+                WHEN ABS(diff / sqrt(pooled_var)) < CAST(0.2 AS DOUBLE)
                      THEN 'negligible'
                 WHEN ABS(diff / sqrt(pooled_var)) < CAST(0.5 AS DOUBLE)
                      THEN 'small'
