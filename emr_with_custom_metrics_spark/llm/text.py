@@ -2057,7 +2057,22 @@ def text_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
     )
-    wcnt = words.groupBy("w").agg(F.count("*").alias("c"))
+    # Each greedy step consumes >= 1 char (single-char vocab guarantees a
+    # match), so _WP_STEPS steps fully encode words up to _WP_STEPS chars.
+    # A longer word would exit the loop with unfinished state that still
+    # joins the output — silently truncated pieces and understated n_tok
+    # on BOTH engines (hashes stay green while the answer is wrong — the
+    # worst failure mode). Guard in-plan like text_suffix_array: a loud
+    # execution-time error the moment the corpus grows past the budget.
+    wcnt = words.groupBy("w").agg(F.count("*").alias("c")).where(
+        F.assert_true(
+            F.length("w") <= F.lit(_WP_STEPS),
+            F.lit(
+                f"text_wordpiece_encode: word exceeds {_WP_STEPS} chars; "
+                f"raise _WP_STEPS (greedy encode needs one step per piece)"
+            ),
+        ).isNull()
+    )
     grams = (
         wcnt.select(
             "w",

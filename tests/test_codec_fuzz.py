@@ -1094,6 +1094,30 @@ def test_mp3_huffman_reservoir_backpointers_used():
     decode_mp3_huffman(payload)  # must still decode cleanly
 
 
+def test_mp3_encoder_raises_on_int_scaled_pcm():
+    """Round-9 ADVICE regression: absurd-amplitude input (e.g. PCM left
+    int16-scaled instead of normalized to [-1, 1]) must raise the
+    linbits-ceiling ValueError at gg=255, never spin the inner rate
+    loop forever (the loop coarsens global_gain by +4 per pass; at 255
+    it can no longer make progress)."""
+    import pytest
+
+    from emr_with_custom_metrics_spark.llm.mpeg_audio import (
+        L3_FRAME_SAMPLES,
+        encode_mp3_huffman,
+    )
+
+    fs = 44100
+    t = np.arange(L3_FRAME_SAMPLES)
+    x = 32767.0 * np.sin(2 * np.pi * 500 * t / fs)  # int16 amplitudes
+    # either overflow raise is acceptable (linbits ceiling or
+    # part2_3_length at gg=255) — the contract is LOUD, not which guard
+    with pytest.raises(ValueError, match="255"):
+        encode_mp3_huffman(x * 1e4, fs)  # |xs| ~ 4e8 territory
+    with pytest.raises(ValueError, match="255"):
+        encode_mp3_huffman(x * 1e7, fs)  # past the linbits ceiling too
+
+
 def test_mp3_huffman_stream_contract():
     """Truncation -> ValueError; foreign layouts -> NotImplementedError
     naming the feature; free-format frames route to the shaped tier;

@@ -3,6 +3,7 @@ only checks these ran; these tests hold them to the exact ground truth."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from emr_with_custom_metrics_spark import registry
@@ -766,6 +767,32 @@ def test_wordpiece_roundtrip_and_greedy(spark):
     # n-grams the corpus must compress below the all-single-char ceiling
     assert total_pieces < total_chars * 0.8, (total_pieces, total_chars)
     assert _WP_MAXLEN >= 2
+
+
+def test_wordpiece_long_word_fails_loudly(spark, tmp_path):
+    """A word longer than _WP_STEPS chars must raise at execution time,
+    never silently truncate (round-9 ADVICE: unfinished greedy state
+    used to join the output with understated n_tok on BOTH engines, so
+    hashes stayed green while the answer was wrong)."""
+    import pandas as pd
+
+    from emr_with_custom_metrics_spark.llm.text import (
+        _WP_STEPS,
+        text_wordpiece_encode,
+    )
+
+    long_word = "x" * (_WP_STEPS + 1)
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [f"ok {long_word} ok", "short words only"],
+            "lang": ["en", "en"],
+            "source": ["t", "t"],
+            "n_chars": [20, 16],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    with pytest.raises(Exception, match="exceeds"):
+        text_wordpiece_encode(spark, str(tmp_path)).collect()
 
 
 def test_cdc_chunks_shift_robustness(spark):

@@ -817,3 +817,47 @@ def test_zip64_corruption_raises():
         except Exception:
             bad += 1
     assert bad == 0
+
+
+def test_zip64_member_at_offset_65535_not_spuriously_rejected():
+    """Round-9 ADVICE regression: 0xFFFF is the sentinel for the 16-bit
+    disk field ONLY — a 32-bit header-offset value legitimately equal to
+    65535 in a record whose SIZES are zip64-deferred must not consume an
+    extra-field slot (the old `v == _MAX16` test made _zip64_extra run
+    out of slots and reject the archive). Craft it with stdlib: pad the
+    first member so the second member's local header lands at exactly
+    65535, with force_zip64 sizes."""
+    import io
+    import zipfile
+
+    from emr_with_custom_metrics_spark.llm.archive import parse_zip
+
+    def build(pad: int) -> bytes:
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as out:
+            with out.open(zipfile.ZipInfo("pad"), "w", force_zip64=True) as f:
+                f.write(b"p" * pad)
+            with out.open(zipfile.ZipInfo("at65535"), "w", force_zip64=True) as f:
+                f.write(b"target content")
+        return buf.getvalue()
+
+    probe = zipfile.ZipFile(io.BytesIO(build(1000)))
+    off_probe = probe.infolist()[1].header_offset
+    pad = 1000 + (65535 - off_probe)
+    assert pad > 0
+    z = build(pad)
+    zf = zipfile.ZipFile(io.BytesIO(z))
+    assert zf.infolist()[1].header_offset == 65535  # the crafted condition
+    got = parse_zip(z)
+    assert [(m["name"], m["content"]) for m in got] == [
+        ("pad", b"p" * pad),
+        ("at65535", b"target content"),
+    ]
+
+    # and a member whose stored size is exactly 65535 parses exactly
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as out:
+        with out.open(zipfile.ZipInfo("sz"), "w", force_zip64=True) as f:
+            f.write(b"s" * 65535)
+    got = parse_zip(buf.getvalue())
+    assert got[0]["name"] == "sz" and got[0]["content"] == b"s" * 65535
