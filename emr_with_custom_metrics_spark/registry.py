@@ -15,6 +15,7 @@ order-insensitive value hash is stable across engines.
 
 from __future__ import annotations
 
+import os as _os
 import warnings
 from collections.abc import Callable
 from dataclasses import dataclass
@@ -106,159 +107,51 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     return wrap
 
 
-# Queries that already have a driver row in CORRECTNESS_r01..r05.json (the
-# driver verifies ~50 registry entries per round under a fixed query-count
-# budget, walking ``queries()`` in dict order). Never-verified / changed
-# queries must therefore come FIRST each round; this set is refreshed from
-# the latest CORRECTNESS_r{N}.json at the start of every round.
-_DRIVER_VERIFIED = frozenset(
-    {
-        # --- round 1 (CORRECTNESS_r01.json, 49 green) ---
-        "a1_group_count", "filter_project", "filter_predicates", "q1_pricing_summary",
-        "agg_stats", "rollup_agg", "cube_agg", "distinct_values",
-        "topk_orders", "ordered_projection", "sql_q6_forecast_revenue",
-        "sql_grouping_sets", "sql_scalar_subquery", "sql_in_subquery",
-        "sql_correlated_exists", "pivot_status_by_priority", "agg_corr_covar",
-        "agg_quantile_battery", "agg_linear_regression", "histogram_value_buckets",
-        "window_rank_fractions", "having_filter", "limit_offset_page",
-        "pandas_grouped_agg_weighted_avg", "python_udf_scalar", "agg_battery2",
-        "agg_collect_ordered", "window_range_frame", "rollup_grouping_id",
-        "safe_casting", "dedup_keep_first_by_key", "stream_dedup_within_window",
-        "join_broadcast_dim", "q3_shipping_priority", "q5_local_supplier_volume",
-        "join_left_outer", "join_semi", "join_anti", "join_full_outer",
-        "join_cross_dims", "q18_large_orders", "q2_min_per_group_joinback",
-        "q4_order_priority_check", "q14_promo_revenue_share", "q10_returned_items",
-        "join_interval_time", "join_theta_range", "window_rank_battery",
-        "window_offsets",
-        # --- round 2 (CORRECTNESS_r02.json, 49 green) ---
-        # q12_priority_shipping deliberately absent: its r02 row was the lone
-        # hash_match=false (oracle-side HUGEINT, fixed this round) — it
-        # re-verifies early with the corrected CAST(... AS BIGINT) oracle.
-        # bitmap_weekly_retention also absent: its r02 green row verified the
-        # 3-word variant that truncated user_id >= 192 (r2 ADVICE); the
-        # data-sized rewrite changes the answer, so it needs a fresh row.
-        "agg_approx_distinct", "agg_approx_top_k", "udtf_ngrams",
-        "unpivot_order_measures", "agg_approx_quantile", "q7_nation_volume",
-        "q8_market_share", "q9_product_profit", "q11_part_value_share",
-        "q13_customer_distribution", "q15_top_supplier",
-        "q17_small_quantity_revenue", "q19_disjunctive_pred",
-        "q22_inactive_customers", "sql_q16_supplier_cnt",
-        "sql_q20_excess_shippers", "sql_q21_waiting_supplier",
-        "window_running_sum", "topk_per_group", "window_first_last",
-        "setop_union_all", "setop_intersect", "setop_except",
-        "setop_intersect_all", "setop_except_all", "setop_union_missing_columns",
-        "setop_union_distinct", "asof_purchase_last_click",
-        "events_zscore_outliers", "events_mad_outliers", "scd2_customer_history",
-        "funnel_view_click_purchase", "retention_cohorts",
-        "concurrent_events_timeline",
-        "scalar_string_funcs", "scalar_date_funcs", "scalar_math_funcs",
-        "json_extract_props", "json_from_json_struct", "m3_derived_metric",
-        "conditional_case", "json_variant_battery", "array_funcs", "map_funcs",
-        "posexplode_tokens", "scalar_string_funcs2", "scalar_date_funcs2",
-        "hof_battery",
-        # --- rounds 3+4 (CORRECTNESS_r03.json == CORRECTNESS_r04.json, 50
-        # rows: 49 hash-green + sample_stratified rows-only-by-design) ---
-        "q12_priority_shipping", "bitmap_weekly_retention",
-        "vector_norms", "vector_centroids", "formats_csv_roundtrip",
-        "parquet_partitioned_write", "metrics_tumbling_avg",
-        "metrics_sliding_avg", "alarm_scale_out", "alarm_scale_in",
-        "alarm_dimension_filter", "session_windows", "timeseries_gapfill_ffill",
-        "stream_enrich_dim", "windowed_topk_events", "text_token_stats",
-        "text_word_freq_topk", "text_lang_source_stats", "text_quality_score",
-        "text_lang_id", "text_token_count_bpe", "text_normalize",
-        "text_logfreq_score", "text_tfidf_top_term", "text_fingerprint",
-        "text_repetition_ratio", "text_pii_scrub", "text_bigram_logprob",
-        "dedup_exact", "dedup_bag_normalized", "dedup_containment_pairs",
-        "text_fingerprint_winnowing", "dedup_levenshtein_blocked",
-        "split_train_valid_test", "pack_token_chunks",
-        "mixture_sample_weighted", "text_heavy_hitters",
-        "corpus_report_by_source", "e2e_corpus_pipeline",
-        "embedding_quantize_int8", "embedding_covariance",
-        "similarity_topk_exact", "similarity_pairwise_dot",
-        "multimodal_decode_meta", "multimodal_decode_ppm",
-        "multimodal_decode_png", "multimodal_decode_jpeg",
-        "multimodal_binary_stats", "multimodal_frame_sample",
-        # --- round 5 (CORRECTNESS_r05.json, 50 rows: 40 hash-green + 9
-        # rows-only-by-design + 1 ERR). Deliberately absent:
-        #   multimodal_feature_extract — the r5 ERR (driver canonicalizer vs
-        #     array<float>); output reshaped this round, needs a fresh row.
-        #   sample_deterministic, cooldown_suppression — upgraded from
-        #     rows-only to oracled this round (r5 VERDICT items 2+4); the
-        #     answer-defining logic changed, so they re-verify first.
-        "json_battery2", "json_to_json", "filter_rlike", "null_handling_funcs",
-        "formats_json_roundtrip", "formats_orc_roundtrip",
-        "formats_text_roundtrip", "dedup_levenshtein_multipass",
-        "multimodal_decode_jpeg_subsampled",
-        "multimodal_decode_gif", "multimodal_decode_jpeg_progressive",
-        "multimodal_decode_avi_mjpeg", "e2e_multimodal_pipeline",
-        "multimodal_decode_wav_g711", "multimodal_gif_frame_sample",
-        "multimodal_decode_wav", "autoscale_timeline", "dedup_ngram_jaccard",
-        "dedup_ngram_jaccard_prefix", "dedup_clusters", "dedup_keep_canonical",
-        "dedup_embedding_cosine", "decontaminate_against_eval",
-        # dedup_minhash_lsh / kmeans_embeddings / dedup_incremental_batch /
-        # pagerank_similarity_graph / dedup_simhash / similarity_ann_lsh
-        # removed from this r5 block in round 7:
-        # their r5 rows were rows-only-by-design, and the round-7 oracle
-        # upgrades (r6 VERDICT item 5) change the verified contract — they
-        # re-verify via the round-7 priority head.
-        "knn_self_join_exact", "similarity_ivf_topk",
-        # --- round 6 (CORRECTNESS_r06.json, 50 rows, all hash-green —
-        # exactly the first 50 entries of the round-6 _DRIVER_PRIORITY
-        # head; the r6 verdict confirmed the driver walk matched).
-        # Deliberately absent despite their green rows: none — but note
-        # dedup_minhash_lsh / kmeans_embeddings keep their r5 rows-only
-        # entries above while this round upgrades them to hash-oracled
-        # (r6 VERDICT item 5), so they are re-listed in the round-7
-        # priority head for fresh oracled rows.
-        "multimodal_feature_extract", "cooldown_suppression",
-        "sample_deterministic", "multimodal_decode_mpeg1",
-        "multimodal_decode_mpeg1_l2", "multimodal_decode_mpeg1_l3",
-        "multimodal_decode_jpeg_arithmetic", "multimodal_decode_avi_rle_delta",
-        "multimodal_decode_video_motion", "multimodal_decode_flac",
-        "multimodal_exif_redact", "multimodal_video_scene_detect",
-        "multimodal_image_resize", "multimodal_audio_resample",
-        "multimodal_audio_spectral", "multimodal_phash_dedup",
-        "multimodal_audio_fingerprint", "graph_triangle_count",
-        "graph_label_propagation", "graph_bfs_levels", "graph_shortest_paths",
-        "graph_clustering_coefficient", "graph_adamic_adar",
-        "corpus_warc_ingest", "corpus_tar_ingest", "text_bpe_train_merges",
-        "text_bpe_encode", "dedup_substring_spans", "dedup_substring_remove",
-        "dedup_paragraph_chunks", "decontaminate_bloom_prefilter",
-        "text_gopher_rules", "text_bm25_retrieval", "retrieval_rrf_hybrid",
-        "text_cooccurrence_pmi",
-        "similarity_recall_report", "similarity_mmr_rerank",
-        "similarity_hard_negatives",
-        "join_skew_salted", "parquet_dpp_prune", "join_range_banded",
-        "sketch_quantile_mergeable", "sketch_countmin_heavy_hitters",
-        "sketch_distinct_hll_kmv", "multimodal_av_mux", "graph_kcore_peel",
-        "similarity_matryoshka_recall", "cdc_merge_upsert",
-        # --- round 7 (CORRECTNESS_r07.json, 49 green of 50; the red
-        #     geo_grid_nearest plus the round-8 output-changed queries
-        #     [similarity_ann_lsh, kmeans_embeddings, survival_kaplan_meier]
-        #     are deliberately left out so they re-verify first) ---
-        "dq_profile_columns", "dq_constraint_checks", "ivm_incremental_agg",
-        "cogroup_asof_pandas", "events_cusum_drift",
-        "multimodal_decode_flac_stereo", "dedup_semantic_clusters",
-        "corpus_importance_resample", "retrieval_ndcg_eval",
-        "maintenance_zorder_layout", "text_quality_classifier",
-        "corpus_pdf_ingest", "corpus_zip_ingest", "corpus_jsonl_gz_ingest",
-        "dedup_minhash_lsh", "dedup_incremental_batch",
-        "pagerank_similarity_graph", "dedup_simhash",
-        "multimodal_decode_mp3_huffman", "corpus_e2e_archive_pipeline",
-        "corpus_pdf15_ingest", "corpus_zip64_ingest",
-        "stream_stream_interval_join", "stream_stream_outer_join",
-        "text_suffix_array", "text_longest_repeat",
-        "text_unigram_lm_train", "text_unigram_lm_score",
-        "timeseries_ar2_forecast", "dq_benford_screen",
-        "events_transition_matrix", "multimodal_decode_tiff", "text_bwt",
-        "formats_avro_roundtrip", "window_running_distinct",
-        "multimodal_decode_png_palette", "multimodal_decode_png_adam7",
-        "multimodal_decode_gif_interlaced", "window_rolling_median",
-        "scd2_asof_lookup", "attribution_linear_touch", "basket_part_lift",
-        "user_activity_streaks", "dq_k_anonymity", "formats_binaryfile_scan",
-        "timeseries_ewma",
-    }
-)
+# Driver-verified queries, DERIVED at import from the checked-in official
+# CORRECTNESS_r*.json ledgers (round-9: the hand-maintained frozenset was
+# the likeliest future bookkeeping bug at 334 rows — r8's 50 green rows
+# had not been folded back in). A query counts as verified iff its LATEST
+# official row is green: no err, rows_match, and schema/hash matches that
+# are either true or not-applicable (rows-only checks record null there).
+# Queries whose ANSWER CONTRACT changes in the current round must be named
+# in _ANSWER_CHANGED so they re-queue for a fresh row despite an old green.
+_ANSWER_CHANGED: frozenset[str] = frozenset()
+
+
+def _load_driver_verified() -> frozenset[str]:
+    import glob as _glob
+    import json as _json
+
+    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    latest: dict[str, tuple[int, bool]] = {}
+    for path in _glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")):
+        base = _os.path.basename(path)
+        try:
+            rnd = int(base[len("CORRECTNESS_r"):-len(".json")])
+            with open(path) as fh:
+                data = _json.load(fh)
+        except (ValueError, OSError, _json.JSONDecodeError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            green = (
+                row.get("err") in (None, "")
+                and row.get("rows_match") is True
+                and row.get("schema_match") in (True, None)
+                and row.get("hash_match") in (True, None)
+            )
+            prev = latest.get(name)
+            if prev is None or rnd >= prev[0]:
+                latest[name] = (rnd, green)
+    return frozenset(
+        n for n, (_, g) in latest.items() if g and n not in _ANSWER_CHANGED
+    )
+
+
+_DRIVER_VERIFIED = _load_driver_verified()
 
 # Heaviest per-invocation queries at sf0.01 (streaming-query startup or
 # multi-stage dedup/ANN pipelines): still unverified-first, but after the

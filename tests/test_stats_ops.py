@@ -633,19 +633,51 @@ def test_sql_scripting_threshold_selects_rows(duck):
 
 
 def test_driver_priority_names_are_registered():
-    """A typo in _DRIVER_PRIORITY or _DRIVER_VERIFIED silently demotes a
-    query out of (or into) the driver's ~50-row verification budget —
-    make registry bookkeeping loud instead."""
+    """A typo in _DRIVER_PRIORITY (or a stale _ANSWER_CHANGED entry)
+    silently demotes a query out of (or into) the driver's ~50-row
+    verification budget — make registry bookkeeping loud instead.
+    _DRIVER_VERIFIED is derived from the CORRECTNESS ledgers since
+    round 9, so stale-set omissions can no longer happen by hand."""
     from emr_with_custom_metrics_spark import registry
 
     specs = registry.all_specs()
     assert [n for n in registry._DRIVER_PRIORITY if n not in specs] == []
     assert [n for n in registry._DRIVER_VERIFIED if n not in specs] == []
+    assert [n for n in registry._ANSWER_CHANGED if n not in specs] == []
     assert len(set(registry._DRIVER_PRIORITY)) == len(registry._DRIVER_PRIORITY)
-    # never-verified queries must all sit inside the explicit head
-    unverified = [n for n in specs if n not in registry._DRIVER_VERIFIED]
-    stray = [n for n in unverified if n not in registry._PRIORITY_RANK]
-    assert stray == [], stray
+    # unverified (never-green-row) queries must lead the driver walk so a
+    # ~50-row budget certifies them before re-verifying old greens
+    names = list(specs)
+    unverified = [n for n in names if n not in registry._DRIVER_VERIFIED]
+    assert names[: len(unverified)] == unverified, "unverified rows not first"
+
+
+def test_driver_verified_matches_ledgers():
+    """Independent recompute of the derived set: a query is verified iff
+    its latest official CORRECTNESS row is fully green. Catches loader
+    regressions (wrong round ordering, err/None handling)."""
+    import glob
+    import json
+    import os
+
+    from emr_with_custom_metrics_spark import registry
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rows: dict[str, tuple[int, dict]] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        rnd = int(os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")])
+        for name, row in json.load(open(path)).items():
+            if name not in rows or rnd > rows[name][0]:
+                rows[name] = (rnd, row)
+    expect = {
+        n
+        for n, (_, r) in rows.items()
+        if not r.get("err")
+        and r.get("rows_match") is True
+        and r.get("schema_match") is not False
+        and r.get("hash_match") is not False
+    } - set(registry._ANSWER_CHANGED)
+    assert set(registry._DRIVER_VERIFIED) == expect
 
 
 def test_effect_sizes_match_numpy(duck, events_pdf):
