@@ -23,9 +23,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from emr_with_custom_metrics_spark import registry  # noqa: E402
 from emr_with_custom_metrics_spark.session import get_spark  # noqa: E402
 
-# Headline set: scan-agg, multi-join, window, asof, streaming-batch,
-# text/dedup/similarity — one per operator family, heaviest variant.
-HEADLINE = [
+# Headline set. Round 9 UNFREEZES the headline to the ENTIRE registry
+# (r8 VERDICT item 2: 158 rows — the whole stats tier among them — had no
+# official perf row). Layout: the explicit legacy list below keeps its
+# order so every row stays diffable against BENCH_r01..r08; _headline()
+# appends all remaining registered queries sorted by name.
+LEGACY_HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -211,6 +214,14 @@ HEADLINE = [
     "inventory_pareto_abc",
 ]
 
+
+def _headline(specs) -> list[str]:
+    seen = set(LEGACY_HEADLINE)
+    missing = [n for n in LEGACY_HEADLINE if n not in specs]
+    if missing:
+        raise SystemExit(f"legacy headline rows no longer registered: {missing}")
+    return LEGACY_HEADLINE + sorted(n for n in specs if n not in seen)
+
 # Shuffle-heavy flagship rows whose executed-plan accumulators ride along
 # in the bench record (r7 VERDICT item 6). Kept small: each row pays one
 # extra untimed collect.
@@ -294,7 +305,7 @@ def main() -> None:
     specs["a1_group_count"].fn(spark, sf_dir).count()
 
     times: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in _headline(specs):
         # best-of-2: the second run amortizes JIT/py-worker warmup noise so
         # the recorded figure reflects the query, not the JVM's mood
         best = float("inf")

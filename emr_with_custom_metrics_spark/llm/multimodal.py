@@ -1628,6 +1628,81 @@ def multimodal_decode_mpeg1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(_mpeg_roundtrip_batch, schema=MPEG_DECODED_SCHEMA)
 
 
+MPEG_PQMF_SCHEMA = MPEG_DECODED_SCHEMA + ", codec string"
+
+
+def _mpeg_pqmf_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    import numpy as np
+    import pandas as pd
+
+    from emr_with_custom_metrics_spark.llm.mpeg_audio import (
+        FRAME_SAMPLES,
+        decode_mpeg1_layer1,
+        encode_mpeg1_layer1,
+    )
+
+    def roundtrip(d: int) -> dict:
+        fs = (44100, 48000, 32000)[d % 3]
+        n = FRAME_SAMPLES * (2 + d % 3)
+        t = np.arange(n)
+        amp = 0.2 + (d % 7) / 10.0
+        freq = 200.0 + (d % 20) * 150.0
+        x = amp * np.sin(2.0 * np.pi * freq * t / fs)
+        return decode_mpeg1_layer1(encode_mpeg1_layer1(x, fs, filterbank="pqmf"))
+
+    for pdf in batches:
+        metas = pdf["doc_id"].map(lambda d: roundtrip(int(d)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "sample_rate": metas.map(lambda m: m["sample_rate"]).astype("int32"),
+                "n_frames": metas.map(lambda m: m["n_frames"]).astype("int32"),
+                "n_samples": metas.map(lambda m: m["n_samples"]).astype("int64"),
+                "duration_us": metas.map(lambda m: m["duration_us"]).astype("int64"),
+                "bitrate_kbps": metas.map(lambda m: m["bitrate_bps"] // 1000).astype(
+                    "int32"
+                ),
+                "codec": metas.map(lambda m: m["codec"]),
+            }
+        )
+
+
+@register(
+    "multimodal_decode_mpeg1_pqmf",
+    # Same closed-form-metadata oracle pattern as multimodal_decode_mpeg1;
+    # the codec column pins that the decoder DISPATCHED on the filterbank
+    # signature bit and ran the §2.4.3.2 V-FIFO synthesis (a dispatch bug
+    # emits 'mpeg1-layer1-mdct' and breaks the hash). Reconstruction SNR
+    # (not SQL-expressible) is bounded in tests/test_codec_fuzz.py.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                  ELSE 32000 END AS fs,
+             2 + doc_id % 3 AS nf
+      FROM documents)
+    SELECT doc_id,
+           CAST(fs AS INT) AS sample_rate,
+           CAST(nf AS INT) AS n_frames,
+           CAST(384 * nf AS BIGINT) AS n_samples,
+           CAST(384 * nf * 1000000 // fs AS BIGINT) AS duration_us,
+           CAST((458 * 8 * fs // 384) // 1000 AS INT) AS bitrate_kbps,
+           'mpeg1-layer1-pqmf' AS codec
+    FROM p
+    """,
+    doc="Layer I decode through the REAL ISO §2.4.3.2 pseudo-QMF polyphase "
+    "machinery (round 9): X/V FIFOs, C/D windowing, the 8x64 Z-fold and "
+    "V->U index mapping, 64<->32 cosine matrixing — selected end-to-end "
+    "by the in-family filterbank signature bit. The 512-tap prototype "
+    "is the in-code Kaiser near-PR design (llm/mpeg_audio.py banner), "
+    "not a Table-C transcription, so true ISO streams still stub; this "
+    "row certifies the machinery the table constants would drop into.",
+)
+def multimodal_decode_mpeg1_pqmf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_fanned(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_mpeg_pqmf_roundtrip_batch, schema=MPEG_PQMF_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Video: inter-frame (P-frame) decode — BI_RLE8 temporal deltas in AVI
 # ---------------------------------------------------------------------------

@@ -260,6 +260,106 @@ def test_mpeg1_filterbank_is_exact_pr():
     assert snr > 250.0, snr
 
 
+def test_pqmf_prototype_properties():
+    """The in-code near-PR prototype must actually meet the design spec
+    the banner claims: linear phase (symmetric taps), Table-C-class
+    stopband (< -96 dB), band-overlap power flatness (< 2e-3), and the
+    (-1)^(i//64) sign pattern the Z-fold requires (the structural fact
+    that explains Table C's alternating sign groups)."""
+    from emr_with_custom_metrics_spark.llm.mpeg_audio import (
+        _PQMF_C,
+        _PQMF_SIGN,
+        _PQMF_TAPS,
+        _pqmf_prototype,
+    )
+
+    p = _pqmf_prototype()
+    assert np.allclose(p, p[::-1])  # linear phase
+    assert np.allclose(_PQMF_C, p * _PQMF_SIGN)
+    n = np.arange(_PQMF_TAPS)
+    # stopband: beyond 1.5x the band spacing
+    grid = np.linspace(1.5 / 32, 0.5, 300)
+    Hs = np.abs(np.exp(-2j * np.pi * grid[:, None] * n) @ p)
+    assert 20 * np.log10(Hs.max() / np.abs(p.sum())) < -96.0
+    # near-PR: |H(f)|^2 + |H(1/64 - f)|^2 flat across the band overlap
+    g = np.linspace(0.0, 1.0 / 128, 64)
+    H1 = np.abs(np.exp(-2j * np.pi * g[:, None] * n) @ p)
+    H2 = np.abs(np.exp(-2j * np.pi * (1.0 / 64 - g)[:, None] * n) @ p)
+    G = H1**2 + H2**2
+    assert np.max(np.abs(G / G[0] - 1.0)) < 2e-3
+
+
+def test_pqmf_chain_near_pr_and_alias_cancellation():
+    """§2.4.3.2 machinery end-to-end: unit gain (the 1/4 structural gain
+    is calibrated into D), >30 dB broadband SNR at the documented 481-
+    sample delay, and >40 dB on a tone AT a band edge — the case where
+    both straddling subbands carry energy and only the cosine-modulated
+    phase relationship cancels the aliasing (a wrong sign pattern or a
+    wrong U-mapping fails this loudly, measured ~12 dB)."""
+    from emr_with_custom_metrics_spark.llm.mpeg_audio import (
+        _PQMF_DELAY,
+        pqmf_analysis,
+        pqmf_synthesis,
+    )
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(32 * 500) * 0.2
+    y = pqmf_synthesis(pqmf_analysis(x))
+    a, b = x[: len(x) - _PQMF_DELAY], y[_PQMF_DELAY:]
+    gain = float(a @ b) / float(a @ a)
+    assert abs(gain - 1.0) < 0.01, gain
+    err = b - a
+    assert 10 * np.log10((a @ a) / (err @ err)) > 30.0
+
+    t = np.arange(32 * 500)
+    tone = 0.5 * np.sin(2 * np.pi * (1.0 / 64.0) * t)  # exactly at edge
+    y = pqmf_synthesis(pqmf_analysis(tone))
+    a, b = tone[1000 : len(tone) - _PQMF_DELAY], y[1000 + _PQMF_DELAY :]
+    err = b - a
+    assert 10 * np.log10((a @ a) / (err @ err)) > 40.0
+
+
+def test_layer1_pqmf_codec_roundtrip_and_signature():
+    """filterbank='pqmf' encodes through the real polyphase flow, marks
+    the copyright bit, decodes back through the V-FIFO synthesis with
+    >25 dB SNR, and is deterministic; the default path is unchanged
+    (codec name 'mpeg1-layer1-mdct'); a mid-stream signature flip is a
+    corrupt stream, not a silent filterbank switch."""
+    import pytest
+
+    from emr_with_custom_metrics_spark.llm.mpeg_audio import (
+        FRAME_BYTES,
+        FRAME_SAMPLES,
+        _PQMF_DELAY,
+        decode_mpeg1_layer1,
+        encode_mpeg1_layer1,
+    )
+
+    fs = 32000
+    t = np.arange(FRAME_SAMPLES * 20)
+    x = 0.5 * np.sin(2 * np.pi * 440 * t / fs) + 0.2 * np.sin(
+        2 * np.pi * 3000 * t / fs
+    )
+    enc = encode_mpeg1_layer1(x, fs, filterbank="pqmf")
+    assert enc == encode_mpeg1_layer1(x, fs, filterbank="pqmf")
+    dec = decode_mpeg1_layer1(enc)
+    assert dec["codec"] == "mpeg1-layer1-pqmf"
+    y = dec["samples"]
+    a, b = x[1000 : len(y) - _PQMF_DELAY], y[1000 + _PQMF_DELAY :]
+    err = b - a
+    assert 10 * np.log10((a @ a) / (err @ err)) > 25.0
+
+    assert decode_mpeg1_layer1(encode_mpeg1_layer1(x, fs))["codec"] == (
+        "mpeg1-layer1-mdct"
+    )
+
+    # flip the second frame's copyright bit (byte 3, bit 3 of its header)
+    mixed = bytearray(enc)
+    mixed[FRAME_BYTES + 3] ^= 0x08
+    with pytest.raises(ValueError, match="signature changes"):
+        decode_mpeg1_layer1(bytes(mixed))
+
+
 def test_mpeg1_stream_contract():
     """Constant frame size; truncation → ValueError; foreign layouts →
     NotImplementedError naming the unsupported feature."""
