@@ -165,3 +165,101 @@ def geo_grid_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.s_suppkey").alias("s_suppkey"),
         F.col("b.d2").cast("bigint").alias("d2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Geohash cell encoding (public-domain geocoding scheme, Niemeyer 2008)
+# ---------------------------------------------------------------------------
+# The standard shareable spatial bucket key: latitude and longitude are
+# binary-subdivided and their bits INTERLEAVED (lon takes the even
+# positions from the MSB), then base-32 coded with the geohash alphabet
+# (no a/i/l/o). The prefix property — shared prefix == shared enclosing
+# cell — is what makes it a JOIN KEY at scale: equal-prefix grouping is
+# a hash shuffle, neighbor search is a prefix-range scan, and the cell
+# hierarchy is substring arithmetic, no geometry library anywhere.
+#
+# This implementation quantizes the repo's tenth-degree integer frame to
+# 10 bits per axis (20-bit cell ~ 4-char geohash), builds the interleave
+# as a generated sum of exact bit-weight terms (every operand < 2^20 —
+# integer-exact on both engines), and reports per-2-char-prefix
+# occupancy for customers vs suppliers. Everything is one shared
+# Spark/DuckDB template: bit extraction is FLOOR-division arithmetic
+# (no engine-specific shift operators), base-32 chars are substring
+# lookups into the alphabet string.
+
+_GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _bitsum(lon_expr: str, lat_expr: str) -> str:
+    """20-bit geohash interleave: lon bits at even positions from MSB."""
+    terms = []
+    for i in range(10):  # bit i of each 10-bit axis value
+        terms.append(
+            f"(CAST(FLOOR(({lon_expr}) / {2 ** i}.0) AS BIGINT) % 2)"
+            f" * CAST({2 ** (2 * i + 1)} AS BIGINT)"
+        )
+        terms.append(
+            f"(CAST(FLOOR(({lat_expr}) / {2 ** i}.0) AS BIGINT) % 2)"
+            f" * CAST({2 ** (2 * i)} AS BIGINT)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _gh4(z_expr: str) -> str:
+    """4 base-32 chars from a 20-bit cell id (5 bits per char, MSB first)."""
+    chars = [
+        f"substring('{_GH32}', CAST(FLOOR(({z_expr}) / {32 ** (3 - j)}.0)"
+        f" AS BIGINT) % 32 + 1, 1)"
+        for j in range(4)
+    ]
+    return "concat(" + ", ".join(chars) + ")"
+
+
+_GEOHASH_SQL = f"""
+    WITH pts AS (
+        SELECT 'cust' AS role,
+               CAST(FLOOR({_lat10('c_custkey')} * 1024 / 1200.0) AS BIGINT)
+                   AS latb,
+               CAST(FLOOR({_lon10('c_custkey')} * 1024 / 2400.0) AS BIGINT)
+                   AS lonb
+        FROM customer
+        UNION ALL
+        SELECT 'supp' AS role,
+               CAST(FLOOR({_lat10('s_suppkey')} * 1024 / 1200.0) AS BIGINT),
+               CAST(FLOOR({_lon10('s_suppkey')} * 1024 / 2400.0) AS BIGINT)
+        FROM supplier
+    ), coded AS (
+        SELECT role, {_gh4(_bitsum("lonb", "latb"))} AS gh4
+        FROM pts
+    )
+    SELECT substring(gh4, 1, 2) AS gh2,
+           CAST(SUM(CASE WHEN role = 'cust' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cust,
+           CAST(SUM(CASE WHEN role = 'supp' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_supp,
+           CAST(COUNT(DISTINCT gh4) AS BIGINT) AS n_cells,
+           MIN(gh4) AS first_cell
+    FROM coded
+    GROUP BY substring(gh4, 1, 2)
+"""
+
+
+@register(
+    "geo_geohash_cells",
+    oracle=_GEOHASH_SQL,
+    doc="Geohash cell encoding (Niemeyer's public-domain scheme): 10-bit "
+    "quantization per axis of the tenth-degree integer frame, 20-bit "
+    "lon/lat bit interleave built as a generated sum of exact bit-weight "
+    "terms (pure FLOOR-division arithmetic — no engine-specific shift "
+    "operators), base-32 coding via substring lookups, then per-2-char-"
+    "prefix occupancy of customers vs suppliers with distinct-subcell "
+    "counts. The prefix property makes the hash a scale-native join/"
+    "group key: equal-prefix grouping is a plain hash shuffle and the "
+    "cell hierarchy is substring arithmetic. One shared Spark/DuckDB "
+    "template, integer-exact end-to-end.",
+)
+def geo_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emr_with_custom_metrics_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("customer", "supplier"))
+    return spark.sql(_GEOHASH_SQL)

@@ -1126,3 +1126,229 @@ _EFFECT_SQL = f"""
 def stats_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_EFFECT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Offline changepoint detection: single-split binary segmentation
+# ---------------------------------------------------------------------------
+# The complement of events_cusum_drift (ONLINE, sequential): given the
+# whole daily series per metric, find the split that maximizes the SSE
+# reduction of a two-segment piecewise-constant fit — the first step of
+# binary segmentation (Scott & Knott 1974), and the exact subproblem
+# PELT/BinSeg solve repeatedly. With prefix sums the gain at every split
+# is O(1): G(t) = S_L^2/n_L + S_R^2/n_R - S^2/n (all in exact integer
+# count units, only the three divisions in double — fixed op order, both
+# engines produce bit-identical doubles from identical exact integers).
+# Derives from the SAME staged hourly-counts reduction as the
+# decomposition family: at 100 TB the shuffle carries the (series, hour)
+# density, never events; the window pass runs per-series on ~10^2 daily
+# rows regardless of event volume.
+
+_CHANGEPOINT_CORE = """
+    , daily AS (
+        SELECT event_type, CAST(FLOOR(h / 24.0) AS BIGINT) AS d,
+               CAST(SUM(cnt) AS BIGINT) AS y
+        FROM counts GROUP BY event_type, CAST(FLOOR(h / 24.0) AS BIGINT)
+    ), idx AS (
+        SELECT event_type, d, y,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS t,
+               CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY d
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ps,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+               CAST(SUM(y) OVER (PARTITION BY event_type) AS BIGINT) AS s
+        FROM daily
+    ), gains AS (
+        SELECT event_type, d, t, n, ps, s,
+               CAST(ROUND(CAST(ps AS DOUBLE) * ps / t
+                          + CAST(s - ps AS DOUBLE) * (s - ps) / (n - t)
+                          - CAST(s AS DOUBLE) * s / n) AS BIGINT) AS gain
+        FROM idx
+        WHERE t >= 3 AND n - t >= 3
+    ), best AS (
+        SELECT event_type, d, t, n, ps, s, gain,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY gain DESC, d) AS rn
+        FROM gains
+    )
+    SELECT event_type,
+           CAST(d AS BIGINT) AS split_day,
+           CAST(n AS BIGINT) AS n_days,
+           gain,
+           CAST(ROUND(CAST(ps AS DOUBLE) / t * 1000) AS BIGINT)
+               AS mean_before_e3,
+           CAST(ROUND(CAST(s - ps AS DOUBLE) / (n - t) * 1000) AS BIGINT)
+               AS mean_after_e3
+    FROM best WHERE rn = 1
+"""
+
+_CHANGEPOINT_SPARK = (
+    "WITH counts AS (SELECT event_type, h, cnt FROM st_hour_counts)"
+    + _CHANGEPOINT_CORE
+)
+_CHANGEPOINT_DUCK = (
+    """WITH counts AS MATERIALIZED (
+        SELECT event_type,
+               CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS h,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    )"""
+    + _CHANGEPOINT_CORE
+)
+
+
+@register(
+    "timeseries_changepoint_binseg",
+    oracle=_CHANGEPOINT_DUCK,
+    doc="Offline changepoint detection per metric — the first split of "
+    "binary segmentation (Scott & Knott 1974; the subproblem BinSeg/PELT "
+    "iterate): over the daily event-count series, the day whose two-"
+    "segment piecewise-constant fit maximally reduces SSE, via prefix "
+    "sums so every candidate split is O(1): gain = S_L^2/n_L + S_R^2/n_R "
+    "- S^2/n, exact integer sums with three fixed-order double divisions "
+    "(bit-identical cross-engine), min segment 3 days, tie-break earliest "
+    "day. Complements events_cusum_drift (online). Derives from the "
+    "staged hourly-counts reduction (st_hour_counts) — at 100 TB the "
+    "shuffle carries the (series, hour) density, never raw events.",
+)
+def timeseries_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _stage_hour_counts(spark, sf_dir)
+    return spark.sql(_CHANGEPOINT_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction intervals for a seasonal-naive forecaster
+# ---------------------------------------------------------------------------
+# Distribution-free uncertainty for ANY point forecaster (Vovk et al.;
+# Lei et al. JASA 2018): calibrate on held-out absolute residuals, take
+# the ceil(0.9*(n+1))-th smallest as the interval half-width q, and the
+# marginal coverage guarantee P(|y - yhat| <= q) >= 0.9 holds with no
+# distributional assumptions. Forecaster: seasonal-naive yhat(h) =
+# y(h - 24) on the DENSE hourly spine (missing hours are real zeros).
+# Everything is exact integer order statistics — no floats anywhere
+# except the final coverage ratio, quantized from an exact rational.
+
+_CONFORMAL_CORE = """
+    , resid AS (
+        SELECT s.event_type, s.h,
+               ABS(COALESCE(c.cnt, 0) - COALESCE(p.cnt, 0)) AS r
+        FROM spine s
+        LEFT JOIN counts c ON s.event_type = c.event_type AND s.h = c.h
+        LEFT JOIN counts p ON s.event_type = p.event_type AND s.h = p.h - 24
+        WHERE s.h >= (SELECT MIN(h) FROM spine) + 24
+    ), mid AS (
+        -- FLOOR, not a bare CAST: Spark truncates double->bigint while
+        -- DuckDB rounds to nearest, so CAST(x.5) diverges by one hour.
+        SELECT CAST(FLOOR((MIN(h) + MAX(h)) / 2.0) AS BIGINT) AS hmid
+        FROM resid
+    ), cal AS (
+        SELECT event_type, r,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY r, h) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_cal
+        FROM resid, mid WHERE h <= hmid
+    ), q AS (
+        SELECT event_type, CAST(MAX(n_cal) AS BIGINT) AS n_cal,
+               CAST(MAX(CASE WHEN rn = CAST(FLOOR((9 * (n_cal + 1) + 9)
+                                                  / 10.0) AS BIGINT)
+                             THEN r END) AS BIGINT) AS q
+        FROM cal GROUP BY event_type
+    ), test AS (
+        SELECT r.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(SUM(CASE WHEN r.r <= q.q THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_covered
+        FROM resid r JOIN q ON r.event_type = q.event_type, mid
+        WHERE r.h > mid.hmid
+        GROUP BY r.event_type
+    )
+    SELECT t.event_type, q.n_cal, q.q, t.n_test, t.n_covered,
+           CAST(ROUND(CAST(t.n_covered AS DOUBLE) / t.n_test * 1000000)
+               AS BIGINT) AS coverage_e6
+    FROM test t JOIN q ON t.event_type = q.event_type
+"""
+
+_CONFORMAL_SPARK = _SPINE_FROM_COUNTS_SPARK + _CONFORMAL_CORE
+_CONFORMAL_DUCK = _SPINE_FROM_COUNTS_DUCK + _CONFORMAL_CORE
+
+
+@register(
+    "timeseries_conformal_interval",
+    oracle=_CONFORMAL_DUCK,
+    doc="Split-conformal prediction interval (Vovk; Lei et al. 2018) for "
+    "a seasonal-naive hourly forecaster (yhat(h) = y(h-24) on the dense "
+    "spine): per metric, the ceil(0.9*(n_cal+1))-th smallest calibration "
+    "|residual| — an exact integer order statistic, ceiling computed in "
+    "exact integer arithmetic — becomes the half-width q, and the test "
+    "half reports empirical coverage, the distribution-free >=90% "
+    "guarantee made measurable. No floats anywhere except the final "
+    "coverage ratio from an exact rational. Same staged (series, hour) "
+    "density as the decomposition family — events are never re-scanned.",
+)
+def timeseries_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _stage_hour_counts(spark, sf_dir)
+    return spark.sql(_CONFORMAL_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# Winsorized / trimmed robust means
+# ---------------------------------------------------------------------------
+# The robust-aggregation screen a metrics platform applies before any
+# mean-based alert: clamp (winsorize) or drop (trim) the tails at exact
+# p05/p95 order statistics. Ranks are over (value, event_id) so the k-th
+# order statistic is the value at a well-defined position regardless of
+# tie order; values live in exact 1e-3 integers end-to-end, so every sum
+# is an exact integer reduction and the three means quantize from exact
+# rationals. One window pass per metric; at 100 TB this is the classic
+# per-key sort — each metric's pass is independent and the rank bounds
+# broadcast back as a 5-row aggregate.
+
+_WINSOR_SQL = """
+    WITH v AS (
+        SELECT event_type, event_id,
+               CAST(ROUND(value * 1000) AS BIGINT) AS v_e3
+        FROM events
+    ), r AS (
+        SELECT event_type, v_e3,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY v_e3, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM v
+    ), bounds AS (
+        SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+               CAST(MAX(CASE WHEN rn = CAST(FLOOR((n * 5 + 99) / 100.0)
+                                            AS BIGINT)
+                             THEN v_e3 END) AS BIGINT) AS lo_e3,
+               CAST(MAX(CASE WHEN rn = CAST(FLOOR((n * 95 + 99) / 100.0)
+                                            AS BIGINT)
+                             THEN v_e3 END) AS BIGINT) AS hi_e3
+        FROM r GROUP BY event_type
+    )
+    SELECT r.event_type, b.n, b.lo_e3, b.hi_e3,
+           CAST(ROUND(CAST(SUM(v_e3) AS DOUBLE) / b.n) AS BIGINT)
+               AS raw_mean_e3,
+           CAST(ROUND(CAST(SUM(GREATEST(b.lo_e3, LEAST(b.hi_e3, v_e3)))
+                           AS DOUBLE) / b.n) AS BIGINT) AS winsor_mean_e3,
+           CAST(ROUND(CAST(SUM(CASE WHEN v_e3 BETWEEN b.lo_e3 AND b.hi_e3
+                                     THEN v_e3 ELSE 0 END) AS DOUBLE)
+                      / SUM(CASE WHEN v_e3 BETWEEN b.lo_e3 AND b.hi_e3
+                                  THEN 1 ELSE 0 END)) AS BIGINT)
+               AS trim_mean_e3
+    FROM r JOIN bounds b ON r.event_type = b.event_type
+    GROUP BY r.event_type, b.n, b.lo_e3, b.hi_e3
+"""
+
+
+@register(
+    "stats_winsorized_mean",
+    oracle=_WINSOR_SQL,
+    doc="Robust location estimates per metric: exact p05/p95 order "
+    "statistics (rank over (value, event_id) — the k-th position is "
+    "well-defined under ties) bound a winsorized mean (tails clamped) "
+    "and a trimmed mean (tails dropped) next to the raw mean — the "
+    "outlier-robust aggregate a metrics platform alerts on. Exact 1e-3 "
+    "integer values end-to-end; every sum is an exact integer reduction. "
+    "One window pass per metric, rank bounds broadcast back as a 5-row "
+    "aggregate.",
+)
+def stats_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_WINSOR_SQL)

@@ -303,6 +303,8 @@ def _ensure_loaded() -> None:
     import emr_with_custom_metrics_spark.operators.geo  # noqa: F401
     import emr_with_custom_metrics_spark.operators.sketches  # noqa: F401
     import emr_with_custom_metrics_spark.operators.stats  # noqa: F401
+    import emr_with_custom_metrics_spark.operators.linkage  # noqa: F401
+    import emr_with_custom_metrics_spark.operators.privacy  # noqa: F401
     import emr_with_custom_metrics_spark.functions.scalar  # noqa: F401
     import emr_with_custom_metrics_spark.functions.collections  # noqa: F401
     import emr_with_custom_metrics_spark.functions.vector  # noqa: F401

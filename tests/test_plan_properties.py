@@ -164,6 +164,11 @@ def test_no_driver_side_collect_in_query_modules():
             # RAKE's segmented token stream and LLR's bigram counts:
             # same first-reduction staging as the stats tier
             "llm/keywords.py",
+            # Fellegi-Sunter: the blocked pair table (with its
+            # levenshtein arithmetic) is referenced twice — weight
+            # learning and scoring; un-staged, WITH-inlining would run
+            # the candidate join + edit distances per reference
+            "operators/linkage.py",
         },
     }
     offenders = []
