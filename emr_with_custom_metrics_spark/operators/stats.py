@@ -1352,3 +1352,97 @@ _WINSOR_SQL = """
 def stats_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_WINSOR_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Isotonic regression (exact, closed-form minimax — no iteration)
+# ---------------------------------------------------------------------------
+# The nonparametric member of the regression family (linear:
+# agg_linear_regression; autoregressive: timeseries_ar2_forecast):
+# fit the best monotone-nondecreasing curve to each metric's daily mean,
+# the standard calibration / trend-shape tool. Instead of the sequential
+# PAVA sweep (data-dependent iteration count — hostile to both SQL
+# engines), this uses the exact minimax characterization
+#     iso(i) = max_{j<=i} min_{k>=i} avg(y[j..k])
+# (Robertson-Wright-Dykstra 1988, eq. 1.9-1.13): every interval average
+# is O(1) from prefix sums, and the max-of-mins is two grouped
+# aggregations over an (i, j, k) expansion. That expansion is O(n^3) in
+# the SERIES LENGTH — which is days, a constant wrt data volume — so at
+# 100 TB the plan is: one map-side-combinable daily reduction over
+# events (the only data-sized stage), then constant-sized closed-form
+# algebra. Inputs quantize to 1e-6 integers before the prefix sums;
+# interval averages quantize immediately after their one division.
+
+_ISOTONIC_SQL = """
+    WITH daily AS (
+        SELECT event_type, CAST(FLOOR(unix_ts / 86400) AS BIGINT) AS d,
+               CAST(SUM(v_e3) AS BIGINT) AS sv, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events_ts
+        GROUP BY event_type, CAST(FLOOR(unix_ts / 86400) AS BIGINT)
+    ), idx AS (
+        SELECT event_type, d,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS t,
+               CAST(ROUND(CAST(sv AS DOUBLE) / c * 1000) AS BIGINT) AS y_e6,
+               CAST(SUM(CAST(ROUND(CAST(sv AS DOUBLE) / c * 1000) AS BIGINT))
+                    OVER (PARTITION BY event_type ORDER BY d
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ps
+        FROM daily
+    ), pairs AS (
+        SELECT a.event_type, a.t AS j, b.t AS k,
+               CAST(ROUND((b.ps - a.ps + a.y_e6) / (b.t - a.t + 1.0e0))
+                   AS BIGINT) AS avg_e6
+        FROM idx a JOIN idx b
+          ON a.event_type = b.event_type AND a.t <= b.t
+    ), tri AS (
+        SELECT p.event_type, p.j, p.k, p.avg_e6, i.t AS i
+        FROM pairs p JOIN idx i
+          ON p.event_type = i.event_type AND p.j <= i.t AND i.t <= p.k
+    ), inner_min AS (
+        SELECT event_type, i, j, CAST(MIN(avg_e6) AS BIGINT) AS m
+        FROM tri GROUP BY event_type, i, j
+    ), iso AS (
+        SELECT event_type, i, CAST(MAX(m) AS BIGINT) AS iso_e6
+        FROM inner_min GROUP BY event_type, i
+    )
+    SELECT x.event_type, CAST(x.d AS BIGINT) AS d, x.y_e6, s.iso_e6
+    FROM idx x JOIN iso s ON x.event_type = s.event_type AND x.t = s.i
+"""
+
+_EVENTS_TS_VIEW = """
+    SELECT event_type, {unix_expr} AS unix_ts,
+           CAST(ROUND(value * 1000) AS BIGINT) AS v_e3
+    FROM events
+"""
+
+_ISOTONIC_SPARK = (
+    "WITH events_ts AS ("
+    + _EVENTS_TS_VIEW.format(unix_expr="unix_timestamp(ts)")
+    + ")"
+    + _ISOTONIC_SQL.replace("WITH daily", ", daily", 1)
+)
+_ISOTONIC_DUCK = (
+    "WITH events_ts AS ("
+    + _EVENTS_TS_VIEW.format(unix_expr="epoch(ts)")
+    + ")"
+    + _ISOTONIC_SQL.replace("WITH daily", ", daily", 1)
+)
+
+
+@register(
+    "stats_isotonic_trend",
+    oracle=_ISOTONIC_DUCK,
+    doc="Exact isotonic (monotone-nondecreasing) regression of each "
+    "metric's daily mean — the nonparametric calibration/trend fit — "
+    "via the closed-form minimax characterization iso(i) = max_{j<=i} "
+    "min_{k>=i} avg(y[j..k]) (Robertson-Wright-Dykstra 1988) instead of "
+    "the sequential PAVA sweep: interval averages are O(1) from prefix "
+    "sums and the max-of-mins is two grouped aggregations over an "
+    "(i,j,k) expansion that is cubic only in SERIES LENGTH (days — "
+    "constant wrt data volume). The single data-sized stage is one "
+    "map-side-combinable daily reduction. 1e-6 integer quantization "
+    "before prefix sums and immediately after the one division; "
+    "PAVA-recomputed in tests.",
+)
+def stats_isotonic_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_ISOTONIC_SPARK)

@@ -557,3 +557,35 @@ def sql_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emr_with_custom_metrics_spark.operators.extended import _sql
 
     return _sql(spark, sf_dir, _Q21, ("supplier", "lineitem", "orders"))
+
+
+# Spark 4 / modern-ANSI surface: GROUP BY ALL + ORDER BY ALL — the
+# analyst-ergonomics form (every non-aggregate select item becomes a
+# grouping key; ORDER BY ALL makes the emitted order total and
+# deterministic). Both engines resolve the same way; the result is the
+# q1-style pricing rollup with the keys inferred instead of repeated.
+_GROUP_BY_ALL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty,
+           CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100)
+               AS BIGINT) AS disc_rev_c,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    WHERE l_quantity < 45
+    GROUP BY ALL
+"""
+
+
+@register(
+    "sql_group_by_all",
+    oracle=_GROUP_BY_ALL,
+    doc="GROUP BY ALL (Spark 4 / modern ANSI ergonomics): grouping keys "
+    "inferred from the non-aggregate select items — the q1-shaped "
+    "pricing rollup without repeating the key list; identical "
+    "resolution in Spark and DuckDB, one shared template. Plans as the "
+    "same partial+final hash aggregation as an explicit GROUP BY.",
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emr_with_custom_metrics_spark.operators.extended import _sql
+
+    return _sql(spark, sf_dir, _GROUP_BY_ALL, ("lineitem",))

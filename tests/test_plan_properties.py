@@ -164,6 +164,10 @@ def test_no_driver_side_collect_in_query_modules():
             # RAKE's segmented token stream and LLR's bigram counts:
             # same first-reduction staging as the stats tier
             "llm/keywords.py",
+            # PLSA: the count matrix and each EM round's parameter
+            # tables feed 2-3 downstream references each; the unigram-LM
+            # staged-execution precedent applies verbatim
+            "llm/topics.py",
             # Fellegi-Sunter: the blocked pair table (with its
             # levenshtein arithmetic) is referenced twice — weight
             # learning and scoring; un-staged, WITH-inlining would run

@@ -239,3 +239,123 @@ def test_geohash_interleave_is_bijective_on_frame():
     # collide more than the quantization allows (1024/1200 merges some
     # adjacent tenth-degrees, but the 97/101 stride keeps inputs apart)
     assert len(seen) >= 0.95 * (len(range(0, 1200, 97)) * len(range(0, 2400, 101)))
+
+
+# ---------------------------------------------------------------------------
+# Isotonic regression (exact minimax)
+# ---------------------------------------------------------------------------
+
+
+def _pava(y):
+    """Classic pool-adjacent-violators on quantized integers — the
+    SEQUENTIAL algorithm the SQL minimax formula must agree with."""
+    blocks = [[v, 1] for v in map(float, y)]  # [sum-mean, weight]
+    out = []
+    for b in blocks:
+        out.append(b)
+        while len(out) > 1 and out[-2][0] / out[-2][1] >= out[-1][0] / out[-1][1] + 1e-12:
+            s2, w2 = out.pop()
+            out[-1][0] += s2
+            out[-1][1] += w2
+    fit = []
+    for s, w in out:
+        fit.extend([s / w] * int(w))
+    return fit
+
+
+def test_isotonic_matches_pava_and_is_monotone(spark):
+    pdf = _collect(spark, "stats_isotonic_trend")
+    for et, g in pdf.groupby("event_type"):
+        g = g.sort_values("d")
+        iso = g["iso_e6"].to_numpy()
+        # monotone nondecreasing by construction
+        assert (np.diff(iso) >= 0).all()
+        # PAVA on the same quantized inputs agrees within the 1e-6
+        # quantization of the interval averages
+        fit = _pava(g["y_e6"].to_numpy())
+        assert np.abs(iso - np.array(fit)).max() <= 1.0 + 1e-9, et
+        # isotonic fit preserves the total (weighted mean invariance),
+        # up to one quantum per day
+        assert abs(iso.sum() - g["y_e6"].sum()) <= len(g) + 1
+
+
+# ---------------------------------------------------------------------------
+# PLSA topics
+# ---------------------------------------------------------------------------
+
+
+def _py_plsa(sf_dir):
+    """Plain-Python replay of the engine's quantized 2-round EM."""
+    import collections
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    cnt = collections.Counter()
+    for _, text in rows:
+        cnt.update(text.split(" "))
+    voc = sorted(cnt, key=lambda w: (-cnt[w], w))[:30]
+    vset = set(voc)
+    wd = collections.Counter()
+    for d, text in rows:
+        for w in text.split(" "):
+            if w in vset:
+                wd[(d, w)] += 1
+    E9 = 10**9
+    raw = {
+        (w, z): 1000 + _h16_py("plsa", f"{w}|{z}") % 1000
+        for w in voc
+        for z in range(3)
+    }
+    pwz = {}
+    for z in range(3):
+        tot = sum(raw[(w, z)] for w in voc)
+        for w in voc:
+            pwz[(w, z)] = round(raw[(w, z)] / tot * E9)
+    docs = sorted({d for d, _ in wd})
+    pzd = {(d, z): round(E9 / 3) for d in docs for z in range(3)}
+    for _ in range(2):
+        nwz = collections.Counter()
+        nzd = collections.Counter()
+        for (d, w), c in wd.items():
+            num = [pwz[(w, z)] * pzd[(d, z)] for z in range(3)]
+            den = sum(num)
+            for z in range(3):
+                rc = round(c * num[z] / den * E9)
+                nwz[(w, z)] += rc
+                nzd[(d, z)] += rc
+        for z in range(3):
+            tot = sum(nwz[(w, z)] for w in voc)
+            for w in voc:
+                pwz[(w, z)] = round(nwz[(w, z)] / tot * E9)
+        for d in docs:
+            tot = sum(nzd[(d, z)] for z in range(3))
+            for z in range(3):
+                pzd[(d, z)] = round(nzd[(d, z)] / tot * E9)
+    return pwz, pzd
+
+
+def test_plsa_matches_python_em_replay(spark):
+    pdf = _collect(spark, "text_plsa_topics")
+    assert len(pdf) == 15  # 3 topics x top-5 words
+    pwz, pzd = _py_plsa(SF_SMOKE_DIR)
+    for z in range(3):
+        top = sorted(
+            ((p, w) for (w, zz), p in pwz.items() if zz == z),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        got = pdf[pdf["z"] == z].sort_values("rnk")
+        for (p, w), (_, r) in zip(top, got.iterrows()):
+            assert r["w"] == w and abs(int(r["p_e9"]) - p) <= 2, (z, w)
+    # topic shares sum to ~1 and every p_e9 is a valid probability cell
+    shares = pdf.groupby("z")["share_e6"].first()
+    assert abs(int(shares.sum()) - 1_000_000) <= 3
+    assert (pdf["p_e9"] > 0).all() and (pdf["p_e9"] < 10**9).all()
+
+
+def test_plsa_em_moves_off_init(spark):
+    """Two EM rounds must actually concentrate topics: the round-2
+    P(w|z) top cell should exceed the near-uniform init ceiling."""
+    pdf = _collect(spark, "text_plsa_topics")
+    # init cells are ~1/30 +- 33% jitter => < 0.045; EM concentrates
+    assert int(pdf["p_e9"].max()) > 45_000_000
