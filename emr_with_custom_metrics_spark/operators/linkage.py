@@ -19,15 +19,21 @@ probabilities are ESTIMATED FROM THE PAIR UNIVERSE itself — the same
 supervised-estimation shortcut production systems use with clerical
 labels, here with exact integer counts.
 
-Scale posture: candidate generation is a BLOCKED join — equi on nation
-plus a +/-1 band predicate on a $2,000 balance band (the sorted-
-neighborhood method). Pair count is bounded by block density, never
-O(n^2); at 100 TB the block key is the shuffle key and each block is
-independent. Only candidates pay the levenshtein arithmetic. The pair
-table is staged behind a localCheckpoint on the Spark side because the
-tail references it twice (once to learn weights, once to score) and
-Spark inlines WITH-chains per reference; DuckDB materializes the same
-CTE via MATERIALIZED.
+Scale posture: candidate generation is a BLOCKED join — a pure EQUI
+join on (nation, $2,000-balance-band), with the B side replicated to
+its +/-1 neighbor bands (sorted-neighborhood; the geo.py 3x3 trick in
+1-D) so no range predicate survives into the join. Pair count is
+bounded by block density, never O(n^2); at 100 TB (nation, band) is
+the shuffle key and each block links independently. Only candidates
+pay the levenshtein arithmetic, and the input is FANNED
+(catalog.load_fanned) because customer arrives as one parquet file and
+the broadcast join would otherwise evaluate every pair in the stream
+side's 1-2 scan tasks — measured 37 s single-threaded vs 3.6 s fanned
+at sf0.1 (the BETWEEN form was 15.5 s; both r9 sweep addenda). The
+pair table is staged behind a localCheckpoint on the Spark side
+because the tail references it twice (once to learn weights, once to
+score) and Spark inlines WITH-chains per reference; DuckDB
+materializes the same CTE via MATERIALIZED.
 
 Cross-engine exactness: agreements are integer indicators (Spark and
 DuckDB levenshtein are the same exact DP); m/u are exact rationals from
@@ -40,7 +46,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from emr_with_custom_metrics_spark.catalog import register_views
+from emr_with_custom_metrics_spark.catalog import load_fanned
 from emr_with_custom_metrics_spark.registry import register
 
 _HEX = "0123456789abcdef"
@@ -94,23 +100,33 @@ _PAIRS_SQL = f"""
                CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents,
                CAST(FLOOR(CAST(ROUND(c_acctbal * 100) AS BIGINT)
                           / {_BAND_CENTS}.0) AS BIGINT) AS band
-        FROM customer
+        FROM {{tbl}}
     ) a
     JOIN (
-        SELECT c_custkey AS b_key, c_nationkey AS b_nation,
-               CASE WHEN ({_h16("seg", "c_custkey")} % 10) = 0
-                    THEN {_seg_of(f"(({_SEG_IDX}) + 1 + ({_h16('segpick', 'c_custkey')} % 4)) % 5")}
-                    ELSE c_mktsegment END AS b_seg,
-               CAST(ROUND(c_acctbal * 100) AS BIGINT)
-                   + ({_h16("bal", "c_custkey")} % 2001) - 1000 AS b_cents,
-               CASE WHEN ({_h16("name", "c_custkey")} % 5) = 0
-                    THEN concat(substring(c_name, 1, 9), substring(c_name, 11))
-                    ELSE c_name END AS b_name
-        FROM customer
+        -- B replicates to its own band and both neighbors (the geo.py
+        -- 3x3-neighborhood trick in 1-D), so the +/-1 band predicate
+        -- becomes a pure EQUI key (nation, band): a.band = b.cb covers
+        -- exactly b.band-1..b.band+1 — the identical candidate set the
+        -- original BETWEEN produced, but as a hash join on ~175 keys
+        -- instead of a 25-key join with a residual range filter
+        -- (measured 15.5 s -> see SCALING.md at sf0.1).
+        SELECT b0.*, CAST(FLOOR(b0.b_cents / {_BAND_CENTS}.0) AS BIGINT)
+                     + o.db AS cb
+        FROM (
+            SELECT c_custkey AS b_key, c_nationkey AS b_nation,
+                   CASE WHEN ({_h16("seg", "c_custkey")} % 10) = 0
+                        THEN {_seg_of(f"(({_SEG_IDX}) + 1 + ({_h16('segpick', 'c_custkey')} % 4)) % 5")}
+                        ELSE c_mktsegment END AS b_seg,
+                   CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                       + ({_h16("bal", "c_custkey")} % 2001) - 1000 AS b_cents,
+                   CASE WHEN ({_h16("name", "c_custkey")} % 5) = 0
+                        THEN concat(substring(c_name, 1, 9), substring(c_name, 11))
+                        ELSE c_name END AS b_name
+            FROM {{tbl}}
+        ) b0
+        CROSS JOIN (SELECT * FROM (VALUES (-1), (0), (1)) AS t(db)) o
     ) b
-      ON a.c_nationkey = b.b_nation
-     AND CAST(FLOOR(b.b_cents / {_BAND_CENTS}.0) AS BIGINT)
-         BETWEEN a.band - 1 AND a.band + 1
+      ON a.c_nationkey = b.b_nation AND a.band = b.cb
 """
 
 # Weight learning + scoring tail over the staged pair table. Add-half
@@ -162,7 +178,8 @@ _FS_TAIL = """
                   ELSE 'non_match' END
 """
 
-_FS_ORACLE = f"WITH pairs AS MATERIALIZED ({_PAIRS_SQL})" + _FS_TAIL
+_FS_ORACLE = ("WITH pairs AS MATERIALIZED ("
+              + _PAIRS_SQL.format(tbl="customer") + ")" + _FS_TAIL)
 _FS_SPARK_TAIL = "WITH pairs AS (SELECT * FROM lk_pairs)" + _FS_TAIL
 
 
@@ -183,6 +200,16 @@ _FS_SPARK_TAIL = "WITH pairs AS (SELECT * FROM lk_pairs)" + _FS_TAIL
     "the block key is the shuffle key; blocks link independently.",
 )
 def linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir, ("customer",))
-    spark.sql(_PAIRS_SQL).localCheckpoint().createOrReplaceTempView("lk_pairs")
+    # FANNED input view (catalog.load_fanned): customer is one parquet
+    # file, and the pair join broadcasts the small side — without the
+    # fan-out, ALL pair generation + levenshtein runs in the stream
+    # side's 1-2 scan tasks (measured 37 s single-threaded vs ~4 s
+    # fanned at sf0.1). Scoped view name so the shared `customer` view
+    # other queries register stays untouched.
+    load_fanned(spark, sf_dir, "customer").createOrReplaceTempView(
+        "lk_customer"
+    )
+    spark.sql(
+        _PAIRS_SQL.format(tbl="lk_customer")
+    ).localCheckpoint().createOrReplaceTempView("lk_pairs")
     return spark.sql(_FS_SPARK_TAIL)

@@ -359,3 +359,58 @@ def test_plsa_em_moves_off_init(spark):
     pdf = _collect(spark, "text_plsa_topics")
     # init cells are ~1/30 +- 33% jitter => < 0.045; EM concentrates
     assert int(pdf["p_e9"].max()) > 45_000_000
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR
+# ---------------------------------------------------------------------------
+
+
+def test_fdr_bh_pvalues_and_stepup_match_python(spark):
+    pdf = _collect(spark, "stats_fdr_bh").sort_values("rnk")
+    assert len(pdf) == 5 and int(pdf["m"].iloc[0]) == 5
+    try:
+        from scipy.stats import norm
+        tail = lambda z: 2 * (1 - norm.cdf(z))
+    except ImportError:  # A&S self-check only
+        tail = None
+    ps = pdf["p_e9"].to_numpy()
+    # p ascending by construction of rnk
+    assert (np.diff(ps) >= 0).all()
+    if tail is not None:
+        for _, r in pdf.iterrows():
+            z = int(r["abs_z_e6"]) / 1e6
+            # Zelen-Severo polynomial |err| < 7.5e-8 => 1e-4 slack at e9
+            assert abs(int(r["p_e9"]) - round(tail(z) * 1e9)) < 200_000
+    # replay the exact integer step-up
+    kmax = 0
+    for _, r in pdf.iterrows():
+        if int(r["p_e9"]) * 5 <= int(r["rnk"]) * 50_000_000:
+            kmax = max(kmax, int(r["rnk"]))
+    for _, r in pdf.iterrows():
+        assert bool(r["rejected"]) == (int(r["rnk"]) <= kmax)
+
+
+# ---------------------------------------------------------------------------
+# Partition skew report
+# ---------------------------------------------------------------------------
+
+
+def test_partition_skew_report_math(spark):
+    pdf = _collect(spark, "dq_partition_skew_report")
+    counts = duckdb.sql(
+        "SELECT event_type, CAST(FLOOR(epoch(ts)/86400) AS BIGINT) d, "
+        f"COUNT(*) c FROM '{SF_SMOKE_DIR}/events.parquet' GROUP BY 1,2"
+    ).df()
+    total = int(counts["c"].sum())
+    n_parts = len(counts)
+    mx = int(counts["c"].max())
+    assert len(pdf) == n_parts
+    assert int(pdf["cnt"].sum()) == total
+    # shares sum to ~1e6 (each share rounds independently)
+    assert abs(int(pdf["share_e6"].sum()) - 1_000_000) <= n_parts
+    skew = round(mx * n_parts / total * 1000)
+    assert (pdf["skew_factor_e3"] == skew).all()
+    assert (pdf["suggested_salt"] == math.ceil(mx * n_parts / total)).all()
+    hot = pdf[pdf["is_hot"]]
+    assert (hot["cnt"] * n_parts > 2 * total).all()
