@@ -177,6 +177,9 @@ def test_no_driver_side_collect_in_query_modules():
             # chain re-references each per round); skyline stages the
             # supplier aggregate its dominance NOT-EXISTS reads twice
             "operators/wave9d.py",
+            # DBSCAN stages the GEMM pair list + core set feeding the
+            # min-label CC loop (same staging as dedup_clusters)
+            "operators/wave9f.py",
         },
     }
     offenders = []
