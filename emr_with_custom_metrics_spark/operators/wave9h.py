@@ -39,26 +39,35 @@ from emr_with_custom_metrics_spark.registry import register
 # signed lag). Series are calendar-bounded (720 points), so the sweep
 # is constant-size; only the staged hourly reduction is data-sized.
 
+_XCORR_X_BODY = """
+    SELECT s.event_type,
+           CAST(ROW_NUMBER() OVER (PARTITION BY s.event_type
+                                   ORDER BY s.h) - 1 AS BIGINT) AS t,
+           CAST(COALESCE(c.cnt, 0) AS BIGINT) AS v
+    FROM spine s LEFT JOIN counts c
+      ON c.event_type = s.event_type AND c.h = s.h
+"""
+
 _XCORR_CORE = """
-    , x AS (
-        SELECT s.event_type,
-               CAST(ROW_NUMBER() OVER (PARTITION BY s.event_type
-                                       ORDER BY s.h) - 1 AS BIGINT) AS t,
-               CAST(COALESCE(c.cnt, 0) AS BIGINT) AS v
-        FROM spine s LEFT JOIN counts c
-          ON c.event_type = s.event_type AND c.h = s.h
-    ), lags AS (
+    , lags AS (
         SELECT CAST(k - 13 AS BIGINT) AS lag
         FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11),(12),
                      (13),(14),(15),(16),(17),(18),(19),(20),(21),(22),
                      (23),(24),(25)) AS t(k)
+    ), shifted AS (
+        -- compute the shifted key BEFORE the join: a ternary condition
+        -- t_b = t_a + lag cannot be planned as an equi-join (Catalyst
+        -- cartesians a x b, then nested-loops the lag table — measured
+        -- 324M comparisons); materializing t+lag on the small cross
+        -- product makes the pair join one hash equi-join on t
+        SELECT a.event_type AS ex, a.v AS vx, g.lag,
+               a.t + g.lag AS tj
+        FROM x a CROSS JOIN lags g
     ), joined AS (
-        SELECT a.event_type AS ex, b.event_type AS ey, g.lag,
-               a.v AS vx, b.v AS vy
-        FROM x a
-        CROSS JOIN lags g
-        JOIN x b ON b.event_type <> a.event_type
-               AND b.t = a.t + g.lag
+        SELECT s.ex, b.event_type AS ey, s.lag,
+               s.vx, b.v AS vy
+        FROM shifted s
+        JOIN x b ON b.t = s.tj AND b.event_type <> s.ex
     ), mom AS (
         SELECT ex, ey, lag,
                CAST(COUNT(*) AS BIGINT) AS n,
@@ -89,7 +98,9 @@ _XCORR_CORE = """
 
 @register(
     "timeseries_cross_correlation",
-    oracle=_SPINE_FROM_COUNTS_DUCK + _XCORR_CORE,
+    oracle=_SPINE_FROM_COUNTS_DUCK
+    + f", x AS MATERIALIZED ({_XCORR_X_BODY})"
+    + _XCORR_CORE,
     doc="Cross-correlation function between every ordered metric pair "
     "over the dense hourly spine, lags -12..+12: the lead-lag question "
     "behind alarm root-causing, reported as each pair's best lag by "
@@ -102,8 +113,13 @@ _XCORR_CORE = """
     "data-sized.",
 )
 def timeseries_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # x feeds both the shifted cross product and the b side of the pair
+    # join — staged once (the MP/decomposition WITH-inlining lesson).
     _stage_hour_counts(spark, sf_dir)
-    return spark.sql(_SPINE_FROM_COUNTS_SPARK + _XCORR_CORE)
+    spark.sql(
+        _SPINE_FROM_COUNTS_SPARK + _XCORR_X_BODY
+    ).localCheckpoint().createOrReplaceTempView("xc_x")
+    return spark.sql("WITH x AS (SELECT * FROM xc_x)" + _XCORR_CORE)
 
 
 # ---------------------------------------------------------------------------

@@ -180,6 +180,9 @@ def test_no_driver_side_collect_in_query_modules():
             # DBSCAN stages the GEMM pair list + core set feeding the
             # min-label CC loop (same staging as dedup_clusters)
             "operators/wave9f.py",
+            # cross-correlation stages the dense spine its shifted
+            # cross product and pair join both read (MP lesson)
+            "operators/wave9h.py",
         },
     }
     offenders = []
