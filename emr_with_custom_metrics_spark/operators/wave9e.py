@@ -89,6 +89,7 @@ _AUC_SQL = """
            CAST(ROUND(CAST(r.ap_num_e9 AS DOUBLE) / t.np) AS BIGINT)
                AS ap_e9
     FROM ranksum r CROSS JOIN tot t
+    WHERE t.np > 0 AND t.nn > 0
 """
 
 
@@ -102,7 +103,10 @@ _AUC_SQL = """
     "division over exact ints; each AP term dTP*TP/(TP+FP) quantizes "
     "e9 before the cross-threshold sum. One map-side-combinable "
     "aggregate to the bounded distinct-score histogram, then window "
-    "passes over that model-sized relation — no data-sized sort.",
+    "passes over that model-sized relation — no data-sized sort. "
+    "Degenerate single-class inputs emit zero rows on BOTH engines "
+    "(guarded: Spark's 0-division yields NULL where DuckDB's IEEE "
+    "default yields inf — the r8 degenerate-input hazard).",
 )
 def ml_eval_auc_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))
