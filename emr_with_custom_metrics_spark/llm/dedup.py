@@ -1210,12 +1210,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PAIR_CACHE: dict[tuple[str, str, str, float], DataFrame] = {}
 
 
+def _pair_cache_get(key: tuple[str, str, str, float]) -> DataFrame | None:
+    """Look up a pair set, evicting entries from DEAD sessions first:
+    a driver that restarts SparkContexts would otherwise accumulate
+    DataFrame references bound to stopped contexts (round-9 review)."""
+    app_id = key[0]
+    stale = [k for k in _PAIR_CACHE if k[0] != app_id]
+    for k in stale:
+        del _PAIR_CACHE[k]
+    return _PAIR_CACHE.get(key)
+
+
 def shingle_jaccard_pairs_cached(
     spark: SparkSession, sf_dir: str, threshold: float
 ) -> DataFrame:
     """Memoized ``jaccard_pairs(_shingle_sets(documents), threshold)``."""
     key = (spark.sparkContext.applicationId, sf_dir, "jaccard", float(threshold))
-    hit = _PAIR_CACHE.get(key)
+    hit = _pair_cache_get(key)
     if hit is None:
         docs = _shingle_sets(load_table(spark, sf_dir, "documents"))
         hit = jaccard_pairs(docs, threshold).localCheckpoint(eager=False)
@@ -1233,7 +1244,7 @@ def embedding_cosine_pairs(
     import numpy as np
 
     key = (spark.sparkContext.applicationId, sf_dir, "cosine", float(threshold))
-    hit = _PAIR_CACHE.get(key)
+    hit = _pair_cache_get(key)
     if hit is not None:
         return hit
 

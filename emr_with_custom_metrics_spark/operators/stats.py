@@ -271,6 +271,20 @@ _SPINE_FROM_COUNTS_DUCK = """
 """
 
 
+# Dense hourly series body shared by the matrix profile (wave9d) and
+# cross-correlation (wave9h): the spine LEFT JOIN counts with a
+# per-series 0-based ROW_NUMBER index. One definition — a spine change
+# must not silently desync the two consumers (round-9 review item).
+_DENSE_HOURLY_X_BODY = """
+    SELECT s.event_type,
+           CAST(ROW_NUMBER() OVER (PARTITION BY s.event_type
+                                   ORDER BY s.h) - 1 AS BIGINT) AS t,
+           CAST(COALESCE(c.cnt, 0) AS BIGINT) AS v
+    FROM spine s LEFT JOIN counts c
+      ON c.event_type = s.event_type AND c.h = s.h
+"""
+
+
 def _stage_hour_counts(spark: SparkSession, sf_dir: str) -> None:
     register_views(spark, sf_dir, ("events",))
     spark.sql(_COUNTS_SPARK).localCheckpoint().createOrReplaceTempView(

@@ -233,14 +233,9 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MP_M = 24
 _MP_EXCL = 12
 
-_MP_X_BODY = """
-    SELECT s.event_type,
-           CAST(ROW_NUMBER() OVER (PARTITION BY s.event_type
-                                   ORDER BY s.h) - 1 AS BIGINT) AS t,
-           CAST(COALESCE(c.cnt, 0) AS BIGINT) AS v
-    FROM spine s LEFT JOIN counts c
-      ON c.event_type = s.event_type AND c.h = s.h
-"""
+from emr_with_custom_metrics_spark.operators.stats import (  # noqa: E402
+    _DENSE_HOURLY_X_BODY as _MP_X_BODY,
+)
 
 _MP_WIN_BODY = """
     SELECT event_type, t, s1, s2, 24 * s2 - s1 * s1 AS var24

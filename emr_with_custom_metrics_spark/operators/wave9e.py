@@ -147,7 +147,7 @@ _CALIB_SQL = """
                           / (2 * n - 2) * 1000000) AS BIGINT) AS pr_e6,
                LEAST(CAST(FLOOR(CAST(2 * cb + c - 1 AS DOUBLE) * 10
                           / (2 * n - 2)) AS BIGINT), 9) AS bin
-        FROM cum
+        FROM cum WHERE 2 * n - 2 > 0
     )
     SELECT bin,
            CAST(SUM(pos_c + neg_c) AS BIGINT) AS n_rows,
@@ -276,8 +276,7 @@ _MI_SQL = """
         SELECT CAST(SUM(cl.c * CAST(ROUND(LN(
                    CAST(cl.c AS DOUBLE) * t.n
                    / (CAST(r.rx AS DOUBLE) * c2.cy)) * 1000000000)
-                   AS BIGINT)) AS BIGINT) AS mi_num,
-               MAX(t.n) AS n
+                   AS BIGINT)) AS BIGINT) AS mi_num
         FROM cells cl
         JOIN rowm r ON r.x = cl.x
         JOIN colm c2 ON c2.y = cl.y
@@ -300,10 +299,12 @@ _MI_SQL = """
                AS h_hour_e9,
            CAST(ROUND(CAST(te.mi_num AS DOUBLE) / t2.n) AS BIGINT)
                AS mi_e9,
-           CAST(ROUND(CAST(te.mi_num AS DOUBLE) / t2.n
-                      / SQRT((CAST(hx.hx_num AS DOUBLE) / t2.n)
-                             * (CAST(hy.hy_num AS DOUBLE) / t2.n))
-                      * 1000000000) AS BIGINT) AS nmi_e9
+           CASE WHEN hx.hx_num > 0 AND hy.hy_num > 0 THEN
+               CAST(ROUND(CAST(te.mi_num AS DOUBLE) / t2.n
+                          / SQRT((CAST(hx.hx_num AS DOUBLE) / t2.n)
+                                 * (CAST(hy.hy_num AS DOUBLE) / t2.n))
+                          * 1000000000) AS BIGINT)
+           ELSE CAST(NULL AS BIGINT) END AS nmi_e9
     FROM terms te CROSS JOIN hx CROSS JOIN hy
     CROSS JOIN (SELECT n FROM tot) t2
 """

@@ -180,10 +180,11 @@ _NEYMAN_SQL = f"""
         FROM base GROUP BY event_type
     ), sd AS (
         SELECT event_type, n,
-               CAST(ROUND(SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
-                                * s1 / n) / (n - 1)) * 1000) AS BIGINT)
-                   AS sd_e6
-        FROM arms WHERE n > 1
+               CASE WHEN n > 1 THEN
+                   CAST(ROUND(SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                                    * s1 / n) / (n - 1)) * 1000) AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS sd_e6
+        FROM arms
     ), w AS (
         SELECT event_type, n, sd_e6,
                CAST(ROUND(CAST(n AS DOUBLE) * sd_e6 / 1000) AS BIGINT)
@@ -193,8 +194,9 @@ _NEYMAN_SQL = f"""
         SELECT CAST(SUM(w_e3) AS BIGINT) AS tw FROM w
     )
     SELECT w.event_type, w.n AS n_rows, w.sd_e6, w.w_e3,
-           CAST(ROUND({_NEYMAN_BUDGET}.0e0 * w.w_e3 / t.tw) AS BIGINT)
-               AS alloc
+           CASE WHEN t.tw > 0 THEN
+               CAST(ROUND({_NEYMAN_BUDGET}.0e0 * w.w_e3 / t.tw) AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS alloc
     FROM w CROSS JOIN tot t
 """
 

@@ -39,14 +39,9 @@ from emr_with_custom_metrics_spark.registry import register
 # signed lag). Series are calendar-bounded (720 points), so the sweep
 # is constant-size; only the staged hourly reduction is data-sized.
 
-_XCORR_X_BODY = """
-    SELECT s.event_type,
-           CAST(ROW_NUMBER() OVER (PARTITION BY s.event_type
-                                   ORDER BY s.h) - 1 AS BIGINT) AS t,
-           CAST(COALESCE(c.cnt, 0) AS BIGINT) AS v
-    FROM spine s LEFT JOIN counts c
-      ON c.event_type = s.event_type AND c.h = s.h
-"""
+from emr_with_custom_metrics_spark.operators.stats import (  # noqa: E402
+    _DENSE_HOURLY_X_BODY as _XCORR_X_BODY,
+)
 
 _XCORR_CORE = """
     , lags AS (
@@ -132,27 +127,32 @@ def timeseries_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # first vs second half of the hour range (midpoint FLOORed explicitly —
 # CAST-to-int rounds on DuckDB and truncates on Spark, the conformal
 # lesson). Decile edges are each metric's OWN ceil(k*n/10)-th order
-# statistics (k joined from an engine-neutral VALUES table, the
-# privacy_dp_counts idiom); bin assignment counts edges strictly below
-# the value per EVENT ROW (event_id keeps multiplicity through the
-# edge join); Laplace +1 smoothing keeps empty bins finite and
-# deterministic; per-bin LN terms quantize e9 immediately so the
-# cross-bin sum is an integer reduction.
+# statistics computed on the (event_type, half, v_e3) HISTOGRAM via
+# cumulative counts (the value at rank r = the smallest value whose
+# cumulative count reaches r — identical to ranked selection, but the
+# rank pass and the edge join both run on the bounded histogram, never
+# per event row: the AUC/calibration reduction discipline); Laplace +1
+# smoothing keeps empty bins finite and deterministic; per-bin LN
+# terms quantize e9 immediately so the cross-bin sum is an integer
+# reduction, and action_flag derives from the SAME psi_e9 value.
 
 _PSI_CORE = """
     , bounds AS (
         SELECT CAST(FLOOR((MIN(h) + MAX(h)) / 2.0e0) AS BIGINT) AS mid
         FROM ev
     ), halves AS (
-        SELECT e.event_type, e.v_e3, e.rid,
+        SELECT e.event_type, e.v_e3,
                CASE WHEN e.h < b.mid THEN 0 ELSE 1 END AS half
         FROM ev e CROSS JOIN bounds b
+    ), hist AS (
+        SELECT event_type, half, v_e3, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM halves GROUP BY event_type, half, v_e3
     ), ref AS (
         SELECT event_type, v_e3,
-               ROW_NUMBER() OVER (PARTITION BY event_type
-                                  ORDER BY v_e3, rid) AS rn,
-               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
-        FROM halves WHERE half = 0
+               CAST(SUM(cnt) OVER (PARTITION BY event_type
+                    ORDER BY v_e3) AS BIGINT) AS crank,
+               CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM hist WHERE half = 0
     ), ks AS (
         SELECT CAST(k AS BIGINT) AS k
         FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) AS t(k)
@@ -160,22 +160,24 @@ _PSI_CORE = """
         SELECT event_type, edge,
                ROW_NUMBER() OVER (PARTITION BY event_type
                                   ORDER BY edge) AS eidx
-        FROM (SELECT DISTINCT r.event_type, r.v_e3 AS edge
-              FROM ref r JOIN ks
-                ON r.rn = CAST(CEIL(CAST(r.n AS DOUBLE) * ks.k / 10.0e0)
-                              AS BIGINT))
+        FROM (SELECT DISTINCT event_type, edge
+              FROM (SELECT r.event_type, ks.k, MIN(r.v_e3) AS edge
+                    FROM ref r JOIN ks
+                      ON r.crank >= CAST(CEIL(CAST(r.n AS DOUBLE)
+                                              * ks.k / 10.0e0) AS BIGINT)
+                    GROUP BY r.event_type, ks.k))
     ), binned AS (
-        SELECT h.event_type, h.half, h.rid,
+        SELECT h.event_type, h.half, h.v_e3, h.cnt,
                CAST(COALESCE(MAX(d.eidx), 0) AS BIGINT) AS bin
-        FROM halves h
+        FROM hist h
         LEFT JOIN dedup_edges d
           ON d.event_type = h.event_type AND h.v_e3 > d.edge
-        GROUP BY h.event_type, h.half, h.rid
+        GROUP BY h.event_type, h.half, h.v_e3, h.cnt
     ), cells AS (
         SELECT event_type, bin,
-               CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) + 1
+               CAST(SUM(CASE WHEN half = 0 THEN cnt ELSE 0 END) + 1
                    AS BIGINT) AS c_ref,
-               CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) + 1
+               CAST(SUM(CASE WHEN half = 1 THEN cnt ELSE 0 END) + 1
                    AS BIGINT) AS c_cur
         FROM binned GROUP BY event_type, bin
     ), tots AS (
@@ -184,30 +186,27 @@ _PSI_CORE = """
                CAST(SUM(c_cur) AS BIGINT) AS tc
         FROM cells GROUP BY event_type
     )
-    SELECT c.event_type,
-           CAST(COUNT(*) AS BIGINT) AS n_bins,
-           CAST(SUM(CAST(ROUND(
-               (CAST(c.c_cur AS DOUBLE) / t.tc
-                - CAST(c.c_ref AS DOUBLE) / t.tr)
-               * LN((CAST(c.c_cur AS DOUBLE) / t.tc)
-                    / (CAST(c.c_ref AS DOUBLE) / t.tr))
-               * 1000000000) AS BIGINT)) AS BIGINT) AS psi_e9,
-           SUM(CAST(ROUND(
-               (CAST(c.c_cur AS DOUBLE) / t.tc
-                - CAST(c.c_ref AS DOUBLE) / t.tr)
-               * LN((CAST(c.c_cur AS DOUBLE) / t.tc)
-                    / (CAST(c.c_ref AS DOUBLE) / t.tr))
-               * 1000000000) AS BIGINT)) >= 250000000 AS action_flag
-    FROM cells c JOIN tots t ON t.event_type = c.event_type
-    GROUP BY c.event_type
+    SELECT event_type, n_bins, psi_e9,
+           psi_e9 >= 250000000 AS action_flag
+    FROM (
+        SELECT c.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_bins,
+               CAST(SUM(CAST(ROUND(
+                   (CAST(c.c_cur AS DOUBLE) / t.tc
+                    - CAST(c.c_ref AS DOUBLE) / t.tr)
+                   * LN((CAST(c.c_cur AS DOUBLE) / t.tc)
+                        / (CAST(c.c_ref AS DOUBLE) / t.tr))
+                   * 1000000000) AS BIGINT)) AS BIGINT) AS psi_e9
+        FROM cells c JOIN tots t ON t.event_type = c.event_type
+        GROUP BY c.event_type
+    )
 """
 
 _PSI_EV = """
     WITH ev AS (
         SELECT event_type,
                {HOUR} AS h,
-               CAST(ROUND(value * 1000) AS BIGINT) AS v_e3,
-               event_id AS rid
+               CAST(ROUND(value * 1000) AS BIGINT) AS v_e3
         FROM events
     )
 """

@@ -173,7 +173,7 @@ def test_no_driver_side_collect_in_query_modules():
             # learning and scoring; un-staged, WITH-inlining would run
             # the candidate join + edit distances per reference
             "operators/linkage.py",
-            # TextRank stages tok/vocab/edges/wdeg (the 10-iteration
+            # TextRank stages tok/vocab/edges/wdeg (the 5-iteration
             # chain re-references each per round); skyline stages the
             # supplier aggregate its dominance NOT-EXISTS reads twice
             "operators/wave9d.py",
