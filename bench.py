@@ -232,6 +232,11 @@ PHYSICAL_TRACKED = [
     "similarity_ann_lsh",
     "kmeans_embeddings",
     "pagerank_similarity_graph",
+    # round-9 flagship additions: the all-pairs diagonal window pass
+    # (matrix profile) and the histogram-grain drift score — both claim
+    # bounded shuffle grain in their docs; the accumulators prove it
+    "timeseries_matrix_profile",
+    "events_psi_drift",
 ]
 
 
