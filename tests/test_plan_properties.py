@@ -688,3 +688,51 @@ def test_staged_stats_tails_scan_raw_tables_zero_times(spark):
             for t in ("events", "documents", "orders", "lineitem")
         )
         assert scans == 0, (name, scans)
+
+
+def test_psi_shuffle_is_histogram_grain(spark):
+    """The round-9 review fix made events_psi_drift reduce to the
+    (metric, half, value) histogram BEFORE the rank/edge/bin passes —
+    this pins it: total shuffle records must be bounded by a small
+    multiple of the histogram size, never the event count."""
+    import duckdb
+
+    from emr_with_custom_metrics_spark.plans.exec_metrics import (
+        collect_execution_metrics,
+    )
+
+    m = collect_execution_metrics(SPECS["events_psi_drift"].fn(spark, SF_DIR))
+    hist = duckdb.sql(
+        f"SELECT COUNT(*) FROM (SELECT DISTINCT event_type, "
+        f"CAST(ROUND(value*1000) AS BIGINT) v FROM "
+        f"'{SF_DIR}/events.parquet')"
+    ).fetchone()[0]
+    shuffled = m["summary"].get("shuffle_records_written", 0)
+    # histogram rows appear in a handful of shuffles (hist agg, ref
+    # window, edge join, bin agg, cells, tots) — 8x covers them all;
+    # the pre-fix per-event GROUP BY rid wrote >= n_events records
+    assert shuffled <= 8 * hist, (shuffled, hist)
+
+
+def test_matrix_profile_shuffle_is_pair_bounded(spark):
+    """timeseries_matrix_profile's shuffles carry the calendar-bounded
+    pair/diagonal rows (O(series^2)), never a data-sized relation."""
+    import duckdb
+
+    from emr_with_custom_metrics_spark.plans.exec_metrics import (
+        collect_execution_metrics,
+    )
+
+    m = collect_execution_metrics(
+        SPECS["timeseries_matrix_profile"].fn(spark, SF_DIR)
+    )
+    n_hours = duckdb.sql(
+        f"SELECT CAST(MAX(FLOOR(epoch(ts)/3600)) - MIN(FLOOR(epoch(ts)/3600))"
+        f" AS BIGINT) + 1 FROM '{SF_DIR}/events.parquet'"
+    ).fetchone()[0]
+    n_series = 5
+    pair_rows = n_series * n_hours * (n_hours - 1) // 2
+    shuffled = m["summary"].get("shuffle_records_written", 0)
+    # the diagonal window pass + argmin shuffle both carry <= the pair
+    # count (plus symmetrization x2 and model-sized side tables)
+    assert shuffled <= 4 * pair_rows, (shuffled, pair_rows)
