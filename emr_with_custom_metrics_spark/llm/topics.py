@@ -96,8 +96,14 @@ _PZD0_TMPL = """
 # num = pwz * pzd is an EXACT int64 product; den its exact 3-term sum.
 _E_TMPL = """
     SELECT wd.doc_id, wd.w, pz.z,
-           CAST(ROUND(CAST(wd.c AS DOUBLE) * (pw.p_e9 * pz.p_e9)
-                      / den.den * {e9}) AS BIGINT) AS rc_e9
+           -- den is data-derived: on a pathologically skewed corpus a
+           -- word's p_e9 can quantize to 0 in all k topics, making the
+           -- 3-term sum 0. ANSI Spark raises on 0/0 while DuckDB errors
+           -- casting inf/NaN to BIGINT — guard per the round-9 rule.
+           CAST(CASE WHEN den.den > 0
+                     THEN ROUND(CAST(wd.c AS DOUBLE) * (pw.p_e9 * pz.p_e9)
+                                / den.den * {e9})
+                     ELSE 0 END AS BIGINT) AS rc_e9
     FROM {wd} wd
     JOIN {pzd} pz ON wd.doc_id = pz.doc_id
     JOIN {pwz} pw ON wd.w = pw.w AND pw.z = pz.z
@@ -113,8 +119,10 @@ _E_TMPL = """
 
 _PWZ_TMPL = """
     SELECT w, z,
-           CAST(ROUND(CAST(nwz AS DOUBLE)
-                      / SUM(nwz) OVER (PARTITION BY z) * {e9}) AS BIGINT)
+           CAST(CASE WHEN SUM(nwz) OVER (PARTITION BY z) > 0
+                     THEN ROUND(CAST(nwz AS DOUBLE)
+                                / SUM(nwz) OVER (PARTITION BY z) * {e9})
+                     ELSE 0 END AS BIGINT)
                AS p_e9
     FROM (
         SELECT w, z, CAST(SUM(rc_e9) AS BIGINT) AS nwz
@@ -124,8 +132,10 @@ _PWZ_TMPL = """
 
 _PZD_TMPL = """
     SELECT doc_id, z,
-           CAST(ROUND(CAST(nzd AS DOUBLE)
-                      / SUM(nzd) OVER (PARTITION BY doc_id) * {e9}) AS BIGINT)
+           CAST(CASE WHEN SUM(nzd) OVER (PARTITION BY doc_id) > 0
+                     THEN ROUND(CAST(nzd AS DOUBLE)
+                                / SUM(nzd) OVER (PARTITION BY doc_id) * {e9})
+                     ELSE 0 END AS BIGINT)
                AS p_e9
     FROM (
         SELECT doc_id, z, CAST(SUM(rc_e9) AS BIGINT) AS nzd

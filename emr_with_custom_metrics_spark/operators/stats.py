@@ -1247,7 +1247,11 @@ _CONFORMAL_CORE = """
                ABS(COALESCE(c.cnt, 0) - COALESCE(p.cnt, 0)) AS r
         FROM spine s
         LEFT JOIN counts c ON s.event_type = c.event_type AND s.h = c.h
-        LEFT JOIN counts p ON s.event_type = p.event_type AND s.h = p.h - 24
+        -- Seasonal-naive predictor: the count 24 hours in the PAST
+        -- (p.h = s.h - 24). The first-day trim below then drops exactly
+        -- the hours that have no past predictor. (Round-10 fix: the join
+        -- was inverted, s.h = p.h - 24, which read the FUTURE count.)
+        LEFT JOIN counts p ON s.event_type = p.event_type AND s.h = p.h + 24
         WHERE s.h >= (SELECT MIN(h) FROM spine) + 24
     ), mid AS (
         -- FLOOR, not a bare CAST: Spark truncates double->bigint while

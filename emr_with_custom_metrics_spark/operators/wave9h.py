@@ -32,8 +32,11 @@ from emr_with_custom_metrics_spark.registry import register
 # dense hourly range — computed for every ordered pair and every lag in
 # [-12, +12] from ONE shifted self-join, with the same exact-integer-
 # moment + two-separate-sqrts discipline as the matrix profile
-# (radicands < 2^63 at any SF; n*sxy and sx*sy stay < 2^63 for hourly
-# counts up to ~1e8). Per (pair, lag) moments are integer sums; Pearson
+# (radicands < 2^63 while hourly counts stay below ~4e6: the binding
+# term is sx*sy ~ (n*V)^2 with n up to 720 overlap points, so V ≳ 4e6
+# overflows int64 — loudly, via ANSI overflow / DuckDB cast error, not
+# silently; recompute the moments at a coarser quantization per the
+# Heaps-law e6 precedent if counts can exceed that). Per (pair, lag) moments are integer sums; Pearson
 # is one fixed-order double expression quantized e9; the best lag
 # maximizes |corr| by exact integer compare (tie: smaller |lag|, then
 # signed lag). Series are calendar-bounded (720 points), so the sweep

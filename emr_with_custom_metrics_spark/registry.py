@@ -115,7 +115,19 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # are either true or not-applicable (rows-only checks record null there).
 # Queries whose ANSWER CONTRACT changes in the current round must be named
 # in _ANSWER_CHANGED so they re-queue for a fresh row despite an old green.
-_ANSWER_CHANGED: frozenset[str] = frozenset()
+# Round 10: conformal's seasonal-naive join direction fixed (answer
+# changes); PLSA gained zero-denominator guards (same answer on real
+# data, template changed in both engines — re-queued for a fresh row);
+# the two round-9 t-test/CUPED template changes whose latest official
+# row is still the stale r08 green (r9 driver sampled neither).
+_ANSWER_CHANGED: frozenset[str] = frozenset(
+    {
+        "timeseries_conformal_interval",
+        "text_plsa_topics",
+        "stats_ab_ttest",
+        "stats_cuped_variance_reduction",
+    }
+)
 
 
 def _load_driver_verified() -> frozenset[str]:

@@ -185,3 +185,80 @@ def test_fuzz_skyline_template(spark, duck, seed):
         spark, duck, _lineitem_frame(seed), shared, shared,
         f"skyline[{seed}]", view="lineitem",
     )
+
+
+# ---------------------------------------------------------------------------
+# PLSA E-step zero-denominator guard (round-10 ADVICE fix)
+# ---------------------------------------------------------------------------
+# The degenerate the guard exists for — a vocab word whose p(w|z)
+# quantizes to 0 in ALL k topics, making the E-step denominator 0 —
+# needs a ~2e9-token corpus to arise organically, so fuzz the TEMPLATE
+# directly: synthetic (wd, pwz, pzd) parameter tables with a randomly
+# chosen subset of words starved to p_e9 = 0 in every topic. Pre-guard,
+# ANSI Spark raised DIVIDE_BY_ZERO and DuckDB errored casting inf to
+# BIGINT; post-guard both engines must return identical rc_e9 = 0 rows
+# for starved words and identical responsibilities elsewhere.
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_plsa_estep_zero_denominator(spark, duck, seed):
+    from emr_with_custom_metrics_spark.llm.topics import _E_TMPL, _E9
+
+    rng = np.random.default_rng(seed)
+    n_words, n_docs = int(rng.integers(5, 20)), int(rng.integers(3, 10))
+    words = [f"w{i}" for i in range(n_words)]
+    starved = set(
+        rng.choice(words, size=max(1, n_words // 4), replace=False)
+    )
+    wd = pd.DataFrame(
+        [
+            (f"d{d}", w, int(rng.integers(1, 9)))
+            for d in range(n_docs)
+            for w in words
+            if rng.random() < 0.7
+        ],
+        columns=["doc_id", "w", "c"],
+    )
+    if wd.empty:
+        wd = pd.DataFrame(
+            [("d0", words[0], 1)], columns=["doc_id", "w", "c"]
+        )
+    pwz = pd.DataFrame(
+        [
+            (w, z, 0 if w in starved else int(rng.integers(1, _E9 // 3)))
+            for w in words
+            for z in range(3)
+        ],
+        columns=["w", "z", "p_e9"],
+    )
+    pzd = pd.DataFrame(
+        [
+            (f"d{d}", z, int(rng.integers(1, _E9 // 3)))
+            for d in range(n_docs)
+            for z in range(3)
+        ],
+        columns=["doc_id", "z", "p_e9"],
+    )
+    sql = _E_TMPL.format(wd="fz_wd", pwz="fz_pwz", pzd="fz_pzd", e9=_E9)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        for name, pdf in (("fz_wd", wd), ("fz_pwz", pwz), ("fz_pzd", pzd)):
+            spark.createDataFrame(pdf).createOrReplaceTempView(name)
+            duck.register(f"{name}_src", pdf)
+            duck.execute(
+                f"CREATE OR REPLACE TEMP VIEW {name} AS "
+                f"SELECT * FROM {name}_src"
+            )
+        got_spark = spark.sql(sql).toPandas()
+        got_duck = duck.sql(sql).df()
+        assert_frames_match(got_spark, got_duck, f"plsa_e[{seed}]")
+        merged = got_spark.merge(
+            wd[["doc_id", "w"]].drop_duplicates(), on=["doc_id", "w"]
+        )
+        starved_rows = merged[merged["w"].isin(starved)]
+        if not starved_rows.empty:
+            assert (starved_rows["rc_e9"] == 0).all()
+    finally:
+        for name in ("fz_wd", "fz_pwz", "fz_pzd"):
+            duck.execute(f"DROP VIEW IF EXISTS {name}")
+            spark.catalog.dropTempView(name)

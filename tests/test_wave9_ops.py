@@ -159,6 +159,64 @@ def test_conformal_reports_plausible_coverage(spark):
         assert k <= int(r["n_cal"])
 
 
+def test_conformal_predictor_is_past_not_future(spark, tmp_path):
+    """Pin the seasonal-naive DIRECTION (round-10 fix: the join read
+    y(h+24), the FUTURE count) with a hand-computed synthetic series.
+
+    One metric, 72 dense hours, exactly 24-periodic counts except a
+    known +3 bump at hour 60. With yhat(h) = y(h-24):
+      residuals exist for h in [24, 71] (first day trimmed), all zero
+      except r(60) = 3; calibration half h <= 47 is all-zero so q = 0;
+      test half h in [48, 71] covers 23 of 24 -> coverage_e6 = 958333.
+    The pre-fix inverted join instead yields r(36) = 3 in calibration
+    and COALESCE-0 forecasts for the whole last day (r = y(h) itself,
+    10..36), collapsing coverage — so these exact pins discriminate.
+    """
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = []
+    eid = 0
+    for h in range(72):
+        cnt = 10 + (h % 24) + (3 if h == 60 else 0)
+        for _ in range(cnt):
+            rows.append((eid, (h * 3600 + 30) * 1_000_000, 1, "m", 1.0, "{}"))
+            eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value",
+                       "props"])
+    tbl = pa.Table.from_pandas(pdf, preserve_index=False).set_column(
+        1, "ts", pa.Array.from_pandas(pdf["ts"]).cast(pa.timestamp("us"))
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    out = _collect(spark, "timeseries_conformal_interval",
+                   sf_dir=str(tmp_path))
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert int(r["n_cal"]) == 24
+    assert int(r["q"]) == 0
+    assert int(r["n_test"]) == 24
+    assert int(r["n_covered"]) == 23
+    assert int(r["coverage_e6"]) == 958333
+
+    # the DuckDB oracle text carries the same fixed direction
+    from emr_with_custom_metrics_spark.registry import all_specs
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    orc = con.execute(
+        all_specs()["timeseries_conformal_interval"].oracle
+    ).df()
+    assert len(orc) == 1
+    assert int(orc.iloc[0]["n_covered"]) == 23
+    assert int(orc.iloc[0]["coverage_e6"]) == 958333
+
+
 # ---------------------------------------------------------------------------
 # Winsorized / trimmed means
 # ---------------------------------------------------------------------------
