@@ -736,3 +736,65 @@ def test_matrix_profile_shuffle_is_pair_bounded(spark):
     # the diagonal window pass + argmin shuffle both carry <= the pair
     # count (plus symmetrization x2 and model-sized side tables)
     assert shuffled <= 4 * pair_rows, (shuffled, pair_rows)
+
+
+def test_wave10_stats_templates_partial_aggregate(spark):
+    """The wave-10 sufficient-statistic reductions (KS histogram, TOST
+    arm moments, CMH cells, DiD cells, stratified-ATE cells) must keep
+    map-side partial aggregation — integer quantization exists exactly
+    so partial merge is legal."""
+    for name in (
+        "stats_ks_test", "stats_tost_equivalence", "stats_cmh_stratified",
+        "events_did_estimator", "stats_stratified_ate",
+    ):
+        df = SPECS[name].fn(spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert plan.count("HashAggregate") >= 2, (name, plan[:2000])
+
+
+def test_prefixspan_joins_are_user_equi_joins(spark):
+    """The gap-constrained chain joins must plan as equi-joins on
+    user_id (gap/order as residual conditions), never a cartesian or
+    broadcast nested loop over the event table."""
+    df = SPECS["events_prefixspan_gap"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_burst_dp_input_is_staged_and_grouped_once(spark):
+    """Kleinberg burst: the DP consumes the staged hour-count spine
+    (zero raw parquet scans in the final plan) and the only pandas
+    stage is one FlatMapGroupsInPandas keyed by series."""
+    df = SPECS["timeseries_burst_kleinberg"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = sum(
+        plan.count(f"{t}.parquet")
+        for t in ("events", "documents", "orders", "lineitem")
+    )
+    assert scans == 0, (plan[:2000],)
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan[:2000]
+
+
+def test_apriori_broadcasts_part_dim(spark):
+    """basket_apriori_triples joins lineitem to the part dimension for
+    brands — the dim side must broadcast, and the triple build must
+    stay equi-join (no cartesian)."""
+    df = SPECS["basket_apriori_triples"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_gini_sorts_once(spark):
+    """stats_gini_lorenz's only data-sized operation is the single
+    (spend, custkey) window sort; the decile join joins the 10-row
+    VALUES side against it without re-sorting."""
+    df = SPECS["stats_gini_lorenz"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the ranked CTE is consumed twice (gini moments + decile join): the
+    # single-partition exchange must be REUSED, giving at most two
+    # window-sort instances — never a per-decile multiplication
+    assert plan.count("Window") <= 2, plan[:2000]
+    assert "ReusedExchange" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
