@@ -239,7 +239,7 @@ _CMH_CORE = """
         WHERE a.arm = 'A' AND b.arm = 'B' AND a.n + b.n > 1
     ), terms AS (
         SELECT dow, a_k,
-               -- single-arg ROUND only: two-arg ROUND(double, k) is the
+               -- single-arg ROUND only: the two-arg double form is the
                -- known cross-engine red-row class (round-7 lesson)
                CAST(ROUND((CAST(a_k AS DOUBLE)
                            - CAST(n1k AS DOUBLE) * m1k / nk) * 1000000)
