@@ -351,6 +351,19 @@ def main() -> None:
             physical[name] = {"error": repr(exc)[:120]}
 
     total = round(sum(times.values()), 3)
+    # Rows that RIDE the memoized pair relation (llm/dedup._PAIR_CACHE):
+    # their per-row time excludes pair generation — whichever family row
+    # runs first in leg order pays it. Emitted so a reader of this record
+    # cannot mistake a rider's near-zero row for standalone cost
+    # (SCALING.md "memo-riding bench rows" carries the cold numbers).
+    memo_riders = [
+        "dedup_ngram_jaccard", "graph_triangle_count",
+        "graph_clustering_coefficient", "graph_label_propagation",
+        "dedup_clusters", "dedup_keep_canonical", "cluster_dbscan_embeddings",
+        "graph_adamic_adar", "graph_kcore_peel", "graph_hits_scores",
+        "pagerank_similarity_graph", "graph_bfs_levels",
+        "graph_shortest_paths",
+    ]
     print(
         json.dumps(
             {
@@ -359,6 +372,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "physical": physical,
+                "memo_riders": {
+                    "note": "per-row times exclude the shared pair-"
+                    "generation cost (llm/dedup._PAIR_CACHE); the first "
+                    "family row in leg order pays it — see SCALING.md",
+                    "rows": [r for r in memo_riders if r in times],
+                },
                 "sf": sf,
                 "contended": contention["contended"],
                 "contention_check": contention,

@@ -144,13 +144,25 @@ def _cogroup_asof(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame"
     )
 
 
+# Deterministic 12.5% user slice for the cogroup DEMO: the row exists
+# to exercise the cogroup API contract, and the per-group ~2-3 ms
+# pandas-dispatch envelope made it the #2 bench row at sf0.1 (7.6 s,
+# 20x SF ratio) while measuring the FIXTURE's user count, not the API
+# (r9 VERDICT item 5). First md5 nibble < 2 keeps the slice a pure
+# function of row identity (the _ARM discipline) on both engines.
+_CG_SLICE = (
+    "(instr('0123456789abcdef', substring(md5(concat('cg|', "
+    "CAST(user_id AS STRING))), 1, 1)) - 1) < 2"
+)
+
+
 @register(
     "cogroup_asof_pandas",
-    oracle="""
+    oracle=f"""
     WITH p AS (SELECT user_id, event_id AS purchase_id, ts
-               FROM events WHERE event_type = 'purchase'),
+               FROM events WHERE event_type = 'purchase' AND {_CG_SLICE}),
     c AS (SELECT user_id, event_id AS click_id, ts, value
-          FROM events WHERE event_type = 'click'),
+          FROM events WHERE event_type = 'click' AND {_CG_SLICE}),
     j AS (
       SELECT p.user_id, p.purchase_id,
              CAST(FLOOR(epoch(p.ts)) AS BIGINT) AS purchase_epoch,
@@ -178,10 +190,14 @@ def _cogroup_asof(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame"
     "production path — cogroup earns its keep when per-key work is "
     "substantial. Tie-break contract "
     "(simultaneous clicks -> highest click_id) is pinned identically in "
-    "the numpy side (sort + side='right') and the oracle's window order.",
+    "the numpy side (sort + side='right') and the oracle's window order. "
+    "Round 10: the demo runs on a deterministic 12.5% md5 user slice "
+    "(both engines) — the row measures the API contract's cost, not the "
+    "fixture's user count; the unbounded production semantics live in "
+    "asof_purchase_last_click.",
 )
 def cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").where(F.expr(_CG_SLICE))
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "user_id", F.col("event_id").alias("purchase_id"), "ts"
     )

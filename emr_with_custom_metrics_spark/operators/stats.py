@@ -284,6 +284,40 @@ _DENSE_HOURLY_X_BODY = """
       ON c.event_type = s.event_type AND c.h = s.h
 """
 
+# The matrix-profile / cross-correlation all-pairs stages are O(spine²)
+# and their "constant size" claim rests on the corpus spanning ~30 days
+# (720 hourly points). A years-spanning corpus would grow those joins
+# quadratically and SILENTLY — so the shared series body fails LOUDLY
+# past this budget (the wordpiece assert_true idiom, r9 VERDICT item 1).
+# 1440 points = 60 days = 2x the fixture. Raising it is a deliberate
+# decision: chunk by (series, month) with carried boundary state instead.
+_SPINE_BUDGET_HOURS = 1440
+
+_SPINE_BUDGET_MSG = (
+    "dense hourly spine exceeds %d points/series; the matrix-profile/"
+    "cross-correlation all-pairs stages are calendar-bounded O(n^2) - "
+    "chunk by (series, month) before raising _SPINE_BUDGET_HOURS"
+    % _SPINE_BUDGET_HOURS
+)
+
+
+def dense_hourly_x_guarded(engine: str) -> str:
+    """``_DENSE_HOURLY_X_BODY`` with an in-plan, per-row budget check:
+    execution (not analysis) raises the moment any series index passes
+    the budget, on BOTH engines (Spark ``assert_true``, DuckDB
+    ``error()``) — the answer is untouched while the bound holds."""
+    if engine == "spark":
+        guard = (
+            f"assert_true(g.t < {_SPINE_BUDGET_HOURS}, "
+            f"'{_SPINE_BUDGET_MSG}') IS NULL"
+        )
+    else:
+        guard = (
+            f"CASE WHEN g.t < {_SPINE_BUDGET_HOURS} THEN TRUE "
+            f"ELSE error('{_SPINE_BUDGET_MSG}') END"
+        )
+    return f"SELECT g.* FROM ({_DENSE_HOURLY_X_BODY}) g WHERE {guard}"
+
 
 def _stage_hour_counts(spark: SparkSession, sf_dir: str) -> None:
     register_views(spark, sf_dir, ("events",))

@@ -234,7 +234,7 @@ _MP_M = 24
 _MP_EXCL = 12
 
 from emr_with_custom_metrics_spark.operators.stats import (  # noqa: E402
-    _DENSE_HOURLY_X_BODY as _MP_X_BODY,
+    dense_hourly_x_guarded,
 )
 
 _MP_WIN_BODY = """
@@ -344,7 +344,7 @@ _MP_FINAL_SPARK = (
 
 _MP_DUCK = (
     _SPINE_FROM_COUNTS_DUCK
-    + f", x AS MATERIALIZED ({_MP_X_BODY})"
+    + f", x AS MATERIALIZED ({dense_hourly_x_guarded('duck')})"
     + f", win AS MATERIALIZED ({_MP_WIN_BODY})"
     + ", corr AS MATERIALIZED ("
     + _MP_CORR_BODY.replace("WITH prod AS", "WITH prod AS MATERIALIZED", 1)
@@ -385,7 +385,9 @@ def timeseries_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # load_fanned lesson: fan any input whose per-row work dwarfs the
     # scan). The b side is broadcast, so stream partitioning is
     # preserved through the join.
-    spark.sql(_SPINE_FROM_COUNTS_SPARK + _MP_X_BODY).repartition(
+    spark.sql(
+        _SPINE_FROM_COUNTS_SPARK + dense_hourly_x_guarded('spark')
+    ).repartition(
         spark.sparkContext.defaultParallelism
     ).localCheckpoint().createOrReplaceTempView("mp_x")
     spark.sql(

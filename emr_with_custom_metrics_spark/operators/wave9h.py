@@ -43,7 +43,7 @@ from emr_with_custom_metrics_spark.registry import register
 # is constant-size; only the staged hourly reduction is data-sized.
 
 from emr_with_custom_metrics_spark.operators.stats import (  # noqa: E402
-    _DENSE_HOURLY_X_BODY as _XCORR_X_BODY,
+    dense_hourly_x_guarded,
 )
 
 _XCORR_CORE = """
@@ -97,7 +97,7 @@ _XCORR_CORE = """
 @register(
     "timeseries_cross_correlation",
     oracle=_SPINE_FROM_COUNTS_DUCK
-    + f", x AS MATERIALIZED ({_XCORR_X_BODY})"
+    + f", x AS MATERIALIZED ({dense_hourly_x_guarded('duck')})"
     + _XCORR_CORE,
     doc="Cross-correlation function between every ordered metric pair "
     "over the dense hourly spine, lags -12..+12: the lead-lag question "
@@ -115,7 +115,7 @@ def timeseries_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join — staged once (the MP/decomposition WITH-inlining lesson).
     _stage_hour_counts(spark, sf_dir)
     spark.sql(
-        _SPINE_FROM_COUNTS_SPARK + _XCORR_X_BODY
+        _SPINE_FROM_COUNTS_SPARK + dense_hourly_x_guarded('spark')
     ).localCheckpoint().createOrReplaceTempView("xc_x")
     return spark.sql("WITH x AS (SELECT * FROM xc_x)" + _XCORR_CORE)
 

@@ -126,6 +126,9 @@ _ANSWER_CHANGED: frozenset[str] = frozenset(
         "text_plsa_topics",
         "stats_ab_ttest",
         "stats_cuped_variance_reduction",
+        # r9 VERDICT item 5: the cogroup demo now runs on a
+        # deterministic 12.5% md5 user slice (both engines)
+        "cogroup_asof_pandas",
     }
 )
 
@@ -322,6 +325,7 @@ def _ensure_loaded() -> None:
     import emr_with_custom_metrics_spark.functions.vector  # noqa: F401
     import emr_with_custom_metrics_spark.sources.reference_pipeline  # noqa: F401
     import emr_with_custom_metrics_spark.sources.avro_ocf  # noqa: F401
+    import emr_with_custom_metrics_spark.sources.jdbc  # noqa: F401
     import emr_with_custom_metrics_spark.streaming.metrics  # noqa: F401
     import emr_with_custom_metrics_spark.llm.text  # noqa: F401
     import emr_with_custom_metrics_spark.llm.dedup  # noqa: F401

@@ -18,8 +18,12 @@ is a single-connection full-table pull through one executor, which is the
   write partition is a live connection; 2000 tasks = 2000 connections =
   a down database.
 
-No JDBC driver jar ships in this container, so tests exercise the wiring
-up to the driver-class boundary and skip past it.
+Round 10: pyspark's default classpath ships EMBEDDED DERBY (it backs
+the Hive metastore), so the end-to-end path is exercisable here after
+all — ``jdbc_roundtrip_derby`` below is a fully oracled registered
+query through a real in-process database. For external engines
+(sqlite/postgres/...) whose jars are genuinely absent, tests still pin
+the wiring to the driver-class boundary.
 """
 
 from __future__ import annotations
@@ -105,3 +109,86 @@ def write_jdbc(
     for k, v in properties.items():
         writer = writer.option(k, v)
     writer.save()
+
+
+# ---------------------------------------------------------------------------
+# End-to-end roundtrip through embedded Derby (round 10)
+# ---------------------------------------------------------------------------
+# pyspark ships Derby on its default classpath (jars/derby-10.16.*.jar —
+# it backs the Hive metastore), so the driver-class boundary the earlier
+# rounds stopped at is actually crossable in THIS container with zero
+# installs: jdbc:derby:<path>;create=true + org.apache.derby.jdbc
+# .EmbeddedDriver gives a real in-process SQL database. The registered
+# query exercises the full connector surface — batched write with a
+# connection ceiling, then a RANGE-PARTITIONED parallel read back — and
+# the answer is oracled like any other query, making the JDBC path a
+# first-class green row rather than a tested-to-the-boundary note.
+
+_DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+_JDBC_ORACLE = """
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders GROUP BY o_orderstatus
+"""
+
+
+def _register_jdbc_roundtrip() -> None:
+    from pyspark.sql import functions as F
+
+    from emr_with_custom_metrics_spark.catalog import load_table
+    from emr_with_custom_metrics_spark.registry import register
+
+    @register(
+        "jdbc_roundtrip_derby",
+        oracle=_JDBC_ORACLE,
+        doc="End-to-end JDBC connector roundtrip through EMBEDDED Derby "
+        "(on pyspark's default classpath — no install): the per-status "
+        "order aggregate is written with the batched connection-ceiling "
+        "writer (write_jdbc: coalesce bounds live connections), then "
+        "read back as a RANGE-PARTITIONED parallel scan "
+        "(read_partitioned on the cents column, 4 strides) and "
+        "re-aggregated. The oracle prices the same aggregate straight "
+        "off parquet, so any write/read corruption, type mangling, or "
+        "partition-boundary row loss in the JDBC path is a hash "
+        "mismatch. Scale posture: the helpers ARE the posture — "
+        "parallel reads require explicit stride bounds, writes cap "
+        "connections at coalesce(N); at 100 TB only the aggregate "
+        "(5 rows here) should ever transit JDBC, and that is what this "
+        "query ships across it.",
+    )
+    def jdbc_roundtrip_derby(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import shutil
+
+        agg = (
+            load_table(spark, sf_dir, "orders")
+            .groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                .alias("revenue_cents"),
+            )
+        )
+        base = os.path.basename(sf_dir.rstrip("/")) or "sf"
+        path = f"/tmp/spark_graft_derby_{base}"
+        shutil.rmtree(path, ignore_errors=True)
+        url = f"jdbc:derby:{path}/db;create=true"
+        write_jdbc(
+            agg, url, "order_rev", mode="overwrite",
+            max_connections=2, driver=_DERBY_DRIVER,
+        )
+        lo, hi = 0, 10_000_000_000
+        return read_partitioned(
+            spark, url, "order_rev", "revenue_cents", lo, hi, 4,
+            driver=_DERBY_DRIVER,
+        ).select(
+            F.col("status"),
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.col("revenue_cents").cast("bigint").alias("revenue_cents"),
+        )
+
+
+_register_jdbc_roundtrip()

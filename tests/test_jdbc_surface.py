@@ -1,7 +1,10 @@
-"""JDBC helper wiring: no driver jar ships in this container, so these
-tests assert the options plumb through to Spark's JDBC layer — the
-failure must be the JDBC driver-class lookup, not our argument handling —
-and skip the rest."""
+"""JDBC surface tests. Round 10 upgrade: pyspark ships embedded Derby
+on its default classpath, so the helpers are now exercised END TO END
+against a real in-process database (write with connection ceiling,
+range-partitioned and predicate-split parallel reads). The sqlite
+driver-boundary tests remain for engines whose jars are genuinely
+absent: those must die INSIDE Spark's driver-class lookup, proving the
+options plumb through."""
 
 from __future__ import annotations
 
@@ -51,3 +54,57 @@ def test_write_jdbc_reaches_driver_boundary(spark):
     )
     # connection ceiling: the coalesce is part of the plan before the save
     assert df.coalesce(4).rdd.getNumPartitions() <= 4
+
+
+# ---------------------------------------------------------------------------
+# End-to-end through embedded Derby (round 10)
+# ---------------------------------------------------------------------------
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def _derby_url(tmp_path, name="db"):
+    return f"jdbc:derby:{tmp_path}/{name};create=true"
+
+
+def test_derby_write_then_partitioned_read_roundtrip(spark, tmp_path):
+    df = spark.range(100).selectExpr("id", "id * 3 AS v")
+    url = _derby_url(tmp_path)
+    write_jdbc(df, url, "t", mode="overwrite", max_connections=2,
+               driver=DERBY_DRIVER)
+    back = read_partitioned(
+        spark, url, "t", "id", 0, 100, 4, driver=DERBY_DRIVER
+    )
+    # parallel read: 4 strides -> 4 partitions, no row lost or duplicated
+    assert back.rdd.getNumPartitions() == 4
+    got = sorted((r["id"], r["v"]) for r in back.collect())
+    assert got == [(i, 3 * i) for i in range(100)]
+
+
+def test_derby_predicate_read_partitions_are_exclusive(spark, tmp_path):
+    df = spark.range(50).selectExpr("id", "CAST(id % 2 AS INT) AS par")
+    url = _derby_url(tmp_path)
+    write_jdbc(df, url, "t", mode="overwrite", max_connections=1,
+               driver=DERBY_DRIVER)
+    back = read_by_predicates(
+        # Derby upper-cases unquoted identifiers while Spark's writer
+        # CREATEs quoted lower-case columns — predicates must quote
+        spark, url, "t", ['"par" = 0', '"par" = 1'], driver=DERBY_DRIVER
+    )
+    assert back.rdd.getNumPartitions() == 2
+    assert back.count() == 50 and back.select("id").distinct().count() == 50
+
+
+def test_derby_filter_pushdown_reaches_jdbc_source(spark, tmp_path):
+    """Catalyst must push the filter INTO the generated JDBC query —
+    the scan's metadata carries the pushed predicate."""
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    url = _derby_url(tmp_path)
+    write_jdbc(df, url, "t", mode="overwrite", max_connections=1,
+               driver=DERBY_DRIVER)
+    back = spark.read.format("jdbc").option("url", url) \
+        .option("dbtable", "t").option("driver", DERBY_DRIVER).load() \
+        .where("id >= 90")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "id" in plan, plan[:500]
+    assert back.count() == 10

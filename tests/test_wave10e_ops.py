@@ -290,3 +290,50 @@ def test_granger_detects_planted_lagged_dependence(spark, tmp_path):
     rev = out[(out["x_metric"] == "ys") & (out["y_metric"] == "xs")].iloc[0]
     assert bool(fwd["x_granger_causes_y"])
     assert int(fwd["f_e6"]) > 10 * max(int(rev["f_e6"]), 1)
+
+
+# ---------------------------------------------------------------------------
+# Spine-budget guard (r9 VERDICT item 1)
+# ---------------------------------------------------------------------------
+
+
+def test_spine_budget_guard_raises_on_90_day_corpus(spark, tmp_path, duck):
+    """The calendar-bounded n^2 stages (matrix profile, xcorr) must fail
+    LOUDLY — on BOTH engines — when the dense hourly spine outgrows the
+    1440-point budget, instead of going quadratic silently. A 90-day
+    synthetic corpus (2160 hourly points) must raise; the 30-day
+    fixture stays green (covered by the oracle-parity sweep)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = []
+    eid = 0
+    for day in range(0, 90, 3):  # sparse events; the SPINE is dense
+        rows.append((eid, (day * 86400 + 40) * 1_000_000, 1, "m", 1.0,
+                     "{}"))
+        eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value",
+                       "props"])
+    tbl = pa.Table.from_pandas(pdf, preserve_index=False).set_column(
+        1, "ts", pa.Array.from_pandas(pdf["ts"]).cast(pa.timestamp("us")))
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    from emr_with_custom_metrics_spark.registry import all_specs
+
+    specs = all_specs()
+    for name in ("timeseries_matrix_profile", "timeseries_cross_correlation"):
+        with pytest.raises(Exception, match="dense hourly spine exceeds"):
+            specs[name].fn(spark, str(tmp_path)).toPandas()
+
+    import duckdb as _duckdb
+
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    for name in ("timeseries_matrix_profile", "timeseries_cross_correlation"):
+        with pytest.raises(Exception, match="dense hourly spine exceeds"):
+            con.sql(specs[name].oracle).df()
