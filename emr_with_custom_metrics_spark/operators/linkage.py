@@ -64,11 +64,21 @@ def _h16(seed: str, key: str) -> str:
     )
 
 
-# Balance band width in cents ($2,000): the sorted-neighborhood blocking
-# key. Jitter is <=1,000 cents, two decades under the band, so a true
-# pair can cross at most one band edge — the +/-1 band join provably
-# covers every true pair.
-_BAND_CENTS = 200000
+# Balance band width in cents: the sorted-neighborhood blocking key.
+# Round 10 — DENSITY-ADAPTIVE: blocked linkage is quadratic in block
+# occupancy, so a fixed $2,000 band that is comfortable at 15k
+# customers produces 100x the pairs at 150k (the x10 inflation probe
+# OOM'd a 24 GB driver on exactly this). Target ~constant occupancy by
+# shrinking the band with 1/n (balances span ~1.1e6 cents over 25
+# nations -> 6.6e8/n keeps ~24 rows/block), floored at 2x the 1,000-
+# cent jitter so a true pair still crosses at most one band edge (the
+# +/-1 replication stays provably lossless), and capped at the
+# original $2,000 so SMALL corpora (n <= 3300, incl. the sf0.01
+# correctness gate) produce byte-identical answers to rounds 9-10.
+_BAND_EXPR = (
+    "GREATEST(2000, LEAST(200000, "
+    "CAST(FLOOR(660000000.0e0 / (SELECT COUNT(*) FROM {tbl})) AS BIGINT)))"
+)
 
 _SEGS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
 _SEG_IDX = (
@@ -99,7 +109,7 @@ _PAIRS_SQL = f"""
         SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
                CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents,
                CAST(FLOOR(CAST(ROUND(c_acctbal * 100) AS BIGINT)
-                          / {_BAND_CENTS}.0) AS BIGINT) AS band
+                          / CAST({_BAND_EXPR} AS DOUBLE)) AS BIGINT) AS band
         FROM {{tbl}}
     ) a
     JOIN (
@@ -110,7 +120,8 @@ _PAIRS_SQL = f"""
         -- original BETWEEN produced, but as a hash join on ~175 keys
         -- instead of a 25-key join with a residual range filter
         -- (measured 15.5 s -> see SCALING.md at sf0.1).
-        SELECT b0.*, CAST(FLOOR(b0.b_cents / {_BAND_CENTS}.0) AS BIGINT)
+        SELECT b0.*, CAST(FLOOR(b0.b_cents
+                                / CAST({_BAND_EXPR} AS DOUBLE)) AS BIGINT)
                      + o.db AS cb
         FROM (
             SELECT c_custkey AS b_key, c_nationkey AS b_nation,

@@ -337,3 +337,25 @@ def test_spine_budget_guard_raises_on_90_day_corpus(spark, tmp_path, duck):
     for name in ("timeseries_matrix_profile", "timeseries_cross_correlation"):
         with pytest.raises(Exception, match="dense hourly spine exceeds"):
             con.sql(specs[name].oracle).df()
+
+
+# ---------------------------------------------------------------------------
+# Density-adaptive linkage band (round-10 x10-probe fix)
+# ---------------------------------------------------------------------------
+
+
+def test_linkage_band_is_density_adaptive_and_lossless(duck):
+    """Band width: capped at $2,000 through n = 3,300 (so the sf0.01
+    correctness gate is byte-identical to rounds 9-10), ~6.6e8/n above
+    (constant block occupancy), floored at 2x the 1,000-cent jitter —
+    and the +/-1 replication stays lossless at every width because the
+    jitter never exceeds one band."""
+    from emr_with_custom_metrics_spark.operators.linkage import _BAND_EXPR
+
+    for n, want in ((150, 200000), (1500, 200000), (3300, 200000),
+                    (15000, 44000), (150000, 4400), (1_000_000, 2000)):
+        got = duck.sql(
+            "SELECT " + _BAND_EXPR.format(tbl=f"(SELECT 1 FROM range({n}))")
+        ).fetchone()[0]
+        assert got == want, (n, got, want)
+        assert got >= 2000  # jitter (<=1000) < band: +/-1 bands cover
