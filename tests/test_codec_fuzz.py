@@ -1535,3 +1535,76 @@ def test_avro_ocf_corruption_and_foreign_features():
              "fields": [{"name": "a", "type": "float"}]},
             [{"a": 1.0}],
         )
+
+
+def test_mpeg1_l3_perturbed_huffman_table_is_detected(monkeypatch):
+    """r9 VERDICT stretch: the Table-B.7 integration point must REJECT
+    wrong constants, not mis-decode through them. Remap the decoder's
+    most-frequent pair codeword to (15,15) — the kind of one-row error
+    a from-memory B.7 transcription risks: the changed linbits/sign
+    consumption desynchronizes the bit cursor and the decoder's
+    structural verification (count1 bounds / part2_3_length) raises —
+    never a silent wrong answer. Converts the documented 'true tables
+    drop into one dict' boundary into a tested property."""
+    import pytest
+
+    from emr_with_custom_metrics_spark.llm import mpeg_audio as M
+
+    rng = np.random.default_rng(7)
+    x = 0.4 * rng.standard_normal(3 * M.L3_FRAME_SAMPLES).clip(-0.9, 0.9)
+    payload = M.encode_mp3_huffman(x, 44100)
+    M.decode_mp3_huffman(payload)  # sanity: correct tables decode
+
+    # the shortest (most frequent) codeword, remapped to the escape pair
+    code_short = min(M._L3_PAIR_DECODE, key=lambda c: c[1])
+    sym_short = M._L3_PAIR_DECODE[code_short]
+    assert sym_short != (15, 15)
+    bad = dict(M._L3_PAIR_DECODE)
+    bad[code_short] = (15, 15)
+    monkeypatch.setattr(M, "_L3_PAIR_DECODE", bad)
+    with pytest.raises((ValueError, KeyError)):
+        M.decode_mp3_huffman(payload)
+
+
+def test_mpeg1_l1_perturbed_pqmf_prototype_is_detected():
+    """Same property for the Table-C/D prototype slot: two canonical
+    TRANSCRIPTION errors — a sign-flipped tap and two swapped 64-tap
+    phases — each break the 25 dB conformance gate when the decoder's
+    synthesis window carries them, so wrong filterbank constants cannot
+    pass the roundtrip suite silently. (Diffuse 1% noise costs <1 dB —
+    the filterbank is robust to noise but not to structural typos,
+    which is exactly the failure mode a from-memory Table-C/D
+    transcription risks.)"""
+    from emr_with_custom_metrics_spark.llm import mpeg_audio as M
+
+    fs = 32000
+    t = np.arange(M.FRAME_SAMPLES * 20)
+    x = 0.5 * np.sin(2 * np.pi * 440 * t / fs)
+    payload = M.encode_mpeg1_layer1(x, fs, filterbank="pqmf")
+
+    def snr_of(samples):
+        a = x[1000 : len(samples) - M._PQMF_DELAY]
+        b = samples[1000 + M._PQMF_DELAY :]
+        err = b - a
+        return 10 * np.log10(float(a @ a) / max(float(err @ err), 1e-300))
+
+    snr_good = snr_of(M.decode_mpeg1_layer1(payload)["samples"])
+    assert snr_good > 25.0, snr_good
+
+    d_taps = M._PQMF_D.copy()
+    try:
+        flipped = d_taps.copy()
+        i = int(np.argmax(np.abs(flipped)))
+        flipped[i] = -flipped[i]  # one sign typo on the largest tap
+        M._PQMF_D = flipped
+        snr_flip = snr_of(M.decode_mpeg1_layer1(payload)["samples"])
+        assert snr_flip < 25.0, (snr_good, snr_flip)
+
+        swapped = d_taps.copy()  # two adjacent polyphase phases swapped
+        swapped[64:128], swapped[128:192] = (
+            d_taps[128:192].copy(), d_taps[64:128].copy())
+        M._PQMF_D = swapped
+        snr_swap = snr_of(M.decode_mpeg1_layer1(payload)["samples"])
+        assert snr_swap < 25.0, (snr_good, snr_swap)
+    finally:
+        M._PQMF_D = d_taps
