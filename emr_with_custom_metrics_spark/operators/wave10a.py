@@ -164,8 +164,12 @@ _TOST_SQL = f"""
                a.n AS n_a, b.n AS n_b,
                CAST(a.s1 AS DOUBLE) / a.n - CAST(b.s1 AS DOUBLE) / b.n
                    AS diff_e3,
-               CAST(a.s1 + b.s1 AS DOUBLE) / (a.n + b.n) * CAST(0.02 AS DOUBLE)
-                   AS delta_e3,
+               -- r10 ADVICE: ABS — a zero/negative pooled mean would give a
+               -- non-positive margin, making `equivalent` structurally
+               -- unreachable with no signal; margin_valid surfaces that case.
+               ABS(CAST(a.s1 + b.s1 AS DOUBLE) / (a.n + b.n))
+                   * CAST(0.02 AS DOUBLE) AS delta_e3,
+               (a.s1 + b.s1) <> 0 AS margin_valid,
                ((CAST(a.s2 AS DOUBLE) - CAST(a.s1 AS DOUBLE) * a.s1 / a.n)
                    / (a.n - 1)) / a.n
              + ((CAST(b.s2 AS DOUBLE) - CAST(b.s1 AS DOUBLE) * b.s1 / b.n)
@@ -176,6 +180,7 @@ _TOST_SQL = f"""
     SELECT event_type, n_a, n_b,
            CAST(ROUND(diff_e3 * 1000) AS BIGINT) AS diff_e6,
            CAST(ROUND(delta_e3 * 1000) AS BIGINT) AS margin_e6,
+           margin_valid,
            CASE WHEN se2_e6 > 0
                 THEN CAST(ROUND((diff_e3 + delta_e3) / sqrt(se2_e6) * 1000000)
                      AS BIGINT) ELSE 0 END AS t_lower_e6,
@@ -198,7 +203,10 @@ _TOST_SQL = f"""
     "md5-nibble 50/50 arms: both one-sided Welch statistics against a "
     "+/-2%-of-pooled-mean margin; equivalence shown iff t_lower > "
     "1.645 AND t_upper < -1.645. Upgrades 'not significant' to "
-    "'equivalent' — the missing half of the A/B readout. Same "
+    "'equivalent' — the missing half of the A/B readout. The margin "
+    "takes ABS of the pooled mean and margin_valid flags a zero pooled "
+    "mean, where equivalence is structurally undecidable (r10 ADVICE). "
+    "Same "
     "(type, arm) sufficient-statistics shape as stats_ab_ttest: the "
     "shuffle carries ten (n, sum, sumsq) triples; margin and SE are "
     "fixed-order doubles over exact integer sums, quantized e6.",

@@ -221,7 +221,12 @@ def ml_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MRR_SPARK = """
     WITH e AS (
+        -- r10 ADVICE: zero-norm vectors are filtered at the source so the
+        -- `exact` cosine never divides by zero (only `z` guarded before);
+        -- dropped queries are surfaced via n_queries_dropped in the tail
         SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings
+        WHERE array_max(transform(CAST(embedding AS ARRAY<DOUBLE>),
+                                  y -> abs(y))) > 0
     ), q AS (
         SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id <= 10
     ), exact AS (
@@ -264,7 +269,10 @@ _MRR_SPARK = """
 
 _MRR_DUCK = """
     WITH e AS (
+        -- r10 ADVICE: zero-norm filter mirrors the Spark side (see there)
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE list_aggregate(list_transform(embedding::DOUBLE[],
+                                            y -> abs(y)), 'max') > 0
     ), q AS (
         SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id <= 10
     ), exact AS (
@@ -324,12 +332,19 @@ _MRR_TAIL = """
                     THEN CAST(ROUND(CAST(1000000 AS DOUBLE) / rnk) AS BIGINT)
                     ELSE 0 END AS rr_e6
         FROM ranks
+    ), qall AS (
+        -- raw query-universe size BEFORE the zero-norm filter, so the
+        -- MRR denominator (and any dropped queries) is visible
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_q_raw
+        FROM embeddings WHERE vec_id <= 10
     )
     SELECT qid, truth_id, rnk AS rank_int8, rr_e6,
            CAST(ROUND(AVG(CAST(rr_e6 AS DOUBLE)) OVER ()) AS BIGINT)
                AS mrr_e6,
-           rnk <= 5 AS hit_at_5
-    FROM rr
+           rnk <= 5 AS hit_at_5,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n_queries_eval,
+           CAST(qa.n_q_raw - COUNT(*) OVER () AS BIGINT) AS n_queries_dropped
+    FROM rr CROSS JOIN qall qa
 """
 
 
@@ -345,7 +360,10 @@ _MRR_TAIL = """
     "pure integer count of strictly-better rows — no full sort. "
     "Measures quantization loss the way similarity_recall_report "
     "measures ANN loss. Queries are a broadcast eval sample; docs are "
-    "one linear scan per ranking.",
+    "one linear scan per ranking. Zero-norm vectors are filtered at "
+    "the source (r10 ADVICE — the exact-cosine CTE had no guard) and "
+    "n_queries_eval / n_queries_dropped make the MRR denominator "
+    "explicit.",
 )
 def retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("embeddings",))
@@ -395,8 +413,12 @@ _GINI_SQL = """
     SELECT d.d AS decile,
            -- FLOOR, not CAST, over the double quotient (truncate-vs-
            -- round divergence); quotient is >= 0.1 from any integer
-           -- when fractional so FLOOR cannot flip
-           CAST(FLOOR(d.d * g.n / 10.0e0) AS BIGINT) AS cum_customers,
+           -- when fractional so FLOOR cannot flip. GREATEST(1, ...) so
+           -- n < 10 cannot resolve early deciles to rank 0, which
+           -- matches no row and silently dropped them (r10 ADVICE).
+           GREATEST(CAST(1 AS BIGINT),
+                    CAST(FLOOR(d.d * g.n / 10.0e0) AS BIGINT))
+               AS cum_customers,
            CASE WHEN g.s > 0
                 THEN CAST(ROUND(CAST(r.cumx AS DOUBLE) / g.s * 1000000)
                      AS BIGINT)
@@ -405,7 +427,9 @@ _GINI_SQL = """
     FROM (SELECT * FROM (VALUES (1), (2), (3), (4), (5), (6), (7), (8),
                                 (9), (10)) AS q(d)) d
     CROSS JOIN gini g
-    JOIN ranked r ON r.rn = CAST(FLOOR(d.d * g.n / 10.0e0) AS BIGINT)
+    JOIN ranked r
+      ON r.rn = GREATEST(CAST(1 AS BIGINT),
+                         CAST(FLOOR(d.d * g.n / 10.0e0) AS BIGINT))
 """
 
 

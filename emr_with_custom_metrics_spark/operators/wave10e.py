@@ -212,14 +212,24 @@ _BRIER_SQL = """
         SELECT CAST(SUM(n_b) AS BIGINT) AS n,
                CAST(SUM(pos_b) AS BIGINT) AS pos
         FROM test
+    ), calg AS (
+        -- global calibration base rate: the default forecast for test
+        -- bins the even half never populated (r10 ADVICE: an inner join
+        -- dropped them from REL/RES while tot.n still counted their
+        -- rows, understating brier on skewed data)
+        SELECT CAST(ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*) * 1000000000)
+                    AS BIGINT) AS p0_e9
+        FROM binned WHERE half = 0
     ), terms AS (
-        SELECT t.bin, t.n_b, c.p_e9,
+        SELECT t.bin, t.n_b,
+               COALESCE(c.p_e9, g.p0_e9) AS p_e9,
+               CASE WHEN c.bin IS NULL THEN 1 ELSE 0 END AS uncal,
                CAST(ROUND(CAST(pos_b AS DOUBLE) / t.n_b * 1000000000)
                     AS BIGINT) AS o_e9,
                CAST(ROUND(t.n_b
-                    * (CAST(c.p_e9 AS DOUBLE) / 1000000000
+                    * (CAST(COALESCE(c.p_e9, g.p0_e9) AS DOUBLE) / 1000000000
                        - CAST(t.pos_b AS DOUBLE) / t.n_b)
-                    * (CAST(c.p_e9 AS DOUBLE) / 1000000000
+                    * (CAST(COALESCE(c.p_e9, g.p0_e9) AS DOUBLE) / 1000000000
                        - CAST(t.pos_b AS DOUBLE) / t.n_b)
                     * 1000000000) AS BIGINT) AS rel_term_e9,
                CAST(ROUND(t.n_b
@@ -229,16 +239,18 @@ _BRIER_SQL = """
                        - CAST(o.pos AS DOUBLE) / o.n)
                     * 1000000000) AS BIGINT) AS res_term_e9
         FROM test t
-        JOIN calib c ON t.bin = c.bin
+        LEFT JOIN calib c ON t.bin = c.bin
         CROSS JOIN tot o
+        CROSS JOIN calg g
         WHERE t.n_b > 0
     ), agg AS (
         SELECT CAST(SUM(rel_term_e9) AS BIGINT) AS rel_sum,
                CAST(SUM(res_term_e9) AS BIGINT) AS res_sum,
-               CAST(COUNT(*) AS BIGINT) AS n_bins
+               CAST(COUNT(*) AS BIGINT) AS n_bins,
+               CAST(SUM(uncal) AS BIGINT) AS n_uncal_bins
         FROM terms
     )
-    SELECT a.n_bins, o.n AS n_test,
+    SELECT a.n_bins, a.n_uncal_bins, o.n AS n_test,
            CAST(ROUND(CAST(a.rel_sum AS DOUBLE) / o.n / 1000) AS BIGINT)
                AS reliability_e6,
            CAST(ROUND(CAST(a.res_sum AS DOUBLE) / o.n / 1000) AS BIGINT)
@@ -263,7 +275,11 @@ _BRIER_SQL = """
     "uncertainty — with the calibration table LEARNED on the even-"
     "event_id half (10 equal-width score bins, rate e9-quantized) and "
     "SCORED on the odd half: the honest train/test companion of "
-    "ml_calibration_bins. Per-bin squared terms quantize e9 from "
+    "ml_calibration_bins. Test bins the calibration half never saw get "
+    "the global calibration base rate as the default forecast (LEFT "
+    "JOIN + n_uncal_bins column, r10 ADVICE — the inner join silently "
+    "dropped them from REL/RES while tot.n counted their rows). "
+    "Per-bin squared terms quantize e9 from "
     "fixed-order doubles over exact counts; cross-bin sums are exact "
     "integer reductions; the brier identity is emitted as its own "
     "column so the oracle pins it. Two map-side-combinable half-"

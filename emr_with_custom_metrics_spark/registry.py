@@ -115,20 +115,20 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # are either true or not-applicable (rows-only checks record null there).
 # Queries whose ANSWER CONTRACT changes in the current round must be named
 # in _ANSWER_CHANGED so they re-queue for a fresh row despite an old green.
-# Round 10: conformal's seasonal-naive join direction fixed (answer
-# changes); PLSA gained zero-denominator guards (same answer on real
-# data, template changed in both engines — re-queued for a fresh row);
-# the two round-9 t-test/CUPED template changes whose latest official
-# row is still the stale r08 green (r9 driver sampled neither).
+# Round 11: the four r10-ADVICE template fixes change schemas/answers
+# (TOST gains margin_valid; Brier gains n_uncal_bins + LEFT-JOIN
+# default forecast; MRR gains n_queries_eval/dropped + source-side
+# zero-norm filter; Gini's decile rank pick gains GREATEST(1, ...)),
+# plus linkage_fellegi_sunter whose density-adaptive band (r10) changes
+# its answer above ~3,300 customers — re-queued so no stale green can
+# survive at a larger SF (r10 ADVICE item 5).
 _ANSWER_CHANGED: frozenset[str] = frozenset(
     {
-        "timeseries_conformal_interval",
-        "text_plsa_topics",
-        "stats_ab_ttest",
-        "stats_cuped_variance_reduction",
-        # r9 VERDICT item 5: the cogroup demo now runs on a
-        # deterministic 12.5% md5 user slice (both engines)
-        "cogroup_asof_pandas",
+        "stats_tost_equivalence",
+        "ml_brier_decomposition",
+        "retrieval_mrr_eval",
+        "stats_gini_lorenz",
+        "linkage_fellegi_sunter",
     }
 )
 
