@@ -353,4 +353,6 @@ def _ensure_loaded() -> None:
     import emr_with_custom_metrics_spark.operators.wave10e  # noqa: F401
     import emr_with_custom_metrics_spark.operators.wave11a  # noqa: F401
     import emr_with_custom_metrics_spark.operators.wave11b  # noqa: F401
+    import emr_with_custom_metrics_spark.operators.wave11c  # noqa: F401
+    import emr_with_custom_metrics_spark.operators.wave11d  # noqa: F401
     _LOADED = True
