@@ -1,0 +1,525 @@
+"""Round-11 wave 11e: sequential testing, absorption dynamics, and
+heavy-tail / lexical-spectrum statistics.
+
+* ``stats_sprt_sequential`` — Wald's SPRT over each metric's event
+  stream: the always-valid sequential decision the fixed-n t-test
+  family cannot give. The log-likelihood walk is an EXACT integer
+  process (pinned e9 log constants, symmetric +-L steps).
+* ``events_markov_absorption`` — expected steps to the purchase state
+  from every state of the user-journey chain, by 40 rounds of exact
+  value iteration over the (k x k) transition counts (purchase made
+  absorbing) — the "how far is each behavior from converting" readout
+  on top of events_transition_matrix.
+* ``text_yule_k`` — Yule's K lexical-diversity characteristic per
+  source from the exact frequency spectrum (length-insensitive, unlike
+  raw type/token ratio).
+* ``text_good_turing`` — Simple Good-Turing adjusted counts r* and the
+  unseen-probability mass N1/N per source: the smoothing table a
+  language model needs and the "how much vocabulary is left to see"
+  companion of corpus_capture_recapture.
+* ``stats_dispersion_index`` — variance-to-mean ratio of daily counts
+  per metric with the chi-square overdispersion gate (Poisson-ness
+  check before any count model).
+* ``stats_hill_tail_index`` — Hill estimator of the value tail index
+  per metric over the top-k order statistics (heavy-tail detector that
+  decides mean-based vs quantile-based monitoring).
+
+House discipline: pinned log constants instead of in-engine ln where
+possible; where ln must run (Hill), once per order statistic on an
+exact rational and quantized e9 immediately; all walks/iterations as
+exact integer processes; chained-CTE value iteration shared verbatim
+by both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from emr_with_custom_metrics_spark.catalog import register_views
+from emr_with_custom_metrics_spark.registry import register
+
+_EPOCH_US_SPARK = "unix_micros(CAST(ts AS TIMESTAMP))"
+_EPOCH_US_DUCK = "epoch_us(ts)"
+_EPOCH_S_SPARK = "unix_timestamp(ts)"
+_EPOCH_S_DUCK = "epoch(ts)"
+
+
+# ---------------------------------------------------------------------------
+# Wald SPRT
+# ---------------------------------------------------------------------------
+# H0: p = 0.45 vs H1: p = 0.55 for the per-event indicator "value above
+# the metric's doubled median" (so true p ~ 0.5 sits between the
+# hypotheses and real data usually keeps sampling — drifted metrics
+# decide early). Symmetric hypotheses make the per-event log-likelihood
+# increment +-L with L = ln(0.55/0.45); the walk after t events is
+# L_e9 * (2*successes_t - t), an exact integer. Bounds: ln((1-b)/a) =
+# ln 19 at a = b = 0.05 (pinned e9 literals — no in-engine ln at all).
+# Decision = first boundary crossing in (event-time, event_id) order.
+#
+# Scale: one window cumsum per metric + a min-over-crossings — the
+# sequential readout costs one pass, same as any running aggregate.
+# Pinned constants: ln(11/9)*1e9 = 200670695, ln(19)*1e9 = 2944438979.
+
+_SPRT_TMPL = """
+    WITH base AS (
+        SELECT event_type,
+               {epoch_us} AS us,
+               event_id,
+               CAST(ROUND(value * 1000) AS BIGINT) AS v_e3
+        FROM events
+    ), med AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN rn = CAST(FLOOR((n + 1) / 2.0e0) AS BIGINT)
+                             THEN v_e3 ELSE 0 END)
+                  + SUM(CASE WHEN rn = CAST(FLOOR((n + 2) / 2.0e0) AS BIGINT)
+                             THEN v_e3 ELSE 0 END) AS BIGINT) AS med2
+        FROM (SELECT event_type, v_e3,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                             ORDER BY v_e3) AS BIGINT) AS rn,
+                     CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                         AS n
+              FROM base) r
+        GROUP BY event_type
+    ), walk AS (
+        SELECT b.event_type,
+               CAST(ROW_NUMBER() OVER (PARTITION BY b.event_type
+                                       ORDER BY b.us, b.event_id) AS BIGINT)
+                   AS t,
+               CAST(200670695 * (2 * SUM(CASE WHEN 2 * b.v_e3 > m.med2
+                                              THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY b.event_type ORDER BY b.us, b.event_id
+                          ROWS UNBOUNDED PRECEDING)
+                    - ROW_NUMBER() OVER (PARTITION BY b.event_type
+                                         ORDER BY b.us, b.event_id))
+                    AS BIGINT) AS llr_e9
+        FROM base b JOIN med m ON b.event_type = m.event_type
+    ), crossing AS (
+        SELECT event_type,
+               MIN(CASE WHEN llr_e9 >= 2944438979 OR llr_e9 <= -2944438979
+                        THEN t END) AS t_decide
+        FROM walk GROUP BY event_type
+    ), tail AS (
+        SELECT w.event_type,
+               CAST(MAX(w.t) AS BIGINT) AS n_total,
+               CAST(MAX(CASE WHEN w.t = c.t_decide THEN w.llr_e9 END)
+                    AS BIGINT) AS llr_at_decision_e9,
+               CAST(MAX(c.t_decide) AS BIGINT) AS n_at_decision,
+               CAST(MAX(CASE WHEN w.t = x.tmax THEN w.llr_e9 END) AS BIGINT)
+                   AS llr_final_e9
+        FROM walk w
+        LEFT JOIN crossing c ON w.event_type = c.event_type
+        JOIN (SELECT event_type, MAX(t) AS tmax FROM walk GROUP BY event_type)
+             x ON w.event_type = x.event_type
+        GROUP BY w.event_type
+    )
+    SELECT event_type, n_total, n_at_decision, llr_at_decision_e9,
+           llr_final_e9,
+           CASE WHEN n_at_decision IS NULL THEN 'continue'
+                WHEN llr_at_decision_e9 >= 2944438979 THEN 'accept_h1'
+                ELSE 'accept_h0' END AS decision
+    FROM tail
+"""
+
+
+@register(
+    "stats_sprt_sequential",
+    oracle=_SPRT_TMPL.format(epoch_us=_EPOCH_US_DUCK),
+    doc="Wald SPRT per metric (H0 p=.45 vs H1 p=.55 on the above-median "
+    "indicator, alpha=beta=.05): the log-likelihood walk is the exact "
+    "integer L_e9*(2s_t - t) with pinned e9 log constants (ln(11/9), "
+    "ln 19 — no in-engine ln), decision at the first boundary crossing "
+    "in (event-time, id) order. The always-valid sequential monitor "
+    "the fixed-n t-test family cannot provide; one window pass.",
+)
+def stats_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_SPRT_TMPL.format(epoch_us=_EPOCH_US_SPARK))
+
+
+# ---------------------------------------------------------------------------
+# Markov absorption times
+# ---------------------------------------------------------------------------
+# Consecutive-event transitions per user define the journey chain;
+# purchase is made absorbing. Expected steps to absorption h solve
+# h = 1 + P_non h — approximated by 40 exact value-iteration rounds
+# h_{k+1}(s) = round(1e6 + sum_s' c(s,s') * h_k(s') / c(s)) on e6
+# integers (products < 2^63 through ~1e12 transitions/state), each
+# round one tiny chained CTE over the k-state grid, shared VERBATIM by
+# both engines so the trajectory is bit-identical. States that cannot
+# reach purchase saturate toward the 40-round cap and are flagged.
+
+_ABS_ROUNDS = 40
+
+
+# One value-iteration round: identical text on both engines (the
+# {prev} placeholder names the previous iterate's relation). States
+# reachable as s_to but absent from grid (no outgoing edges) contribute
+# as h = 0 under SUM's null-skip — i.e. treated absorbing; with the
+# five-type journey chain every state has outgoing mass, and the
+# posture is documented here rather than guessed around.
+_ABS_ROUND_TMPL = """
+        SELECT g.s,
+               CASE WHEN g.s = 'purchase' THEN CAST(0 AS BIGINT)
+                    ELSE CAST(ROUND(1000000
+                         + COALESCE(SUM(CAST(t.c AS DOUBLE) * p.h), 0)
+                           / MAX(g.row_tot)) AS BIGINT) END AS h
+        FROM grid g
+        LEFT JOIN trans t ON t.s_from = g.s
+        LEFT JOIN {prev} p ON p.s = t.s_to
+        GROUP BY g.s
+"""
+
+_ABS_BASE_TMPL = """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                   ORDER BY {epoch_us}, event_id) AS nxt
+        FROM events
+    ), trans AS (
+        SELECT event_type AS s_from, nxt AS s_to,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM seq WHERE nxt IS NOT NULL
+        GROUP BY event_type, nxt
+    ), grid AS (
+        SELECT s_from AS s, CAST(SUM(c) AS BIGINT) AS row_tot
+        FROM trans GROUP BY s_from
+    )
+"""
+
+_ABS_FINAL = f"""
+    SELECT g.s AS state, g.row_tot AS n_transitions,
+           hf.h AS exp_steps_e6,
+           hp.h AS exp_steps_prev_e6,
+           hf.h - hp.h <= 1 AS converged
+    FROM grid g
+    JOIN h{_ABS_ROUNDS} hf ON hf.s = g.s
+    JOIN h{_ABS_ROUNDS - 1} hp ON hp.s = g.s
+"""
+
+
+def _absorption_sql(epoch_us: str) -> str:
+    """Single-statement form for the DuckDB oracle. Every round is
+    MATERIALIZED — DuckDB inlines single-reference CTEs, and an inlined
+    40-deep chain recomputes exponentially (the unigram-LM lesson,
+    ROUND_NOTES r9). Spark never parses this chain: its analyzer caps
+    fixed-point resolution at 100 iterations, so the Spark side stages
+    rounds behind localCheckpoint instead."""
+    rounds = []
+    prev = "h0"
+    for k in range(1, _ABS_ROUNDS + 1):
+        rounds.append(
+            f", h{k} AS MATERIALIZED ({_ABS_ROUND_TMPL.format(prev=prev)})"
+        )
+        prev = f"h{k}"
+    return (
+        _ABS_BASE_TMPL.format(epoch_us=epoch_us)
+        + ", h0 AS (SELECT s, CAST(0 AS BIGINT) AS h FROM grid)"
+        + "".join(rounds)
+        + _ABS_FINAL
+    )
+
+
+@register(
+    "events_markov_absorption",
+    oracle=_absorption_sql(_EPOCH_US_DUCK),
+    doc="Expected steps to the purchase state from every state of the "
+    "user-journey chain (purchase absorbing): 40 rounds of exact value "
+    "iteration h <- round(1e6 + sum c(s,s')h(s')/c(s)) on e6 integers, "
+    "each round a tiny chained CTE over the k-state grid shared "
+    "verbatim by both engines (the kmeans/PCA iterative-CTE pattern); "
+    "the last-round delta is emitted as the convergence flag. The "
+    "'how far is each behavior from converting' readout on top of "
+    "events_transition_matrix.",
+)
+def events_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("events",))
+    # Spark's analyzer caps fixed-point resolution at 100 iterations —
+    # a 40-deep CTE chain exceeds it — so each round materializes the
+    # 5-row iterate (collect + recreate breaks lineage without a
+    # checkpoint job) and runs the SAME per-round SQL text the DuckDB
+    # oracle chains, keeping the trajectory bit-identical.
+    base = spark.sql(
+        _ABS_BASE_TMPL.format(epoch_us=_EPOCH_US_SPARK)
+        + " SELECT t.s_from, t.s_to, t.c, g.row_tot FROM trans t "
+        "JOIN grid g ON g.s = t.s_from"
+    ).localCheckpoint()
+    base.createOrReplaceTempView("ma_base")
+    spark.sql(
+        "SELECT s_from AS s_from, s_to, c FROM ma_base"
+    ).createOrReplaceTempView("trans")
+    spark.sql(
+        "SELECT DISTINCT s_from AS s, row_tot FROM ma_base"
+    ).createOrReplaceTempView("grid")
+    # Batch 8 rounds per statement (well inside the analyzer's
+    # fixed-point budget — 40 in one chain exceeds it) and cut lineage
+    # between batches: 5 checkpoint jobs instead of 40 (18 s -> ~4 s).
+    batch = 8
+    spark.sql(
+        "SELECT s, CAST(0 AS BIGINT) AS h FROM grid"
+    ).createOrReplaceTempView("ma_h")
+    for start in range(0, _ABS_ROUNDS, batch):
+        n_rounds = min(batch, _ABS_ROUNDS - start)
+        # the second-to-last iterate is also surfaced so the final
+        # batch leaves both h_{K} and h_{K-1} behind for the delta
+        chain = [", r0 AS (SELECT s, h FROM ma_h)"]
+        for k in range(1, n_rounds + 1):
+            chain.append(
+                f", r{k} AS ({_ABS_ROUND_TMPL.format(prev=f'r{k - 1}')})"
+            )
+        sql = (
+            "WITH g_unused AS (SELECT 1 AS one)"
+            + "".join(chain)
+            + f" SELECT a.s, a.h, b.h AS h_prev FROM r{n_rounds} a "
+            f"JOIN r{n_rounds - 1} b ON a.s = b.s"
+        )
+        it = spark.sql(sql).localCheckpoint()
+        it.createOrReplaceTempView("ma_h_pair")
+        spark.sql("SELECT s, h FROM ma_h_pair").createOrReplaceTempView(
+            "ma_h"
+        )
+    return spark.sql(
+        _ABS_FINAL.replace(f"h{_ABS_ROUNDS} hf", "ma_h_pair hf")
+        .replace(f"h{_ABS_ROUNDS - 1} hp", "ma_h_pair hp")
+        .replace("hp.h", "hp.h_prev")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Yule's K
+# ---------------------------------------------------------------------------
+# K = 1e4 * (sum m^2 V(m) - N) / N^2 over the exact term-frequency
+# spectrum V(m) per source — the classic length-insensitive lexical
+# diversity / repetitiveness characteristic (template farms score
+# high). All moments exact integers; one double epilogue.
+
+_YULE_TMPL = """
+    WITH tok AS (
+        {tokens}
+    ), tf AS (
+        SELECT source, term, CAST(COUNT(*) AS BIGINT) AS m
+        FROM tok GROUP BY source, term
+    ), spectrum AS (
+        SELECT source, m, CAST(COUNT(*) AS BIGINT) AS v_m
+        FROM tf GROUP BY source, m
+    )
+    SELECT source,
+           CAST(SUM(m * v_m) AS BIGINT) AS n_tokens,
+           CAST(SUM(v_m) AS BIGINT) AS vocab,
+           CAST(ROUND(CAST(10000 AS DOUBLE)
+                * (SUM(m * m * v_m) - SUM(m * v_m))
+                / (CAST(SUM(m * v_m) AS DOUBLE) * SUM(m * v_m))
+                * 1000000) AS BIGINT) AS yule_k_e6
+    FROM spectrum GROUP BY source
+"""
+
+_YULE_SPARK = _YULE_TMPL.format(
+    tokens="SELECT source, explode(split(text, ' ')) AS term FROM documents"
+)
+_YULE_DUCK = _YULE_TMPL.format(
+    tokens="SELECT source, UNNEST(string_split(text, ' ')) AS term "
+    "FROM documents"
+)
+
+
+@register(
+    "text_yule_k",
+    oracle=_YULE_DUCK,
+    doc="Yule's K lexical-diversity characteristic per source from the "
+    "exact term-frequency spectrum: K = 1e4 (sum m^2 V(m) - N)/N^2, all "
+    "moments exact integers, one double epilogue e6. Length-insensitive "
+    "where raw type/token ratio is not — the repetitiveness axis beside "
+    "text_heaps_law's growth curve and text_zipf_fit's rank slope.",
+)
+def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_YULE_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# Simple Good-Turing table
+# ---------------------------------------------------------------------------
+# Per source: the frequency-of-frequencies N_r for r = 1..5, the
+# Good-Turing adjusted count r* = (r+1) N_{r+1} / N_r (e6-quantized
+# exact rational; 0 with a gap flag when N_{r+1} is empty), and the
+# unseen mass P0 = N_1/N (e9). The smoothing table an n-gram LM
+# consumes, and the spectral "how much is left to see" companion of
+# corpus_capture_recapture's set-overlap estimate.
+
+_SGT_TMPL = """
+    WITH tok AS (
+        {tokens}
+    ), tf AS (
+        SELECT source, term, CAST(COUNT(*) AS BIGINT) AS m
+        FROM tok GROUP BY source, term
+    ), spectrum AS (
+        SELECT source, m AS r, CAST(COUNT(*) AS BIGINT) AS n_r
+        FROM tf GROUP BY source, m
+    ), tot AS (
+        SELECT source, CAST(SUM(r * n_r) AS BIGINT) AS n_tokens
+        FROM spectrum GROUP BY source
+    ), rows5 AS (
+        SELECT t.source, d.r, o.n_tokens,
+               CAST(COALESCE(s.n_r, 0) AS BIGINT) AS n_r,
+               CAST(COALESCE(s1.n_r, 0) AS BIGINT) AS n_r1
+        FROM (SELECT DISTINCT source FROM spectrum) t
+        CROSS JOIN (SELECT * FROM (VALUES (1), (2), (3), (4), (5)) v(r)) d
+        JOIN tot o ON o.source = t.source
+        LEFT JOIN spectrum s ON s.source = t.source AND s.r = d.r
+        LEFT JOIN spectrum s1 ON s1.source = t.source AND s1.r = d.r + 1
+    )
+    SELECT source, CAST(r AS BIGINT) AS r, n_r, n_r1,
+           CASE WHEN n_r > 0
+                THEN CAST(ROUND(CAST(r + 1 AS DOUBLE) * n_r1 / n_r * 1000000)
+                     AS BIGINT)
+                ELSE 0 END AS r_star_e6,
+           n_r = 0 OR n_r1 = 0 AS spectrum_gap,
+           CAST(ROUND(CAST(FIRST_VALUE(n_r) OVER (PARTITION BY source
+                ORDER BY r) AS DOUBLE) / n_tokens * 1000000000) AS BIGINT)
+               AS p_unseen_e9
+    FROM rows5
+"""
+
+_SGT_SPARK = _SGT_TMPL.format(
+    tokens="SELECT source, explode(split(text, ' ')) AS term FROM documents"
+)
+_SGT_DUCK = _SGT_TMPL.format(
+    tokens="SELECT source, UNNEST(string_split(text, ' ')) AS term "
+    "FROM documents"
+)
+
+
+@register(
+    "text_good_turing",
+    oracle=_SGT_DUCK,
+    doc="Simple Good-Turing table per source: frequency-of-frequencies "
+    "N_r for r=1..5 (absent rows surfaced via the full source x r grid "
+    "+ spectrum_gap flag), adjusted counts r* = (r+1)N_{r+1}/N_r as "
+    "e6-quantized exact rationals, unseen mass P0 = N_1/N e9. The "
+    "LM smoothing table, and the spectral companion of "
+    "corpus_capture_recapture's overlap-based saturation estimate.",
+)
+def text_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_SGT_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# Dispersion index (Poisson-ness)
+# ---------------------------------------------------------------------------
+# Per metric over DAILY counts: D = s^2/xbar; under Poisson,
+# (n-1)D ~ chi2(n-1), normal-approximated as z = ((n-1)D - (n-1)) /
+# sqrt(2(n-1)). Exact integer moments; D and z single epilogues.
+# Overdispersion (z > 1.645) is the gate before any Poisson count
+# model — and the justification column for the negative-binomial path.
+
+_DISPIDX_TMPL = """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(FLOOR({epoch_s} / 86400) AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM events GROUP BY event_type, CAST(FLOOR({epoch_s} / 86400)
+                                              AS BIGINT)
+    ), mom AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS s1,
+               CAST(SUM(v * v) AS BIGINT) AS s2
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days, s1 AS n_events,
+           CASE WHEN n > 1 AND s1 > 0
+                THEN CAST(ROUND((CAST(s2 AS DOUBLE)
+                                 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)
+                          / (CAST(s1 AS DOUBLE) / n) * 1000000) AS BIGINT)
+                ELSE 0 END AS dispersion_e6,
+           CASE WHEN n > 1 AND s1 > 0
+                THEN CAST(ROUND(((CAST(s2 AS DOUBLE)
+                                  - CAST(s1 AS DOUBLE) * s1 / n)
+                                 / (CAST(s1 AS DOUBLE) / n) - (n - 1))
+                          / sqrt(2.0e0 * (n - 1)) * 1000000) AS BIGINT)
+                ELSE 0 END AS z_e6,
+           CASE WHEN n > 1 AND s1 > 0
+                THEN CAST(ROUND(((CAST(s2 AS DOUBLE)
+                                  - CAST(s1 AS DOUBLE) * s1 / n)
+                                 / (CAST(s1 AS DOUBLE) / n) - (n - 1))
+                          / sqrt(2.0e0 * (n - 1)) * 1000000) AS BIGINT)
+                     > 1645000
+                ELSE FALSE END AS overdispersed
+    FROM mom
+"""
+
+
+@register(
+    "stats_dispersion_index",
+    oracle=_DISPIDX_TMPL.format(epoch_s=_EPOCH_S_DUCK),
+    doc="Variance-to-mean dispersion index of daily counts per metric "
+    "with the chi-square overdispersion gate (normal approximation of "
+    "(n-1)D ~ chi2, one-sided 5%): the Poisson-ness check run before "
+    "any count model, and the justification column for negative-"
+    "binomial handling. Exact integer moments, two double epilogues.",
+)
+def stats_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_DISPIDX_TMPL.format(epoch_s=_EPOCH_S_SPARK))
+
+
+# ---------------------------------------------------------------------------
+# Hill tail-index estimator
+# ---------------------------------------------------------------------------
+# Per metric: the Hill estimator over the top k=100 order statistics of
+# the value distribution: gamma = (1/k) sum ln(x_(i)/x_(k+1)),
+# alpha = 1/gamma. ln runs once per retained order statistic on an
+# exact integer ratio and quantizes e9 immediately (the house libm
+# hazard); the mean is then an exact integer reduction. Heavy tails
+# (alpha < 2: infinite variance) flip monitoring from mean-based to
+# quantile-based — this is the query that decides.
+
+_HILL_TMPL = """
+    WITH base AS (
+        SELECT event_type, CAST(ROUND(value * 1000) AS BIGINT) AS v_e3
+        FROM events WHERE value > 0
+    ), ranked AS (
+        SELECT event_type, v_e3,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                    ORDER BY v_e3 DESC) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM base
+    ), cutoff AS (
+        SELECT event_type, v_e3 AS xk1
+        FROM ranked WHERE rn = 101
+    ), terms AS (
+        SELECT r.event_type, c.xk1,
+               CAST(ROUND(ln(CAST(r.v_e3 AS DOUBLE) / c.xk1) * 1000000000)
+                    AS BIGINT) AS lnr_e9
+        FROM ranked r JOIN cutoff c ON r.event_type = c.event_type
+        WHERE r.rn <= 100 AND c.xk1 > 0
+    )
+    SELECT event_type, CAST(100 AS BIGINT) AS k, xk1 AS xk1_e3,
+           CAST(ROUND(CAST(SUM(lnr_e9) AS DOUBLE) / 100) AS BIGINT)
+               AS hill_gamma_e9,
+           CASE WHEN SUM(lnr_e9) > 0
+                THEN CAST(ROUND(CAST(100 AS DOUBLE) / SUM(lnr_e9)
+                           * 1000000000 * 1000000) AS BIGINT)
+                ELSE 0 END AS alpha_e6,
+           CASE WHEN SUM(lnr_e9) > 0
+                THEN CAST(ROUND(CAST(100 AS DOUBLE) / SUM(lnr_e9)
+                           * 1000000000 * 1000000) AS BIGINT) < 2000000
+                ELSE FALSE END AS heavy_tail
+    FROM terms GROUP BY event_type, xk1
+"""
+
+
+@register(
+    "stats_hill_tail_index",
+    oracle=_HILL_TMPL,
+    doc="Hill tail-index estimator per metric over the top-100 order "
+    "statistics: gamma = mean ln(x_(i)/x_(101)) with each ln run once "
+    "on an exact integer ratio and quantized e9 immediately, alpha = "
+    "1/gamma, heavy_tail flag at alpha < 2 (infinite variance — the "
+    "flip from mean-based to quantile-based monitoring). One window "
+    "pass; the tail complement of stats_winsorized_mean's robust "
+    "center.",
+)
+def stats_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_HILL_TMPL)

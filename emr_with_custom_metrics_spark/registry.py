@@ -184,6 +184,8 @@ _HEAVY = frozenset(
         "graph_label_propagation", "multimodal_decode_video_motion",
         "text_bpe_train_merges", "graph_bfs_levels", "embedding_pca_project",
         "similarity_ivfpq_topk", "similarity_recall_report",
+        # round 11: 40 staged value-iteration rounds (5 checkpoint jobs)
+        "events_markov_absorption",
     }
 )
 
@@ -355,4 +357,5 @@ def _ensure_loaded() -> None:
     import emr_with_custom_metrics_spark.operators.wave11b  # noqa: F401
     import emr_with_custom_metrics_spark.operators.wave11c  # noqa: F401
     import emr_with_custom_metrics_spark.operators.wave11d  # noqa: F401
+    import emr_with_custom_metrics_spark.operators.wave11e  # noqa: F401
     _LOADED = True
