@@ -143,31 +143,18 @@ def stats_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
 # purchase is made absorbing. Expected steps to absorption h solve
 # h = 1 + P_non h — approximated by 40 exact value-iteration rounds
 # h_{k+1}(s) = round(1e6 + sum_s' c(s,s') * h_k(s') / c(s)) on e6
-# integers (products < 2^63 through ~1e12 transitions/state), each
-# round one tiny chained CTE over the k-state grid, shared VERBATIM by
-# both engines so the trajectory is bit-identical. States that cannot
-# reach purchase saturate toward the 40-round cap and are flagged.
+# integers (all values and partial sums are exact integers < 2^53, so
+# holding them in DOUBLE array slots loses nothing and every reduction
+# is order-pinned by the sorted state list). The WHOLE iteration runs
+# as ONE higher-order array fold over the model-sized packed state —
+# no per-round stage, join, or lineage cut (the first draft chained 40
+# CTEs: DuckDB inlined the single-reference chain into exponential
+# recomputation — a live hang — and Spark's analyzer exceeded its
+# 100-iteration fixed-point budget; 5.9 s staged -> sub-second folded).
+# States that cannot reach purchase saturate toward the 40-round cap
+# and surface via converged = false.
 
 _ABS_ROUNDS = 40
-
-
-# One value-iteration round: identical text on both engines (the
-# {prev} placeholder names the previous iterate's relation). States
-# reachable as s_to but absent from grid (no outgoing edges) contribute
-# as h = 0 under SUM's null-skip — i.e. treated absorbing; with the
-# five-type journey chain every state has outgoing mass, and the
-# posture is documented here rather than guessed around.
-_ABS_ROUND_TMPL = """
-        SELECT g.s,
-               CASE WHEN g.s = 'purchase' THEN CAST(0 AS BIGINT)
-                    ELSE CAST(ROUND(1000000
-                         + COALESCE(SUM(CAST(t.c AS DOUBLE) * p.h), 0)
-                           / MAX(g.row_tot)) AS BIGINT) END AS h
-        FROM grid g
-        LEFT JOIN trans t ON t.s_from = g.s
-        LEFT JOIN {prev} p ON p.s = t.s_to
-        GROUP BY g.s
-"""
 
 _ABS_BASE_TMPL = """
     WITH seq AS (
@@ -186,102 +173,136 @@ _ABS_BASE_TMPL = """
     )
 """
 
-_ABS_FINAL = f"""
+# One value-iteration step as a pure array expression over the packed
+# model: `{h}` is the previous iterate (array<double> aligned with the
+# sorted state list sts), el the struct list of transition counts, gl
+# the struct list of row totals. c(s_i, s_j) lookups fold the filtered
+# struct list (empty filter -> the 0 init), so absent cells are exact
+# zeros — the same null-skip semantics the relational form had.
+_ABS_STEP_SPARK = """
+        transform(sequence(1, size(p.sts)), i ->
+          CASE WHEN element_at(p.sts, i) = 'purchase'
+               THEN CAST(0 AS DOUBLE)
+               ELSE round(CAST(1000000 AS DOUBLE)
+                 + aggregate(sequence(1, size(p.sts)), CAST(0 AS DOUBLE),
+                     (a, j) -> a
+                       + aggregate(filter(p.el, x ->
+                             x.f = element_at(p.sts, i)
+                             AND x.t = element_at(p.sts, j)),
+                           CAST(0 AS DOUBLE), (b, x) -> b + x.c)
+                         * element_at({h}, j))
+                 / aggregate(filter(p.gl, g -> g.s = element_at(p.sts, i)),
+                     CAST(0 AS DOUBLE), (b, g) -> b + g.rt))
+          END)
+"""
+
+_ABS_STEP_DUCK = """
+        list_transform(generate_series(1, len(p.sts)), i ->
+          CASE WHEN p.sts[i] = 'purchase' THEN CAST(0 AS DOUBLE)
+               ELSE round(CAST(1000000 AS DOUBLE)
+                 + list_sum(list_transform(generate_series(1, len(p.sts)),
+                     j -> coalesce(list_sum(list_transform(
+                              list_filter(p.el, x -> x.f = p.sts[i]
+                                                 AND x.t = p.sts[j]),
+                              x -> CAST(x.c AS DOUBLE))), 0.0)
+                          * {h}[j]))
+                 / list_sum(list_transform(
+                       list_filter(p.gl, g -> g.s = p.sts[i]),
+                       g -> CAST(g.rt AS DOUBLE))))
+          END)
+"""
+
+# Spark: native fold with an init. DuckDB: list_reduce has no init and
+# needs uniform element types, so the fold runs over [h0] ++ n dummy
+# DOUBLE[] steps (the holt_winters list-accumulator lesson).
+_ABS_FOLD_SPARK = """
+        aggregate(sequence(1, {n}),
+                  transform(p.sts, s -> CAST(0 AS DOUBLE)),
+                  (hacc, k) -> {step})
+"""
+
+_ABS_FOLD_DUCK = """
+        list_reduce(
+          list_concat([list_transform(p.sts, s -> CAST(0 AS DOUBLE))],
+                      list_transform(generate_series(1, {n}),
+                                     z -> CAST([] AS DOUBLE[]))),
+          (hacc, xstep) -> {step})
+"""
+
+_ABS_TAIL_TMPL = """
+    , packed AS {mat} (
+        SELECT
+            (SELECT {sort_fn}({collect}(s)) FROM grid) AS sts,
+            (SELECT {collect}({strct_el}) FROM trans) AS el,
+            (SELECT {collect}({strct_gl}) FROM grid) AS gl
+    ), folded AS {mat} (
+        SELECT p.sts,
+               ({fold_last}) AS h_last,
+               ({fold_prev}) AS h_prev
+        FROM packed p
+    )
     SELECT g.s AS state, g.row_tot AS n_transitions,
-           hf.h AS exp_steps_e6,
-           hp.h AS exp_steps_prev_e6,
-           hf.h - hp.h <= 1 AS converged
-    FROM grid g
-    JOIN h{_ABS_ROUNDS} hf ON hf.s = g.s
-    JOIN h{_ABS_ROUNDS - 1} hp ON hp.s = g.s
+           CAST({elem_at}(f.h_last, {poscast}) AS BIGINT) AS exp_steps_e6,
+           CAST({elem_at}(f.h_prev, {poscast}) AS BIGINT)
+               AS exp_steps_prev_e6,
+           CAST({elem_at}(f.h_last, {poscast}) AS BIGINT)
+             - CAST({elem_at}(f.h_prev, {poscast}) AS BIGINT) <= 1
+               AS converged
+    FROM grid g CROSS JOIN folded f
 """
 
 
-def _absorption_sql(epoch_us: str) -> str:
-    """Single-statement form for the DuckDB oracle. Every round is
-    MATERIALIZED — DuckDB inlines single-reference CTEs, and an inlined
-    40-deep chain recomputes exponentially (the unigram-LM lesson,
-    ROUND_NOTES r9). Spark never parses this chain: its analyzer caps
-    fixed-point resolution at 100 iterations, so the Spark side stages
-    rounds behind localCheckpoint instead."""
-    rounds = []
-    prev = "h0"
-    for k in range(1, _ABS_ROUNDS + 1):
-        rounds.append(
-            f", h{k} AS MATERIALIZED ({_ABS_ROUND_TMPL.format(prev=prev)})"
+def _absorption_sql(engine: str) -> str:
+    if engine == "spark":
+        step = _ABS_STEP_SPARK.format(h="hacc")
+        fold_last = _ABS_FOLD_SPARK.format(n=_ABS_ROUNDS, step=step)
+        fold_prev = _ABS_FOLD_SPARK.format(n=_ABS_ROUNDS - 1, step=step)
+        tail = _ABS_TAIL_TMPL.format(
+            mat="",
+            sort_fn="array_sort",
+            collect="collect_list",
+            strct_el="struct(s_from AS f, s_to AS t, c AS c)",
+            strct_gl="struct(s AS s, row_tot AS rt)",
+            fold_last=fold_last,
+            fold_prev=fold_prev,
+            elem_at="element_at",
+            poscast="CAST(array_position(f.sts, g.s) AS INT)",
         )
-        prev = f"h{k}"
-    return (
-        _ABS_BASE_TMPL.format(epoch_us=epoch_us)
-        + ", h0 AS (SELECT s, CAST(0 AS BIGINT) AS h FROM grid)"
-        + "".join(rounds)
-        + _ABS_FINAL
+        return _ABS_BASE_TMPL.format(epoch_us=_EPOCH_US_SPARK) + tail
+    step = _ABS_STEP_DUCK.format(h="hacc")
+    fold_last = _ABS_FOLD_DUCK.format(n=_ABS_ROUNDS, step=step)
+    fold_prev = _ABS_FOLD_DUCK.format(n=_ABS_ROUNDS - 1, step=step)
+    tail = _ABS_TAIL_TMPL.format(
+        mat="MATERIALIZED",
+        sort_fn="list_sort",
+        collect="list",
+        strct_el="struct_pack(f := s_from, t := s_to, c := c)",
+        strct_gl="struct_pack(s := s, rt := row_tot)",
+        fold_last=fold_last,
+        fold_prev=fold_prev,
+        elem_at="list_extract",
+        poscast="list_position(f.sts, g.s)",
     )
+    return _ABS_BASE_TMPL.format(epoch_us=_EPOCH_US_DUCK) + tail
 
 
 @register(
     "events_markov_absorption",
-    oracle=_absorption_sql(_EPOCH_US_DUCK),
+    oracle=_absorption_sql("duck"),
     doc="Expected steps to the purchase state from every state of the "
     "user-journey chain (purchase absorbing): 40 rounds of exact value "
-    "iteration h <- round(1e6 + sum c(s,s')h(s')/c(s)) on e6 integers, "
-    "each round a tiny chained CTE over the k-state grid shared "
-    "verbatim by both engines (the kmeans/PCA iterative-CTE pattern); "
-    "the last-round delta is emitted as the convergence flag. The "
-    "'how far is each behavior from converting' readout on top of "
+    "iteration h <- round(1e6 + sum c(s,s')h(s')/c(s)) on e6 integers "
+    "held in DOUBLE array slots (every value and partial sum an exact "
+    "integer < 2^53, reductions order-pinned by the sorted state "
+    "list), run as ONE higher-order array fold over the packed "
+    "model-sized state — no per-round stage or lineage cut on either "
+    "engine. The last-round delta is the convergence flag. The 'how "
+    "far is each behavior from converting' readout on top of "
     "events_transition_matrix.",
 )
 def events_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))
-    # Spark's analyzer caps fixed-point resolution at 100 iterations —
-    # a 40-deep CTE chain exceeds it — so each round materializes the
-    # 5-row iterate (collect + recreate breaks lineage without a
-    # checkpoint job) and runs the SAME per-round SQL text the DuckDB
-    # oracle chains, keeping the trajectory bit-identical.
-    base = spark.sql(
-        _ABS_BASE_TMPL.format(epoch_us=_EPOCH_US_SPARK)
-        + " SELECT t.s_from, t.s_to, t.c, g.row_tot FROM trans t "
-        "JOIN grid g ON g.s = t.s_from"
-    ).localCheckpoint()
-    base.createOrReplaceTempView("ma_base")
-    spark.sql(
-        "SELECT s_from AS s_from, s_to, c FROM ma_base"
-    ).createOrReplaceTempView("trans")
-    spark.sql(
-        "SELECT DISTINCT s_from AS s, row_tot FROM ma_base"
-    ).createOrReplaceTempView("grid")
-    # Batch 8 rounds per statement (well inside the analyzer's
-    # fixed-point budget — 40 in one chain exceeds it) and cut lineage
-    # between batches: 5 checkpoint jobs instead of 40 (18 s -> ~4 s).
-    batch = 8
-    spark.sql(
-        "SELECT s, CAST(0 AS BIGINT) AS h FROM grid"
-    ).createOrReplaceTempView("ma_h")
-    for start in range(0, _ABS_ROUNDS, batch):
-        n_rounds = min(batch, _ABS_ROUNDS - start)
-        # the second-to-last iterate is also surfaced so the final
-        # batch leaves both h_{K} and h_{K-1} behind for the delta
-        chain = [", r0 AS (SELECT s, h FROM ma_h)"]
-        for k in range(1, n_rounds + 1):
-            chain.append(
-                f", r{k} AS ({_ABS_ROUND_TMPL.format(prev=f'r{k - 1}')})"
-            )
-        sql = (
-            "WITH g_unused AS (SELECT 1 AS one)"
-            + "".join(chain)
-            + f" SELECT a.s, a.h, b.h AS h_prev FROM r{n_rounds} a "
-            f"JOIN r{n_rounds - 1} b ON a.s = b.s"
-        )
-        it = spark.sql(sql).localCheckpoint()
-        it.createOrReplaceTempView("ma_h_pair")
-        spark.sql("SELECT s, h FROM ma_h_pair").createOrReplaceTempView(
-            "ma_h"
-        )
-    return spark.sql(
-        _ABS_FINAL.replace(f"h{_ABS_ROUNDS} hf", "ma_h_pair hf")
-        .replace(f"h{_ABS_ROUNDS - 1} hp", "ma_h_pair hp")
-        .replace("hp.h", "hp.h_prev")
-    )
+    return spark.sql(_absorption_sql("spark"))
 
 
 # ---------------------------------------------------------------------------

@@ -183,11 +183,6 @@ def test_no_driver_side_collect_in_query_modules():
             # cross-correlation stages the dense spine its shifted
             # cross product and pair join both read (MP lesson)
             "operators/wave9h.py",
-            # Markov absorption value iteration: 40 rounds of a k-row
-            # iterate — one lineage cut per round (a single 40-deep CTE
-            # chain exceeds Spark's analyzer fixed-point budget; the
-            # DuckDB oracle keeps the chained form)
-            "operators/wave11e.py",
         },
     }
     offenders = []
