@@ -358,4 +358,5 @@ def _ensure_loaded() -> None:
     import emr_with_custom_metrics_spark.operators.wave11c  # noqa: F401
     import emr_with_custom_metrics_spark.operators.wave11d  # noqa: F401
     import emr_with_custom_metrics_spark.operators.wave11e  # noqa: F401
+    import emr_with_custom_metrics_spark.operators.wave11f  # noqa: F401
     _LOADED = True
