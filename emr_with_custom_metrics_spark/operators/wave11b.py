@@ -56,17 +56,26 @@ _KAPPA_SQL = """
                CASE WHEN event_type IN ('purchase', 'click')
                     THEN 1 ELSE 0 END AS r2
         FROM events
-    ), ranked AS (
-        SELECT v_e3, r2,
-               CAST(ROW_NUMBER() OVER (ORDER BY v_e3) AS BIGINT) AS rn,
-               CAST(COUNT(*) OVER () AS BIGINT) AS n
-        FROM base
+    ), vals AS (
+        -- doubled median from the value histogram (map-side
+        -- combinable), not a global ROW_NUMBER sort — scale posture
+        -- fixed by the round-11 x10 probe
+        SELECT v_e3, CAST(COUNT(*) AS BIGINT) AS c
+        FROM base GROUP BY v_e3
+    ), cum AS (
+        SELECT v_e3,
+               CAST(SUM(c) OVER (ORDER BY v_e3 ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cw,
+               CAST(SUM(c) OVER () AS BIGINT) AS n
+        FROM vals
     ), med AS (
-        SELECT CAST(SUM(CASE WHEN rn = CAST(FLOOR((n + 1) / 2.0e0) AS BIGINT)
-                             THEN v_e3 ELSE 0 END)
-                  + SUM(CASE WHEN rn = CAST(FLOOR((n + 2) / 2.0e0) AS BIGINT)
-                             THEN v_e3 ELSE 0 END) AS BIGINT) AS med2
-        FROM ranked
+        SELECT CAST(MIN(CASE WHEN cw >= CAST(FLOOR((n + 1) / 2.0e0)
+                                             AS BIGINT)
+                             THEN v_e3 END)
+                  + MIN(CASE WHEN cw >= CAST(FLOOR((n + 2) / 2.0e0)
+                                             AS BIGINT)
+                             THEN v_e3 END) AS BIGINT) AS med2
+        FROM cum
     ), conf AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(CASE WHEN 2 * b.v_e3 > m.med2 AND b.r2 = 1
@@ -135,18 +144,56 @@ _CONF3_SQL = """
                     WHEN event_type IN ('click', 'view') THEN 'browse'
                     ELSE 'other' END AS label
         FROM events
-    ), ranked AS (
-        SELECT label,
-               CAST(ROW_NUMBER() OVER (ORDER BY v_e3, event_id) AS BIGINT)
-                   AS rn,
-               CAST(COUNT(*) OVER () AS BIGINT) AS n
-        FROM base
+    ), vals AS (
+        -- tercile cuts via the value HISTOGRAM, not a global
+        -- ROW_NUMBER over all rows: the x10 probe measured the global
+        -- window at 6x for 10x data (one task sorts everything); the
+        -- histogram pick is value-domain-bounded and answer-identical
+        SELECT v_e3, CAST(COUNT(*) AS BIGINT) AS c
+        FROM base GROUP BY v_e3
+    ), cum AS (
+        SELECT v_e3, c,
+               CAST(SUM(c) OVER (ORDER BY v_e3 ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cw,
+               CAST(SUM(c) OVER () AS BIGINT) AS n
+        FROM vals
+    ), cuts AS (
+        -- the (value, id) tuple at exact ranks floor(n/3), floor(2n/3):
+        -- value from the cumulative histogram, id offset within it
+        SELECT MAX(CAST(FLOOR(n / 3.0e0) AS BIGINT)) AS r1,
+               MAX(CAST(FLOOR(2 * n / 3.0e0) AS BIGINT)) AS r2,
+               MIN(CASE WHEN cw >= CAST(FLOOR(n / 3.0e0) AS BIGINT)
+                        THEN v_e3 END) AS v1,
+               MIN(CASE WHEN cw >= CAST(FLOOR(n / 3.0e0) AS BIGINT)
+                        THEN cw - c END) AS cb1,
+               MIN(CASE WHEN cw >= CAST(FLOOR(2 * n / 3.0e0) AS BIGINT)
+                        THEN v_e3 END) AS v2,
+               MIN(CASE WHEN cw >= CAST(FLOOR(2 * n / 3.0e0) AS BIGINT)
+                        THEN cw - c END) AS cb2
+        FROM cum
+    ), ids AS (
+        -- id at the in-value offset: the window partitions BY VALUE, so
+        -- only the two cut values' tie groups are ordered, in parallel
+        SELECT MAX(CASE WHEN b.v_e3 = b.v1 AND b.rnk = b.r1 - b.cb1
+                        THEN b.event_id END) AS id1,
+               MAX(CASE WHEN b.v_e3 = b.v2 AND b.rnk = b.r2 - b.cb2
+                        THEN b.event_id END) AS id2
+        FROM (SELECT x.event_id, x.v_e3, c.v1, c.v2, c.r1, c.r2,
+                     c.cb1, c.cb2,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY x.v_e3
+                          ORDER BY x.event_id) AS BIGINT) AS rnk
+              FROM base x CROSS JOIN cuts c
+              WHERE x.v_e3 = c.v1 OR x.v_e3 = c.v2) b
     ), pred AS (
-        SELECT label,
-               CASE WHEN rn * 3 <= n THEN 'buy'
-                    WHEN rn * 3 <= 2 * n THEN 'browse'
+        SELECT b.label,
+               CASE WHEN c.r1 >= 1
+                     AND (b.v_e3 < c.v1 OR (b.v_e3 = c.v1
+                          AND b.event_id <= i.id1)) THEN 'buy'
+                    WHEN c.r2 >= 1
+                     AND (b.v_e3 < c.v2 OR (b.v_e3 = c.v2
+                          AND b.event_id <= i.id2)) THEN 'browse'
                     ELSE 'other' END AS predicted
-        FROM ranked
+        FROM base b CROSS JOIN cuts c CROSS JOIN ids i
     ), cm AS (
         SELECT label, predicted, CAST(COUNT(*) AS BIGINT) AS cnt
         FROM pred GROUP BY label, predicted

@@ -511,12 +511,20 @@ _QCI_SQL = """
     WITH base AS (
         SELECT event_type, CAST(ROUND(value * 1000) AS BIGINT) AS v_e3
         FROM events
-    ), ranked AS (
+    ), vals AS (
+        -- order statistics read off the per-metric value HISTOGRAM
+        -- (map-side combinable), not a per-group ROW_NUMBER sort: the
+        -- round-11 x10 probe measured the sort form at 3.6x for 10x
+        -- data (each metric's rows order on one task); the histogram
+        -- pick is value-domain-bounded and answer-identical
+        SELECT event_type, v_e3, CAST(COUNT(*) AS BIGINT) AS c
+        FROM base GROUP BY event_type, v_e3
+    ), cum AS (
         SELECT event_type, v_e3,
-               CAST(ROW_NUMBER() OVER (PARTITION BY event_type
-                                       ORDER BY v_e3) AS BIGINT) AS rn,
-               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
-        FROM base
+               CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v_e3
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+               CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM vals
     ), bounds AS (
         SELECT event_type, n,
                GREATEST(CAST(1 AS BIGINT),
@@ -525,18 +533,20 @@ _QCI_SQL = """
                LEAST(n,
                      CAST(-FLOOR(-(1 + (n + CAST(1.96 AS DOUBLE) * sqrt(n))
                                    / 2.0e0)) AS BIGINT)) AS u_rank
-        FROM ranked GROUP BY event_type, n
+        FROM (SELECT DISTINCT event_type, n FROM cum) g
     )
     SELECT b.event_type, b.n, b.l_rank, b.u_rank,
-           CAST(SUM(CASE WHEN r.rn = CAST(FLOOR((b.n + 1) / 2.0e0) AS BIGINT)
-                         THEN r.v_e3 ELSE 0 END)
-              + SUM(CASE WHEN r.rn = CAST(FLOOR((b.n + 2) / 2.0e0) AS BIGINT)
-                         THEN r.v_e3 ELSE 0 END) AS BIGINT) AS median_x2_e3,
-           CAST(SUM(CASE WHEN r.rn = b.l_rank THEN r.v_e3 ELSE 0 END)
+           CAST(MIN(CASE WHEN c.cw >= CAST(FLOOR((b.n + 1) / 2.0e0)
+                                           AS BIGINT)
+                         THEN c.v_e3 END)
+              + MIN(CASE WHEN c.cw >= CAST(FLOOR((b.n + 2) / 2.0e0)
+                                           AS BIGINT)
+                         THEN c.v_e3 END) AS BIGINT) AS median_x2_e3,
+           CAST(MIN(CASE WHEN c.cw >= b.l_rank THEN c.v_e3 END)
                 AS BIGINT) AS ci_lo_e3,
-           CAST(SUM(CASE WHEN r.rn = b.u_rank THEN r.v_e3 ELSE 0 END)
+           CAST(MIN(CASE WHEN c.cw >= b.u_rank THEN c.v_e3 END)
                 AS BIGINT) AS ci_hi_e3
-    FROM bounds b JOIN ranked r ON r.event_type = b.event_type
+    FROM bounds b JOIN cum c ON c.event_type = b.event_type
     GROUP BY b.event_type, b.n, b.l_rank, b.u_rank
 """
 

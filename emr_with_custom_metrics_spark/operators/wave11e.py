@@ -68,17 +68,24 @@ _SPRT_TMPL = """
                CAST(ROUND(value * 1000) AS BIGINT) AS v_e3
         FROM events
     ), med AS (
+        -- doubled median from the per-metric value histogram, not a
+        -- per-group ROW_NUMBER sort (the round-11 x10-probe posture);
+        -- the WALK below is inherently sequential per metric — that
+        -- ordering is the operator's semantics, the median's is not
         SELECT event_type,
-               CAST(SUM(CASE WHEN rn = CAST(FLOOR((n + 1) / 2.0e0) AS BIGINT)
-                             THEN v_e3 ELSE 0 END)
-                  + SUM(CASE WHEN rn = CAST(FLOOR((n + 2) / 2.0e0) AS BIGINT)
-                             THEN v_e3 ELSE 0 END) AS BIGINT) AS med2
+               CAST(MIN(CASE WHEN cw >= CAST(FLOOR((n + 1) / 2.0e0)
+                                              AS BIGINT)
+                             THEN v_e3 END)
+                  + MIN(CASE WHEN cw >= CAST(FLOOR((n + 2) / 2.0e0)
+                                              AS BIGINT)
+                             THEN v_e3 END) AS BIGINT) AS med2
         FROM (SELECT event_type, v_e3,
-                     CAST(ROW_NUMBER() OVER (PARTITION BY event_type
-                                             ORDER BY v_e3) AS BIGINT) AS rn,
-                     CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                     CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v_e3
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+                     CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT)
                          AS n
-              FROM base) r
+              FROM (SELECT event_type, v_e3, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM base GROUP BY event_type, v_e3) h) r
         GROUP BY event_type
     ), walk AS (
         SELECT b.event_type,

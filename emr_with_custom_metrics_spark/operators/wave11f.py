@@ -175,17 +175,25 @@ _MCC_SQL = """
         SELECT CAST(ROUND(value * 1000) AS BIGINT) AS v_e3,
                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
         FROM events
-    ), ranked AS (
-        SELECT v_e3, y,
-               CAST(ROW_NUMBER() OVER (ORDER BY v_e3) AS BIGINT) AS rn,
-               CAST(COUNT(*) OVER () AS BIGINT) AS n
-        FROM base
+    ), vals AS (
+        -- doubled median from the value histogram, not a global
+        -- ROW_NUMBER sort (the round-11 x10-probe scale posture)
+        SELECT v_e3, CAST(COUNT(*) AS BIGINT) AS c
+        FROM base GROUP BY v_e3
+    ), cum AS (
+        SELECT v_e3,
+               CAST(SUM(c) OVER (ORDER BY v_e3 ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cw,
+               CAST(SUM(c) OVER () AS BIGINT) AS n
+        FROM vals
     ), med AS (
-        SELECT CAST(SUM(CASE WHEN rn = CAST(FLOOR((n + 1) / 2.0e0) AS BIGINT)
-                             THEN v_e3 ELSE 0 END)
-                  + SUM(CASE WHEN rn = CAST(FLOOR((n + 2) / 2.0e0) AS BIGINT)
-                             THEN v_e3 ELSE 0 END) AS BIGINT) AS med2
-        FROM ranked
+        SELECT CAST(MIN(CASE WHEN cw >= CAST(FLOOR((n + 1) / 2.0e0)
+                                             AS BIGINT)
+                             THEN v_e3 END)
+                  + MIN(CASE WHEN cw >= CAST(FLOOR((n + 2) / 2.0e0)
+                                             AS BIGINT)
+                             THEN v_e3 END) AS BIGINT) AS med2
+        FROM cum
     ), conf AS (
         SELECT
             CAST(SUM(CASE WHEN 2 * b.v_e3 > m.med2 AND b.y = 1
