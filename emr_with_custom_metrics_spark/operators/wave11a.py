@@ -226,14 +226,57 @@ def stats_kendall_tau_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # double (correctly-rounded) so the corrected H survives any N.
 
 _KW_CRIT = """
-        SELECT * FROM (VALUES (1, 3841459), (2, 5991465), (3, 7814728),
-                              (4, 9487729), (5, 11070498), (6, 12591587),
-                              (7, 14067140), (8, 15507313), (9, 16918978),
-                              (10, 18307038), (11, 19675138))
+        SELECT * FROM (VALUES
+            (1, 3841459), (2, 5991465), (3, 7814728), (4, 9487729),
+            (5, 11070498), (6, 12591587), (7, 14067140), (8, 15507313),
+            (9, 16918978), (10, 18307038), (11, 19675138), (12, 21026070),
+            (13, 22362032), (14, 23684791), (15, 24995790), (16, 26296228),
+            (17, 27587112), (18, 28869299), (19, 30143527), (20, 31410433),
+            (21, 32670573), (22, 33924438), (23, 35172462), (24, 36415029),
+            (25, 37652484), (26, 38885139), (27, 40113272), (28, 41337138),
+            (29, 42556968), (30, 43772972), (31, 44985343), (32, 46194260),
+            (33, 47399884), (34, 48602367), (35, 49801850), (36, 50998460),
+            (37, 52192320), (38, 53383541), (39, 54572228), (40, 55758479),
+            (41, 56942387), (42, 58124038), (43, 59303512), (44, 60480887),
+            (45, 61656233), (46, 62829620), (47, 64001112), (48, 65170769),
+            (49, 66338649), (50, 67504807), (51, 68669294), (52, 69832160),
+            (53, 70993453), (54, 72153216), (55, 73311493), (56, 74468324),
+            (57, 75623748), (58, 76777803), (59, 77930524), (60, 79081944),
+            (61, 80232098), (62, 81381015), (63, 82528727), (64, 83675261),
+            (65, 84820645), (66, 85964907), (67, 87108072), (68, 88250164),
+            (69, 89391208), (70, 90531225), (71, 91670239), (72, 92808270),
+            (73, 93945340), (74, 95081467), (75, 96216671), (76, 97350970),
+            (77, 98484383), (78, 99616927), (79, 100748619), (80, 101879474))
             AS c(df, crit_e6)
 """
 
-_KW_SQL = f"""
+# A family outgrowing the pinned lookup must fail LOUDLY, never return
+# zero rows (the r11 ADVICE silent-empty class): the consumers LEFT JOIN
+# the lookup and run this guard over the (possibly NULL) match. Values
+# computed by the regularized-incomplete-gamma bisection in
+# tests/test_advice_r12.py, which re-derives and pins every row.
+_CHI2_LOOKUP_MSG = (
+    "chi2 5% critical lookup has no row at this df; the pinned table "
+    "covers df<=80 - extend _KW_CRIT (operators/wave11a.py) with exact "
+    "e6 quantiles, never let the join miss drop the family silently"
+)
+
+
+def chi2_lookup_guard(engine: str) -> str:
+    """In-plan loud guard over a LEFT-JOINed ``_KW_CRIT`` match ``c``:
+    TRUE while the lookup hit, raises at EXECUTION on a miss (Spark
+    ``assert_true``, DuckDB ``error()``) — the wordpiece/spine-budget
+    idiom applied to the pinned-constant joins."""
+    if engine == "spark":
+        return (
+            f"assert_true(c.df IS NOT NULL, '{_CHI2_LOOKUP_MSG}') IS NULL"
+        )
+    return (
+        f"CASE WHEN c.df IS NOT NULL THEN TRUE "
+        f"ELSE error('{_CHI2_LOOKUP_MSG}') END"
+    )
+
+_KW_BODY = f"""
     WITH base AS (
         SELECT event_type, CAST(ROUND(value * 1000) AS BIGINT) AS v_e3
         FROM events
@@ -289,13 +332,17 @@ _KW_SQL = f"""
                 THEN CAST(ROUND(h.h_e6 / h.corr) AS BIGINT) > c.crit_e6
                 ELSE FALSE END AS reject_h0
     FROM terms q CROSS JOIN h
-    JOIN ({_KW_CRIT}) c ON c.df = h.k - 1
+    LEFT JOIN ({_KW_CRIT}) c ON c.df = h.k - 1
 """
+
+
+def _kw_sql(engine: str) -> str:
+    return _KW_BODY + f"    WHERE {chi2_lookup_guard(engine)}\n"
 
 
 @register(
     "stats_kruskal_wallis",
-    oracle=_KW_SQL,
+    oracle=_kw_sql("duck"),
     doc="Kruskal-Wallis k-sample rank ANOVA across metrics: pooled "
     "doubled tie-averaged ranks from the shared value histogram (exact "
     "integer rank sums), per-group H contribution quantized e6 before "
@@ -306,7 +353,7 @@ _KW_SQL = f"""
 )
 def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))
-    return spark.sql(_KW_SQL)
+    return spark.sql(_kw_sql("spark"))
 
 
 # ---------------------------------------------------------------------------

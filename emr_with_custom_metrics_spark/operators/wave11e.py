@@ -177,6 +177,16 @@ _ABS_BASE_TMPL = """
     ), grid AS (
         SELECT s_from AS s, CAST(SUM(c) AS BIGINT) AS row_tot
         FROM trans GROUP BY s_from
+    ), states AS (
+        -- the FULL state set: a state seen only as a transition TARGET
+        -- (no outgoing rows) must still occupy an h slot, else the
+        -- value-iteration sum silently treats it as h = 0 like the
+        -- absorbing state (r11 ADVICE item 4). Dead-end non-purchase
+        -- states instead saturate via an implicit self-loop in the
+        -- step expression, so converged = false surfaces them.
+        SELECT s_from AS s FROM trans
+        UNION
+        SELECT s_to FROM trans
     )
 """
 
@@ -190,6 +200,8 @@ _ABS_STEP_SPARK = """
         transform(sequence(1, size(p.sts)), i ->
           CASE WHEN element_at(p.sts, i) = 'purchase'
                THEN CAST(0 AS DOUBLE)
+               WHEN size(filter(p.gl, g -> g.s = element_at(p.sts, i))) = 0
+               THEN round(CAST(1000000 AS DOUBLE) + element_at({h}, i))
                ELSE round(CAST(1000000 AS DOUBLE)
                  + aggregate(sequence(1, size(p.sts)), CAST(0 AS DOUBLE),
                      (a, j) -> a
@@ -206,6 +218,8 @@ _ABS_STEP_SPARK = """
 _ABS_STEP_DUCK = """
         list_transform(generate_series(1, len(p.sts)), i ->
           CASE WHEN p.sts[i] = 'purchase' THEN CAST(0 AS DOUBLE)
+               WHEN len(list_filter(p.gl, g -> g.s = p.sts[i])) = 0
+               THEN round(CAST(1000000 AS DOUBLE) + {h}[i])
                ELSE round(CAST(1000000 AS DOUBLE)
                  + list_sum(list_transform(generate_series(1, len(p.sts)),
                      j -> coalesce(list_sum(list_transform(
@@ -239,7 +253,7 @@ _ABS_FOLD_DUCK = """
 _ABS_TAIL_TMPL = """
     , packed AS {mat} (
         SELECT
-            (SELECT {sort_fn}({collect}(s)) FROM grid) AS sts,
+            (SELECT {sort_fn}({collect}(s)) FROM states) AS sts,
             (SELECT {collect}({strct_el}) FROM trans) AS el,
             (SELECT {collect}({strct_gl}) FROM grid) AS gl
     ), folded AS {mat} (
@@ -248,14 +262,15 @@ _ABS_TAIL_TMPL = """
                ({fold_prev}) AS h_prev
         FROM packed p
     )
-    SELECT g.s AS state, g.row_tot AS n_transitions,
+    SELECT st.s AS state, CAST(COALESCE(g.row_tot, 0) AS BIGINT)
+               AS n_transitions,
            CAST({elem_at}(f.h_last, {poscast}) AS BIGINT) AS exp_steps_e6,
            CAST({elem_at}(f.h_prev, {poscast}) AS BIGINT)
                AS exp_steps_prev_e6,
            CAST({elem_at}(f.h_last, {poscast}) AS BIGINT)
              - CAST({elem_at}(f.h_prev, {poscast}) AS BIGINT) <= 1
                AS converged
-    FROM grid g CROSS JOIN folded f
+    FROM states st LEFT JOIN grid g ON g.s = st.s CROSS JOIN folded f
 """
 
 
@@ -273,7 +288,7 @@ def _absorption_sql(engine: str) -> str:
             fold_last=fold_last,
             fold_prev=fold_prev,
             elem_at="element_at",
-            poscast="CAST(array_position(f.sts, g.s) AS INT)",
+            poscast="CAST(array_position(f.sts, st.s) AS INT)",
         )
         return _ABS_BASE_TMPL.format(epoch_us=_EPOCH_US_SPARK) + tail
     step = _ABS_STEP_DUCK.format(h="hacc")
@@ -288,7 +303,7 @@ def _absorption_sql(engine: str) -> str:
         fold_last=fold_last,
         fold_prev=fold_prev,
         elem_at="list_extract",
-        poscast="list_position(f.sts, g.s)",
+        poscast="list_position(f.sts, st.s)",
     )
     return _ABS_BASE_TMPL.format(epoch_us=_EPOCH_US_DUCK) + tail
 
@@ -521,19 +536,33 @@ _HILL_TMPL = """
                     AS BIGINT) AS lnr_e9
         FROM ranked r JOIN cutoff c ON r.event_type = c.event_type
         WHERE r.rn <= 100 AND c.xk1 > 0
+    ), hill AS (
+        SELECT event_type, xk1, CAST(SUM(lnr_e9) AS BIGINT) AS s_e9
+        FROM terms GROUP BY event_type, xk1
+    ), pos AS (
+        SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_pos FROM ranked
+        GROUP BY event_type
     )
-    SELECT event_type, CAST(100 AS BIGINT) AS k, xk1 AS xk1_e3,
-           CAST(ROUND(CAST(SUM(lnr_e9) AS DOUBLE) / 100) AS BIGINT)
-               AS hill_gamma_e9,
-           CASE WHEN SUM(lnr_e9) > 0
-                THEN CAST(ROUND(CAST(100 AS DOUBLE) / SUM(lnr_e9)
+    -- every metric emits a row: a slice with < 101 positive values (or
+    -- a zero 101st order statistic) carries n_insufficient = TRUE and
+    -- zeroed estimates instead of silently vanishing (r11 ADVICE 3)
+    SELECT p.event_type, p.n_pos,
+           h.event_type IS NULL AS n_insufficient,
+           CAST(CASE WHEN h.event_type IS NOT NULL THEN 100 ELSE 0 END
+                AS BIGINT) AS k,
+           CAST(COALESCE(h.xk1, 0) AS BIGINT) AS xk1_e3,
+           CASE WHEN h.event_type IS NOT NULL
+                THEN CAST(ROUND(CAST(h.s_e9 AS DOUBLE) / 100) AS BIGINT)
+                ELSE 0 END AS hill_gamma_e9,
+           CASE WHEN h.s_e9 > 0
+                THEN CAST(ROUND(CAST(100 AS DOUBLE) / h.s_e9
                            * 1000000000 * 1000000) AS BIGINT)
                 ELSE 0 END AS alpha_e6,
-           CASE WHEN SUM(lnr_e9) > 0
-                THEN CAST(ROUND(CAST(100 AS DOUBLE) / SUM(lnr_e9)
+           CASE WHEN h.s_e9 > 0
+                THEN CAST(ROUND(CAST(100 AS DOUBLE) / h.s_e9
                            * 1000000000 * 1000000) AS BIGINT) < 2000000
                 ELSE FALSE END AS heavy_tail
-    FROM terms GROUP BY event_type, xk1
+    FROM pos p LEFT JOIN hill h ON p.event_type = h.event_type
 """
 
 
@@ -544,9 +573,11 @@ _HILL_TMPL = """
     "statistics: gamma = mean ln(x_(i)/x_(101)) with each ln run once "
     "on an exact integer ratio and quantized e9 immediately, alpha = "
     "1/gamma, heavy_tail flag at alpha < 2 (infinite variance — the "
-    "flip from mean-based to quantile-based monitoring). One window "
-    "pass; the tail complement of stats_winsorized_mean's robust "
-    "center.",
+    "flip from mean-based to quantile-based monitoring). Every metric "
+    "emits a row: slices with < 101 positive values carry "
+    "n_insufficient = TRUE and zeroed estimates instead of silently "
+    "vanishing. One window pass; the tail complement of "
+    "stats_winsorized_mean's robust center.",
 )
 def stats_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))

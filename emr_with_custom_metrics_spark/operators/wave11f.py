@@ -31,7 +31,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from emr_with_custom_metrics_spark.catalog import register_views
 from emr_with_custom_metrics_spark.operators.wave9c import _FDR_SQL
-from emr_with_custom_metrics_spark.operators.wave11a import _KW_CRIT
+from emr_with_custom_metrics_spark.operators.wave11a import (
+    _KW_CRIT,
+    chi2_lookup_guard,
+)
 from emr_with_custom_metrics_spark.registry import register
 
 _EPOCH_US_SPARK = "unix_micros(CAST(ts AS TIMESTAMP))"
@@ -57,7 +60,7 @@ _PV_PREFIX = _FDR_SQL.split(", ranked AS")[0]
 # Spark inlines WITH-chains per reference, so a second reference to the
 # p-value pipeline would re-run the events scan (the rolling-actives
 # lesson) — the window form keeps the whole query one pass.
-_FISHER_SQL = (
+_FISHER_BODY = (
     _PV_PREFIX
     + f"""
     , lnp AS (
@@ -79,14 +82,20 @@ _FISHER_SQL = (
            CAST(ROUND(CAST(s.x_e9 AS DOUBLE) / 1000) AS BIGINT) > c.crit_e6
                AS reject_global_null
     FROM scalars s
-    JOIN ({_KW_CRIT}) c ON c.df = 2 * s.m
+    LEFT JOIN ({_KW_CRIT}) c ON c.df = 2 * s.m
 """
 )
 
 
+def _fisher_sql(engine: str) -> str:
+    # a metric family past the df<=80 lookup (m>40) must raise, never
+    # return zero rows (r11 ADVICE silent-empty class)
+    return _FISHER_BODY + f"    WHERE {chi2_lookup_guard(engine)}\n"
+
+
 @register(
     "stats_fisher_combined",
-    oracle=_FISHER_SQL,
+    oracle=_fisher_sql("duck"),
     doc="Fisher's combined probability test across the per-metric Welch "
     "p-values (the family's shared Zelen-Severo template, sliced from "
     "the BH text so the pipelines cannot drift): X = -2 sum ln p with "
@@ -96,7 +105,7 @@ _FISHER_SQL = (
 )
 def stats_fisher_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))
-    return spark.sql(_FISHER_SQL)
+    return spark.sql(_fisher_sql("spark"))
 
 
 # ---------------------------------------------------------------------------
@@ -283,7 +292,7 @@ _PGRAM_CORE = """
                     THEN CAST(ROUND(
                         (CAST(sp.a_e6 AS DOUBLE) * sp.a_e6
                          + CAST(sp.b_e6 AS DOUBLE) * sp.b_e6)
-                        / 1000000000000.0e0 * 2.0e0 * m.n
+                        / 1000000000000.0e0 * 2.0e0
                         / (CAST(m.n AS DOUBLE) * m.s2 - CAST(m.s1 AS DOUBLE)
                            * m.s1)
                         * 1000000000) AS BIGINT)

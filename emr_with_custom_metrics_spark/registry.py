@@ -58,7 +58,22 @@ _PERF_CONF_SMALL_SF = {
 _PERF_CONF_SAVED: dict[str, str] = {}
 
 
-def _pin_utc(fn: QueryFn) -> QueryFn:
+# Name of the registered query currently executing (plan construction
+# included), maintained as a stack by the _pin_utc wrapper. Shared
+# resources (llm/dedup's pair memo) read it to record which registered
+# queries consume them, so bench.py's transparency manifest is DERIVED
+# from actual calls instead of a hand-maintained list (r10/r11 VERDICT:
+# the hardcoded literal would silently miss the next memo rider).
+_CURRENT_QUERY: list[str] = []
+
+
+def current_query() -> str | None:
+    """The registered query name currently executing, or None outside
+    a registry-wrapped call (direct helper invocations, tests)."""
+    return _CURRENT_QUERY[-1] if _CURRENT_QUERY else None
+
+
+def _pin_utc(fn: QueryFn, query_name: str | None = None) -> QueryFn:
     """Run every query with session tz = UTC so event-time functions
     (year/window/unix_timestamp) hash-match the tz-naive DuckDB oracle even
     when the caller's session was built with a local timezone.
@@ -86,7 +101,11 @@ def _pin_utc(fn: QueryFn) -> QueryFn:
         except Exception as exc:
             # Perf-only tuning: correctness is unaffected, but never silent.
             warnings.warn(f"registry perf-conf pinning failed: {exc!r}", stacklevel=2)
-        return fn(spark, sf_dir)
+        _CURRENT_QUERY.append(query_name or fn.__name__)
+        try:
+            return fn(spark, sf_dir)
+        finally:
+            _CURRENT_QUERY.pop()
 
     wrapped.__name__ = fn.__name__
     wrapped.__doc__ = fn.__doc__
@@ -100,7 +119,10 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
         _REGISTRY[name] = QuerySpec(
-            name=name, fn=_pin_utc(fn), oracle=oracle, doc=doc or (fn.__doc__ or "")
+            name=name,
+            fn=_pin_utc(fn, name),
+            oracle=oracle,
+            doc=doc or (fn.__doc__ or ""),
         )
         return fn
 
@@ -115,20 +137,18 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # are either true or not-applicable (rows-only checks record null there).
 # Queries whose ANSWER CONTRACT changes in the current round must be named
 # in _ANSWER_CHANGED so they re-queue for a fresh row despite an old green.
-# Round 11: the four r10-ADVICE template fixes change schemas/answers
-# (TOST gains margin_valid; Brier gains n_uncal_bins + LEFT-JOIN
-# default forecast; MRR gains n_queries_eval/dropped + source-side
-# zero-norm filter; Gini's decile rank pick gains GREATEST(1, ...)),
-# plus linkage_fellegi_sunter whose density-adaptive band (r10) changes
-# its answer above ~3,300 customers — re-queued so no stale green can
-# survive at a larger SF (r10 ADVICE item 5).
+# Round 12: the r11-ADVICE fixes that change answers/schemas — the
+# periodogram's power share loses the spurious *n factor (values shrink
+# by n; is_dominant unchanged), and Hill gains n_pos/n_insufficient and
+# now emits a row for every metric (the silent sub-101-row drop is
+# gone). The r11 set (tost/brier/mrr/gini/linkage) rotated OUT — all
+# five took fresh r11 greens. The markov dead-end fix and the chi2
+# lookup guards are answer-identical on the fixtures (verified at the
+# sf0.01 gate), so they do not re-queue.
 _ANSWER_CHANGED: frozenset[str] = frozenset(
     {
-        "stats_tost_equivalence",
-        "ml_brier_decomposition",
-        "retrieval_mrr_eval",
-        "stats_gini_lorenz",
-        "linkage_fellegi_sunter",
+        "timeseries_spectral_periodogram",
+        "stats_hill_tail_index",
     }
 )
 

@@ -131,7 +131,10 @@ def test_periodogram_matches_replay(spark):
             s = _rha(np.sin(2 * math.pi * tmod / P) * 1e6)
             A = int((v * c).sum())
             B = int((v * s).sum())
-            share = (float(A) * A + float(B) * B) / 1e12 * 2.0 * n / ss
+            # variance share 2(A^2+B^2)/(n*SS); ss already equals n*SS
+            # (the r11 ADVICE factor-of-n bug: an extra *n here once
+            # replayed the same wrong formula and hid it)
+            share = (float(A) * A + float(B) * B) / 1e12 * 2.0 / ss
             want = int(_rha(share * 1e9)[()])
             assert int(sub.loc[P, "power_share_e9"]) == want
             key = (-want, P)
@@ -159,6 +162,10 @@ def test_periodogram_finds_planted_24h_cycle(spark, tmp_path):
     dom = out[out["is_dominant"]].iloc[0]
     assert int(dom["period_h"]) == 24
     assert int(dom["power_share_e9"]) > 700_000_000  # >70% of variance
+    # a share is a fraction of variance: the e9 value must sit in [0, 1]
+    # (+1e6 quantization headroom) — this is what made the old *n bug
+    # visible at a glance (it emitted ~239e9)
+    assert int(dom["power_share_e9"]) <= 1_001_000_000
 
 
 # ---------------------------------------------------------------------------
