@@ -1209,6 +1209,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # correctness is untouched — reuse returns bit-identical rows.
 _PAIR_CACHE: dict[tuple[str, str, str, float], DataFrame] = {}
 
+# Registered queries that consumed the pair memo in THIS process, recorded
+# at plan-construction time via registry.current_query(). bench.py reads
+# this set AFTER its timing loop to emit the memo_riders transparency
+# manifest, so a new consumer appears in the bench record automatically —
+# the manifest is derived from actual calls, never a hand-maintained list
+# (r10 VERDICT #3 / r11 VERDICT #3: the hardcoded literal in bench.py
+# would have silently missed the next _PAIR_CACHE rider).
+PAIR_MEMO_RIDERS: set[str] = set()
+
+
+def _note_pair_memo_rider() -> None:
+    from emr_with_custom_metrics_spark import registry
+
+    q = registry.current_query()
+    if q is not None:
+        PAIR_MEMO_RIDERS.add(q)
+
 
 def _pair_cache_get(key: tuple[str, str, str, float]) -> DataFrame | None:
     """Look up a pair set, evicting entries from DEAD sessions first:
@@ -1225,6 +1242,7 @@ def shingle_jaccard_pairs_cached(
     spark: SparkSession, sf_dir: str, threshold: float
 ) -> DataFrame:
     """Memoized ``jaccard_pairs(_shingle_sets(documents), threshold)``."""
+    _note_pair_memo_rider()
     key = (spark.sparkContext.applicationId, sf_dir, "jaccard", float(threshold))
     hit = _pair_cache_get(key)
     if hit is None:
@@ -1243,6 +1261,7 @@ def embedding_cosine_pairs(
     Memoized per (session, sf_dir, threshold) — see ``_PAIR_CACHE``."""
     import numpy as np
 
+    _note_pair_memo_rider()
     key = (spark.sparkContext.applicationId, sf_dir, "cosine", float(threshold))
     hit = _pair_cache_get(key)
     if hit is not None:

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from emr_with_custom_metrics_spark.catalog import register_views
+from emr_with_custom_metrics_spark.operators.stats import global_rank_guard
 from emr_with_custom_metrics_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -269,9 +270,14 @@ _ZIPF_TAIL = """
                ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS r
         FROM freqs
     ), pts AS (
+        -- the OLS needs ln(rank) PER RANK (no tie-group closed form),
+        -- so the global vocabulary sort stays — behind the loud budget
+        -- guard (r11 VERDICT item 1): past GLOBAL_RANK_BUDGET types
+        -- the fit must be chunked, never silently one-task-sorted
         SELECT CAST(ROUND(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS x,
                CAST(ROUND(ln(CAST(f AS DOUBLE)) * 1000000) AS BIGINT) AS y
         FROM ranked
+        WHERE {guard}
     ), mom AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
@@ -303,7 +309,7 @@ _ZIPF_SPARK = (
         SELECT explode(split(text, ' ')) AS tok FROM documents
     )
 """
-    + _ZIPF_TAIL
+    + _ZIPF_TAIL.format(guard=global_rank_guard("spark", "r"))
 )
 
 _ZIPF_DUCK = (
@@ -312,7 +318,7 @@ _ZIPF_DUCK = (
         SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents
     )
 """
-    + _ZIPF_TAIL
+    + _ZIPF_TAIL.format(guard=global_rank_guard("duck", "r"))
 )
 
 

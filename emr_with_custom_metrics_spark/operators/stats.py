@@ -319,6 +319,45 @@ def dense_hourly_x_guarded(engine: str) -> str:
     return f"SELECT g.* FROM ({_DENSE_HOURLY_X_BODY}) g WHERE {guard}"
 
 
+# The corpus-law fits rank a GLOBALLY ORDERED relation through one task
+# (zipf: the term vocabulary; heaps: the document spine for the offset
+# prefix sum). Vocabulary is Heaps-sublinear in tokens but NOT capped —
+# at 100 TB of web text types reach 1e9+ — and the document spine is
+# linear in documents, so both queries carry this per-row budget check
+# (r11 VERDICT item 1, the audit's one unbounded SinglePartition
+# class). 4e6 rows through one sort task is seconds; past it the query
+# fails LOUDLY with the switch recipe instead of silently serializing.
+# Top-k consumers (pmi/bm25/kendall_w/burstiness/unigram-LM selection)
+# don't need the guard: round 12 rewrote them to ORDER BY .. LIMIT k
+# (TakeOrderedAndProject — per-partition top-k, no global sort).
+GLOBAL_RANK_BUDGET = 4_000_000
+
+_GLOBAL_RANK_MSG = (
+    "globally ranked relation exceeds %d rows; one task sorts it - "
+    "switch to the frequency-histogram rank form (SCALING.md round-11 "
+    "audit, vocab-ranked class) or chunk the spine before raising "
+    "GLOBAL_RANK_BUDGET" % GLOBAL_RANK_BUDGET
+)
+
+
+def global_rank_guard(engine: str, rank_col: str) -> str:
+    """Per-row in-plan budget check over a globally ranked relation:
+    TRUE while ``rank_col`` (a ROW_NUMBER over the unpartitioned order)
+    is within budget, raises at EXECUTION past it (Spark
+    ``assert_true``, DuckDB ``error()``) — the spine-budget idiom for
+    the round-11 audit's vocab-ranked class. The answer is untouched
+    while the bound holds."""
+    if engine == "spark":
+        return (
+            f"assert_true({rank_col} <= {GLOBAL_RANK_BUDGET}, "
+            f"'{_GLOBAL_RANK_MSG}') IS NULL"
+        )
+    return (
+        f"CASE WHEN {rank_col} <= {GLOBAL_RANK_BUDGET} THEN TRUE "
+        f"ELSE error('{_GLOBAL_RANK_MSG}') END"
+    )
+
+
 def _stage_hour_counts(spark: SparkSession, sf_dir: str) -> None:
     register_views(spark, sf_dir, ("events",))
     spark.sql(_COUNTS_SPARK).localCheckpoint().createOrReplaceTempView(

@@ -22,6 +22,7 @@ from emr_with_custom_metrics_spark.operators.stats import (
     _SPINE_FROM_COUNTS_DUCK,
     _SPINE_FROM_COUNTS_SPARK,
     _stage_hour_counts,
+    global_rank_guard,
 )
 from emr_with_custom_metrics_spark.registry import register
 
@@ -271,11 +272,20 @@ _HEAPS_CORE = f"""
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len
         FROM tok GROUP BY doc_id
     ), doff AS (
-        SELECT doc_id,
-               CAST(COALESCE(SUM(len) OVER (ORDER BY doc_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                   AS BIGINT) AS off
-        FROM dlen
+        -- the document-offset prefix sum is the query's one globally
+        -- ordered pass (one task orders the doc spine): budget-guarded
+        -- per the r11 audit; past GLOBAL_RANK_BUDGET documents the
+        -- offsets must come from a two-level (chunk, in-chunk) prefix
+        -- sum instead. ROW_NUMBER shares the same window — no extra
+        -- exchange for the guard.
+        SELECT doc_id, off FROM (
+            SELECT doc_id,
+                   CAST(COALESCE(SUM(len) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS off,
+                   ROW_NUMBER() OVER (ORDER BY doc_id) AS drn
+            FROM dlen
+        ) z WHERE {{guard}}
     ), firsts AS (
         SELECT t.word, CAST(MIN(d.off + t.pos + 1) AS BIGINT) AS fpos
         FROM tok t JOIN doff d ON d.doc_id = t.doc_id
@@ -341,8 +351,12 @@ _HEAPS_TOK_DUCK = """
     )
 """
 
-_HEAPS_SPARK = _HEAPS_TOK_SPARK + _HEAPS_CORE
-_HEAPS_DUCK = _HEAPS_TOK_DUCK + _HEAPS_CORE
+_HEAPS_SPARK = _HEAPS_TOK_SPARK + _HEAPS_CORE.format(
+    guard=global_rank_guard("spark", "drn")
+)
+_HEAPS_DUCK = _HEAPS_TOK_DUCK + _HEAPS_CORE.format(
+    guard=global_rank_guard("duck", "drn")
+)
 
 
 @register(

@@ -33,6 +33,49 @@ def test_cosine_memo_misses_across_threshold_and_sf(spark):
     assert only == 0
 
 
+def test_rider_manifest_derived_from_calls(spark):
+    """bench.py's memo_riders manifest is DERIVED: registering a brand-new
+    query that consumes the pair memo lands it in PAIR_MEMO_RIDERS the
+    moment it runs, with bench.py untouched (r11 VERDICT item 3 done
+    criterion). Direct helper calls outside a registered query must NOT
+    pollute the manifest."""
+    from emr_with_custom_metrics_spark import registry
+    from emr_with_custom_metrics_spark.llm.dedup import (
+        PAIR_MEMO_RIDERS,
+        shingle_jaccard_pairs_cached,
+    )
+
+    name = "synthetic_rider_for_manifest_test"
+    assert name not in PAIR_MEMO_RIDERS
+
+    # Outside any registered query: current_query() is None -> no entry.
+    before = set(PAIR_MEMO_RIDERS)
+    shingle_jaccard_pairs_cached(spark, SF_SMOKE_DIR, 0.5)
+    assert set(PAIR_MEMO_RIDERS) == before
+
+    @registry.register(name, oracle="SELECT 1 AS one")
+    def _synthetic(sp, sf_dir):
+        return shingle_jaccard_pairs_cached(sp, sf_dir, 0.5)
+
+    try:
+        registry.all_specs()[name].fn(spark, SF_SMOKE_DIR).count()
+        assert name in PAIR_MEMO_RIDERS
+    finally:
+        registry._REGISTRY.pop(name, None)
+        PAIR_MEMO_RIDERS.discard(name)
+
+
+def test_known_riders_recorded_when_run(spark):
+    """A real registered consumer (dedup_clusters rides the jaccard memo)
+    shows up after one run — the derived set matches what the old
+    hardcoded bench list claimed for it."""
+    from emr_with_custom_metrics_spark.llm.dedup import PAIR_MEMO_RIDERS
+    from emr_with_custom_metrics_spark.registry import all_specs
+
+    all_specs()["dedup_clusters"].fn(spark, SF_SMOKE_DIR).count()
+    assert "dedup_clusters" in PAIR_MEMO_RIDERS
+
+
 def test_jaccard_memo_rows_match_uncached(spark):
     from emr_with_custom_metrics_spark.catalog import load_table
     from emr_with_custom_metrics_spark.llm.dedup import (
