@@ -1015,24 +1015,33 @@ def corpus_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, source,
              ROW_NUMBER() OVER (PARTITION BY source
                                 ORDER BY n_chars DESC, doc_id) AS src_rank
-      FROM documents)
+      FROM documents),
+    sizes AS MATERIALIZED (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY source),
+    pk AS MATERIALIZED (
+      SELECT list(struct_pack(s := source, n := n) ORDER BY source) AS arr
+      FROM sizes)
     SELECT doc_id, source, CAST(src_rank AS BIGINT) AS src_rank,
-           CAST(ROW_NUMBER() OVER (ORDER BY src_rank, source, doc_id)
-                AS BIGINT) AS curriculum_pos
-    FROM ranked
+           CAST(list_sum(list_transform(p.arr,
+                  e -> LEAST(src_rank - 1, e.n)
+                     + CASE WHEN e.n >= src_rank AND e.s < source
+                            THEN 1 ELSE 0 END)) + 1 AS BIGINT)
+             AS curriculum_pos
+    FROM ranked CROSS JOIN pk p
     """,
     doc="Curriculum ordering with source interleave: rank documents "
     "inside each source by a quality proxy (n_chars, ties to doc_id), "
     "then emit the GLOBAL training order that round-robins across "
     "sources at equal rank — the deterministic data-ordering step a "
     "curriculum-trained run wants (best of every source first, no "
-    "source monopolizing a training window). Two window passes: one "
-    "partitioned by source (shuffles by source), one global ordering "
-    "whose key is (rank, source) — at 100 TB the global row_number is "
-    "the scale boundary, and the documented fix is range-partitioning "
-    "on (src_rank, source) + per-partition offsets (the same two-level "
-    "trick the packing ops use); the SEMANTICS (the output permutation) "
-    "stay exactly as oracled here.",
+    "source monopolizing a training window). (source, src_rank) is "
+    "unique, so the global position has a CLOSED FORM over the "
+    "model-sized source-size table: pos = sum_s' min(rank-1, n_s') + "
+    "#{s' < source with n_s' >= rank} + 1, computed as a broadcast "
+    "array fold per row (r12: replaces the old global ROW_NUMBER — one "
+    "task sorted every document; answers byte-identical). One shuffle "
+    "by source for the per-source rank; everything else is map-side.",
 )
 def corpus_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1047,14 +1056,20 @@ def corpus_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("src_rank"),
     )
-    return ranked.select(
+    sizes = d.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
+    pk = sizes.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("source").alias("s"), F.col("n")))
+        ).alias("arr")
+    )
+    return ranked.crossJoin(F.broadcast(pk)).selectExpr(
         "doc_id",
         "source",
-        F.col("src_rank").cast("bigint").alias("src_rank"),
-        F.row_number()
-        .over(Window.orderBy("src_rank", "source", "doc_id"))
-        .cast("bigint")
-        .alias("curriculum_pos"),
+        "CAST(src_rank AS BIGINT) AS src_rank",
+        "CAST(aggregate(arr, CAST(0 AS BIGINT), (a, e) -> a"
+        " + least(CAST(src_rank AS BIGINT) - 1, e.n)"
+        " + IF(e.n >= src_rank AND e.s < source, CAST(1 AS BIGINT),"
+        " CAST(0 AS BIGINT))) + 1 AS BIGINT) AS curriculum_pos",
     )
 
 
@@ -1208,15 +1223,25 @@ def _md5_nibble(expr: str, i: int) -> str:
             + {_md5_nibble('CAST(d.doc_id AS VARCHAR)', 5)} * 16.0
             + {_md5_nibble('CAST(d.doc_id AS VARCHAR)', 6)} + 0.5) / 16777216.0 AS u
       FROM documents d JOIN perdoc USING (doc_id)),
-    scored AS (
+    scored AS MATERIALIZED (
+      -- referenced by thr AND the final flag pass — materialize or
+      -- DuckDB re-runs the scoring pipeline per reference
       SELECT doc_id, lang,
              (CAST(ROUND((logw) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS log_importance,
              (CAST(ROUND((logw - LN(-LN(u))) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS sel_key
-      FROM keyed)
+      FROM keyed),
+    thr AS MATERIALIZED (
+      -- the top-k BOUNDARY (k-th (sel_key desc, doc_id) pair): a k-row
+      -- sort-limit instead of a global ROW_NUMBER over every document
+      -- (r11 audit rule) — selected is then a broadcast comparison
+      SELECT sel_key AS tk, doc_id AS td FROM scored
+      ORDER BY sel_key DESC, doc_id LIMIT {_DSIR_KEEP}),
+    bnd AS (
+      SELECT tk, td FROM thr ORDER BY tk ASC, td DESC LIMIT 1)
     SELECT doc_id, lang, log_importance, sel_key,
-           (ROW_NUMBER() OVER (ORDER BY sel_key DESC, doc_id) <= {_DSIR_KEEP})
+           (sel_key > b.tk OR (sel_key = b.tk AND doc_id <= b.td))
              AS selected
-    FROM scored
+    FROM scored CROSS JOIN bnd b
     """,
     doc="Data Selection via Importance Resampling, DSIR-shaped (Xie et "
     "al. 2023): estimate hashed-unigram bag-of-words LMs for a TARGET "
@@ -1234,8 +1259,6 @@ def _md5_nibble(expr: str, i: int) -> str:
     "hazard at any document length).",
 )
 def corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     d = load_fanned(spark, sf_dir, "documents")
     # lang rides through the explode so target and raw bucket counts come
     # out of ONE corpus pass (conditional aggregation) — a separate tgt
@@ -1288,10 +1311,33 @@ def corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round((logw - F.log(-F.log(u))) * 1000000).cast("bigint") / 1000000.0).alias("sel_key"),
         )
     )
-    return scored.withColumn(
-        "selected",
-        F.row_number().over(Window.orderBy(F.col("sel_key").desc(), "doc_id"))
-        <= _DSIR_KEEP,
+    # Gumbel-top-k WITHOUT a global ROW_NUMBER (r11 audit rule): take
+    # the k-row boundary via ORDER BY + LIMIT (TakeOrderedAndProject),
+    # reduce it to the k-th (sel_key, doc_id) pair, broadcast it, and
+    # flag by lexicographic comparison — identical selection incl. the
+    # doc_id tie-break (sel_key is a 1e-6-quantized double, so equality
+    # against the boundary is exact). scored feeds both the boundary
+    # pass and the flag pass — one checkpoint, not two pipeline runs.
+    scored = scored.localCheckpoint(eager=False)
+    thr = (
+        scored.select("sel_key", "doc_id")
+        .orderBy(F.col("sel_key").desc(), "doc_id")
+        .limit(_DSIR_KEEP)
+    )
+    bnd = (
+        thr.orderBy(F.col("sel_key").asc(), F.col("doc_id").desc())
+        .limit(1)
+        .select(F.col("sel_key").alias("tk"), F.col("doc_id").alias("td"))
+    )
+    return scored.crossJoin(F.broadcast(bnd)).select(
+        "doc_id",
+        "lang",
+        "log_importance",
+        "sel_key",
+        (
+            (F.col("sel_key") > F.col("tk"))
+            | ((F.col("sel_key") == F.col("tk")) & (F.col("doc_id") <= F.col("td")))
+        ).alias("selected"),
     )
 
 

@@ -156,9 +156,12 @@ def _kmeans_sql(dialect: str) -> str:
 
     parts = [f"""
     WITH c0 AS (
+        -- seed rank runs over the K-row LIMIT subset (TakeOrdered on
+        -- Spark), never a ROW_NUMBER over every vector (r11 audit rule)
         SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) AS cid,
                {tx}({seq}, d -> {emb('d + 1')}) AS centroid
-        FROM embeddings ORDER BY vec_id LIMIT {_KM_K})"""]
+        FROM (SELECT vec_id, embedding FROM embeddings
+              ORDER BY vec_id LIMIT {_KM_K}) s0)"""]
     # Per-vector argmin, dialect-split on PLAN SHAPE only (same (d2, cid)
     # lexicographic tie-break): Spark aggregates min(struct(d2, cid)) —
     # partial-aggregable map-side, no per-vector window sort (measured

@@ -686,8 +686,6 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rational, so both engines round the identical double at 6 dp.",
 )
 def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     d = load_fanned(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     doclen = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
@@ -723,11 +721,16 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score")
         )
     )
-    ranked = scored.withColumn(
-        "rn", F.row_number().over(Window.orderBy(F.col("score").desc(), "doc_id"))
-    )
-    return ranked.where(F.col("rn") <= 15).select(
-        "doc_id", (F.round((F.col("score")) * 1000000).cast("bigint") / 1000000.0).alias("bm25")
+    # top-15 as ORDER BY + LIMIT (TakeOrderedAndProject): the per-query
+    # doc ranking never single-partition-sorts the whole scored corpus
+    # (r11 VERDICT item 1). Same (score desc, doc_id) tie-break.
+    return (
+        scored.orderBy(F.col("score").desc(), "doc_id")
+        .limit(15)
+        .select(
+            "doc_id",
+            (F.round((F.col("score")) * 1000000).cast("bigint") / 1000000.0).alias("bm25"),
+        )
     )
 
 
@@ -904,8 +907,6 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "round the identical double.",
 )
 def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     d = load_fanned(spark, sf_dir, "documents")
     dt = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
@@ -938,12 +939,12 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )) * 1000000).cast("bigint") / 1000000.0).alias("pmi"),
         )
     )
-    w = Window.orderBy(F.col("pmi").desc(), "tok_a", "tok_b")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 20)
-        .drop("rn")
-    )
+    # top-20 as ORDER BY + LIMIT, not a global ROW_NUMBER window: Spark
+    # plans this as TakeOrderedAndProject (per-partition top-k, k rows
+    # cross the wire) — no SinglePartition sort of the full pair
+    # relation (r11 VERDICT item 1). Same deterministic tie-break,
+    # byte-identical rows.
+    return scored.orderBy(F.col("pmi").desc(), "tok_a", "tok_b").limit(20)
 
 
 def _bpe_encode_oracle(rounds: int) -> str:

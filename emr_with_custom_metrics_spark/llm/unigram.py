@@ -145,10 +145,12 @@ def _unigram_sql(dialect: str, tail: str) -> str:
       WHERE i + l <= n
       GROUP BY substr(w, i + 1, l)),
     sel0 AS {mat}(
+      -- top-K selection by ORDER BY + LIMIT (TakeOrderedAndProject on
+      -- Spark), not a ROW_NUMBER over the whole candidate relation
+      -- (r11 VERDICT item 1); same tie-break, identical pieces
       SELECT piece, cnt FROM (
-        SELECT piece, cnt,
-               ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rk
-        FROM cand WHERE LENGTH(piece) > 1) t WHERE rk <= {K}
+        SELECT piece, cnt FROM cand WHERE LENGTH(piece) > 1
+        ORDER BY cnt DESC, piece LIMIT {K}) t
       UNION ALL
       SELECT piece, cnt FROM cand WHERE LENGTH(piece) = 1),
     v0 AS {mat}(
@@ -173,9 +175,8 @@ def _unigram_sql(dialect: str, tail: str) -> str:
     cnt{r} AS {mat}(SELECT piece, SUM(c) AS cnt FROM edges{r} GROUP BY piece),
     sel{r + 1} AS {mat}(
       SELECT piece, cnt FROM (
-        SELECT piece, cnt,
-               ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rk
-        FROM cnt{r} WHERE LENGTH(piece) > 1) t WHERE rk <= {K}
+        SELECT piece, cnt FROM cnt{r} WHERE LENGTH(piece) > 1
+        ORDER BY cnt DESC, piece LIMIT {K}) t
       UNION ALL
       SELECT s.piece, COALESCE(c2.cnt, 0) AS cnt
       FROM (SELECT piece FROM sel0 WHERE LENGTH(piece) = 1) s
@@ -275,9 +276,8 @@ def _ug_chain(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
           GROUP BY substr(w, i + 1, l)),
         sel0 AS (
           SELECT piece, cnt FROM (
-            SELECT piece, cnt,
-                   ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rk
-            FROM cand WHERE LENGTH(piece) > 1) t WHERE rk <= {K}
+            SELECT piece, cnt FROM cand WHERE LENGTH(piece) > 1
+            ORDER BY cnt DESC, piece LIMIT {K}) t
           UNION ALL
           SELECT piece, cnt FROM cand WHERE LENGTH(piece) = 1)
         SELECT piece,
@@ -311,9 +311,8 @@ def _ug_chain(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
             cnt AS (SELECT piece, SUM(c) AS cnt FROM edges GROUP BY piece),
             sel AS (
               SELECT piece, cnt FROM (
-                SELECT piece, cnt,
-                       ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rk
-                FROM cnt WHERE LENGTH(piece) > 1) t WHERE rk <= {K}
+                SELECT piece, cnt FROM cnt WHERE LENGTH(piece) > 1
+                ORDER BY cnt DESC, piece LIMIT {K}) t
               UNION ALL
               SELECT s.piece, COALESCE(c2.cnt, 0) AS cnt
               FROM (SELECT piece FROM ug_v0 WHERE LENGTH(piece) = 1) s

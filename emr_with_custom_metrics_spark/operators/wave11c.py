@@ -452,21 +452,30 @@ _SESS_TMPL = """
                CAST(COUNT(*) AS BIGINT) AS n_events,
                CAST(MAX(us) - MIN(us) AS BIGINT) AS dur_us
         FROM numbered GROUP BY user_id, sess
-    ), ranked AS (
-        SELECT n_events, dur_us,
-               CAST(ROW_NUMBER() OVER (ORDER BY dur_us, user_id, sess)
-                    AS BIGINT) AS rn,
-               CAST(COUNT(*) OVER () AS BIGINT) AS n_sessions
-        FROM sessions
+    ), dhist AS (
+        -- doubled median read off the DURATION HISTOGRAM (the r11
+        -- histogram-order-statistic rule): the cum window runs over
+        -- distinct durations, never a global ROW_NUMBER over every
+        -- session through one task. Value-at-rank = first histogram
+        -- value whose cumulative count reaches the rank; tie-break
+        -- columns are unnecessary because tied rows share the value.
+        SELECT dur_us, CAST(COUNT(*) AS BIGINT) AS c
+        FROM sessions GROUP BY dur_us
+    ), dcum AS (
+        SELECT dur_us,
+               CAST(SUM(c) OVER (ORDER BY dur_us
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               CAST(SUM(c) OVER () AS BIGINT) AS n_sessions
+        FROM dhist
     ), med AS (
-        SELECT CAST(SUM(CASE WHEN rn = CAST(FLOOR((n_sessions + 1) / 2.0e0)
-                                            AS BIGINT)
-                             THEN dur_us ELSE 0 END)
-                  + SUM(CASE WHEN rn = CAST(FLOOR((n_sessions + 2) / 2.0e0)
-                                            AS BIGINT)
-                             THEN dur_us ELSE 0 END) AS BIGINT) AS med2_dur,
+        SELECT CAST(MIN(CASE WHEN cum >= CAST(FLOOR((n_sessions + 1)
+                                                    / 2.0e0) AS BIGINT)
+                             THEN dur_us END)
+                  + MIN(CASE WHEN cum >= CAST(FLOOR((n_sessions + 2)
+                                                    / 2.0e0) AS BIGINT)
+                             THEN dur_us END) AS BIGINT) AS med2_dur,
                MAX(n_sessions) AS n_sessions
-        FROM ranked
+        FROM dcum
     ), users AS (
         SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         FROM sessions
@@ -489,9 +498,10 @@ _SESS_TMPL = """
     doc="Batch gap sessionization (30-min inactivity islands via LAG + "
     "cumulative breaks — the batch counterpart of the streaming "
     "session_windows pair): bounded session-length histogram, exact "
-    "doubled-median session duration in integer microseconds, and "
-    "sessions/user. One shuffle by user, one by (user, session), "
-    "per-user state only.",
+    "doubled-median session duration in integer microseconds (read off "
+    "the duration histogram, never a global per-session ROW_NUMBER — "
+    "the r11 order-statistic rule), and sessions/user. One shuffle by "
+    "user, one by (user, session), per-user state only.",
 )
 def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))

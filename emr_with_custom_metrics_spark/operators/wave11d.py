@@ -273,10 +273,16 @@ _DISP_TMPL = """
     ), grand AS (
         SELECT CAST(SUM(tok_s) AS BIGINT) AS t FROM src_tot
     ), topk AS (
+        -- top-20 chosen by ORDER BY + LIMIT (TakeOrderedAndProject on
+        -- Spark — never a global ROW_NUMBER over the whole vocabulary,
+        -- r11 VERDICT item 1); the rank window then runs on the
+        -- 20-row result only (model-sized). Same tie-break, identical
+        -- terms and ranks.
         SELECT term, f_t,
                CAST(ROW_NUMBER() OVER (ORDER BY f_t DESC, term) AS BIGINT)
                    AS rk
-        FROM term_tot
+        FROM (SELECT term, f_t FROM term_tot
+              ORDER BY f_t DESC, term LIMIT 20) lim
     ), dp AS (
         SELECT k.term, k.f_t, k.rk,
                CAST(SUM(ABS(COALESCE(x.f_ts, 0) * g.t - s.tok_s * k.f_t))
@@ -285,7 +291,6 @@ _DISP_TMPL = """
         CROSS JOIN src_tot s
         CROSS JOIN grand g
         LEFT JOIN ts x ON x.term = k.term AND x.source = s.source
-        WHERE k.rk <= 20
         GROUP BY k.term, k.f_t, k.rk, g.t
     )
     SELECT term, rk AS freq_rank, f_t AS term_freq,

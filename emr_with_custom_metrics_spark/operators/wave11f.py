@@ -358,10 +358,13 @@ _KW_CONCORD_TMPL = """
         SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
         FROM tok GROUP BY source, term
     ), top_terms AS (
-        SELECT term,
-               CAST(ROW_NUMBER() OVER (ORDER BY SUM(c) DESC, term)
-                    AS BIGINT) AS rnk
+        -- top-12 via ORDER BY + LIMIT (TakeOrderedAndProject on Spark:
+        -- per-partition top-k, 12 rows cross the wire), NOT a global
+        -- ROW_NUMBER over the whole vocabulary (r11 VERDICT item 1).
+        -- Same (SUM(c) DESC, term) tie-break, identical term set.
+        SELECT term
         FROM tf GROUP BY term
+        ORDER BY SUM(c) DESC, term LIMIT 12
     ), grid AS (
         -- sources come from the documents table directly (a cheap
         -- column scan), not from tf: a third tf reference would re-run
@@ -369,7 +372,7 @@ _KW_CONCORD_TMPL = """
         SELECT s.source, t.term,
                CAST(COALESCE(f.c, 0) AS BIGINT) AS c
         FROM (SELECT DISTINCT source FROM documents) s
-        CROSS JOIN (SELECT term FROM top_terms WHERE rnk <= 12) t
+        CROSS JOIN top_terms t
         LEFT JOIN tf f ON f.source = s.source AND f.term = t.term
     ), ranked AS (
         -- doubled tie-averaged rank of each item WITHIN its source

@@ -181,12 +181,19 @@ def _load_driver_verified() -> frozenset[str]:
             prev = latest.get(name)
             if prev is None or rnd >= prev[0]:
                 latest[name] = (rnd, green)
-    return frozenset(
+    verified = frozenset(
         n for n, (_, g) in latest.items() if g and n not in _ANSWER_CHANGED
     )
+    rounds = {n: r for n, (r, g) in latest.items() if g}
+    return verified, rounds
 
 
-_DRIVER_VERIFIED = _load_driver_verified()
+# _VERIFIED_ROUND: the round of each query's LATEST official green row.
+# The verified re-verification tail is ordered oldest-green-first so the
+# driver's spare budget rotates through stale rows instead of
+# re-sampling the same fresh ones (r11 VERDICT item 5: 32 queries'
+# latest official green was still round-1 vintage after eleven rounds).
+_DRIVER_VERIFIED, _VERIFIED_ROUND = _load_driver_verified()
 
 # Heaviest per-invocation queries at sf0.01 (streaming-query startup or
 # multi-stage dedup/ANN pipelines): still unverified-first, but after the
@@ -285,12 +292,15 @@ def _driver_order(specs: dict[str, "QuerySpec"]) -> list[str]:
     names = list(specs)
     idx = {n: i for i, n in enumerate(names)}
 
-    def key(n: str) -> tuple[int, int]:
+    def key(n: str) -> tuple[int, int, int]:
         if n in _PRIORITY_RANK and n not in _DRIVER_VERIFIED:
-            return (0, _PRIORITY_RANK[n])
+            return (0, 0, _PRIORITY_RANK[n])
         if n in _DRIVER_VERIFIED:
-            tier = 5
-        elif specs[n].oracle is None:
+            # oldest official green first (r11 VERDICT item 5): spare
+            # driver budget refreshes round-1-vintage rows before
+            # re-sampling anything recent
+            return (5, _VERIFIED_ROUND.get(n, 0), idx[n])
+        if specs[n].oracle is None:
             tier = 4
         elif n in _DRIVER_DEFER:
             tier = 3
@@ -298,7 +308,7 @@ def _driver_order(specs: dict[str, "QuerySpec"]) -> list[str]:
             tier = 2
         else:
             tier = 1
-        return (tier, idx[n])
+        return (tier, 0, idx[n])
 
     return sorted(names, key=key)
 

@@ -183,6 +183,11 @@ def test_no_driver_side_collect_in_query_modules():
             # cross-correlation stages the dense spine its shifted
             # cross product and pair join both read (MP lesson)
             "operators/wave9h.py",
+            # DSIR: the scored relation feeds BOTH the top-k boundary
+            # pass and the selected-flag pass (the r12 rewrite that
+            # removed the global ROW_NUMBER); one checkpoint, not two
+            # scoring-pipeline runs
+            "llm/corpus_ops.py",
         },
     }
     offenders = []

@@ -44,6 +44,7 @@ def main() -> None:
     from emr_with_custom_metrics_spark.registry import all_specs
 
     flagged = {}
+    coarse = {}
     errors = []
     for name, spec in all_specs().items():
         try:
@@ -54,9 +55,32 @@ def main() -> None:
             continue
         n_sp = plan.count("Exchange SinglePartition")
         if n_sp and "Window" in plan:
-            flagged[name] = n_sp
+            coarse[name] = n_sp
+        # The actionable shape is the CHAIN Window -> Sort -> Exchange
+        # SinglePartition (one task sorts the window's whole input).
+        # A bare single-partition exchange under a scalar HashAggregate
+        # (global sums, scalar subqueries) is a one-row reduction and
+        # was polluting the coarse count (round 12: the coarse rule
+        # matched 56 queries, 40+ of them scalar-aggregate shapes).
+        lines = [ln.strip() for ln in plan.splitlines()]
+        n_chain = 0
+        for i, ln in enumerate(lines):
+            if "Exchange SinglePartition" not in ln:
+                continue
+            above = " ".join(lines[max(0, i - 2):i])
+            if "Sort [" in above and "Window [" in " ".join(
+                lines[max(0, i - 3):i]
+            ):
+                n_chain += 1
+        if n_chain:
+            flagged[name] = n_chain
     for k, v in sorted(flagged.items()):
         print(f"FLAG {k}: {v}")
+    print(
+        "coarse-only (scalar-aggregate SinglePartition + unrelated "
+        "Window; informational):",
+        sorted(set(coarse) - set(flagged)),
+    )
     if errors:
         print("errors:", errors)
     print(f"total flagged: {len(flagged)} / {len(all_specs())}")
