@@ -389,4 +389,6 @@ def _ensure_loaded() -> None:
     import emr_with_custom_metrics_spark.operators.wave11d  # noqa: F401
     import emr_with_custom_metrics_spark.operators.wave11e  # noqa: F401
     import emr_with_custom_metrics_spark.operators.wave11f  # noqa: F401
+    import emr_with_custom_metrics_spark.operators.wave12a  # noqa: F401
+    import emr_with_custom_metrics_spark.operators.wave12b  # noqa: F401
     _LOADED = True
