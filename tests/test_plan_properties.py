@@ -188,6 +188,10 @@ def test_no_driver_side_collect_in_query_modules():
             # removed the global ROW_NUMBER); one checkpoint, not two
             # scoring-pipeline runs
             "llm/corpus_ops.py",
+            # assortativity: the memoized edge table feeds the degree
+            # aggregate AND both orientation joins — same remedy as
+            # operators/graph.py's edge consumers
+            "operators/wave12b.py",
         },
     }
     offenders = []

@@ -40,7 +40,14 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    sys.path.insert(0, "/root/repo")
+    # resolve the repo from THIS file's location, never a hardcoded
+    # path: a worktree run with the old literal silently audited the
+    # live tree instead (found while re-baselining in round 12)
+    import os as _os
+
+    sys.path.insert(
+        0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
     from emr_with_custom_metrics_spark.registry import all_specs
 
     flagged = {}
