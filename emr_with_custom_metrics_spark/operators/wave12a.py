@@ -353,22 +353,35 @@ def stats_bartlett_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # D'Agostino-Pearson K^2 normality omnibus
 # ---------------------------------------------------------------------------
-# Exact power sums of w = v_e3 - 50000 (centering at the domain
-# midpoint keeps S4 <= ~4e24: DuckDB sums BIGINT into HUGEINT exactly,
-# Spark sums DECIMAL(38,0) exactly — the engine-split is the
-# accumulator TYPE only). n^k-scaled central sums A2/A3/A4 are then a
-# fixed double DAG over identical integers; g1 = A3/A2^1.5,
-# b2 = A4/A2^2. The z-transforms (D'Agostino 1970 skew;
-# Anscombe-Glynn 1983 kurtosis) quantize every ln/cbrt output e9
-# immediately (libm hazard); z1/z2 quantize e6, and
-# K2_e12 = z1_e6^2 + z2_e6^2 is an EXACT integer compared against
-# crit_e6 * 1e6 — the decision itself is integer arithmetic.
+# Exact power sums of w = v_e3 - round(mean(v_e3)) — MEAN-centering,
+# not a fixed domain midpoint: round 12's fuzz found that raw moments
+# of an off-center w suffer catastrophic cancellation in A3/A4, which
+# amplifies the one non-portable step (the >int64 accumulator -> double
+# conversion: Spark's DECIMAL cast is correctly rounded, DuckDB's
+# HUGEINT cast is not) into answer-sized divergence. Mean-centering
+# kills the cancellation, and the wide sums are converted to double by
+# an explicit 2^60/2^30 hi/mid/lo SPLIT (each piece < 2^53 -> exact;
+# the two additions are correctly rounded on identical inputs), so the
+# whole pipeline is bit-identical across engines at ANY magnitude.
+# g1 = A3/A2^1.5, b2 = A4/A2^2; the z-transforms (D'Agostino 1970
+# skew; Anscombe-Glynn 1983 kurtosis) quantize every ln/cbrt output e9
+# immediately (libm hazard); z1/z2 quantize e6, and K2_e12 =
+# z1_e6^2 + z2_e6^2 is an EXACT integer compared against crit_e6*1e6.
 
 _DK2_TMPL = """
-    WITH base AS (
-        SELECT event_type,
-               CAST(ROUND(value * 1000) - 50000 AS BIGINT) AS w
+    WITH raw AS (
+        SELECT event_type, CAST(ROUND(value * 1000) AS BIGINT) AS v
         FROM events
+    ), ctr AS (
+        -- exact integer sum / n is a correctly-rounded double on both
+        -- engines, so the rounded center is identical
+        SELECT event_type,
+               CAST(ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                   AS md
+        FROM raw GROUP BY event_type
+    ), base AS (
+        SELECT r.event_type, r.v - c.md AS w
+        FROM raw r JOIN ctr c ON c.event_type = r.event_type
     ), mom AS (
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n,
@@ -381,12 +394,12 @@ _DK2_TMPL = """
     ), a AS (
         SELECT event_type, n,
                CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1 AS a2,
-               CAST(n AS DOUBLE) * n * CAST(s3 AS DOUBLE)
+               CAST(n AS DOUBLE) * n * ({s3d})
                  - 3.0e0 * n * CAST(s1 AS DOUBLE) * s2
                  + 2.0e0 * CAST(s1 AS DOUBLE) * s1 * s1 AS a3,
-               CAST(n AS DOUBLE) * n * n * CAST(s4 AS DOUBLE)
+               CAST(n AS DOUBLE) * n * n * ({s4d})
                  - 4.0e0 * CAST(n AS DOUBLE) * n * CAST(s1 AS DOUBLE)
-                   * CAST(s3 AS DOUBLE)
+                   * ({s3d})
                  + 6.0e0 * n * CAST(s1 AS DOUBLE) * s1 * s2
                  - 3.0e0 * CAST(s1 AS DOUBLE) * s1 * s1 * s1 AS a4
         FROM mom
@@ -484,22 +497,44 @@ _DK2_TMPL = """
 """
 
 
+def _wide_to_double(col: str, engine: str) -> str:
+    """Deterministic wide-integer -> double conversion: hi/mid/lo split
+    at 2^60 / 2^30 on the absolute value (every piece < 2^53 converts
+    exactly; the recomposition is two correctly-rounded additions), so
+    Spark DECIMAL(38,0) and DuckDB HUGEINT produce the IDENTICAL
+    double even past 2^53 — the plain CASTs do not (DuckDB's
+    hugeint->double is not correctly rounded)."""
+    div = "DIV" if engine == "spark" else "//"
+    a = f"ABS({col})"
+    hi = f"CAST({a} {div} 1152921504606846976 AS DOUBLE)"
+    mid = f"CAST(({a} % 1152921504606846976) {div} 1073741824 AS DOUBLE)"
+    lo = f"CAST({a} % 1073741824 AS DOUBLE)"
+    return (
+        f"(CASE WHEN {col} < 0 THEN -1.0e0 ELSE 1.0e0 END"
+        f" * ((({hi} * 1152921504606846976.0e0)"
+        f" + ({mid} * 1073741824.0e0)) + {lo}))"
+    )
+
+
 def _dk2_sql(engine: str) -> str:
     if engine == "spark":
-        # exact wide accumulation via DECIMAL(38,0): w^3 <= 1.25e14
-        # fits BIGINT, w^4 <= 6.25e18 fits BIGINT; the SUMS need width
+        # exact wide accumulation via DECIMAL(38,0); the value domain
+        # is NOT capped at 100 (measured v_e3 past 1.8e5), so w^4 can
+        # exceed int64 even after mean-centering
         return _DK2_TMPL.format(
             w3="CAST(w AS DECIMAL(38,0)) * w * w",
             w4="CAST(w AS DECIMAL(38,0)) * w * w * w",
             acc="DECIMAL(38,0)",
+            s3d=_wide_to_double("s3", "spark"),
+            s4d=_wide_to_double("s4", "spark"),
         )
-    # DuckDB: widen to HUGEINT BEFORE the power products — the metric
-    # value domain is NOT capped at 100 (measured v_e3 past 1.8e5), so
-    # w^4 can exceed int64; HUGEINT multiplication is exact
+    # DuckDB: HUGEINT accumulators, same split conversion
     return _DK2_TMPL.format(
         w3="CAST(w AS HUGEINT) * w * w",
         w4="CAST(w AS HUGEINT) * w * w * w",
         acc="HUGEINT",
+        s3d=_wide_to_double("s3", "duck"),
+        s4d=_wide_to_double("s4", "duck"),
     )
 
 
@@ -507,9 +542,11 @@ def _dk2_sql(engine: str) -> str:
     "stats_dagostino_k2",
     oracle=_dk2_sql("duck"),
     doc="D'Agostino-Pearson K^2 normality omnibus per metric: exact "
-    "power sums of the midpoint-centered value (Spark DECIMAL(38,0) / "
-    "DuckDB HUGEINT accumulators — the engine split is the accumulator "
-    "type only; identical integers cast to identical doubles), "
+    "power sums of the MEAN-centered value (Spark DECIMAL(38,0) / "
+    "DuckDB HUGEINT accumulators; wide sums reach double via an "
+    "explicit 2^60/2^30 hi/mid/lo split because DuckDB's plain "
+    "hugeint cast is not correctly rounded — caught by the r12 fuzz "
+    "where raw-moment cancellation amplified the conversion ulp 2x), "
     "skewness z via the D'Agostino 1970 asinh transform and kurtosis z "
     "via Anscombe-Glynn 1983, every ln/cbrt quantized e9 the moment it "
     "exists, and K2_e12 = z1_e6^2 + z2_e6^2 an EXACT integer decided "

@@ -212,17 +212,29 @@ def test_bartlett_discriminates_variance_ratio(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+def _wide_to_double(x):
+    """The engine's deterministic hi/mid/lo split conversion."""
+    a = abs(x)
+    hi = float(a // (1 << 60))
+    mid = float((a % (1 << 60)) // (1 << 30))
+    lo = float(a % (1 << 30))
+    d = (hi * float(1 << 60) + mid * float(1 << 30)) + lo
+    return -d if x < 0 else d
+
+
 def _dk2_replay(v_e3):
-    w = v_e3.astype(object) - 50000
-    n = len(w)
+    n = len(v_e3)
+    md = int(_rha(int(v_e3.astype(object).sum()) / n)[()])
+    w = v_e3.astype(object) - md
     s1, s2 = int(sum(w)), int(sum(x * x for x in w))
     s3 = int(sum(x * x * x for x in w))
     s4 = int(sum(x * x * x * x for x in w))
+    s3d, s4d = _wide_to_double(s3), _wide_to_double(s4)
     a2 = float(n) * s2 - float(s1) * s1
-    a3 = float(n) * n * float(s3) - 3.0 * n * float(s1) * s2 \
+    a3 = float(n) * n * s3d - 3.0 * n * float(s1) * s2 \
         + 2.0 * float(s1) * s1 * s1
-    a4 = float(n) * n * n * float(s4) \
-        - 4.0 * float(n) * n * float(s1) * float(s3) \
+    a4 = float(n) * n * n * s4d \
+        - 4.0 * float(n) * n * float(s1) * s3d \
         + 6.0 * n * float(s1) * s1 * s2 - 3.0 * float(s1) * s1 * s1 * s1
     g1 = a3 / a2**1.5 if a2 > 0 else 0.0
     b2 = a4 / (a2 * a2) if a2 > 0 else 3.0
