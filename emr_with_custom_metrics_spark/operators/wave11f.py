@@ -473,38 +473,94 @@ _QINI_TMPL = """
                MAX(CASE WHEN b.us > m.m THEN b.y ELSE 0 END) AS converted
         FROM base b CROSS JOIN mid m
         GROUP BY b.user_id
-    ), ranked AS (
-        SELECT user_id, treat, score, converted,
-               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, user_id)
-                    AS BIGINT) AS rn,
-               CAST(COUNT(*) OVER () AS BIGINT) AS n,
-               CAST(SUM(treat) OVER (ORDER BY score DESC, user_id
-                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nt,
-               CAST(SUM(1 - treat) OVER (ORDER BY score DESC, user_id
-                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nc,
-               CAST(SUM(treat * converted) OVER (ORDER BY score DESC, user_id
-                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rt,
-               CAST(SUM((1 - treat) * converted) OVER (ORDER BY score DESC,
-                    user_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rc
+    ), shist AS (
+        -- the r11 histogram-order-statistic rule, executed (r12): the
+        -- model score is an EVENT COUNT, so the decile cuts read off
+        -- the bounded SCORE histogram + a within-tie-group offset —
+        -- the old global (score DESC, user_id) ROW_NUMBER sorted every
+        -- user through one task
+        SELECT score,
+               CAST(COUNT(*) AS BIGINT) AS grp_n,
+               CAST(SUM(treat) AS BIGINT) AS grp_nt,
+               CAST(SUM(1 - treat) AS BIGINT) AS grp_nc,
+               CAST(SUM(treat * converted) AS BIGINT) AS grp_rt,
+               CAST(SUM((1 - treat) * converted) AS BIGINT) AS grp_rc
+        FROM users GROUP BY score
+    ), scum AS (
+        SELECT score, grp_n, grp_nt, grp_nc, grp_rt, grp_rc,
+               CAST(SUM(grp_n) OVER (ORDER BY score DESC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+               CAST(SUM(grp_n) OVER () AS BIGINT) AS n,
+               CAST(COALESCE(SUM(grp_nt) OVER (ORDER BY score DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS prev_nt,
+               CAST(COALESCE(SUM(grp_nc) OVER (ORDER BY score DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS prev_nc,
+               CAST(COALESCE(SUM(grp_rt) OVER (ORDER BY score DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS prev_rt,
+               CAST(COALESCE(SUM(grp_rc) OVER (ORDER BY score DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS prev_rc
+        FROM shist
+    ), cuts AS (
+        -- boundary score group + in-group offset for each decile rank
+        SELECT d.d, s.score,
+               GREATEST(CAST(1 AS BIGINT),
+                        CAST(FLOOR(d.d * s.n / 10.0e0) AS BIGINT))
+                 - (s.cum_n - s.grp_n) AS k,
+               s.prev_nt, s.prev_nc, s.prev_rt, s.prev_rc
+        FROM (SELECT * FROM (VALUES (1), (2), (3), (4), (5), (6), (7),
+                                    (8), (9), (10)) q(d)) d
+        JOIN scum s
+          ON GREATEST(CAST(1 AS BIGINT),
+                      CAST(FLOOR(d.d * s.n / 10.0e0) AS BIGINT))
+             > s.cum_n - s.grp_n
+         AND GREATEST(CAST(1 AS BIGINT),
+                      CAST(FLOOR(d.d * s.n / 10.0e0) AS BIGINT))
+             <= s.cum_n
+    ), within AS (
+        -- partial cums INSIDE each score tie group, user_id ascending:
+        -- hash-distributed by score, never a global sort
+        SELECT score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY score
+                    ORDER BY user_id) AS BIGINT) AS wrn,
+               CAST(SUM(treat) OVER (PARTITION BY score ORDER BY user_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pt_nt,
+               CAST(SUM(1 - treat) OVER (PARTITION BY score
+                    ORDER BY user_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS pt_nc,
+               CAST(SUM(treat * converted) OVER (PARTITION BY score
+                    ORDER BY user_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS pt_rt,
+               CAST(SUM((1 - treat) * converted) OVER (PARTITION BY score
+                    ORDER BY user_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS pt_rc
         FROM users
     )
-    SELECT d.d AS decile,
-           r.nt AS n_treated, r.nc AS n_control,
-           r.rt AS resp_treated, r.rc AS resp_control,
-           CASE WHEN r.nc > 0
-                THEN CAST(ROUND((r.rt - CAST(r.rc AS DOUBLE) * r.nt / r.nc)
+    SELECT c.d AS decile,
+           c.prev_nt + w.pt_nt AS n_treated,
+           c.prev_nc + w.pt_nc AS n_control,
+           c.prev_rt + w.pt_rt AS resp_treated,
+           c.prev_rc + w.pt_rc AS resp_control,
+           CASE WHEN c.prev_nc + w.pt_nc > 0
+                THEN CAST(ROUND(((c.prev_rt + w.pt_rt)
+                           - CAST(c.prev_rc + w.pt_rc AS DOUBLE)
+                             * (c.prev_nt + w.pt_nt)
+                             / (c.prev_nc + w.pt_nc))
                            * 1000000) AS BIGINT)
-                ELSE CAST(r.rt * 1000000 AS BIGINT) END AS qini_e6,
-           CASE WHEN r.nt > 0 AND r.nc > 0
-                THEN CAST(ROUND((CAST(r.rt AS DOUBLE) / r.nt
-                                 - CAST(r.rc AS DOUBLE) / r.nc) * 1000000000)
+                ELSE CAST((c.prev_rt + w.pt_rt) * 1000000 AS BIGINT)
+           END AS qini_e6,
+           CASE WHEN c.prev_nt + w.pt_nt > 0 AND c.prev_nc + w.pt_nc > 0
+                THEN CAST(ROUND((CAST(c.prev_rt + w.pt_rt AS DOUBLE)
+                                 / (c.prev_nt + w.pt_nt)
+                                 - CAST(c.prev_rc + w.pt_rc AS DOUBLE)
+                                   / (c.prev_nc + w.pt_nc)) * 1000000000)
                      AS BIGINT)
                 ELSE 0 END AS uplift_rate_e9
-    FROM (SELECT * FROM (VALUES (1), (2), (3), (4), (5), (6), (7), (8),
-                                (9), (10)) q(d)) d
-    JOIN ranked r
-      ON r.rn = GREATEST(CAST(1 AS BIGINT),
-                         CAST(FLOOR(d.d * r.n / 10.0e0) AS BIGINT))
+    FROM cuts c
+    JOIN within w ON w.score = c.score AND w.wrn = c.k
 """
 
 

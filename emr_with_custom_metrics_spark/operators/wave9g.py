@@ -240,30 +240,43 @@ _TTC_CORE = """
         WHERE e.event_type = 'purchase' AND u.v0 IS NOT NULL
           AND e.sec >= u.v0
         GROUP BY e.user_id, u.v0
-    ), ranked AS (
+    ), dhist AS (
+        -- order statistics read off the LATENCY HISTOGRAM (the r11
+        -- histogram rule, executed r12): the emitted median/p90 are
+        -- VALUES, so ties share them and the old global
+        -- (delta_s, user_id) ROW_NUMBER — one task sorting every
+        -- converted user — is unnecessary
+        SELECT delta_s, CAST(COUNT(*) AS BIGINT) AS c
+        FROM conv GROUP BY delta_s
+    ), dcum AS (
         SELECT delta_s,
-               ROW_NUMBER() OVER (ORDER BY delta_s, user_id) AS rn,
-               CAST(COUNT(*) OVER () AS BIGINT) AS n_conv,
-               CAST(SUM(delta_s) OVER () AS BIGINT) AS sum_s
-        FROM conv
+               CAST(SUM(c) OVER (ORDER BY delta_s
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               CAST(SUM(c) OVER () AS BIGINT) AS n_conv,
+               CAST(SUM(delta_s * c) OVER () AS BIGINT) AS sum_s
+        FROM dhist
+    ), stats AS (
+        SELECT MAX(n_conv) AS n_conv, MAX(sum_s) AS sum_s,
+               MIN(CASE WHEN cum >= CAST(FLOOR((n_conv + 1) / 2.0e0)
+                                         AS BIGINT)
+                        THEN delta_s END) AS med,
+               MIN(CASE WHEN cum >= CAST(CEIL(n_conv * 0.9e0) AS BIGINT)
+                        THEN delta_s END) AS p90
+        FROM dcum
     ), viewers AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n_viewers
         FROM per_user WHERE v0 IS NOT NULL
     )
     SELECT v.n_viewers,
-           r.n_conv,
-           CAST(ROUND(CAST(r.n_conv AS DOUBLE) * 1000000 / v.n_viewers)
+           s.n_conv,
+           CAST(ROUND(CAST(s.n_conv AS DOUBLE) * 1000000 / v.n_viewers)
                AS BIGINT) AS conversion_e6,
-           CAST(ROUND(CAST(r.sum_s AS DOUBLE) * 1000 / r.n_conv) AS BIGINT)
+           CAST(ROUND(CAST(s.sum_s AS DOUBLE) * 1000 / s.n_conv) AS BIGINT)
                AS mean_delta_ms,
-           MAX(CASE WHEN r.rn = CAST(FLOOR((r.n_conv + 1) / 2.0e0) AS BIGINT)
-                    THEN r.delta_s END) AS median_delta_s,
-           MAX(CASE WHEN r.rn = CAST(CEIL(r.n_conv * 0.9e0) AS BIGINT)
-                    THEN r.delta_s END) AS p90_delta_s
-    FROM ranked r CROSS JOIN viewers v
-    WHERE r.rn IN (CAST(FLOOR((r.n_conv + 1) / 2.0e0) AS BIGINT),
-                   CAST(CEIL(r.n_conv * 0.9e0) AS BIGINT))
-    GROUP BY v.n_viewers, r.n_conv, r.sum_s
+           s.med AS median_delta_s,
+           s.p90 AS p90_delta_s
+    FROM stats s CROSS JOIN viewers v
+    WHERE s.n_conv IS NOT NULL
 """
 
 _TTC_EV = """
