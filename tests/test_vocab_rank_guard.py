@@ -119,6 +119,49 @@ def test_guard_raises_past_budget_both_engines(spark):
         ).fetchall()
 
 
+# ---------------------------------------------------------------------------
+# The two executed dimension-ranked switches (round 12 addendum)
+# ---------------------------------------------------------------------------
+
+
+def _chain_flags(plan: str) -> int:
+    lines = [ln.strip() for ln in plan.splitlines()]
+    n = 0
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        if "Sort [" in " ".join(lines[max(0, i - 2):i]) and "Window [" in \
+                " ".join(lines[max(0, i - 3):i]):
+            n += 1
+    return n
+
+
+def test_qini_deciles_read_the_score_histogram(spark):
+    """events_uplift_qini's only global-order window must consume the
+    SCORE histogram (HashAggregate keyed by score), with the tie-group
+    partial cums hash-partitioned BY score — never a global
+    (score, user_id) sort of every user."""
+    plan = _plan(spark, "events_uplift_qini")
+    assert _chain_flags(plan) <= 1
+    assert "hashpartitioning(score" in plan
+    import re
+
+    # the old user-sized global sort ordered (score DESC, user_id) —
+    # that exact Sort shape must never reappear
+    assert not re.search(
+        r"Sort \[score#\d+L DESC NULLS LAST, user_id", plan
+    )
+
+
+def test_funnel_quantiles_read_the_latency_histogram(spark):
+    plan = _plan(spark, "funnel_time_to_convert")
+    assert _chain_flags(plan) <= 1
+    import re
+
+    assert not re.search(r"Sort \[delta_s#\d+L ASC NULLS FIRST, user_id", plan)
+    assert re.search(r"HashAggregate\(keys=\[delta_s#\d+L\]", plan)
+
+
 @pytest.mark.parametrize("name", ["text_zipf_fit", "text_heaps_law"])
 def test_guarded_queries_carry_the_guard_on_both_engines(spark, name):
     """The guard string must sit in BOTH the Spark text and the DuckDB
