@@ -113,22 +113,28 @@ _PHI_DUCK = (
 
 
 def _pacf_step_spark(acc: str, k: str) -> str:
+    # phi_kk is BOUND ONCE via a singleton transform (element_at(..., 1)
+    # unwraps) instead of being inlined at each of its four uses: the
+    # arithmetic is identical, but the expression tree shrinks ~4x and
+    # Catalyst ANALYSIS — the dominant cost of big HOF folds (the
+    # unigram lesson) — drops with it.
     phi = _PHI_SPARK.format(acc=acc, k=k)
     L = _PACF_L
     return f"""
+        element_at(transform(array({phi}), pk ->
         transform(sequence(1, {1 + 2 * L}), i ->
           CASE WHEN i = 1
                THEN round(element_at({acc}, 1)
-                    * (1.0 - ({phi}) * ({phi})) * 1000000000.0)
+                    * (1.0 - pk * pk) * 1000000000.0)
                     / 1000000000.0
                WHEN i <= {1 + L} AND i - 1 < {k}
                THEN round((element_at({acc}, i)
-                    - ({phi}) * element_at({acc}, 1 + ({k} - (i - 1))))
+                    - pk * element_at({acc}, 1 + ({k} - (i - 1))))
                     * 1000000000.0) / 1000000000.0
-               WHEN i - 1 = {k} THEN ({phi})
+               WHEN i - 1 = {k} THEN pk
                WHEN i <= {1 + L} THEN CAST(0.0 AS DOUBLE)
-               WHEN i - 1 - {L} = {k} THEN ({phi})
-               ELSE element_at({acc}, i) END)
+               WHEN i - 1 - {L} = {k} THEN pk
+               ELSE element_at({acc}, i) END)), 1)
 """
 
 
@@ -136,19 +142,20 @@ def _pacf_step_duck(acc: str, k: str) -> str:
     phi = _PHI_DUCK.format(acc=acc, k=k)
     L = _PACF_L
     return f"""
+        list_transform([{phi}], pk ->
         list_transform(generate_series(1, {1 + 2 * L}), ii ->
           CASE WHEN ii = 1
                THEN round({acc}[1]
-                    * (1.0 - ({phi}) * ({phi})) * 1000000000.0)
+                    * (1.0 - pk * pk) * 1000000000.0)
                     / 1000000000.0
                WHEN ii <= {1 + L} AND ii - 1 < {k}
                THEN round(({acc}[CAST(ii AS INT)]
-                    - ({phi}) * {acc}[1 + CAST({k} - (ii - 1) AS INT)])
+                    - pk * {acc}[1 + CAST({k} - (ii - 1) AS INT)])
                     * 1000000000.0) / 1000000000.0
-               WHEN ii - 1 = {k} THEN ({phi})
+               WHEN ii - 1 = {k} THEN pk
                WHEN ii <= {1 + L} THEN 0.0
-               WHEN ii - 1 - {L} = {k} THEN ({phi})
-               ELSE {acc}[CAST(ii AS INT)] END)
+               WHEN ii - 1 - {L} = {k} THEN pk
+               ELSE {acc}[CAST(ii AS INT)] END))[1]
 """
 
 
