@@ -1,0 +1,619 @@
+"""Round-13 wave 13a: residual diagnostics for the AR(2) model, rater
+agreement, categorical association, adaptive FDR, and burst detection.
+
+* ``timeseries_durbin_watson`` — Durbin-Watson first-order residual
+  autocorrelation statistic over the AR(2) fit's residuals: the model-
+  adequacy companion the forecast row has lacked (a DW far from 2 says
+  the AR(2) residuals still carry serial structure, so the forecast
+  interval is wrong even when the point fit looks fine).
+* ``stats_ljung_box_resid`` — Ljung-Box portmanteau whiteness test on
+  the SAME AR(2) residual stream at lags 1-8 with df = h - 2 (the
+  fitted-parameter correction ``stats_ljung_box`` on raw series cannot
+  apply). Together with DW this completes the Box-Jenkins adequacy
+  loop: identify (ACF/PACF) -> fit (AR2) -> diagnose (DW/LB-resid).
+* ``stats_icc_agreement`` — intraclass correlation ICC(2,1) and
+  ICC(3,1) (Shrout-Fleiss 1979) over the day x metric grid of daily
+  mean values: absolute-agreement vs consistency reliability of the
+  "raters" (metrics) on the "subjects" (days).
+* ``stats_theil_u`` — Theil's uncertainty coefficient U(X|Y) between
+  event_type and hour-of-day, plus the symmetric variant: the
+  normalized mutual-information association number for two categorical
+  columns (chi-square says "dependent"; U says how MUCH of X's entropy
+  Y explains).
+* ``stats_storey_qvalue`` — Storey (2002) adaptive-FDR q-values over
+  the family's shared Welch p-value pipeline: pi0 estimated at
+  lambda = 0.5, step-up min-monotone q per metric. The adaptive
+  sibling of BH/BY — the lookup the other two cannot give: "the FDR
+  at which THIS metric first becomes a discovery".
+* ``timeseries_kleinberg_burst`` — 2-state Kleinberg (2002) burst
+  detection over each metric's dense hourly count series: base state
+  at the observed mean rate, burst state at 2x, transition penalty
+  ln(n), decoded by an EXACT integer min-plus Viterbi run as ONE
+  higher-order array fold per metric (the markov/PACF fold template;
+  costs are e3-quantized integers, so the whole dynamic program is
+  integer arithmetic and both engines walk the identical path —
+  no per-round float quantization needed at all).
+
+Scale posture: DW/LB/Kleinberg consume calendar-bounded per-metric
+series (5-min buckets / hourly spine) — the heavy stage is the
+map-side-combinable bucket aggregation over events; everything after
+is model-sized. ICC reduces to a day x metric grid (calendar x
+metric-count), Theil's U to a 5 x 24 contingency table, Storey to the
+metric-count p-value relation (the BH model-sized ranked-window
+class).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from emr_with_custom_metrics_spark.catalog import register_views
+from emr_with_custom_metrics_spark.operators.stats import (
+    _SPINE_FROM_COUNTS_DUCK,
+    _SPINE_FROM_COUNTS_SPARK,
+    _stage_hour_counts,
+)
+from emr_with_custom_metrics_spark.operators.wave9c import _FDR_SQL
+from emr_with_custom_metrics_spark.operators.wave11a import (
+    _KW_CRIT,
+    chi2_lookup_guard,
+)
+from emr_with_custom_metrics_spark.registry import register
+from emr_with_custom_metrics_spark.streaming.metrics import _AR2_ORACLE
+
+_EPOCH_S_SPARK = "unix_timestamp(ts)"
+_EPOCH_S_DUCK = "epoch(ts)"
+
+# The AR(2) fit body (CTEs s, lagged, m, solved, coefs) sliced from the
+# forecast query's text so the residual diagnostics can never drift
+# from the model they diagnose (the _PV_PREFIX sibling-interface
+# pattern). Ends with "...WHERE det <> 0)," ready for further CTEs.
+_AR2_COEFS_PREFIX = _AR2_ORACLE.split("tail2 AS")[0].rstrip()
+
+# Residuals of the AR(2) fit: e_t = x_t - (a + b*x_{t-1} + c*x_{t-2})
+# over the 5-minute bucket series. x and the coefficients are both
+# e6-quantized doubles, so the residual is a fixed double DAG over
+# identical inputs on both engines; it quantizes to an e3 INTEGER
+# immediately (magnitude ~ the metric value scale, so e3 keeps 4-5
+# significant digits while Σe² stays far inside int64 at any calendar
+# span).
+_AR2_RESID_CTE = """
+    resid AS (
+        SELECT l.event_type, l.bucket,
+               CAST(ROUND((l.x - (c.a + c.b * l.x1 + c.c * l.x2)) * 1000)
+                    AS BIGINT) AS e_e3
+        FROM lagged l JOIN coefs c ON c.event_type = l.event_type
+        WHERE l.x1 IS NOT NULL AND l.x2 IS NOT NULL)
+"""
+
+_DW_SQL_BODY = (
+    _AR2_COEFS_PREFIX
+    + _AR2_RESID_CTE
+    + """
+    , dlag AS (
+        SELECT event_type, e_e3,
+               LAG(e_e3) OVER (PARTITION BY event_type
+                               ORDER BY bucket) AS p_e3
+        FROM resid)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_resid,
+           CASE WHEN SUM(e_e3 * e_e3) > 0
+                THEN CAST(ROUND(CAST(SUM(CASE WHEN p_e3 IS NOT NULL
+                          THEN (e_e3 - p_e3) * (e_e3 - p_e3)
+                          ELSE 0 END) AS DOUBLE)
+                     / SUM(e_e3 * e_e3) * 1000000) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS dw_e6,
+           SUM(e_e3 * e_e3) = 0 AS degenerate,
+           CASE WHEN SUM(e_e3 * e_e3) > 0
+                THEN CAST(ROUND(CAST(SUM(CASE WHEN p_e3 IS NOT NULL
+                          THEN (e_e3 - p_e3) * (e_e3 - p_e3)
+                          ELSE 0 END) AS DOUBLE)
+                     / SUM(e_e3 * e_e3) * 1000000) AS BIGINT) < 1500000
+                ELSE FALSE END AS positive_autocorr,
+           CASE WHEN SUM(e_e3 * e_e3) > 0
+                THEN CAST(ROUND(CAST(SUM(CASE WHEN p_e3 IS NOT NULL
+                          THEN (e_e3 - p_e3) * (e_e3 - p_e3)
+                          ELSE 0 END) AS DOUBLE)
+                     / SUM(e_e3 * e_e3) * 1000000) AS BIGINT) > 2500000
+                ELSE FALSE END AS negative_autocorr
+    FROM dlag
+    GROUP BY event_type
+"""
+)
+
+_SPARK_TS_FIX = ("epoch(ts)", "unix_micros(CAST(ts AS TIMESTAMP)) / 1000000.0")
+
+
+@register(
+    "timeseries_durbin_watson",
+    oracle=_DW_SQL_BODY,
+    doc="Durbin-Watson statistic DW = Σ(e_t - e_{t-1})² / Σe_t² over the "
+    "AR(2) forecast model's residuals per metric — the first-order "
+    "residual-autocorrelation diagnostic (DW≈2 white, <1.5 positive, "
+    ">2.5 negative serial correlation). The AR(2) fit body is SLICED "
+    "from timeseries_ar2_forecast's text (the _PV_PREFIX sibling-"
+    "interface pattern), so the diagnostic can never drift from the "
+    "model it judges. Residuals are a fixed double DAG over e6-"
+    "quantized inputs, e3-quantized to integers immediately: both "
+    "quadratic forms are exact integer sums (calendar-bounded bucket "
+    "count keeps them far inside int64), one division e6. A perfect "
+    "fit (Σe² = 0) emits a degenerate-flagged row instead of silently "
+    "dropping (the r11 Hill lesson). One window pass per metric over "
+    "the calendar-bounded bucket series; the only data-sized stage is "
+    "the bucket aggregation.",
+)
+def timeseries_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_DW_SQL_BODY.replace(*_SPARK_TS_FIX))
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box on AR(2) residuals
+# ---------------------------------------------------------------------------
+# Q = n(n+2) Σ_{k=1..8} r_k²/(n-k) with df = h - p = n_lags - 2 (the
+# fitted-AR-parameter correction). Residual autocorrelations use
+# rounded-MEAN centering (the r12 D'Agostino lesson: n*e - S centering
+# would square the n factor into the lag products and overflow at
+# calendar scale; subtracting the e3-rounded mean keeps dv at residual
+# magnitude and exact).
+
+_LB_RESID_BODY = (
+    _AR2_COEFS_PREFIX
+    + _AR2_RESID_CTE
+    + f"""
+    , ridx AS (
+        SELECT event_type,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY bucket) AS BIGINT) AS t,
+               e_e3
+        FROM resid),
+    rstat AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(ROUND(CAST(SUM(e_e3) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                   AS ebar
+        FROM ridx GROUP BY event_type),
+    dcent AS (
+        SELECT r.event_type, r.t, r.e_e3 - s.ebar AS dv
+        FROM ridx r JOIN rstat s ON s.event_type = r.event_type),
+    dden AS (
+        SELECT event_type, CAST(SUM(dv * dv) AS BIGINT) AS s2
+        FROM dcent GROUP BY event_type),
+    lk AS (
+        SELECT CAST(1 AS BIGINT) AS lag UNION ALL SELECT 2 UNION ALL
+        SELECT 3 UNION ALL SELECT 4 UNION ALL SELECT 5 UNION ALL
+        SELECT 6 UNION ALL SELECT 7 UNION ALL SELECT 8),
+    lnum AS (
+        SELECT d1.event_type, l.lag,
+               CAST(SUM(d1.dv * d2.dv) AS BIGINT) AS sk
+        FROM dcent d1
+        CROSS JOIN lk l
+        JOIN dcent d2 ON d2.event_type = d1.event_type
+                     AND d2.t = d1.t + l.lag
+        GROUP BY d1.event_type, l.lag),
+    terms AS (
+        SELECT n.event_type, n.lag, s.n,
+               CAST(ROUND(POWER(CAST(ROUND(CAST(n.sk AS DOUBLE) / d.s2
+                        * 1000000000) AS BIGINT) / 1000000000.0e0, 2)
+                    / (s.n - n.lag) * 1000000000) AS BIGINT) AS term_e9
+        FROM lnum n
+        JOIN dden d ON d.event_type = n.event_type
+        JOIN rstat s ON s.event_type = n.event_type
+        WHERE d.s2 > 0 AND s.n > n.lag),
+    qstat AS (
+        SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_lags,
+               CAST(ROUND(CAST(MAX(n) * (MAX(n) + 2) AS DOUBLE)
+                    * SUM(term_e9) / 1000000000.0e0 * 1000000) AS BIGINT)
+                   AS lb_q_e6
+        FROM terms GROUP BY event_type
+        HAVING COUNT(*) > 2)
+    SELECT q.event_type, q.n AS n_resid, q.n_lags,
+           q.n_lags - 2 AS df, q.lb_q_e6,
+           q.lb_q_e6 > c.crit_e6 AS reject_whiteness
+    FROM qstat q
+    LEFT JOIN ({_KW_CRIT}) c ON c.df = q.n_lags - 2
+    WHERE {{guard}}
+"""
+)
+
+
+@register(
+    "stats_ljung_box_resid",
+    oracle=_LB_RESID_BODY.format(guard=chi2_lookup_guard("duck")),
+    doc="Ljung-Box portmanteau whiteness test at lags 1-8 on the AR(2) "
+    "forecast residuals with df = n_lags - 2 — the fitted-parameter "
+    "degrees-of-freedom correction that the raw-series stats_ljung_box "
+    "cannot apply, completing the Box-Jenkins loop (identify via "
+    "ACF/PACF, fit AR(2), diagnose via DW + LB-on-residuals). Shares "
+    "the sliced AR(2) coefficient body; residual ACF uses rounded-mean "
+    "centering (the r12 D'Agostino overflow lesson) with exact integer "
+    "lag products, each r_k quantized e9, per-lag terms e9, Q one "
+    "double epilogue e6 against the pinned chi2 lookup (LEFT JOIN + "
+    "loud in-plan guard past df 80 — the r11 silent-empty class). "
+    "Metrics with fewer than 4 usable lags (sub-6-point series) are "
+    "documented drops. One window + one bounded self-equi-join per "
+    "metric over the calendar-bounded bucket index.",
+)
+def stats_ljung_box_resid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(
+        _LB_RESID_BODY.format(guard=chi2_lookup_guard("spark")).replace(
+            *_SPARK_TS_FIX
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Intraclass correlation (Shrout-Fleiss ICC(2,1) / ICC(3,1))
+# ---------------------------------------------------------------------------
+# Two-way layout without replication: subjects = days, raters =
+# metrics, cell = e3-quantized daily mean value. Multiplying every
+# sum-of-squares identity through by n*k keeps all four SS terms exact
+# integers:
+#   nk*SS_rows = n*ΣR_i² - T²   nk*SS_cols = k*ΣC_j² - T²
+#   nk*SS_tot  = nk*Σx²   - T²  nk*SS_err  = by subtraction
+# (x ≤ ~1e6 e3-units, cells = days x metrics — calendar-bounded, so
+# every product is far inside int64). Mean squares and both ICC forms
+# are then a fixed double epilogue over exact integers, quantized e9.
+
+_ICC_TMPL = """
+    WITH cell AS (
+        -- per-row e3 quantization, exact integer SUM, ONE correctly-
+        -- rounded division: ROUND(AVG(value)*1000) instead would hit
+        -- exact .5 midpoints whose outcome depends on double summation
+        -- ORDER (observed on the smoke fixture: 48232.5 pairwise vs
+        -- 48232.49999999999 sequential) — order-dependent under
+        -- Spark's partition-parallel partial aggregation.
+        SELECT CAST(FLOOR({epoch_s} / 86400) AS BIGINT) AS d, event_type,
+               CAST(ROUND(CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT))
+                    AS DOUBLE) / COUNT(*)) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), kk AS (
+        SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k FROM cell
+    ), full_days AS (
+        SELECT d FROM cell GROUP BY d
+        HAVING COUNT(*) = (SELECT MAX(k) FROM kk)
+    ), g AS (
+        SELECT c.d, c.event_type, c.x
+        FROM cell c JOIN full_days f ON f.d = c.d
+    ), rsum AS (
+        SELECT d, CAST(SUM(x) AS BIGINT) AS r FROM g GROUP BY d
+    ), csum AS (
+        SELECT event_type, CAST(SUM(x) AS BIGINT) AS cs
+        FROM g GROUP BY event_type
+    ), mom AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rsum) AS n,
+               (SELECT MAX(k) FROM kk) AS k,
+               (SELECT CAST(SUM(r * r) AS BIGINT) FROM rsum) AS srr,
+               (SELECT CAST(SUM(cs * cs) AS BIGINT) FROM csum) AS scc,
+               CAST(COUNT(*) AS BIGINT) AS nk,
+               CAST(SUM(x) AS BIGINT) AS t,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM g
+    ), ms AS (
+        SELECT n, k, nk,
+               CAST(n * srr - t * t AS DOUBLE)
+                   / nk / (n - 1) / 1000000.0e0 AS msr,
+               CAST(k * scc - t * t AS DOUBLE)
+                   / nk / (k - 1) / 1000000.0e0 AS msc,
+               CAST((nk * sxx - t * t) - (n * srr - t * t)
+                    - (k * scc - t * t) AS DOUBLE)
+                   / nk / ((n - 1) * (k - 1)) / 1000000.0e0 AS mse
+        FROM mom WHERE n > 1 AND k > 1
+    )
+    SELECT n AS n_subjects, k AS n_raters,
+           CAST(ROUND(msr * 1000) AS BIGINT) AS msr_e3,
+           CAST(ROUND(msc * 1000) AS BIGINT) AS msc_e3,
+           CAST(ROUND(mse * 1000) AS BIGINT) AS mse_e3,
+           CASE WHEN msr + (k - 1) * mse + k * (msc - mse) / n <> 0
+                THEN CAST(ROUND((msr - mse)
+                     / (msr + (k - 1) * mse + k * (msc - mse) / n)
+                     * 1000000000) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS icc21_e9,
+           CASE WHEN msr + (k - 1) * mse <> 0
+                THEN CAST(ROUND((msr - mse) / (msr + (k - 1) * mse)
+                     * 1000000000) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS icc31_e9
+    FROM ms
+"""
+
+
+@register(
+    "stats_icc_agreement",
+    oracle=_ICC_TMPL.format(epoch_s=_EPOCH_S_DUCK),
+    doc="Intraclass correlation ICC(2,1) (two-way random, absolute "
+    "agreement) and ICC(3,1) (two-way mixed, consistency) per "
+    "Shrout-Fleiss 1979 over the complete day x metric grid of daily "
+    "mean values — the reliability coefficient beside Cronbach's "
+    "alpha (alpha asks about the SUM scale; ICC asks whether raters "
+    "agree on individual subjects). All four sums of squares are "
+    "exact integers via the nk-multiplied identities; incomplete days "
+    "are excluded to keep the layout balanced (documented). One "
+    "map-side-combinable daily reduction over events, then a "
+    "calendar x metric model-sized epilogue.",
+)
+def stats_icc_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_ICC_TMPL.format(epoch_s=_EPOCH_S_SPARK))
+
+
+# ---------------------------------------------------------------------------
+# Theil's uncertainty coefficient
+# ---------------------------------------------------------------------------
+# U(X|Y) = (H(X) + H(Y) - H(X,Y)) / H(X) with X = event_type and
+# Y = hour-of-day: how much of the metric mix's entropy the time of
+# day explains. Each -p·ln(p) term quantizes e9 immediately (the
+# Fisher lnp discipline) and the reductions over the 5 / 24 / 120
+# marginal and joint cells are exact integer sums.
+
+_THEIL_TMPL = """
+    WITH base AS (
+        SELECT event_type AS x,
+               CAST(FLOOR({epoch_s} / 3600) % 24 AS BIGINT) AS y
+        FROM events
+    ), cxy AS (
+        SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY x, y
+    ), tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n FROM cxy
+    ), hx AS (
+        SELECT CAST(SUM(CAST(ROUND(-(CAST(cx AS DOUBLE) / t.n)
+                   * ln(CAST(cx AS DOUBLE) / t.n) * 1000000000) AS BIGINT))
+                   AS BIGINT) AS h_e9
+        FROM (SELECT x, CAST(SUM(c) AS BIGINT) AS cx FROM cxy GROUP BY x) a
+        CROSS JOIN tot t
+    ), hy AS (
+        SELECT CAST(SUM(CAST(ROUND(-(CAST(cy AS DOUBLE) / t.n)
+                   * ln(CAST(cy AS DOUBLE) / t.n) * 1000000000) AS BIGINT))
+                   AS BIGINT) AS h_e9
+        FROM (SELECT y, CAST(SUM(c) AS BIGINT) AS cy FROM cxy GROUP BY y) a
+        CROSS JOIN tot t
+    ), hxy AS (
+        SELECT CAST(SUM(CAST(ROUND(-(CAST(c AS DOUBLE) / t.n)
+                   * ln(CAST(c AS DOUBLE) / t.n) * 1000000000) AS BIGINT))
+                   AS BIGINT) AS h_e9
+        FROM cxy CROSS JOIN tot t
+    )
+    SELECT t.n AS n_events,
+           x.h_e9 AS hx_e9, y.h_e9 AS hy_e9, j.h_e9 AS hxy_e9,
+           CASE WHEN x.h_e9 > 0
+                THEN CAST(ROUND(CAST(x.h_e9 + y.h_e9 - j.h_e9 AS DOUBLE)
+                     / x.h_e9 * 1000000000) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS u_x_given_y_e9,
+           CASE WHEN y.h_e9 > 0
+                THEN CAST(ROUND(CAST(x.h_e9 + y.h_e9 - j.h_e9 AS DOUBLE)
+                     / y.h_e9 * 1000000000) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS u_y_given_x_e9,
+           CASE WHEN x.h_e9 + y.h_e9 > 0
+                THEN CAST(ROUND(CAST(2 * (x.h_e9 + y.h_e9 - j.h_e9)
+                     AS DOUBLE) / (x.h_e9 + y.h_e9) * 1000000000) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS u_symmetric_e9
+    FROM hx x CROSS JOIN hy y CROSS JOIN hxy j CROSS JOIN tot t
+"""
+
+
+@register(
+    "stats_theil_u",
+    oracle=_THEIL_TMPL.format(epoch_s=_EPOCH_S_DUCK),
+    doc="Theil's uncertainty coefficient between event_type and "
+    "hour-of-day — the normalized mutual-information association "
+    "measure for two categorical columns (U(X|Y) = I(X;Y)/H(X), both "
+    "directions plus the symmetric form): chi-square answers "
+    "'dependent or not', U answers 'how much of the metric mix does "
+    "time of day explain'. Every -p ln p term quantizes e9 "
+    "immediately (the Fisher lnp discipline), marginal/joint "
+    "reductions are exact integer sums over a 5 x 24 contingency "
+    "table. One map-side-combinable count pass; model-sized epilogue.",
+)
+def stats_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_THEIL_TMPL.format(epoch_s=_EPOCH_S_SPARK))
+
+
+# ---------------------------------------------------------------------------
+# Storey q-values (adaptive FDR)
+# ---------------------------------------------------------------------------
+_PV_PREFIX = _FDR_SQL.split(", ranked AS")[0]
+
+_STOREY_MIN_EXPR = (
+    "LEAST(CAST(1000000000 AS BIGINT), MIN(q_raw_e9) OVER ("
+    "ORDER BY rnk ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))"
+)
+
+_STOREY_SQL = (
+    _PV_PREFIX
+    + f"""
+    , ranked AS (
+        SELECT event_type, p_e9,
+               CAST(ROW_NUMBER() OVER (ORDER BY p_e9, event_type)
+                    AS BIGINT) AS rnk,
+               CAST(COUNT(*) OVER () AS BIGINT) AS m,
+               CAST(SUM(CASE WHEN p_e9 > 500000000 THEN 1 ELSE 0 END)
+                    OVER () AS BIGINT) AS n_over
+        FROM pv
+    ), qq AS (
+        SELECT event_type, p_e9, rnk, m,
+               LEAST(CAST(1000000000 AS BIGINT),
+                     CAST(ROUND(CAST(2 * n_over AS DOUBLE) / m
+                          * 1000000000) AS BIGINT)) AS pi0_e9,
+               CAST(ROUND(LEAST(CAST(1000000000 AS BIGINT),
+                          CAST(ROUND(CAST(2 * n_over AS DOUBLE) / m
+                               * 1000000000) AS BIGINT))
+                    / 1000000000.0e0 * m
+                    * (CAST(p_e9 AS DOUBLE) / 1000000000)
+                    / rnk * 1000000000) AS BIGINT) AS q_raw_e9
+        FROM ranked
+    )
+    SELECT event_type, p_e9, rnk, m, pi0_e9,
+           {_STOREY_MIN_EXPR} AS q_e9,
+           {_STOREY_MIN_EXPR} <= 50000000 AS significant_q05
+    FROM qq
+"""
+)
+
+
+@register(
+    "stats_storey_qvalue",
+    oracle=_STOREY_SQL,
+    doc="Storey (2002) adaptive-FDR q-values over the family's shared "
+    "Welch p-value pipeline (the _PV_PREFIX sibling interface BH, BY "
+    "and Fisher consume): pi0 = min(1, #{p > 0.5} / (0.5 m)) at "
+    "lambda = 0.5, q_(i) = min_{j>=i} pi0 * m * p_(j) / j, capped at "
+    "1 and min-monotone via one descending-window MIN. Completes the "
+    "multiple-testing tier: BH assumes pi0 = 1 (conservative), BY "
+    "pays the dependence tax, Storey RECLAIMS power by estimating the "
+    "true null fraction. Model-sized ranked window (the BH class in "
+    "the SinglePartition audit); pi0 = 0 when every p is small is "
+    "the documented lambda = 0.5 boundary, not an error.",
+)
+def stats_storey_qvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_STOREY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Kleinberg 2-state burst detection (exact integer min-plus Viterbi)
+# ---------------------------------------------------------------------------
+# Per metric over the dense hourly spine: base state q0 at the observed
+# mean rate lam0, burst state q1 at 2*lam0, hourly cost_s(t) =
+# lam_s - v_t * ln(lam_s) (the Poisson NLL minus the state-independent
+# v! term), transition penalty gamma = ln(n_hours) charged on q0->q1
+# only (Kleinberg 2002's gamma*ln n with gamma = 1). Every cost is an
+# e3-quantized INTEGER (held in a DOUBLE slot, exact below 2^53), so
+# the min-plus Viterbi — one fold, state [c0, c1, burst0, burst1,
+# ep0, ep1, base] — is pure integer arithmetic: no per-round float
+# quantization, bitwise-identical trajectories on both engines by
+# construction. Ties break to the base state (<= vs <), so the decode
+# is deterministic. The per-end-state path stats (burst hours,
+# episodes) ride the same fold (Viterbi's optimal-substructure lets
+# each end state carry its own argmin path's statistics).
+
+_KB_INIT = "{arr}({z}, {big}, {z}, {z}, {z}, {z}, {z})"
+
+
+def _kb_step(el: str, st: str) -> str:
+    """One Viterbi hour: el(i) = acc slot accessor, st(i) = step
+    accessor ([cost0, cost1] for this hour). G = the gamma penalty."""
+    from0_base = f"{el(1)} <= {el(2)}"
+    from0_burst = f"{el(1)} + p.gam_e3 < {el(2)}"
+    return (
+        f"CASE WHEN {from0_base} THEN {el(1)} ELSE {el(2)} END + {st(1)}, "
+        f"CASE WHEN {from0_burst} THEN {el(1)} + p.gam_e3 ELSE {el(2)} END"
+        f" + {st(2)}, "
+        f"CASE WHEN {from0_base} THEN {el(3)} ELSE {el(4)} END, "
+        f"(CASE WHEN {from0_burst} THEN {el(3)} ELSE {el(4)} END) + 1.0e0, "
+        f"CASE WHEN {from0_base} THEN {el(5)} ELSE {el(6)} END, "
+        f"CASE WHEN {from0_burst} THEN {el(5)} + 1.0e0 ELSE {el(6)} END, "
+        f"{el(7)} + {st(1)}"
+    )
+
+
+_KB_COMMON = """
+    , serie AS (
+        SELECT s.event_type, s.h, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS v
+        FROM spine s LEFT JOIN counts c
+          ON c.event_type = s.event_type AND c.h = s.h
+    ), rate AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               round(CAST(SUM(v) AS DOUBLE) / COUNT(*) * 1000000.0e0)
+                   / 1000000.0e0 AS lam0
+        FROM serie GROUP BY event_type
+        HAVING SUM(v) > 0
+    ), lns AS (
+        SELECT event_type, n, lam0,
+               round(ln(lam0) * 1000000000.0e0) / 1000000000.0e0 AS lnl0,
+               round(ln(2.0e0 * lam0) * 1000000000.0e0) / 1000000000.0e0
+                   AS lnl1,
+               round(ln(CAST(n AS DOUBLE)) * 1000.0e0) AS gam_e3
+        FROM rate
+    )
+"""
+
+# Per-hour cost pair, shared arithmetic text (only the collect syntax
+# differs per engine): integer-valued doubles.
+_KB_C0 = "round((r.lam0 - se.v * r.lnl0) * 1000.0e0)"
+_KB_C1 = "round((2.0e0 * r.lam0 - se.v * r.lnl1) * 1000.0e0)"
+
+
+def _kb_sql(engine: str) -> str:
+    if engine == "spark":
+        prefix = _SPINE_FROM_COUNTS_SPARK
+        packed = f"""
+    , packed AS (
+        SELECT se.event_type, r.n, r.gam_e3,
+               transform(array_sort(collect_list(struct(
+                   se.h AS hh,
+                   CAST({_KB_C0} AS DOUBLE) AS c0,
+                   CAST({_KB_C1} AS DOUBLE) AS c1))),
+                 s -> array(s.c0, s.c1)) AS steps
+        FROM serie se JOIN lns r ON r.event_type = se.event_type
+        GROUP BY se.event_type, r.n, r.gam_e3
+    )"""
+        init = _KB_INIT.format(
+            arr="array", z="CAST(0.0 AS DOUBLE)", big="CAST(1.0e18 AS DOUBLE)"
+        )
+        step = _kb_step(
+            lambda i: f"element_at(acc, {i})",
+            lambda i: f"element_at(st, {i})",
+        )
+        fold = f"aggregate(p.steps, {init}, (acc, st) -> array({step}))"
+        fin = "element_at(f.st, {i})"
+    else:
+        prefix = _SPINE_FROM_COUNTS_DUCK
+        packed = f"""
+    , packed AS MATERIALIZED (
+        SELECT se.event_type, r.n, r.gam_e3,
+               list([CAST({_KB_C0} AS DOUBLE), CAST({_KB_C1} AS DOUBLE)]
+                    ORDER BY se.h) AS steps
+        FROM serie se JOIN lns r ON r.event_type = se.event_type
+        GROUP BY se.event_type, r.n, r.gam_e3
+    )"""
+        init = _KB_INIT.format(arr="list_value", z="0.0", big="1.0e18")
+        step = _kb_step(lambda i: f"acc[{i}]", lambda i: f"st[{i}]")
+        fold = (
+            f"list_reduce(list_concat([{init}], p.steps), "
+            f"(acc, st) -> [{step}])"
+        )
+        fin = "f.st[{i}]"
+    best0 = f"{fin.format(i=1)} <= {fin.format(i=2)}"
+    tail = f"""
+    , folded AS (
+        SELECT p.event_type, p.n, ({fold}) AS st
+        FROM packed p
+    )
+    SELECT f.event_type, f.n AS n_hours,
+           CAST(CASE WHEN {best0} THEN {fin.format(i=3)}
+                ELSE {fin.format(i=4)} END AS BIGINT) AS burst_hours,
+           CAST(CASE WHEN {best0} THEN {fin.format(i=5)}
+                ELSE {fin.format(i=6)} END AS BIGINT) AS burst_episodes,
+           CAST({fin.format(i=7)}
+                - CASE WHEN {best0} THEN {fin.format(i=1)}
+                       ELSE {fin.format(i=2)} END AS BIGINT) AS gain_e3,
+           CAST(ROUND(CASE WHEN {best0} THEN {fin.format(i=3)}
+                      ELSE {fin.format(i=4)} END
+                / f.n * 1000000) AS BIGINT) AS burst_share_e6,
+           (CASE WHEN {best0} THEN {fin.format(i=5)}
+                 ELSE {fin.format(i=6)} END) >= 1.0e0 AS bursty
+    FROM folded f
+"""
+    return prefix + _KB_COMMON + packed + tail
+
+
+@register(
+    "timeseries_kleinberg_burst",
+    oracle=_kb_sql("duck"),
+    doc="Kleinberg (2002) 2-state burst detection per metric over the "
+    "dense hourly count series: base state at the e6-quantized mean "
+    "rate, burst state at 2x, hourly Poisson NLL costs e3-quantized "
+    "to INTEGERS, q0->q1 transition penalized ln(n) — decoded by an "
+    "exact integer min-plus Viterbi run as ONE higher-order array "
+    "fold per metric (the markov/PACF/Durbin-Levinson template's "
+    "fourth instance, and the first where the whole dynamic program "
+    "is integer arithmetic: no per-round quantization, identical "
+    "paths on both engines by construction; ties break to base). "
+    "Emits burst hours, episode count, NLL gain vs the all-base "
+    "path, and burst share per metric. The data-sized stage is the "
+    "hourly count reduction; the fold is calendar-bounded per metric.",
+)
+def timeseries_kleinberg_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _stage_hour_counts(spark, sf_dir)
+    return spark.sql(_kb_sql("spark"))
