@@ -80,13 +80,16 @@ def _arfit_sql(engine: str) -> str:
         )
         pickf = (
             f"aggregate(sequence(1, {L}), 0, (m, k) -> "
-            f"CASE WHEN abs(element_at(f.st, {1 + L} + k)) * sqrt(t.nd) "
+            f"CASE WHEN abs(element_at(f.st, {1 + L} + k)) * sqrt(f.nd) "
             f"> 1.96e0 AND k > m THEN k ELSE m END)"
         )
+        # the round list is truncated to p_ord OUTSIDE the lambda: a
+        # lambda capturing BOTH rarr and p_ord triggers a DuckDB
+        # list_reduce row-correlation bug (see tail comment), and the
+        # Spark text mirrors the shape so the two engines share one plan
         fold2 = (
-            f"aggregate(sequence(1, {L}), {init}, "
-            f"(acc, k) -> CASE WHEN k <= pk.p_ord "
-            f"THEN ({_pacf_step_spark('acc', 'k')}) ELSE acc END)"
+            f"aggregate(slice(sequence(1, {L}), 1, CAST(p.p_ord AS INT)), "
+            f"{init}, (acc, k) -> ({_pacf_step_spark('acc', 'k')}))"
         )
         fin = "element_at(g.st2, {i})"
         mat = ""
@@ -110,33 +113,41 @@ def _arfit_sql(engine: str) -> str:
         pickf = (
             f"list_reduce(list_concat([0], generate_series(1, {L})), "
             f"(m, k) -> CASE WHEN abs(f.st[CAST({1 + L} + k AS INT)]) "
-            f"* sqrt(t.nd) > 1.96e0 AND k > m THEN k ELSE m END)"
+            f"* sqrt(f.nd) > 1.96e0 AND k > m THEN k ELSE m END)"
         )
         fold2 = (
             f"list_reduce(list_concat([{init}], "
-            f"list_transform(generate_series(1, {L}), "
+            f"list_transform(generate_series(1, CAST(p.p_ord AS BIGINT)), "
             f"k -> [CAST(k AS DOUBLE)])), "
-            f"(acc, st) -> CASE WHEN CAST(st[1] AS INT) <= pk.p_ord "
-            f"THEN ({_pacf_step_duck('acc', 'CAST(st[1] AS INT)')}) "
-            f"ELSE acc END)"
+            f"(acc, st) -> ({_pacf_step_duck('acc', 'CAST(st[1] AS INT)')}))"
         )
         fin = "g.st2[{i}]"
         mat = " MATERIALIZED"
+    # every fold/HOF below reads columns of ONE table alias, and each
+    # DuckDB fold lambda captures at most ONE outer column (rarr, the
+    # shape the round-12 pacf fold proved): at sf0.001 a fold whose
+    # lambda captured rarr AND p_ord returned ANOTHER ROW's fold result
+    # (e.g. 'error' silently got 'signup's st2) — both with a JOIN in
+    # the same SELECT and without one. The order count is therefore
+    # applied OUTSIDE the lambda by truncating the round list to p_ord,
+    # and rarr/nd/p_ord are carried through the CTE chain.
     tail = f"""
-    , packed AS{mat} (
-        {pack}
-    ), nd AS{mat} (
+    , nd AS{mat} (
         SELECT event_type, CAST(MAX(n) AS DOUBLE) AS nd FROM tot
         GROUP BY event_type
+    ), packed AS{mat} (
+        SELECT a.event_type, a.rarr, t.nd
+        FROM ({pack}) a JOIN nd t ON t.event_type = a.event_type
     ), folded AS{mat} (
-        SELECT p.event_type, ({fold1}) AS st
+        SELECT p.event_type, p.rarr, p.nd, ({fold1}) AS st
         FROM packed p
     ), pick AS{mat} (
-        SELECT f.event_type, CAST(t.nd AS BIGINT) AS n, ({pickf}) AS p_ord
-        FROM folded f JOIN nd t ON t.event_type = f.event_type
+        SELECT f.event_type, f.rarr, CAST(f.nd AS BIGINT) AS n,
+               ({pickf}) AS p_ord
+        FROM folded f
     ), fitted AS{mat} (
-        SELECT p.event_type, pk.n, pk.p_ord, ({fold2}) AS st2
-        FROM packed p JOIN pick pk ON pk.event_type = p.event_type
+        SELECT p.event_type, p.n, p.p_ord, ({fold2}) AS st2
+        FROM pick p
     )
     SELECT g.event_type, g.n, CAST(g.p_ord AS BIGINT) AS chosen_p,
            CAST(round({fin.format(i=2)} * 1000000000) AS BIGINT) AS phi1_e9,
