@@ -15,31 +15,29 @@ agreement, categorical association, adaptive FDR, and burst detection.
   ICC(3,1) (Shrout-Fleiss 1979) over the day x metric grid of daily
   mean values: absolute-agreement vs consistency reliability of the
   "raters" (metrics) on the "subjects" (days).
-* ``stats_theil_u`` — Theil's uncertainty coefficient U(X|Y) between
-  event_type and hour-of-day, plus the symmetric variant: the
-  normalized mutual-information association number for two categorical
-  columns (chi-square says "dependent"; U says how MUCH of X's entropy
-  Y explains).
+* ``basket_association_rules`` — market-basket support / confidence /
+  lift over order baskets of part brands (Agrawal-Srikant): the
+  classic affinity readout, all exact integer ratios.
 * ``stats_storey_qvalue`` — Storey (2002) adaptive-FDR q-values over
   the family's shared Welch p-value pipeline: pi0 estimated at
   lambda = 0.5, step-up min-monotone q per metric. The adaptive
   sibling of BH/BY — the lookup the other two cannot give: "the FDR
   at which THIS metric first becomes a discovery".
-* ``timeseries_kleinberg_burst`` — 2-state Kleinberg (2002) burst
-  detection over each metric's dense hourly count series: base state
-  at the observed mean rate, burst state at 2x, transition penalty
-  ln(n), decoded by an EXACT integer min-plus Viterbi run as ONE
-  higher-order array fold per metric (the markov/PACF fold template;
+* ``timeseries_kleinberg_multistate`` — the 3-level Kleinberg burst
+  HIERARCHY (the multi-state extension of wave10c's 2-state
+  ``timeseries_burst_kleinberg``): levels at 1x/2x/4x the mean rate,
+  upward transitions paying (j-i)*ln(n), decoded by an EXACT integer
+  min-plus Viterbi run as ONE higher-order array fold per metric —
   costs are e3-quantized integers, so the whole dynamic program is
-  integer arithmetic and both engines walk the identical path —
-  no per-round float quantization needed at all).
+  integer arithmetic and both engines walk the identical path with
+  no per-round float quantization at all.
 
 Scale posture: DW/LB/Kleinberg consume calendar-bounded per-metric
 series (5-min buckets / hourly spine) — the heavy stage is the
 map-side-combinable bucket aggregation over events; everything after
 is model-sized. ICC reduces to a day x metric grid (calendar x
-metric-count), Theil's U to a 5 x 24 contingency table, Storey to the
-metric-count p-value relation (the BH model-sized ranked-window
+metric-count), baskets to a 25^2-bounded brand-pair domain, Storey to
+the metric-count p-value relation (the BH model-sized ranked-window
 class).
 """
 
@@ -338,75 +336,69 @@ def stats_icc_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Theil's uncertainty coefficient
+# Market-basket association rules (brand pairs within orders)
 # ---------------------------------------------------------------------------
-# U(X|Y) = (H(X) + H(Y) - H(X,Y)) / H(X) with X = event_type and
-# Y = hour-of-day: how much of the metric mix's entropy the time of
-# day explains. Each -p·ln(p) term quantizes e9 immediately (the
-# Fisher lnp discipline) and the reductions over the 5 / 24 / 120
-# marginal and joint cells are exact integer sums.
+# Baskets = orders, items = the distinct part BRANDS an order touches
+# (25-value domain -> pair supports are statistically meaningful at
+# every SF, unlike raw part pairs). Support / confidence / lift are
+# exact integer ratios with one e9 epilogue each; the only data-sized
+# stages are the lineitem->part join (broadcast: part is dimension-
+# sized) and the per-order pair explode, bounded by C(lines_per_order,
+# 2). Min support = 5 baskets (absolute, documented).
 
-_THEIL_TMPL = """
-    WITH base AS (
-        SELECT event_type AS x,
-               CAST(FLOOR({epoch_s} / 3600) % 24 AS BIGINT) AS y
-        FROM events
-    ), cxy AS (
-        SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY x, y
-    ), tot AS (
-        SELECT CAST(SUM(c) AS BIGINT) AS n FROM cxy
-    ), hx AS (
-        SELECT CAST(SUM(CAST(ROUND(-(CAST(cx AS DOUBLE) / t.n)
-                   * ln(CAST(cx AS DOUBLE) / t.n) * 1000000000) AS BIGINT))
-                   AS BIGINT) AS h_e9
-        FROM (SELECT x, CAST(SUM(c) AS BIGINT) AS cx FROM cxy GROUP BY x) a
-        CROSS JOIN tot t
-    ), hy AS (
-        SELECT CAST(SUM(CAST(ROUND(-(CAST(cy AS DOUBLE) / t.n)
-                   * ln(CAST(cy AS DOUBLE) / t.n) * 1000000000) AS BIGINT))
-                   AS BIGINT) AS h_e9
-        FROM (SELECT y, CAST(SUM(c) AS BIGINT) AS cy FROM cxy GROUP BY y) a
-        CROSS JOIN tot t
-    ), hxy AS (
-        SELECT CAST(SUM(CAST(ROUND(-(CAST(c AS DOUBLE) / t.n)
-                   * ln(CAST(c AS DOUBLE) / t.n) * 1000000000) AS BIGINT))
-                   AS BIGINT) AS h_e9
-        FROM cxy CROSS JOIN tot t
+_BASKET_MIN_SUPPORT = 5
+
+_BASKET_SQL = f"""
+    WITH bi AS (
+        SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ), nb AS (
+        SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n FROM bi
+    ), item AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM bi GROUP BY b
+    ), pairs AS (
+        SELECT x.b AS ba, y.b AS bb, CAST(COUNT(*) AS BIGINT) AS cab
+        FROM bi x JOIN bi y ON x.o = y.o AND x.b < y.b
+        GROUP BY x.b, y.b
+        HAVING COUNT(*) >= {_BASKET_MIN_SUPPORT}
     )
-    SELECT t.n AS n_events,
-           x.h_e9 AS hx_e9, y.h_e9 AS hy_e9, j.h_e9 AS hxy_e9,
-           CASE WHEN x.h_e9 > 0
-                THEN CAST(ROUND(CAST(x.h_e9 + y.h_e9 - j.h_e9 AS DOUBLE)
-                     / x.h_e9 * 1000000000) AS BIGINT)
-                ELSE CAST(0 AS BIGINT) END AS u_x_given_y_e9,
-           CASE WHEN y.h_e9 > 0
-                THEN CAST(ROUND(CAST(x.h_e9 + y.h_e9 - j.h_e9 AS DOUBLE)
-                     / y.h_e9 * 1000000000) AS BIGINT)
-                ELSE CAST(0 AS BIGINT) END AS u_y_given_x_e9,
-           CASE WHEN x.h_e9 + y.h_e9 > 0
-                THEN CAST(ROUND(CAST(2 * (x.h_e9 + y.h_e9 - j.h_e9)
-                     AS DOUBLE) / (x.h_e9 + y.h_e9) * 1000000000) AS BIGINT)
-                ELSE CAST(0 AS BIGINT) END AS u_symmetric_e9
-    FROM hx x CROSS JOIN hy y CROSS JOIN hxy j CROSS JOIN tot t
+    SELECT pr.ba AS brand_a, pr.bb AS brand_b,
+           pr.cab AS n_ab, ia.c AS n_a, ib.c AS n_b, t.n AS n_baskets,
+           CAST(ROUND(CAST(pr.cab AS DOUBLE) / t.n * 1000000000)
+               AS BIGINT) AS support_e9,
+           CAST(ROUND(CAST(pr.cab AS DOUBLE) / ia.c * 1000000000)
+               AS BIGINT) AS conf_a_to_b_e9,
+           CAST(ROUND(CAST(pr.cab AS DOUBLE) / ib.c * 1000000000)
+               AS BIGINT) AS conf_b_to_a_e9,
+           CAST(ROUND(CAST(pr.cab AS DOUBLE) * t.n / ia.c / ib.c
+               * 1000000000) AS BIGINT) AS lift_e9,
+           CAST(pr.cab AS DOUBLE) * t.n / ia.c / ib.c > 1.0e0
+               AS positively_associated
+    FROM pairs pr
+    JOIN item ia ON ia.b = pr.ba
+    JOIN item ib ON ib.b = pr.bb
+    CROSS JOIN nb t
 """
 
 
 @register(
-    "stats_theil_u",
-    oracle=_THEIL_TMPL.format(epoch_s=_EPOCH_S_DUCK),
-    doc="Theil's uncertainty coefficient between event_type and "
-    "hour-of-day — the normalized mutual-information association "
-    "measure for two categorical columns (U(X|Y) = I(X;Y)/H(X), both "
-    "directions plus the symmetric form): chi-square answers "
-    "'dependent or not', U answers 'how much of the metric mix does "
-    "time of day explain'. Every -p ln p term quantizes e9 "
-    "immediately (the Fisher lnp discipline), marginal/joint "
-    "reductions are exact integer sums over a 5 x 24 contingency "
-    "table. One map-side-combinable count pass; model-sized epilogue.",
+    "basket_association_rules",
+    oracle=_BASKET_SQL,
+    doc="Market-basket association rules over order baskets of part "
+    "brands (Agrawal-Srikant): support, both directed confidences, "
+    "and lift per co-occurring brand pair with support >= 5 baskets "
+    "— the classic affinity readout none of the correlation rows "
+    "give (lift > 1 = brands bought together beyond independence). "
+    "All counts exact integers, one e9 division each; the decision "
+    "boundary lift > 1 is evaluated on the same double DAG in both "
+    "engines. Scale shape: lineitem joins the dimension-sized part "
+    "table (broadcast), per-order pair explode bounded by the basket "
+    "width, then one map-side-combinable pair count over a 25^2-"
+    "bounded key domain.",
 )
-def stats_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir, ("events",))
-    return spark.sql(_THEIL_TMPL.format(epoch_s=_EPOCH_S_SPARK))
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(_BASKET_SQL)
 
 
 # ---------------------------------------------------------------------------
@@ -471,43 +463,84 @@ def stats_storey_qvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Kleinberg 2-state burst detection (exact integer min-plus Viterbi)
+# Kleinberg MULTI-state burst hierarchy (exact integer min-plus Viterbi)
 # ---------------------------------------------------------------------------
-# Per metric over the dense hourly spine: base state q0 at the observed
-# mean rate lam0, burst state q1 at 2*lam0, hourly cost_s(t) =
-# lam_s - v_t * ln(lam_s) (the Poisson NLL minus the state-independent
-# v! term), transition penalty gamma = ln(n_hours) charged on q0->q1
-# only (Kleinberg 2002's gamma*ln n with gamma = 1). Every cost is an
-# e3-quantized INTEGER (held in a DOUBLE slot, exact below 2^53), so
-# the min-plus Viterbi — one fold, state [c0, c1, burst0, burst1,
-# ep0, ep1, base] — is pure integer arithmetic: no per-round float
-# quantization, bitwise-identical trajectories on both engines by
-# construction. Ties break to the base state (<= vs <), so the decode
-# is deterministic. The per-end-state path stats (burst hours,
-# episodes) ride the same fold (Viterbi's optimal-substructure lets
-# each end state carry its own argmin path's statistics).
+# The 3-state extension of wave10c's timeseries_burst_kleinberg (that
+# row: 2 states via applyInPandas + recursive-CTE oracle; this row:
+# the full state HIERARCHY as ONE higher-order array fold in shared
+# SQL). States s = 0,1,2 at rates 2^s * lam0 (lam0 = the e6-quantized
+# observed mean hourly rate); hourly cost_s(t) = 2^s*lam0 -
+# v_t*ln(2^s*lam0), e3-quantized to INTEGERS; an upward transition
+# i->j (j > i) pays (j-i)*ln(n) (Kleinberg 2002's per-level gamma),
+# downward is free. The whole dynamic program is integer max-plus, so
+# both engines walk the identical path with no per-round quantization;
+# predecessor ties break to the LOWEST level. Each end state carries
+# its own optimal path's statistics (hours at level>=1, hours at
+# level 2, episode count) through the recursion.
+#
+# Fold state (13 DOUBLE slots, all integer-valued):
+#   1-3  cost ending in level 0/1/2
+#   4-6  hours at level>=1 on that path     7-9  hours at level 2
+#   10-12 episodes (maximal level>=1 runs)  13   all-base cost
 
-_KB_INIT = "{arr}({z}, {big}, {z}, {z}, {z}, {z}, {z})"
+_KBM_BIG = "1.0e18"
 
 
-def _kb_step(el: str, st: str) -> str:
-    """One Viterbi hour: el(i) = acc slot accessor, st(i) = step
-    accessor ([cost0, cost1] for this hour). G = the gamma penalty."""
-    from0_base = f"{el(1)} <= {el(2)}"
-    from0_burst = f"{el(1)} + p.gam_e3 < {el(2)}"
+def _kbm_pred(el, costs) -> str:
+    """argmin over the three penalized predecessor costs; ties to the
+    lowest level."""
+    a, b, c = costs
     return (
-        f"CASE WHEN {from0_base} THEN {el(1)} ELSE {el(2)} END + {st(1)}, "
-        f"CASE WHEN {from0_burst} THEN {el(1)} + p.gam_e3 ELSE {el(2)} END"
-        f" + {st(2)}, "
-        f"CASE WHEN {from0_base} THEN {el(3)} ELSE {el(4)} END, "
-        f"(CASE WHEN {from0_burst} THEN {el(3)} ELSE {el(4)} END) + 1.0e0, "
-        f"CASE WHEN {from0_base} THEN {el(5)} ELSE {el(6)} END, "
-        f"CASE WHEN {from0_burst} THEN {el(5)} + 1.0e0 ELSE {el(6)} END, "
-        f"{el(7)} + {st(1)}"
+        f"CASE WHEN {a} <= {b} AND {a} <= {c} THEN 0.0e0 "
+        f"WHEN {b} <= {c} THEN 1.0e0 ELSE 2.0e0 END"
     )
 
 
-_KB_COMMON = """
+def _kbm_step(engine: str) -> str:
+    if engine == "spark":
+        el = lambda i: f"element_at(acc, {i})"
+        elx = lambda e: f"element_at(acc, CAST({e} AS INT))"
+        st = lambda i: f"element_at(st, {i})"
+        bind = "element_at(transform(array(named_struct({named})), w -> array({slots})), 1)"
+        named_sep = ", "
+        named = lambda k, v: f"'{k}', {v}"
+    else:
+        el = lambda i: f"acc[{i}]"
+        elx = lambda e: f"acc[CAST({e} AS INT)]"
+        st = lambda i: f"st[{i}]"
+        bind = "list_transform([struct_pack({named})], w -> [{slots}])[1]"
+        named_sep = ", "
+        named = lambda k, v: f"{k} := ({v})"
+    g = "p.gam_e3"
+    preds = {
+        0: _kbm_pred(el, (el(1), el(2), el(3))),
+        1: _kbm_pred(el, (f"{el(1)} + {g}", el(2), el(3))),
+        2: _kbm_pred(el, (f"{el(1)} + 2.0e0 * {g}", f"{el(2)} + {g}", el(3))),
+    }
+    slots = []
+    for j in range(3):  # costs
+        pj = f"w.p{j}"
+        pen = f"greatest(0.0e0, {float(j)}e0 - {pj}) * {g}"
+        slots.append(f"{elx(f'{pj} + 1.0e0')} + {pen} + {st(j + 1)}")
+    for j in range(3):  # hours at level >= 1
+        up = " + 1.0e0" if j >= 1 else ""
+        slots.append(f"{elx(f'w.p{j} + 4.0e0')}{up}")
+    for j in range(3):  # hours at level 2
+        up = " + 1.0e0" if j == 2 else ""
+        slots.append(f"{elx(f'w.p{j} + 7.0e0')}{up}")
+    for j in range(3):  # episodes: entering level>=1 from level 0
+        up = (
+            f" + (CASE WHEN w.p{j} = 0.0e0 THEN 1.0e0 ELSE 0.0e0 END)"
+            if j >= 1
+            else ""
+        )
+        slots.append(f"{elx(f'w.p{j} + 10.0e0')}{up}")
+    slots.append(f"{el(13)} + {st(1)}")  # all-base cost
+    named_txt = named_sep.join(named(f"p{j}", preds[j]) for j in range(3))
+    return bind.format(named=named_txt, slots=", ".join(slots))
+
+
+_KBM_COMMON = """
     , serie AS (
         SELECT s.event_type, s.h, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS v
         FROM spine s LEFT JOIN counts c
@@ -523,18 +556,23 @@ _KB_COMMON = """
                round(ln(lam0) * 1000000000.0e0) / 1000000000.0e0 AS lnl0,
                round(ln(2.0e0 * lam0) * 1000000000.0e0) / 1000000000.0e0
                    AS lnl1,
+               round(ln(4.0e0 * lam0) * 1000000000.0e0) / 1000000000.0e0
+                   AS lnl2,
                round(ln(CAST(n AS DOUBLE)) * 1000.0e0) AS gam_e3
         FROM rate
     )
 """
 
-# Per-hour cost pair, shared arithmetic text (only the collect syntax
-# differs per engine): integer-valued doubles.
-_KB_C0 = "round((r.lam0 - se.v * r.lnl0) * 1000.0e0)"
-_KB_C1 = "round((2.0e0 * r.lam0 - se.v * r.lnl1) * 1000.0e0)"
+_KBM_C = [
+    "round((r.lam0 - se.v * r.lnl0) * 1000.0e0)",
+    "round((2.0e0 * r.lam0 - se.v * r.lnl1) * 1000.0e0)",
+    "round((4.0e0 * r.lam0 - se.v * r.lnl2) * 1000.0e0)",
+]
 
 
-def _kb_sql(engine: str) -> str:
+def _kbm_sql(engine: str) -> str:
+    zeros = ", ".join(["{z}"] * 10)
+    init_tmpl = "{arr}({z}, {big}, {big}, " + zeros + ")"
     if engine == "spark":
         prefix = _SPINE_FROM_COUNTS_SPARK
         packed = f"""
@@ -542,78 +580,87 @@ def _kb_sql(engine: str) -> str:
         SELECT se.event_type, r.n, r.gam_e3,
                transform(array_sort(collect_list(struct(
                    se.h AS hh,
-                   CAST({_KB_C0} AS DOUBLE) AS c0,
-                   CAST({_KB_C1} AS DOUBLE) AS c1))),
-                 s -> array(s.c0, s.c1)) AS steps
+                   CAST({_KBM_C[0]} AS DOUBLE) AS c0,
+                   CAST({_KBM_C[1]} AS DOUBLE) AS c1,
+                   CAST({_KBM_C[2]} AS DOUBLE) AS c2))),
+                 s -> array(s.c0, s.c1, s.c2)) AS steps
         FROM serie se JOIN lns r ON r.event_type = se.event_type
         GROUP BY se.event_type, r.n, r.gam_e3
     )"""
-        init = _KB_INIT.format(
-            arr="array", z="CAST(0.0 AS DOUBLE)", big="CAST(1.0e18 AS DOUBLE)"
+        init = init_tmpl.format(
+            arr="array", z="CAST(0.0 AS DOUBLE)",
+            big=f"CAST({_KBM_BIG} AS DOUBLE)",
         )
-        step = _kb_step(
-            lambda i: f"element_at(acc, {i})",
-            lambda i: f"element_at(st, {i})",
+        fold = (
+            f"aggregate(p.steps, {init}, "
+            f"(acc, st) -> ({_kbm_step('spark')}))"
         )
-        fold = f"aggregate(p.steps, {init}, (acc, st) -> array({step}))"
         fin = "element_at(f.st, {i})"
     else:
         prefix = _SPINE_FROM_COUNTS_DUCK
         packed = f"""
     , packed AS MATERIALIZED (
         SELECT se.event_type, r.n, r.gam_e3,
-               list([CAST({_KB_C0} AS DOUBLE), CAST({_KB_C1} AS DOUBLE)]
+               list([CAST({_KBM_C[0]} AS DOUBLE),
+                     CAST({_KBM_C[1]} AS DOUBLE),
+                     CAST({_KBM_C[2]} AS DOUBLE)]
                     ORDER BY se.h) AS steps
         FROM serie se JOIN lns r ON r.event_type = se.event_type
         GROUP BY se.event_type, r.n, r.gam_e3
     )"""
-        init = _KB_INIT.format(arr="list_value", z="0.0", big="1.0e18")
-        step = _kb_step(lambda i: f"acc[{i}]", lambda i: f"st[{i}]")
+        init = init_tmpl.format(arr="list_value", z="0.0", big=_KBM_BIG)
         fold = (
             f"list_reduce(list_concat([{init}], p.steps), "
-            f"(acc, st) -> [{step}])"
+            f"(acc, st) -> ({_kbm_step('duck')}))"
         )
         fin = "f.st[{i}]"
-    best0 = f"{fin.format(i=1)} <= {fin.format(i=2)}"
+    c1, c2, c3 = (fin.format(i=i) for i in (1, 2, 3))
+    bidx = (
+        f"CASE WHEN {c1} <= {c2} AND {c1} <= {c3} THEN 0 "
+        f"WHEN {c2} <= {c3} THEN 1 ELSE 2 END"
+    )
+    pick = lambda base: (
+        f"CASE WHEN {c1} <= {c2} AND {c1} <= {c3} THEN {fin.format(i=base)} "
+        f"WHEN {c2} <= {c3} THEN {fin.format(i=base + 1)} "
+        f"ELSE {fin.format(i=base + 2)} END"
+    )
     tail = f"""
     , folded AS (
         SELECT p.event_type, p.n, ({fold}) AS st
         FROM packed p
     )
     SELECT f.event_type, f.n AS n_hours,
-           CAST(CASE WHEN {best0} THEN {fin.format(i=3)}
-                ELSE {fin.format(i=4)} END AS BIGINT) AS burst_hours,
-           CAST(CASE WHEN {best0} THEN {fin.format(i=5)}
-                ELSE {fin.format(i=6)} END AS BIGINT) AS burst_episodes,
-           CAST({fin.format(i=7)}
-                - CASE WHEN {best0} THEN {fin.format(i=1)}
-                       ELSE {fin.format(i=2)} END AS BIGINT) AS gain_e3,
-           CAST(ROUND(CASE WHEN {best0} THEN {fin.format(i=3)}
-                      ELSE {fin.format(i=4)} END
-                / f.n * 1000000) AS BIGINT) AS burst_share_e6,
-           (CASE WHEN {best0} THEN {fin.format(i=5)}
-                 ELSE {fin.format(i=6)} END) >= 1.0e0 AS bursty
+           CAST({bidx} AS BIGINT) AS final_level,
+           CAST({pick(4)} AS BIGINT) AS hours_elevated,
+           CAST({pick(7)} AS BIGINT) AS hours_hyper,
+           CAST({pick(10)} AS BIGINT) AS burst_episodes,
+           CAST({fin.format(i=13)} - ({pick(1)}) AS BIGINT) AS gain_e3,
+           ({pick(10)}) >= 1.0e0 AS bursty
     FROM folded f
 """
-    return prefix + _KB_COMMON + packed + tail
+    return prefix + _KBM_COMMON + packed + tail
 
 
 @register(
-    "timeseries_kleinberg_burst",
-    oracle=_kb_sql("duck"),
-    doc="Kleinberg (2002) 2-state burst detection per metric over the "
-    "dense hourly count series: base state at the e6-quantized mean "
-    "rate, burst state at 2x, hourly Poisson NLL costs e3-quantized "
-    "to INTEGERS, q0->q1 transition penalized ln(n) — decoded by an "
-    "exact integer min-plus Viterbi run as ONE higher-order array "
-    "fold per metric (the markov/PACF/Durbin-Levinson template's "
-    "fourth instance, and the first where the whole dynamic program "
-    "is integer arithmetic: no per-round quantization, identical "
-    "paths on both engines by construction; ties break to base). "
-    "Emits burst hours, episode count, NLL gain vs the all-base "
-    "path, and burst share per metric. The data-sized stage is the "
-    "hourly count reduction; the fold is calendar-bounded per metric.",
+    "timeseries_kleinberg_multistate",
+    oracle=_kbm_sql("duck"),
+    doc="Kleinberg (2002) MULTI-state burst hierarchy per metric over "
+    "the dense hourly series — the 3-level extension of wave10c's "
+    "2-state timeseries_burst_kleinberg (which answers 'is it "
+    "bursting'; the hierarchy answers 'HOW HARD'): levels at 1x/2x/4x "
+    "the e6-quantized mean rate, hourly Poisson NLL costs e3-"
+    "quantized to integers, upward transitions paying (j-i)*ln(n), "
+    "downward free, ties to the lowest level. Decoded by an exact "
+    "integer min-plus Viterbi as ONE higher-order array fold (13-slot "
+    "state; the three predecessor argmins are BOUND ONCE per round "
+    "via a singleton-struct transform — the PACF phi-binding lesson); "
+    "per-end-state path statistics (elevated hours, hyper hours, "
+    "episodes) ride the recursion. Emits the decoded hierarchy "
+    "summary + NLL gain vs the all-base path. Data-sized stage: the "
+    "hourly count reduction; the fold is calendar-bounded.",
 )
-def timeseries_kleinberg_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+def timeseries_kleinberg_multistate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     _stage_hour_counts(spark, sf_dir)
-    return spark.sql(_kb_sql("spark"))
+    return spark.sql(_kbm_sql("spark"))

@@ -1,5 +1,5 @@
 """Round-13 wave 13c: AR order selection + fit, Markov entropy rate,
-and Simpson lexical concentration.
+Holt-Winters seasonal forecasting, and Simpson lexical concentration.
 
 * ``timeseries_ar_order_fit`` — PACF-based AR order selection (largest
   lag whose partial autocorrelation clears the 1.96/sqrt(n) band)
@@ -9,11 +9,11 @@ and Simpson lexical concentration.
   the order-p* Durbin-Levinson re-run are higher-order folds over the
   same packed ACF vector — the conditional fold simply freezes past
   round p*, so one template serves every data-chosen order.
-* ``events_markov_entropy_rate`` — entropy rate of the first-order
-  user-journey Markov chain: H = -sum_{ij} (c_ij/T) ln(c_ij/c_i.),
-  the predictability number over the same transition counts the
-  absorption/attribution rows consume (high = erratic journeys, low =
-  deterministic funnels), plus the ln(k)-normalized form.
+* ``timeseries_holt_winters_seasonal`` — additive Holt-Winters (level, trend,
+  24-hour seasonality; pinned alpha/beta/gamma) per metric as ONE
+  28-slot array fold over the dense hourly series: the exponential-
+  smoothing forecaster beside the AR family's linear models, with
+  the running one-step SSE accumulated in-fold.
 * ``text_simpson_diversity`` — Simpson concentration per source from
   the exact term-frequency spectrum: D = sum m(m-1) / (N(N-1)) (the
   probability two tokens drawn without replacement are the same
@@ -182,62 +182,201 @@ def timeseries_ar_order_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Markov-chain entropy rate over user journeys
+# Holt-Winters additive seasonal smoothing (m = 24 h)
 # ---------------------------------------------------------------------------
-_ENTROPY_RATE_TMPL = """
-    WITH seq AS (
-        SELECT user_id, event_type, {epoch_us} AS us, event_id,
-               LEAD(event_type) OVER (PARTITION BY user_id
-                   ORDER BY {epoch_us}, event_id) AS nxt
-        FROM events
-    ), trans AS (
-        SELECT event_type AS s_from, nxt AS s_to,
-               CAST(COUNT(*) AS BIGINT) AS c
-        FROM seq WHERE nxt IS NOT NULL
-        GROUP BY event_type, nxt
-    ), rowt AS (
-        SELECT s_from, CAST(SUM(c) AS BIGINT) AS rc
-        FROM trans GROUP BY s_from
-    ), tot AS (
-        SELECT CAST(SUM(c) AS BIGINT) AS t,
-               CAST(COUNT(DISTINCT s_from) AS BIGINT) AS k
-        FROM trans
-    ), terms AS (
-        SELECT CAST(SUM(CAST(ROUND(
-                   -(CAST(tr.c AS DOUBLE) / t.t)
-                   * ln(CAST(tr.c AS DOUBLE) / r.rc)
-                   * 1000000000) AS BIGINT)) AS BIGINT) AS h_e9
-        FROM trans tr
-        JOIN rowt r ON r.s_from = tr.s_from
-        CROSS JOIN tot t
+# Textbook additive Holt-Winters over each metric's dense hourly count
+# series: level/trend/seasonal recursions with pinned alpha = 0.2,
+# beta = 0.05, gamma = 0.1. Classical initialization — L = day-1 mean
+# (e6-quantized), T = (day-2 mean - day-1 mean)/24, S_j = v_j - L for
+# the first 24 hours — then ONE array fold over hours 25..n with a
+# 28-slot state [L, T, pos, sse_acc, S_1..S_24]. Every recursion
+# output quantizes e6 per round, the one-step-ahead squared error
+# accumulates e3, and the fold lambda captures NO outer column at all
+# (the init array is a packed column; the DuckDB two-capture hazard
+# from the AR fit cannot arise).
+
+_HW_ALPHA, _HW_BETA, _HW_GAMMA = "0.2e0", "0.05e0", "0.1e0"
+
+
+def _hw_step(engine: str) -> str:
+    if engine == "spark":
+        el = lambda i: f"element_at(acc, {i})"
+        elx = lambda e: f"element_at(acc, CAST({e} AS INT))"
+        v = "element_at(st, 1)"
+        bind = (
+            "element_at(transform(array(named_struct('ln', {lnew})), w -> "
+            "transform(sequence(1, 28), i -> CASE {arms} END)), 1)"
+        )
+        iv = "i"
+    else:
+        el = lambda i: f"acc[{i}]"
+        elx = lambda e: f"acc[CAST({e} AS INT)]"
+        v = "st[1]"
+        bind = (
+            "list_transform([struct_pack(ln := ({lnew}))], w -> "
+            "list_transform(generate_series(1, 28), i -> CASE {arms} END))[1]"
+        )
+        iv = "CAST(i AS INT)"
+    jidx = f"(CAST({el(3)} AS INT) % 24) + 1"
+    sj = elx(f"{jidx} + 4")
+    pred = f"({el(1)} + {el(2)} + {sj})"
+    err = f"({v} - {pred})"
+    lnew = (
+        f"round(({_HW_ALPHA} * ({v} - {sj}) "
+        f"+ (1.0e0 - {_HW_ALPHA}) * ({el(1)} + {el(2)})) "
+        f"* 1000000.0e0) / 1000000.0e0"
     )
-    SELECT t.t AS n_transitions, t.k AS n_states, x.h_e9 AS entropy_rate_e9,
-           CASE WHEN t.k > 1
-                THEN CAST(ROUND(CAST(x.h_e9 AS DOUBLE)
-                     / (ln(CAST(t.k AS DOUBLE)) * 1000000000)
-                     * 1000000000) AS BIGINT)
-                ELSE CAST(0 AS BIGINT) END AS normalized_e9
-    FROM terms x CROSS JOIN tot t
+    tnew = (
+        f"round(({_HW_BETA} * (w.ln - {el(1)}) "
+        f"+ (1.0e0 - {_HW_BETA}) * {el(2)}) * 1000000.0e0) / 1000000.0e0"
+    )
+    snew = (
+        f"round(({_HW_GAMMA} * ({v} - w.ln) "
+        f"+ (1.0e0 - {_HW_GAMMA}) * {sj}) * 1000000.0e0) / 1000000.0e0"
+    )
+    arms = (
+        f"WHEN {iv} = 1 THEN w.ln "
+        f"WHEN {iv} = 2 THEN {tnew} "
+        f"WHEN {iv} = 3 THEN {el(3)} + 1.0e0 "
+        f"WHEN {iv} = 4 THEN {el(4)} + round({err} * {err} * 1000.0e0) "
+        f"WHEN {iv} - 4 = {jidx} THEN {snew} "
+        f"ELSE {elx(iv)}"
+    )
+    return bind.format(lnew=lnew, arms=arms)
+
+
+def _hw_sql(engine: str) -> str:
+    if engine == "spark":
+        prefix = _SPINE_FROM_COUNTS_SPARK
+        mat = ""
+        packed = """
+    , idx AS (
+        SELECT s.event_type,
+               CAST(ROW_NUMBER() OVER (PARTITION BY s.event_type
+                                       ORDER BY s.h) AS BIGINT) AS rn,
+               CAST(COALESCE(c.cnt, 0) AS BIGINT) AS v
+        FROM spine s LEFT JOIN counts c
+          ON c.event_type = s.event_type AND c.h = s.h
+    ), packed AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               round(CAST(SUM(CASE WHEN rn <= 24 THEN v END) AS DOUBLE)
+                     / 24.0e0 * 1000000.0e0) / 1000000.0e0 AS d1m,
+               round(CAST(SUM(CASE WHEN rn BETWEEN 25 AND 48 THEN v END)
+                     AS DOUBLE) / 24.0e0 * 1000000.0e0) / 1000000.0e0
+                   AS d2m,
+               transform(array_sort(collect_list(CASE WHEN rn <= 24 THEN
+                   struct(rn, CAST(v AS DOUBLE) AS sv) END)),
+                 x -> x.sv) AS day1,
+               transform(array_sort(collect_list(CASE WHEN rn >= 25 THEN
+                   struct(rn, CAST(v AS DOUBLE) AS sv) END)),
+                 x -> array(x.sv)) AS steps
+        FROM idx GROUP BY event_type
+        HAVING COUNT(*) >= 49
+    ), seeded AS (
+        SELECT event_type, n,
+               concat(array(
+                   d1m,
+                   round((d2m - d1m) / 24.0e0 * 1000000.0e0)
+                       / 1000000.0e0,
+                   CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+                 transform(day1, x ->
+                   round((x - d1m) * 1000000.0e0) / 1000000.0e0)) AS init,
+               steps
+        FROM packed
+    )"""
+        fold = f"aggregate(p.steps, p.init, (acc, st) -> ({_hw_step('spark')}))"
+        fin = "f.st[{i}]".replace("f.st[{i}]", "element_at(f.st, {i})")
+        samp = (
+            "array_max(slice(f.st, 5, 24)) - array_min(slice(f.st, 5, 24))"
+        )
+        jnext = "(CAST(element_at(f.st, 3) AS INT) % 24) + 1"
+        snext = f"element_at(f.st, CAST({jnext} + 4 AS INT))"
+    else:
+        prefix = _SPINE_FROM_COUNTS_DUCK
+        mat = " MATERIALIZED"
+        packed = """
+    , idx AS MATERIALIZED (
+        SELECT s.event_type,
+               CAST(ROW_NUMBER() OVER (PARTITION BY s.event_type
+                                       ORDER BY s.h) AS BIGINT) AS rn,
+               CAST(COALESCE(c.cnt, 0) AS BIGINT) AS v
+        FROM spine s LEFT JOIN counts c
+          ON c.event_type = s.event_type AND c.h = s.h
+    ), packed AS MATERIALIZED (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               round(CAST(SUM(CASE WHEN rn <= 24 THEN v END) AS DOUBLE)
+                     / 24.0e0 * 1000000.0e0) / 1000000.0e0 AS d1m,
+               round(CAST(SUM(CASE WHEN rn BETWEEN 25 AND 48 THEN v END)
+                     AS DOUBLE) / 24.0e0 * 1000000.0e0) / 1000000.0e0
+                   AS d2m,
+               list(CAST(v AS DOUBLE) ORDER BY rn)
+                   FILTER (WHERE rn <= 24) AS day1,
+               list([CAST(v AS DOUBLE)] ORDER BY rn)
+                   FILTER (WHERE rn >= 25) AS steps
+        FROM idx GROUP BY event_type
+        HAVING COUNT(*) >= 49
+    ), seeded AS MATERIALIZED (
+        SELECT event_type, n,
+               list_concat([
+                   d1m,
+                   round((d2m - d1m) / 24.0e0 * 1000000.0e0)
+                       / 1000000.0e0,
+                   0.0, 0.0],
+                 list_transform(day1, x ->
+                   round((x - d1m) * 1000000.0e0) / 1000000.0e0)) AS init,
+               steps
+        FROM packed
+    )"""
+        fold = (
+            f"list_reduce(list_concat([p.init], p.steps), "
+            f"(acc, st) -> ({_hw_step('duck')}))"
+        )
+        fin = "f.st[{i}]"
+        samp = "list_max(f.st[5:28]) - list_min(f.st[5:28])"
+        jnext = "(CAST(f.st[3] AS INT) % 24) + 1"
+        snext = f"f.st[CAST({jnext} + 4 AS INT)]"
+    tail = f"""
+    , folded AS{mat} (
+        SELECT p.event_type, p.n, ({fold}) AS st
+        FROM seeded p
+    )
+    SELECT f.event_type, f.n AS n_hours,
+           CAST(round({fin.format(i=1)} * 1000000) AS BIGINT) AS level_e6,
+           CAST(round({fin.format(i=2)} * 1000000) AS BIGINT) AS trend_e6,
+           CAST(round(({fin.format(i=1)} + {fin.format(i=2)} + {snext})
+                * 1000000) AS BIGINT) AS forecast_next_e6,
+           CAST({fin.format(i=4)} AS BIGINT) AS sse_e3,
+           CAST(round(({samp}) * 1000000) AS BIGINT) AS season_amp_e6
+    FROM folded f
 """
+    return prefix + packed + tail
 
 
 @register(
-    "events_markov_entropy_rate",
-    oracle=_ENTROPY_RATE_TMPL.format(epoch_us=_EPOCH_US_DUCK),
-    doc="Entropy rate of the first-order user-journey Markov chain: "
-    "H = -sum_ij (c_ij/T) ln(c_ij/c_i.) over the same LEAD-pair "
-    "transition counts the absorption/attribution family consumes — "
-    "the journey-predictability scalar (low = deterministic funnels, "
-    "high = erratic browsing; the stationary weight is the empirical "
-    "transition-origin frequency, exact by construction), plus the "
-    "ln(k)-normalized form. Each -p ln p term quantizes e9 before the "
-    "exact integer reduction over the k^2-bounded transition cells "
-    "(Fisher lnp discipline). One window pass + one "
-    "map-side-combinable count; model-sized epilogue.",
+    "timeseries_holt_winters_seasonal",
+    oracle=_hw_sql("duck"),
+    doc="FULL additive Holt-Winters (level + trend + 24-hour seasonality, "
+    "alpha/beta/gamma = 0.2/0.05/0.1 pinned) per metric over the dense "
+    "hourly count series — the seasonal completion of the existing "
+    "timeseries_holt_winters row (level+trend double smoothing only): "
+    "HW tracks a drifting level AND a moving seasonal profile, which "
+    "neither that row nor a fixed AR(p) can. Classical "
+    "day-1/day-2 initialization, then ONE 28-slot array fold over the "
+    "remaining hours with every recursion output e6-quantized per "
+    "round and the running one-step-ahead SSE accumulated e3 (honest "
+    "in-sample fit quality). Emits final level/trend, the next-hour "
+    "forecast L + T + S_next, SSE, and the seasonal amplitude. The "
+    "fold lambda captures no outer column (the packed init rides the "
+    "row — the wave-13 DuckDB correlation lesson). Data-sized stage: "
+    "the shared hourly reduction; the fold is calendar-bounded.",
 )
-def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir, ("events",))
-    return spark.sql(_ENTROPY_RATE_TMPL.format(epoch_us=_EPOCH_US_SPARK))
+def timeseries_holt_winters_seasonal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    _stage_hour_counts(spark, sf_dir)
+    return spark.sql(_hw_sql("spark"))
 
 
 # ---------------------------------------------------------------------------

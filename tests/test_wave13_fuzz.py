@@ -19,15 +19,14 @@ EVENT_OPS = [
     "timeseries_durbin_watson",
     "stats_ljung_box_resid",
     "stats_icc_agreement",
-    "stats_theil_u",
     "stats_storey_qvalue",
-    "timeseries_kleinberg_burst",
+    "timeseries_kleinberg_multistate",
     "events_hmm_viterbi",
-    "events_markov_entropy_rate",
+    "timeseries_holt_winters_seasonal",
     "timeseries_ar_order_fit",
 ]
 DOC_OPS = ["text_mtld", "text_simpson_diversity"]
-LINEITEM_OPS = ["demand_croston_sbc"]
+LINEITEM_OPS = ["demand_croston_sbc", "basket_association_rules"]
 
 
 def _events_frame(seed: int) -> pd.DataFrame:
@@ -95,6 +94,21 @@ def _docs_frame(seed: int) -> pd.DataFrame:
     )
 
 
+def _part_frame(seed: int) -> pd.DataFrame:
+    rng = np.random.default_rng(seed + 3000)
+    keys = np.arange(1, 20, dtype="int64")
+    return pd.DataFrame(
+        {
+            "p_partkey": keys,
+            "p_name": "part",
+            "p_brand": [f"B{int(rng.integers(0, 6))}" for _ in keys],
+            "p_type": "t",
+            "p_size": np.int32(1),
+            "p_retailprice": 1.0,
+        }
+    )
+
+
 def _lineitem_frame(seed: int) -> pd.DataFrame:
     rng = np.random.default_rng(seed + 2000)
     n = int(rng.integers(50, 400))
@@ -129,8 +143,9 @@ def test_wave13_fuzz_cross_engine(spark, tmp_path_factory, seed):
     _events_frame(seed).to_parquet(d / "events.parquet", index=False)
     _docs_frame(seed).to_parquet(d / "documents.parquet", index=False)
     _lineitem_frame(seed).to_parquet(d / "lineitem.parquet", index=False)
+    _part_frame(seed).to_parquet(d / "part.parquet", index=False)
     con = duckdb.connect()
-    for t in ("events", "documents", "lineitem"):
+    for t in ("events", "documents", "lineitem", "part"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
         )

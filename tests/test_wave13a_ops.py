@@ -218,66 +218,81 @@ def test_icc_replay_smoke(spark):
 
 
 # ---------------------------------------------------------------------------
-# Theil's U
+# Basket association rules
 # ---------------------------------------------------------------------------
 
 
-def test_theil_u_deterministic_mapping_is_exactly_one(spark, tmp_path):
-    """Each hour maps to exactly one event_type: H(X|Y) = 0, and the
-    joint-cell quantized terms equal the Y-marginal terms EXACTLY, so
-    u_x_given_y must be exactly 1e9."""
-    rows_v, rows_t, ts = [], [], []
-    t0 = pd.Timestamp("2024-01-01")
-    for h in range(48):
-        for j in range(3 + h % 2):
-            rows_v.append(1.0)
-            rows_t.append(f"t{h % 4}")
-            ts.append(t0 + pd.Timedelta(hours=h, seconds=j))
-    _events_frame(rows_v, rows_t, ts).to_parquet(
-        tmp_path / "events.parquet", index=False
+def _li_part_frames(order_parts, brands):
+    """order_parts: {orderkey: [partkeys]}; brands: {partkey: brand}."""
+    rows = []
+    for o, parts in order_parts.items():
+        for i, pk in enumerate(parts):
+            rows.append((o, pk, i + 1))
+    li = pd.DataFrame(
+        {
+            "l_orderkey": np.asarray([r[0] for r in rows], dtype=np.int64),
+            "l_partkey": np.asarray([r[1] for r in rows], dtype=np.int64),
+            "l_suppkey": np.int64(1),
+            "l_linenumber": np.asarray([r[2] for r in rows], dtype=np.int32),
+            "l_quantity": 1.0,
+            "l_extendedprice": 1.0,
+            "l_discount": 0.0,
+            "l_tax": 0.0,
+            "l_returnflag": "N",
+            "l_linestatus": "O",
+            "l_shipdate": pd.Series(
+                [pd.Timestamp("1995-06-01")] * len(rows)
+            ).astype("datetime64[us]"),
+        }
     )
-    out = _collect(spark, "stats_theil_u", str(tmp_path))
-    assert int(out["u_x_given_y_e9"].iloc[0]) == 1_000_000_000
-    assert int(out["hxy_e9"].iloc[0]) == int(out["hy_e9"].iloc[0])
-
-
-def test_theil_u_independence_is_near_zero(spark, tmp_path):
-    """Uniform (type x hour) grid: mutual information 0 up to the e9
-    per-term quantization."""
-    rows_v, rows_t, ts = [], [], []
-    t0 = pd.Timestamp("2024-01-01")
-    for h in range(24):
-        for x in range(4):
-            for j in range(5):
-                rows_v.append(1.0)
-                rows_t.append(f"t{x}")
-                ts.append(t0 + pd.Timedelta(hours=h, seconds=x * 10 + j))
-    _events_frame(rows_v, rows_t, ts).to_parquet(
-        tmp_path / "events.parquet", index=False
+    pt = pd.DataFrame(
+        {
+            "p_partkey": np.asarray(sorted(brands), dtype=np.int64),
+            "p_name": "part",
+            "p_brand": [brands[k] for k in sorted(brands)],
+            "p_type": "t",
+            "p_size": np.int32(1),
+            "p_retailprice": 1.0,
+        }
     )
-    out = _collect(spark, "stats_theil_u", str(tmp_path))
-    assert abs(int(out["u_x_given_y_e9"].iloc[0])) < 2000
-    assert abs(int(out["u_symmetric_e9"].iloc[0])) < 2000
+    return li, pt
 
 
-def test_theil_u_replay_smoke(spark):
-    out = _collect(spark, "stats_theil_u")
-    ev = pd.read_parquet(f"{SF_SMOKE_DIR}/events.parquet")
-    ev["y"] = (ev["ts"].astype("int64") // 3_600_000_000) % 24
-    n = len(ev)
-
-    def h_e9(counts):
-        p = counts / n
-        return int(_rha(-p * np.log(p) * 1e9).sum())
-
-    hx = h_e9(ev.groupby("event_type").size().to_numpy())
-    hy = h_e9(ev.groupby("y").size().to_numpy())
-    hxy = h_e9(ev.groupby(["event_type", "y"]).size().to_numpy())
+def test_basket_planted_exact_rationals(spark, tmp_path):
+    """(B1,B2) co-occurs in 6 of 10 baskets; B1 in 8, B2 in 6: conf
+    a->b = 3/4, conf b->a = 1, lift = 6*10/(8*6) = 1.25 — all exact.
+    The (B1,B3) pair (2 baskets) sits below min support and must not
+    appear."""
+    brands = {1: "B1", 3: "B2", 4: "B3", 5: "B4"}
+    orders = {o: [1, 3] for o in range(1, 7)}
+    orders.update({7: [1, 4], 8: [1, 4]})
+    orders.update({9: [5], 10: [5]})
+    li, pt = _li_part_frames(orders, brands)
+    li.to_parquet(tmp_path / "lineitem.parquet", index=False)
+    pt.to_parquet(tmp_path / "part.parquet", index=False)
+    out = _collect(spark, "basket_association_rules", str(tmp_path))
+    assert len(out) == 1
     row = out.iloc[0]
-    assert int(row["hx_e9"]) == hx
-    assert int(row["hy_e9"]) == hy
-    assert int(row["hxy_e9"]) == hxy
-    assert int(row["u_x_given_y_e9"]) == int(_rha((hx + hy - hxy) / hx * 1e9))
+    assert (row["brand_a"], row["brand_b"]) == ("B1", "B2")
+    assert int(row["n_ab"]) == 6 and int(row["n_a"]) == 8
+    assert int(row["n_baskets"]) == 10
+    assert int(row["support_e9"]) == 600_000_000
+    assert int(row["conf_a_to_b_e9"]) == 750_000_000
+    assert int(row["conf_b_to_a_e9"]) == 1_000_000_000
+    assert int(row["lift_e9"]) == 1_250_000_000
+    assert bool(row["positively_associated"])
+
+
+def test_basket_smoke_invariants(spark):
+    out = _collect(spark, "basket_association_rules")
+    assert (out["n_ab"] >= 5).all()
+    assert (out["n_ab"] <= out[["n_a", "n_b"]].min(axis=1)).all()
+    assert (out["brand_a"] < out["brand_b"]).all()
+    # lift replay from the emitted exact counts
+    lift = _rha(
+        out["n_ab"] * out["n_baskets"] / out["n_a"] / out["n_b"] * 1e9
+    )
+    assert (out["lift_e9"].to_numpy(dtype=np.int64) == lift).all()
 
 
 # ---------------------------------------------------------------------------
@@ -341,7 +356,7 @@ def test_storey_replay_smoke(spark):
 
 
 # ---------------------------------------------------------------------------
-# Kleinberg burst
+# Kleinberg multi-state hierarchy
 # ---------------------------------------------------------------------------
 
 
@@ -356,35 +371,48 @@ def _hourly_frame(counts, metric="m"):
     return _events_frame(rows_v, rows_t, ts)
 
 
-def test_kleinberg_flat_series_has_no_bursts(spark, tmp_path):
+def test_kleinberg_multistate_flat_series(spark, tmp_path):
     _hourly_frame([8] * 120).to_parquet(tmp_path / "events.parquet", index=False)
-    out = _collect(spark, "timeseries_kleinberg_burst", str(tmp_path))
-    assert len(out) == 1
+    out = _collect(spark, "timeseries_kleinberg_multistate", str(tmp_path))
     row = out.iloc[0]
-    assert int(row["burst_hours"]) == 0
+    assert int(row["hours_elevated"]) == 0
+    assert int(row["hours_hyper"]) == 0
     assert int(row["burst_episodes"]) == 0
+    assert int(row["final_level"]) == 0
+    assert int(row["gain_e3"]) == 0
     assert not bool(row["bursty"])
-    assert int(row["gain_e3"]) == 0  # all-base path IS the optimum
 
 
-def test_kleinberg_planted_burst_window(spark, tmp_path):
-    """100 quiet hours, 20 hours at 8x the quiet rate, 100 quiet: one
-    episode covering (about) the planted window."""
+def test_kleinberg_multistate_hyper_burst(spark, tmp_path):
+    """8x the quiet rate for 20 hours: the 4x level (closest in NLL)
+    must claim the window — hyper hours ~ the window, one episode."""
     counts = [5] * 100 + [40] * 20 + [5] * 100
     _hourly_frame(counts).to_parquet(tmp_path / "events.parquet", index=False)
-    out = _collect(spark, "timeseries_kleinberg_burst", str(tmp_path))
+    out = _collect(spark, "timeseries_kleinberg_multistate", str(tmp_path))
     row = out.iloc[0]
-    assert int(row["n_hours"]) == 220
     assert int(row["burst_episodes"]) == 1
-    assert 18 <= int(row["burst_hours"]) <= 22
-    assert bool(row["bursty"])
-    assert int(row["gain_e3"]) > 0
+    assert 18 <= int(row["hours_hyper"]) <= 22
+    assert int(row["hours_elevated"]) >= int(row["hours_hyper"])
+    assert bool(row["bursty"]) and int(row["gain_e3"]) > 0
 
 
-def test_kleinberg_smoke_shape(spark):
-    out = _collect(spark, "timeseries_kleinberg_burst")
+def test_kleinberg_multistate_moderate_burst_stays_level_one(spark, tmp_path):
+    """~2x the mean rate: level 1 claims the window, level 2 never
+    activates — the hierarchy discrimination the 2-state row cannot
+    express."""
+    counts = [5] * 100 + [12] * 20 + [5] * 100
+    _hourly_frame(counts).to_parquet(tmp_path / "events.parquet", index=False)
+    out = _collect(spark, "timeseries_kleinberg_multistate", str(tmp_path))
+    row = out.iloc[0]
+    assert int(row["burst_episodes"]) == 1
+    assert 16 <= int(row["hours_elevated"]) <= 22
+    assert int(row["hours_hyper"]) == 0
+
+
+def test_kleinberg_multistate_smoke_shape(spark):
+    out = _collect(spark, "timeseries_kleinberg_multistate")
     assert len(out) == 5
-    assert (out["burst_hours"] <= out["n_hours"]).all()
+    assert (out["hours_hyper"] <= out["hours_elevated"]).all()
+    assert (out["hours_elevated"] <= out["n_hours"]).all()
     assert (out["gain_e3"] >= 0).all()
-    # burst hours imply at least one episode and vice versa
-    assert ((out["burst_hours"] > 0) == (out["burst_episodes"] > 0)).all()
+    assert ((out["hours_elevated"] > 0) == (out["burst_episodes"] > 0)).all()

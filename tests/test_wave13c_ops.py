@@ -1,7 +1,7 @@
 """Wave-13c operators: planted closed-form fixtures — an alternating
-series whose ACF/PACF are exact rationals (AR order pick), exact-count
-transition grids (entropy rate), and tiny exact-spectrum corpora
-(Simpson)."""
+series whose ACF/PACF are exact rationals (AR order pick), a perfectly
+periodic series (a fixed point of the Holt-Winters recursions), and
+tiny exact-spectrum corpora (Simpson)."""
 
 from __future__ import annotations
 
@@ -87,65 +87,59 @@ def test_ar_order_fit_smoke_consistency(spark):
 
 
 # ---------------------------------------------------------------------------
-# Markov entropy rate
+# Holt-Winters seasonal
 # ---------------------------------------------------------------------------
 
 
-def _events_pairs(pairs):
-    """One user per transition pair (a, b): exact transition counts."""
-    rows = []
+def test_hw_seasonal_perfect_periodicity_is_exact(spark, tmp_path):
+    """A perfectly 24-periodic series is a FIXED POINT of the additive
+    recursions (v - S_j = L at every step), so level = the day mean,
+    trend = 0, SSE = 0, and the next-hour forecast equals the true
+    next value — all exactly."""
+    # integer pattern with an e6-exact mean (21.5)
+    pattern = [10, 12, 14, 16, 18, 20, 22, 24, 26, 28, 30, 32,
+               33, 31, 29, 27, 25, 23, 21, 19, 17, 15, 13, 11]  # mean 21.5
+    counts = pattern * 4  # 96 hours
+    rows_t, ts = [], []
     t0 = pd.Timestamp("2024-01-01")
-    for uid, (a, b) in enumerate(pairs):
-        rows.append((uid * 2, t0 + pd.Timedelta(seconds=uid * 10), uid, a))
-        rows.append((uid * 2 + 1, t0 + pd.Timedelta(seconds=uid * 10 + 1), uid, b))
-    return pd.DataFrame(
+    for h, c in enumerate(counts):
+        for j in range(c):
+            rows_t.append("m")
+            ts.append(t0 + pd.Timedelta(hours=h, seconds=j))
+    n = len(rows_t)
+    pd.DataFrame(
         {
-            "event_id": np.asarray([r[0] for r in rows], dtype=np.int64),
-            "ts": pd.Series([r[1] for r in rows]),
-            "user_id": np.asarray([r[2] for r in rows], dtype=np.int64),
-            "event_type": [r[3] for r in rows],
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.Series(ts),
+            "user_id": np.arange(n, dtype=np.int64),
+            "event_type": rows_t,
             "value": 1.0,
             "props": "{}",
         }
-    )
+    ).to_parquet(tmp_path / "events.parquet", index=False)
+    out = _collect(spark, "timeseries_holt_winters_seasonal", str(tmp_path))
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert int(row["n_hours"]) == 96
+    assert int(row["level_e6"]) == 21_500_000
+    assert int(row["trend_e6"]) == 0
+    assert int(row["sse_e3"]) == 0
+    # after 72 post-init steps, pos % 24 = 0 -> next season slot is 1
+    assert int(row["forecast_next_e6"]) == pattern[0] * 1_000_000
+    assert int(row["season_amp_e6"]) == (33 - 10) * 1_000_000
 
 
-def test_entropy_rate_deterministic_chain_is_zero(spark, tmp_path):
-    _events_pairs([("view", "click")] * 6 + [("click", "view")] * 6).to_parquet(
-        tmp_path / "events.parquet", index=False
-    )
-    out = _collect(spark, "events_markov_entropy_rate", str(tmp_path))
-    assert int(out["entropy_rate_e9"].iloc[0]) == 0
-    assert int(out["normalized_e9"].iloc[0]) == 0
-    assert int(out["n_states"].iloc[0]) == 2
-
-
-def test_entropy_rate_uniform_chain_is_ln_k(spark, tmp_path):
-    """Exact-count uniform 2x2 grid: H = ln 2, normalized = 1 (up to
-    the four e9 per-term roundings)."""
-    pairs = [("view", "view"), ("view", "click"),
-             ("click", "view"), ("click", "click")] * 3
-    _events_pairs(pairs).to_parquet(tmp_path / "events.parquet", index=False)
-    out = _collect(spark, "events_markov_entropy_rate", str(tmp_path))
-    h = int(out["entropy_rate_e9"].iloc[0])
-    assert abs(h - round(math.log(2) * 1e9)) <= 4
-    assert abs(int(out["normalized_e9"].iloc[0]) - 1_000_000_000) <= 5
-
-
-def test_entropy_rate_replay_smoke(spark):
-    out = _collect(spark, "events_markov_entropy_rate")
-    ev = pd.read_parquet(f"{SF_SMOKE_DIR}/events.parquet")
-    ev = ev.sort_values(["user_id", "ts", "event_id"])
-    ev["nxt"] = ev.groupby("user_id")["event_type"].shift(-1)
-    tr = ev.dropna(subset=["nxt"]).groupby(["event_type", "nxt"]).size()
-    T = tr.sum()
-    rowc = tr.groupby(level=0).sum()
-    terms = [
-        int(_rha(-(c / T) * math.log(c / rowc[a]) * 1e9)[()])
-        for (a, b), c in tr.items()
-    ]
-    assert int(out["entropy_rate_e9"].iloc[0]) == sum(terms)
-    assert int(out["n_transitions"].iloc[0]) == T
+def test_hw_seasonal_smoke_invariants(spark):
+    out = _collect(spark, "timeseries_holt_winters_seasonal")
+    assert len(out) == 5
+    assert (out["n_hours"] >= 49).all()
+    assert (out["sse_e3"] >= 0).all()
+    assert (out["season_amp_e6"] >= 0).all()
+    # forecast = level + trend + S_next: bounded by level +- amp + trend
+    spread = out["season_amp_e6"] + np.abs(out["trend_e6"]) + 1
+    assert (
+        np.abs(out["forecast_next_e6"] - out["level_e6"]) <= spread
+    ).all()
 
 
 # ---------------------------------------------------------------------------
