@@ -15,11 +15,14 @@ k-truss graph peeling, and MTLD lexical diversity.
   per-entity sequential smoother that plain windowed SES cannot
   express.
 * ``graph_ktruss`` — 4-truss peeling (3 synchronous rounds) over the
-  cosine>=0.25 similarity graph: each round recomputes per-edge
-  triangle support and drops edges supported by fewer than k-2 = 2
-  triangles. The edge-COHESION sibling of the node-degree k-core:
-  a 4-truss of near-duplicate documents is a tightly-woven boilerplate
-  family even when individual node degrees are low.
+  MUTUAL top-16 cosine graph (candidates floored at 0.25): each round
+  recomputes per-edge triangle support and drops edges supported by
+  fewer than k-2 = 2 triangles. The mutual-kNN construction bounds
+  degree by K, so the wedge joins stay K^2-bounded at any corpus size
+  (the fixed-threshold variant measured 147x for 10x vectors). The
+  edge-COHESION sibling of the node-degree k-core: a 4-truss of
+  near-duplicate documents is a tightly-woven boilerplate family even
+  when individual node degrees are low.
 * ``text_mtld`` — forward MTLD lexical diversity per document
   (McCarthy-Jarvis 2010): count completed factors where the running
   segment TTR drops below 0.72. The TTR test is an EXACT integer
@@ -307,17 +310,46 @@ def demand_croston_sbc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# k-truss (k = 4, 3 synchronous peel rounds)
+# k-truss (k = 4, 3 synchronous peel rounds, mutual top-K graph)
 # ---------------------------------------------------------------------------
+# The graph is NOT the raw cosine>=threshold pair set: a fixed absolute
+# threshold gives a DATA-DEPENDENT degree (the round-13 decade-up probe
+# measured 147x for 10x vectors at threshold 0.25 — avg degree 14 ->
+# 178, so edges grew quadratically and the wedge join with them).
+# Instead each node keeps its MUTUAL top-K candidates (K = 16; ties
+# broken cos DESC then neighbor id ASC): degree <= K by construction,
+# so edges <= K*N and every wedge join is bounded by K^2 per node at
+# ANY corpus size. The 0.25 candidate floor only bounds the candidate
+# generation (the memo's banded GEMM) — top-K of fewer-than-K
+# candidates is just all of them.
 _KTRUSS_ROUNDS = 3
 _KTRUSS_K = 4
 _KTRUSS_THRESHOLD = 0.25
+_KTRUSS_TOPK = 16
 
-_KTRUSS_EDGES_SQL = """
-      SELECT a.vec_id AS a_id, b.vec_id AS b_id
+_KTRUSS_MUTUAL_SQL = f"""
+    cand AS MATERIALIZED (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             (CAST(ROUND((list_cosine_similarity(a.v, b.v)) * 1000000)
+              AS BIGINT) / CAST(1000000 AS DOUBLE)) AS cs
       FROM e a JOIN e b ON a.vec_id < b.vec_id
       WHERE (CAST(ROUND((list_cosine_similarity(a.v, b.v)) * 1000000)
-             AS BIGINT) / CAST(1000000 AS DOUBLE)) >= 0.25"""
+             AS BIGINT) / CAST(1000000 AS DOUBLE)) >= {_KTRUSS_THRESHOLD}),
+    topk AS MATERIALIZED (
+      SELECT node, nbr FROM (
+        SELECT node, nbr,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY cs DESC, nbr ASC) AS rk
+        FROM (
+          SELECT a_id AS node, b_id AS nbr, cs FROM cand
+          UNION ALL
+          SELECT b_id, a_id, cs FROM cand) z
+      ) r WHERE rk <= {_KTRUSS_TOPK}),
+    edges0 AS MATERIALIZED (
+      SELECT t1.node AS a_id, t1.nbr AS b_id
+      FROM topk t1 JOIN topk t2
+        ON t2.node = t1.nbr AND t2.nbr = t1.node
+      WHERE t1.node < t1.nbr)"""
 
 
 def _ktruss_oracle(rounds: int, k: int) -> str:
@@ -326,7 +358,7 @@ def _ktruss_oracle(rounds: int, k: int) -> str:
     DuckDB never inlines the exponential recomputation)."""
     head = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    edges0 AS MATERIALIZED ({_KTRUSS_EDGES_SQL})"""
+    {_KTRUSS_MUTUAL_SQL}"""
     blocks = [head]
     for i in range(rounds + 1):
         blocks.append(f""",
@@ -389,29 +421,60 @@ def _edge_support(edges: DataFrame) -> DataFrame:
 @register(
     "graph_ktruss",
     oracle=_ktruss_oracle(_KTRUSS_ROUNDS, _KTRUSS_K),
-    doc="4-truss peeling (3 synchronous rounds) over the cosine>=0.25 "
-    "similarity graph (0.25, denser than the 0.3 the node-level ops "
-    "use: the 0.3 graph's 4-truss is empty at every test SF — a truss "
-    "wants triangle density): per round, per-edge triangle support via the "
-    "compact-forward wedge join (each a<b<c triangle credits its 3 "
-    "edges through one map-side explode — the graph_triangle_count "
-    "machinery applied per edge), then every edge with support < "
-    "k-2 = 2 drops. The edge-cohesion sibling of graph_kcore_peel: a "
-    "4-truss of near-duplicate documents is a tightly-woven "
-    "boilerplate family even where node degrees alone look modest "
-    "(Cohen 2008). Synchronous bounded rounds keep the fixpoint "
-    "prefix deterministic, so the whole iteration hash-verifies "
-    "against a chained MATERIALIZED-CTE replay. Emits the surviving "
-    "edges with their final-round support. Per round: one wedge join "
-    "+ one count over 16-byte edge keys (AQE handles hub skew); "
-    "rides the shared pair memo.",
+    doc="4-truss peeling (3 synchronous rounds) over the MUTUAL top-16 "
+    "cosine graph (candidates floored at 0.25 — denser than the "
+    "node-level ops' 0.3 graph, whose 4-truss is empty at every test "
+    "SF; the mutual-kNN construction bounds degree <= 16, so edges "
+    "<= 16N and every wedge join is K^2-bounded at ANY corpus size — "
+    "the round-13 decade-up probe measured the unbounded fixed-"
+    "threshold variant at 147x for 10x vectors before this rewrite): "
+    "per round, per-edge triangle support via the compact-forward "
+    "wedge join (each a<b<c triangle credits its 3 edges through one "
+    "map-side explode), then every edge with support < k-2 = 2 "
+    "drops. The edge-cohesion sibling of graph_kcore_peel: a 4-truss "
+    "of near-duplicate documents is a tightly-woven boilerplate "
+    "family even where node degrees look modest (Cohen 2008). "
+    "Synchronous bounded rounds keep the fixpoint prefix "
+    "deterministic, so the whole iteration hash-verifies against a "
+    "chained MATERIALIZED-CTE replay; top-K ties break (cos DESC, "
+    "neighbor id ASC) — total and engine-exact on e6-quantized "
+    "cosines. Emits surviving edges with final-round support. Rides "
+    "the shared pair memo for candidates.",
 )
 def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     from emr_with_custom_metrics_spark.llm.dedup import embedding_cosine_pairs
 
+    cand = embedding_cosine_pairs(
+        spark, sf_dir, threshold=_KTRUSS_THRESHOLD
+    ).select("a_id", "b_id", "cos_sim")
+    both = cand.select(
+        F.col("a_id").alias("node"), F.col("b_id").alias("nbr"), "cos_sim"
+    ).unionByName(
+        cand.select(
+            F.col("b_id").alias("node"), F.col("a_id").alias("nbr"), "cos_sim"
+        )
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("cos_sim").desc(), F.col("nbr").asc()
+    )
+    topk = (
+        both.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _KTRUSS_TOPK)
+        .select("node", "nbr")
+    )
+    t2 = topk.select(
+        F.col("node").alias("n2"), F.col("nbr").alias("b2")
+    )
     edges = (
-        embedding_cosine_pairs(spark, sf_dir, threshold=_KTRUSS_THRESHOLD)
-        .select("a_id", "b_id")
+        topk.join(
+            t2,
+            (F.col("n2") == F.col("nbr")) & (F.col("b2") == F.col("node")),
+            "inner",
+        )
+        .where(F.col("node") < F.col("nbr"))
+        .select(F.col("node").alias("a_id"), F.col("nbr").alias("b_id"))
         .localCheckpoint(eager=False)
     )
     for _ in range(_KTRUSS_ROUNDS):
