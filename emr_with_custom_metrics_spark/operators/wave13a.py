@@ -155,10 +155,14 @@ def timeseries_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
 # calendar scale; subtracting the e3-rounded mean keeps dv at residual
 # magnitude and exact).
 
-_LB_RESID_BODY = (
-    _AR2_COEFS_PREFIX
-    + _AR2_RESID_CTE
-    + f"""
+# The tail reads the residual stream three times (dden + the lnum
+# self-join's two legs). MEASURED (sf0.1, local[32], best-of-2): the
+# inline WITH-chain runs 7.2s vs 10.0s for a localCheckpoint-staged
+# variant — Spark's ReusedExchange already shares the bucket-aggregate
+# shuffle across the three references, so staging only adds the
+# checkpoint write (unlike the round-8 rolling-actives case, where the
+# re-referenced subtree sat ABOVE a non-reusable scan). Keep inline.
+_LB_TAIL = f"""
     , ridx AS (
         SELECT event_type,
                CAST(ROW_NUMBER() OVER (PARTITION BY event_type
@@ -212,12 +216,18 @@ _LB_RESID_BODY = (
     LEFT JOIN ({_KW_CRIT}) c ON c.df = q.n_lags - 2
     WHERE {{guard}}
 """
-)
+
+_LB_DUCK = (
+    _AR2_COEFS_PREFIX + _AR2_RESID_CTE + _LB_TAIL
+).format(guard=chi2_lookup_guard("duck"))
+_LB_SPARK = (
+    _AR2_COEFS_PREFIX + _AR2_RESID_CTE + _LB_TAIL
+).format(guard=chi2_lookup_guard("spark"))
 
 
 @register(
     "stats_ljung_box_resid",
-    oracle=_LB_RESID_BODY.format(guard=chi2_lookup_guard("duck")),
+    oracle=_LB_DUCK,
     doc="Ljung-Box portmanteau whiteness test at lags 1-8 on the AR(2) "
     "forecast residuals with df = n_lags - 2 — the fitted-parameter "
     "degrees-of-freedom correction that the raw-series stats_ljung_box "
@@ -234,11 +244,7 @@ _LB_RESID_BODY = (
 )
 def stats_ljung_box_resid(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))
-    return spark.sql(
-        _LB_RESID_BODY.format(guard=chi2_lookup_guard("spark")).replace(
-            *_SPARK_TS_FIX
-        )
-    )
+    return spark.sql(_LB_SPARK.replace(*_SPARK_TS_FIX))
 
 
 # ---------------------------------------------------------------------------

@@ -192,6 +192,9 @@ def test_no_driver_side_collect_in_query_modules():
             # aggregate AND both orientation joins — same remedy as
             # operators/graph.py's edge consumers
             "operators/wave12b.py",
+            # k-truss: the mutual-top-K edge table feeds every peel
+            # round's three wedge-join legs (the kcore/triangle remedy)
+            "operators/wave13b.py",
         },
     }
     offenders = []
