@@ -24,6 +24,9 @@ EVENT_OPS = [
     "events_hmm_viterbi",
     "timeseries_holt_winters_seasonal",
     "timeseries_ar_order_fit",
+    "stats_cochran_q",
+    "stats_page_trend",
+    "events_interevent_burstiness",
 ]
 DOC_OPS = ["text_mtld", "text_simpson_diversity"]
 LINEITEM_OPS = ["demand_croston_sbc", "basket_association_rules"]
