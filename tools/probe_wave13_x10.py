@@ -28,6 +28,9 @@ ROWS = [
     "timeseries_ar_order_fit",
     "timeseries_holt_winters_seasonal",
     "text_simpson_diversity",
+    "stats_cochran_q",
+    "stats_page_trend",
+    "events_interevent_burstiness",
 ]
 
 
