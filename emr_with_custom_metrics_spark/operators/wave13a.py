@@ -146,83 +146,151 @@ def timeseries_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Ljung-Box on AR(2) residuals
+# Ljung-Box on AR(2) residuals (single-fold sufficient statistics)
 # ---------------------------------------------------------------------------
-# Q = n(n+2) Σ_{k=1..8} r_k²/(n-k) with df = h - p = n_lags - 2 (the
-# fitted-AR-parameter correction). Residual autocorrelations use
-# rounded-MEAN centering (the r12 D'Agostino lesson: n*e - S centering
-# would square the n factor into the lag products and overflow at
-# calendar scale; subtracting the e3-rounded mean keeps dv at residual
-# magnitude and exact).
+# Q = n(n+2) sum_{k=1..8} r_k^2/(n-k) with df = n_lags - 2 (the
+# fitted-AR-parameter correction). The first implementation computed
+# the residual autocorrelations with an 8-lag self-join whose tail
+# referenced the residual stream six times — Spark's WITH-inlining
+# replayed the AR(2) prefix per reference (~5 s warm at sf0.01). This
+# form collects each metric's residual stream once and runs ONE
+# 27-slot array fold gathering every sufficient statistic in a single
+# pass: [pos, sum, sumsq, rawlag_1..8, ring_1..8 (the last 8 values,
+# slot 12 + (pos-1) mod 8), first_1..8]. The centered lag sums come
+# back by algebra: sum(e_t - eb)(e_{t+k} - eb) = rawlag_k
+# - eb*(S_head + S_tail) + (n-k)*eb^2 with S_head = sum - (last k),
+# S_tail = sum - (first k) — every quantity an exact integer-valued
+# double (residuals are e3 integers; all products < 2^53 at calendar
+# scale), so the answers are IDENTICAL to the join form (verified
+# frame-for-frame at 3 SFs and on the hostile fuzz seeds before the
+# switch). The fold lambda captures NO outer column (the round-13
+# DuckDB rule). Rounded-mean centering per the r12 overflow lesson.
 
-# The tail reads the residual stream three times (dden + the lnum
-# self-join's two legs). MEASURED (sf0.1, local[32], best-of-2): the
-# inline WITH-chain runs 7.2s vs 10.0s for a localCheckpoint-staged
-# variant — Spark's ReusedExchange already shares the bucket-aggregate
-# shuffle across the three references, so staging only adds the
-# checkpoint write (unlike the round-8 rolling-actives case, where the
-# re-referenced subtree sat ABOVE a non-reusable scan). Keep inline.
-_LB_TAIL = f"""
-    , ridx AS (
-        SELECT event_type,
-               CAST(ROW_NUMBER() OVER (PARTITION BY event_type
-                                       ORDER BY bucket) AS BIGINT) AS t,
-               e_e3
-        FROM resid),
-    rstat AS (
+_LB_NLAGS = 8
+
+
+def _lb_step(el, elx, v, iv) -> str:
+    """One residual: update pos/sum/sumsq, the 8 raw lag products
+    (reading the PRE-update ring), the ring slot, and the first-8
+    record. el(i): literal-index accessor; elx(expr): computed-index
+    accessor; v: the incoming value; iv: the rebuild index variable."""
+    ring_pred = elx(f"12 + (CAST({el(1)} - ({iv} - 3) AS INT) % 8)")
+    return (
+        f"CASE WHEN {iv} = 1 THEN {el(1)} + 1.0e0 "
+        f"WHEN {iv} = 2 THEN {el(2)} + {v} "
+        f"WHEN {iv} = 3 THEN {el(3)} + {v} * {v} "
+        f"WHEN {iv} <= 11 THEN {elx(iv)} + "
+        f"(CASE WHEN {el(1)} >= {iv} - 3.0e0 "
+        f"THEN {ring_pred} * {v} ELSE 0.0e0 END) "
+        f"WHEN {iv} <= 19 THEN "
+        f"(CASE WHEN {iv} - 12 = CAST({el(1)} AS INT) % 8 "
+        f"THEN {v} ELSE {elx(iv)} END) "
+        f"ELSE (CASE WHEN {el(1)} <= 7.0e0 "
+        f"AND {iv} - 19 = CAST({el(1)} AS INT) + 1 "
+        f"THEN {v} ELSE {elx(iv)} END) END"
+    )
+
+
+def _lb_sql(engine: str) -> str:
+    if engine == "spark":
+        el = lambda i: f"element_at(acc, {i})"
+        elx = lambda e: f"element_at(acc, CAST({e} AS INT))"
+        step = _lb_step(el, elx, "v", "i")
+        init = "transform(sequence(1, 27), z -> CAST(0.0 AS DOUBLE))"
+        fold = (
+            f"aggregate(transform(array_sort(collect_list(struct(bucket, "
+            f"CAST(e_e3 AS DOUBLE) AS ev))), s0 -> s0.ev), {init}, "
+            f"(acc, v) -> transform(sequence(1, 27), i -> ({step})))"
+        )
+        st = lambda i: f"element_at(c.st, {i})"
+        stx = lambda e: f"element_at(c.st, CAST({e} AS INT))"
+    else:
+        el = lambda i: f"acc[{i}]"
+        elx = lambda e: f"acc[CAST({e} AS INT)]"
+        step = _lb_step(el, elx, "st[1]", "CAST(i AS INT)")
+        init = "list_transform(generate_series(1, 27), z -> 0.0)"
+        fold = (
+            f"list_reduce(list_concat([{init}], "
+            f"list_transform(list(CAST(e_e3 AS DOUBLE) ORDER BY bucket), "
+            f"x -> [x])), (acc, st) -> "
+            f"list_transform(generate_series(1, 27), "
+            f"i -> ({step})))"
+        )
+        st = lambda i: f"c.st[{i}]"
+        stx = lambda e: f"c.st[CAST({e} AS INT)]"
+    # epilogue: plain scalar algebra over the 27 slots (no lambdas)
+    lasts = ", ".join(
+        f"{stx(f'12 + (CAST(c.n - 1 - {i} AS INT) % 8)')} AS l{i}"
+        for i in range(_LB_NLAGS)
+    )
+    s_first = {
+        k: "(" + " + ".join(st(19 + j) for j in range(1, k + 1)) + ")"
+        for k in range(1, _LB_NLAGS + 1)
+    }
+    s_last = {
+        k: "(" + " + ".join(f"d.l{i}" for i in range(k)) + ")"
+        for k in range(1, _LB_NLAGS + 1)
+    }
+    # centered lag sum per k (exact integer algebra; see header comment)
+    def skc(k: int) -> str:
+        return (
+            f"(d.raw{k} - d.eb * ((d.s1 - {s_last[k]}) + (d.s1 - d.f{k}))"
+            f" + (d.n - {k}) * d.eb * d.eb)"
+        )
+
+    def term(k: int) -> str:
+        rk = f"CAST(ROUND({skc(k)} / d.s2 * 1000000000) AS BIGINT)"
+        return (
+            f"CASE WHEN d.n > {k} THEN "
+            f"CAST(ROUND(POWER({rk} / 1000000000.0e0, 2) "
+            f"/ (d.n - {k}) * 1000000000) AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END"
+        )
+
+    sum_terms = "(" + " + ".join(term(k) for k in range(1, 9)) + ")"
+    n_lags = (
+        "("
+        + " + ".join(f"CASE WHEN d.n > {k} THEN 1 ELSE 0 END" for k in range(1, 9))
+        + ")"
+    )
+    raws = ", ".join(f"{st(3 + k)} AS raw{k}" for k in range(1, 9))
+    firsts = ", ".join(f"{s_first[k]} AS f{k}" for k in range(1, 9))
+    body = f"""
+    , packed AS (
         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(ROUND(CAST(SUM(e_e3) AS DOUBLE) / COUNT(*)) AS BIGINT)
-                   AS ebar
-        FROM ridx GROUP BY event_type),
-    dcent AS (
-        SELECT r.event_type, r.t, r.e_e3 - s.ebar AS dv
-        FROM ridx r JOIN rstat s ON s.event_type = r.event_type),
-    dden AS (
-        SELECT event_type, CAST(SUM(dv * dv) AS BIGINT) AS s2
-        FROM dcent GROUP BY event_type),
-    lk AS (
-        SELECT CAST(1 AS BIGINT) AS lag UNION ALL SELECT 2 UNION ALL
-        SELECT 3 UNION ALL SELECT 4 UNION ALL SELECT 5 UNION ALL
-        SELECT 6 UNION ALL SELECT 7 UNION ALL SELECT 8),
-    lnum AS (
-        SELECT d1.event_type, l.lag,
-               CAST(SUM(d1.dv * d2.dv) AS BIGINT) AS sk
-        FROM dcent d1
-        CROSS JOIN lk l
-        JOIN dcent d2 ON d2.event_type = d1.event_type
-                     AND d2.t = d1.t + l.lag
-        GROUP BY d1.event_type, l.lag),
-    terms AS (
-        SELECT n.event_type, n.lag, s.n,
-               CAST(ROUND(POWER(CAST(ROUND(CAST(n.sk AS DOUBLE) / d.s2
-                        * 1000000000) AS BIGINT) / 1000000000.0e0, 2)
-                    / (s.n - n.lag) * 1000000000) AS BIGINT) AS term_e9
-        FROM lnum n
-        JOIN dden d ON d.event_type = n.event_type
-        JOIN rstat s ON s.event_type = n.event_type
-        WHERE d.s2 > 0 AND s.n > n.lag),
-    qstat AS (
-        SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
-               CAST(COUNT(*) AS BIGINT) AS n_lags,
-               CAST(ROUND(CAST(MAX(n) * (MAX(n) + 2) AS DOUBLE)
-                    * SUM(term_e9) / 1000000000.0e0 * 1000000) AS BIGINT)
+               ({fold}) AS st
+        FROM resid GROUP BY event_type
+    ), calc AS (
+        SELECT c.event_type, c.n, round({st(2)} / c.n) AS eb,
+               {st(2)} AS s1, {st(3)} AS ss,
+               {raws}, {lasts}, {firsts}
+        FROM packed c
+    ), moments AS (
+        SELECT d.event_type, d.n,
+               (d.ss - 2.0e0 * d.eb * d.s1 + d.n * d.eb * d.eb) AS s2v
+        FROM calc d
+    ), qstat AS (
+        SELECT d.event_type, d.n,
+               CAST({n_lags} AS BIGINT) AS n_lags,
+               CAST(ROUND(CAST(d.n * (d.n + 2) AS DOUBLE)
+                    * {sum_terms} / 1000000000.0e0 * 1000000) AS BIGINT)
                    AS lb_q_e6
-        FROM terms GROUP BY event_type
-        HAVING COUNT(*) > 2)
+        FROM (SELECT c2.*, m.s2v AS s2 FROM calc c2
+              JOIN moments m ON m.event_type = c2.event_type) d
+        WHERE d.s2 > 0
+    )
     SELECT q.event_type, q.n AS n_resid, q.n_lags,
            q.n_lags - 2 AS df, q.lb_q_e6,
            q.lb_q_e6 > c.crit_e6 AS reject_whiteness
     FROM qstat q
     LEFT JOIN ({_KW_CRIT}) c ON c.df = q.n_lags - 2
-    WHERE {{guard}}
+    WHERE q.n_lags > 2 AND ({{guard}})
 """
+    return _AR2_COEFS_PREFIX + _AR2_RESID_CTE + body
 
-_LB_DUCK = (
-    _AR2_COEFS_PREFIX + _AR2_RESID_CTE + _LB_TAIL
-).format(guard=chi2_lookup_guard("duck"))
-_LB_SPARK = (
-    _AR2_COEFS_PREFIX + _AR2_RESID_CTE + _LB_TAIL
-).format(guard=chi2_lookup_guard("spark"))
+
+_LB_DUCK = _lb_sql("duck").format(guard=chi2_lookup_guard("duck"))
+_LB_SPARK = _lb_sql("spark").format(guard=chi2_lookup_guard("spark"))
 
 
 @register(
@@ -233,14 +301,18 @@ _LB_SPARK = (
     "degrees-of-freedom correction that the raw-series stats_ljung_box "
     "cannot apply, completing the Box-Jenkins loop (identify via "
     "ACF/PACF, fit AR(2), diagnose via DW + LB-on-residuals). Shares "
-    "the sliced AR(2) coefficient body; residual ACF uses rounded-mean "
-    "centering (the r12 D'Agostino overflow lesson) with exact integer "
-    "lag products, each r_k quantized e9, per-lag terms e9, Q one "
-    "double epilogue e6 against the pinned chi2 lookup (LEFT JOIN + "
-    "loud in-plan guard past df 80 — the r11 silent-empty class). "
-    "Metrics with fewer than 4 usable lags (sub-6-point series) are "
-    "documented drops. One window + one bounded self-equi-join per "
-    "metric over the calendar-bounded bucket index.",
+    "the sliced AR(2) coefficient body; the residual autocorrelations "
+    "come from ONE 27-slot sufficient-statistics array fold per metric "
+    "(pos/sum/sumsq, 8 ring-buffered raw lag products, the first and "
+    "last 8 values — the centered sums recovered by exact integer "
+    "algebra with rounded-mean centering, the r12 overflow lesson), "
+    "replacing an 8-lag self-join whose six-reference tail Spark "
+    "replayed (~5x the fold's cost). Each r_k quantizes e9, per-lag "
+    "terms e9, Q one double epilogue e6 against the pinned chi2 "
+    "lookup (LEFT JOIN + loud in-plan guard — the r11 silent-empty "
+    "class). Metrics with fewer than 4 usable lags are documented "
+    "drops. One window + one packing aggregation per metric over the "
+    "calendar-bounded bucket series.",
 )
 def stats_ljung_box_resid(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))
