@@ -238,8 +238,16 @@ def _lb_sql(engine: str) -> str:
             f" + (d.n - {k}) * d.eb * d.eb)"
         )
 
+    # NULLIF keeps the division NULL-safe when s2 = 0: the degenerate
+    # CASE arm below never consumes the NULL, and neither engine is
+    # left to its own divide-by-zero convention (r12 ADVICE low: the
+    # old WHERE d.s2 > 0 silently DROPPED perfect-fit metrics, against
+    # the degenerate-flagged-row convention its sibling DW follows)
     def term(k: int) -> str:
-        rk = f"CAST(ROUND({skc(k)} / d.s2 * 1000000000) AS BIGINT)"
+        rk = (
+            f"CAST(ROUND({skc(k)} / NULLIF(d.s2, 0) * 1000000000) "
+            f"AS BIGINT)"
+        )
         return (
             f"CASE WHEN d.n > {k} THEN "
             f"CAST(ROUND(POWER({rk} / 1000000000.0e0, 2) "
@@ -272,16 +280,18 @@ def _lb_sql(engine: str) -> str:
     ), qstat AS (
         SELECT d.event_type, d.n,
                CAST({n_lags} AS BIGINT) AS n_lags,
+               d.s2 <= 0 AS degenerate,
+               CASE WHEN d.s2 > 0 THEN
                CAST(ROUND(CAST(d.n * (d.n + 2) AS DOUBLE)
                     * {sum_terms} / 1000000000.0e0 * 1000000) AS BIGINT)
-                   AS lb_q_e6
+               ELSE CAST(0 AS BIGINT) END AS lb_q_e6
         FROM (SELECT c2.*, m.s2v AS s2 FROM calc c2
               JOIN moments m ON m.event_type = c2.event_type) d
-        WHERE d.s2 > 0
     )
     SELECT q.event_type, q.n AS n_resid, q.n_lags,
-           q.n_lags - 2 AS df, q.lb_q_e6,
-           q.lb_q_e6 > c.crit_e6 AS reject_whiteness
+           q.n_lags - 2 AS df, q.lb_q_e6, q.degenerate,
+           CASE WHEN q.degenerate THEN FALSE
+                ELSE q.lb_q_e6 > c.crit_e6 END AS reject_whiteness
     FROM qstat q
     LEFT JOIN ({_KW_CRIT}) c ON c.df = q.n_lags - 2
     WHERE q.n_lags > 2 AND ({{guard}})
@@ -311,8 +321,11 @@ _LB_SPARK = _lb_sql("spark").format(guard=chi2_lookup_guard("spark"))
     "terms e9, Q one double epilogue e6 against the pinned chi2 "
     "lookup (LEFT JOIN + loud in-plan guard — the r11 silent-empty "
     "class). Metrics with fewer than 4 usable lags are documented "
-    "drops. One window + one packing aggregation per metric over the "
-    "calendar-bounded bucket series.",
+    "drops; a zero-variance residual stream (perfect fit) emits a "
+    "degenerate-flagged row instead of silently dropping — the same "
+    "convention its sibling DW applies (r12 ADVICE). One window + one "
+    "packing aggregation per metric over the calendar-bounded bucket "
+    "series.",
 )
 def stats_ljung_box_resid(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))

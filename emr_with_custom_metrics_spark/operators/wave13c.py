@@ -1,14 +1,15 @@
-"""Round-13 wave 13c: AR order selection + fit, Markov entropy rate,
-Holt-Winters seasonal forecasting, and Simpson lexical concentration.
+"""Round-13 wave 13c: AR order selection + fit, Holt-Winters seasonal
+forecasting, and Simpson lexical concentration.
 
 * ``timeseries_ar_order_fit`` — PACF-based AR order selection (largest
   lag whose partial autocorrelation clears the 1.96/sqrt(n) band)
   feeding a Yule-Walker AR(p*) fit at exactly that order: the step
   the identification family has pointed at since round 12
-  (``timeseries_pacf_durbin`` picks, this op FITS). Both the pick and
-  the order-p* Durbin-Levinson re-run are higher-order folds over the
-  same packed ACF vector — the conditional fold simply freezes past
-  round p*, so one template serves every data-chosen order.
+  (``timeseries_pacf_durbin`` picks, this op FITS). The order pick is
+  a pre-bound scaled-PACF projection + max (no fold at all); the
+  order-p* Durbin-Levinson re-run is a higher-order fold over the
+  same packed ACF vector whose round list is truncated to p*, so one
+  template serves every data-chosen order.
 * ``timeseries_holt_winters_seasonal`` — additive Holt-Winters (level, trend,
   24-hour seasonality; pinned alpha/beta/gamma) per metric as ONE
   28-slot array fold over the dense hourly series: the exponential-
@@ -22,9 +23,9 @@ Holt-Winters seasonal forecasting, and Simpson lexical concentration.
   (which weights the same spectrum quadratically but is unbounded).
 
 House discipline: the AR fit quantizes phi e9 per Durbin-Levinson
-round (identical trajectories); entropy terms quantize e9 before the
-exact integer reduction (the Fisher lnp pattern); Simpson's sums are
-exact integers with one e9 epilogue.
+round (identical trajectories); Simpson's sums are exact integers
+with one e9 epilogue; no DuckDB fold lambda captures more than one
+outer column (the round-13 list_reduce row-correlation rule).
 """
 
 from __future__ import annotations
@@ -78,10 +79,19 @@ def _arfit_sql(engine: str) -> str:
             f"aggregate(sequence(1, {L}), {init}, "
             f"(acc, k) -> ({_pacf_step_spark('acc', 'k')}))"
         )
+        # scaled |pacf_k|*sqrt(n): the lambda captures ONLY f.nd (the
+        # pacf slice is an argument, evaluated outside the lambda)
+        scaled = (
+            f"transform(slice(f.st, {L + 2}, {L}), "
+            f"x -> abs(x) * sqrt(f.nd))"
+        )
+        # largest significant lag: each slot maps to its lag index when
+        # significant else 0, then one array_max — no fold, and the
+        # lambda captures ONLY s.sc
         pickf = (
-            f"aggregate(sequence(1, {L}), 0, (m, k) -> "
-            f"CASE WHEN abs(element_at(f.st, {1 + L} + k)) * sqrt(f.nd) "
-            f"> 1.96e0 AND k > m THEN k ELSE m END)"
+            f"array_max(transform(sequence(1, {L}), k -> "
+            f"CASE WHEN element_at(s.sc, k) > 1.96e0 "
+            f"THEN k ELSE 0 END))"
         )
         # the round list is truncated to p_ord OUTSIDE the lambda: a
         # lambda capturing BOTH rarr and p_ord triggers a DuckDB
@@ -110,10 +120,20 @@ def _arfit_sql(engine: str) -> str:
             f"k -> [CAST(k AS DOUBLE)])), "
             f"(acc, st) -> ({_pacf_step_duck('acc', 'CAST(st[1] AS INT)')}))"
         )
+        # scaled |pacf_k|*sqrt(n): slice argument evaluated outside the
+        # lambda, which captures ONLY f.nd (r12 ADVICE: the old pickf
+        # fold captured f.st AND f.nd — the two-capture list_reduce
+        # row-correlation hazard this module's tail comment documents)
+        scaled = (
+            f"list_transform(f.st[{L + 2}:{2 * L + 1}], "
+            f"x -> abs(x) * sqrt(f.nd))"
+        )
+        # largest significant lag via one list_max; lambda captures
+        # ONLY s.sc — list_reduce is gone from the pick entirely
         pickf = (
-            f"list_reduce(list_concat([0], generate_series(1, {L})), "
-            f"(m, k) -> CASE WHEN abs(f.st[CAST({1 + L} + k AS INT)]) "
-            f"* sqrt(f.nd) > 1.96e0 AND k > m THEN k ELSE m END)"
+            f"list_max(list_transform(generate_series(1, {L}), k -> "
+            f"CASE WHEN s.sc[CAST(k AS INT)] > 1.96e0 "
+            f"THEN k ELSE CAST(0 AS BIGINT) END))"
         )
         fold2 = (
             f"list_reduce(list_concat([{init}], "
@@ -124,13 +144,16 @@ def _arfit_sql(engine: str) -> str:
         fin = "g.st2[{i}]"
         mat = " MATERIALIZED"
     # every fold/HOF below reads columns of ONE table alias, and each
-    # DuckDB fold lambda captures at most ONE outer column (rarr, the
-    # shape the round-12 pacf fold proved): at sf0.001 a fold whose
-    # lambda captured rarr AND p_ord returned ANOTHER ROW's fold result
+    # DuckDB lambda captures at most ONE outer column (rarr, the shape
+    # the round-12 pacf fold proved): at sf0.001 a fold whose lambda
+    # captured rarr AND p_ord returned ANOTHER ROW's fold result
     # (e.g. 'error' silently got 'signup's st2) — both with a JOIN in
     # the same SELECT and without one. The order count is therefore
-    # applied OUTSIDE the lambda by truncating the round list to p_ord,
-    # and rarr/nd/p_ord are carried through the CTE chain.
+    # applied OUTSIDE the lambda by truncating the round list to p_ord;
+    # the ORDER PICK pre-binds |pacf_k|*sqrt(n) in the sigd projection
+    # (r12 ADVICE medium: its old fold captured st AND nd) so every
+    # surviving lambda is single-capture; rarr/nd/p_ord carry through
+    # the CTE chain.
     tail = f"""
     , nd AS{mat} (
         SELECT event_type, CAST(MAX(n) AS DOUBLE) AS nd FROM tot
@@ -141,10 +164,13 @@ def _arfit_sql(engine: str) -> str:
     ), folded AS{mat} (
         SELECT p.event_type, p.rarr, p.nd, ({fold1}) AS st
         FROM packed p
-    ), pick AS{mat} (
-        SELECT f.event_type, f.rarr, CAST(f.nd AS BIGINT) AS n,
-               ({pickf}) AS p_ord
+    ), sigd AS{mat} (
+        SELECT f.event_type, f.rarr, f.nd, f.st, ({scaled}) AS sc
         FROM folded f
+    ), pick AS{mat} (
+        SELECT s.event_type, s.rarr, CAST(s.nd AS BIGINT) AS n,
+               ({pickf}) AS p_ord
+        FROM sigd s
     ), fitted AS{mat} (
         SELECT p.event_type, p.n, p.p_ord, ({fold2}) AS st2
         FROM pick p

@@ -48,14 +48,13 @@ _EPOCH_US_DUCK = "epoch_us(ts)"
 # ---------------------------------------------------------------------------
 # x_ij = 1 iff user i has at least one event of metric j with
 # value >= 100. Q = (k-1) * (k*sum(C_j^2) - N^2) / (k*N - sum(R_i^2))
-# with column totals C_j, row totals R_i, N = sum(C) = sum(R): every
-# term is an exact integer (users ~1e9 at 100 TB -> R_i <= k = 5, so
-# sum(R^2) <= 25n and C_j^2 <= n^2 ~ 1e18 at the extreme — C_j is
-# BIGINT and k*sum(C^2) can pass int64 ONLY past ~6e8 users per
-# column; the epilogue forms those two products in DOUBLE, a fixed
-# 5-term DAG over exact integers). Degenerate denominator (every user
-# concordant) emits a flagged row instead of dropping (the Hill
-# lesson).
+# with column totals C_j, row totals R_i, N = sum(C) = sum(R). R_i <=
+# k = 5 keeps sum(R^2) <= 25n exactly inside int64 at ~1e9 users, but
+# C_j^2 approaches 1e18 there, so sum(C^2) ACCUMULATES in double (r12
+# ADVICE: a BIGINT sum of five ~1e18 terms overflows int64 upstream of
+# any epilogue cast) and the N^2 / k*sc2 products stay double, a fixed
+# 5-term DAG. Degenerate denominator (every user concordant) emits a
+# flagged row instead of dropping (the Hill lesson).
 
 _COCHRAN_TMPL = """
     WITH b AS (
@@ -72,7 +71,13 @@ _COCHRAN_TMPL = """
     ), mom AS (
         SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cols) AS k,
                (SELECT CAST(SUM(c) AS BIGINT) FROM cols) AS n,
-               (SELECT CAST(SUM(c * c) AS BIGINT) FROM cols) AS sc2,
+               -- sc2 ACCUMULATES in double: C_j^2 ~ 1e18 at ~1e9 users
+               -- per column, so a BIGINT sum of five such terms can
+               -- overflow int64 upstream of the epilogue (r12 ADVICE);
+               -- each c*c is exact in double to 2^53 (c < 9.4e7 per
+               -- term is exact; beyond it the 5-term sum is within one
+               -- ulp — the e6 quantization absorbs it)
+               (SELECT SUM(CAST(c AS DOUBLE) * c) FROM cols) AS sc2,
                (SELECT CAST(SUM(r * r) AS BIGINT) FROM rows_) AS sr2
     ), q AS (
         SELECT k, n, sc2, sr2,
@@ -223,18 +228,25 @@ _BURSTY_TMPL = """
                CAST(SUM(g * g) AS BIGINT) AS s2
         FROM gaps GROUP BY event_type
     )
+    -- GREATEST clamps the discriminant: past 2^53 the double rounding
+    -- of n*S2 - S1^2 can land slightly NEGATIVE for near-constant gap
+    -- trains, and sqrt would emit NaN through both ratios (r12
+    -- ADVICE); clamped, such series degrade to B = -1, cv = 0 — the
+    -- exact-zero-variance answer
     SELECT event_type, n AS n_gaps,
            CAST(ROUND(CAST(s1 AS DOUBLE) / n) AS BIGINT) AS mean_gap_s,
            CASE WHEN s1 > 0
-                THEN CAST(ROUND((sqrt(CAST(n AS DOUBLE) * s2
-                          - CAST(s1 AS DOUBLE) * s1) - s1)
-                     / (sqrt(CAST(n AS DOUBLE) * s2
-                          - CAST(s1 AS DOUBLE) * s1) + s1)
+                THEN CAST(ROUND((sqrt(GREATEST(0.0e0,
+                          CAST(n AS DOUBLE) * s2
+                          - CAST(s1 AS DOUBLE) * s1)) - s1)
+                     / (sqrt(GREATEST(0.0e0, CAST(n AS DOUBLE) * s2
+                          - CAST(s1 AS DOUBLE) * s1)) + s1)
                      * 1000000000) AS BIGINT)
                 ELSE CAST(0 AS BIGINT) END AS burstiness_e9,
            CASE WHEN s1 > 0
-                THEN CAST(ROUND(sqrt(CAST(n AS DOUBLE) * s2
-                          - CAST(s1 AS DOUBLE) * s1) / s1
+                THEN CAST(ROUND(sqrt(GREATEST(0.0e0,
+                          CAST(n AS DOUBLE) * s2
+                          - CAST(s1 AS DOUBLE) * s1)) / s1
                      * 1000000000) AS BIGINT)
                 ELSE CAST(0 AS BIGINT) END AS cv_e9
     FROM mom
