@@ -37,19 +37,33 @@ from emr_with_custom_metrics_spark.catalog import register_views
 from emr_with_custom_metrics_spark.registry import register
 
 _LR_BUCKETS = 128  # hashed unigram feature buckets (+1 bias slot)
-_LR_ITERS = 40
-_LR_RATE = 1.0
-_LR_MOMENTUM = 0.9
+# Round-13 retune (r12 VERDICT item 2): the old rate 1.0 / momentum 0.9
+# heavy ball OSCILLATED with no stable plateau (measured trajectories in
+# SCALING.md round-12/13 notes — train accuracy swung 0.88..0.976 at 40
+# rounds). The conditioning is the problem: lambda_max(X'X)/n = 585 on
+# these scaled-bucket features, so any rate fast for the bulk diverges
+# on the top eigenvector. Fix: JACOBI-PRECONDITIONED heavy ball — each
+# gradient coordinate divides by h_j = max(E[x_j^2], 1)/4, the diagonal
+# of the logistic-Hessian upper bound (sigma'(z) <= 1/4). Measured on
+# the exact quantized arithmetic at all 3 SFs: training LOSS strictly
+# monotone every round, accuracy 0.980/0.966/0.988 (sf0.001/0.01/0.1)
+# at 24 rounds vs the old tune's oscillating 0.95/0.976-sampled at 40 —
+# fewer rounds, better conditioning, no oscillation.
+_LR_ITERS = 24
+_LR_RATE = 0.2
+_LR_MOMENTUM = 0.7
 _HEX = "0123456789abcdef"
 
 
 def _lr_sql(dialect: str, feats_ref: str | None = None) -> str:
     """One template, two dialects: hashed-BoW logistic regression trained
-    with ``_LR_ITERS`` full-batch heavy-ball GD rounds, then per-doc
-    scoring. Plain GD needs ~10x more rounds on these ill-conditioned
-    bag-of-words features (measured: 0.64 accuracy at 25 plain rounds vs
-    0.89 with momentum 0.9); the velocity vector rides in the weight row
-    so the chain still references one upstream CTE per round.
+    with ``_LR_ITERS`` full-batch Jacobi-preconditioned heavy-ball GD
+    rounds, then per-doc scoring. Plain GD at the smoothness-safe rate
+    2/L needs ~3x more rounds and plateaus lower (measured 0.92 at 20
+    rounds), and the un-preconditioned heavy ball oscillated (see the
+    constants comment); the velocity vector and preconditioner ride in
+    the weight row so the chain still references one upstream CTE per
+    round.
 
     ``feats_ref`` (Spark runtime only) replaces the inline feature CTE
     with a pre-materialized view name, so the 41 chain references scan a
@@ -125,19 +139,31 @@ def _lr_sql(dialect: str, feats_ref: str | None = None) -> str:
         return f"WITH {feats_block} SELECT * FROM feats"
     if feats_ref is None:
         parts = [f"""
-    WITH {feats_block}, w0 AS ("""]
+    WITH {feats_block}, hv AS ("""]
     else:
         parts = ["""
-    WITH w0 AS ("""]
+    WITH hv AS ("""]
+    xsq = f"{idx('f.x', 'r.j + 1')} * {idx('f.x', 'r.j + 1')}"
     parts.append(f"""
-        -- doc count and the momentum velocity ride IN the weight row:
-        -- each GD round may reference only ONE upstream data CTE (feats)
-        -- and one weight CTE, or CTE inlining duplicates the feature
-        -- chain EXPONENTIALLY in rounds
+        -- Jacobi preconditioner: h_j = max(E[x_j^2], 1)/4, the diagonal
+        -- of the logistic-Hessian bound. E[x_j^2] sums 1e-9-quantized
+        -- integers so its value is reduction-order-free, like the
+        -- gradient
+        SELECT {mk_list('h')} AS h, MAX(cnt) AS n FROM (
+            SELECT r.j AS j, COUNT(*) AS cnt,
+                   GREATEST((SUM(CAST(ROUND(({xsq}) * 1000000000)
+                                 AS BIGINT)) / 1000000000.0)
+                            / COUNT(*), 1.0) / 4.0 AS h
+            FROM {feats} f, {rngd} r GROUP BY r.j) hh),
+    w0 AS (
+        -- doc count, preconditioner, and the momentum velocity ride IN
+        -- the weight row: each GD round may reference only ONE upstream
+        -- data CTE (feats) and one weight CTE, or CTE inlining
+        -- duplicates the feature chain EXPONENTIALLY in rounds
         SELECT {tx}({seqd}, z -> CAST(0.0 AS DOUBLE)) AS v,
                {tx}({seqd}, z -> CAST(0.0 AS DOUBLE)) AS u,
-               COUNT(*) AS n
-        FROM {feats})""")
+               h, n
+        FROM hv)""")
     dot = fold(f"{tx}({seqd}, j -> {idx('x', 'j + 1')} * {idx('v', 'j + 1')})")
     # Logit clamped to ±30 before exp: a diverging intermediate round
     # would otherwise ride exp overflow semantics, and ±30 already
@@ -154,20 +180,25 @@ def _lr_sql(dialect: str, feats_ref: str | None = None) -> str:
     # doubled DuckDB's runtime per added round; at 12 rounds it died on
     # open file handles). MAX(...) re-reads the weight/velocity/count
     # scalars that are constant within each j-group.
-    grad = (f"(SUM(CAST(ROUND({idx('x', 'r.j + 1')} * (y - s)"
-            f" * 1000000000) AS BIGINT)) / 1000000000.0) / MAX(nn)")
+    # preconditioned gradient: ((integer-sum / 1e9) / n) / h_j — the
+    # identical op order the Spark driver loop runs
+    grad = (f"((SUM(CAST(ROUND({idx('x', 'r.j + 1')} * (y - s)"
+            f" * 1000000000) AS BIGINT)) / 1000000000.0) / MAX(nn))"
+            f" / MAX({idx('h', 'r.j + 1')})")
     for it in range(_LR_ITERS):
         parts.append(f""",
     w{it + 1} AS {mat}(
-        SELECT {mk_list('nw')} AS v, {mk_list('nu')} AS u, MAX(nn) AS n
+        SELECT {mk_list('nw')} AS v, {mk_list('nu')} AS u,
+               {mk_list('nh')} AS h, MAX(nn) AS n
         FROM (
             SELECT r.j, MAX(nn) AS nn,
+                   MAX({idx('h', 'r.j + 1')}) AS nh,
                    {_LR_MOMENTUM} * MAX({idx('u', 'r.j + 1')}) + {grad} AS nu,
                    MAX({idx('v', 'r.j + 1')})
                      + {_LR_RATE}
                        * ({_LR_MOMENTUM} * MAX({idx('u', 'r.j + 1')}) + {grad})
                      AS nw
-            FROM (SELECT f.x, f.y, v, u, n AS nn, {sig9} AS s
+            FROM (SELECT f.x, f.y, v, u, h, n AS nn, {sig9} AS s
                   FROM {feats} f, w{it}) t, {rngd} r
             GROUP BY r.j))""")
     parts.append(f""",
@@ -185,20 +216,23 @@ def _lr_sql(dialect: str, feats_ref: str | None = None) -> str:
     "text_quality_classifier",
     oracle=_lr_sql("duckdb"),
     doc="Linear document classifier TRAINED in-engine: logistic "
-    "regression over 128 hashed-unigram buckets (+bias), 40 full-batch "
-    "heavy-ball gradient-descent rounds as generated CTEs from one "
+    "regression over 128 hashed-unigram buckets (+bias), 24 full-batch "
+    "Jacobi-preconditioned heavy-ball GD rounds (rate 0.2, momentum "
+    "0.7, h_j = max(E[x_j^2],1)/4 — the r13 retune; training loss "
+    "strictly monotone at all 3 SFs where the old rate-1.0/momentum-"
+    "0.9 tune oscillated with no plateau) as generated CTEs from one "
     "two-dialect SQL template — the fastText-style corpus-curation "
     "filter (CCNet / LLaMA wiki-reference pattern), distilling a "
     "deterministic keyword target-domain rule into hashed features "
-    "(97.6% train accuracy vs a 55.6% majority class at sf0.01). "
-    "Ordered logit folds, 9-dp logit/sigmoid pinning, and 1e-9-scaled "
-    "integer gradient sums make every training round bit-identical "
-    "across engines — the PCA/BPE chained-schedule recipe applied to "
-    "supervised training. The Spark side materializes the feature "
-    "matrix once (localCheckpoint + temp view) so each round is one "
-    "tiny aggregate over it — the exact shape a 100 TB run wants. "
-    "Separation quality is additionally asserted in "
-    "tests/test_llm_quality.py.",
+    "(96.6% train accuracy vs a 55.6% majority class at sf0.01; 98.8% "
+    "at sf0.1). Ordered logit folds, 9-dp logit/sigmoid pinning, and "
+    "1e-9-scaled integer gradient/preconditioner sums make every "
+    "training round bit-identical across engines — the PCA/BPE "
+    "chained-schedule recipe applied to supervised training. The Spark "
+    "side materializes the feature matrix once (localCheckpoint + temp "
+    "view) so each round is one tiny aggregate over it — the exact "
+    "shape a 100 TB run wants. Separation quality is additionally "
+    "asserted in tests/test_llm_quality.py.",
 )
 def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
@@ -270,17 +304,32 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return run
 
+    def part_sq(rows):
+        import numpy as np
+
+        X = [r[1] for r in rows]
+        if not X:
+            return
+        t = np.array(X)
+        t = t * t * 1e9
+        yield np.floor(t + 0.5).astype(np.int64).sum(axis=0)
+
     # Few fat partitions: each round's job cost is task scheduling, not
     # compute, at gate/bench scale (at real corpus scale keep the natural
     # partitioning — the aggregate is map-side-combined either way).
     rdd = feats.select("y", "x").rdd.map(tuple).coalesce(2).cache()
+    # Jacobi preconditioner h_j = max(E[x_j^2], 1)/4 — ONE extra
+    # quantized-integer reduction, same op order as the oracle's hv CTE
+    sq6 = rdd.mapPartitions(part_sq).reduce(lambda a, b: a + b)
+    h = [max((float(sq6[j]) / 1e9) / n, 1.0) / 4.0 for j in range(d)]
     w = [0.0] * d
     u = [0.0] * d
     for _ in range(_LR_ITERS):
-        import numpy as np
-
         g6 = rdd.mapPartitions(part_grad(w)).reduce(lambda a, b: a + b)
-        u = [_LR_MOMENTUM * u[j] + (float(g6[j]) / 1e9) / n for j in range(d)]
+        u = [
+            _LR_MOMENTUM * u[j] + ((float(g6[j]) / 1e9) / n) / h[j]
+            for j in range(d)
+        ]
         w = [w[j] + _LR_RATE * u[j] for j in range(d)]
     rdd.unpersist()
 

@@ -137,18 +137,23 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # are either true or not-applicable (rows-only checks record null there).
 # Queries whose ANSWER CONTRACT changes in the current round must be named
 # in _ANSWER_CHANGED so they re-queue for a fresh row despite an old green.
-# Round 12: the r11-ADVICE fixes that change answers/schemas — the
-# periodogram's power share loses the spurious *n factor (values shrink
-# by n; is_dominant unchanged), and Hill gains n_pos/n_insufficient and
-# now emits a row for every metric (the silent sub-101-row drop is
-# gone). The r11 set (tost/brier/mrr/gini/linkage) rotated OUT — all
-# five took fresh r11 greens. The markov dead-end fix and the chi2
-# lookup guards are answer-identical on the fixtures (verified at the
-# sf0.01 gate), so they do not re-queue.
+# Round 13: the r12 pair (periodogram, hill) rotated OUT — both took
+# fresh r12 official greens (VERDICT r12 confirmed the stale entries
+# would waste two slots). IN: stats_ljung_box_resid — the r12-ADVICE
+# fix adds a `degenerate` flag column and stops dropping zero-variance
+# residual streams (schema change, so the old green row no longer
+# vouches for the current contract). The other r12-ADVICE fixes
+# (AR order-pick single-capture restructure, Cochran sc2-in-double,
+# burstiness discriminant clamp) are proven byte-identical at the
+# sf0.001/sf0.01 gates, so they do not re-queue.
+# text_quality_classifier re-queues for its r13 retune (VERDICT item
+# 2): Jacobi-preconditioned heavy ball at rate 0.2 / momentum 0.7 /
+# 24 rounds replaces the oscillating rate 1.0 / momentum 0.9 / 40 —
+# every per-doc p changes.
 _ANSWER_CHANGED: frozenset[str] = frozenset(
     {
-        "timeseries_spectral_periodogram",
-        "stats_hill_tail_index",
+        "stats_ljung_box_resid",
+        "text_quality_classifier",
     }
 )
 
