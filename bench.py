@@ -300,6 +300,30 @@ def _contention_check() -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     contention = _contention_check()
+    # Mechanical idle gate (r12 VERDICT item 6): ROUND_NOTES documents
+    # ±15% ambient host variance and a manual "trust only load1 < 2
+    # legs" rule — mechanize it. The record always LABELS the leg
+    # (idle_gate.idle); with SPARK_GRAFT_REQUIRE_IDLE=1 a non-idle leg
+    # REFUSES before Spark starts (for the builder's own official legs).
+    # The unattended driver keeps its row either way, honestly labeled.
+    idle_thr = float(os.environ.get("SPARK_GRAFT_IDLE_LOAD1", "2.0"))
+    idle_gate = {
+        "idle": 0.0 <= contention["load1"] < idle_thr,
+        "load1": contention["load1"],
+        "threshold": idle_thr,
+    }
+    if not idle_gate["idle"] and os.environ.get("SPARK_GRAFT_REQUIRE_IDLE") == "1":
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_total_runtime",
+                    "error": "idle gate refused leg: "
+                    f"load1 {contention['load1']} >= {idle_thr}",
+                    "idle_gate": idle_gate,
+                }
+            )
+        )
+        raise SystemExit(3)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -309,16 +333,29 @@ def main() -> None:
     # query, not session startup.
     specs["a1_group_count"].fn(spark, sf_dir).count()
 
+    # Pair-memo builds are eager and self-timed (llm/dedup.
+    # PAIR_MEMO_BUILD_SECS); each timed run subtracts any build that
+    # occurred inside it, so EVERY family row's time excludes pair
+    # generation in EVERY leg — r12 VERDICT item 3: with the build lazily
+    # riding the first family row in leg order, which row paid it
+    # differed per leg and the family's per-row times were not
+    # leg-comparable. The extracted cost gets its own `pair_memo` record
+    # line below instead of vanishing.
+    from emr_with_custom_metrics_spark.llm.dedup import PAIR_MEMO_BUILD_SECS
+
     times: dict[str, float] = {}
     for name in _headline(specs):
         # best-of-2: the second run amortizes JIT/py-worker warmup noise so
         # the recorded figure reflects the query, not the JVM's mood
         best = float("inf")
         for _ in range(2):
+            memo0 = sum(PAIR_MEMO_BUILD_SECS.values())
             t0 = time.perf_counter()
             df = specs[name].fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            elapsed = time.perf_counter() - t0
+            elapsed -= sum(PAIR_MEMO_BUILD_SECS.values()) - memo0
+            best = min(best, elapsed)
         times[name] = round(best, 3)
 
     # Physical metrics for the shuffle-heavy flagship rows (r7 VERDICT
@@ -351,13 +388,12 @@ def main() -> None:
             physical[name] = {"error": repr(exc)[:120]}
 
     total = round(sum(times.values()), 3)
-    # Rows that RODE the memoized pair relation (llm/dedup._PAIR_CACHE)
-    # in THIS run: their per-row time excludes pair generation —
-    # whichever family row runs first in leg order pays it. The set is
+    # Pair-memo transparency (r11 item 3 + r12 item 3): riders are
     # DERIVED from actual calls (the memo entry points record
-    # registry.current_query() at plan construction), so a new consumer
-    # appears here without touching bench.py (r11 VERDICT item 3; the
-    # old hardcoded literal would have silently missed it).
+    # registry.current_query() at plan construction), and the build
+    # cost extracted from the timed runs above is reported here as its
+    # own line — every row's time now excludes it in every leg, so the
+    # per-row regression audit compares like with like.
     from emr_with_custom_metrics_spark.llm.dedup import PAIR_MEMO_RIDERS
 
     record = {
@@ -366,16 +402,21 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "physical": physical,
-        "memo_riders": {
-            "note": "per-row times exclude the shared pair-"
-            "generation cost (llm/dedup._PAIR_CACHE); the first "
-            "family row in leg order pays it — see SCALING.md. "
-            "Rows recorded from actual memo calls this run.",
-            "rows": sorted(r for r in PAIR_MEMO_RIDERS if r in times),
+        "pair_memo": {
+            "note": "per-row times exclude ALL pair-memo build cost "
+            "(subtracted from the run it occurred in); the builds' "
+            "wall-clock is recorded here per (kind, threshold).",
+            "secs": round(sum(PAIR_MEMO_BUILD_SECS.values()), 3),
+            "builds": {
+                f"{k}@{thr}": round(v, 3)
+                for (k, thr), v in sorted(PAIR_MEMO_BUILD_SECS.items())
+            },
+            "riders": sorted(r for r in PAIR_MEMO_RIDERS if r in times),
         },
         "sf": sf,
         "contended": contention["contended"],
         "contention_check": contention,
+        "idle_gate": idle_gate,
     }
     print(json.dumps(record))
     # Mirror the FULL per-row record to a dotfile next to the repo so a
@@ -408,6 +449,10 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "contended": contention["contended"],
+                "idle": idle_gate["idle"],
+                "pair_memo_secs": round(
+                    sum(PAIR_MEMO_BUILD_SECS.values()), 3
+                ),
                 "n_queries": len(times),
             }
         )

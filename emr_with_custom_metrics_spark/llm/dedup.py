@@ -1218,6 +1218,15 @@ _PAIR_CACHE: dict[tuple[str, str, str, float], DataFrame] = {}
 # would have silently missed the next _PAIR_CACHE rider).
 PAIR_MEMO_RIDERS: set[str] = set()
 
+# Wall-clock seconds spent MATERIALIZING each memo entry (eager
+# localCheckpoint at build), keyed (kind, threshold), cumulative per
+# process. bench.py snapshots this around each timed run and moves any
+# in-run build cost to its own `pair_memo` line — r12 VERDICT item 3:
+# with the build lazily riding whichever family row ran first in leg
+# order, the dedup/graph family's per-row times were not comparable
+# across legs.
+PAIR_MEMO_BUILD_SECS: dict[tuple[str, float], float] = {}
+
 
 def _note_pair_memo_rider() -> None:
     from emr_with_custom_metrics_spark import registry
@@ -1246,8 +1255,17 @@ def shingle_jaccard_pairs_cached(
     key = (spark.sparkContext.applicationId, sf_dir, "jaccard", float(threshold))
     hit = _pair_cache_get(key)
     if hit is None:
+        import time as _time
+
         docs = _shingle_sets(load_table(spark, sf_dir, "documents"))
-        hit = jaccard_pairs(docs, threshold).localCheckpoint(eager=False)
+        # eager + timed: the build cost lands in PAIR_MEMO_BUILD_SECS
+        # instead of hiding inside whichever consumer acts first
+        t0 = _time.perf_counter()
+        hit = jaccard_pairs(docs, threshold).localCheckpoint(eager=True)
+        PAIR_MEMO_BUILD_SECS[("jaccard", float(threshold))] = (
+            PAIR_MEMO_BUILD_SECS.get(("jaccard", float(threshold)), 0.0)
+            + (_time.perf_counter() - t0)
+        )
         _PAIR_CACHE[key] = hit
     return hit
 
@@ -1319,9 +1337,16 @@ def embedding_cosine_pairs(
                     s = np.concatenate([s, sims[r2, c2]])
                 yield pd.DataFrame({"a_id": lo, "b_id": hi, "cos_sim": s})
 
+    import time as _time
+
+    t0 = _time.perf_counter()
     out = pairs.mapInPandas(
         kernel, schema="a_id long, b_id long, cos_sim double"
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
+    PAIR_MEMO_BUILD_SECS[("cosine", float(threshold))] = (
+        PAIR_MEMO_BUILD_SECS.get(("cosine", float(threshold)), 0.0)
+        + (_time.perf_counter() - t0)
+    )
     _PAIR_CACHE[key] = out
     return out
 
