@@ -1216,24 +1216,23 @@ _PAIR_CACHE: dict[tuple[str, str, str, float], DataFrame] = {}
 # the manifest is derived from actual calls, never a hand-maintained list
 # (r10 VERDICT #3 / r11 VERDICT #3: the hardcoded literal in bench.py
 # would have silently missed the next _PAIR_CACHE rider).
-PAIR_MEMO_RIDERS: set[str] = set()
-
-# Wall-clock seconds spent MATERIALIZING each memo entry (eager
-# localCheckpoint at build), keyed (kind, threshold), cumulative per
-# process. bench.py snapshots this around each timed run and moves any
-# in-run build cost to its own `pair_memo` line — r12 VERDICT item 3:
-# with the build lazily riding whichever family row ran first in leg
-# order, the dedup/graph family's per-row times were not comparable
-# across legs.
-PAIR_MEMO_BUILD_SECS: dict[tuple[str, float], float] = {}
-
-
-def _note_pair_memo_rider() -> None:
-    from emr_with_custom_metrics_spark import registry
-
-    q = registry.current_query()
-    if q is not None:
-        PAIR_MEMO_RIDERS.add(q)
+# Both are the process-wide stage-memo registries (plans/stage_memo):
+# the pair sets here and wave9c's staged Welch-pv relation share them,
+# so bench.py reads ONE build ledger. The dedup-local names are kept —
+# they are the public API tests and bench.py import.
+#
+# PAIR_MEMO_BUILD_SECS: wall-clock seconds spent MATERIALIZING each
+# memo entry (eager localCheckpoint at build), keyed (kind, threshold),
+# cumulative per process. bench.py snapshots it around each timed run
+# and moves any in-run build cost to its own `pair_memo` line — r12
+# VERDICT item 3: with the build lazily riding whichever family row ran
+# first in leg order, the dedup/graph family's per-row times were not
+# comparable across legs.
+from emr_with_custom_metrics_spark.plans.stage_memo import (  # noqa: E402
+    BUILD_SECS as PAIR_MEMO_BUILD_SECS,
+    RIDERS as PAIR_MEMO_RIDERS,
+    note_rider as _note_pair_memo_rider,
+)
 
 
 def _pair_cache_get(key: tuple[str, str, str, float]) -> DataFrame | None:

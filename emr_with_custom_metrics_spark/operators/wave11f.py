@@ -104,8 +104,15 @@ def _fisher_sql(engine: str) -> str:
     "all' scalar above the per-metric readouts.",
 )
 def stats_fisher_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir, ("events",))
-    return spark.sql(_fisher_sql("spark"))
+    from emr_with_custom_metrics_spark.operators.wave9c import (
+        PV_PREFIX_STAGED,
+        stage_welch_pv,
+    )
+
+    stage_welch_pv(spark, sf_dir)
+    return spark.sql(
+        PV_PREFIX_STAGED + _fisher_sql("spark")[len(_PV_PREFIX):]
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -166,8 +173,13 @@ _BY_SQL = (
     "reject/accept decision. The dependence-robust sibling of BH.",
 )
 def stats_benjamini_yekutieli(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir, ("events",))
-    return spark.sql(_BY_SQL)
+    from emr_with_custom_metrics_spark.operators.wave9c import (
+        PV_PREFIX_STAGED,
+        stage_welch_pv,
+    )
+
+    stage_welch_pv(spark, sf_dir)
+    return spark.sql(PV_PREFIX_STAGED + _BY_SQL[len(_PV_PREFIX):])
 
 
 # ---------------------------------------------------------------------------

@@ -609,8 +609,13 @@ _HOLM_SQL = (
     "windows so the p-value pipeline runs ONCE.",
 )
 def stats_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir, ("events",))
-    return spark.sql(_HOLM_SQL)
+    from emr_with_custom_metrics_spark.operators.wave9c import (
+        PV_PREFIX_STAGED,
+        stage_welch_pv,
+    )
+
+    stage_welch_pv(spark, sf_dir)
+    return spark.sql(PV_PREFIX_STAGED + _HOLM_SQL[len(_PV_PREFIX):])
 
 
 # ---------------------------------------------------------------------------

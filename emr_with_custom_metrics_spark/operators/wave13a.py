@@ -549,8 +549,13 @@ _STOREY_SQL = (
     "the documented lambda = 0.5 boundary, not an error.",
 )
 def stats_storey_qvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir, ("events",))
-    return spark.sql(_STOREY_SQL)
+    from emr_with_custom_metrics_spark.operators.wave9c import (
+        PV_PREFIX_STAGED,
+        stage_welch_pv,
+    )
+
+    stage_welch_pv(spark, sf_dir)
+    return spark.sql(PV_PREFIX_STAGED + _STOREY_SQL[len(_PV_PREFIX):])
 
 
 # ---------------------------------------------------------------------------

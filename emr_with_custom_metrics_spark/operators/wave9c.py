@@ -94,6 +94,60 @@ _FDR_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Staged Welch-pv relation (r12 VERDICT item 4)
+# ---------------------------------------------------------------------------
+# FIVE registered queries (BH here, Fisher + BY in wave11f, Holm in
+# wave12a, Storey in wave13a) share the base..pv prefix, and each
+# Spark-side run was re-scanning events and recomputing the per-row
+# _ARM md5 — the linear-CPU stage the r12 decade probe measured at 8x
+# on stats_storey_qvalue. The pv relation is MODEL-sized (one row per
+# metric) and a pure deterministic function of sf_dir, so the Spark
+# runtimes consume it from a memoized eager localCheckpoint staged
+# once per (session, sf_dir) — the llm/dedup._PAIR_CACHE policy, same
+# shared build ledger (plans/stage_memo, reported by bench.py's
+# pair_memo line). Oracles keep the full inline text; the staged and
+# inline forms are proven frame-identical in
+# tests/test_advice_r13.py::test_welch_pv_staged_equals_inline.
+
+_PV_ONLY_SQL = (
+    _FDR_SQL.split(", ranked AS")[0]
+    + "\n    SELECT event_type, abs_z_e6, p_e9 FROM pv"
+)
+# Drop-in WITH-head replacement for the base..pv prefix in consumers'
+# Spark texts: same CTE name, same three columns.
+PV_PREFIX_STAGED = (
+    "\n    WITH pv AS (SELECT event_type, abs_z_e6, p_e9 FROM st_welch_pv)"
+)
+
+_PV_STAGE_CACHE: dict[tuple[str, str], "DataFrame"] = {}
+
+
+def stage_welch_pv(spark: SparkSession, sf_dir: str) -> None:
+    """Create/refresh the ``st_welch_pv`` temp view for ``sf_dir``,
+    building it at most once per (session, sf_dir)."""
+    from emr_with_custom_metrics_spark.plans import stage_memo
+
+    stage_memo.note_rider()
+    key = (spark.sparkContext.applicationId, sf_dir)
+    stale = [k for k in _PV_STAGE_CACHE if k[0] != key[0]]
+    for k in stale:
+        del _PV_STAGE_CACHE[k]
+    hit = _PV_STAGE_CACHE.get(key)
+    if hit is None:
+        register_views(spark, sf_dir, ("events",))
+        try:  # fixture dirs (tests) carry no sfN suffix — ledger key 0
+            sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+        except ValueError:
+            sf = 0.0
+        with stage_memo.timed_build("welch_pv", sf):
+            hit = spark.sql(_PV_ONLY_SQL).localCheckpoint(eager=True)
+        _PV_STAGE_CACHE[key] = hit
+    # re-point the view: a prior stage for a DIFFERENT sf_dir in the
+    # same session (tests sweep SFs) must not leak into this query
+    hit.createOrReplaceTempView("st_welch_pv")
+
+
 @register(
     "stats_fdr_bh",
     oracle=_FDR_SQL,
@@ -106,11 +160,13 @@ _FDR_SQL = f"""
     "EXACT INTEGER comparison (p_e9 * m <= rank * alpha_e9) so the "
     "decision never touches a float. Same integer-moment aggregation "
     "as stats_ab_ttest — one map-side-combinable pass, model-sized "
-    "epilogue.",
+    "epilogue over the staged shared pv relation (stage_welch_pv).",
 )
 def stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir, ("events",))
-    return spark.sql(_FDR_SQL)
+    stage_welch_pv(spark, sf_dir)
+    return spark.sql(
+        PV_PREFIX_STAGED + ", ranked AS" + _FDR_SQL.split(", ranked AS", 1)[1]
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -253,3 +253,60 @@ def test_wave13c_docstring_matches_registry():
         "text_simpson_diversity",
     ):
         assert name in mod.__doc__
+
+
+# ---------------------------------------------------------------------------
+# VERDICT item 4: staged Welch-pv relation equals the inline form
+# ---------------------------------------------------------------------------
+
+
+def test_welch_pv_staged_equals_inline(spark):
+    """The five multiple-testing Spark runtimes now consume the memoized
+    st_welch_pv staged view; each must produce exactly the rows of its
+    original single-statement text (which the oracles still run)."""
+    import importlib
+
+    sf_dir = "/root/testdata/sf0.01"
+    from emr_with_custom_metrics_spark.operators import (
+        wave9c,
+        wave11f,
+        wave12a,
+        wave13a,
+    )
+    from emr_with_custom_metrics_spark.registry import all_specs
+
+    specs = all_specs()
+    inline = {
+        "stats_fdr_bh": wave9c._FDR_SQL,
+        "stats_fisher_combined": wave11f._fisher_sql("spark"),
+        "stats_benjamini_yekutieli": wave11f._BY_SQL,
+        "stats_holm_bonferroni": wave12a._HOLM_SQL,
+        "stats_storey_qvalue": wave13a._STOREY_SQL,
+    }
+    from emr_with_custom_metrics_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    for name, sql in inline.items():
+        staged = sorted(
+            tuple(r) for r in specs[name].fn(spark, sf_dir).collect()
+        )
+        one = sorted(tuple(r) for r in spark.sql(sql).collect())
+        assert staged == one, name
+    importlib  # quiet linters
+
+
+def test_welch_pv_stage_is_memoized_and_timed(spark):
+    from emr_with_custom_metrics_spark.operators.wave9c import (
+        _PV_STAGE_CACHE,
+        stage_welch_pv,
+    )
+    from emr_with_custom_metrics_spark.plans.stage_memo import BUILD_SECS
+
+    _PV_STAGE_CACHE.clear()
+    sf = ("welch_pv", 0.001)
+    before = BUILD_SECS.get(sf, 0.0)
+    stage_welch_pv(spark, "/root/testdata/sf0.001")
+    assert BUILD_SECS.get(sf, 0.0) > before
+    mid = BUILD_SECS[sf]
+    stage_welch_pv(spark, "/root/testdata/sf0.001")  # cache hit
+    assert BUILD_SECS[sf] == mid

@@ -173,6 +173,12 @@ def test_no_driver_side_collect_in_query_modules():
             # learning and scoring; un-staged, WITH-inlining would run
             # the candidate join + edit distances per reference
             "operators/linkage.py",
+            # Staged Welch-pv relation (r12 VERDICT item 4): FIVE
+            # multiple-testing queries share the base..pv prefix and
+            # each was re-scanning events + the per-row _ARM md5; the
+            # model-sized pv is checkpointed once per (session, sf_dir)
+            # behind st_welch_pv, build time in plans/stage_memo
+            "operators/wave9c.py",
             # TextRank stages tok/vocab/edges/wdeg (the 5-iteration
             # chain re-references each per round); skyline stages the
             # supplier aggregate its dominance NOT-EXISTS reads twice
