@@ -192,3 +192,145 @@ def _register_jdbc_roundtrip() -> None:
 
 
 _register_jdbc_roundtrip()
+
+
+# ---------------------------------------------------------------------------
+# Second JDBC engine: DuckDB over its JDBC driver (round 13)
+# ---------------------------------------------------------------------------
+# The rounds-old env-gate note said "no second JDBC engine jar" — but a
+# duckdb_jdbc jar ships in this container's local coursier artifact
+# cache, and round-13 probing found the full path to first-class green:
+# (1) discover the jar with a GENERIC recursive glob over the standard
+# local artifact caches (no repository host baked into source), (2)
+# inject it into Spark's MutableURLClassLoader at runtime — the context
+# classloader IS mutable in a live session, so a vanilla driver session
+# needs no spark.jars conf, and Spark's JDBC DriverRegistry resolves
+# the class through the same loader, (3) pre-create the target table
+# via a directly-instantiated driver (DriverManager refuses drivers
+# from child classloaders) because the driver's table-existence probe
+# (SELECT 1 FROM t WHERE 1=0) raises a non-standard SQLSTATE that
+# Spark 4's classifyException treats as fatal rather than
+# table-missing, then (4) write mode=append (the table now exists) and
+# read back range-partitioned.
+
+
+def _find_duckdb_jdbc_jar() -> str | None:
+    import glob as _glob
+    import os as _os
+
+    for root in ("~/.cache/coursier", "~/.ivy2", "~/.m2"):
+        hits = _glob.glob(
+            _os.path.join(
+                _os.path.expanduser(root), "**", "duckdb_jdbc*.jar"
+            ),
+            recursive=True,
+        )
+        if hits:
+            return sorted(hits)[-1]
+    return None
+
+
+_DUCKDB_DRIVER = "org.duckdb.DuckDBDriver"
+_DUCKDB_JAR_ATTACHED: set[str] = set()  # applicationIds already injected
+
+
+def _attach_duckdb_jar(spark: SparkSession) -> None:
+    jar = _find_duckdb_jdbc_jar()
+    if jar is None:  # loud env boundary, never a silent wrong answer
+        raise FileNotFoundError(
+            "duckdb_jdbc jar not found in local artifact caches "
+            "(~/.cache/coursier, ~/.ivy2, ~/.m2) — jdbc_roundtrip_duckdb "
+            "needs the second-engine driver jar"
+        )
+    app = spark.sparkContext.applicationId
+    if app in _DUCKDB_JAR_ATTACHED:
+        return
+    jvm = spark._jvm
+    cl = jvm.java.lang.Thread.currentThread().getContextClassLoader()
+    cl.addURL(jvm.java.net.URL("file:" + jar))
+    _DUCKDB_JAR_ATTACHED.add(app)
+
+
+def _duckdb_driver_connect(spark: SparkSession, url: str):
+    """A live java.sql.Connection from a directly-instantiated driver
+    (bypasses DriverManager's caller-classloader visibility rule)."""
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+    cl = jvm.java.lang.Thread.currentThread().getContextClassLoader()
+    cls = cl.loadClass(_DUCKDB_DRIVER)
+    ctor = cls.getDeclaredConstructor(gw.new_array(jvm.java.lang.Class, 0))
+    drv = ctor.newInstance(gw.new_array(jvm.java.lang.Object, 0))
+    return drv.connect(url, jvm.java.util.Properties())
+
+
+def _register_jdbc_roundtrip_duckdb() -> None:
+    from pyspark.sql import functions as F
+
+    from emr_with_custom_metrics_spark.catalog import load_table
+    from emr_with_custom_metrics_spark.registry import register
+
+    @register(
+        "jdbc_roundtrip_duckdb",
+        oracle=_JDBC_ORACLE,
+        doc="End-to-end JDBC roundtrip through a SECOND engine — DuckDB "
+        "over its JDBC driver, discovered in the container's local "
+        "artifact caches and injected into Spark's mutable context "
+        "classloader at runtime (a vanilla driver session needs no "
+        "spark.jars conf). Closes the rounds-old 'no second JDBC "
+        "engine jar' env gate. The same per-status order aggregate as "
+        "jdbc_roundtrip_derby transits: pre-create DDL via a directly-"
+        "instantiated driver (Spark 4's table-existence probe "
+        "misclassifies DuckDB's SQLSTATE), single-connection batched "
+        "append (DuckDB is single-writer), then a range-partitioned "
+        "4-stride parallel read back — multiple in-process read "
+        "connections are legal. Oracled against parquet like the Derby "
+        "row, so type mangling or partition-boundary row loss in "
+        "either engine's path is a hash mismatch.",
+    )
+    def jdbc_roundtrip_duckdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os as _os
+
+        _attach_duckdb_jar(spark)
+        agg = (
+            load_table(spark, sf_dir, "orders")
+            .groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                .alias("revenue_cents"),
+            )
+        )
+        base = _os.path.basename(sf_dir.rstrip("/")) or "sf"
+        path = f"/tmp/spark_graft_duckjdbc_{base}.db"
+        for suffix in ("", ".wal"):
+            try:
+                _os.remove(path + suffix)
+            except OSError:
+                pass
+        url = f"jdbc:duckdb:{path}"
+        con = _duckdb_driver_connect(spark, url)
+        try:
+            st = con.createStatement()
+            st.execute(
+                "CREATE TABLE order_rev ("
+                "status VARCHAR, n_orders BIGINT, revenue_cents BIGINT)"
+            )
+            st.close()
+        finally:
+            con.close()
+        write_jdbc(
+            agg, url, "order_rev", mode="append",
+            max_connections=1, driver=_DUCKDB_DRIVER,
+        )
+        lo, hi = 0, 10_000_000_000
+        return read_partitioned(
+            spark, url, "order_rev", "revenue_cents", lo, hi, 4,
+            driver=_DUCKDB_DRIVER,
+        ).select(
+            F.col("status"),
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.col("revenue_cents").cast("bigint").alias("revenue_cents"),
+        )
+
+
+_register_jdbc_roundtrip_duckdb()

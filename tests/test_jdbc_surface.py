@@ -108,3 +108,48 @@ def test_derby_filter_pushdown_reaches_jdbc_source(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "id" in plan, plan[:500]
     assert back.count() == 10
+
+
+# ---------------------------------------------------------------------------
+# Second engine: DuckDB over JDBC (round 13 — the env gate closed)
+# ---------------------------------------------------------------------------
+
+
+def test_duckdb_jdbc_jar_discoverable():
+    from emr_with_custom_metrics_spark.sources.jdbc import (
+        _find_duckdb_jdbc_jar,
+    )
+
+    jar = _find_duckdb_jdbc_jar()
+    assert jar is not None and jar.endswith(".jar")
+
+
+def test_duckdb_roundtrip_values_and_pushdown(spark):
+    """The registered second-engine roundtrip must agree with the same
+    aggregate computed straight off parquet, and a filter over the
+    read-back relation must push into the JDBC source."""
+    from emr_with_custom_metrics_spark.registry import all_specs
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = all_specs()["jdbc_roundtrip_duckdb"].fn(spark, sf_dir)
+    got = {r["status"]: (r["n_orders"], r["revenue_cents"])
+           for r in out.collect()}
+    from pyspark.sql import functions as F
+
+    from emr_with_custom_metrics_spark.catalog import load_table
+
+    exp = {
+        r["status"]: (r["n_orders"], r["revenue_cents"])
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .alias("revenue_cents"),
+        )
+        .collect()
+    }
+    assert got == exp and len(got) >= 2
+    plan = out.where("n_orders >= 1")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "PushedFilters" in plan
