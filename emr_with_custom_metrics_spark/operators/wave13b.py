@@ -418,30 +418,12 @@ def _edge_support(edges: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "graph_ktruss",
-    oracle=_ktruss_oracle(_KTRUSS_ROUNDS, _KTRUSS_K),
-    doc="4-truss peeling (3 synchronous rounds) over the MUTUAL top-16 "
-    "cosine graph (candidates floored at 0.25 — denser than the "
-    "node-level ops' 0.3 graph, whose 4-truss is empty at every test "
-    "SF; the mutual-kNN construction bounds degree <= 16, so edges "
-    "<= 16N and every wedge join is K^2-bounded at ANY corpus size — "
-    "the round-13 decade-up probe measured the unbounded fixed-"
-    "threshold variant at 147x for 10x vectors before this rewrite): "
-    "per round, per-edge triangle support via the compact-forward "
-    "wedge join (each a<b<c triangle credits its 3 edges through one "
-    "map-side explode), then every edge with support < k-2 = 2 "
-    "drops. The edge-cohesion sibling of graph_kcore_peel: a 4-truss "
-    "of near-duplicate documents is a tightly-woven boilerplate "
-    "family even where node degrees look modest (Cohen 2008). "
-    "Synchronous bounded rounds keep the fixpoint prefix "
-    "deterministic, so the whole iteration hash-verifies against a "
-    "chained MATERIALIZED-CTE replay; top-K ties break (cos DESC, "
-    "neighbor id ASC) — total and engine-exact on e6-quantized "
-    "cosines. Emits surviving edges with final-round support. Rides "
-    "the shared pair memo for candidates.",
-)
-def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mutual_topk_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MUTUAL top-K cosine edge list (a_id < b_id) shared by the
+    bounded-degree graph family (k-truss here, rich-club in wave14b):
+    per-node top-16 candidates from the memoized cosine pair set, kept
+    only when reciprocated — degree <= K by construction (the
+    round-13 decade-probe rewrite)."""
     from pyspark.sql import Window
 
     from emr_with_custom_metrics_spark.llm.dedup import embedding_cosine_pairs
@@ -467,7 +449,7 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     t2 = topk.select(
         F.col("node").alias("n2"), F.col("nbr").alias("b2")
     )
-    edges = (
+    return (
         topk.join(
             t2,
             (F.col("n2") == F.col("nbr")) & (F.col("b2") == F.col("node")),
@@ -477,6 +459,34 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("a_id"), F.col("nbr").alias("b_id"))
         .localCheckpoint(eager=False)
     )
+
+
+
+@register(
+    "graph_ktruss",
+    oracle=_ktruss_oracle(_KTRUSS_ROUNDS, _KTRUSS_K),
+    doc="4-truss peeling (3 synchronous rounds) over the MUTUAL top-16 "
+    "cosine graph (candidates floored at 0.25 — denser than the "
+    "node-level ops' 0.3 graph, whose 4-truss is empty at every test "
+    "SF; the mutual-kNN construction bounds degree <= 16, so edges "
+    "<= 16N and every wedge join is K^2-bounded at ANY corpus size — "
+    "the round-13 decade-up probe measured the unbounded fixed-"
+    "threshold variant at 147x for 10x vectors before this rewrite): "
+    "per round, per-edge triangle support via the compact-forward "
+    "wedge join (each a<b<c triangle credits its 3 edges through one "
+    "map-side explode), then every edge with support < k-2 = 2 "
+    "drops. The edge-cohesion sibling of graph_kcore_peel: a 4-truss "
+    "of near-duplicate documents is a tightly-woven boilerplate "
+    "family even where node degrees look modest (Cohen 2008). "
+    "Synchronous bounded rounds keep the fixpoint prefix "
+    "deterministic, so the whole iteration hash-verifies against a "
+    "chained MATERIALIZED-CTE replay; top-K ties break (cos DESC, "
+    "neighbor id ASC) — total and engine-exact on e6-quantized "
+    "cosines. Emits surviving edges with final-round support. Rides "
+    "the shared pair memo for candidates.",
+)
+def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = mutual_topk_edges(spark, sf_dir)
     for _ in range(_KTRUSS_ROUNDS):
         sup = _edge_support(edges)
         edges = (
