@@ -1,0 +1,224 @@
+"""Planted-fixture tests for wave 14d (closed-form answers by hand +
+cross-engine frame equality)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _collect(spark, name, sf_dir):
+    from emr_with_custom_metrics_spark.registry import all_specs
+
+    return all_specs()[name].fn(spark, sf_dir).toPandas()
+
+
+def _duck_oracle(name, sf_dir, tables=("events",)):
+    import duckdb
+
+    from emr_with_custom_metrics_spark.registry import all_specs
+
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    try:
+        return con.execute(all_specs()[name].oracle).df()
+    finally:
+        con.close()
+
+
+def _frames_equal(a: pd.DataFrame, b: pd.DataFrame) -> None:
+    cols = sorted(a.columns)
+    assert sorted(b.columns) == cols
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True)
+    for c in cols:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        assert len(av) == len(bv), c
+        assert (av == bv).all(), (c, av, bv)
+
+
+def _events(rows) -> pd.DataFrame:
+    df = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    df["event_id"] = df["event_id"].astype(np.int64)
+    df["user_id"] = df["user_id"].astype(np.int64)
+    df["value"] = df["value"].astype(np.float64)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Modularity
+# ---------------------------------------------------------------------------
+
+
+def test_modularity_two_cliques_half(spark, tmp_path):
+    """Two orthogonal K3 cliques with matching labels: m = 6, each
+    community has e_c = 3, d_c = 6 -> Q = 2*(3/6 - (6/12)^2) = 0.5
+    exactly. Scrambled labels on the same graph score strictly
+    lower."""
+    rng = np.random.default_rng(3)
+
+    def emb(labels):
+        vecs = []
+        for i in range(6):
+            v = np.zeros(8)
+            v[0 if i < 3 else 1] = 1.0
+            v = v + 0.01 * rng.normal(size=8)
+            vecs.append((v / np.linalg.norm(v)).astype(np.float32))
+        return pd.DataFrame(
+            {
+                "vec_id": np.arange(6, dtype=np.int64),
+                "embedding": vecs,
+                "label": np.asarray(labels, dtype=np.int32),
+            }
+        )
+
+    emb([0, 0, 0, 1, 1, 1]).to_parquet(
+        tmp_path / "embeddings.parquet", index=False
+    )
+    out = _collect(spark, "graph_modularity", str(tmp_path))
+    r = out.iloc[0]
+    assert int(r["n_communities"]) == 2
+    assert int(r["total_edges"]) == 6
+    assert int(r["within_edges"]) == 6
+    assert int(r["modularity_e9"]) == 500_000_000
+    _frames_equal(
+        out, _duck_oracle("graph_modularity", tmp_path, ["embeddings"])
+    )
+    # scrambled labels: one node of each clique swapped
+    d2 = tmp_path / "scr"
+    d2.mkdir()
+    emb([0, 0, 1, 1, 1, 0]).to_parquet(d2 / "embeddings.parquet",
+                                       index=False)
+    out2 = _collect(spark, "graph_modularity", str(d2))
+    assert int(out2.iloc[0]["modularity_e9"]) < 500_000_000
+    _frames_equal(
+        out2, _duck_oracle("graph_modularity", d2, ["embeddings"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lin's CCC
+# ---------------------------------------------------------------------------
+
+
+def test_lin_ccc_offset_closed_form(spark, tmp_path):
+    """x alternates 1,3 over 10 days; y = x (CCC = 1 exactly);
+    z = x + 2 (CCC = 2*10/(2*10 + 10*4) = 1/3 exactly — perfect
+    correlation, charged for the location gap)."""
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    eid = 0
+    for d in range(10):
+        x = 1 if d % 2 == 0 else 3
+        for m, cnt in (("x", x), ("y", x), ("z", x + 2)):
+            for _ in range(cnt):
+                rows.append((eid, t0 + pd.Timedelta(days=d, hours=1),
+                             eid % 5, m, 1.0, "{}"))
+                eid += 1
+    _events(rows).to_parquet(tmp_path / "events.parquet", index=False)
+    out = _collect(spark, "stats_lin_ccc", str(tmp_path))
+    assert len(out) == 3
+    xy = out[(out["ma"] == "x") & (out["mb"] == "y")].iloc[0]
+    assert int(xy["ccc_e9"]) == 1_000_000_000
+    xz = out[(out["ma"] == "x") & (out["mb"] == "z")].iloc[0]
+    assert int(xz["ccc_e9"]) == round(1 / 3 * 1e9)
+    assert not out["degenerate"].any()
+    _frames_equal(out, _duck_oracle("stats_lin_ccc", tmp_path))
+
+
+def test_lin_ccc_constant_pair_degenerate(spark, tmp_path):
+    """Two identical CONSTANT series: all three variance terms are
+    zero -> degenerate flag, not NaN."""
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    eid = 0
+    for d in range(6):
+        for m in ("a", "b"):
+            for _ in range(4):
+                rows.append((eid, t0 + pd.Timedelta(days=d, hours=2),
+                             eid % 3, m, 1.0, "{}"))
+                eid += 1
+    _events(rows).to_parquet(tmp_path / "events.parquet", index=False)
+    out = _collect(spark, "stats_lin_ccc", str(tmp_path))
+    assert bool(out.iloc[0]["degenerate"])
+    assert int(out.iloc[0]["ccc_e9"]) == 0
+    _frames_equal(out, _duck_oracle("stats_lin_ccc", tmp_path))
+
+
+# ---------------------------------------------------------------------------
+# Variance ratio
+# ---------------------------------------------------------------------------
+
+
+def test_variance_ratio_alternating_is_zero(spark, tmp_path):
+    """An hourly series alternating 2, 6 has positive 1-hour variance
+    but EVERY overlapping 24-hour window sums to 96 — VR is exactly 0
+    and at n = 240 the z-statistic (-1/sqrt(phi) = -2.83) clears the
+    1.96 gate, so the mean-reverting flag fires. A constant series
+    flags degenerate."""
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    eid = 0
+    for h in range(240):
+        for _ in range(2 if h % 2 == 0 else 6):
+            rows.append((eid, t0 + pd.Timedelta(hours=h, minutes=1),
+                         eid % 5, "alt", 1.0, "{}"))
+            eid += 1
+        for _ in range(3):
+            rows.append((eid, t0 + pd.Timedelta(hours=h, minutes=2),
+                         eid % 5, "flat", 1.0, "{}"))
+            eid += 1
+    _events(rows).to_parquet(tmp_path / "events.parquet", index=False)
+    out = _collect(spark, "timeseries_variance_ratio", str(tmp_path))
+    alt = out[out["event_type"] == "alt"].iloc[0]
+    assert int(alt["vr_e9"]) == 0
+    assert bool(alt["mean_reverting"]) is True
+    assert bool(alt["persistent"]) is False
+    assert not bool(alt["degenerate"])
+    flat = out[out["event_type"] == "flat"].iloc[0]
+    assert bool(flat["degenerate"]) is True
+    _frames_equal(out, _duck_oracle("timeseries_variance_ratio", tmp_path))
+
+
+# ---------------------------------------------------------------------------
+# Burrows' Delta
+# ---------------------------------------------------------------------------
+
+
+def test_burrows_delta_identical_sources_zero(spark, tmp_path):
+    """Sources A and B share one text verbatim -> Delta(A,B) = 0 with
+    every term zero-variance... except variance is measured across
+    ALL sources, so with a third differing source C the A-B z-scores
+    are equal term-for-term and Delta(A,B) = 0 while Delta(A,C) =
+    Delta(B,C) > 0."""
+    txt = "the quick brown fox jumps over the lazy dog the end"
+    other = "completely different words entirely novel tokens here"
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(3, dtype=np.int64),
+            "text": [txt, txt, other],
+            "lang": "en",
+            "source": ["A", "B", "C"],
+            "n_chars": np.asarray(
+                [len(txt), len(txt), len(other)], dtype=np.int64
+            ),
+        }
+    )
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+    out = _collect(spark, "text_burrows_delta", str(tmp_path))
+    assert len(out) == 3
+    ab = out[(out["sa"] == "A") & (out["sb"] == "B")].iloc[0]
+    ac = out[(out["sa"] == "A") & (out["sb"] == "C")].iloc[0]
+    bc = out[(out["sa"] == "B") & (out["sb"] == "C")].iloc[0]
+    assert int(ab["delta_e3"]) == 0
+    assert int(ac["delta_e3"]) == int(bc["delta_e3"]) > 0
+    _frames_equal(
+        out, _duck_oracle("text_burrows_delta", tmp_path, ["documents"])
+    )
