@@ -404,4 +404,5 @@ def _ensure_loaded() -> None:
     import emr_with_custom_metrics_spark.operators.wave14b  # noqa: F401
     import emr_with_custom_metrics_spark.operators.wave14c  # noqa: F401
     import emr_with_custom_metrics_spark.operators.wave14d  # noqa: F401
+    import emr_with_custom_metrics_spark.operators.wave14e  # noqa: F401
     _LOADED = True

@@ -24,7 +24,8 @@ EVENT_OPS = [
     "stats_lin_ccc",
     "timeseries_variance_ratio",
 ]
-EMB_OPS = ["graph_rich_club", "graph_modularity"]
+EMB_OPS = ["graph_rich_club", "graph_modularity",
+           "embedding_intrinsic_dim", "embedding_knn_outliers"]
 DOC_OPS = ["text_burrows_delta"]
 
 

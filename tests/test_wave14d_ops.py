@@ -222,3 +222,100 @@ def test_burrows_delta_identical_sources_zero(spark, tmp_path):
     _frames_equal(
         out, _duck_oracle("text_burrows_delta", tmp_path, ["documents"])
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 14e: embedding geometry
+# ---------------------------------------------------------------------------
+
+
+def _emb_df(vecs, labels=None):
+    n = len(vecs)
+    return pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [np.asarray(v, dtype=np.float32) for v in vecs],
+            "label": np.asarray(
+                labels if labels is not None else [0] * n, dtype=np.int32
+            ),
+        }
+    )
+
+
+def test_intrinsic_dim_circle_reads_one(spark, tmp_path):
+    """200 points at UNIFORMLY RANDOM angles on a great circle (a 1-D
+    manifold inside the 8-dim ambient space): TwoNN must read an
+    intrinsic dimension near 1, nowhere near the ambient 8. (The
+    sampling must be random — TwoNN's Pareto likelihood assumes
+    Poisson sampling; a regular lattice has mu ~ 1 everywhere and the
+    estimator rightly blows up, which an earlier draft of this test
+    demonstrated by accident.)"""
+    import math as m
+
+    rng = np.random.default_rng(21)
+    vecs = []
+    for th in rng.uniform(0, 2 * m.pi, 200):
+        v = np.zeros(8)
+        v[0], v[1] = m.cos(th), m.sin(th)
+        vecs.append(v)
+    _emb_df(vecs).to_parquet(tmp_path / "embeddings.parquet", index=False)
+    out = _collect(spark, "embedding_intrinsic_dim", str(tmp_path))
+    r = out.iloc[0]
+    assert int(r["n_sample"]) == 200
+    assert not bool(r["degenerate"])
+    idim = int(r["intrinsic_dim_e6"]) / 1e6
+    assert 0.5 < idim < 2.0, idim
+    _frames_equal(
+        out,
+        _duck_oracle("embedding_intrinsic_dim", tmp_path, ["embeddings"]),
+    )
+
+
+def test_intrinsic_dim_all_duplicates_degenerate(spark, tmp_path):
+    """Every vector identical: every sampled point's nearest neighbor
+    is an exact duplicate (d1 = 0) -> all excluded, degenerate flag,
+    never a division by zero."""
+    v = np.zeros(8)
+    v[0] = 1.0
+    _emb_df([v] * 10).to_parquet(
+        tmp_path / "embeddings.parquet", index=False
+    )
+    out = _collect(spark, "embedding_intrinsic_dim", str(tmp_path))
+    r = out.iloc[0]
+    assert bool(r["degenerate"])
+    assert int(r["n_dup"]) == int(r["n_sample"])
+    assert int(r["intrinsic_dim_e6"]) == 0
+    _frames_equal(
+        out,
+        _duck_oracle("embedding_intrinsic_dim", tmp_path, ["embeddings"]),
+    )
+
+
+def test_knn_outliers_isolates_flagged(spark, tmp_path):
+    """A tight 4-clique scores near zero; three mutually orthogonal
+    isolates have no neighbor above the 0.25 floor and are maximal
+    outliers by construction."""
+    rng = np.random.default_rng(11)
+    vecs = []
+    for i in range(4):
+        v = np.zeros(8)
+        v[0] = 1.0
+        v = v + 0.01 * rng.normal(size=8)
+        vecs.append(v / np.linalg.norm(v))
+    for i in range(3):
+        v = np.zeros(8)
+        v[i + 2] = 1.0
+        vecs.append(v)
+    _emb_df(vecs).to_parquet(tmp_path / "embeddings.parquet", index=False)
+    out = _collect(spark, "embedding_knn_outliers", str(tmp_path))
+    assert len(out) == 7
+    clique = out[out["vec_id"] < 4]
+    assert (clique["outlier_score_e6"] < 10_000).all()
+    assert (clique["n_neighbors"] == 3).all()
+    iso = out[out["vec_id"] >= 4]
+    assert (iso["outlier_score_e6"] == 1_000_000).all()
+    assert iso["no_neighbors"].all()
+    _frames_equal(
+        out,
+        _duck_oracle("embedding_knn_outliers", tmp_path, ["embeddings"]),
+    )

@@ -31,6 +31,9 @@ ROWS = [
     "stats_lin_ccc",
     "timeseries_variance_ratio",
     "text_burrows_delta",
+    # wave 14e
+    "embedding_intrinsic_dim",
+    "embedding_knn_outliers",
 ]
 
 
