@@ -405,4 +405,5 @@ def _ensure_loaded() -> None:
     import emr_with_custom_metrics_spark.operators.wave14c  # noqa: F401
     import emr_with_custom_metrics_spark.operators.wave14d  # noqa: F401
     import emr_with_custom_metrics_spark.operators.wave14e  # noqa: F401
+    import emr_with_custom_metrics_spark.operators.wave14f  # noqa: F401
     _LOADED = True

@@ -23,6 +23,7 @@ EVENT_OPS = [
     "events_markov_spectral_gap",
     "stats_lin_ccc",
     "timeseries_variance_ratio",
+    "dq_t_closeness",
 ]
 EMB_OPS = ["graph_rich_club", "graph_modularity",
            "embedding_intrinsic_dim", "embedding_knn_outliers"]

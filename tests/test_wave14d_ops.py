@@ -319,3 +319,57 @@ def test_knn_outliers_isolates_flagged(spark, tmp_path):
         out,
         _duck_oracle("embedding_knn_outliers", tmp_path, ["embeddings"]),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 14f: t-closeness
+# ---------------------------------------------------------------------------
+
+
+def test_t_closeness_skewed_classes_exact(spark, tmp_path):
+    """Two QI classes (two days, one value band), each with the SAME
+    sensitive-value SET but opposite skew (90/10 vs 10/90 over a 50/50
+    corpus): the l-diversity distinct count alone cannot see the leak,
+    but t = 0.5(|0.9-0.5| + |0.1-0.5|) = 0.4 exactly for both classes,
+    above the pinned 0.2 — all rows at risk."""
+    t0 = pd.Timestamp("2024-01-01")  # Monday; next day -> second dow
+    rows = []
+    eid = 0
+    for day, err, view in ((0, 9, 1), (1, 1, 9)):
+        for et, cnt in (("error", err), ("view", view)):
+            for _ in range(cnt):
+                rows.append((eid, t0 + pd.Timedelta(days=day, hours=3,
+                                                    seconds=eid),
+                             eid % 4, et, 5.0, "{}"))
+                eid += 1
+    _events(rows).to_parquet(tmp_path / "events.parquet", index=False)
+    out = _collect(spark, "dq_t_closeness", str(tmp_path))
+    r = out.iloc[0]
+    assert int(r["n_classes"]) == 2
+    assert int(r["max_t_e9"]) == 400_000_000
+    assert int(r["avg_t_e9"]) == 400_000_000
+    assert int(r["n_classes_above_t"]) == 2
+    assert int(r["n_rows_at_risk"]) == 20
+    _frames_equal(out, _duck_oracle("dq_t_closeness", tmp_path))
+
+
+def test_t_closeness_uniform_corpus_zero(spark, tmp_path):
+    """Every class mirrors the global distribution exactly -> t = 0
+    everywhere, nothing at risk."""
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    eid = 0
+    for day in (0, 1):
+        for et in ("error", "view"):
+            for _ in range(5):
+                rows.append((eid, t0 + pd.Timedelta(days=day, hours=3,
+                                                    seconds=eid),
+                             eid % 4, et, 5.0, "{}"))
+                eid += 1
+    _events(rows).to_parquet(tmp_path / "events.parquet", index=False)
+    out = _collect(spark, "dq_t_closeness", str(tmp_path))
+    r = out.iloc[0]
+    assert int(r["max_t_e9"]) == 0
+    assert int(r["n_classes_above_t"]) == 0
+    assert int(r["n_rows_at_risk"]) == 0
+    _frames_equal(out, _duck_oracle("dq_t_closeness", tmp_path))

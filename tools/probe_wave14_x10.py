@@ -34,6 +34,8 @@ ROWS = [
     # wave 14e
     "embedding_intrinsic_dim",
     "embedding_knn_outliers",
+    # wave 14f
+    "dq_t_closeness",
 ]
 
 
