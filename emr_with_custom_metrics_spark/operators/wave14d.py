@@ -201,13 +201,17 @@ _CCC_TMPL = """
         LEFT JOIN cellraw c
           ON c.event_type = m.event_type AND c.day = g.day
     ), mom AS (
+        -- second moments ACCUMULATE IN DOUBLE: a daily count near 1e10
+        -- at 100 TB squares past int64 (the r12 Cochran lesson); each
+        -- product is exact in double at any test scale and the ratio
+        -- epilogue is a fixed IEEE DAG either way
         SELECT a.event_type AS ma, b.event_type AS mb,
                CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(a.x) AS BIGINT) AS sx,
                CAST(SUM(b.x) AS BIGINT) AS sy,
-               CAST(SUM(a.x * a.x) AS BIGINT) AS sxx,
-               CAST(SUM(b.x * b.x) AS BIGINT) AS syy,
-               CAST(SUM(a.x * b.x) AS BIGINT) AS sxy
+               SUM(CAST(a.x AS DOUBLE) * a.x) AS sxx,
+               SUM(CAST(b.x AS DOUBLE) * b.x) AS syy,
+               SUM(CAST(a.x AS DOUBLE) * b.x) AS sxy
         FROM dense a JOIN dense b
           ON b.day = a.day AND a.event_type < b.event_type
         GROUP BY a.event_type, b.event_type
@@ -295,14 +299,18 @@ def _vr_sql(engine: str) -> str:
                     ORDER BY h) AS BIGINT) AS rn
         FROM serie
     ), mom AS (
+        -- squared moments ACCUMULATE IN DOUBLE: an hourly count near
+        -- 1e8 at 100 TB makes a 24-hour sum ~2.4e9 whose square alone
+        -- approaches int64 (the r12 Cochran lesson); exact in double
+        -- at any test scale
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(x) AS BIGINT) AS sx,
-               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               SUM(CAST(x AS DOUBLE) * x) AS sxx,
                CAST(SUM(CASE WHEN rn >= {q} THEN sq END) AS BIGINT)
                    AS ssq,
-               CAST(SUM(CASE WHEN rn >= {q} THEN sq * sq END) AS BIGINT)
-                   AS ssqq,
+               SUM(CASE WHEN rn >= {q}
+                        THEN CAST(sq AS DOUBLE) * sq END) AS ssqq,
                CAST(SUM(CASE WHEN rn >= {q} THEN 1 ELSE 0 END)
                     AS BIGINT) AS nq
         FROM qsum GROUP BY event_type
