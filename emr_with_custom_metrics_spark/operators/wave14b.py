@@ -206,6 +206,11 @@ _COH_TMPL = """
         LEFT JOIN coefs c
           ON c.event_type = m.event_type AND c.day = g.day
     ), pairterms AS (
+        -- e6-quantized per-day spectral products: exact BIGINTs while
+        -- the day amplitude stays under ~3e6 counts (product * 1e6
+        -- must fit int64); the guard below raises LOUDLY past the
+        -- budget instead of overflowing silently (the spine-budget
+        -- idiom — rescale the quantization if a corpus ever trips it)
         SELECT a.event_type AS ma, b.event_type AS mb,
                CAST(ROUND((a.xc * b.xc + a.xs * b.xs) * 1000000)
                     AS BIGINT) AS re_e6,
@@ -214,7 +219,8 @@ _COH_TMPL = """
                CAST(ROUND((a.xc * a.xc + a.xs * a.xs) * 1000000)
                     AS BIGINT) AS pa_e6,
                CAST(ROUND((b.xc * b.xc + b.xs * b.xs) * 1000000)
-                    AS BIGINT) AS pb_e6
+                    AS BIGINT) AS pb_e6,
+               {amp_guard} AS amp_ok
         FROM dense a JOIN dense b
           ON b.day = a.day AND a.event_type < b.event_type
     ), spec AS (
@@ -224,7 +230,7 @@ _COH_TMPL = """
                CAST(SUM(im_e6) AS BIGINT) AS sim,
                CAST(SUM(pa_e6) AS BIGINT) AS saa,
                CAST(SUM(pb_e6) AS BIGINT) AS sbb
-        FROM pairterms GROUP BY ma, mb
+        FROM pairterms WHERE amp_ok GROUP BY ma, mb
     )
     SELECT ma, mb, n_days,
            CASE WHEN saa > 0 AND sbb > 0
@@ -242,12 +248,31 @@ _COH_TMPL = """
 """
 
 
+_COH_AMP_MSG = (
+    "cross-coherence day amplitude exceeds the e6 quantization "
+    "budget (3e6 counts) — rescale the spectral quantization"
+)
+_COH_AMP_COND = (
+    "greatest(abs(a.xc), abs(a.xs), abs(b.xc), abs(b.xs)) <= 3000000.0e0"
+)
+
+
+def _coh_amp_guard(engine: str) -> str:
+    if engine == "spark":
+        return f"assert_true({_COH_AMP_COND}, '{_COH_AMP_MSG}') IS NULL"
+    return (
+        f"CASE WHEN {_COH_AMP_COND} THEN TRUE "
+        f"ELSE error('{_COH_AMP_MSG}') END"
+    )
+
+
 @register(
     "timeseries_cross_coherence",
     oracle=_COH_TMPL.format(
         epoch_us=_EPOCH_US_DUCK, intdiv="//",
         values_head=f"(VALUES {_TRIG_ROWS})",
         day_series="UNNEST(generate_series(b.dmin, b.dmax))",
+        amp_guard=_coh_amp_guard("duck"),
     ),
     doc="Magnitude-squared coherence at the 24-hour band between every "
     "metric pair: per-(metric, day) Fourier coefficients at period 24 "
@@ -273,5 +298,6 @@ def timeseries_cross_coherence(
             epoch_us=_EPOCH_US_SPARK, intdiv="div",
             values_head=f"(VALUES {_TRIG_ROWS}) AS",
             day_series="explode(sequence(b.dmin, b.dmax))",
+            amp_guard=_coh_amp_guard("spark"),
         )
     )

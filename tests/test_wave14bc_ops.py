@@ -222,3 +222,33 @@ def test_spectral_gap_rank_one_degenerate(spark, tmp_path):
     assert bool(r["degenerate"])
     assert int(r["lambda2_e9"]) == 0
     _frames_equal(out, _duck_oracle("events_markov_spectral_gap", tmp_path))
+
+
+def test_coherence_amplitude_guard_fires(spark):
+    """The e6 spectral quantization is exact only below ~3e6 counts of
+    day amplitude; past it both engines must raise LOUDLY (the
+    spine-budget idiom), never overflow silently."""
+    import duckdb
+    import pytest as _pytest
+
+    from emr_with_custom_metrics_spark.operators.wave14b import (
+        _coh_amp_guard,
+    )
+
+    over = ("SELECT {g} AS ok FROM (VALUES (4000000.0, 0.0)) "
+            "a(xc, xs) JOIN (VALUES (0.0, 0.0)) b(xc, xs) ON 1=1")
+    under = over.replace("4000000.0", "2999999.0")
+    con = duckdb.connect()
+    assert con.sql(under.format(g=_coh_amp_guard("duck"))).fetchall() == [
+        (True,)
+    ]
+    with _pytest.raises(Exception, match="quantization budget"):
+        con.sql(over.format(g=_coh_amp_guard("duck"))).fetchall()
+    assert [r[0] for r in spark.sql(
+        under.format(g=_coh_amp_guard("spark")).replace("ON 1=1", "ON true")
+    ).collect()] == [True]
+    with _pytest.raises(Exception, match="quantization budget"):
+        spark.sql(
+            over.format(g=_coh_amp_guard("spark")).replace("ON 1=1",
+                                                           "ON true")
+        ).collect()
