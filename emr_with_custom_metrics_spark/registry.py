@@ -218,6 +218,14 @@ _HEAVY = frozenset(
         "similarity_ivfpq_topk", "similarity_recall_report",
         # round 11: 40 staged value-iteration rounds (5 checkpoint jobs)
         "events_markov_absorption",
+        # round 14: the re-queued classifier (24 GD rounds in BOTH
+        # engines — the DuckDB oracle replays the chained-CTE training)
+        # and the three new pair-memo/GEMM riders — a time-capped
+        # verify should bank the ~1s stats rows first
+        "text_quality_classifier",
+        "graph_rich_club",
+        "embedding_intrinsic_dim",
+        "embedding_knn_outliers",
     }
 )
 
