@@ -207,10 +207,16 @@ _COH_TMPL = """
           ON c.event_type = m.event_type AND c.day = g.day
     ), pairterms AS (
         -- e6-quantized per-day spectral products: exact BIGINTs while
-        -- the day amplitude stays under ~3e6 counts (product * 1e6
-        -- must fit int64); the guard below raises LOUDLY past the
-        -- budget instead of overflowing silently (the spine-budget
-        -- idiom — rescale the quantization if a corpus ever trips it)
+        -- the day amplitude stays under 2.1e6 counts — the worst
+        -- per-day term is 2 * (2.1e6)^2 * 1e6 = 8.82e18 < 2^63, so
+        -- EVERY per-day product fits int64 exactly (r13 ADVICE: the
+        -- old 3e6 bound let (xc*xc+xs*xs)*1e6 reach 1.8e19 and the
+        -- failure surfaced as a cast overflow, not the guard). The
+        -- guard below raises LOUDLY past the budget instead of
+        -- overflowing silently (the spine-budget idiom — rescale the
+        -- quantization if a corpus ever trips it). Day-SUMS accumulate
+        -- in DOUBLE (the CCC/VR second-moment convention) so no
+        -- calendar length can overflow the aggregate either.
         SELECT a.event_type AS ma, b.event_type AS mb,
                CAST(ROUND((a.xc * b.xc + a.xs * b.xs) * 1000000)
                     AS BIGINT) AS re_e6,
@@ -226,22 +232,21 @@ _COH_TMPL = """
     ), spec AS (
         SELECT ma, mb,
                CAST(COUNT(*) AS BIGINT) AS n_days,
-               CAST(SUM(re_e6) AS BIGINT) AS sre,
-               CAST(SUM(im_e6) AS BIGINT) AS sim,
-               CAST(SUM(pa_e6) AS BIGINT) AS saa,
-               CAST(SUM(pb_e6) AS BIGINT) AS sbb
+               SUM(CAST(re_e6 AS DOUBLE)) AS sre,
+               SUM(CAST(im_e6 AS DOUBLE)) AS sim,
+               SUM(CAST(pa_e6 AS DOUBLE)) AS saa,
+               SUM(CAST(pb_e6 AS DOUBLE)) AS sbb
         FROM pairterms WHERE amp_ok GROUP BY ma, mb
     )
     SELECT ma, mb, n_days,
            CASE WHEN saa > 0 AND sbb > 0
-                THEN CAST(ROUND((CAST(sre AS DOUBLE) * sre
-                          + CAST(sim AS DOUBLE) * sim)
-                     / (CAST(saa AS DOUBLE) * sbb) * 1000000000)
+                THEN CAST(ROUND((sre * sre + sim * sim)
+                     / (saa * sbb) * 1000000000)
                      AS BIGINT)
                 ELSE CAST(0 AS BIGINT) END AS coherence_e9,
-           CAST(ROUND(CAST(saa AS DOUBLE) / n_days / 1000000)
+           CAST(ROUND(saa / n_days / 1000000)
                 AS BIGINT) AS power_a_e0,
-           CAST(ROUND(CAST(sbb AS DOUBLE) / n_days / 1000000)
+           CAST(ROUND(sbb / n_days / 1000000)
                 AS BIGINT) AS power_b_e0,
            saa = 0 OR sbb = 0 AS degenerate
     FROM spec
@@ -250,10 +255,12 @@ _COH_TMPL = """
 
 _COH_AMP_MSG = (
     "cross-coherence day amplitude exceeds the e6 quantization "
-    "budget (3e6 counts) — rescale the spectral quantization"
+    "budget (2.1e6 counts) — rescale the spectral quantization"
 )
+# 2.1e6 derived from the int64 budget: the largest per-day term is
+# 2 * amp^2 * 1e6, and 2 * (2.1e6)^2 * 1e6 = 8.82e18 < 2^63-1 = 9.22e18.
 _COH_AMP_COND = (
-    "greatest(abs(a.xc), abs(a.xs), abs(b.xc), abs(b.xs)) <= 3000000.0e0"
+    "greatest(abs(a.xc), abs(a.xs), abs(b.xc), abs(b.xs)) <= 2100000.0e0"
 )
 
 
@@ -285,8 +292,9 @@ def _coh_amp_guard(engine: str) -> str:
     "in [0,1]. Near 1 = the two metrics' diurnal cycles are phase-"
     "locked to one shared driver — the CROSS-series question the "
     "per-metric periodogram cannot answer. Per-day spectral products "
-    "run one fixed double DAG quantized e6 before exact integer "
-    "day-sums; one (metric, day, hour) map-side reduction is the "
+    "run one fixed double DAG quantized e6 (exact int64 per day under "
+    "the guarded 2.1e6 amplitude budget) before DOUBLE day-sums; one "
+    "(metric, day, hour) map-side reduction is the "
     "only data-sized stage; everything after is calendar x pairs.",
 )
 def timeseries_cross_coherence(

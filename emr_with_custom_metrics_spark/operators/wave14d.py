@@ -130,8 +130,12 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m_val = edges.count()
     if m_val == 0:
+        # Parity with the oracle's GROUP-BY-less final aggregate, which
+        # always emits exactly one row even over zero term rows
+        # (r13 ADVICE: the old empty-frame branch hash-mismatched on an
+        # edgeless corpus): COUNT(*)=0, SUM(...)=NULL, total_edges=0.
         return spark.createDataFrame(
-            [],
+            [(0, None, 0, None)],
             "n_communities bigint, within_edges bigint, "
             "total_edges bigint, modularity_e9 bigint",
         )
@@ -406,10 +410,15 @@ _BD_TMPL = """
         CROSS JOIN vocab v
         LEFT JOIN tf ON tf.source = s.source AND tf.term = v.term
     ), zstat AS (
+        -- sff accumulates in DOUBLE (the Cochran/CCC second-moment
+        -- convention, r13 ADVICE): f_e9 can reach 1e9 for a source
+        -- concentrated on one term, so ~10 such sources would
+        -- overflow an int64 SUM of f_e9^2. sf stays exact int64
+        -- (<= n_sources * 1e9).
         SELECT term,
                CAST(COUNT(*) AS BIGINT) AS k,
                CAST(SUM(f_e9) AS BIGINT) AS sf,
-               CAST(SUM(f_e9 * f_e9) AS BIGINT) AS sff
+               SUM(CAST(f_e9 AS DOUBLE) * f_e9) AS sff
         FROM rel GROUP BY term
     ), zsc AS (
         -- z = (f - mean)/std; zero-variance terms contribute 0 to

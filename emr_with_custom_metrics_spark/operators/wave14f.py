@@ -67,7 +67,11 @@ _TCLOSE_CORE = f"""
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
            CAST(MAX(t_e9) AS BIGINT) AS max_t_e9,
-           CAST(ROUND(CAST(SUM(t_e9 * n_rows) AS DOUBLE) / SUM(n_rows))
+           -- weighted avg accumulates per-term in DOUBLE (r13 ADVICE):
+           -- t_e9 <= 1e9 times a class row count overflows an int64
+           -- product around 1e10-row classes, far below the op's
+           -- claimed corpus ceiling
+           CAST(ROUND(SUM(CAST(t_e9 AS DOUBLE) * n_rows) / SUM(n_rows))
                 AS BIGINT) AS avg_t_e9,
            CAST(COUNT(CASE WHEN t_e9 > {_TCLOSE_T_E9} THEN 1 END)
                 AS BIGINT) AS n_classes_above_t,

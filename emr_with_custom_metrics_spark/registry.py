@@ -137,25 +137,14 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # are either true or not-applicable (rows-only checks record null there).
 # Queries whose ANSWER CONTRACT changes in the current round must be named
 # in _ANSWER_CHANGED so they re-queue for a fresh row despite an old green.
-# Round 13: the r12 pair (periodogram, hill) rotated OUT — both took
-# fresh r12 official greens (VERDICT r12 confirmed the stale entries
-# would waste two slots). IN: stats_ljung_box_resid — the r12-ADVICE
-# fix adds a `degenerate` flag column and stops dropping zero-variance
-# residual streams (schema change, so the old green row no longer
-# vouches for the current contract). The other r12-ADVICE fixes
-# (AR order-pick single-capture restructure, Cochran sc2-in-double,
-# burstiness discriminant clamp) are proven byte-identical at the
-# sf0.001/sf0.01 gates, so they do not re-queue.
-# text_quality_classifier re-queues for its r13 retune (VERDICT item
-# 2): Jacobi-preconditioned heavy ball at rate 0.2 / momentum 0.7 /
-# 24 rounds replaces the oscillating rate 1.0 / momentum 0.9 / 40 —
-# every per-doc p changes.
-_ANSWER_CHANGED: frozenset[str] = frozenset(
-    {
-        "stats_ljung_box_resid",
-        "text_quality_classifier",
-    }
-)
+# Round 14: the r13 pair (stats_ljung_box_resid, text_quality_classifier)
+# rotated OUT — both took fresh r13 official greens under their new
+# contracts (VERDICT r13 item 1: stale entries waste slots). The r13-ADVICE
+# overflow fixes applied this round (cross-coherence double spectral sums,
+# Burrows-Delta sff-in-double, t-closeness weighted-avg-in-double,
+# modularity m=0 parity, jdbc jar version-sort) are proven byte-identical
+# at the sf0.001/sf0.01 gates, so they do not re-queue.
+_ANSWER_CHANGED: frozenset[str] = frozenset()
 
 
 def _load_driver_verified() -> frozenset[str]:

@@ -226,7 +226,11 @@ def _find_duckdb_jdbc_jar() -> str | None:
             recursive=True,
         )
         if hits:
-            return sorted(hits)[-1]
+            # Newest by mtime, not lexicographic (r13 ADVICE: sorted()
+            # picks "1.9" over "1.10" when multiple versions are
+            # cached) — the most recently fetched artifact is the one
+            # the environment's own tooling resolved last.
+            return max(hits, key=_os.path.getmtime)
     return None
 
 
@@ -235,12 +239,21 @@ _DUCKDB_JAR_ATTACHED: set[str] = set()  # applicationIds already injected
 
 
 def _attach_duckdb_jar(spark: SparkSession) -> None:
+    # LOCAL-SESSION-ONLY by design (r13 ADVICE): the jar is injected
+    # into the DRIVER thread's context classloader, which executors in
+    # local mode share. In a multi-JVM deployment executor-side JDBC
+    # partition reads could not load org.duckdb.DuckDBDriver this way —
+    # a cluster submit must ship the jar via spark.jars / --jars
+    # instead (sc.addJar alone does not help Spark's DriverRegistry on
+    # executors either; the conf route is the supported one).
     jar = _find_duckdb_jdbc_jar()
     if jar is None:  # loud env boundary, never a silent wrong answer
         raise FileNotFoundError(
             "duckdb_jdbc jar not found in local artifact caches "
             "(~/.cache/coursier, ~/.ivy2, ~/.m2) — jdbc_roundtrip_duckdb "
-            "needs the second-engine driver jar"
+            "needs the second-engine driver jar. NOTE: runtime "
+            "classloader injection only works in local mode; on a real "
+            "cluster pass the jar via spark.jars at submit time."
         )
     app = spark.sparkContext.applicationId
     if app in _DUCKDB_JAR_ATTACHED:

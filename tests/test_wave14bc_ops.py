@@ -225,9 +225,12 @@ def test_spectral_gap_rank_one_degenerate(spark, tmp_path):
 
 
 def test_coherence_amplitude_guard_fires(spark):
-    """The e6 spectral quantization is exact only below ~3e6 counts of
-    day amplitude; past it both engines must raise LOUDLY (the
-    spine-budget idiom), never overflow silently."""
+    """The e6 spectral quantization is exact per day only below 2.1e6
+    counts of day amplitude (2 * (2.1e6)^2 * 1e6 = 8.82e18 < 2^63 —
+    the r13-ADVICE tightening from 3e6, where the two-term product
+    overflowed before the guard could fire); past the budget both
+    engines must raise LOUDLY (the spine-budget idiom), never
+    overflow silently."""
     import duckdb
     import pytest as _pytest
 
@@ -235,9 +238,9 @@ def test_coherence_amplitude_guard_fires(spark):
         _coh_amp_guard,
     )
 
-    over = ("SELECT {g} AS ok FROM (VALUES (4000000.0, 0.0)) "
+    over = ("SELECT {g} AS ok FROM (VALUES (2200000.0, 0.0)) "
             "a(xc, xs) JOIN (VALUES (0.0, 0.0)) b(xc, xs) ON 1=1")
-    under = over.replace("4000000.0", "2999999.0")
+    under = over.replace("2200000.0", "2099999.0")
     con = duckdb.connect()
     assert con.sql(under.format(g=_coh_amp_guard("duck"))).fetchall() == [
         (True,)
