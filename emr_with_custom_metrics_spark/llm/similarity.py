@@ -504,7 +504,13 @@ IVFPQ_CANDIDATES = 10 * TOP_K  # PQ-ranked pool before exact re-rank: the
 IVFPQ_NPROBE = 4
 
 
-_SQL_IVFPQ_TOPK = f"""
+def _ivfpq_head(nprobe: int) -> str:
+    """The q / centroid / probed-cells CTE prefix of the IVF+PQ text,
+    parameterized by nprobe. similarity_ivfpq_tradeoff composes its
+    scanned-cell counts from this SAME prefix, so the sweep and the
+    registered top-k row can never drift (the triad slice
+    discipline)."""
+    return f"""
     WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
     cent_comp AS (
       SELECT label, i, AVG(embedding[i]::DOUBLE) AS c
@@ -513,7 +519,13 @@ _SQL_IVFPQ_TOPK = f"""
       SELECT label, LIST(c ORDER BY i) AS centroid FROM cent_comp GROUP BY label),
     best AS (
       SELECT cent.label FROM cent, q
-      ORDER BY list_cosine_similarity(cent.centroid, q.qv) DESC, cent.label LIMIT {IVFPQ_NPROBE}),
+      ORDER BY list_cosine_similarity(cent.centroid, q.qv) DESC, cent.label LIMIT {nprobe}),"""
+
+
+def _ivfpq_sql(nprobe: int) -> str:
+    """The full IVF+PQ pipeline text parameterized by nprobe — the
+    registered similarity_ivfpq_topk oracle IS _ivfpq_sql(IVFPQ_NPROBE)."""
+    return _ivfpq_head(nprobe) + f"""
     cb_comp AS (
       SELECT label, (t.i - 1) // {PQ_SUBDIM} AS m, t.i AS i,
              AVG(embedding[t.i]::DOUBLE) AS c
@@ -556,6 +568,9 @@ _SQL_IVFPQ_TOPK = f"""
     """
 
 
+_SQL_IVFPQ_TOPK = _ivfpq_sql(IVFPQ_NPROBE)
+
+
 @register(
     "similarity_ivfpq_topk",
     oracle=_SQL_IVFPQ_TOPK,
@@ -571,16 +586,23 @@ _SQL_IVFPQ_TOPK = f"""
     "fetched for only |pool| rows.",
 )
 def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivfpq_topk_df(spark, sf_dir, IVFPQ_NPROBE)
+
+
+def _ivfpq_topk_df(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """The IVF+PQ DataFrame pipeline parameterized by nprobe — shared
+    between the registered top-k row (nprobe = IVFPQ_NPROBE) and the
+    similarity_ivfpq_tradeoff sweep."""
     e = load_fanned(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qv"))
 
-    # IVF probe: the IVFPQ_NPROBE nearest cells by centroid cosine.
+    # IVF probe: the nprobe nearest cells by centroid cosine.
     best = (
         label_centroids(e)
         .crossJoin(F.broadcast(q))
         .select("label", cosine(F.col("centroid"), F.col("qv")).alias("c"))
         .orderBy(F.col("c").desc(), F.col("label"))
-        .limit(IVFPQ_NPROBE)
+        .limit(nprobe)
         .select("label")
     )
     cell = e.join(F.broadcast(best), "label").where(F.col("vec_id") != QUERY_VEC_ID)

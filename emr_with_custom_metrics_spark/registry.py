@@ -215,6 +215,10 @@ _HEAVY = frozenset(
         "graph_rich_club",
         "embedding_intrinsic_dim",
         "embedding_knn_outliers",
+        # round 15: the ANN-index stager (pays the ann_index build) and
+        # the pair-memo rider
+        "similarity_ivfpq_tradeoff",
+        "embedding_hubness",
     }
 )
 
@@ -403,4 +407,7 @@ def _ensure_loaded() -> None:
     import emr_with_custom_metrics_spark.operators.wave14d  # noqa: F401
     import emr_with_custom_metrics_spark.operators.wave14e  # noqa: F401
     import emr_with_custom_metrics_spark.operators.wave14f  # noqa: F401
+    import emr_with_custom_metrics_spark.operators.wave15a  # noqa: F401
+    import emr_with_custom_metrics_spark.operators.wave15b  # noqa: F401
+    import emr_with_custom_metrics_spark.operators.wave15c  # noqa: F401
     _LOADED = True

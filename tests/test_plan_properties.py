@@ -201,6 +201,12 @@ def test_no_driver_side_collect_in_query_modules():
             # k-truss: the mutual-top-K edge table feeds every peel
             # round's three wedge-join legs (the kcore/triangle remedy)
             "operators/wave13b.py",
+            # IVF-PQ trade-off: the staged ann_index relation set
+            # (exact ids, centroids, codebooks, corpus codes, ADC,
+            # query cosines) feeds all FOUR nprobe arms — the welch-pv
+            # session-staging policy, build time in plans/stage_memo
+            # under kind 'ann_index'
+            "operators/wave15c.py",
         },
     }
     offenders = []
