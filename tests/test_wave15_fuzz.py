@@ -23,12 +23,20 @@ EVENT_OPS = [
     "timeseries_cusum_squares",
     "events_markov_homogeneity",
     "stats_gumbel_block_maxima",
+    # wave 15d
+    "timeseries_turning_points",
+    "dq_recursive_cl_diversity",
+    "stats_poisson_rate_ratio",
 ]
 EMB_OPS = [
     "similarity_ivfpq_tradeoff",
     "embedding_hubness",
     "cluster_silhouette_labels",
     "embedding_anisotropy",
+]
+DOC_OPS = [
+    "corpus_length_lognormal_fit",
+    "pack_nextfit_tradeoff",
 ]
 
 
@@ -96,6 +104,35 @@ def _emb_frame(seed: int) -> pd.DataFrame:
     )
 
 
+def _docs_frame(seed: int) -> pd.DataFrame:
+    rng = np.random.default_rng(seed + 1500)
+    vocab = [f"w{i}" for i in range(int(rng.integers(2, 60)))]
+    texts, srcs = [], []
+    for i in range(int(rng.integers(4, 20))):
+        style = rng.choice(["randy", "cyclic", "mono", "distinct"])
+        ln = int(rng.integers(1, 700))
+        if style == "randy":
+            toks = list(rng.choice(vocab, ln))
+        elif style == "cyclic":
+            cyc = list(rng.choice(vocab, min(4, len(vocab)), replace=False))
+            toks = [cyc[j % len(cyc)] for j in range(ln)]
+        elif style == "mono":
+            toks = [vocab[0]] * ln
+        else:
+            toks = [f"u{i}_{j}" for j in range(ln)]
+        texts.append(" ".join(toks))
+        srcs.append(f"src{int(rng.integers(0, 4))}")
+    return pd.DataFrame(
+        {
+            "doc_id": np.arange(len(texts), dtype="int64"),
+            "text": texts,
+            "lang": "en",
+            "source": srcs,
+            "n_chars": np.asarray([len(t) for t in texts], dtype="int64"),
+        }
+    )
+
+
 @pytest.mark.parametrize("seed", [17, 53, 97, 139])
 def test_wave15_fuzz_cross_engine(spark, tmp_path_factory, seed):
     from emr_with_custom_metrics_spark.registry import all_specs
@@ -104,13 +141,14 @@ def test_wave15_fuzz_cross_engine(spark, tmp_path_factory, seed):
     d = tmp_path_factory.mktemp(f"w15fuzz{seed}")
     _events_frame(seed).to_parquet(d / "events.parquet", index=False)
     _emb_frame(seed).to_parquet(d / "embeddings.parquet", index=False)
+    _docs_frame(seed).to_parquet(d / "documents.parquet", index=False)
     con = duckdb.connect()
-    for t in ("events", "embeddings"):
+    for t in ("events", "embeddings", "documents"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
         )
     try:
-        for name in EVENT_OPS + EMB_OPS:
+        for name in EVENT_OPS + EMB_OPS + DOC_OPS:
             got = specs[name].fn(spark, str(d)).toPandas()
             oracle = con.sql(specs[name].oracle).df()
             assert_frames_match(got, oracle, f"fuzz{seed}:{name}")

@@ -740,3 +740,180 @@ def test_anisotropy_closed_forms(spark, tmp_path):
         _collect(spark, "embedding_anisotropy", d2),
         _duck_oracle("embedding_anisotropy", d2, ["embeddings"]),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 15d
+# ---------------------------------------------------------------------------
+
+
+def test_turning_points_extremes(spark, tmp_path):
+    """A perfectly alternating series turns at EVERY interior point
+    (T = n-2, huge positive z); a monotone ramp never turns (T = 0,
+    huge negative z) — both reject randomness, from opposite sides."""
+    alt = [5 if i % 2 == 0 else 9 for i in range(24)]
+    ramp = list(range(1, 25))
+    _daily_events({"view": alt, "click": ramp}).to_parquet(
+        tmp_path / "events.parquet", index=False
+    )
+    out = _collect(spark, "timeseries_turning_points", tmp_path).set_index(
+        "event_type"
+    )
+    v, c = out.loc["view"], out.loc["click"]
+    assert int(v["n_turns"]) == 22 and int(v["z_e6"]) > 0
+    assert int(c["n_turns"]) == 0 and int(c["z_e6"]) < 0
+    assert bool(v["reject_05"]) and bool(c["reject_05"])
+    n = 24
+    z = (22 - 2 * (n - 2) / 3) / math.sqrt((16 * n - 29) / 90)
+    assert int(v["z_e6"]) == round(z * 1e6)
+    _frames_equal(
+        out.reset_index(),
+        _duck_oracle("timeseries_turning_points", tmp_path),
+    )
+
+
+def _docs(rows) -> pd.DataFrame:
+    df = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    df["doc_id"] = df["doc_id"].astype(np.int64)
+    df["n_chars"] = df["n_chars"].astype(np.int64)
+    return df
+
+
+def test_lognormal_fit_two_point_and_degenerate(spark, tmp_path):
+    """Two lengths {4, 16} in equal measure: mu = (ln4 + ln16)/2 =
+    ln 8, sigma = |ln4 - ln16|/2 ... checked via the quantized-moment
+    replay; a single-length source flags degenerate with mu = ln L."""
+    rows = []
+    did = 0
+    for _ in range(6):
+        rows.append((did, "t " * 3 + "t", "en", "two", 8)); did += 1
+        rows.append((did, "t " * 15 + "t", "en", "two", 32)); did += 1
+    for _ in range(4):
+        rows.append((did, "a b c d e", "en", "mono", 9)); did += 1
+    _docs(rows).to_parquet(tmp_path / "documents.parquet", index=False)
+    out = _collect(spark, "corpus_length_lognormal_fit", tmp_path).set_index(
+        "source"
+    )
+    two = out.loc["two"]
+    l4, l16 = round(math.log(4) * 1e9), round(math.log(16) * 1e9)
+    mu = (l4 + l16) / 2 / 1e9
+    s1, s2 = 6 * (l4 + l16), 6.0 * (l4 * l4 + l16 * l16)
+    sigma = math.sqrt((s2 - (s1 ** 2) / 12) / 11) / 1e9
+    assert int(two["n_docs"]) == 12
+    assert abs(int(two["mu_e6"]) - round(mu * 1e6)) <= 1
+    assert abs(int(two["sigma_e6"]) - round(sigma * 1e6)) <= 1
+    assert int(two["ks_e6"]) > 0 and not bool(two["degenerate"])
+    mono = out.loc["mono"]
+    assert bool(mono["degenerate"])
+    assert abs(int(mono["mu_e6"]) - round(math.log(5) * 1e6)) <= 1
+    _frames_equal(
+        out.reset_index(),
+        _duck_oracle("corpus_length_lognormal_fit", tmp_path, ["documents"]),
+    )
+
+
+def test_pack_nextfit_hand_computed(spark, tmp_path):
+    """Lengths [100, 60, 100, 30, 600] in doc order: next-fit bins by
+    hand for each block size, with the 600-token doc truncated
+    everywhere."""
+    rows = []
+    for i, ln in enumerate((100, 60, 100, 30, 600)):
+        rows.append((i, " ".join(["w"] * ln), "en", "s", ln * 2))
+    _docs(rows).to_parquet(tmp_path / "documents.parquet", index=False)
+    out = _collect(spark, "pack_nextfit_tradeoff", tmp_path).set_index(
+        "block_size"
+    )
+    # B=128: 100 | 60 | 100 | 30+... 100+30=130>128 -> new bin 30, then
+    # 600->128 doesn't fit 30+128 -> new bin. bins: [100],[60],[100],
+    # [30],[128] = 5 bins, packed 418
+    b = out.loc[128]
+    assert int(b["n_bins"]) == 5 and int(b["packed_tokens"]) == 418
+    assert int(b["n_truncated"]) == 1
+    assert int(b["bins_lower_bound"]) == math.ceil(418 / 128)
+    # B=256: [100+60] -> +100=260>256 -> [100+30] -> +256>256 ->
+    # [256]: 3 bins, packed 546
+    b = out.loc[256]
+    assert int(b["n_bins"]) == 3 and int(b["packed_tokens"]) == 546
+    # B=512: [100+60+100+30=290] -> +512>512 -> [512]: 2 bins
+    b = out.loc[512]
+    assert int(b["n_bins"]) == 2 and int(b["packed_tokens"]) == 802
+    waste = round((2 * 512 - 802) / (2 * 512) * 1e6)
+    assert int(b["waste_frac_e6"]) == waste
+    _frames_equal(
+        out.reset_index(),
+        _duck_oracle("pack_nextfit_tradeoff", tmp_path, ["documents"]),
+    )
+
+
+def test_recursive_cl_diversity_planted_classes(spark, tmp_path):
+    """Three classes on one day (one dow): counts [8,2,1] passes
+    (8 < 3*3 strictly — 9 would TIE and tie counts as violating),
+    [30,2] violates (30 >= 6), a single-value class is a maximal
+    violation and counted separately."""
+    t0 = pd.Timestamp("2024-01-01")
+    rows, eid = [], 0
+    for et, cnt in (("view", 8), ("click", 2), ("purchase", 1)):
+        for _ in range(cnt):
+            rows.append((eid, t0, 1, et, 5.0, "{}")); eid += 1
+    for et, cnt in (("view", 30), ("click", 2)):
+        for _ in range(cnt):
+            rows.append((eid, t0, 1, et, 30.0, "{}")); eid += 1
+    for _ in range(7):
+        rows.append((eid, t0, 1, "error", 55.0, "{}")); eid += 1
+    _events(rows).to_parquet(tmp_path / "events.parquet", index=False)
+    out = _collect(spark, "dq_recursive_cl_diversity", tmp_path).iloc[0]
+    assert int(out["n_classes"]) == 3
+    assert int(out["n_violating"]) == 2
+    assert int(out["n_rows_at_risk"]) == 32 + 7
+    assert int(out["n_single_value_classes"]) == 1
+    assert int(out["worst_head_tail_ratio_e6"]) == 15_000_000  # 30/2
+    _frames_equal(
+        _collect(spark, "dq_recursive_cl_diversity", tmp_path),
+        _duck_oracle("dq_recursive_cl_diversity", tmp_path),
+    )
+
+
+def test_poisson_rate_ratio_planted_and_degenerate(spark, tmp_path):
+    """Arm A gets a 10x error rate: RR and z by hand via the hashlib
+    arm replay; a fixture with zero errors flags degenerate."""
+    arm_of = lambda u: "A" if _md5_nibble(f"ab|{u}") < 8 else "B"  # noqa: E731
+    a_users = [u for u in range(500) if arm_of(u) == "A"][:5]
+    b_users = [u for u in range(500) if arm_of(u) == "B"][:5]
+    t0 = pd.Timestamp("2024-01-01")
+    rows, eid = [], 0
+    for u in a_users:  # 20 events each, 10 errors
+        for i in range(20):
+            et = "error" if i < 10 else "view"
+            rows.append((eid, t0, u, et, 1.0, "{}")); eid += 1
+    for u in b_users:  # 20 events each, 1 error
+        for i in range(20):
+            et = "error" if i < 1 else "view"
+            rows.append((eid, t0, u, et, 1.0, "{}")); eid += 1
+    _events(rows).to_parquet(tmp_path / "events.parquet", index=False)
+    out = _collect(spark, "stats_poisson_rate_ratio", tmp_path).iloc[0]
+    xa, na, xb, nb = 50, 100, 5, 100
+    assert int(out["errors_a"]) == xa and int(out["errors_b"]) == xb
+    rr = (xa / na) / (xb / nb)
+    z = math.log((xa * nb) / (xb * na)) / math.sqrt(1 / xa + 1 / xb)
+    assert int(out["rate_ratio_e6"]) == round(rr * 1e6)
+    assert abs(int(out["z_e6"]) - round(z * 1e6)) <= 1
+    assert bool(out["reject_05"]) and not bool(out["degenerate"])
+    _frames_equal(
+        _collect(spark, "stats_poisson_rate_ratio", tmp_path),
+        _duck_oracle("stats_poisson_rate_ratio", tmp_path),
+    )
+
+    d2 = tmp_path / "noerr"
+    d2.mkdir()
+    _events([(0, t0, 1, "view", 1.0, "{}"),
+             (1, t0, 600, "view", 1.0, "{}")]).to_parquet(
+        d2 / "events.parquet", index=False
+    )
+    out2 = _collect(spark, "stats_poisson_rate_ratio", d2).iloc[0]
+    assert bool(out2["degenerate"])
+    _frames_equal(
+        _collect(spark, "stats_poisson_rate_ratio", d2),
+        _duck_oracle("stats_poisson_rate_ratio", d2),
+    )
