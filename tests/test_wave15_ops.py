@@ -917,3 +917,42 @@ def test_poisson_rate_ratio_planted_and_degenerate(spark, tmp_path):
         _collect(spark, "stats_poisson_rate_ratio", d2),
         _duck_oracle("stats_poisson_rate_ratio", d2),
     )
+
+
+# ---------------------------------------------------------------------------
+# structural pins
+# ---------------------------------------------------------------------------
+
+
+def test_privacy_family_qi_expressions_pinned_to_triad():
+    """dq_delta_presence and dq_recursive_cl_diversity re-state the
+    triad's QI expressions (they need columns the triad's CTE drops),
+    so this pin asserts the dow / value-band formulas appear verbatim
+    in wave9g's _LDIV_QI — the five privacy screens cannot drift to
+    different class grids without this test failing."""
+    from emr_with_custom_metrics_spark.operators.wave9g import _LDIV_QI
+    from emr_with_custom_metrics_spark.operators.wave15a import (
+        _DP_QI_BAND,
+        _DP_QI_DOW,
+    )
+    from emr_with_custom_metrics_spark.operators.wave15d import _RCL_TMPL
+
+    assert _DP_QI_DOW == "{EPOCH_DAY} % 7"
+    assert _DP_QI_DOW in _LDIV_QI
+    assert _DP_QI_BAND in _LDIV_QI
+    assert "{EPOCH_DAY} % 7" in _RCL_TMPL
+    assert "CAST(FLOOR(value / 25) AS BIGINT)" in _RCL_TMPL
+
+
+def test_tradeoff_oracle_slices_registered_ivfpq_text():
+    """The trade-off sweep's oracle must embed the EXACT registered
+    similarity_ivfpq_topk text at nprobe 4 (the slice discipline)."""
+    from emr_with_custom_metrics_spark.llm.similarity import (
+        _SQL_IVFPQ_TOPK,
+        _ivfpq_sql,
+    )
+    from emr_with_custom_metrics_spark.registry import all_specs
+
+    assert _ivfpq_sql(4) == _SQL_IVFPQ_TOPK
+    assert all_specs()["similarity_ivfpq_topk"].oracle == _SQL_IVFPQ_TOPK
+    assert _SQL_IVFPQ_TOPK in all_specs()["similarity_ivfpq_tradeoff"].oracle
