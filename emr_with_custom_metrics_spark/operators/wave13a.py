@@ -69,9 +69,10 @@ _EPOCH_S_DUCK = "epoch(ts)"
 _AR2_COEFS_PREFIX = _AR2_ORACLE.split("tail2 AS")[0].rstrip()
 
 # Residuals of the AR(2) fit: e_t = x_t - (a + b*x_{t-1} + c*x_{t-2})
-# over the 5-minute bucket series. x and the coefficients are both
-# e6-quantized doubles, so the residual is a fixed double DAG over
-# identical inputs on both engines; it quantizes to an e3 INTEGER
+# over the 5-minute bucket series. x derives from exact-integer e3
+# bucket means and the coefficients from exact-integer moments (the
+# r15 determinism retrofit), so the residual is a fixed double DAG
+# over identical inputs on both engines; it quantizes to an e3 INTEGER
 # immediately (magnitude ~ the metric value scale, so e3 keeps 4-5
 # significant digits while Σe² stays far inside int64 at any calendar
 # span).
@@ -131,7 +132,7 @@ _SPARK_TS_FIX = ("epoch(ts)", "unix_micros(CAST(ts AS TIMESTAMP)) / 1000000.0")
     ">2.5 negative serial correlation). The AR(2) fit body is SLICED "
     "from timeseries_ar2_forecast's text (the _PV_PREFIX sibling-"
     "interface pattern), so the diagnostic can never drift from the "
-    "model it judges. Residuals are a fixed double DAG over e6-"
+    "model it judges. Residuals are a fixed double DAG over exact-"
     "quantized inputs, e3-quantized to integers immediately: both "
     "quadratic forms are exact integer sums (calendar-bounded bucket "
     "count keeps them far inside int64), one division e6. A perfect "

@@ -982,23 +982,46 @@ _AR2_ORACLE = """
     WITH s AS (
         SELECT event_type,
                CAST(FLOOR(epoch(ts) / 300) AS BIGINT) AS bucket,
-               (CAST(ROUND((AVG(value)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS x
+               -- exact integer bucket mean: per-ROW e3 quantization,
+               -- exact integer SUM, ONE correctly-rounded division.
+               -- The pre-r12 form ROUND(AVG(value)*1e6) rounded a
+               -- parallel double aggregate — a round-15 soak measured
+               -- THREE distinct outcomes in 12 DuckDB runs on a
+               -- near-constant fuzz frame (summation order decides
+               -- exact midpoints; the r12 rule, retrofitted here)
+               CAST(ROUND(CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT))
+                    AS DOUBLE) / COUNT(*)) AS BIGINT) AS x_e3
         FROM events GROUP BY 1, 2),
-    lagged AS (
-        SELECT event_type, bucket, x,
-               LAG(x, 1) OVER (PARTITION BY event_type ORDER BY bucket) AS x1,
-               LAG(x, 2) OVER (PARTITION BY event_type ORDER BY bucket) AS x2
+    lag0 AS (
+        SELECT event_type, bucket, x_e3,
+               LAG(x_e3, 1) OVER (PARTITION BY event_type ORDER BY bucket) AS x1_e3,
+               LAG(x_e3, 2) OVER (PARTITION BY event_type ORDER BY bucket) AS x2_e3
         FROM s),
+    lagged AS (
+        SELECT event_type, bucket, x_e3, x1_e3, x2_e3,
+               x_e3 / 1000.0 AS x,
+               x1_e3 / 1000.0 AS x1,
+               x2_e3 / 1000.0 AS x2
+        FROM lag0),
     m AS (
+        -- nine moments as EXACT integer sums over the e3 series, each
+        -- converted to x-units by one division (squares <= 1e10 per
+        -- term: exact int64 through ~9e8 buckets, exactly-representable
+        -- doubles through ~9e5 — and past that the int64->double cast
+        -- is still correctly rounded, so determinism never depends on
+        -- summation order)
         SELECT event_type,
                CAST(COUNT(*) AS DOUBLE) AS n,
-               (CAST(ROUND((SUM(x1)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS s1, (CAST(ROUND((SUM(x2)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS s2,
-               (CAST(ROUND((SUM(y)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS sy,
-               (CAST(ROUND((SUM(x1 * x1)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS s11, (CAST(ROUND((SUM(x1 * x2)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS s12,
-               (CAST(ROUND((SUM(x2 * x2)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS s22,
-               (CAST(ROUND((SUM(x1 * y)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS s1y, (CAST(ROUND((SUM(x2 * y)) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS s2y
-        FROM (SELECT event_type, x AS y, x1, x2 FROM lagged
-              WHERE x1 IS NOT NULL AND x2 IS NOT NULL) t
+               CAST(SUM(x1_e3) AS DOUBLE) / 1000.0 AS s1,
+               CAST(SUM(x2_e3) AS DOUBLE) / 1000.0 AS s2,
+               CAST(SUM(y_e3) AS DOUBLE) / 1000.0 AS sy,
+               CAST(SUM(x1_e3 * x1_e3) AS DOUBLE) / 1000000.0 AS s11,
+               CAST(SUM(x1_e3 * x2_e3) AS DOUBLE) / 1000000.0 AS s12,
+               CAST(SUM(x2_e3 * x2_e3) AS DOUBLE) / 1000000.0 AS s22,
+               CAST(SUM(x1_e3 * y_e3) AS DOUBLE) / 1000000.0 AS s1y,
+               CAST(SUM(x2_e3 * y_e3) AS DOUBLE) / 1000000.0 AS s2y
+        FROM (SELECT event_type, x_e3 AS y_e3, x1_e3, x2_e3 FROM lagged
+              WHERE x1_e3 IS NOT NULL AND x2_e3 IS NOT NULL) t
         GROUP BY event_type),
     solved AS (
         SELECT event_type, n, sy, s1, s2, s1y, s2y, s11, s12, s22,
@@ -1020,7 +1043,7 @@ _AR2_ORACLE = """
         FROM solved WHERE det <> 0),
     tail2 AS (
         SELECT event_type, x, rn FROM (
-            SELECT event_type, x,
+            SELECT event_type, x_e3 / 1000.0 AS x,
                    ROW_NUMBER() OVER (PARTITION BY event_type
                                       ORDER BY bucket DESC) AS rn
             FROM s) t WHERE rn <= 2)
@@ -1039,9 +1062,12 @@ _AR2_ORACLE = """
     "fit by ordinary least squares over the 5-minute bucket series — the "
     "3x3 normal equations solved in closed form (Cramer's rule) from "
     "NINE moment aggregates, then a one-step forecast from the last two "
-    "buckets. Float discipline: the bucket series and every moment are "
-    "ROUND(·, 6) before the scalar solve, so both engines divide "
-    "identical determinants (the covariance argument). Scale shape: one "
+    "buckets. Float discipline (r15 retrofit of the r12 midpoint rule): "
+    "bucket means are per-row-e3-quantized exact integer sums divided "
+    "once, and every moment is an EXACT integer sum over the e3 series "
+    "converted by one division — no ROUND of a parallel double "
+    "aggregate anywhere, so both engines divide identical determinants "
+    "regardless of summation order. Scale shape: one "
     "window pass for the lags, one aggregate for the moments — model-"
     "sized state per metric, rows never leave their metric's partition.",
 )

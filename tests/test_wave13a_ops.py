@@ -416,3 +416,54 @@ def test_kleinberg_multistate_smoke_shape(spark):
     assert (out["hours_elevated"] <= out["n_hours"]).all()
     assert (out["gain_e3"] >= 0).all()
     assert ((out["hours_elevated"] > 0) == (out["burst_episodes"] > 0)).all()
+
+
+def test_ar2_oracle_is_order_deterministic(tmp_path):
+    """The round-15 determinism retrofit: the AR(2) fit (and the
+    DW / LB-resid diagnostics slicing it) must return ONE answer
+    across repeated DuckDB runs on a near-constant frame. The
+    pre-retrofit text (ROUND of parallel double aggregates) measured
+    THREE distinct outcomes in 12 runs on exactly this frame class —
+    DuckDB's parallel aggregation order decided e6 midpoints."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from emr_with_custom_metrics_spark.registry import all_specs
+
+    rng = np.random.default_rng(223)
+    n = 1000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 30 * 86400, n), unit="s"),
+            "user_id": rng.integers(0, 20, n).astype("int64"),
+            "event_type": rng.choice(
+                ["view", "click", "purchase", "signup", "error"], n
+            ),
+            "value": np.full(n, 7.0)
+            + rng.choice([0.0, 0.0, 0.0, 0.001], n),
+            "props": "{}",
+        }
+    )
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    for name in (
+        "timeseries_ar2_forecast",
+        "timeseries_durbin_watson",
+        "stats_ljung_box_resid",
+    ):
+        oracle = all_specs()[name].oracle
+        seen = set()
+        for _ in range(8):
+            con = duckdb.connect()
+            con.execute(
+                "CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')"
+            )
+            out = con.sql(oracle).df()
+            cols = sorted(out.columns)
+            out = out[cols].sort_values(cols).reset_index(drop=True)
+            seen.add(tuple(map(tuple, out.astype(str).values)))
+            con.close()
+        assert len(seen) == 1, f"{name}: {len(seen)} distinct outcomes"
