@@ -144,21 +144,17 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # Burrows-Delta sff-in-double, t-closeness weighted-avg-in-double,
 # modularity m=0 parity, jdbc jar version-sort) are proven byte-identical
 # at the sf0.001/sf0.01 gates, so they do not re-queue.
-# Round 15 (late): a fresh-seed fuzz soak caught the LAST pre-r12
-# ROUND-of-parallel-double-aggregate survivor — the AR(2) fit's bucket
-# means and nine moments (streaming/metrics._AR2_ORACLE) measured THREE
-# distinct outcomes in 12 DuckDB runs on a near-constant frame. The fit
-# is rebuilt in the r12 discipline (per-row e3 quantize -> exact integer
-# sums -> one division), which changes the bucket-mean grain e6 -> e3:
-# the forecast row and BOTH residual diagnostics that slice its text
-# re-queue for fresh official rows under the new deterministic contract.
-_ANSWER_CHANGED: frozenset[str] = frozenset(
-    {
-        "timeseries_ar2_forecast",
-        "timeseries_durbin_watson",
-        "stats_ljung_box_resid",
-    }
-)
+# Round 15 (driver numbering): the AR(2) trio queued here last round
+# (the e6 -> e3 deterministic-fit contract change) all took fresh r14
+# official greens, so the set empties — the r14 VERDICT item 1 rule:
+# stale entries burn official slots that should rotate vintage rows.
+# MECHANICAL STALENESS GATE: each entry maps to the driver round it was
+# ADDED in; tests/test_stats_ops.py fails the suite when a member's
+# latest official green is >= its added round (the green under the new
+# contract landed, so the entry is spent). This is the second time the
+# same defect recurred by hand (r13 pair, r14 trio) — now it cannot.
+_ANSWER_CHANGED_ADDED: dict[str, int] = {}
+_ANSWER_CHANGED: frozenset[str] = frozenset(_ANSWER_CHANGED_ADDED)
 
 
 def _load_driver_verified() -> frozenset[str]:

@@ -652,6 +652,45 @@ def test_driver_priority_names_are_registered():
     assert names[: len(unverified)] == unverified, "unverified rows not first"
 
 
+def test_answer_changed_entries_not_stale():
+    """r14 VERDICT item 1 (second recurrence of the same defect): an
+    _ANSWER_CHANGED entry exists to force a fresh official row under a
+    NEW answer contract. Once a green lands in a round >= the round the
+    entry was added, the entry is spent — keeping it burns one of the
+    driver's ~50 official slots every round. Fail loudly instead."""
+    import glob
+    import json
+    import os
+
+    from emr_with_custom_metrics_spark import registry
+
+    assert set(registry._ANSWER_CHANGED) == set(registry._ANSWER_CHANGED_ADDED)
+    if not registry._ANSWER_CHANGED_ADDED:
+        return
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest_green: dict[str, int] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        rnd = int(os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")])
+        for name, row in json.load(open(path)).items():
+            green = (
+                not row.get("err")
+                and row.get("rows_match") is True
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+            )
+            if green and rnd > latest_green.get(name, -1):
+                latest_green[name] = rnd
+    stale = {
+        n: (added, latest_green[n])
+        for n, added in registry._ANSWER_CHANGED_ADDED.items()
+        if latest_green.get(n, -1) >= added
+    }
+    assert not stale, (
+        f"stale _ANSWER_CHANGED entries (added_round <= latest official "
+        f"green round — the re-queue already succeeded): {stale}"
+    )
+
+
 def test_driver_verified_matches_ledgers():
     """Independent recompute of the derived set: a query is verified iff
     its latest official CORRECTNESS row is fully green. Catches loader
