@@ -297,6 +297,70 @@ def _contention_check() -> dict:
     }
 
 
+def _wait_for_idle(
+    contention: dict,
+    idle_thr: float,
+    wait_budget: float,
+    poll: float = 15.0,
+    sleep_fn=time.sleep,
+    clock=time.monotonic,
+    check_fn=None,
+) -> tuple[dict, dict]:
+    """Bounded wait-for-idle (r14 VERDICT item 2): re-check load1 every
+    ``poll`` seconds for up to ``wait_budget`` seconds, so an official
+    leg fired at a busy moment stops absorbing the ambient band. On
+    timeout the leg proceeds with the honest non-idle label; the wait
+    itself (and any timeout) is recorded in the returned idle_gate.
+    Waiting costs nothing measured — Spark has not started yet."""
+    if check_fn is None:
+        check_fn = _contention_check
+    waited = 0.0
+    wait_timed_out = False
+    if not (0.0 <= contention["load1"] < idle_thr):
+        t_wait0 = clock()
+        while True:
+            remaining = wait_budget - (clock() - t_wait0)
+            if remaining <= 0:
+                wait_timed_out = True
+                break
+            sleep_fn(min(poll, remaining))
+            contention = check_fn()
+            if (
+                0.0 <= contention["load1"] < idle_thr
+                and not contention["contended"]
+            ):
+                break
+        waited = round(clock() - t_wait0, 1)
+    idle_gate = {
+        "idle": 0.0 <= contention["load1"] < idle_thr,
+        "load1": contention["load1"],
+        "threshold": idle_thr,
+        "waited_secs": waited,
+        "wait_budget_secs": wait_budget,
+        "wait_timed_out": wait_timed_out,
+    }
+    return contention, idle_gate
+
+
+def _machine_day() -> dict:
+    """Boot id + local date: the same-machine-day marker (r14 VERDICT
+    item 6). ROUND_NOTES r14 proved by A/B that the cross-DAY ambient
+    band is wider than the within-day ±7% band, so per-row regression
+    audits must only compare legs sharing this marker (or carry an A/B
+    anchor leg); tools/audit_bench_regression.py enforces it."""
+    boot_id = "unknown"
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as fh:
+            boot_id = fh.read().strip()
+    except OSError:
+        pass
+    return {
+        "boot_id": boot_id,
+        "date": time.strftime("%Y-%m-%d"),
+        "marker": f"{boot_id}@{time.strftime('%Y-%m-%d')}",
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     contention = _contention_check()
@@ -307,11 +371,18 @@ def main() -> None:
     # REFUSES before Spark starts (for the builder's own official legs).
     # The unattended driver keeps its row either way, honestly labeled.
     idle_thr = float(os.environ.get("SPARK_GRAFT_IDLE_LOAD1", "2.0"))
-    idle_gate = {
-        "idle": 0.0 <= contention["load1"] < idle_thr,
-        "load1": contention["load1"],
-        "threshold": idle_thr,
-    }
+    # Bounded WAIT-for-idle (r14 VERDICT item 2): the driver fires the
+    # official leg at an arbitrary moment, so a non-idle start used to
+    # absorb the ambient band into the official record. Now the leg
+    # WAITS (default up to 10 min, poll every 15 s) for load1 to drop
+    # below the threshold before the timed section; on timeout it
+    # proceeds with the honest non-idle label, and the wait itself is
+    # recorded either way. Waiting costs nothing measured — Spark has
+    # not started yet.
+    wait_budget = float(os.environ.get("SPARK_GRAFT_IDLE_WAIT_SECS", "600"))
+    contention, idle_gate = _wait_for_idle(
+        contention, idle_thr, wait_budget
+    )
     if not idle_gate["idle"] and os.environ.get("SPARK_GRAFT_REQUIRE_IDLE") == "1":
         print(
             json.dumps(
@@ -417,6 +488,8 @@ def main() -> None:
         "contended": contention["contended"],
         "contention_check": contention,
         "idle_gate": idle_gate,
+        "machine_day": _machine_day(),
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
     }
     print(json.dumps(record))
     # Mirror the FULL per-row record to a dotfile next to the repo so a

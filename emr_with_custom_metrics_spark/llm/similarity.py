@@ -75,11 +75,17 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
     """Per-label mean vector via posexplode → grouped avg → re-assemble.
 
     The posexplode shape (N×dim rows, grouped on (label, pos)) is the
-    scalable way to average vectors — no collect_list of whole arrays."""
+    scalable way to average vectors — no collect_list of whole arrays.
+    Components quantize e9 (the _SIL_ORACLE idiom, r14 ADVICE): a raw
+    parallel AVG differs by a last ulp across runs/engines, and these
+    centroids feed probe-selection ORDER BYs where a near-tie cosine
+    would flip which cells are scanned."""
     comp = embeddings.select(
         "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
     )
-    avg_comp = comp.groupBy("label", "pos").agg(F.avg("val").alias("avg_val"))
+    avg_comp = comp.groupBy("label", "pos").agg(
+        (F.round(F.avg("val") * 1000000000) / 1000000000.0).alias("avg_val")
+    )
     return (
         avg_comp.groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "avg_val"))).alias("pairs"))
@@ -90,7 +96,12 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
 _SQL_IVF_TOPK = f"""
     WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
     cent_comp AS (
-      SELECT label, i, AVG(embedding[i]::DOUBLE) AS c
+      -- e9-quantized like _SIL_ORACLE (r14 ADVICE): probe selection
+      -- below compares centroid cosines, so both engines must feed
+      -- it identical doubles
+      SELECT label, i,
+             ROUND(AVG(embedding[i]::DOUBLE) * 1000000000)
+                 / 1000000000.0e0 AS c
       FROM embeddings, RANGE(1, 65) t(i) GROUP BY label, i),
     cent AS (
       SELECT label, LIST(c ORDER BY i) AS centroid FROM cent_comp GROUP BY label),
@@ -513,7 +524,12 @@ def _ivfpq_head(nprobe: int) -> str:
     return f"""
     WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
     cent_comp AS (
-      SELECT label, i, AVG(embedding[i]::DOUBLE) AS c
+      -- e9-quantized like _SIL_ORACLE (r14 ADVICE): the probed-cell
+      -- ORDER BY compares centroid cosines, and all four nprobe arms
+      -- of the tradeoff sweep reuse this prefix
+      SELECT label, i,
+             ROUND(AVG(embedding[i]::DOUBLE) * 1000000000)
+                 / 1000000000.0e0 AS c
       FROM embeddings, RANGE(1, 65) t(i) GROUP BY label, i),
     cent AS (
       SELECT label, LIST(c ORDER BY i) AS centroid FROM cent_comp GROUP BY label),

@@ -215,8 +215,8 @@ _COH_TMPL = """
         -- guard below raises LOUDLY past the budget instead of
         -- overflowing silently (the spine-budget idiom — rescale the
         -- quantization if a corpus ever trips it). Day-SUMS accumulate
-        -- in DOUBLE (the CCC/VR second-moment convention) so no
-        -- calendar length can overflow the aggregate either.
+        -- in DECIMAL(38,0) (spec0 below) so no calendar length can
+        -- overflow OR order-perturb the aggregate.
         SELECT a.event_type AS ma, b.event_type AS mb,
                CAST(ROUND((a.xc * b.xc + a.xs * b.xs) * 1000000)
                     AS BIGINT) AS re_e6,
@@ -229,14 +229,27 @@ _COH_TMPL = """
                {amp_guard} AS amp_ok
         FROM dense a JOIN dense b
           ON b.day = a.day AND a.event_type < b.event_type
-    ), spec AS (
+    ), spec0 AS (
+        -- day-sums accumulate in DECIMAL(38,0): per-day terms reach
+        -- 8.82e18 >> 2^53, so a DOUBLE sum would be partial-aggregate-
+        -- order-dependent in its last ulp (r14 ADVICE — the same
+        -- nondeterminism class the AR(2) retrofit killed). DECIMAL
+        -- sums are exact and order-free in BOTH engines; one DOUBLE
+        -- conversion happens below, after the sum.
         SELECT ma, mb,
                CAST(COUNT(*) AS BIGINT) AS n_days,
-               SUM(CAST(re_e6 AS DOUBLE)) AS sre,
-               SUM(CAST(im_e6 AS DOUBLE)) AS sim,
-               SUM(CAST(pa_e6 AS DOUBLE)) AS saa,
-               SUM(CAST(pb_e6 AS DOUBLE)) AS sbb
+               SUM(CAST(re_e6 AS DECIMAL(38,0))) AS sre_x,
+               SUM(CAST(im_e6 AS DECIMAL(38,0))) AS sim_x,
+               SUM(CAST(pa_e6 AS DECIMAL(38,0))) AS saa_x,
+               SUM(CAST(pb_e6 AS DECIMAL(38,0))) AS sbb_x
         FROM pairterms WHERE amp_ok GROUP BY ma, mb
+    ), spec AS (
+        SELECT ma, mb, n_days,
+               CAST(sre_x AS DOUBLE) AS sre,
+               CAST(sim_x AS DOUBLE) AS sim,
+               CAST(saa_x AS DOUBLE) AS saa,
+               CAST(sbb_x AS DOUBLE) AS sbb
+        FROM spec0
     )
     SELECT ma, mb, n_days,
            CASE WHEN saa > 0 AND sbb > 0
@@ -293,7 +306,8 @@ def _coh_amp_guard(engine: str) -> str:
     "locked to one shared driver — the CROSS-series question the "
     "per-metric periodogram cannot answer. Per-day spectral products "
     "run one fixed double DAG quantized e6 (exact int64 per day under "
-    "the guarded 2.1e6 amplitude budget) before DOUBLE day-sums; one "
+    "the guarded 2.1e6 amplitude budget) before exact order-free "
+    "DECIMAL(38,0) day-sums (r14 ADVICE); one "
     "(metric, day, hour) map-side reduction is the "
     "only data-sized stage; everything after is calendar x pairs.",
 )

@@ -410,15 +410,19 @@ _BD_TMPL = """
         CROSS JOIN vocab v
         LEFT JOIN tf ON tf.source = s.source AND tf.term = v.term
     ), zstat AS (
-        -- sff accumulates in DOUBLE (the Cochran/CCC second-moment
-        -- convention, r13 ADVICE): f_e9 can reach 1e9 for a source
-        -- concentrated on one term, so ~10 such sources would
-        -- overflow an int64 SUM of f_e9^2. sf stays exact int64
-        -- (<= n_sources * 1e9).
+        -- sff accumulates in DECIMAL(38,0) (r14 ADVICE): f_e9 can
+        -- reach 1e9 for a source concentrated on one term, so the
+        -- per-term square reaches 1e18 — exact in int64 per TERM but
+        -- ~10 such sources overflow an int64 SUM, and a DOUBLE sum
+        -- past 2^53 is summation-order-dependent in its last ulp.
+        -- DECIMAL sums are exact and order-free in both engines; the
+        -- single DOUBLE conversion happens at the variance formula.
+        -- sf stays exact int64 (<= n_sources * 1e9).
         SELECT term,
                CAST(COUNT(*) AS BIGINT) AS k,
                CAST(SUM(f_e9) AS BIGINT) AS sf,
-               SUM(CAST(f_e9 AS DOUBLE) * f_e9) AS sff
+               CAST(SUM(CAST(f_e9 * f_e9 AS DECIMAL(38,0)))
+                    AS DOUBLE) AS sff
         FROM rel GROUP BY term
     ), zsc AS (
         -- z = (f - mean)/std; zero-variance terms contribute 0 to

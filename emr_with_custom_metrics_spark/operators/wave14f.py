@@ -67,11 +67,14 @@ _TCLOSE_CORE = f"""
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
            CAST(MAX(t_e9) AS BIGINT) AS max_t_e9,
-           -- weighted avg accumulates per-term in DOUBLE (r13 ADVICE):
-           -- t_e9 <= 1e9 times a class row count overflows an int64
-           -- product around 1e10-row classes, far below the op's
-           -- claimed corpus ceiling
-           CAST(ROUND(SUM(CAST(t_e9 AS DOUBLE) * n_rows) / SUM(n_rows))
+           -- weighted avg accumulates per-term in DECIMAL (r14
+           -- ADVICE): t_e9 <= 1e9 times a class row count overflows
+           -- an int64 product around 1e10-row classes, and a DOUBLE
+           -- sum past 2^53 is summation-order-dependent. DECIMAL(19,0)
+           -- * BIGINT widens to DECIMAL(38,0) in both engines — exact
+           -- and order-free; ONE double conversion for the ratio.
+           CAST(ROUND(CAST(SUM(CAST(t_e9 AS DECIMAL(19,0)) * n_rows)
+                           AS DOUBLE) / SUM(n_rows))
                 AS BIGINT) AS avg_t_e9,
            CAST(COUNT(CASE WHEN t_e9 > {_TCLOSE_T_E9} THEN 1 END)
                 AS BIGINT) AS n_classes_above_t,

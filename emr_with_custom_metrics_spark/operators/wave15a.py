@@ -33,8 +33,9 @@ process capability.
   spc_western_electric's run rules: WE flags INSTABILITY, Cp/Cpk
   measure MARGIN. Capable at the conventional 1.33.
 
-House discipline (the round-14 hazard checklist): second moments
-accumulate in DOUBLE (the Cochran class); every fraction quantizes
+House discipline (the round-14 hazard checklist): second moments and
+weighted sums accumulate in exact order-free DECIMAL with one DOUBLE
+conversion (r14 ADVICE); every fraction quantizes
 per-row/per-class BEFORE any cross-row reduction; degenerate groups
 (zero variance, no churn, single class) emit flagged rows, never
 vanish; no unguarded division anywhere.
@@ -95,11 +96,15 @@ _DP_TMPL = f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
            CAST(MAX(delta_e9) AS BIGINT) AS max_delta_e9,
            CAST(MIN(delta_e9) AS BIGINT) AS min_delta_e9,
-           -- user-weighted average accumulates per-term in DOUBLE
-           -- (delta_e9 * class size overflows int64 at planet scale,
-           -- the t-closeness avg lesson)
-           CAST(ROUND(SUM(CAST(delta_e9 AS DOUBLE) * n_pop)
-                / SUM(n_pop)) AS BIGINT) AS avg_delta_e9,
+           -- user-weighted average accumulates per-term in
+           -- DECIMAL(19,0) * BIGINT -> DECIMAL(38,0) (r14 ADVICE —
+           -- the t-closeness avg lesson): delta_e9 * class size
+           -- overflows int64 at planet scale, and a DOUBLE sum past
+           -- 2^53 is summation-order-dependent. Exact order-free
+           -- decimal sum, ONE double conversion for the ratio.
+           CAST(ROUND(CAST(SUM(CAST(delta_e9 AS DECIMAL(19,0)) * n_pop)
+                           AS DOUBLE) / SUM(n_pop)) AS BIGINT)
+               AS avg_delta_e9,
            CAST(COUNT(CASE WHEN delta_e9 > {_DP_DELTA_MAX_E9}
                            THEN 1 END) AS BIGINT) AS n_classes_above,
            CAST(COALESCE(SUM(CASE WHEN delta_e9 > {_DP_DELTA_MAX_E9}
@@ -337,9 +342,14 @@ _CAP_SQL = f"""
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(v_e3) AS BIGINT) AS s1,
-               -- second moment in DOUBLE (the Cochran class: v_e3^2
-               -- reaches 1e10 per row; an int64 sum dies at ~1e9 rows)
-               SUM(CAST(v_e3 AS DOUBLE) * v_e3) AS s2
+               -- second moment in DECIMAL (r14 ADVICE): v_e3^2
+               -- reaches 1e10 per row, an int64 SUM dies at ~1e9 rows,
+               -- and a DOUBLE sum past 2^53 is summation-order-
+               -- dependent. DECIMAL(19,0) * BIGINT -> DECIMAL(38,0)
+               -- in both engines: exact per-term at ANY value domain,
+               -- exact order-free sum, ONE double conversion here.
+               CAST(SUM(CAST(v_e3 AS DECIMAL(19,0)) * v_e3)
+                    AS DOUBLE) AS s2
         FROM base GROUP BY event_type
     ), sd AS (
         SELECT event_type, n, s1,

@@ -32,11 +32,14 @@ House discipline (the round-14 hazard checklist): all day bucketing
 in integer microseconds ({intdiv} on exact BIGINTs — the seasonal-MK
 dialect rule); dense day grids via LEFT JOIN + COALESCE (zero-event
 days are real zeros); centered moments about the ROUNDED integer mean
-(terms stay exact integers in double, so double accumulation is both
-overflow-safe and order-free at verification scale — the r12 wide-
-accumulator lesson); per-cell LN / per-row ratios quantized
-immediately; degenerate series flagged, never dropped; argmax ties
-broken by earliest day.
+accumulated in DECIMAL(38,0) — exact and summation-order-free in both
+engines at ANY scale, one DOUBLE conversion per moment (r14 ADVICE;
+the r12 wide-accumulator lesson taken to its conclusion); per-cell
+LN / per-row ratios quantized immediately; degenerate series flagged
+AND EMITTED — a metric whose span is too short to form lagged
+observations left-joins back in from the dense metric spine instead
+of vanishing through an empty group (r14 ADVICE); argmax ties broken
+by earliest day.
 """
 
 from __future__ import annotations
@@ -111,13 +114,19 @@ _DF_CORE = """
         FROM obs GROUP BY event_type
     ), cm AS (
         -- centered second moments about the rounded means, accumulated
-        -- in DOUBLE (exact-integer terms: overflow-safe AND order-free
-        -- at verification scale). The exact-mean correction restores
-        -- the true centered moments algebraically.
+        -- in DECIMAL(19,0) * BIGINT -> DECIMAL(38,0) (r14 ADVICE):
+        -- exact-integer terms whose products can pass 2^53 on heavy
+        -- tails, where a DOUBLE sum turns summation-order-dependent.
+        -- Exact order-free decimal sums, ONE double conversion each.
+        -- The exact-mean correction restores the true centered
+        -- moments algebraically.
         SELECT o.event_type, m.n, m.sx, m.sd, m.mx, m.md,
-               SUM(CAST(o.x - m.mx AS DOUBLE) * (o.x - m.mx)) AS rxx,
-               SUM(CAST(o.x - m.mx AS DOUBLE) * (o.d - m.md)) AS rxd,
-               SUM(CAST(o.d - m.md AS DOUBLE) * (o.d - m.md)) AS rdd
+               CAST(SUM(CAST(o.x - m.mx AS DECIMAL(19,0))
+                        * (o.x - m.mx)) AS DOUBLE) AS rxx,
+               CAST(SUM(CAST(o.x - m.mx AS DECIMAL(19,0))
+                        * (o.d - m.md)) AS DOUBLE) AS rxd,
+               CAST(SUM(CAST(o.d - m.md AS DECIMAL(19,0))
+                        * (o.d - m.md)) AS DOUBLE) AS rdd
         FROM obs o JOIN mean0 m ON m.event_type = o.event_type
         GROUP BY o.event_type, m.n, m.sx, m.sd, m.mx, m.md
     ), exact AS (
@@ -137,22 +146,28 @@ _DF_CORE = """
                cxd / NULLIF(cxx, 0.0e0) AS rho,
                cdd - cxd / NULLIF(cxx, 0.0e0) * cxd AS sse
         FROM exact
+    ), metrics AS (
+        -- every metric in the corpus: a span too short to form any
+        -- lagged observation must still emit a degenerate-flagged
+        -- row instead of vanishing through the empty group (r14
+        -- ADVICE — the module's 'flagged, never dropped' discipline)
+        SELECT DISTINCT event_type FROM dense
     )
-    SELECT event_type, n AS n_obs,
-           CASE WHEN cxx > 0
-                THEN CAST(ROUND(rho * 1000000000) AS BIGINT)
+    SELECT m.event_type, CAST(COALESCE(f.n, 0) AS BIGINT) AS n_obs,
+           CASE WHEN f.cxx > 0
+                THEN CAST(ROUND(f.rho * 1000000000) AS BIGINT)
                 ELSE CAST(0 AS BIGINT) END AS rho_e9,
-           CASE WHEN cxx > 0 AND n > 3 AND sse > 0
-                THEN CAST(ROUND(rho
-                     / sqrt((sse / (n - 2)) / cxx)
+           CASE WHEN f.cxx > 0 AND f.n > 3 AND f.sse > 0
+                THEN CAST(ROUND(f.rho
+                     / sqrt((f.sse / (f.n - 2)) / f.cxx)
                      * 1000000) AS BIGINT)
                 ELSE CAST(0 AS BIGINT) END AS tau_e6,
-           CASE WHEN cxx > 0 AND n > 3 AND sse > 0
-                THEN rho / sqrt((sse / (n - 2)) / cxx) < {crit}
+           CASE WHEN f.cxx > 0 AND f.n > 3 AND f.sse > 0
+                THEN f.rho / sqrt((f.sse / (f.n - 2)) / f.cxx) < {crit}
                 ELSE FALSE END AS reject_unit_root_05,
-           NOT (cxx > 0 AND n > 3 AND COALESCE(sse, 0.0e0) > 0)
+           NOT (f.cxx > 0 AND f.n > 3 AND COALESCE(f.sse, 0.0e0) > 0)
                AS degenerate
-    FROM fit
+    FROM metrics m LEFT JOIN fit f ON f.event_type = m.event_type
 """
 
 
@@ -200,7 +215,8 @@ _ARCH_CORE = """
         FROM incs GROUP BY event_type
     ), sq AS (
         -- u_t = (d_t - md)^2: exact integers (rounded-mean centering),
-        -- carried in DOUBLE for the moment sums
+        -- carried as integer-valued doubles; the moment SUMS below
+        -- accumulate in DECIMAL(38,0) so they are order-free
         SELECT i.event_type, i.day,
                CAST(i.d - m.md AS DOUBLE) * (i.d - m.md) AS u
         FROM incs i JOIN dmean m ON m.event_type = i.event_type
@@ -212,11 +228,23 @@ _ARCH_CORE = """
     ), obs AS (
         SELECT event_type, u, ulag FROM lagu WHERE ulag IS NOT NULL
     ), mom AS (
+        -- moment sums accumulate in DECIMAL(38,0) (r14 ADVICE): the
+        -- u*u terms are 4th powers of increments — far past 2^53,
+        -- where a DOUBLE sum is summation-order-dependent. Each term
+        -- is an integer-valued double (exact binary integer even
+        -- past 2^53), so the per-term decimal cast is exact and
+        -- IDENTICAL in both engines; the sums are then order-free.
+        -- ONE double conversion per moment, below.
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n,
-               SUM(u) AS su, SUM(ulag) AS sv,
-               SUM(u * u) AS suu, SUM(ulag * ulag) AS svv,
-               SUM(u * ulag) AS suv
+               CAST(SUM(CAST(u AS DECIMAL(38,0))) AS DOUBLE) AS su,
+               CAST(SUM(CAST(ulag AS DECIMAL(38,0))) AS DOUBLE) AS sv,
+               CAST(SUM(CAST(u * u AS DECIMAL(38,0)))
+                    AS DOUBLE) AS suu,
+               CAST(SUM(CAST(ulag * ulag AS DECIMAL(38,0)))
+                    AS DOUBLE) AS svv,
+               CAST(SUM(CAST(u * ulag AS DECIMAL(38,0)))
+                    AS DOUBLE) AS suv
         FROM obs GROUP BY event_type
     ), r2 AS (
         SELECT event_type, n,
@@ -224,17 +252,25 @@ _ARCH_CORE = """
                (n * suu - su * su) AS den_u,
                (n * svv - sv * sv) AS den_v
         FROM mom
+    ), metrics AS (
+        -- degenerate-emission spine (r14 ADVICE): a corpus spanning
+        -- too few days to form lag-1 pairs of squared increments
+        -- flags, never drops
+        SELECT DISTINCT event_type FROM dense
     )
-    SELECT event_type, n AS n_obs,
-           CASE WHEN den_u > 0 AND den_v > 0
-                THEN CAST(ROUND(n * (num / den_u) * (num / den_v)
-                     * 1000000) AS BIGINT)
+    SELECT m.event_type, CAST(COALESCE(r.n, 0) AS BIGINT) AS n_obs,
+           CASE WHEN r.den_u > 0 AND r.den_v > 0
+                THEN CAST(ROUND(r.n * (r.num / r.den_u)
+                     * (r.num / r.den_v) * 1000000) AS BIGINT)
                 ELSE CAST(0 AS BIGINT) END AS arch_lm_e6,
-           CASE WHEN den_u > 0 AND den_v > 0
-                THEN n * (num / den_u) * (num / den_v) > {crit}
+           CASE WHEN r.den_u > 0 AND r.den_v > 0
+                THEN r.n * (r.num / r.den_u) * (r.num / r.den_v)
+                     > {crit}
                 ELSE FALSE END AS reject_05,
-           NOT (den_u > 0 AND den_v > 0) AS degenerate
-    FROM r2
+           -- missing r -> NULL conjuncts -> COALESCE pins TRUE
+           COALESCE(NOT (r.den_u > 0 AND r.den_v > 0), TRUE)
+               AS degenerate
+    FROM metrics m LEFT JOIN r2 r ON r.event_type = m.event_type
 """
 
 
@@ -321,6 +357,15 @@ _CSQ_CORE = """
     SELECT event_type, n, CAST(NULL AS BIGINT),
            CAST(0 AS BIGINT), FALSE, TRUE
     FROM zero_var
+    UNION ALL
+    -- degenerate-emission spine (r14 ADVICE): a single-day corpus
+    -- forms no increments at all, so a metric reaches neither the
+    -- argmax arm nor the zero-variance arm — flag it, never drop it
+    SELECT m.event_type, CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(0 AS BIGINT), FALSE, TRUE
+    FROM (SELECT DISTINCT event_type FROM dense) m
+    WHERE NOT EXISTS (SELECT 1 FROM cum c
+                      WHERE c.event_type = m.event_type)
 """
 
 
@@ -487,10 +532,13 @@ _GBM_CORE = f"""
                CAST(MAX(mx) AS BIGINT) AS observed_max
         FROM weekly GROUP BY event_type
     ), cmom AS (
-        -- centered second moment about the rounded mean, DOUBLE
-        -- accumulation of exact-integer terms + algebraic correction
+        -- centered second moment about the rounded mean: exact
+        -- order-free DECIMAL accumulation (r14 ADVICE; squares of
+        -- heavy-tailed weekly maxima can pass 2^53 where a DOUBLE
+        -- sum turns order-dependent) + algebraic correction
         SELECT w.event_type, m.nb, m.s1, m.mm, m.observed_max,
-               SUM(CAST(w.mx - m.mm AS DOUBLE) * (w.mx - m.mm)) AS r2
+               CAST(SUM(CAST(w.mx - m.mm AS DECIMAL(19,0))
+                        * (w.mx - m.mm)) AS DOUBLE) AS r2
         FROM weekly w JOIN mom m ON m.event_type = w.event_type
         GROUP BY w.event_type, m.nb, m.s1, m.mm, m.observed_max
     ), fit AS (

@@ -314,8 +314,15 @@ _HUB_ORACLE = f"""
     ), mom AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(k) AS BIGINT) AS s1,
-             SUM(CAST(k AS DOUBLE) * k) AS s2,
-             SUM(CAST(k AS DOUBLE) * k * k) AS s3,
+             -- second/third moments in DECIMAL (r14 ADVICE): a hub's
+             -- k^3 passes 2^53 (and int64) long before the op's
+             -- claimed corpus ceiling, where a DOUBLE sum turns
+             -- summation-order-dependent. DECIMAL(19,0) * BIGINT *
+             -- BIGINT widens to DECIMAL(38,0) in both engines —
+             -- exact, order-free; ONE double conversion each.
+             CAST(SUM(CAST(k AS DECIMAL(19,0)) * k) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(k AS DECIMAL(19,0)) * k * k)
+                  AS DOUBLE) AS s3,
              CAST(MAX(k) AS BIGINT) AS max_occ,
              CAST(COUNT(CASE WHEN k = 0 THEN 1 END) AS BIGINT)
                  AS n_antihubs
@@ -388,10 +395,16 @@ def embedding_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     mom = dense.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("k").cast("bigint").alias("s1"),
-        F.sum(F.col("k").cast("double") * F.col("k")).alias("s2"),
+        # exact order-free DECIMAL moment sums, one double conversion
+        # (r14 ADVICE) — mirrors the oracle text above
+        F.sum(F.col("k").cast("decimal(19,0)") * F.col("k"))
+        .cast("double")
+        .alias("s2"),
         F.sum(
-            F.col("k").cast("double") * F.col("k") * F.col("k")
-        ).alias("s3"),
+            F.col("k").cast("decimal(19,0)") * F.col("k") * F.col("k")
+        )
+        .cast("double")
+        .alias("s3"),
         F.max("k").cast("bigint").alias("max_occ"),
         F.count(F.when(F.col("k") == 0, 1)).cast("bigint").alias(
             "n_antihubs"

@@ -38,10 +38,12 @@ inference.
   user-level binary conversion.
 
 House discipline (the wave-15 hazard checklist, incl. class 5a): all
-second moments in DOUBLE; per-row LN / CDF values quantized before
-cross-row reductions; NULLIF guards any division that an ANSI engine
-could evaluate under a false conjunct; degenerate rows flagged, never
-dropped; folds carry parameters in the init state, never as captures.
+second moments in exact order-free DECIMAL accumulation with one
+DOUBLE conversion (r14 ADVICE); per-row LN / CDF values quantized
+before cross-row reductions; NULLIF guards any division that an ANSI
+engine could evaluate under a false conjunct; degenerate rows flagged
+AND emitted from the metric spine, never dropped; folds carry
+parameters in the init state, never as captures.
 """
 
 from __future__ import annotations
@@ -75,10 +77,21 @@ _TP_CORE = """
                CAST(COUNT(*) + 2 AS BIGINT) AS n,
                CAST(SUM(turn) AS BIGINT) AS t
         FROM marks GROUP BY event_type
+    ), metrics AS (
+        -- degenerate-emission spine (r14 ADVICE): a 1-2 day corpus
+        -- has no interior points, so the agg group vanishes — emit
+        -- the metric with its TRUE day count, flagged, never dropped
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd
+        FROM dense GROUP BY event_type
+    ), dense_agg AS (
+        SELECT m.event_type,
+               COALESCE(a.n, m.nd) AS n,
+               CAST(COALESCE(a.t, 0) AS BIGINT) AS t
+        FROM metrics m LEFT JOIN agg a ON a.event_type = m.event_type
     )
     SELECT event_type, n AS n_days, t AS n_turns,
-           CAST(ROUND(2.0e0 * (n - 2) / 3.0e0 * 1000000) AS BIGINT)
-               AS expected_e6,
+           CAST(ROUND(2.0e0 * GREATEST(n - 2, 0) / 3.0e0 * 1000000)
+                AS BIGINT) AS expected_e6,
            CASE WHEN n >= 4
                 THEN CAST(ROUND((t - 2.0e0 * (n - 2) / 3.0e0)
                      / sqrt((16.0e0 * n - 29.0e0) / 90.0e0)
@@ -89,7 +102,7 @@ _TP_CORE = """
                      / sqrt((16.0e0 * n - 29.0e0) / 90.0e0)) > {crit}
                 ELSE FALSE END AS reject_05,
            n < 4 AS degenerate
-    FROM agg
+    FROM dense_agg
 """
 
 
@@ -150,7 +163,13 @@ _LLN_TMPL = f"""
         SELECT source,
                CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(lnl_e9) AS BIGINT) AS s1,
-               SUM(CAST(lnl_e9 AS DOUBLE) * lnl_e9) AS s2
+               -- second moment in DECIMAL (r14 ADVICE): lnl_e9^2 is
+               -- ~1e20 per row — past int64 AND past 2^53 where a
+               -- DOUBLE sum turns summation-order-dependent.
+               -- DECIMAL(19,0) * BIGINT -> DECIMAL(38,0): exact,
+               -- order-free, ONE double conversion here.
+               CAST(SUM(CAST(lnl_e9 AS DECIMAL(19,0)) * lnl_e9)
+                    AS DOUBLE) AS s2
         FROM lx GROUP BY source
     ), fit AS (
         SELECT source, n,

@@ -44,7 +44,8 @@ def test_wave_ledger_arithmetic_reaches_registry_size():
     ledger = [
         (int(plus), int(total))
         for plus, total in re.findall(
-            r"\(round \d+(?:\s+tail)?, \+(\d+) — registry (\d+)\)", text
+            r"\((?:driver )?round \d+(?:\s+tail)?, \+(\d+) — registry (\d+)\)",
+            text,
         )
     ]
     assert ledger, "no wave ledger headers found in COVERAGE.md"
