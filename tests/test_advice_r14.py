@@ -76,8 +76,11 @@ def _frames_equal(a: pd.DataFrame, b: pd.DataFrame) -> None:
 
 def test_coherence_double_sums_and_tight_bound():
     """Structural pin: both engine texts carry the 2.1e6 amplitude
-    bound and accumulate the four spectral day-sums in DOUBLE (no
-    bare SUM(pa_e6) AS BIGINT remains)."""
+    bound and accumulate the four spectral day-sums EXACTLY in
+    DECIMAL(38,0) (the r15 upgrade of the r14 DOUBLE fix: DOUBLE
+    killed the overflow but kept last-ulp summation-order
+    sensitivity; DECIMAL sums are exact and order-free, converted to
+    DOUBLE once after the sum)."""
     from emr_with_custom_metrics_spark.operators.wave14b import (
         _COH_AMP_COND,
         _COH_TMPL,
@@ -86,7 +89,8 @@ def test_coherence_double_sums_and_tight_bound():
     assert "2100000.0e0" in _COH_AMP_COND
     assert "3000000" not in _COH_AMP_COND
     for col in ("re_e6", "im_e6", "pa_e6", "pb_e6"):
-        assert f"SUM(CAST({col} AS DOUBLE))" in _COH_TMPL
+        assert f"SUM(CAST({col} AS DECIMAL(38,0)))" in _COH_TMPL
+        assert f"SUM(CAST({col} AS DOUBLE))" not in _COH_TMPL
         assert f"CAST(SUM({col}) AS BIGINT)" not in _COH_TMPL
 
 
@@ -121,9 +125,13 @@ def test_burrows_delta_concentrated_sources_no_overflow(spark, tmp_path):
 
 
 def test_burrows_delta_sff_double_structural():
+    """r15 upgrade of the r14 fix: sff accumulates EXACTLY in
+    DECIMAL(38,0) (DOUBLE killed the overflow but kept last-ulp
+    order sensitivity)."""
     from emr_with_custom_metrics_spark.operators.wave14d import _BD_TMPL
 
-    assert "SUM(CAST(f_e9 AS DOUBLE) * f_e9)" in _BD_TMPL
+    assert "SUM(CAST(f_e9 * f_e9 AS DECIMAL(38,0)))" in _BD_TMPL
+    assert "SUM(CAST(f_e9 AS DOUBLE) * f_e9)" not in _BD_TMPL
     assert "CAST(SUM(f_e9 * f_e9) AS BIGINT)" not in _BD_TMPL
 
 
@@ -138,8 +146,12 @@ def test_t_closeness_weighted_avg_double_structural():
         _TCLOSE_SPARK,
     )
 
+    # r15 upgrade of the r14 fix: the weighted average accumulates
+    # EXACTLY (DECIMAL(19,0) * BIGINT widens to DECIMAL(38,0) in both
+    # engines) instead of in DOUBLE
     for text in (_TCLOSE_DUCK, _TCLOSE_SPARK):
-        assert "SUM(CAST(t_e9 AS DOUBLE) * n_rows)" in text
+        assert "SUM(CAST(t_e9 AS DECIMAL(19,0)) * n_rows)" in text
+        assert "SUM(CAST(t_e9 AS DOUBLE) * n_rows)" not in text
         assert "CAST(SUM(t_e9 * n_rows) AS DOUBLE)" not in text
 
 

@@ -18,9 +18,23 @@ DOC_OPS = [
     "sketch_spacesaving_topk",
     "sample_weighted_reservoir",
     "dq_eval_leakage_screen",
+    # wave 16b
+    "sketch_bottomk_jaccard",
+    "retrieval_dirichlet_lm",
 ]
 TPCH_OPS = [
     "join_bloom_prefilter_dim",
+]
+# wave 16b: hostile events (ties, near-constant, bursty, tiny user
+# pools — the wave15 generator) and hostile embeddings (dups, isolated
+# vectors, random labels)
+EVENT_OPS = [
+    "timeseries_kpss",
+    "spc_ewma_chart",
+    "stats_hoeffding_drift",
+]
+EMB_OPS = [
+    "graph_conductance_labels",
 ]
 
 
@@ -101,6 +115,8 @@ def _tpch_frames(seed: int) -> tuple[pd.DataFrame, pd.DataFrame]:
 
 @pytest.mark.parametrize("seed", [19, 59, 101, 149])
 def test_wave16_fuzz_cross_engine(spark, tmp_path_factory, seed):
+    from tests.test_wave15_fuzz import _emb_frame, _events_frame
+
     from emr_with_custom_metrics_spark.registry import all_specs
 
     specs = all_specs()
@@ -109,13 +125,15 @@ def test_wave16_fuzz_cross_engine(spark, tmp_path_factory, seed):
     part, li = _tpch_frames(seed)
     part.to_parquet(d / "part.parquet", index=False)
     li.to_parquet(d / "lineitem.parquet", index=False)
+    _events_frame(seed).to_parquet(d / "events.parquet", index=False)
+    _emb_frame(seed).to_parquet(d / "embeddings.parquet", index=False)
     con = duckdb.connect()
-    for t in ("documents", "part", "lineitem"):
+    for t in ("documents", "part", "lineitem", "events", "embeddings"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
         )
     try:
-        for name in DOC_OPS + TPCH_OPS:
+        for name in DOC_OPS + TPCH_OPS + EVENT_OPS + EMB_OPS:
             got = specs[name].fn(spark, str(d)).toPandas()
             oracle = con.sql(specs[name].oracle).df()
             assert_frames_match(got, oracle, f"fuzz{seed}:{name}")

@@ -1,4 +1,4 @@
-"""Decade-up probe for the wave-16a operators (the standing round
+"""Decade-up probe for the wave-16a/16b operators (the standing round
 ritual: every new operator gets one measured decade before the round
 closes). Times each at sf0.1 and at the x10 fixture from
 tools/inflate_x10.py, best-of-2, single 24 GB JVM, uncontended.
@@ -16,6 +16,12 @@ X10 = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfx1_r13"
 
 ROWS = [
     "sketch_spacesaving_topk",
+    "timeseries_kpss",
+    "spc_ewma_chart",
+    "sketch_bottomk_jaccard",
+    "graph_conductance_labels",
+    "stats_hoeffding_drift",
+    "retrieval_dirichlet_lm",
     "sample_weighted_reservoir",
     "dq_eval_leakage_screen",
     "join_bloom_prefilter_dim",
