@@ -21,6 +21,8 @@ DOC_OPS = [
     # wave 16b
     "sketch_bottomk_jaccard",
     "retrieval_dirichlet_lm",
+    # wave 16c
+    "corpus_source_concentration",
 ]
 TPCH_OPS = [
     "join_bloom_prefilter_dim",
@@ -32,10 +34,38 @@ EVENT_OPS = [
     "timeseries_kpss",
     "spc_ewma_chart",
     "stats_hoeffding_drift",
+    # wave 16c
+    "stats_mood_median",
 ]
 EMB_OPS = [
     "graph_conductance_labels",
 ]
+# wave 16c: hostile customer/orders (zero-spend customers, dangling
+# order custkeys, duplicate prices, single-customer frames)
+CUST_OPS = [
+    "stats_atkinson_spend",
+]
+
+
+def _cust_orders_frames(seed: int) -> tuple[pd.DataFrame, pd.DataFrame]:
+    rng = np.random.default_rng(seed + 3100)
+    n_cust = int(rng.integers(1, 40))
+    cust = pd.DataFrame(
+        {"c_custkey": np.arange(1, n_cust + 1, dtype="int64")}
+    )
+    n_ord = int(rng.integers(0, 80))
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(1, n_ord + 1, dtype="int64"),
+            # keys beyond n_cust dangle; many customers get NO order
+            # (the zero-spend LEFT JOIN path)
+            "o_custkey": rng.integers(1, n_cust + 3, n_ord).astype("int64"),
+            "o_totalprice": rng.choice(
+                [0.01, 1.0, 1.0, 49.99, 500.0], n_ord
+            ),
+        }
+    )
+    return cust, orders
 
 
 def _docs_frame(seed: int) -> pd.DataFrame:
@@ -127,13 +157,24 @@ def test_wave16_fuzz_cross_engine(spark, tmp_path_factory, seed):
     li.to_parquet(d / "lineitem.parquet", index=False)
     _events_frame(seed).to_parquet(d / "events.parquet", index=False)
     _emb_frame(seed).to_parquet(d / "embeddings.parquet", index=False)
+    cust, orders = _cust_orders_frames(seed)
+    cust.to_parquet(d / "customer.parquet", index=False)
+    orders.to_parquet(d / "orders.parquet", index=False)
     con = duckdb.connect()
-    for t in ("documents", "part", "lineitem", "events", "embeddings"):
+    for t in (
+        "documents",
+        "part",
+        "lineitem",
+        "events",
+        "embeddings",
+        "customer",
+        "orders",
+    ):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
         )
     try:
-        for name in DOC_OPS + TPCH_OPS + EVENT_OPS + EMB_OPS:
+        for name in DOC_OPS + TPCH_OPS + EVENT_OPS + EMB_OPS + CUST_OPS:
             got = specs[name].fn(spark, str(d)).toPandas()
             oracle = con.sql(specs[name].oracle).df()
             assert_frames_match(got, oracle, f"fuzz{seed}:{name}")

@@ -1,4 +1,4 @@
-"""Decade-up probe for the wave-16a/16b operators (the standing round
+"""Decade-up probe for the wave-16a/16b/16c operators (the standing round
 ritual: every new operator gets one measured decade before the round
 closes). Times each at sf0.1 and at the x10 fixture from
 tools/inflate_x10.py, best-of-2, single 24 GB JVM, uncontended.
@@ -22,6 +22,9 @@ ROWS = [
     "graph_conductance_labels",
     "stats_hoeffding_drift",
     "retrieval_dirichlet_lm",
+    "corpus_source_concentration",
+    "stats_atkinson_spend",
+    "stats_mood_median",
     "sample_weighted_reservoir",
     "dq_eval_leakage_screen",
     "join_bloom_prefilter_dim",
