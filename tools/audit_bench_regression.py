@@ -113,14 +113,28 @@ def main() -> None:
     qo, qn = base["queries"], new["queries"]
     shared = sorted(set(qo) & set(qn))
     drifted = []
+    rels = []
     for name in shared:
         a, b = float(qo[name]), float(qn[name])
         if max(a, b) < args.min_secs:
             continue
         rel = (b - a) / a if a > 0 else float("inf")
+        rels.append(rel)
         if abs(rel) > args.band:
             drifted.append((rel, name, a, b))
     drifted.sort(key=lambda t: -abs(t[0]))
+
+    # Median drift is the ambient-vs-code discriminator (dr15 finding:
+    # this host's ambient band moves tens of percent on ~HOURLY scales
+    # — two same-code legs measured 15.6% apart at per-row median while
+    # an interleaved 20-row A/B showed most rows identical across
+    # trees). A large UNIFORM median with no concentrated worst rows
+    # reads as ambient; a concentrated worst list over a small median
+    # reads as a code regression. For a decisive verdict, interleave
+    # anchor and candidate legs in TIME (old->new->old->new), not
+    # merely on the same machine-day.
+    rels.sort()
+    median_drift = rels[len(rels) // 2] if rels else 0.0
 
     out = {
         "base": base_label,
@@ -134,6 +148,7 @@ def main() -> None:
         "total_base": round(sum(float(qo[n]) for n in shared), 1),
         "total_new": round(sum(float(qn[n]) for n in shared), 1),
         "n_beyond_band": len(drifted),
+        "median_drift": round(median_drift, 3),
         "worst": [
             {"query": n, "base_s": a, "new_s": b, "drift": round(r, 3)}
             for r, n, a, b in drifted[: args.top]
