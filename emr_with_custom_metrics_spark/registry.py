@@ -424,4 +424,5 @@ def _ensure_loaded() -> None:
     import emr_with_custom_metrics_spark.operators.wave16a  # noqa: F401
     import emr_with_custom_metrics_spark.operators.wave16b  # noqa: F401
     import emr_with_custom_metrics_spark.operators.wave16c  # noqa: F401
+    import emr_with_custom_metrics_spark.operators.wave16d  # noqa: F401
     _LOADED = True

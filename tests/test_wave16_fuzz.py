@@ -23,6 +23,10 @@ DOC_OPS = [
     "retrieval_dirichlet_lm",
     # wave 16c
     "corpus_source_concentration",
+    # wave 16d
+    "text_oov_rate",
+    "sketch_ams_f2",
+    "text_chao1_richness",
 ]
 TPCH_OPS = [
     "join_bloom_prefilter_dim",
@@ -36,6 +40,8 @@ EVENT_OPS = [
     "stats_hoeffding_drift",
     # wave 16c
     "stats_mood_median",
+    # wave 16d
+    "stats_eb_shrinkage",
 ]
 EMB_OPS = [
     "graph_conductance_labels",

@@ -1,4 +1,4 @@
-"""Decade-up probe for the wave-16a/16b/16c operators (the standing round
+"""Decade-up probe for the wave-16a/16b/16c/16d operators (the standing round
 ritual: every new operator gets one measured decade before the round
 closes). Times each at sf0.1 and at the x10 fixture from
 tools/inflate_x10.py, best-of-2, single 24 GB JVM, uncontended.
@@ -25,6 +25,10 @@ ROWS = [
     "corpus_source_concentration",
     "stats_atkinson_spend",
     "stats_mood_median",
+    "text_oov_rate",
+    "sketch_ams_f2",
+    "text_chao1_richness",
+    "stats_eb_shrinkage",
     "sample_weighted_reservoir",
     "dq_eval_leakage_screen",
     "join_bloom_prefilter_dim",
