@@ -31,6 +31,8 @@ this belongs to the mandated §2B training-data-pipeline surface.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from emr_with_custom_metrics_spark.catalog import register_views
@@ -52,6 +54,13 @@ _LR_BUCKETS = 128  # hashed unigram feature buckets (+1 bias slot)
 _LR_ITERS = 24
 _LR_RATE = 0.2
 _LR_MOMENTUM = 0.7
+# Scale cutover for the training loop (opt r15): at or below this row
+# count the feature matrix (n × 129 doubles ≤ ~310 MB at the default)
+# comfortably fits ONE task, so the whole GD loop fuses into a single
+# job (see train_local below) instead of paying ~200 ms of job round-trip
+# per round. Above it, the distributed per-round treeAggregate shape runs
+# unchanged. Env-tunable so a cluster profile can move the cutover.
+_LR_LOCAL_ROWS = int(os.environ.get("SPARK_GRAFT_LR_LOCAL_ROWS", "300000"))
 _HEX = "0123456789abcdef"
 
 
@@ -314,24 +323,81 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = t * t * 1e9
         yield np.floor(t + 0.5).astype(np.int64).sum(axis=0)
 
-    # Few fat partitions: each round's job cost is task scheduling, not
-    # compute, at gate/bench scale (at real corpus scale keep the natural
-    # partitioning — the aggregate is map-side-combined either way).
-    rdd = feats.select("y", "x").rdd.map(tuple).coalesce(2).cache()
-    # Jacobi preconditioner h_j = max(E[x_j^2], 1)/4 — ONE extra
-    # quantized-integer reduction, same op order as the oracle's hv CTE
-    sq6 = rdd.mapPartitions(part_sq).reduce(lambda a, b: a + b)
-    h = [max((float(sq6[j]) / 1e9) / n, 1.0) / 4.0 for j in range(d)]
-    w = [0.0] * d
-    u = [0.0] * d
-    for _ in range(_LR_ITERS):
-        g6 = rdd.mapPartitions(part_grad(w)).reduce(lambda a, b: a + b)
-        u = [
-            _LR_MOMENTUM * u[j] + ((float(g6[j]) / 1e9) / n) / h[j]
-            for j in range(d)
-        ]
-        w = [w[j] + _LR_RATE * u[j] for j in range(d)]
-    rdd.unpersist()
+    if n <= _LR_LOCAL_ROWS:
+        # Scale-adaptive fusion (opt r15, guide §1.2/§2.4): full-batch GD
+        # needs one driver synchronization per round ONLY when the matrix
+        # spans several partitions. Below _LR_LOCAL_ROWS the whole matrix
+        # fits one task (n×129 doubles ≤ ~310 MB), so the ENTIRE loop —
+        # preconditioner reduction + _LR_ITERS rounds — runs inside a
+        # single mapPartitions task and only the final MODEL returns.
+        # Measured at sf0.1: 25 sequential 2-task RDD jobs at ~200 ms of
+        # py4j/scheduling each collapse into 1 job (~11.3 s → ~2.5 s row).
+        # Bit-identity: every g6/sq6 is a quantized-integer SUM (order
+        # free, so 1-partition == 2-partition totals exactly) and the
+        # u/w float updates below replay the driver's arithmetic on the
+        # same IEEE doubles in the same order.
+        def train_local(rows):
+            import numpy as np
+
+            X, y = [], []
+            for r in rows:
+                y.append(r[0])
+                X.append(r[1])
+            if not X:
+                return
+            Xm = np.array(X)
+            yv = np.array(y)
+            t = Xm * Xm * 1e9
+            sq6_l = np.floor(t + 0.5).astype(np.int64).sum(axis=0)
+            h_l = [max((float(sq6_l[j]) / 1e9) / n, 1.0) / 4.0 for j in range(d)]
+            w_l = [0.0] * d
+            u_l = [0.0] * d
+            for _ in range(_LR_ITERS):
+                z = np.zeros(len(yv))
+                for j in range(Xm.shape[1]):  # left fold, same order as SQL
+                    z = z + Xm[:, j] * w_l[j]
+                z9 = np.copysign(np.floor(np.abs(z) * 1e9 + 0.5), z) / 1e9
+                zc = np.clip(z9, -30.0, 30.0)
+                s = 1.0 / (1.0 + np.exp(-zc))
+                s9 = np.copysign(np.floor(np.abs(s) * 1e9 + 0.5), s) / 1e9
+                tg = (yv - s9)[:, None] * Xm * 1e9
+                g6_l = np.copysign(np.floor(np.abs(tg) + 0.5), tg).astype(
+                    np.int64
+                ).sum(axis=0)
+                u_l = [
+                    _LR_MOMENTUM * u_l[j] + ((float(g6_l[j]) / 1e9) / n) / h_l[j]
+                    for j in range(d)
+                ]
+                w_l = [w_l[j] + _LR_RATE * u_l[j] for j in range(d)]
+            yield w_l
+
+        w = (
+            feats.select("y", "x")
+            .rdd.map(tuple)
+            .coalesce(1)
+            .mapPartitions(train_local)
+            .collect()[0]
+        )
+    else:
+        # Production shape (unchanged): few fat partitions; each round is
+        # ONE shuffle-free job of map-side-combined partial gradients and
+        # only the model crosses to the driver — MLlib's treeAggregate
+        # pattern, amortized to nothing at real corpus scale.
+        rdd = feats.select("y", "x").rdd.map(tuple).coalesce(2).cache()
+        # Jacobi preconditioner h_j = max(E[x_j^2], 1)/4 — ONE extra
+        # quantized-integer reduction, same op order as the oracle's hv CTE
+        sq6 = rdd.mapPartitions(part_sq).reduce(lambda a, b: a + b)
+        h = [max((float(sq6[j]) / 1e9) / n, 1.0) / 4.0 for j in range(d)]
+        w = [0.0] * d
+        u = [0.0] * d
+        for _ in range(_LR_ITERS):
+            g6 = rdd.mapPartitions(part_grad(w)).reduce(lambda a, b: a + b)
+            u = [
+                _LR_MOMENTUM * u[j] + ((float(g6[j]) / 1e9) / n) / h[j]
+                for j in range(d)
+            ]
+            w = [w[j] + _LR_RATE * u[j] for j in range(d)]
+        rdd.unpersist()
 
     return feats.select(
         "doc_id",

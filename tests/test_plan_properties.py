@@ -127,6 +127,11 @@ def test_no_driver_side_collect_in_query_modules():
             # the harvested action IS the module's purpose: it executes
             # the DataFrame once to fill the plan's metric accumulators
             "plans/exec_metrics.py",
+            # LR small-matrix path (opt r15): the single-task fused
+            # training loop returns ONE row — the 129-float model —
+            # exactly the model-only driver traffic the distributed
+            # path's per-round reduce() already ships 24 times
+            "llm/classifier.py",
         },
         ".toPandas(": set(),
         ".localCheckpoint(": {
