@@ -222,6 +222,15 @@ def jaccard_pairs_prefix(documents: DataFrame, threshold: float) -> DataFrame:
     compute |A∩B| with ``array_intersect`` JVM-side — output is identical
     to the unpruned join (equality asserted in tests; same DuckDB oracle).
     """
+    # Stage the shingle table ONCE (opt r15, guide §2.4): both the global-
+    # DF aggregate and the per-doc ordering pass explode the same
+    # (doc_id, toks) relation, and un-staged each re-ran the full scan +
+    # tokenize + shingle-hash chain (measured ~1.7 s per pass at sf0.1 —
+    # the single most expensive subtree in this query). One compact row
+    # per doc (id + distinct 64-bit hashes), same persisted-signature
+    # shape as per_doc below; lazy so it materializes inside the first
+    # consumer's job rather than as its own blocking round-trip.
+    documents = documents.localCheckpoint(eager=False)
     tok = documents.select("doc_id", F.explode("toks").alias("token"))
     # Global DF per token, joined back so each doc can order its tokens
     # rarest-first. The DF table is vocabulary-sized; at corpus scale it
@@ -1122,7 +1131,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = out + t_
         return out.cast("bigint").alias(f"s{sl}")
 
-    fp = agg.select("doc_id", *[slice_val(sl) for sl in range(4)])
+    # Opt r15: fp feeds THREE branches (the banded self-join's two sides
+    # via `slices`, plus the a/b verify re-attachments) — un-staged, the
+    # md5 + 64-bit-sum fingerprint pass appeared 8× in the executed plan
+    # (8 parquet scans, plans/r15/dedup_simhash_before.txt). One compact
+    # row per doc (id + 4×16-bit slices): the persisted signature table
+    # of a similarity join, materialized lazily inside the first
+    # consumer's job.
+    fp = agg.select(
+        "doc_id", *[slice_val(sl) for sl in range(4)]
+    ).localCheckpoint(eager=False)
     slices = fp.select(
         "doc_id",
         F.explode(
@@ -1385,7 +1403,14 @@ def embedding_cosine_pairs(
     "dedup_ngram_jaccard_prefix does for the symmetric case.",
 )
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _shingle_sets(load_table(spark, sf_dir, "documents"))
+    # Opt r15: the shingle table feeds sizes + BOTH self-join sides —
+    # un-staged, the scan + tokenize + shingle-hash chain ran once per
+    # branch (the dedup_ngram_jaccard_prefix finding, ~1.7 s each at
+    # sf0.1). Lazy checkpoint: one compact (id, hashes) row per doc,
+    # materialized inside the first consumer's job.
+    docs = _shingle_sets(load_table(spark, sf_dir, "documents")).localCheckpoint(
+        eager=False
+    )
     sizes = docs.select("doc_id", F.size("toks").alias("n"))
     tok = docs.select("doc_id", F.explode("toks").alias("s"))
     a, b = tok.alias("a"), tok.alias("b")

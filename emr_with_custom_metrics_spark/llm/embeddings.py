@@ -121,17 +121,15 @@ _KM_ITERS = 3
 _KM_D = 64
 
 
-def _kmeans_sql(dialect: str) -> str:
-    """One template, two dialects (the PCA/LR recipe applied to Lloyd's
-    k-means — r6 VERDICT item 5): every float reduction is either an
-    ORDERED left fold over the 64 dims (identical IEEE op sequence in
-    both engines) or an AVG/SUM immediately ROUNDed (6 dp for centroid
-    cells, 4 dp for inertia) so sum-order divergence between engines
-    (~1e-12 relative) washes out — the same argument proven hash-green
-    by embedding_covariance and embedding_pca_project. The argmin
-    tie-breaks on (d2, cid) via ROW_NUMBER, so boundary assignments are
-    deterministic too. Empty clusters keep their previous centroid
-    (COALESCE against the prior round)."""
+def _km_frags(dialect: str):
+    """Dialect-bound SQL fragments shared by the one-string chain
+    (_kmeans_sql — the DuckDB oracle and the reference form) and the
+    staged Spark executor (_kmeans_spark_staged). The per-vector argmin
+    is dialect-split on PLAN SHAPE only (same (d2, cid) lexicographic
+    tie-break): Spark aggregates min(struct(d2, cid)) — partial-
+    aggregable map-side, no per-vector window sort (measured 3.10 → ~2 s
+    at sf0.1 vs the ROW_NUMBER form); DuckDB keeps ROW_NUMBER, its
+    natural argmin."""
     if dialect == "spark":
         rng = f"(SELECT explode(sequence(0, {_KM_D - 1})) AS i)"
         idx = lambda arr, k: f"element_at({arr}, {k})"  # noqa: E731
@@ -140,34 +138,6 @@ def _kmeans_sql(dialect: str) -> str:
         seq = f"sequence(0, {_KM_D - 1})"
         collect = "transform(sort_array(collect_list(struct(i, mu))), s -> s.mu)"
         emb = lambda k: f"CAST(element_at(embedding, {k}) AS DOUBLE)"  # noqa: E731
-    else:
-        rng = f"(SELECT UNNEST(range({_KM_D})) AS i)"
-        idx = lambda arr, k: f"{arr}[{k}]"  # noqa: E731
-        tx = "list_transform"
-        fold = lambda terms: (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {terms}), "  # noqa: E731
-                              "(a, x) -> a + x)")
-        seq = f"range(0, {_KM_D})"
-        collect = "list(mu ORDER BY i)"
-        emb = lambda k: f"CAST(embedding[{k}] AS DOUBLE)"  # noqa: E731
-
-    def d2(cent: str) -> str:
-        diff = f"({emb('d + 1')} - {idx(cent, 'd + 1')})"
-        return fold(f"{tx}({seq}, d -> {diff} * {diff})")
-
-    parts = [f"""
-    WITH c0 AS (
-        -- seed rank runs over the K-row LIMIT subset (TakeOrdered on
-        -- Spark), never a ROW_NUMBER over every vector (r11 audit rule)
-        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) AS cid,
-               {tx}({seq}, d -> {emb('d + 1')}) AS centroid
-        FROM (SELECT vec_id, embedding FROM embeddings
-              ORDER BY vec_id LIMIT {_KM_K}) s0)"""]
-    # Per-vector argmin, dialect-split on PLAN SHAPE only (same (d2, cid)
-    # lexicographic tie-break): Spark aggregates min(struct(d2, cid)) —
-    # partial-aggregable map-side, no per-vector window sort (measured
-    # 3.10 → ~2 s at sf0.1 vs the ROW_NUMBER form); DuckDB keeps
-    # ROW_NUMBER, its natural argmin.
-    if dialect == "spark":
         asn = lambda src: (  # noqa: E731
             f"SELECT vec_id, first(embedding) AS embedding, "
             f"min(named_struct('d2', d2, 'cid', cid)).cid AS cid "
@@ -179,6 +149,14 @@ def _kmeans_sql(dialect: str) -> str:
             f"FROM {src} GROUP BY vec_id)"
         )
     else:
+        rng = f"(SELECT UNNEST(range({_KM_D})) AS i)"
+        idx = lambda arr, k: f"{arr}[{k}]"  # noqa: E731
+        tx = "list_transform"
+        fold = lambda terms: (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {terms}), "  # noqa: E731
+                              "(a, x) -> a + x)")
+        seq = f"range(0, {_KM_D})"
+        collect = "list(mu ORDER BY i)"
+        emb = lambda k: f"CAST(embedding[{k}] AS DOUBLE)"  # noqa: E731
         asn = lambda src: (  # noqa: E731
             f"SELECT vec_id, embedding, cid FROM ("
             f"SELECT vec_id, embedding, cid, "
@@ -192,6 +170,34 @@ def _kmeans_sql(dialect: str) -> str:
             f"FROM {src}) WHERE rn = 1"
         )
 
+    def d2(cent: str) -> str:
+        diff = f"({emb('d + 1')} - {idx(cent, 'd + 1')})"
+        return fold(f"{tx}({seq}, d -> {diff} * {diff})")
+
+    return rng, idx, tx, fold, seq, collect, emb, d2, asn, afin
+
+
+def _kmeans_sql(dialect: str) -> str:
+    """One template, two dialects (the PCA/LR recipe applied to Lloyd's
+    k-means — r6 VERDICT item 5): every float reduction is either an
+    ORDERED left fold over the 64 dims (identical IEEE op sequence in
+    both engines) or an AVG/SUM immediately ROUNDed (6 dp for centroid
+    cells, 4 dp for inertia) so sum-order divergence between engines
+    (~1e-12 relative) washes out — the same argument proven hash-green
+    by embedding_covariance and embedding_pca_project. The argmin
+    tie-breaks on (d2, cid) via ROW_NUMBER, so boundary assignments are
+    deterministic too. Empty clusters keep their previous centroid
+    (COALESCE against the prior round)."""
+    rng, idx, tx, fold, seq, collect, emb, d2, asn, afin = _km_frags(dialect)
+
+    parts = [f"""
+    WITH c0 AS (
+        -- seed rank runs over the K-row LIMIT subset (TakeOrdered on
+        -- Spark), never a ROW_NUMBER over every vector (r11 audit rule)
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) AS cid,
+               {tx}({seq}, d -> {emb('d + 1')}) AS centroid
+        FROM (SELECT vec_id, embedding FROM embeddings
+              ORDER BY vec_id LIMIT {_KM_K}) s0)"""]
     for it in range(_KM_ITERS):
         parts.append(f""",
     a{it} AS (
@@ -243,7 +249,58 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emr_with_custom_metrics_spark.catalog import register_views
 
     register_views(spark, sf_dir, ("embeddings",))
-    return spark.sql(_kmeans_sql("spark"))
+    return _kmeans_spark_staged(spark)
+
+
+def _kmeans_spark_staged(spark: SparkSession) -> DataFrame:
+    """Execute the Lloyd chain round-by-round behind checkpointed views.
+
+    Opt r15 (guide §2.4/§3.3): in the single WITH-chain form every
+    ``c{it+1}`` references ``c{it}`` TWICE (the assignment pass and the
+    empty-cluster COALESCE), so Spark's inlining doubled the subtree per
+    round — the executed plan held 32 embeddings scans / 92 Exchanges at
+    3 rounds (plans/r15/kmeans_embeddings_before.txt). Staging each
+    round's k·d-cell centroid table (8 rows) behind an eager
+    localCheckpoint + temp view leaves 5 scans — one per assignment pass
+    plus the seed — with arithmetic (and therefore answers) identical:
+    each CTE's SQL text is unchanged, it just executes once. The DuckDB
+    oracle keeps the one-string chain (_kmeans_sql('duckdb')): DuckDB
+    materializes multi-referenced CTEs itself."""
+    frag = _km_frags("spark")
+    rng, idx, tx, fold, seq, collect, emb, d2, asn, afin = frag
+    spark.sql(
+        f"""
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) AS cid,
+               {tx}({seq}, d -> {emb('d + 1')}) AS centroid
+        FROM (SELECT vec_id, embedding FROM embeddings
+              ORDER BY vec_id LIMIT {_KM_K}) s0"""
+    ).localCheckpoint().createOrReplaceTempView("km_c0")
+    for it in range(_KM_ITERS):
+        spark.sql(
+            f"""
+            WITH a AS (
+                SELECT vec_id, embedding, cid, {d2('centroid')} AS d2
+                FROM embeddings, km_c{it}),
+            asn AS ({asn('a')}),
+            mean AS (
+                SELECT cid, i, (CAST(ROUND((AVG({emb('i + 1')})) * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)) AS mu
+                FROM asn, {rng} r GROUP BY cid, i),
+            cm AS (
+                SELECT c.cid, r.i,
+                       COALESCE(m.mu, {idx('c.centroid', 'r.i + 1')}) AS mu
+                FROM km_c{it} c CROSS JOIN {rng} r
+                LEFT JOIN mean m ON m.cid = c.cid AND m.i = r.i)
+            SELECT cid, {collect} AS centroid FROM cm GROUP BY cid"""
+        ).localCheckpoint().createOrReplaceTempView(f"km_c{it + 1}")
+    return spark.sql(
+        f"""
+        WITH afin AS ({afin(
+            f"(SELECT vec_id, embedding, cid, {d2('centroid')} AS d2 "
+            f"FROM embeddings, km_c{_KM_ITERS})"
+        )})
+        SELECT cid, COUNT(*) AS n_points, CAST(ROUND(SUM(d2) * 10000) AS BIGINT) AS inertia_e4
+        FROM afin GROUP BY cid"""
+    )
 
 
 def _kmeans_df(spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 3) -> DataFrame:
