@@ -107,6 +107,9 @@ def text_fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "below it, so kept rows hash-match DuckDB's plain levenshtein).",
 )
 def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Opt r15: d feeds both self-join sides — staged so the scan +
+    # split/substring projection runs once (guide §2.4; the compact
+    # signature-table idiom of the shingle joins).
     d = (
         load_table(spark, sf_dir, "documents")
         .select(
@@ -115,6 +118,7 @@ def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split("text", " ").getItem(0).alias("tok0"),
             F.substring("text", 1, 96).alias("prefix"),
         )
+        .localCheckpoint(eager=False)
     )
     a = d.alias("a")
     b = d.alias("b")
@@ -171,6 +175,8 @@ def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token 2 and simply skip pass 2 in both engines (null-unsafe join).",
 )
 def dedup_levenshtein_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Opt r15: d feeds FOUR join sides (2 passes x 2 sides) — staged so
+    # the scan + split/substring projection runs once (guide §2.4).
     d = (
         load_table(spark, sf_dir, "documents")
         .select(
@@ -180,6 +186,7 @@ def dedup_levenshtein_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split("text", " ").getItem(1).alias("tok1"),
             F.substring("text", 1, 96).alias("prefix"),
         )
+        .localCheckpoint(eager=False)
     )
 
     def one_pass(key: str) -> DataFrame:

@@ -127,7 +127,13 @@ _SQL_IVF_TOPK = f"""
 )
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_fanned(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qv"))
+    # Opt r15: q feeds the probe AND the cell scoring — staged so the
+    # pushed-down vec_id=0 scan runs once (guide §2.4).
+    q = (
+        e.where(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("embedding").alias("qv"))
+        .localCheckpoint(eager=False)
+    )
     cents = label_centroids(e)
     best = (
         cents.crossJoin(F.broadcast(q))
@@ -473,7 +479,9 @@ def _l2sq(a, b):
 )
 def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_fanned(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    cb = pq_codebooks(e)
+    # Opt r15: the 40-row codebook table feeds both the encode join and
+    # the ADC table — staged so its posexplode aggregate runs once.
+    cb = pq_codebooks(e).localCheckpoint(eager=False)
 
     # Encode: every (vector, subspace) against the 40-row broadcast codebook;
     # min(struct(d2, cl)) is a deterministic argmin (ties break on label).
@@ -608,9 +616,19 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivfpq_topk_df(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     """The IVF+PQ DataFrame pipeline parameterized by nprobe — shared
     between the registered top-k row (nprobe = IVFPQ_NPROBE) and the
-    similarity_ivfpq_tradeoff sweep."""
+    similarity_ivfpq_tradeoff sweep.
+
+    Opt r15 (guide §2.4/§3.3): q, the codebooks and the probed cell each
+    feed two or three plan branches; un-staged, every branch re-ran its
+    full embeddings scan (the _before plan held 13 scans). Lazy
+    localCheckpoints on the three compact relations (1 row, 40 rows,
+    |cell| rows) execute each subtree once — same arithmetic, same rows."""
     e = load_fanned(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qv"))
+    q = (
+        e.where(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("embedding").alias("qv"))
+        .localCheckpoint(eager=False)
+    )
 
     # IVF probe: the nprobe nearest cells by centroid cosine.
     best = (
@@ -621,10 +639,14 @@ def _ivfpq_topk_df(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
         .limit(nprobe)
         .select("label")
     )
-    cell = e.join(F.broadcast(best), "label").where(F.col("vec_id") != QUERY_VEC_ID)
+    cell = (
+        e.join(F.broadcast(best), "label")
+        .where(F.col("vec_id") != QUERY_VEC_ID)
+        .localCheckpoint(eager=False)
+    )
 
     # PQ encode the cell members against the broadcast codebooks.
-    cb = pq_codebooks(e)
+    cb = pq_codebooks(e).localCheckpoint(eager=False)
     vec_slices = _sub_slices(cell.select("vec_id", "embedding"), "embedding")
     codes = (
         vec_slices.join(F.broadcast(cb), "m")
@@ -695,7 +717,14 @@ def _ivfpq_topk_df(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     "hash-match SQL recomputing all three pipelines from scratch.",
 )
 def similarity_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ex = similarity_topk_exact(spark, sf_dir).select("vec_id")
+    # Opt r15: ex is the semi-join side of BOTH recall arms — un-staged,
+    # the exact-top-k full scan executed twice (guide §2.4). One compact
+    # k-row relation, materialized inside the first arm's job.
+    ex = (
+        similarity_topk_exact(spark, sf_dir)
+        .select("vec_id")
+        .localCheckpoint(eager=False)
+    )
     rows = []
     for method, df in (
         ("ivf", similarity_ivf_topk(spark, sf_dir)),

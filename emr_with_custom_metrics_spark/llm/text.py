@@ -1067,12 +1067,14 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.replace(F.col("r"), pat, rep).alias("r"))
             .localCheckpoint(eager=False)
         )
-        enc = (
-            enc.crossJoin(F.broadcast(best))
-            .select(
-                "doc_id", "n_before", F.replace(F.col("r"), pat, rep).alias("r")
-            )
-            .localCheckpoint(eager=False)
+        # Opt r15: no checkpoint on the full-corpus side — enc is consumed
+        # exactly once at the end, so the five replaces chain into ONE
+        # corpus pass (5 nested 1-row broadcast joins) instead of five
+        # materialize+rescan round-trips (guide §2.4). The training side
+        # (docs) keeps its per-round checkpoint: each round's state feeds
+        # both the next best-pair aggregate and the next replace.
+        enc = enc.crossJoin(F.broadcast(best)).select(
+            "doc_id", "n_before", F.replace(F.col("r"), pat, rep).alias("r")
         )
     toks_f = enc.select(
         "doc_id",
@@ -2086,6 +2088,16 @@ def text_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("g"),
         )
+        # Correctness fix (inherited, found in opt r15): greatest(..., 0)
+        # does NOT guard the short-word case — Spark's sequence(1, 0)
+        # DESCENDS to [1, 0] (the round-1 gotcha), so a word SHORTER than
+        # n emitted two phantom truncated grams (st=1 and st=0), which at
+        # sf0.001 carried enough count to displace real grams from the
+        # top-64 vocab and break oracle parity (DuckDB's range(1, 0) is
+        # empty, the correct behavior). Keep exactly the in-bounds
+        # starts; at sf0.01/sf0.1 the phantom counts never reached the
+        # top-64, so those answers are unchanged.
+        .where(F.expr("g.st >= 1 AND g.st + g.n - 1 <= length(w)"))
         .select(
             F.when(F.col("g.st") == 1, 0).otherwise(1).alias("form"),
             F.expr("substr(w, g.st, g.n)").alias("gram"),
@@ -2108,48 +2120,48 @@ def text_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _WP_TOPK)
         .select("form", "gram", "l")
     )
+    # (opt r15: no checkpoint — the vocab now has exactly one consumer,
+    # the collect_list below, so staging would only add a round-trip.)
     vocab = multi.unionByName(
         grams.where(F.col("l") == 1).select("form", "gram", "l")
-    ).localCheckpoint(eager=False)
-
-    state = wcnt.select(
-        "w",
-        F.lit(1).cast("bigint").alias("cur"),
-        F.lit("").alias("toks"),
-        F.lit(0).cast("bigint").alias("n_tok"),
     )
-    for _ in range(_WP_STEPS):
-        active = state.where(F.col("cur") <= F.length("w"))
-        done = state.where(F.col("cur") > F.length("w"))
-        m = active.join(
-            F.broadcast(vocab),
-            (
-                F.col("form")
-                == F.when(F.col("cur") == 1, 0).otherwise(1)
-            )
-            & (
-                F.col("gram")
-                == F.expr("substr(w, CAST(cur AS INT), CAST(l AS INT))")
-            ),
-        ).withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("w").orderBy(F.col("l").desc())
-            ),
-        )
-        advanced = m.where(F.col("rk") == 1).select(
-            "w",
-            (F.col("cur") + F.col("l")).alias("cur"),
-            F.concat(
-                F.col("toks"),
-                F.lit(" "),
-                F.when(F.col("cur") == 1, F.col("gram")).otherwise(
-                    F.concat(F.lit("##"), F.col("gram"))
-                ),
-            ).alias("toks"),
-            (F.col("n_tok") + 1).alias("n_tok"),
-        )
-        state = done.unionByName(advanced).localCheckpoint(eager=False)
+
+    # Opt r15 (guide §1.2 step 1 — fix the distributed algorithm): the
+    # original encode loop ran _WP_STEPS sequential rounds of
+    # (broadcast-join vocab → per-word longest-match window → union →
+    # localCheckpoint), i.e. 8 job barriers re-materializing the whole
+    # word-state table. The greedy walk is a pure per-word function of
+    # (w, vocab), so run it as ONE JVM-side higher-order fold per
+    # DISTINCT word against the collected vocab array (model-sized: 64
+    # multi-char entries + observed single chars): zero per-step
+    # shuffles, zero checkpoints, identical string/integer arithmetic —
+    # each step takes the max-(l) vocab match at the cursor, exactly the
+    # rk=1 longest-match the loop took (gram = substr(w, cur, l) is
+    # unique per l, so no tie exists either way).
+    vrow = vocab.agg(F.collect_list(F.struct("form", "gram", "l")).alias("vm"))
+    step = (
+        "CASE WHEN s.cur > length(w) THEN s ELSE "
+        "element_at(transform(array(array_max(transform("
+        "filter(vm, v -> v.form = (CASE WHEN s.cur = 1 THEN 0 ELSE 1 END) "
+        "AND v.gram = substr(w, CAST(s.cur AS INT), CAST(v.l AS INT))), "
+        "v -> struct(v.l AS l, v.gram AS gram)))), "
+        "b -> named_struct("
+        "'cur', s.cur + b.l, "
+        "'toks', concat(s.toks, ' ', CASE WHEN s.cur = 1 THEN b.gram "
+        "ELSE concat('##', b.gram) END), "
+        "'n_tok', s.n_tok + CAST(1 AS BIGINT))), 1) END"
+    )
+    state = wcnt.crossJoin(F.broadcast(vrow)).select(
+        "w",
+        F.expr(
+            f"aggregate(sequence(1, {_WP_STEPS}), "
+            "named_struct('cur', CAST(1 AS BIGINT), 'toks', '', "
+            "'n_tok', CAST(0 AS BIGINT)), "
+            f"(s, i) -> {step}, s -> s)"
+        ).alias("st"),
+    ).select(
+        "w", F.col("st.toks").alias("toks"), F.col("st.n_tok").alias("n_tok")
+    )
 
     return (
         words.join(state.select("w", "toks", "n_tok"), "w")
