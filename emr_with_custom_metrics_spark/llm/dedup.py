@@ -544,8 +544,15 @@ def _md5_minhash_bands(sh: DataFrame) -> DataFrame:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    # Opt r15 (guide §2.4): bands feeds both self-join sides — staged so
+    # the signature pipeline (explode + 64-slot partial-MIN) runs once
+    # (32 compact rows/doc). The exploded shingle table `sh` is NOT
+    # staged: it is token-level-sized (~600 rows/doc), and an A/B showed
+    # materializing it costs more than its four recomputes (best-of-3:
+    # 2.5-2.7 s staged vs 2.1-2.2 s unstaged at sf0.1) — the compact-
+    # relation rule of the round's other staging wins, learned negative.
     sh = _md5_shingles(d)
-    bands = _md5_minhash_bands(sh)
+    bands = _md5_minhash_bands(sh).localCheckpoint(eager=False)
     cand = (
         bands.alias("a")
         .join(

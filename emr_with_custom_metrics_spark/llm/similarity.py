@@ -307,7 +307,10 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("table_id", "bucket"),
     ).select(
         "vec_id", "table_id", F.col("bucket").cast("bigint").alias("bucket")
-    )
+    ).localCheckpoint(eager=False)
+    # Opt r15 (guide §2.4): sigs feeds both self-join sides — un-staged,
+    # the 128-integer-fold signature pipeline executed twice. One compact
+    # (vec, table, bucket) row set, materialized in the first side's job.
     # Candidate ids first — the multi-table dedup shuffles 16-byte id pairs,
     # not embedding payloads; vectors re-attach after the distinct.
     cands = (
@@ -331,6 +334,9 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("embedding").cast("array<double>"), lambda x: x / F.col("_n")
             ).alias("u"),
         )
+        # Opt r15: unit feeds both re-rank attach sides — staged so the
+        # scan + normalize pass runs once (guide §2.4).
+        .localCheckpoint(eager=False)
     )
     a = unit.select(F.col("vec_id").alias("a_id"), F.col("u").alias("a_u"))
     b = unit.select(F.col("vec_id").alias("b_id"), F.col("u").alias("b_u"))

@@ -1170,7 +1170,11 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_fanned(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    doclen = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # Opt r15 (guide §2.4): doclen as size(split(...)) — identical value
+    # to COUNT(*) over the explode (split of "" still yields one
+    # element), but the corpus-wide explode now runs ONCE (tf only)
+    # instead of per doclen consumer.
+    doclen = d.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("dl"))
     stats = doclen.agg(
         F.count("*").alias("n_docs"), F.avg(F.col("dl").cast("double")).alias("avgdl")
     )
@@ -1346,7 +1350,13 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_fanned(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    doclen = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # Opt r15 (guide §2.4): doclen without the corpus explode (identical
+    # value — split of "" still yields one element), and the two 15-row
+    # rankings staged: lex feeds fused + sysranks and sem feeds fused +
+    # rel + sysranks, so un-staged each consumer replayed the whole
+    # BM25 / cosine-window pipeline (6 corpus passes total in
+    # plans/r15/retrieval_ndcg_eval_before2.txt).
+    doclen = d.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("dl"))
     stats = doclen.agg(
         F.count("*").alias("n_docs"), F.avg(F.col("dl").cast("double")).alias("avgdl")
     )
@@ -1386,6 +1396,7 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("lex_rank") <= 15)
         .select("doc_id", "lex_rank")
+        .localCheckpoint(eager=False)
     )
     e = load_fanned(spark, sf_dir, "embeddings")
     qv = e.where(F.col("vec_id") == 1).select(F.col("embedding").alias("qvec"))
@@ -1402,6 +1413,7 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("sem_rank") <= 15)
         .select("doc_id", "sem_rank")
+        .localCheckpoint(eager=False)
     )
     fused = lex.join(sem, "doc_id", "full_outer").select(
         "doc_id",

@@ -556,7 +556,20 @@ _SPEARMAN_SQL = """
 )
 def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("lineitem",))
-    return spark.sql(_SPEARMAN_SQL)
+    # Opt r15 (guide §2.4): the quantized li projection feeds FOUR
+    # branches (tot, both rank maps, the join-back) and Spark's
+    # WITH-inlining re-scanned lineitem per branch (4 scans in
+    # plans/r15/stats_spearman_corr_before.txt). Stage the narrow
+    # (flag, q, p) relation once; every CTE's text is otherwise
+    # unchanged, so the arithmetic (and answer) is identical. The
+    # DuckDB oracle keeps the one-string form.
+    li_body = _SPEARMAN_SQL.partition("WITH li AS (")[2].partition("\n    ), tot AS")[0]
+    spark.sql(li_body).localCheckpoint(eager=False).createOrReplaceTempView(
+        "spearman_li"
+    )
+    return spark.sql(
+        _SPEARMAN_SQL.replace(li_body, "SELECT * FROM spearman_li")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -330,7 +330,22 @@ _LB_SPARK = _lb_sql("spark").format(guard=chi2_lookup_guard("spark"))
 )
 def stats_ljung_box_resid(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))
-    return spark.sql(_LB_SPARK.replace(*_SPARK_TS_FIX))
+    # Opt r15 (guide §2.4): calc is referenced twice downstream (moments
+    # + the qstat join), so WITH-inlining replayed the whole AR(2)
+    # prefix -> resid -> 27-slot fold chain per reference (4 events
+    # scans in plans/r15/stats_ljung_box_resid_before.txt). Stage the
+    # model-sized packed relation (one 27-slot row per metric) behind a
+    # lazy checkpoint; every CTE's SQL text is unchanged, so the
+    # arithmetic and answer are identical. The DuckDB oracle keeps the
+    # one-string chain.
+    full = _LB_SPARK.replace(*_SPARK_TS_FIX)
+    head, _, tail = full.partition("), calc AS")
+    spark.sql(head + ") SELECT * FROM packed").localCheckpoint(
+        eager=False
+    ).createOrReplaceTempView("lb_ar2_packed")
+    return spark.sql(
+        "WITH packed AS (SELECT * FROM lb_ar2_packed), calc AS" + tail
+    )
 
 
 # ---------------------------------------------------------------------------
