@@ -102,26 +102,11 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TA
     """Register temp views so ``spark.sql`` queries see the same catalog the
     DuckDB oracle does (driver pre-registers identical view names).
 
-    Re-registering the identical relation is a per-call py4j/catalog
-    roundtrip; a per-session memo records which ``sf_dir`` each view name
-    currently points at and skips the no-op re-registration (it re-fires
-    whenever the target ``sf_dir`` changes, so multi-SF sessions — tests,
-    sweeps — still swap correctly). Disabled with the same
-    ``SPARK_GRAFT_NO_PLAN_MEMO=1`` escape hatch as the relation memo."""
-    if os.environ.get("SPARK_GRAFT_NO_PLAN_MEMO") == "1":
-        for name in names:
-            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
-        return
-    reg: dict[str, str] | None = getattr(spark, "_graft_view_memo", None)
-    if reg is None:
-        reg = {}
-        try:
-            spark._graft_view_memo = reg  # type: ignore[attr-defined]
-        except AttributeError:
-            reg = None  # exotic session proxy: register unconditionally
+    Always re-registers: with the relation memoized above, a
+    ``createOrReplaceTempView`` is a cheap catalog update (no file
+    listing, no footer read), and an earlier skip-if-registered memo
+    proved unsound — the session catalog is caller-mutable (tests and
+    interactive users drop temp views), so the engine must not assume a
+    view it registered once is still there."""
     for name in names:
-        if reg is not None and reg.get(name) == sf_dir:
-            continue
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
-        if reg is not None:
-            reg[name] = sf_dir

@@ -1947,8 +1947,19 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chash"),
     )
-    occ = chunks.groupBy("chash").agg(F.count("*").alias("n_occ"))
-    joined = chunks.join(occ, "chash")
+    # Opt r15 (guide §2.4): `chunks` fed BOTH the occurrence count and
+    # the join-back, so the whole posexplode + two-window chunking
+    # pipeline executed twice. COUNT(*) OVER (PARTITION BY chash) is
+    # the same exact integer as the groupBy+join n_occ and needs only
+    # ONE pass over one chunk pipeline — no checkpoint, no join.
+    joined = chunks.select(
+        "doc_id",
+        "c_toks",
+        "n",
+        F.count("*")
+        .over(Window.partitionBy("chash"))
+        .alias("n_occ"),
+    )
     return joined.groupBy("doc_id").agg(
         F.count("*").alias("n_chunks"),
         F.count_if(F.col("n_occ") > 1).cast("bigint").alias("n_dup_chunks"),

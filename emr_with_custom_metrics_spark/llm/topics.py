@@ -91,6 +91,29 @@ _PZD0_TMPL = """
     CROSS JOIN (SELECT * FROM (VALUES (0), (1), (2)) AS q(z)) t
 """
 
+# Opt r15 (guide §2.4, Spark side only — the oracle keeps the CTE
+# chain below): ONE tokenize+explode pass. The original _WD_TMPL inlines
+# `tok` twice (vocabulary count + the join), re-exploding the corpus;
+# staging the full (doc, word) count matrix once makes the vocabulary
+# cut a cheap re-read. SUM(c) over the per-doc counts equals COUNT(*)
+# over tokens exactly, so the top-{vocab} cut and the kept counts are
+# identical.
+_TC_SPARK = """
+    SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+    FROM (SELECT doc_id, explode(split(text, ' ')) AS w FROM documents)
+    GROUP BY doc_id, w
+"""
+
+_WD_FROM_TC_TMPL = """
+    SELECT t.doc_id, t.w, t.c
+    FROM {tc} t
+    JOIN (
+        SELECT w FROM (
+            SELECT w, SUM(c) AS cnt FROM {tc} GROUP BY w
+        ) ORDER BY cnt DESC, w LIMIT {vocab}
+    ) v ON t.w = v.w
+"""
+
 # ---- one EM round ----------------------------------------------------
 # e: weighted responsibilities, quantized 1e-9 per (d, w, z).
 # num = pwz * pzd is an EXACT int64 product; den its exact 3-term sum.
@@ -115,6 +138,27 @@ _E_TMPL = """
         JOIN {pwz} pw2 ON wd2.w = pw2.w AND pw2.z = pz2.z
         GROUP BY wd2.doc_id, wd2.w
     ) den ON wd.doc_id = den.doc_id AND wd.w = den.w
+"""
+
+# Opt r15 (guide §2.4, Spark side only): the E-step's den subquery
+# re-ran the identical 3-way join a second time just to sum the three
+# z-products per (doc, word). A window SUM over the single join pass
+# partitions on (doc_id, w) and adds the same three exact int64
+# products in any order — bit-identical den, half the join work.
+_E_SPARK_TMPL = """
+    SELECT doc_id, w, z,
+           CAST(CASE WHEN den > 0
+                     THEN ROUND(CAST(c AS DOUBLE) * num / den * {e9})
+                     ELSE 0 END AS BIGINT) AS rc_e9
+    FROM (
+        SELECT wd.doc_id, wd.w, pz.z, wd.c,
+               pw.p_e9 * pz.p_e9 AS num,
+               CAST(SUM(pw.p_e9 * pz.p_e9)
+                    OVER (PARTITION BY wd.doc_id, wd.w) AS BIGINT) AS den
+        FROM {wd} wd
+        JOIN {pzd} pz ON wd.doc_id = pz.doc_id
+        JOIN {pwz} pw ON wd.w = pw.w AND pw.z = pz.z
+    )
 """
 
 _PWZ_TMPL = """
@@ -217,13 +261,15 @@ def text_plsa_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     def stage(name: str, sql: str) -> None:
         spark.sql(sql).localCheckpoint().createOrReplaceTempView(name)
 
-    stage("plsa_wd", _WD_TMPL.format(tok=_TOK_SPARK, vocab=_VOCAB))
+    stage("plsa_tc", _TC_SPARK)
+    stage("plsa_wd", _WD_FROM_TC_TMPL.format(tc="plsa_tc", vocab=_VOCAB))
     stage("plsa_pwz0", _PWZ0_TMPL.format(wd="plsa_wd", h=f["h"], e9=_E9))
     stage("plsa_pzd0", _PZD0_TMPL.format(wd="plsa_wd", third=f["third"]))
     for r in range(1, _ROUNDS + 1):
         prev_w, prev_d = f"plsa_pwz{r - 1}", f"plsa_pzd{r - 1}"
         stage(f"plsa_e{r}",
-              _E_TMPL.format(wd="plsa_wd", pwz=prev_w, pzd=prev_d, e9=_E9))
+              _E_SPARK_TMPL.format(wd="plsa_wd", pwz=prev_w, pzd=prev_d,
+                                   e9=_E9))
         stage(f"plsa_pwz{r}", _PWZ_TMPL.format(e=f"plsa_e{r}", e9=_E9))
         stage(f"plsa_pzd{r}", _PZD_TMPL.format(e=f"plsa_e{r}", e9=_E9))
     return spark.sql(

@@ -844,7 +844,10 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("h9").alias("s"))
         )
-        an = _normalize(asum, "a9")
+        # Opt r15 (guide §2.4): `an` feeds BOTH the hub refresh join and
+        # the end-of-round state join; un-staged, its subtree (including
+        # the max-normalization broadcast) executed twice per iteration.
+        an = _normalize(asum, "a9").localCheckpoint(eager=False)
         hsum = (
             edges.join(an.select(F.col("node").alias("dst"), "a9"), "dst")
             .groupBy(F.col("src").alias("node"))

@@ -190,7 +190,19 @@ _QSKETCH_SQL = f"""
 )
 def sketch_quantile_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("lineitem",))
-    return spark.sql(_QSKETCH_SQL)
+    # Opt r15 (guide §2.4): `summary` is referenced by cum AND by the
+    # three (SELECT ... FROM tot) scalar subqueries, so WITH-inlining
+    # re-ran the full per-bucket NTILE sort pass per reference. Stage
+    # the 2048-row summary behind a lazy checkpoint — the sketch
+    # property made physical: only the summary, never the values,
+    # feeds the merge; all downstream CTE text is unchanged.
+    head, _, tail = _QSKETCH_SQL.partition(", tot AS")
+    spark.sql(head + " SELECT * FROM summary").localCheckpoint(
+        eager=False
+    ).createOrReplaceTempView("st_qsk_summary")
+    return spark.sql(
+        "WITH summary AS (SELECT * FROM st_qsk_summary), tot AS" + tail
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -662,7 +662,32 @@ _BOOT_DUCK = f"""
 )
 def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))
-    return spark.sql(_BOOT_SPARK)
+    # Opt r15 (guide §2.4): `ranked` is referenced twice downstream
+    # (rn = 2 for the CI low, rn = 31 for the CI high), so WITH-inlining
+    # replayed the ENTIRE 32-way explode + per-(row, replica) md5 pass
+    # per reference (two identical BroadcastNestedLoopJoin subtrees in
+    # plans/r15/stats_bootstrap_ci_before.txt). Stage the replica
+    # sufficient statistics (B rows per metric) behind a lazy
+    # checkpoint; the explode now runs ONCE. `point` re-derives `base`
+    # from events in the tail with the identical expression text, so
+    # every value is computed by the same arithmetic as the one-string
+    # oracle chain.
+    head, _, _ = _BOOT_SPARK.partition(", means AS")
+    spark.sql(head + " SELECT * FROM reps").localCheckpoint(
+        eager=False
+    ).createOrReplaceTempView("st_boot_reps")
+    tail = _BOOT_TAIL.partition(", means AS")[2]
+    return spark.sql(
+        """
+    WITH base AS (
+        SELECT event_type, event_id,
+               CAST(ROUND(value * 1000) AS BIGINT) AS v_e3
+        FROM events
+    ), reps AS (
+        SELECT * FROM st_boot_reps
+    ), means AS"""
+        + tail
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -367,7 +367,39 @@ _MRR_TAIL = """
 )
 def retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("embeddings",))
-    return spark.sql(_MRR_SPARK + _MRR_TAIL)
+    # Opt r15 (guide §2.4): WITH-inlining replayed the embeddings cast
+    # per consumer (`e` feeds q/exact/z, `z` feeds both sysrank sides,
+    # `scored` feeds both rank-count sides — 8+ embeddings scans).
+    # Stage the three compact multi-consumer relations (truth: 10 rows;
+    # z: one int8 array per vector; scored: |Q| x n small ints) behind
+    # lazy checkpoints. Each staged block's CTE text is unchanged;
+    # sysrank's `q` carries only qid, re-derived from the staged z
+    # (identical id set — z applies the same zero-norm source filter
+    # as e), so every score and rank is computed by identical
+    # arithmetic.
+    e_part = _MRR_SPARK.partition(", q AS")[0]
+    truth_part = _MRR_SPARK.partition(", z AS")[0]
+    after_truth = _MRR_SPARK.partition(", z AS")[2]
+    z_part, _, sys_body = after_truth.partition(", sysrank AS")
+    scored_part, _, ranks_body = _MRR_TAIL.partition(", ranks AS")
+
+    def ck(sql: str, name: str) -> None:
+        spark.sql(sql).localCheckpoint(eager=False).createOrReplaceTempView(
+            name
+        )
+
+    ck(truth_part + " SELECT * FROM truth", "st_mrr_truth")
+    ck(e_part + ", z AS" + z_part + " SELECT * FROM z", "st_mrr_z")
+    ck(
+        "WITH z AS (SELECT * FROM st_mrr_z), "
+        "q AS (SELECT vec_id AS qid FROM z WHERE vec_id <= 10), "
+        "sysrank AS" + sys_body + scored_part + " SELECT * FROM scored",
+        "st_mrr_scored",
+    )
+    return spark.sql(
+        "WITH truth AS (SELECT * FROM st_mrr_truth), "
+        "scored AS (SELECT * FROM st_mrr_scored), ranks AS" + ranks_body
+    )
 
 
 # ---------------------------------------------------------------------------

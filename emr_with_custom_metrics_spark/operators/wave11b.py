@@ -489,7 +489,21 @@ _HL_TMPL = """
 )
 def stats_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))
-    return spark.sql(_HL_TMPL.format(arm=_ARM))
+    # Opt r15 (guide §2.4): `hist` feeds BOTH sides of the pair
+    # self-join, so WITH-inlining re-ran the events scan + md5 arm
+    # assignment + histogram aggregation once per side (2 full scans in
+    # plans/r15/stats_hodges_lehmann_before.txt). Stage the per-arm
+    # value histogram (value-domain-bounded, ~1k cells per arm per
+    # metric) behind a lazy checkpoint; the tail's CTE text is
+    # unchanged, so the pair weights and median picks are identical.
+    full = _HL_TMPL.format(arm=_ARM)
+    head, _, tail = full.partition(", pairs AS")
+    spark.sql(head + " SELECT * FROM hist").localCheckpoint(
+        eager=False
+    ).createOrReplaceTempView("st_hl_hist")
+    return spark.sql(
+        "WITH hist AS (SELECT * FROM st_hl_hist), pairs AS" + tail
+    )
 
 
 # ---------------------------------------------------------------------------

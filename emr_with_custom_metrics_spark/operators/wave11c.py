@@ -415,7 +415,26 @@ _PERM_DUCK = _PERM_TMPL.format(
 )
 def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))
-    return spark.sql(_PERM_SPARK)
+    # Opt r15 (guide §2.4): `ubase` feeds obs + the 200-replicate
+    # explode, and `obs` feeds exceed + final — WITH-inlining re-ran
+    # the events scan/group (and obs's per-user md5 pass) per
+    # reference. Stage the compact per-(metric, user) sufficient
+    # stats and the k-row observed-arm table behind lazy checkpoints;
+    # all downstream CTE text is unchanged.
+    ubase_part, _, after_ubase = _PERM_SPARK.partition(", obs AS")
+    obs_body, _, tail = after_ubase.partition(", hashed AS")
+    spark.sql(ubase_part + " SELECT * FROM ubase").localCheckpoint(
+        eager=False
+    ).createOrReplaceTempView("st_perm_ubase")
+    spark.sql(
+        "WITH ubase AS (SELECT * FROM st_perm_ubase), obs AS"
+        + obs_body
+        + " SELECT * FROM obs"
+    ).localCheckpoint(eager=False).createOrReplaceTempView("st_perm_obs")
+    return spark.sql(
+        "WITH ubase AS (SELECT * FROM st_perm_ubase), "
+        "obs AS (SELECT * FROM st_perm_obs), hashed AS" + tail
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -242,7 +242,47 @@ _NOV_TMPL = """
 )
 def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("documents",))
-    return spark.sql(_NOV_TMPL.format(shingles=_SHINGLES_SPARK))
+    # Opt r15 (guide §2.4, Spark side only — the oracle keeps the
+    # join-back chain): `sh` fed both the document-frequency aggregate
+    # and the join-back, so WITH-inlining ran the 8-gram explode + md5
+    # pass TWICE. The per-doc shingle lists are array_distinct, so
+    # (doc_id, s) is unique in sh and COUNT(*) OVER (PARTITION BY s)
+    # equals COUNT(DISTINCT doc_id) exactly — one explode pass + one
+    # window shuffle replaces explode x2 + groupBy + join, with the
+    # identical integer counts feeding the same e6 epilogue.
+    return spark.sql(
+        """
+    WITH sh AS (
+        {shingles}
+    ), per_doc AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN n_docs_with = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_unique
+        FROM (
+            SELECT doc_id,
+                   COUNT(*) OVER (PARTITION BY s) AS n_docs_with
+            FROM sh
+        )
+        GROUP BY doc_id
+    ), scored AS (
+        SELECT p.doc_id,
+               CAST(ROUND(CAST(p.n_unique AS DOUBLE) / p.n_shingles
+                          * 1000000) AS BIGINT) AS novelty_e6
+        FROM per_doc p
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(ROUND(AVG(CAST(s.novelty_e6 AS DOUBLE))) AS BIGINT)
+               AS mean_novelty_e6,
+           CAST(MIN(s.novelty_e6) AS BIGINT) AS min_novelty_e6,
+           CAST(MAX(s.novelty_e6) AS BIGINT) AS max_novelty_e6,
+           CAST(SUM(CASE WHEN s.novelty_e6 < 500000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_low_novelty
+    FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+    GROUP BY d.source
+""".format(shingles=_SHINGLES_SPARK)
+    )
 
 
 # ---------------------------------------------------------------------------

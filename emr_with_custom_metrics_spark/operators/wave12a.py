@@ -710,4 +710,17 @@ _KALPHA_SQL = """
 )
 def ml_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))
-    return spark.sql(_KALPHA_SQL)
+    # Opt r15 (guide §2.4): `base` feeds THREE consumers (stats, hist,
+    # rated), so WITH-inlining scanned events four times
+    # (plans/r15/ml_krippendorff_alpha_before.txt). Stage the narrow
+    # quantized projection once behind a lazy checkpoint (the
+    # stats_spearman_corr precedent); every downstream CTE's text is
+    # unchanged, so all integer predicates and the alpha identity are
+    # computed identically.
+    head, _, tail = _KALPHA_SQL.partition(", stats AS")
+    spark.sql(head + " SELECT * FROM base").localCheckpoint(
+        eager=False
+    ).createOrReplaceTempView("st_ka_base")
+    return spark.sql(
+        "WITH base AS (SELECT * FROM st_ka_base), stats AS" + tail
+    )

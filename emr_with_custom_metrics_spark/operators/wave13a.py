@@ -505,7 +505,16 @@ _BASKET_SQL = f"""
 )
 def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("lineitem", "part"))
-    return spark.sql(_BASKET_SQL)
+    # Opt r15 (guide §2.4): `bi` feeds FOUR consumers (basket count,
+    # item counts, both pair-join sides), so WITH-inlining ran the
+    # lineitem scan + part broadcast join + DISTINCT four times. Stage
+    # the compact (order, brand) basket-item table behind a lazy
+    # checkpoint; the tail's CTE text is unchanged.
+    head, _, tail = _BASKET_SQL.partition(", nb AS")
+    spark.sql(head + " SELECT * FROM bi").localCheckpoint(
+        eager=False
+    ).createOrReplaceTempView("st_basket_bi")
+    return spark.sql("WITH bi AS (SELECT * FROM st_basket_bi), nb AS" + tail)
 
 
 # ---------------------------------------------------------------------------

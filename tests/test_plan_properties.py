@@ -212,6 +212,27 @@ def test_no_driver_side_collect_in_query_modules():
             # session-staging policy, build time in plans/stage_memo
             # under kind 'ann_index'
             "operators/wave15c.py",
+            # Opt r15 staging (guide §2.4): each file checkpoints ONE
+            # compact multi-consumer relation whose un-staged subtree
+            # Spark's WITH-inlining replayed per reference — measured
+            # in plans/r15/<q>_before.txt scan counts.
+            # LSH band table (dedup_minhash_lsh rider)
+            "operators/wave10a.py",
+            # MRR: truth (10 rows) / int8 vectors / scored rankings
+            "operators/wave10b.py",
+            # Hodges-Lehmann: per-arm value histogram feeds both
+            # self-join sides
+            "operators/wave11b.py",
+            # permutation test: per-(metric, user) sufficient stats +
+            # the k-row observed-arm table
+            "operators/wave11c.py",
+            # Krippendorff: the quantized projection feeds 3 consumers
+            "operators/wave12a.py",
+            # Ljung-Box packed fold + basket (order, brand) item table
+            "operators/wave13a.py",
+            # mergeable quantile sketch: the 2048-row summary feeds cum
+            # and three tot scalar subqueries
+            "operators/sketches.py",
         },
     }
     offenders = []
