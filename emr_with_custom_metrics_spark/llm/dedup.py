@@ -736,7 +736,12 @@ def incremental_dedup(
 )
 def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    bands = _md5_minhash_bands(_md5_shingles(d))
+    # Opt r15 (guide §2.4): `bands` feeds both the corpus and the batch
+    # side of the probe join — un-staged, the shingle -> minhash ->
+    # band pipeline ran twice. Stage the 32-compact-rows-per-doc band
+    # table (the dedup_minhash_lsh remedy, and physically the persisted
+    # index the operator's contract describes).
+    bands = _md5_minhash_bands(_md5_shingles(d)).localCheckpoint(eager=False)
     corpus = bands.where(F.col("doc_id") < 400)
     batch = bands.where(F.col("doc_id") >= 400)
     return (
@@ -1689,12 +1694,23 @@ def dedup_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(wins).alias("w"))
         .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
     )
-    g = w.groupBy("h").agg(
-        F.count("*").alias("cnt"),
-        F.min(F.col("doc_id") * 1000000 + F.col("pos")).alias("first_key"),
-    )
+    # Opt r15 (guide §2.4): `w` fed the per-hash aggregate AND the
+    # join-back, so the window-hash explode ran twice (8 scans in
+    # plans/r15/dedup_substring_remove_scan1.txt). COUNT / MIN OVER
+    # (PARTITION BY h) are the identical exact integers with ONE pass
+    # over one explode and no join — the dedup_cdc_chunks remedy.
+    from pyspark.sql import Window
+
+    wh = Window.partitionBy("h")
     nonfirst = (
-        w.join(g, "h")
+        w.select(
+            "doc_id",
+            "pos",
+            F.count("*").over(wh).alias("cnt"),
+            F.min(F.col("doc_id") * 1000000 + F.col("pos"))
+            .over(wh)
+            .alias("first_key"),
+        )
         .where(
             (F.col("cnt") > 1)
             & (F.col("doc_id") * 1000000 + F.col("pos") != F.col("first_key"))

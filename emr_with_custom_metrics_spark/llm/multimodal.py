@@ -653,11 +653,21 @@ def _jpeg_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.Dat
 
     from emr_with_custom_metrics_spark.llm.jpeg import decode_jpeg, encode_jpeg
 
+    # Opt r15 (guide §4.5): the synthesized payload is pure in d mod
+    # 1750 (lcm of 10, 7, 125) — per-task memo, one encode+decode per
+    # residue class; every input row still emits its own output row.
+    memo: dict[int, dict] = {}
+
+    def meta_memo(d: int) -> dict:
+        k = d % 1750
+        m = memo.get(k)
+        if m is None:
+            m = decode_jpeg(encode_jpeg(k % 10 + 1, k % 7 + 1, (k % 125) * 2))
+            memo[k] = m
+        return m
+
     for pdf in batches:
-        payloads = pdf["doc_id"].map(
-            lambda d: encode_jpeg(int(d) % 10 + 1, int(d) % 7 + 1, (int(d) % 125) * 2)
-        )
-        metas = payloads.map(decode_jpeg)
+        metas = pdf["doc_id"].map(lambda d: meta_memo(int(d)))
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -1575,8 +1585,22 @@ def _mpeg_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.Dat
         x = amp * np.sin(2.0 * np.pi * freq * t / fs)
         return decode_mpeg1_layer1(encode_mpeg1_layer1(x, fs))
 
+    # Opt r15 (guide §4.5): roundtrip is pure in d mod 420 (every use
+    # of d above is d % 3 / % 7 / % 20; lcm = 420), so a per-task memo
+    # collapses the corpus to <= 420 encode/decode runs while every
+    # input row still emits its own output row.
+    memo: dict[int, dict] = {}
+
+    def roundtrip_memo(d: int) -> dict:
+        k = d % 420
+        m = memo.get(k)
+        if m is None:
+            m = roundtrip(k)
+            memo[k] = m
+        return m
+
     for pdf in batches:
-        metas = pdf["doc_id"].map(lambda d: roundtrip(int(d)))
+        metas = pdf["doc_id"].map(lambda d: roundtrip_memo(int(d)))
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -1650,8 +1674,20 @@ def _mpeg_pqmf_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["p
         x = amp * np.sin(2.0 * np.pi * freq * t / fs)
         return decode_mpeg1_layer1(encode_mpeg1_layer1(x, fs, filterbank="pqmf"))
 
+    # Opt r15 (guide §4.5): pure in d mod 420 (d % 3 / % 7 / % 20) —
+    # per-task memo, one encode/decode per residue class.
+    memo: dict[int, dict] = {}
+
+    def roundtrip_memo(d: int) -> dict:
+        k = d % 420
+        m = memo.get(k)
+        if m is None:
+            m = roundtrip(k)
+            memo[k] = m
+        return m
+
     for pdf in batches:
-        metas = pdf["doc_id"].map(lambda d: roundtrip(int(d)))
+        metas = pdf["doc_id"].map(lambda d: roundtrip_memo(int(d)))
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -1803,8 +1839,20 @@ def _mpeg_l2_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.
         x = (0.2 + (d % 7) / 10.0) * np.sin(2.0 * np.pi * (150.0 + (d % 25) * 120.0) * t / fs)
         return decode_mpeg1_layer2(encode_mpeg1_layer2(x, fs))
 
+    # Opt r15 (guide §4.5): pure in d mod 1050 (d % 3 / % 2 / % 7 /
+    # % 25) — per-task memo, one encode/decode per residue class.
+    memo: dict[int, dict] = {}
+
+    def roundtrip_memo(d: int) -> dict:
+        k = d % 1050
+        m = memo.get(k)
+        if m is None:
+            m = roundtrip(k)
+            memo[k] = m
+        return m
+
     for pdf in batches:
-        metas = pdf["doc_id"].map(lambda d: roundtrip(int(d)))
+        metas = pdf["doc_id"].map(lambda d: roundtrip_memo(int(d)))
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -2253,8 +2301,20 @@ def _mpeg_l3_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.
         )
         return decode_mpeg1_layer3(encode_mpeg1_layer3(x, fs))
 
+    # Opt r15 (guide §4.5): pure in d mod 1050 (d % 3 / % 2 / % 7 /
+    # % 25) — per-task memo, one encode/decode per residue class.
+    memo: dict[int, dict] = {}
+
+    def roundtrip_memo(d: int) -> dict:
+        k = d % 1050
+        m = memo.get(k)
+        if m is None:
+            m = roundtrip(k)
+            memo[k] = m
+        return m
+
     for pdf in batches:
-        metas = pdf["doc_id"].map(lambda d: roundtrip(int(d)))
+        metas = pdf["doc_id"].map(lambda d: roundtrip_memo(int(d)))
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -2337,8 +2397,20 @@ def _mp3_huffman_roundtrip_batch(batches: Iterator["pd.DataFrame"]) -> Iterator[
         m["snr_ge_35"] = bool(snr >= 35.0)
         return m
 
+    # Opt r15 (guide §4.5): pure in d mod 1050 (d % 3 / % 2 / % 7 /
+    # % 25) — per-task memo, one encode/decode per residue class.
+    memo: dict[int, dict] = {}
+
+    def roundtrip_memo(d: int) -> dict:
+        k = d % 1050
+        m = memo.get(k)
+        if m is None:
+            m = roundtrip(k)
+            memo[k] = m
+        return m
+
     for pdf in batches:
-        metas = pdf["doc_id"].map(lambda d: roundtrip(int(d)))
+        metas = pdf["doc_id"].map(lambda d: roundtrip_memo(int(d)))
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],

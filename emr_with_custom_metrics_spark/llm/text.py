@@ -341,10 +341,15 @@ def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_fanned(spark, sf_dir, "documents")
     total_docs = d.count()  # one cheap metadata-ish count; a literal beats a cross join
+    # Opt r15 (guide §2.4): `tf` feeds doclen, df AND the scoring join
+    # — un-staged, the corpus explode + (doc, token) aggregation ran
+    # three times (plans/r15/text_tfidf_top_term_scan1.txt). One lazy
+    # checkpoint of the compact count table.
     tf = (
         d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
     )
     doclen = tf.groupBy("doc_id").agg(F.sum("cnt").alias("n_tok"))
     df = tf.groupBy("token").agg(F.count("*").alias("n_docs_with"))
@@ -688,7 +693,16 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_fanned(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    doclen = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # Opt r15 (guide §2.3/§2.4): doclen = size(split(...)) is the same
+    # integer as COUNT(*) over the explode (split of "" still yields
+    # one element — the ndcg precedent), so the corpus-wide explode no
+    # longer runs once per doclen consumer; avgdl stays exact (integer
+    # lengths sum exactly in double). `tf` feeds df_ AND scored, so it
+    # is staged behind a lazy checkpoint — the one explode pass runs
+    # once (12 scans before, plans/r15/text_bm25_retrieval_scan1.txt).
+    doclen = d.select(
+        "doc_id", F.size(F.split("text", " ")).alias("dl")
+    )
     stats = doclen.agg(
         F.count("*").alias("n_docs"), F.avg(F.col("dl").cast("double")).alias("avgdl")
     )
@@ -701,6 +715,7 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.join(F.broadcast(q), "term")
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("f"))
+        .localCheckpoint(eager=False)
     )
     df_ = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("nd"))
     scored = (
@@ -1951,11 +1966,23 @@ def text_kneserney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e"),
     ).select("doc_id", "e.w1", "e.w2")
-    c12 = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    c1 = bigrams.groupBy("w1").agg(
-        F.count("*").alias("c1"), F.count_distinct("w2").alias("n1p")
+    # Opt r15 (guide §2.4): `bigrams` fed c12/c1/cont/scored, so the
+    # corpus explode ran four times (10 scans in
+    # plans/r15/text_kneserney_bigram_scan1.txt). All three model
+    # tables are exact integer functions of the (w1, w2) count table:
+    # c1 = SUM(c12) per w1, n1p = rows per w1 (bigrams' COUNT(DISTINCT
+    # w2) — one row per distinct pair by construction), n2 = rows per
+    # w2, t = rows. Stage the vocabulary-sized c12 once; the explode
+    # now runs twice total (count pass + scoring pass).
+    c12 = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .localCheckpoint(eager=False)
     )
-    cont = bigrams.groupBy("w2").agg(F.count_distinct("w1").alias("n2"))
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n1p")
+    )
+    cont = c12.groupBy("w2").agg(F.count("*").alias("n2"))
     types = c12.agg(F.count("*").alias("t"))
     p = (
         F.greatest(F.col("c12") - F.lit(_KN_DISCOUNT), F.lit(0.0))

@@ -755,4 +755,16 @@ _APRIORI_SQL = """
 )
 def basket_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("lineitem", "part"))
-    return spark.sql(_APRIORI_SQL)
+    # Opt r15 (guide §2.4): `items` feeds SEVEN inlined references
+    # (n_orders, sup1, both pair sides x2 consumers, triples) and
+    # `pairs` two — the executed plan scanned lineitem+part 14x each
+    # (plans/r15/basket_apriori_triples_scan1.txt). Stage the compact
+    # (order, brand) item table and the canonical pair table behind
+    # lazy checkpoints; all CTE text is unchanged.
+    items_head, _, tail = _APRIORI_SQL.partition(", n_orders AS")
+    spark.sql(items_head + " SELECT * FROM items").localCheckpoint(
+        eager=False
+    ).createOrReplaceTempView("st_apr_items")
+    return spark.sql(
+        "WITH items AS (SELECT * FROM st_apr_items), n_orders AS" + tail
+    )

@@ -253,7 +253,26 @@ _CONF3_SQL = """
 )
 def ml_confusion_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))
-    return spark.sql(_CONF3_SQL)
+    # Opt r15 (guide §2.4): `base` feeds vals/ids/pred and `cuts`
+    # feeds ids + pred — WITH-inlining re-ran the events scan (and the
+    # whole histogram -> cumulative -> cut pick) per reference: 16
+    # scans in plans/r15/ml_confusion_multiclass_scan1.txt. Stage the
+    # narrow projection (spearman precedent) and the 1-row cuts table
+    # behind lazy checkpoints; tail CTE text unchanged.
+    base_head, _, rest = _CONF3_SQL.partition(", vals AS")
+    cuts_body, _, tail = rest.partition(", ids AS")
+    spark.sql(base_head + " SELECT * FROM base").localCheckpoint(
+        eager=False
+    ).createOrReplaceTempView("st_conf_base")
+    spark.sql(
+        "WITH base AS (SELECT * FROM st_conf_base), vals AS"
+        + cuts_body
+        + " SELECT * FROM cuts"
+    ).localCheckpoint(eager=False).createOrReplaceTempView("st_conf_cuts")
+    return spark.sql(
+        "WITH base AS (SELECT * FROM st_conf_base), "
+        "cuts AS (SELECT * FROM st_conf_cuts), ids AS" + tail
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -255,7 +255,19 @@ def _jt_sql(engine: str) -> str:
 )
 def stats_jonckheere_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))
-    return spark.sql(_jt_sql("spark"))
+    # Opt r15 (guide §2.4): `hist` feeds vals/dense/ns and `cum` feeds
+    # both j2 self-join sides — WITH-inlining re-ran the events scan +
+    # tercile bucketing + histogram per reference (20 scans in
+    # plans/r15/stats_jonckheere_trend_scan1.txt). Stage the per-group
+    # value histogram behind a lazy checkpoint; tail text unchanged.
+    full = _jt_sql("spark")
+    head, _, tail = full.partition(", vals AS")
+    spark.sql(head + " SELECT * FROM hist").localCheckpoint(
+        eager=False
+    ).createOrReplaceTempView("st_jt_hist")
+    return spark.sql(
+        "WITH hist AS (SELECT * FROM st_jt_hist), vals AS" + tail
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -306,7 +306,18 @@ def _croston_sql(engine: str) -> str:
 )
 def demand_croston_sbc(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("lineitem",))
-    return spark.sql(_croston_sql("spark"))
+    # Opt r15 (guide §2.4): `wk` feeds the corpus-start scalar AND the
+    # per-part packing, so the lineitem scan + weekly aggregation ran
+    # twice. Stage the compact (part, week, qty) table behind a lazy
+    # checkpoint; tail text unchanged.
+    full = _croston_sql("spark")
+    head, _, tail = full.partition(", start AS")
+    spark.sql(head + " SELECT * FROM wk").localCheckpoint(
+        eager=False
+    ).createOrReplaceTempView("st_croston_wk")
+    return spark.sql(
+        "WITH wk AS (SELECT * FROM st_croston_wk), start AS" + tail
+    )
 
 
 # ---------------------------------------------------------------------------

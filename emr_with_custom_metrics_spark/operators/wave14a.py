@@ -393,7 +393,19 @@ _ENERGY_TMPL = """
 )
 def stats_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))
-    return spark.sql(_ENERGY_TMPL)
+    # Opt r15 (guide §2.4): `hist` (and `tot` derived from it) feeds
+    # seven inlined references (within_g, grid, within, both pair
+    # sides, both per-pair tot joins) — 22 events scans in
+    # plans/r15/stats_energy_distance_scan1.txt. Stage the
+    # value-domain-bounded histogram behind a lazy checkpoint; every
+    # downstream CTE's text is unchanged.
+    head, _, tail = _ENERGY_TMPL.partition(", tot AS")
+    spark.sql(head + " SELECT * FROM hist").localCheckpoint(
+        eager=False
+    ).createOrReplaceTempView("st_energy_hist")
+    return spark.sql(
+        "WITH hist AS (SELECT * FROM st_energy_hist), tot AS" + tail
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -317,10 +317,15 @@ def dq_eval_leakage_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = d.where(F.col("source") == "src0").select(
         "doc_id", F.split("text", " ").alias("toks")
     )
+    # Opt r15 (guide §2.4): `evg` feeds the broadcast gram set AND the
+    # per-doc counts — un-staged, the eval-side gram explode+distinct
+    # ran twice (plans/r15/dq_eval_leakage_screen_scan1.txt). One lazy
+    # checkpoint of the benchmark-sized distinct gram table.
     evg = (
         ev.where(F.size("toks") >= k)
         .select("doc_id", F.explode(grams).alias("g"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     ev_set = evg.select("g").distinct()
     leaked = (

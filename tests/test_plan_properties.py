@@ -233,6 +233,12 @@ def test_no_driver_side_collect_in_query_modules():
             # mergeable quantile sketch: the 2048-row summary feeds cum
             # and three tot scalar subqueries
             "operators/sketches.py",
+            # energy distance: the value histogram feeds seven inlined
+            # references (within/grid/pair/tot legs)
+            "operators/wave14a.py",
+            # leakage screen: the benchmark-sized distinct gram table
+            # feeds the broadcast set AND the per-doc counts
+            "operators/wave16a.py",
         },
     }
     offenders = []
