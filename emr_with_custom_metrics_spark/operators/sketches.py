@@ -121,7 +121,18 @@ _SKETCH_SQL = f"""
 )
 def sketch_distinct_hll_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))
-    return spark.sql(_SKETCH_SQL)
+    # Opt r15 (guide §2.4): `base` feeds hashed + exact and `hashed`
+    # feeds regs + kmv — WITH-inlining re-ran the events scan +
+    # DISTINCT (metric, user) shuffle three times. Stage the compact
+    # distinct-user table behind a lazy checkpoint; tail text
+    # unchanged (the md5 re-derivations run on checkpoint rows).
+    head, _, tail = _SKETCH_SQL.partition(", hashed AS")
+    spark.sql(head + " SELECT * FROM base").localCheckpoint(
+        eager=False
+    ).createOrReplaceTempView("st_hllkmv_base")
+    return spark.sql(
+        "WITH base AS (SELECT * FROM st_hllkmv_base), hashed AS" + tail
+    )
 
 
 # ---------------------------------------------------------------------------

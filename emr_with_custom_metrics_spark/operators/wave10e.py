@@ -287,7 +287,17 @@ _BRIER_SQL = """
 )
 def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))
-    return spark.sql(_BRIER_SQL)
+    # Opt r15 (guide §2.4): `binned` feeds calib/test/calg (and tot
+    # re-derives test) — WITH-inlining re-ran the events scan + range
+    # cross-join per reference. Stage the narrow binned projection;
+    # tail text unchanged (the ECE/logloss remedy).
+    head, _, tail = _BRIER_SQL.partition(", calib AS")
+    spark.sql(head + " SELECT * FROM binned").localCheckpoint(
+        eager=False
+    ).createOrReplaceTempView("st_brier_binned")
+    return spark.sql(
+        "WITH binned AS (SELECT * FROM st_brier_binned), calib AS" + tail
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -353,7 +353,18 @@ def _kw_sql(engine: str) -> str:
 )
 def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))
-    return spark.sql(_kw_sql("spark"))
+    # Opt r15 (guide §2.4): `hist` feeds vals + ranksum and the terms
+    # CTE is referenced twice downstream — WITH-inlining re-ran the
+    # events scan + histogram per reference. Stage the value histogram
+    # behind a lazy checkpoint; tail text unchanged.
+    full = _kw_sql("spark")
+    head, _, tail = full.partition(", vals AS")
+    spark.sql(head + " SELECT * FROM hist").localCheckpoint(
+        eager=False
+    ).createOrReplaceTempView("st_kw_hist")
+    return spark.sql(
+        "WITH hist AS (SELECT * FROM st_kw_hist), vals AS" + tail
+    )
 
 
 # ---------------------------------------------------------------------------

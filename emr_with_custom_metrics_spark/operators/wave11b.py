@@ -439,7 +439,17 @@ _LOGLOSS_SQL = """
 )
 def ml_logloss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))
-    return spark.sql(_LOGLOSS_SQL)
+    # Opt r15 (guide §2.4): same shape as ml_expected_calibration_error
+    # — `binned` feeds calib/calg/test, re-running the events scan +
+    # range cross-join per reference. Stage the narrow binned
+    # projection; tail text unchanged.
+    head, _, tail = _LOGLOSS_SQL.partition(", calib AS")
+    spark.sql(head + " SELECT * FROM binned").localCheckpoint(
+        eager=False
+    ).createOrReplaceTempView("st_logloss_binned")
+    return spark.sql(
+        "WITH binned AS (SELECT * FROM st_logloss_binned), calib AS" + tail
+    )
 
 
 # ---------------------------------------------------------------------------

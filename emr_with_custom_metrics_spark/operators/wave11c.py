@@ -304,7 +304,17 @@ _CVM_SQL = """
 )
 def stats_cvm_twosample(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))
-    return spark.sql(_CVM_SQL)
+    # Opt r15 (guide §2.4): `hist` feeds vals, the metric spine, the
+    # focal left join and counts — four inlined references, each
+    # re-running the events scan + histogram. Stage the value
+    # histogram behind a lazy checkpoint; tail text unchanged.
+    head, _, tail = _CVM_SQL.partition(", vals AS")
+    spark.sql(head + " SELECT * FROM hist").localCheckpoint(
+        eager=False
+    ).createOrReplaceTempView("st_cvm_hist")
+    return spark.sql(
+        "WITH hist AS (SELECT * FROM st_cvm_hist), vals AS" + tail
+    )
 
 
 # ---------------------------------------------------------------------------

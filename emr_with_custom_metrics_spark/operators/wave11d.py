@@ -514,4 +514,14 @@ _ECE_SQL = """
 )
 def ml_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))
-    return spark.sql(_ECE_SQL)
+    # Opt r15 (guide §2.4): `binned` feeds calib/calg/test, so the
+    # events scan + range cross-join ran three times. Stage the narrow
+    # (half, y, bin) projection behind a lazy checkpoint; tail text
+    # unchanged.
+    head, _, tail = _ECE_SQL.partition(", calib AS")
+    spark.sql(head + " SELECT * FROM binned").localCheckpoint(
+        eager=False
+    ).createOrReplaceTempView("st_ece_binned")
+    return spark.sql(
+        "WITH binned AS (SELECT * FROM st_ece_binned), calib AS" + tail
+    )

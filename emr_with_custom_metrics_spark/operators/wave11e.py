@@ -140,7 +140,18 @@ _SPRT_TMPL = """
 )
 def stats_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))
-    return spark.sql(_SPRT_TMPL.format(epoch_us=_EPOCH_US_SPARK))
+    # Opt r15 (guide §2.4): `walk` feeds crossing + the tail's w side
+    # + the tmax subquery — three inlined references, each re-running
+    # the scan + median join + both cumulative windows. Stage the
+    # (metric, t, llr) walk behind a lazy checkpoint; tail unchanged.
+    full = _SPRT_TMPL.format(epoch_us=_EPOCH_US_SPARK)
+    head, _, tail = full.partition(", crossing AS")
+    spark.sql(head + " SELECT * FROM walk").localCheckpoint(
+        eager=False
+    ).createOrReplaceTempView("st_sprt_walk")
+    return spark.sql(
+        "WITH walk AS (SELECT * FROM st_sprt_walk), crossing AS" + tail
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -721,11 +721,43 @@ _DIR_TMPL = """
 )
 def retrieval_dirichlet_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("documents",))
+    # Opt r15 (guide §2.3/§2.4, Spark side only — the oracle keeps the
+    # one-string chain): `tok` fed doclen/cf/tf, so the corpus explode
+    # ran three times. doclen = size(split(...)) is the identical
+    # BIGINT (the bm25/ndcg identity), cf = SUM(f) over the per-doc
+    # term counts is the identical integer, and the query-sized tf is
+    # staged behind a lazy checkpoint — ONE explode pass total.
+    full = _DIR_TMPL.format(
+        unnest_tokens="explode(split(text, ' '))",
+        unnest_q="explode(slice(split(text, ' '), 1, 8))",
+        mu=_DIR_MU,
+        k=_DIR_TOPK,
+    )
+    tok_part = full.partition(", doclen AS")[0]
+    q_body = full.partition(", q AS")[2].partition(", cf AS")[0]
+    tf_body = full.partition(", tf AS")[2].partition(", matched AS")[0]
+    tail = full.partition(", matched AS")[2]
+    spark.sql(
+        tok_part + ", q AS" + q_body + ", tf AS" + tf_body
+        + " SELECT * FROM tf"
+    ).localCheckpoint(eager=False).createOrReplaceTempView("st_dir_tf")
     return spark.sql(
-        _DIR_TMPL.format(
-            unnest_tokens="explode(split(text, ' '))",
-            unnest_q="explode(slice(split(text, ' '), 1, 8))",
-            mu=_DIR_MU,
-            k=_DIR_TOPK,
-        )
+        """
+    WITH doclen AS (
+        SELECT doc_id, CAST(size(split(text, ' ')) AS BIGINT) AS dl
+        FROM documents
+    ), tot AS (
+        SELECT CAST(SUM(dl) AS BIGINT) AS t FROM doclen
+    ), tf AS (
+        SELECT * FROM st_dir_tf
+    ), cf AS (
+        SELECT term, CAST(SUM(f) AS BIGINT) AS cf FROM tf GROUP BY term
+    ), qconst AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nq,
+               CAST(SUM(CAST(ROUND(
+                   ln({mu}.0e0 * cf / tt.t) * 1000000000)
+                   AS BIGINT)) AS BIGINT) AS k_e9
+        FROM cf CROSS JOIN tot tt
+    ), matched AS""".format(mu=_DIR_MU)
+        + tail
     )

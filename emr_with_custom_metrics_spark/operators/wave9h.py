@@ -240,7 +240,18 @@ _PSI_DUCK = (
 )
 def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))
-    return spark.sql(_PSI_SPARK)
+    # Opt r15 (guide §2.4): `hist` feeds the reference-edge pass AND
+    # the binned re-measure pass — WITH-inlining re-ran the events
+    # scan + half-split + histogram per reference. Stage the compact
+    # (metric, half, value) histogram behind a lazy checkpoint; tail
+    # text unchanged.
+    head, _, tail = _PSI_SPARK.partition(", ref AS")
+    spark.sql(head + " SELECT * FROM hist").localCheckpoint(
+        eager=False
+    ).createOrReplaceTempView("st_psi_hist")
+    return spark.sql(
+        "WITH hist AS (SELECT * FROM st_psi_hist), ref AS" + tail
+    )
 
 
 # ---------------------------------------------------------------------------

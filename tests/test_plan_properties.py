@@ -239,6 +239,17 @@ def test_no_driver_side_collect_in_query_modules():
             # leakage screen: the benchmark-sized distinct gram table
             # feeds the broadcast set AND the per-doc counts
             "operators/wave16a.py",
+            # kruskal-wallis: the value histogram feeds vals + ranksum
+            # and the terms CTE twice
+            "operators/wave11a.py",
+            # ECE: the binned projection feeds calib/calg/test
+            "operators/wave11d.py",
+            # brier decomposition: same binned multi-reference shape
+            "operators/wave10e.py",
+            # SPRT: the llr walk feeds crossing + both tail references
+            "operators/wave11e.py",
+            # Dirichlet-LM: the query-sized tf table feeds cf + matched
+            "operators/wave16b.py",
         },
     }
     offenders = []
