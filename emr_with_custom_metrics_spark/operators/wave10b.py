@@ -765,6 +765,17 @@ def basket_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql(items_head + " SELECT * FROM items").localCheckpoint(
         eager=False
     ).createOrReplaceTempView("st_apr_items")
+    # Checkpointed relations carry no size statistics, so the
+    # model-sized support joins (25-value brand domain) would plan as
+    # SortMergeJoin — hint them broadcast explicitly (guide §3.1:
+    # estimates are often wrong after opaque ops; hint when you know
+    # a side is small). Join strategy only; values unchanged.
+    tail = tail.replace(
+        "SELECT t.b1, t.b2, t.b3,",
+        "SELECT /*+ BROADCAST(s2), BROADCAST(s1), BROADCAST(n) */ "
+        "t.b1, t.b2, t.b3,",
+        1,
+    )
     return spark.sql(
         "WITH items AS (SELECT * FROM st_apr_items), n_orders AS" + tail
     )
