@@ -258,20 +258,36 @@ def text_plsa_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = _fills("plsa_wd", "plsa_pwz0", "plsa_pzd0", "plsa_e1", "plsa_pwz1",
                "plsa_pzd1", "plsa_e2", "plsa_pwz2", "plsa_pzd2")
 
+    # Opt r16 (guide §1.2/§2.4): the r15 form eagerly checkpointed all 10
+    # staged tables — 11 serial driver-blocking jobs, each paying ~0.4 s of
+    # fixed scheduling/AQE cost that dwarfed the tiny M-step tables (90 and
+    # |D|x3 rows). Only tables with MULTIPLE consumers need a checkpoint to
+    # beat WITH-inlining re-execution: tc (2 refs from wd), wd (4 refs:
+    # pwz0/pzd0/e1/e2), e1/e2 (2 refs each: the two M-step reductions), and
+    # pzd2 (2 refs in the report). Single-consumer tables (pwz0/pzd0/
+    # pwz1/pzd1/pwz2) become PLAIN temp views — inlined once, zero extra
+    # jobs. Checkpoints are lazy, so the whole EM chain collapses into one
+    # action; each checkpoint RDD still materializes exactly once and is
+    # reused by every consumer (same arithmetic, same rows; per-stage A/B
+    # 4.38 -> 2.64 s at sf0.1).
     def stage(name: str, sql: str) -> None:
         spark.sql(sql).localCheckpoint().createOrReplaceTempView(name)
 
+    def inline(name: str, sql: str) -> None:
+        spark.sql(sql).createOrReplaceTempView(name)
+
     stage("plsa_tc", _TC_SPARK)
     stage("plsa_wd", _WD_FROM_TC_TMPL.format(tc="plsa_tc", vocab=_VOCAB))
-    stage("plsa_pwz0", _PWZ0_TMPL.format(wd="plsa_wd", h=f["h"], e9=_E9))
-    stage("plsa_pzd0", _PZD0_TMPL.format(wd="plsa_wd", third=f["third"]))
+    inline("plsa_pwz0", _PWZ0_TMPL.format(wd="plsa_wd", h=f["h"], e9=_E9))
+    inline("plsa_pzd0", _PZD0_TMPL.format(wd="plsa_wd", third=f["third"]))
     for r in range(1, _ROUNDS + 1):
         prev_w, prev_d = f"plsa_pwz{r - 1}", f"plsa_pzd{r - 1}"
         stage(f"plsa_e{r}",
               _E_SPARK_TMPL.format(wd="plsa_wd", pwz=prev_w, pzd=prev_d,
                                    e9=_E9))
-        stage(f"plsa_pwz{r}", _PWZ_TMPL.format(e=f"plsa_e{r}", e9=_E9))
-        stage(f"plsa_pzd{r}", _PZD_TMPL.format(e=f"plsa_e{r}", e9=_E9))
+        mk = stage if r == _ROUNDS else inline
+        inline(f"plsa_pwz{r}", _PWZ_TMPL.format(e=f"plsa_e{r}", e9=_E9))
+        mk(f"plsa_pzd{r}", _PZD_TMPL.format(e=f"plsa_e{r}", e9=_E9))
     return spark.sql(
         _REPORT_TMPL.format(pwz=f"plsa_pwz{_ROUNDS}", pzd=f"plsa_pzd{_ROUNDS}")
     )
