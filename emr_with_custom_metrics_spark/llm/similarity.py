@@ -71,7 +71,25 @@ def similarity_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def label_centroids(embeddings: DataFrame) -> DataFrame:
+def pos_avgs(embeddings: DataFrame) -> DataFrame:
+    """(label, pos, a): the RAW per-label per-component mean — the shared
+    first reduction behind both ``label_centroids`` (which e9-quantizes
+    it) and ``pq_codebooks`` (which regroups it by subspace). One
+    posexplode pass over N×dim rows instead of one per consumer (opt
+    r16, guide §2.4); the grouping grain (label, pos) is identical to
+    both originals' (m is a function of pos), so the AVG values are the
+    same doubles either way."""
+    return (
+        embeddings.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+        )
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("a"))
+    )
+
+
+def label_centroids(embeddings: DataFrame, avgs: DataFrame | None = None) -> DataFrame:
     """Per-label mean vector via posexplode → grouped avg → re-assemble.
 
     The posexplode shape (N×dim rows, grouped on (label, pos)) is the
@@ -79,12 +97,16 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
     Components quantize e9 (the _SIL_ORACLE idiom, r14 ADVICE): a raw
     parallel AVG differs by a last ulp across runs/engines, and these
     centroids feed probe-selection ORDER BYs where a near-tie cosine
-    would flip which cells are scanned."""
-    comp = embeddings.select(
-        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
-    )
-    avg_comp = comp.groupBy("label", "pos").agg(
-        (F.round(F.avg("val") * 1000000000) / 1000000000.0).alias("avg_val")
+    would flip which cells are scanned.
+
+    ``avgs``: optionally a pre-staged :func:`pos_avgs` table, so callers
+    computing BOTH centroids and PQ codebooks pay the explode once."""
+    if avgs is None:
+        avgs = pos_avgs(embeddings)
+    avg_comp = avgs.select(
+        "label",
+        "pos",
+        (F.round(F.col("a") * 1000000000) / 1000000000.0).alias("avg_val"),
     )
     return (
         avg_comp.groupBy("label")
@@ -126,15 +148,31 @@ _SQL_IVF_TOPK = f"""
     "exact SQL oracle; scan cost N/C instead of N.",
 )
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_topk_core(spark, sf_dir)
+
+
+def _ivf_topk_core(
+    spark: SparkSession,
+    sf_dir: str,
+    q: DataFrame | None = None,
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """The IVF pipeline, optionally over PRE-STAGED query/centroid tables
+    so similarity_recall_report can share one centroid pass across its
+    IVF and IVF+PQ arms (opt r16, guide §2.4 — the staged tables hold
+    the identical deterministic e9-quantized values, so sharing changes
+    no answer)."""
     e = load_fanned(spark, sf_dir, "embeddings")
     # Opt r15: q feeds the probe AND the cell scoring — staged so the
     # pushed-down vec_id=0 scan runs once (guide §2.4).
-    q = (
-        e.where(F.col("vec_id") == QUERY_VEC_ID)
-        .select(F.col("embedding").alias("qv"))
-        .localCheckpoint(eager=False)
-    )
-    cents = label_centroids(e)
+    if q is None:
+        q = (
+            e.where(F.col("vec_id") == QUERY_VEC_ID)
+            .select(F.col("embedding").alias("qv"))
+            .localCheckpoint(eager=False)
+        )
+    if cents is None:
+        cents = label_centroids(e)
     best = (
         cents.crossJoin(F.broadcast(q))
         .select("label", cosine(F.col("centroid"), F.col("qv")).alias("c"))
@@ -392,16 +430,20 @@ PQ_M = 4
 PQ_SUBDIM = 16  # 64 / PQ_M
 
 
-def pq_codebooks(embeddings: DataFrame) -> DataFrame:
+def pq_codebooks(embeddings: DataFrame, avgs: DataFrame | None = None) -> DataFrame:
     """(label, m, cv): the per-label mean of subspace m — the deterministic
     codebook. Same posexplode-average shape as ``label_centroids``; the
-    subspace id is just ``pos div SUBDIM``."""
-    comp = embeddings.select(
-        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
+    subspace id is just ``pos div SUBDIM``. Grouping on (label, pos) is
+    the identical partition (m is a function of pos), so deriving from
+    the shared :func:`pos_avgs` reduction yields the same doubles."""
+    if avgs is None:
+        avgs = pos_avgs(embeddings)
+    avg = avgs.select(
+        "label",
+        (F.col("pos") / PQ_SUBDIM).cast("int").alias("m"),
+        "pos",
+        F.col("a").alias("c"),
     )
-    avg = comp.groupBy(
-        "label", (F.col("pos") / PQ_SUBDIM).cast("int").alias("m"), F.col("pos")
-    ).agg(F.avg("val").alias("c"))
     return (
         avg.groupBy("label", "m")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pairs"))
@@ -619,7 +661,14 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivfpq_topk_df(spark, sf_dir, IVFPQ_NPROBE)
 
 
-def _ivfpq_topk_df(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+def _ivfpq_topk_df(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int,
+    q: DataFrame | None = None,
+    cents: DataFrame | None = None,
+    avgs: DataFrame | None = None,
+) -> DataFrame:
     """The IVF+PQ DataFrame pipeline parameterized by nprobe — shared
     between the registered top-k row (nprobe = IVFPQ_NPROBE) and the
     similarity_ivfpq_tradeoff sweep.
@@ -628,17 +677,29 @@ def _ivfpq_topk_df(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     feed two or three plan branches; un-staged, every branch re-ran its
     full embeddings scan (the _before plan held 13 scans). Lazy
     localCheckpoints on the three compact relations (1 row, 40 rows,
-    |cell| rows) execute each subtree once — same arithmetic, same rows."""
+    |cell| rows) execute each subtree once — same arithmetic, same rows.
+
+    Opt r16: q/cents/avgs may arrive pre-staged from
+    similarity_recall_report (one component-average pass shared across
+    the IVF and IVF+PQ arms — identical deterministic values, no answer
+    change); standalone, the centroid and codebook tables both derive
+    from ONE staged pos_avgs reduction instead of two posexplode
+    passes."""
     e = load_fanned(spark, sf_dir, "embeddings")
-    q = (
-        e.where(F.col("vec_id") == QUERY_VEC_ID)
-        .select(F.col("embedding").alias("qv"))
-        .localCheckpoint(eager=False)
-    )
+    if q is None:
+        q = (
+            e.where(F.col("vec_id") == QUERY_VEC_ID)
+            .select(F.col("embedding").alias("qv"))
+            .localCheckpoint(eager=False)
+        )
+    if avgs is None:
+        avgs = pos_avgs(e).localCheckpoint(eager=False)
+    if cents is None:
+        cents = label_centroids(e, avgs)
 
     # IVF probe: the nprobe nearest cells by centroid cosine.
     best = (
-        label_centroids(e)
+        cents
         .crossJoin(F.broadcast(q))
         .select("label", cosine(F.col("centroid"), F.col("qv")).alias("c"))
         .orderBy(F.col("c").desc(), F.col("label"))
@@ -651,8 +712,9 @@ def _ivfpq_topk_df(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
         .localCheckpoint(eager=False)
     )
 
-    # PQ encode the cell members against the broadcast codebooks.
-    cb = pq_codebooks(e).localCheckpoint(eager=False)
+    # PQ encode the cell members against the broadcast codebooks (derived
+    # from the shared staged pos_avgs — no second posexplode pass).
+    cb = pq_codebooks(e, avgs).localCheckpoint(eager=False)
     vec_slices = _sub_slices(cell.select("vec_id", "embedding"), "embedding")
     codes = (
         vec_slices.join(F.broadcast(cb), "m")
@@ -731,10 +793,25 @@ def similarity_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id")
         .localCheckpoint(eager=False)
     )
+    # Opt r16 (guide §2.4): the IVF and IVF+PQ arms each recomputed the
+    # full component-average pass (posexplode of every embedding) and
+    # staged their own copy of the 1-row query vector. Stage the shared
+    # pos_avgs reduction and q ONCE and pass them into both arms: the
+    # centroid/codebook tables are model-sized and derive from identical
+    # deterministic values, so every probe selection reads the same
+    # numbers and no answer changes.
+    e = load_fanned(spark, sf_dir, "embeddings")
+    q = (
+        e.where(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("embedding").alias("qv"))
+        .localCheckpoint(eager=False)
+    )
+    avgs = pos_avgs(e).localCheckpoint(eager=False)
+    cents = label_centroids(e, avgs).localCheckpoint(eager=False)
     rows = []
     for method, df in (
-        ("ivf", similarity_ivf_topk(spark, sf_dir)),
-        ("ivfpq", similarity_ivfpq_topk(spark, sf_dir)),
+        ("ivf", _ivf_topk_core(spark, sf_dir, q=q, cents=cents)),
+        ("ivfpq", _ivfpq_topk_df(spark, sf_dir, IVFPQ_NPROBE, q=q, cents=cents, avgs=avgs)),
     ):
         hits = df.select("vec_id").join(ex, "vec_id", "left_semi")
         rows.append(

@@ -137,8 +137,14 @@ def _staged_ann_index(spark: SparkSession, sf_dir: str) -> tuple:
             "vec_id"
         ).localCheckpoint(eager=True)
         n_other_val = e.count() - 1
-        cents = label_centroids(e).localCheckpoint(eager=True)
-        cb = pq_codebooks(e).localCheckpoint(eager=True)
+        # Opt r16: centroids and codebooks derive from ONE shared
+        # component-average pass (llm.similarity.pos_avgs) — identical
+        # deterministic values, one posexplode instead of two (guide §2.4).
+        from emr_with_custom_metrics_spark.llm.similarity import pos_avgs
+
+        avgs = pos_avgs(e).localCheckpoint(eager=False)
+        cents = label_centroids(e, avgs).localCheckpoint(eager=True)
+        cb = pq_codebooks(e, avgs).localCheckpoint(eager=True)
         vec_slices = _sub_slices(
             e.where(F.col("vec_id") != QUERY_VEC_ID).select(
                 "vec_id", "embedding"
