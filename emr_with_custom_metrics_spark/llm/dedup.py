@@ -1160,6 +1160,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sequence(0, 15), "
         "k -> CAST(conv(substring(md5(t), k + 1, 1), 16, 10) AS INT))"
     )
+    # (r16 evaluated + rejected: hashing only DISTINCT tokens into a
+    # broadcast vocab table — the distinct tokens per doc are only ~23, so
+    # the extra distinct shuffle cost MORE than the duplicated md5s it
+    # saved; warm A/B 1.65 s row-md5 vs 2.22 s vocab-md5. Learned
+    # negative, kept row-side md5.)
     agg = tok.select("doc_id", nibs.alias("nibs")).groupBy("doc_id").agg(
         F.count("*").alias("n"),
         *[
@@ -1180,18 +1185,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = out + t_
         return out.cast("bigint").alias(f"s{sl}")
 
-    # Opt r15: fp feeds THREE branches (the banded self-join's two sides
-    # via `slices`, plus the a/b verify re-attachments) — un-staged, the
-    # md5 + 64-bit-sum fingerprint pass appeared 8× in the executed plan
-    # (8 parquet scans, plans/r15/dedup_simhash_before.txt). One compact
-    # row per doc (id + 4×16-bit slices): the persisted signature table
-    # of a similarity join, materialized lazily inside the first
-    # consumer's job.
-    fp = agg.select(
-        "doc_id", *[slice_val(sl) for sl in range(4)]
-    ).localCheckpoint(eager=False)
+    # Opt r15 staged fp for THREE branches (band join two sides + two
+    # verify re-attachments). Opt r16 (guide §2.4): the verify joins are
+    # gone entirely — the whole 4×16-bit fingerprint rides THROUGH the
+    # band join (8 extra smallint-range columns per banded row), hamming
+    # is computed directly on the matched pair, and the final DISTINCT
+    # dedups multi-band matches of the identical (a_id, b_id, hamming)
+    # row. fp now has ONE consumer, so the checkpoint is dropped too:
+    # plan went 2 joins + 1 distinct + checkpoint -> 1 join + 1 distinct.
+    fp = agg.select("doc_id", *[slice_val(sl) for sl in range(4)])
     slices = fp.select(
         "doc_id",
+        *[F.col(f"s{sl}") for sl in range(4)],
         F.explode(
             F.array(
                 *[
@@ -1203,8 +1208,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("sl"),
-    ).select("doc_id", "sl.slice_id", "sl.slice_val")
-    cand = (
+    ).select(
+        "doc_id", "s0", "s1", "s2", "s3", "sl.slice_id", "sl.slice_val"
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"x.s{s}").bitwiseXOR(F.col(f"y.s{s}")))
+        for s in range(4)
+    )
+    return (
         slices.alias("x")
         .join(
             slices.alias("y"),
@@ -1212,25 +1223,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("x.slice_val") == F.col("y.slice_val"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
-        .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
-        .distinct()
-    )
-    a = fp.select(
-        F.col("doc_id").alias("a_id"),
-        *[F.col(f"s{s}").alias(f"a{s}") for s in range(4)],
-    )
-    b = fp.select(
-        F.col("doc_id").alias("b_id"),
-        *[F.col(f"s{s}").alias(f"b{s}") for s in range(4)],
-    )
-    hamming = sum(
-        F.bit_count(F.col(f"a{s}").bitwiseXOR(F.col(f"b{s}"))) for s in range(4)
-    )
-    return (
-        cand.join(a, "a_id")
-        .join(b, "b_id")
-        .select("a_id", "b_id", hamming.cast("int").alias("hamming"))
+        .select(
+            F.col("x.doc_id").alias("a_id"),
+            F.col("y.doc_id").alias("b_id"),
+            hamming.cast("int").alias("hamming"),
+        )
         .where(F.col("hamming") <= HAMMING_THRESHOLD)
+        .distinct()
     )
 
 

@@ -3,7 +3,7 @@
 
 Runs the named queries under the bench methodology (noop sink, best-of-2,
 ``local[$SPARK_GRAFT_CPUS]``, sf dir from ``$SPARK_GRAFT_SF_DIR``) and
-optionally dumps ``explain("formatted")`` to ``plans/r15/<q>_<tag>.txt``.
+optionally dumps ``explain("formatted")`` to ``plans/r16/<q>_<tag>.txt``.
 
 Usage:
     python tools/profile_queries.py [--plans TAG] [--runs N] name1 name2 ...
@@ -30,10 +30,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
-    ap.add_argument("--plans", default=None, help="dump explain to plans/r15/<q>_<TAG>.txt")
+    ap.add_argument("--plans", default=None, help="dump explain to plans/r16/<q>_<TAG>.txt")
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--top", type=int, default=0, help="profile slowest N from last leg")
-    ap.add_argument("--leg", default=".bench_dr15_final_sf0.1.json")
+    ap.add_argument("--leg", default=".bench_last_sf0.1.json")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -68,12 +68,12 @@ def main() -> None:
         out[name] = round(best, 3)
         print(f"{best:8.3f}  {name}", flush=True)
         if args.plans:
-            os.makedirs(os.path.join(REPO, "plans", "r15"), exist_ok=True)
+            os.makedirs(os.path.join(REPO, "plans", "r16"), exist_ok=True)
             from emr_with_custom_metrics_spark.plans.inspect import formatted_plan
 
             df = specs[name].fn(spark, sf_dir)
             plan = formatted_plan(df)
-            path = os.path.join(REPO, "plans", "r15", f"{name}_{args.plans}.txt")
+            path = os.path.join(REPO, "plans", "r16", f"{name}_{args.plans}.txt")
             with open(path, "w") as fh:
                 fh.write(plan)
     print(json.dumps(out))
