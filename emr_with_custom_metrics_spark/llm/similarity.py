@@ -1024,7 +1024,9 @@ def similarity_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= TOP_K)
     )
     return (
-        trunc.join(full_rank, "vec_id")
+        # r16: trunc is <= 3*TOP_K rows — broadcast it so the join with
+        # the full ranking never shuffles (guide §3.1, audit item).
+        F.broadcast(trunc).join(full_rank, "vec_id")
         .groupBy(F.col("d").alias("dims"))
         .agg(
             F.count_if(F.col("full_rn") <= TOP_K).cast("bigint").alias("n_hits"),

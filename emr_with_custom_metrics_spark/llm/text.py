@@ -1469,7 +1469,10 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     dcg = (
-        sysranks.join(rel, "doc_id", "left")
+        # r16: rel is <= 10 rows — broadcast it (the staged sem table
+        # carries no stats, so this left join degraded to SortMergeJoin;
+        # guide §3.1, lost-statistics audit).
+        sysranks.join(F.broadcast(rel), "doc_id", "left")
         .groupBy("system")
         .agg(
             F.count("rel").alias("n_hits"),

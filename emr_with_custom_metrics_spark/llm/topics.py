@@ -189,7 +189,7 @@ _PZD_TMPL = """
 
 # ---- report: top-5 words per topic + corpus topic shares --------------
 _REPORT_TMPL = """
-    SELECT r.z, r.rnk, r.w, r.p_e9,
+    SELECT /*+ BROADCAST(s) */ r.z, r.rnk, r.w, r.p_e9,
            s.share_e6
     FROM (
         SELECT z, w, p_e9,

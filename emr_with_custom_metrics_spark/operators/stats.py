@@ -196,7 +196,7 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DECOMP_CORE = """
     , dense AS (
-        SELECT s.event_type, s.h, COALESCE(c.cnt, CAST(0 AS BIGINT)) AS c
+        SELECT /*+ BROADCAST(c) */ s.event_type, s.h, COALESCE(c.cnt, CAST(0 AS BIGINT)) AS c
         FROM spine s LEFT JOIN counts c
           ON s.event_type = c.event_type AND s.h = c.h
     ), ma AS (
@@ -219,7 +219,7 @@ _DECOMP_CORE = """
                    AS BIGINT) AS seasonal_e6
         FROM detr GROUP BY event_type, h % 24
     )
-    SELECT d.event_type, d.h, d.c,
+    SELECT /*+ BROADCAST(s) */ d.event_type, d.h, d.c,
            CAST(ROUND(d.trend * 1000000) AS BIGINT) AS trend_e6,
            s.seasonal_e6,
            d.detrended_e6 - s.seasonal_e6 AS remainder_e6
@@ -276,7 +276,8 @@ _SPINE_FROM_COUNTS_DUCK = """
 # per-series 0-based ROW_NUMBER index. One definition — a spine change
 # must not silently desync the two consumers (round-9 review item).
 _DENSE_HOURLY_X_BODY = """
-    SELECT s.event_type,
+    SELECT /*+ BROADCAST(c) */
+           s.event_type,
            CAST(ROW_NUMBER() OVER (PARTITION BY s.event_type
                                    ORDER BY s.h) - 1 AS BIGINT) AS t,
            CAST(COALESCE(c.cnt, 0) AS BIGINT) AS v
@@ -702,7 +703,7 @@ _ANOM_TAIL = """
                CAST(SUM(remainder_e6 * remainder_e6) AS BIGINT) AS srr
         FROM decomp GROUP BY event_type
     ), z AS (
-        SELECT d.event_type, d.h, d.c, d.remainder_e6,
+        SELECT /*+ BROADCAST(r) */ d.event_type, d.h, d.c, d.remainder_e6,
                CASE WHEN r.n > 1
                          AND (CAST(r.srr AS DOUBLE)
                               - CAST(r.sr AS DOUBLE) * r.sr / r.n) > 0
@@ -818,7 +819,15 @@ def stats_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ACF_CORE = """
     , dense AS (
-        SELECT s.event_type, s.h, COALESCE(c.cnt, CAST(0 AS BIGINT)) AS c
+        -- r16: BROADCAST hints (guide §3.1) on every model-sized side —
+        -- the checkpoint-staged counts view carries no size statistics
+        -- so these joins silently degraded to SortMergeJoin (the
+        -- lost-statistics hazard, tools/audit_checkpoint_joins.py).
+        -- counts/dense/d are spine-bounded (<= _SPINE_BUDGET_HOURS per
+        -- series, loudly guarded); tot/den are one row per series.
+        -- DuckDB parses the hints as plain comments.
+        SELECT /*+ BROADCAST(c) */
+               s.event_type, s.h, COALESCE(c.cnt, CAST(0 AS BIGINT)) AS c
         FROM spine s LEFT JOIN counts c
           ON s.event_type = c.event_type AND s.h = c.h
     ), tot AS (
@@ -827,13 +836,15 @@ _ACF_CORE = """
                CAST(SUM(c) AS BIGINT) AS s
         FROM dense GROUP BY event_type
     ), d AS (
-        SELECT dn.event_type, dn.h, t.n * dn.c - t.s AS dv
+        SELECT /*+ BROADCAST(t) */
+               dn.event_type, dn.h, t.n * dn.c - t.s AS dv
         FROM dense dn JOIN tot t ON dn.event_type = t.event_type
     ), den AS (
         SELECT event_type, CAST(SUM(dv * dv) AS BIGINT) AS den
         FROM d GROUP BY event_type
     ), num AS (
-        SELECT d1.event_type, l.lag,
+        SELECT /*+ BROADCAST(d2) */
+               d1.event_type, l.lag,
                CAST(SUM(d1.dv * d2.dv) AS BIGINT) AS num,
                CAST(COUNT(*) AS BIGINT) AS n_pairs
         FROM d d1
@@ -841,7 +852,8 @@ _ACF_CORE = """
         JOIN d d2 ON d2.event_type = d1.event_type AND d2.h = d1.h + l.lag
         GROUP BY d1.event_type, l.lag
     )
-    SELECT n.event_type, n.lag, n.n_pairs,
+    SELECT /*+ BROADCAST(dn) */
+           n.event_type, n.lag, n.n_pairs,
            CAST(ROUND((CAST(n.num AS DOUBLE) / dn.den) * 1000000) AS BIGINT)
                AS acf_e6
     FROM num n JOIN den dn ON n.event_type = dn.event_type
@@ -1341,7 +1353,7 @@ def timeseries_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame
 
 _CONFORMAL_CORE = """
     , resid AS (
-        SELECT s.event_type, s.h,
+        SELECT /*+ BROADCAST(c), BROADCAST(p) */ s.event_type, s.h,
                ABS(COALESCE(c.cnt, 0) - COALESCE(p.cnt, 0)) AS r
         FROM spine s
         LEFT JOIN counts c ON s.event_type = c.event_type AND s.h = c.h
@@ -1368,7 +1380,7 @@ _CONFORMAL_CORE = """
                              THEN r END) AS BIGINT) AS q
         FROM cal GROUP BY event_type
     ), test AS (
-        SELECT r.event_type,
+        SELECT /*+ BROADCAST(q) */ r.event_type,
                CAST(COUNT(*) AS BIGINT) AS n_test,
                CAST(SUM(CASE WHEN r.r <= q.q THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_covered
@@ -1376,7 +1388,7 @@ _CONFORMAL_CORE = """
         WHERE r.h > mid.hmid
         GROUP BY r.event_type
     )
-    SELECT t.event_type, q.n_cal, q.q, t.n_test, t.n_covered,
+    SELECT /*+ BROADCAST(q) */ t.event_type, q.n_cal, q.q, t.n_test, t.n_covered,
            CAST(ROUND(CAST(t.n_covered AS DOUBLE) / t.n_test * 1000000)
                AS BIGINT) AS coverage_e6
     FROM test t JOIN q ON t.event_type = q.event_type

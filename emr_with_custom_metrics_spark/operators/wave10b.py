@@ -317,15 +317,25 @@ _MRR_TAIL = """
                     ELSE 0 END AS c8_e6
         FROM sysrank
     ), ranks AS (
-        SELECT t.qid, t.truth_id,
-               CAST(1 + SUM(CASE WHEN s.c8_e6 > st.c8_e6
-                                   OR (s.c8_e6 = st.c8_e6
-                                       AND s.vec_id < st.vec_id)
+        -- r16 BROADCAST (guide §3.1, lost-statistics audit): truth and
+        -- its one scored row per query are eval-sample-sized at any SF.
+        -- The (truth x truth-score) pair is pre-joined in a subquery so
+        -- ONE broadcast covers the remaining qid join too (hinting t/st
+        -- separately still left the outer join a SortMergeJoin). Same
+        -- rows, same comparison arithmetic, different join order only.
+        SELECT /*+ BROADCAST(ts) */ ts.qid, ts.truth_id,
+               CAST(1 + SUM(CASE WHEN s.c8_e6 > ts.truth_c8
+                                   OR (s.c8_e6 = ts.truth_c8
+                                       AND s.vec_id < ts.truth_id)
                                  THEN 1 ELSE 0 END) AS BIGINT) AS rnk
-        FROM truth t
-        JOIN scored st ON st.qid = t.qid AND st.vec_id = t.truth_id
-        JOIN scored s ON s.qid = t.qid
-        GROUP BY t.qid, t.truth_id
+        FROM (
+            SELECT /*+ BROADCAST(t) */ t.qid, t.truth_id,
+                   st.c8_e6 AS truth_c8
+            FROM truth t
+            JOIN scored st ON st.qid = t.qid AND st.vec_id = t.truth_id
+        ) ts
+        JOIN scored s ON s.qid = ts.qid
+        GROUP BY ts.qid, ts.truth_id
     ), rr AS (
         SELECT qid, truth_id, rnk,
                CASE WHEN rnk <= 20
@@ -492,11 +502,14 @@ def stats_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BACKTEST_CORE = """
     , y AS (
-        SELECT s.event_type, s.h, COALESCE(c.cnt, 0) AS y
+        SELECT /*+ BROADCAST(c) */ s.event_type, s.h, COALESCE(c.cnt, 0) AS y
         FROM spine s
         LEFT JOIN counts c ON s.event_type = c.event_type AND s.h = c.h
     ), err AS (
-        SELECT a.event_type, g.horizon,
+        -- r16: the y self-joins sit on the spine-bounded dense series
+        -- (<= _SPINE_BUDGET_HOURS per metric, loudly guarded) — broadcast
+        -- the lag sides (guide §3.1, lost-statistics audit).
+        SELECT /*+ BROADCAST(d), BROADCAST(w) */ a.event_type, g.horizon,
                ABS(a.y - CASE WHEN g.horizon = 24 THEN d.y ELSE w.y END)
                    AS ae
         FROM y a

@@ -48,7 +48,7 @@ _BURST_MULT = 3  # burst rate = 3 * base rate
 # the house ln discipline.
 _COST_CORE = """
     , y AS (
-        SELECT s.event_type, s.h, COALESCE(c.cnt, 0) AS y
+        SELECT /*+ BROADCAST(c) */ s.event_type, s.h, COALESCE(c.cnt, 0) AS y
         FROM spine s
         LEFT JOIN counts c ON s.event_type = c.event_type AND s.h = c.h
     ), idx AS (
@@ -60,7 +60,7 @@ _COST_CORE = """
         SELECT event_type, CAST(SUM(y) AS DOUBLE) / COUNT(*) AS mu
         FROM y GROUP BY event_type
     )
-    SELECT i.event_type, i.i, i.y,
+    SELECT /*+ BROADCAST(m) */ i.event_type, i.i, i.y,
            CAST(ROUND((m.mu - i.y * ln(m.mu)) * 1000000) AS BIGINT)
                AS cost0,
            CAST(ROUND((3 * m.mu - i.y * ln(3 * m.mu)) * 1000000) AS BIGINT)

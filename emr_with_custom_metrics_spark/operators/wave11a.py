@@ -397,7 +397,7 @@ _RUNS_CORE = f"""
                              THEN v ELSE 0 END) AS BIGINT) AS med2
         FROM ranked GROUP BY event_type
     ), signed AS (
-        SELECT s.event_type, s.t,
+        SELECT /*+ BROADCAST(m) */ s.event_type, s.t,
                CASE WHEN 2 * s.v > m.med2 THEN 1 ELSE -1 END AS sgn
         FROM series s JOIN med m ON s.event_type = m.event_type
         WHERE 2 * s.v <> m.med2

@@ -73,7 +73,7 @@ _WE_CORE = f"""
                CAST(SUM(v * v) AS BIGINT) AS s2
         FROM series GROUP BY event_type
     ), zoned AS (
-        SELECT s.event_type, s.t,
+        SELECT /*+ BROADCAST(m) */ s.event_type, s.t,
                CASE WHEN s.v * m.n - m.s1 > 0 THEN 1 ELSE 0 END AS ab0,
                CASE WHEN s.v * m.n - m.s1 < 0 THEN 1 ELSE 0 END AS be0,
                CASE WHEN s.v * m.n - m.s1 > 0
@@ -201,7 +201,7 @@ _PH_CORE = f"""
                CAST(SUM(v * v) AS BIGINT) AS s2
         FROM series GROUP BY event_type
     )
-    SELECT b.event_type, m.n AS n_points, b.t_alarm, b.ph_e6,
+    SELECT /*+ BROADCAST(m) */ b.event_type, m.n AS n_points, b.t_alarm, b.ph_e6,
            CAST(ROUND(5 * sqrt((CAST(m.s2 AS DOUBLE)
                                 - CAST(m.s1 AS DOUBLE) * m.s1 / m.n)
                                / (m.n - 1)) * 1000000) AS BIGINT)

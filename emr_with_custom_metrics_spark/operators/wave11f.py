@@ -270,7 +270,7 @@ def stats_mcc_matthews(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PGRAM_CORE = """
     , series AS (
-        SELECT s.event_type,
+        SELECT /*+ BROADCAST(c) */ s.event_type,
                CAST(ROW_NUMBER() OVER (PARTITION BY s.event_type
                                        ORDER BY s.h) - 1 AS BIGINT) AS t,
                CAST(COALESCE(c.cnt, 0) AS BIGINT) AS v
@@ -299,7 +299,7 @@ _PGRAM_CORE = """
                CAST(SUM(v * v) AS BIGINT) AS s2
         FROM series GROUP BY event_type
     ), powers AS (
-        SELECT sp.event_type, sp.period_h,
+        SELECT /*+ BROADCAST(m) */ sp.event_type, sp.period_h,
                CASE WHEN m.n * m.s2 - m.s1 * m.s1 > 0
                     THEN CAST(ROUND(
                         (CAST(sp.a_e6 AS DOUBLE) * sp.a_e6

@@ -192,7 +192,13 @@ _JT_TMPL = """
                     AS BIGINT) AS clt
         FROM dense
     ), j2 AS (
-        SELECT a.event_type,
+        -- r16: BROADCAST hints (guide §3.1) — the checkpoint-staged
+        -- histogram carries no size statistics, so Spark degraded these
+        -- model-sized joins to SortMergeJoin (the apriori lost-statistics
+        -- hazard, audited fleet-wide by tools/audit_checkpoint_joins.py).
+        -- cum is value-histogram-bounded; mom is one row per metric.
+        -- DuckDB parses the hint as a plain comment. A/B 1.63 -> 1.25 s.
+        SELECT /*+ BROADCAST(b) */ a.event_type,
                CAST(SUM(b.c * (2 * a.clt + a.c)) AS BIGINT) AS j2
         FROM cum a JOIN cum b
           ON b.event_type = a.event_type AND b.v_e3 = a.v_e3
@@ -208,7 +214,7 @@ _JT_TMPL = """
                CAST(SUM(n * n * (2 * n + 3)) AS BIGINT) AS sn23
         FROM ns GROUP BY event_type
     )
-    SELECT j.event_type,
+    SELECT /*+ BROADCAST(m) */ j.event_type,
            j.j2 AS jt_stat_x2,
            -- doubled expectation 2*E[J] = (N^2 - sum n_i^2)/2 (the
            -- bracket is 2 * sum over i<j of n_i*n_j — always even, so

@@ -60,7 +60,11 @@ _PACF_L = 10
 
 _PACF_ACF_CORE = """
     , dense AS (
-        SELECT s.event_type, s.h, COALESCE(c.cnt, CAST(0 AS BIGINT)) AS c
+        -- r16: BROADCAST hints on the model/spine-bounded sides (guide
+        -- §3.1; the staged counts view has no stats, so these joins
+        -- degraded to SortMergeJoin — audit_checkpoint_joins.py).
+        SELECT /*+ BROADCAST(c) */
+               s.event_type, s.h, COALESCE(c.cnt, CAST(0 AS BIGINT)) AS c
         FROM spine s LEFT JOIN counts c
           ON s.event_type = c.event_type AND s.h = c.h
     ), tot AS (
@@ -68,20 +72,23 @@ _PACF_ACF_CORE = """
                CAST(SUM(c) AS BIGINT) AS s
         FROM dense GROUP BY event_type
     ), d AS (
-        SELECT dn.event_type, dn.h, t.n * dn.c - t.s AS dv
+        SELECT /*+ BROADCAST(t) */
+               dn.event_type, dn.h, t.n * dn.c - t.s AS dv
         FROM dense dn JOIN tot t ON dn.event_type = t.event_type
     ), den AS (
         SELECT event_type, CAST(SUM(dv * dv) AS BIGINT) AS den
         FROM d GROUP BY event_type
     ), num AS (
-        SELECT d1.event_type, l.lag,
+        SELECT /*+ BROADCAST(d2) */
+               d1.event_type, l.lag,
                CAST(SUM(d1.dv * d2.dv) AS BIGINT) AS num
         FROM d d1
         CROSS JOIN lags l
         JOIN d d2 ON d2.event_type = d1.event_type AND d2.h = d1.h + l.lag
         GROUP BY d1.event_type, l.lag
     ), acf AS (
-        SELECT n.event_type, n.lag,
+        SELECT /*+ BROADCAST(dn) */
+               n.event_type, n.lag,
                CAST(ROUND((CAST(n.num AS DOUBLE) / dn.den) * 1000000)
                     AS BIGINT) AS acf_e6
         FROM num n JOIN den dn ON n.event_type = dn.event_type
@@ -260,7 +267,7 @@ def timeseries_pacf_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HURST_CORE = """
     , series AS (
-        SELECT s.event_type,
+        SELECT /*+ BROADCAST(c) */ s.event_type,
                CAST(ROW_NUMBER() OVER (PARTITION BY s.event_type
                                        ORDER BY s.h) - 1 AS BIGINT) AS t,
                CAST(COUNT(*) OVER (PARTITION BY s.event_type) AS BIGINT)
@@ -361,7 +368,7 @@ def timeseries_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MASE_CORE = """
     , series AS (
-        SELECT s.event_type,
+        SELECT /*+ BROADCAST(c) */ s.event_type,
                CAST(ROW_NUMBER() OVER (PARTITION BY s.event_type
                                        ORDER BY s.h) - 1 AS BIGINT) AS t,
                CAST(COALESCE(c.cnt, 0) AS BIGINT) AS v
@@ -371,7 +378,8 @@ _MASE_CORE = """
         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
         FROM series GROUP BY event_type
     ), paired AS (
-        SELECT a.event_type, a.t, a.v,
+        -- r16 BROADCAST: series is spine-bounded, sized is 1 row/metric
+        SELECT /*+ BROADCAST(b), BROADCAST(z) */ a.event_type, a.t, a.v,
                b.v AS v_lag, z.n,
                CAST(FLOOR(3.0e0 * z.n / 4) AS BIGINT) AS cut
         FROM series a

@@ -663,7 +663,7 @@ def _kbm_step(engine: str) -> str:
 
 _KBM_COMMON = """
     , serie AS (
-        SELECT s.event_type, s.h, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS v
+        SELECT /*+ BROADCAST(c) */ s.event_type, s.h, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS v
         FROM spine s LEFT JOIN counts c
           ON c.event_type = s.event_type AND c.h = s.h
     ), rate AS (
@@ -698,7 +698,7 @@ def _kbm_sql(engine: str) -> str:
         prefix = _SPINE_FROM_COUNTS_SPARK
         packed = f"""
     , packed AS (
-        SELECT se.event_type, r.n, r.gam_e3,
+        SELECT /*+ BROADCAST(r) */ se.event_type, r.n, r.gam_e3,
                transform(array_sort(collect_list(struct(
                    se.h AS hh,
                    CAST({_KBM_C[0]} AS DOUBLE) AS c0,
@@ -721,7 +721,7 @@ def _kbm_sql(engine: str) -> str:
         prefix = _SPINE_FROM_COUNTS_DUCK
         packed = f"""
     , packed AS MATERIALIZED (
-        SELECT se.event_type, r.n, r.gam_e3,
+        SELECT /*+ BROADCAST(r) */ se.event_type, r.n, r.gam_e3,
                list([CAST({_KBM_C[0]} AS DOUBLE),
                      CAST({_KBM_C[1]} AS DOUBLE),
                      CAST({_KBM_C[2]} AS DOUBLE)]

@@ -159,7 +159,7 @@ def _arfit_sql(engine: str) -> str:
         SELECT event_type, CAST(MAX(n) AS DOUBLE) AS nd FROM tot
         GROUP BY event_type
     ), packed AS{mat} (
-        SELECT a.event_type, a.rarr, t.nd
+        SELECT /*+ BROADCAST(t) */ a.event_type, a.rarr, t.nd
         FROM ({pack}) a JOIN nd t ON t.event_type = a.event_type
     ), folded AS{mat} (
         SELECT p.event_type, p.rarr, p.nd, ({fold1}) AS st
@@ -277,7 +277,7 @@ def _hw_sql(engine: str) -> str:
         mat = ""
         packed = """
     , idx AS (
-        SELECT s.event_type,
+        SELECT /*+ BROADCAST(c) */ s.event_type,
                CAST(ROW_NUMBER() OVER (PARTITION BY s.event_type
                                        ORDER BY s.h) AS BIGINT) AS rn,
                CAST(COALESCE(c.cnt, 0) AS BIGINT) AS v
@@ -323,7 +323,7 @@ def _hw_sql(engine: str) -> str:
         mat = " MATERIALIZED"
         packed = """
     , idx AS MATERIALIZED (
-        SELECT s.event_type,
+        SELECT /*+ BROADCAST(c) */ s.event_type,
                CAST(ROW_NUMBER() OVER (PARTITION BY s.event_type
                                        ORDER BY s.h) AS BIGINT) AS rn,
                CAST(COALESCE(c.cnt, 0) AS BIGINT) AS v

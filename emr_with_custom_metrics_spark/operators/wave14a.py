@@ -339,7 +339,7 @@ _ENERGY_TMPL = """
                LEAD(v) OVER (PARTITION BY ma, mb ORDER BY v) AS nv
         FROM grid
     ), between_ AS (
-        SELECT p.ma, p.mb,
+        SELECT /*+ BROADCAST(ta), BROADCAST(tb), BROADCAST(g) */ p.ma, p.mb,
                CAST(COALESCE(SUM(CAST(ROUND((g.nv - g.v)
                     * ((CAST(g.fa AS DOUBLE) / ta.n)
                        * (1.0e0 - CAST(g.fb AS DOUBLE) / tb.n)
@@ -353,7 +353,7 @@ _ENERGY_TMPL = """
           ON g.ma = p.ma AND g.mb = p.mb AND g.nv IS NOT NULL
         GROUP BY p.ma, p.mb
     )
-    SELECT b.ma, b.mb,
+    SELECT /*+ BROADCAST(wa), BROADCAST(wb) */ b.ma, b.mb,
            b.e_between_e6, wa.e_within_e6 AS e_within_a_e6,
            wb.e_within_e6 AS e_within_b_e6,
            CAST(2 * b.e_between_e6 - wa.e_within_e6 - wb.e_within_e6
@@ -477,7 +477,7 @@ def _theta_sql(engine: str) -> str:
         fin = "f.st[{i}]"
     body = f"""
     , idx AS (
-        SELECT s.event_type,
+        SELECT /*+ BROADCAST(c) */ s.event_type,
                CAST(ROW_NUMBER() OVER (PARTITION BY s.event_type
                                        ORDER BY s.h) AS BIGINT) AS rn,
                CAST(COALESCE(c.cnt, 0) AS BIGINT) AS v
@@ -501,12 +501,12 @@ def _theta_sql(engine: str) -> str:
         FROM mom
         WHERE CAST(n AS DOUBLE) * stt - CAST(st_ AS DOUBLE) * st_ <> 0
     ), fit2 AS (
-        SELECT f.event_type, f.n, f.b,
+        SELECT /*+ BROADCAST(m) */ f.event_type, f.n, f.b,
                round((m.sv - f.b * m.st_) / m.n * 1000000.0e0)
                    / 1000000.0e0 AS a
         FROM fit f JOIN mom m ON m.event_type = f.event_type
     ), lines AS (
-        SELECT i.event_type, i.rn,
+        SELECT /*+ BROADCAST(f) */ i.event_type, i.rn,
                CAST(i.v AS DOUBLE) AS vd,
                round((f.a + f.b * i.rn) * 1000000.0e0)
                    / 1000000.0e0 AS lin,
@@ -522,7 +522,7 @@ def _theta_sql(engine: str) -> str:
         SELECT p.event_type, ({fold}) AS st
         FROM packed p
     )
-    SELECT f.event_type, f2.n AS n_hours,
+    SELECT /*+ BROADCAST(f2) */ f.event_type, f2.n AS n_hours,
            CAST(ROUND(f2.a * 1000000) AS BIGINT) AS intercept_e6,
            CAST(ROUND(f2.b * 1000000000) AS BIGINT) AS slope_e9,
            CAST(ROUND({fin.format(i=1)} * 1000000) AS BIGINT)

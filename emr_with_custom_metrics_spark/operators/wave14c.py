@@ -116,7 +116,7 @@ def _kd_step(engine: str) -> str:
 
 _KD_COMMON = """
     , serie AS (
-        SELECT s.event_type, s.h, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS v
+        SELECT /*+ BROADCAST(c) */ s.event_type, s.h, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS v
         FROM spine s LEFT JOIN counts c
           ON c.event_type = s.event_type AND c.h = s.h
     ), rate AS (
@@ -160,7 +160,7 @@ def _kd_sql(engine: str) -> str:
         arr = ", ".join(f"s.c{s}" for s in range(L))
         packed = f"""
     , packed AS (
-        SELECT se.event_type, r.n, r.gam_e3,
+        SELECT /*+ BROADCAST(r) */ se.event_type, r.n, r.gam_e3,
                transform(array_sort(collect_list(struct(
                    se.h AS hh,
 {cols}))),
@@ -185,7 +185,7 @@ def _kd_sql(engine: str) -> str:
         )
         packed = f"""
     , packed AS MATERIALIZED (
-        SELECT se.event_type, r.n, r.gam_e3,
+        SELECT /*+ BROADCAST(r) */ se.event_type, r.n, r.gam_e3,
                list([
 {cols}]
                     ORDER BY se.h) AS steps

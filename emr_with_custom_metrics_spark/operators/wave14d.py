@@ -290,7 +290,7 @@ def _vr_sql(engine: str) -> str:
     q = _VR_Q
     body = f"""
     , serie AS (
-        SELECT s.event_type, s.h,
+        SELECT /*+ BROADCAST(c) */ s.event_type, s.h,
                CAST(COALESCE(c.cnt, 0) AS BIGINT) AS x
         FROM spine s LEFT JOIN counts c
           ON c.event_type = s.event_type AND c.h = s.h

@@ -118,7 +118,11 @@ def _tr_step(prev: str, it: int) -> str:
     """
     return f"""
     , c{it} AS (
-        SELECT e.dst AS node,
+        -- r16 BROADCAST: score vector r and weighted degrees d are
+        -- vocabulary-sized (the repo's accepted broadcast posture; the
+        -- staged views carry no stats so these joins degraded to
+        -- SortMergeJoin — lost-statistics audit, guide §3.1).
+        SELECT /*+ BROADCAST(r), BROADCAST(d) */ e.dst AS node,
                CAST(SUM(CAST(ROUND(CAST(r.s_e9 AS DOUBLE) * e.c / d.wd)
                              AS BIGINT)) AS BIGINT) AS contrib_e9
         FROM edges e
@@ -126,7 +130,7 @@ def _tr_step(prev: str, it: int) -> str:
         JOIN wdeg d ON d.src = e.src
         GROUP BY e.dst
     ), r{it} AS (
-        SELECT v.word AS node,
+        SELECT /*+ BROADCAST(c) */ v.word AS node,
                CAST(ROUND(150000000.0e0
                           + 0.85e0 * COALESCE(c.contrib_e9, 0)) AS BIGINT)
                    AS s_e9

@@ -63,7 +63,7 @@ _XCORR_CORE = """
                a.t + g.lag AS tj
         FROM x a CROSS JOIN lags g
     ), joined AS (
-        SELECT s.ex, b.event_type AS ey, s.lag,
+        SELECT /*+ BROADCAST(b) */ s.ex, b.event_type AS ey, s.lag,
                s.vx, b.v AS vy
         FROM shifted s
         JOIN x b ON b.t = s.tj AND b.event_type <> s.ex
@@ -193,7 +193,7 @@ _PSI_CORE = """
     SELECT event_type, n_bins, psi_e9,
            psi_e9 >= 250000000 AS action_flag
     FROM (
-        SELECT c.event_type,
+        SELECT /*+ BROADCAST(t) */ c.event_type,
                CAST(COUNT(*) AS BIGINT) AS n_bins,
                CAST(SUM(CAST(ROUND(
                    (CAST(c.c_cur AS DOUBLE) / t.tc
