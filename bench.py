@@ -414,8 +414,21 @@ def main() -> None:
     # line below instead of vanishing.
     from emr_with_custom_metrics_spark.llm.dedup import PAIR_MEMO_BUILD_SECS
 
+    # Optional subset mode (r15 VERDICT item 4): SPARK_GRAFT_BENCH_QUERIES=
+    # "q1,q2,..." times ONLY the named queries (same methodology — noop
+    # sink, best-of-2, pair-memo extraction) so flagship rows can be
+    # re-measured at larger scale factors without the 500-row fixed-cost
+    # floor drowning them. The official driver leg sets no subset and is
+    # unchanged; a subset record is labeled via the `subset` field below.
+    subset_env = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").strip()
+    subset = [q.strip() for q in subset_env.split(",") if q.strip()]
+    unknown = [q for q in subset if q not in specs]
+    if unknown:
+        raise SystemExit(f"SPARK_GRAFT_BENCH_QUERIES names unknown queries: {unknown}")
+    headline = subset if subset else _headline(specs)
+
     times: dict[str, float] = {}
-    for name in _headline(specs):
+    for name in headline:
         # best-of-2: the second run amortizes JIT/py-worker warmup noise so
         # the recorded figure reflects the query, not the JVM's mood
         best = float("inf")
@@ -441,7 +454,7 @@ def main() -> None:
     )
 
     physical: dict[str, dict] = {}
-    for name in PHYSICAL_TRACKED:
+    for name in (PHYSICAL_TRACKED if not subset else [q for q in PHYSICAL_TRACKED if q in subset]):
         try:
             m = collect_execution_metrics(specs[name].fn(spark, sf_dir))
             physical[name] = {
@@ -485,6 +498,7 @@ def main() -> None:
             "riders": sorted(r for r in PAIR_MEMO_RIDERS if r in times),
         },
         "sf": sf,
+        "subset": subset or None,
         "contended": contention["contended"],
         "contention_check": contention,
         "idle_gate": idle_gate,
@@ -527,6 +541,7 @@ def main() -> None:
                     sum(PAIR_MEMO_BUILD_SECS.values()), 3
                 ),
                 "n_queries": len(times),
+                **({"subset": True} if subset else {}),
             }
         )
     )

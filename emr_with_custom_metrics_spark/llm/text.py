@@ -1754,45 +1754,66 @@ def _suffix_ranks(spark: SparkSession, sf_dir: str):
     "partition-parallel across the corpus.",
 )
 def text_longest_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    final, levels = _suffix_ranks(spark, sf_dir)
-    w = Window.partitionBy("doc_id").orderBy("r")
-    pairs = final.select(
-        "doc_id",
-        F.col("pos").alias("pos_b"),
-        F.lag("pos").over(w).alias("pos_a"),
-    ).where(F.col("pos_a").isNotNull())
-    # descending-level sparse-table LCP: acc advances by 2^k whenever the
-    # two suffixes' rank-2^k values agree at their advanced positions
-    cur = pairs.select("doc_id", "pos_a", "pos_b", F.lit(0).alias("acc"))
-    for k in range(_SA_ROUNDS - 1, -1, -1):
-        lv = levels[k]
-        ra = lv.select(
-            "doc_id", F.col("pos").alias("qa"), F.col("r").alias("ra")
+    # Opt r16 (guide §1.2 — fix the algorithm before the plan): the r15
+    # form ran the full prefix-doubling machinery (8 chained rank
+    # checkpoints, then a 7-level sparse-table LCP walk = 14 more
+    # (doc, pos) joins — 20+ Exchanges). But every doc is in-plan
+    # GUARDED to <= 2^_SA_ROUNDS = 128 tokens, so the whole per-doc
+    # suffix sort fits in ONE higher-order expression: materialize the
+    # suffixes as strings, array_sort them (binary collation — the same
+    # order the oracle's ORDER BY array_to_string uses), and take the
+    # max common TOKEN prefix of adjacent neighbors (first mismatch via
+    # array_position over zip_with equality, 0 -> full shorter length —
+    # the oracle's formula verbatim). Zero shuffles, no checkpoints; at
+    # any corpus size the work is an embarrassingly parallel per-doc map
+    # bounded by the same loud 128-token guard. Docs with one token have
+    # no adjacent pair and emit no row, exactly like the oracle. The
+    # suffix-array and BWT rows keep the prefix-doubling path (their
+    # output IS the rank table).
+    d = load_fanned(spark, sf_dir, "documents").where(F.col("doc_id") < _SA_DOCS)
+    toks = tokens(F.col("text"))
+    guarded = d.where(
+        F.assert_true(
+            F.size(toks) <= F.lit(1 << _SA_ROUNDS),
+            F.lit(
+                f"text_longest_repeat: doc exceeds {1 << _SA_ROUNDS} tokens; "
+                f"raise _SA_ROUNDS (per-doc suffix sort is O(n^2) bounded)"
+            ),
+        ).isNull()
+    ).select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    sufs = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(0), F.col("n") - 1),
+            lambda i: F.slice(F.col("toks"), i + 1, F.col("n")),
         )
-        rb = lv.select(
-            "doc_id", F.col("pos").alias("qb"), F.col("r").alias("rb")
+    )
+    lcp = lambda a, b: F.when(  # noqa: E731 — local expression builder
+        F.array_position(F.zip_with(a, b, lambda x, y: x == y), F.lit(False))
+        > 0,
+        F.array_position(F.zip_with(a, b, lambda x, y: x == y), F.lit(False))
+        - 1,
+    ).otherwise(F.least(F.size(a), F.size(b)))
+    return (
+        guarded.where(F.col("n") >= 2)
+        .select(
+            "doc_id",
+            F.col("n"),
+            sufs.alias("sufs"),
         )
-        cur = (
-            cur.withColumn("qa", F.col("pos_a") + F.col("acc"))
-            .withColumn("qb", F.col("pos_b") + F.col("acc"))
-            .join(ra, ["doc_id", "qa"], "left")
-            .join(rb, ["doc_id", "qb"], "left")
-            .select(
-                "doc_id", "pos_a", "pos_b",
-                F.when(
-                    F.col("ra").isNotNull()
-                    & F.col("rb").isNotNull()
-                    & (F.col("ra") == F.col("rb")),
-                    F.col("acc") + (1 << k),
+        .select(
+            "doc_id",
+            F.array_max(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n") - 1),
+                    lambda i: lcp(
+                        F.element_at(F.col("sufs"), i),
+                        F.element_at(F.col("sufs"), i + 1),
+                    ),
                 )
-                .otherwise(F.col("acc"))
-                .alias("acc"),
             )
+            .cast("bigint")
+            .alias("max_repeat_tokens"),
         )
-    return cur.groupBy("doc_id").agg(
-        F.max("acc").cast("bigint").alias("max_repeat_tokens")
     )
 
 

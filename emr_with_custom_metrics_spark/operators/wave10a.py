@@ -516,7 +516,11 @@ _SPEARMAN_SQL = """
         FROM (SELECT flag, p, CAST(COUNT(*) AS BIGINT) AS c
               FROM li GROUP BY flag, p)
     ), j AS (
-        SELECT li.flag,
+        -- r16 BROADCAST (guide §3.1, lost-statistics audit): qr is the
+        -- quantity rank map (domain-bounded, |flags| x 50 rows) and tot
+        -- is one row per flag. pr (price histogram) is data-sized and
+        -- keeps the sort-merge shuffle deliberately.
+        SELECT /*+ BROADCAST(qr), BROADCAST(t) */ li.flag,
                qr.r2 - (t.n + 1) AS dx,
                pr.r2 - (t.n + 1) AS dy,
                t.n
