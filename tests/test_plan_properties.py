@@ -865,3 +865,28 @@ def test_gini_sorts_once(spark):
     assert plan.count("Window") <= 2, plan[:2000]
     assert "ReusedExchange" in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_scale_argument_stagings_pinned(spark):
+    """r15 VERDICT item 3: four rows deliberately buy local cost
+    (compact checkpoint materializations) on a 100 TB argument — pin
+    the plan mechanically so later edits can't silently double the
+    staging or lose a broadcast without failing here. Ceilings are the
+    r16-measured values (final executed plan; the staged subtrees sit
+    behind Scan ExistingRDD, so parquet counts are the TAIL's scans and
+    Exchange counts bound the tail's shuffle budget)."""
+    ceilings = {
+        # (max "Scan parquet" in formatted plan, max Exchange in tree)
+        "similarity_recall_report": (2, 18),
+        "retrieval_mrr_eval": (2, 8),
+        "similarity_ann_lsh": (0, 6),
+        "basket_association_rules": (0, 14),
+    }
+    for name, (max_scans, max_exch) in ceilings.items():
+        df = SPECS[name].fn(spark, SF_DIR)
+        fp = formatted_plan(df)
+        tree = df._jdf.queryExecution().executedPlan().toString()
+        scans = fp.count("Scan parquet")
+        exch = tree.count("Exchange")
+        assert scans <= max_scans, (name, scans, fp[:1500])
+        assert exch <= max_exch, (name, exch, tree[:1500])
